@@ -1,0 +1,154 @@
+"""The analysis chain: StandardTokenizer (UAX#29 word-break subset) ->
+StandardFilter (no-op) -> LowerCaseFilter -> StopFilter.
+
+Reference chain: lucene/analysis/common/src/java/org/apache/lucene/
+analysis/standard/StandardAnalyzer.java:109-123. Tokenizer grammar:
+standard/StandardTokenizerImpl.jflex:119-186 (NUM :129-133, WORD
+:150-158, SE-Asian :181, Han/Hiragana :184-185, drop-everything-else
+:192). Max token length 255 with position still advancing:
+standard/StandardTokenizer.java:145-168.
+
+Implementation notes (Spark-first, not a port):
+  - One precompiled `regex` pattern implements the jflex rules. The WORD
+    rule's language is a superset of the NUM rule's (both appear in the
+    grammar only to assign token *types*, which indexing ignores), so a
+    single combined alternation suffices for token *boundaries*.
+  - Unicode version delta: the jflex grammar is Unicode 6.1. Modern
+    Unicode moved U+0027 APOSTROPHE from MidNumLet to Single_Quote and
+    split Hebrew_Letter out of ALetter (both in Unicode 6.3); we fold
+    them back so `don't` is one token, as in the reference.
+  - LowerCaseFilter is Character.toLowerCase per codepoint
+    (analysis/core/LowerCaseFilter.java:52-58). Python str.lower() uses
+    full case mappings; they agree on 1:1 mappings (all of ASCII and the
+    fixture set). Documented delta: U+0130 and similar expand under
+    Python; out of scope for source-code corpora.
+  - StopFilter drops the 33-word English set, preserving position
+    increments (analysis/core/StopFilter.java:124-127); stopped and
+    over-long tokens do NOT count toward norm length
+    (FieldInvertState.length counts emitted tokens only;
+    BM25Similarity.java:137-141 uses length - numOverlap).
+
+The hot path is `tokenize_series` (pandas Series -> list columns),
+called from Arrow-batched UDFs — no per-row Python beyond the token
+lists themselves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+try:  # the `regex` module supports \p{WB=...}; stdlib `re` does not
+    import regex as _re
+
+    _HAS_REGEX = True
+except ImportError:  # pragma: no cover - regex is present in this env
+    import re as _re
+
+    _HAS_REGEX = False
+
+from lucene_solr_spark.constants import MAX_TOKEN_LENGTH, STOPWORDS
+
+__all__ = ["tokenize", "analyze", "tokenize_series", "TOKEN_PATTERN"]
+
+
+def _build_pattern():
+    if not _HAS_REGEX:  # crude ASCII fallback, tests require `regex`
+        return _re.compile(r"[A-Za-z0-9_][A-Za-z0-9_.']*[A-Za-z0-9_]|[A-Za-z0-9_]")
+
+    # jflex macros (StandardTokenizerImpl.jflex:50-76), Unicode 6.1 emulation
+    aletter = r"[\p{WB=ALetter}\p{WB=HebrewLetter}]"
+    numeric = r"[\p{WB=Numeric}０-９]"
+    midletter = r"[\p{WB=MidLetter}\p{WB=MidNumLet}\p{WB=SingleQuote}]"
+    midnumeric = r"[\p{WB=MidNum}\p{WB=MidNumLet}\p{WB=SingleQuote}]"
+    extnumlet = r"\p{WB=ExtendNumLet}"
+    katakana = r"\p{WB=Katakana}"
+    ext = r"[\p{WB=Format}\p{WB=Extend}]*"  # WB4: X (Extend|Format)* -> X
+
+    al = f"(?:{aletter}{ext})"
+    num = f"(?:{numeric}{ext})"
+    kat = f"(?:{katakana}{ext})"
+    midl = f"(?:{midletter}{ext})"
+    midn = f"(?:{midnumeric}{ext})"
+    enl = f"(?:{extnumlet}{ext})"
+
+    # {NumericEx} ({ExtendNumLetEx}+ {NumericEx} | {MidNumericEx}
+    #  {NumericEx} | {NumericEx})*   (jflex :129-133 / inside :150-158)
+    num_run = f"{num}(?:{enl}+{num}|{midn}{num}|{num})*"
+    # {ALetterEx} ({ExtendNumLetEx}+ {ALetterEx} | {MidLetterEx}
+    #  {ALetterEx} | {ALetterEx})*
+    al_run = f"{al}(?:{enl}+{al}|{midl}{al}|{al})*"
+    kat_run = f"{kat}(?:{enl}*{kat})*"
+    core = f"(?:{kat_run}|(?:{num_run}|{al_run})+)"
+    # WORD rule (jflex :150-158), subsumes the NUM rule (:129-133)
+    word = f"{enl}*{core}(?:{enl}+{core})*{enl}*"
+
+    se_asian = r"\p{LB=ComplexContext}+"
+    han = r"(?:\p{Script=Han}" + ext + ")"
+    hiragana = r"(?:\p{Script=Hiragana}" + ext + ")"
+
+    return _re.compile(f"{word}|{se_asian}|{han}|{hiragana}", _re.V0)
+
+
+TOKEN_PATTERN = _build_pattern()
+
+
+def tokenize(text: str) -> List[str]:
+    """Raw StandardTokenizer output (pre-lowercase, pre-stop), honoring
+    the 255-char max-token skip rule (StandardTokenizer.java:156-167)."""
+    return [
+        t for t in TOKEN_PATTERN.findall(text) if len(t) <= MAX_TOKEN_LENGTH
+    ]
+
+
+def analyze(text: str) -> List[str]:
+    """Full chain: tokenize -> lowercase -> stop-filter. Returned list
+    length == norm field length (emitted-token count)."""
+    out = []
+    for t in TOKEN_PATTERN.findall(text):
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue  # skipped, still advances position; length unaffected
+        t = t.lower()
+        if t not in STOPWORDS:
+            out.append(t)
+    return out
+
+
+def analyze_with_positions(text: str) -> List[Tuple[str, int]]:
+    """(token, position) pairs with StopFilter position holes preserved
+    (StopFilter.java:124-127) and over-long tokens advancing position
+    (StandardTokenizer.java:156-167). Used by the phrase-capable tier
+    and by analyzer golden-vector tests."""
+    out = []
+    pos = -1
+    for t in TOKEN_PATTERN.findall(text):
+        pos += 1  # every recognized token advances position by 1
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        t = t.lower()
+        if t in STOPWORDS:
+            continue
+        out.append((t, pos))
+    return out
+
+
+def tokenize_series(texts: Iterable[str]) -> List[List[str]]:
+    """Vectorized-ish batch analyze for pandas UDFs: one C-level regex
+    scan per row, list building only. pandas .str methods cannot express
+    the UAX#29 grammar, so a tight loop over the batch is the floor."""
+    findall = TOKEN_PATTERN.findall
+    stop = STOPWORDS
+    maxlen = MAX_TOKEN_LENGTH
+    result = []
+    append = result.append
+    for text in texts:
+        if not text:
+            append([])
+            continue
+        append(
+            [
+                lt
+                for t in findall(text)
+                if len(t) <= maxlen and (lt := t.lower()) not in stop
+            ]
+        )
+    return result

@@ -1,0 +1,147 @@
+"""Pure-Python single-process oracle: a naive dict inverted index with the
+exact Lucene BM25 float32 math and collector semantics. Plays the role
+Lucene itself plays in the reference's dual-execution tests
+(lucene/core/src/test/org/apache/lucene/search/TestBoolean2.java:132-144,
+test-framework/.../search/CheckHits.java:197): every engine query must be
+rank-identical (docIDs AND float32 score bits) to this oracle.
+
+Normative orderings reproduced here:
+  - conjunction: float32 sum over clauses in ascending-df order
+    (ConjunctionScorer.java:47-54,104-111), coord = 1
+  - disjunction: per-doc accumulation in double, cast to float32 at the
+    end (DisjunctionSumScorer.java `double score`)
+  - minShouldMatch: disjunction restricted to docs matching >= mm clauses
+    (MinShouldMatchSumScorer.java:36-102)
+  - MUST_NOT: required-side docs minus excluded set (ReqExclScorer.java)
+  - collector tie-break: score desc, then docID asc (HitQueue.java:76-81)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from lucene_solr_spark.constants import B, K1
+from lucene_solr_spark.functions.analysis import analyze
+from lucene_solr_spark.functions.bm25 import K1_PLUS_1, avgdl, idf, norm_cache
+from lucene_solr_spark.functions.smallfloat import encode_norm
+
+F32 = np.float32
+
+
+@dataclass
+class OracleIndex:
+    postings: Dict[str, List[Tuple[int, int]]] = field(default_factory=dict)
+    norm_bytes: Dict[int, int] = field(default_factory=dict)
+    max_doc: int = 0
+    sum_ttf: int = 0
+
+    @classmethod
+    def build(cls, docs: Sequence[Tuple[int, str]]) -> "OracleIndex":
+        """docs: (doc_id, content) with dense pre-assigned docIDs."""
+        idx = cls()
+        for doc_id, content in docs:
+            terms = analyze(content)
+            idx.max_doc += 1
+            idx.sum_ttf += len(terms)
+            # len==0 -> 1/sqrt(0)=inf -> floatToByte315 overflow -> 0xFF,
+            # matching Lucene's encodeNormValue on an empty field
+            with np.errstate(divide="ignore"):
+                idx.norm_bytes[doc_id] = int(encode_norm(len(terms)))
+            tf: Dict[str, int] = {}
+            for t in terms:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in tf.items():
+                idx.postings.setdefault(t, []).append((doc_id, f))
+        for plist in idx.postings.values():
+            plist.sort()
+        return idx
+
+    # -- stats ---------------------------------------------------------
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def _cache(self) -> np.ndarray:
+        return norm_cache(avgdl(self.sum_ttf, self.max_doc), K1, B)
+
+    # -- scoring -------------------------------------------------------
+    def _term_scores(self, term: str, cache: np.ndarray) -> Dict[int, np.float32]:
+        w = idf(self.df(term), self.max_doc)
+        weight_value = F32(w * K1_PLUS_1)
+        out = {}
+        for doc_id, tf in self.postings.get(term, ()):
+            freq = F32(tf)
+            norm = cache[self.norm_bytes[doc_id]]
+            out[doc_id] = F32(weight_value * freq / (freq + norm))
+        return out
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        mode: str = "or",
+        min_should_match: int = 0,
+        exclude: str = "",
+    ) -> List[Tuple[int, np.float32]]:
+        """Analyze `query` with the same chain, score, return top-k
+        [(doc_id, float32 score)] in collector order (score desc, doc asc).
+
+        mode: 'or' (DisjunctionSumScorer), 'and' (ConjunctionScorer).
+        min_should_match: for 'or', require >= mm matching clauses.
+        exclude: text whose terms' docs are excluded (MUST_NOT).
+        """
+        terms = analyze(query)
+        # de-dup preserving first occurrence (BooleanQuery keeps duplicate
+        # clauses; our surface treats the query as a term SET, documented)
+        seen, qterms = set(), []
+        for t in terms:
+            if t not in seen:
+                seen.add(t)
+                qterms.append(t)
+        if mode == "and" and any(t not in self.postings for t in qterms):
+            # a required clause with no matching docs produces no scorer
+            # -> empty conjunction (BooleanWeight.scorer, BooleanQuery.java
+            # :301-366 returns null when a MUST clause scorer is null)
+            return []
+        qterms = [t for t in qterms if t in self.postings]
+        if not qterms:
+            return []
+        cache = self._cache()
+        per_term = {t: self._term_scores(t, cache) for t in qterms}
+
+        scores: Dict[int, np.float32] = {}
+        if mode == "and":
+            # ascending cost = ascending df; stable by clause order for ties
+            # (ConjunctionScorer sorts with ArrayUtil.mergeSort, stable)
+            order = sorted(qterms, key=lambda t: self.df(t))
+            docs = set(per_term[order[0]])
+            for t in order[1:]:
+                docs &= set(per_term[t])
+            for d in docs:
+                acc = F32(0.0)
+                for t in order:  # float32 accumulation in cost order
+                    acc = F32(acc + per_term[t][d])
+                scores[d] = acc
+        elif mode == "or":
+            dacc: Dict[int, Tuple[float, int]] = {}
+            for t in qterms:
+                for d, s in per_term[t].items():
+                    cur = dacc.get(d, (0.0, 0))
+                    dacc[d] = (cur[0] + float(s), cur[1] + 1)  # double acc
+            mm = max(min_should_match, 1)
+            scores = {
+                d: F32(s) for d, (s, n) in dacc.items() if n >= mm
+            }
+        else:
+            raise ValueError(mode)
+
+        if exclude:
+            ex_docs = set()
+            for t in analyze(exclude):
+                ex_docs.update(d for d, _ in self.postings.get(t, ()))
+            scores = {d: s for d, s in scores.items() if d not in ex_docs}
+
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return ranked[:k]

@@ -1,0 +1,42 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Sandbox runs local[N]; on a real cluster the same config applies minus
+`master` (spark-submit provides it). All knobs chosen for the 100 TB
+design point and merely inherited by the small tiers:
+  - AQE on (runtime coalescing + generic skew-join splitting),
+  - Arrow batches capped so pandas UDF memory stays bounded,
+  - shuffle partitions sized to cores locally (cluster: 2-3x total cores).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "lucene_solr_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
+        .config("spark.driver.maxResultSize", "4g")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,70 @@
+"""Analyzer golden vectors (FIXTURES.md section 4), mirroring the
+reference's assertTokenStreamContents pinning style
+(lucene/test-framework/.../analysis/BaseTokenStreamTestCase.java:114-254,
+lucene/analysis/common/src/test/.../core/TestStandardAnalyzer.java).
+"""
+
+import pytest
+
+from lucene_solr_spark.functions.analysis import (
+    analyze,
+    analyze_with_positions,
+    tokenize,
+    tokenize_series,
+)
+
+VECTORS = [
+    ("foo_bar_baz", ["foo_bar_baz"]),              # _ = ExtendNumLet (WB13a/b)
+    ("a.b(c)", ["a.b", "c"]),                       # . = MidNumLet between letters
+    ("SHA256 == sha-256", ["sha256", "sha", "256"]),  # digits+letters fuse; - splits
+    ("don't", ["don't"]),                           # ' = MidNumLet (Unicode 6.1)
+    ("x+y", ["x", "y"]),
+    ("1_000", ["1_000"]),
+    ("wi.fi 3.14 v1.2.3", ["wi.fi", "3.14", "v1.2.3"]),
+    ("0x1F", ["0x1f"]),
+    ("a;b", ["b"]),                                  # 'a' is a stopword
+    ("+-*/ && || ...", []),                          # pure operators vanish
+    ("tab\tnew\nline", ["tab", "new", "line"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", VECTORS)
+def test_golden_vectors(text, expected):
+    assert analyze(text) == expected
+
+
+def test_stopfilter_position_holes():
+    # 'the quick if not' -> [quick@1]; StopFilter keeps increments
+    assert analyze_with_positions("the quick if not") == [("quick", 1)]
+
+
+def test_overlong_token_skipped_but_position_advances():
+    text = "y " + "x" * 256 + " z"
+    assert analyze_with_positions(text) == [("y", 0), ("z", 2)]
+    assert analyze("x" * 256) == []
+    # exactly 255 chars is kept (StandardAnalyzer.java:58 boundary)
+    assert analyze("x" * 255) == ["x" * 255]
+
+
+def test_cjk():
+    # Han: one token per ideograph (WB14); Hiragana: per char;
+    # Katakana: runs kept together (WB13)
+    assert tokenize("你好") == ["你", "好"]
+    assert tokenize("ひらがな") == ["ひ", "ら", "が", "な"]
+    assert tokenize("カタカナ") == ["カタカナ"]
+
+
+def test_fullwidth_digits_are_num():
+    assert tokenize("１２３") == ["１２３"]
+
+
+def test_stopword_set_is_33_words():
+    from lucene_solr_spark.constants import STOPWORDS
+
+    assert len(STOPWORDS) == 33
+    assert "the" in STOPWORDS and "quick" not in STOPWORDS
+
+
+def test_batch_equals_scalar(small_corpus):
+    texts = [r["content"] for r in small_corpus[:50]]
+    assert tokenize_series(texts) == [analyze(t) for t in texts]
