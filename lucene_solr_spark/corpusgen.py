@@ -133,7 +133,9 @@ def doc_content(i: int) -> str:
             parts.append("\n")
     for h, hid in enumerate(HIGH_DF_IDS):
         if rng.random() < 0.6:
-            parts.append(f"\n{hid}.init({h})")
+            # parenthesis after the id: '(' splits, so `hid` stands alone
+            # as a genuine high-DF term (a '.' would glue it to 'init')
+            parts.append(f"\n{hid}(init_{h})")
     return "".join(parts)
 
 

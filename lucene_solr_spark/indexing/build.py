@@ -1,0 +1,496 @@
+"""Index build pipeline (the IndexWriter of this engine).
+
+Spark shape (SURVEY.md section 3.2, re-expressing IndexWriter.addDocument
+-> flush -> commit, lucene/core/src/java/org/apache/lucene/index/
+IndexWriter.java:1161,2820):
+
+  corpus(repo,path,commit,lang,content)
+    [1] deterministic docID assignment: dense rank over (repo,path,
+        commit) via range-repartition + per-partition offsets — never
+        from partition enumeration, so docIDs are identical at any
+        parallelism (the per-row invariant carrier).
+    [2] seg_id = doc_id // docs_per_segment: a segment is a contiguous
+        docID range — the DWPT/flush-unit analogue
+        (index/DocumentsWriterPerThread.java); embarrassingly parallel.
+    [3] groupBy(seg_id).applyInPandas(build_segment): tokenize
+        (vectorized chain), invert (pandas groupby (term,doc)), encode
+        (delta+FOR blocks, skips, block-max metadata), emit postings
+        rows + one segment-meta row (norms blob = the .nvd analogue).
+    [4] batched writes: segments are built in `n_batches` independent
+        jobs; each batch commit appends a snapshot with per-segment
+        lineage rows -> kill/resume restarts after the last committed
+        batch (Iceberg-checkpoint model, catalog.py).
+    [5] finalize: term_stats / collection_stats aggregates + 'commit'
+        snapshot (the segments_N publish).
+
+Merge (`merge_postings`) is the SegmentMerger/forceMerge analogue
+(index/SegmentMerger.java:71-119): groupBy (term, seg_group) —
+seg_group = seg_id // segs_per_group is the SALT. A high-DF term's
+posting list is never assembled on one reducer; each group merges only
+its own disjoint, ordered docID range (two-level merge correctness
+argument in SURVEY.md section 2.4) and rows stay capped near
+MAX_POSTINGS_PER_ROW. Query-side concatenation of group rows is a
+no-op merge because ranges are disjoint and ordered.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.catalog import Catalog, Snapshot
+from lucene_solr_spark.constants import DEFAULT_DOCS_PER_SEGMENT
+from lucene_solr_spark.functions.analysis import tokenize_series
+from lucene_solr_spark.functions.smallfloat import encode_norm
+from lucene_solr_spark.indexing.codec import (
+    decode_postings,
+    decode_skips,
+    encode_postings,
+)
+
+DOC_KEY = ["repo", "path", "commit"]
+
+
+def _is_meta_col():
+    # is_meta is a partition directory column; Spark infers it as string
+    return F.col("is_meta").cast("boolean")
+
+
+def read_segment_output(spark: SparkSession, paths, base_path: str):
+    """Read batch output dirs; returns (postings_df, meta_df)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    sdf = spark.read.option("basePath", base_path).parquet(*paths)
+    return sdf.filter(~_is_meta_col()), sdf.filter(_is_meta_col())
+
+SEGMENT_OUT_SCHEMA = (
+    "is_meta boolean, term string, seg_id long, df long, cf long, "
+    "doc_ids_enc binary, tfs_enc binary, skips_enc binary, "
+    "sdoc long, stf long, "
+    "doc_base long, doc_count long, sum_len long, "
+    "norms_enc binary, doc_lens_enc binary, input_sha256 string"
+)
+
+_POSTING_COLS = [
+    "term", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc", "skips_enc",
+    "sdoc", "stf",
+]
+_META_COLS = [
+    "seg_id", "doc_base", "doc_count", "sum_len", "norms_enc",
+    "doc_lens_enc", "input_sha256",
+]
+
+
+def assign_doc_ids(
+    corpus: DataFrame, num_partitions: Optional[int] = None
+) -> DataFrame:
+    """Dense deterministic docID = rank over (repo, path, commit).
+
+    NOT a global Window.orderBy (single-partition sort at 100 TB):
+    range-repartition on the key, sort within partitions, then add
+    per-partition offsets computed from a counts pass — the scalable
+    two-pass dense-rank. The result depends only on the key order, not
+    on partition boundaries or parallelism.
+    """
+    spark = corpus.sparkSession
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism
+    keyed = (
+        corpus.dropDuplicates(DOC_KEY)  # updateDocuments: one row per key
+        .repartitionByRange(num_partitions, *DOC_KEY)
+        .sortWithinPartitions(*DOC_KEY)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["_pid"]: r["count"] for r in keyed.groupBy("_pid").count().collect()}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in corpus.schema.fields
+    ) + ", doc_id long"
+    out_cols = [f.name for f in corpus.schema.fields] + ["doc_id"]
+
+    def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        consumed = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["_pid"].iloc[0])] + consumed
+            consumed += len(pdf)
+            pdf = pdf.drop(columns=["_pid"])
+            pdf["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
+            yield pdf[out_cols]
+
+    return keyed.mapInPandas(add_ids, schema=out_schema)
+
+
+def build_segment_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas kernel: one contiguous-docID segment in, postings
+    rows + one meta row out. The in-RAM inversion analogue
+    (index/FreqProxTermsWriterPerField.java:161-245, term sort in UTF-8
+    order TermsHashPerField.java:110-111 — Python str order == codepoint
+    order == UTF-8 byte order, so plain sort matches)."""
+    seg_id = int(key[0])
+    pdf = pdf.sort_values("doc_id", ignore_index=True)
+    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    doc_base = int(doc_ids[0])
+    n_docs = len(doc_ids)
+
+    token_lists = tokenize_series(pdf["content"].tolist())
+    lens = np.fromiter((len(t) for t in token_lists), np.int64, n_docs)
+    with np.errstate(divide="ignore"):
+        norm_bytes = np.atleast_1d(encode_norm(lens))
+    # dense norm lookup over the segment's contiguous doc range
+    span = int(doc_ids[-1]) - doc_base + 1
+    nb_lookup = np.zeros(span, dtype=np.uint8)
+    nb_lookup[doc_ids - doc_base] = norm_bytes
+    len_lookup = np.zeros(span, dtype=np.int32)
+    len_lookup[doc_ids - doc_base] = lens.astype(np.int32)
+
+    input_sha = hashlib.sha256(
+        "".join(pdf["content_sha256"].tolist()).encode()
+    ).hexdigest()
+
+    rows: List[dict] = []
+    total_tokens = int(lens.sum())
+    if total_tokens:
+        flat_terms = [t for lst in token_lists for t in lst]
+        flat_docs = np.repeat(doc_ids, lens)
+        inv = pd.DataFrame({"t": flat_terms, "d": flat_docs})
+        grp = inv.groupby(["t", "d"], sort=True).size()
+        g_terms = grp.index.get_level_values(0).to_numpy()
+        g_docs = grp.index.get_level_values(1).to_numpy(np.int64)
+        g_tfs = grp.to_numpy(np.int32)
+        uniq_terms, starts = np.unique(g_terms, return_index=True)
+        bounds = np.append(starts, len(g_terms))
+        for i, term in enumerate(uniq_terms):
+            lo, hi = bounds[i], bounds[i + 1]
+            df_local = int(hi - lo)
+            cf_local = int(g_tfs[lo:hi].sum())
+            if df_local == 1:
+                rows.append(
+                    dict(is_meta=False, term=term, seg_id=seg_id,
+                         df=1, cf=cf_local, doc_ids_enc=None,
+                         tfs_enc=None, skips_enc=None,
+                         sdoc=int(g_docs[lo]), stf=int(g_tfs[lo]),
+                         doc_base=None, doc_count=None, sum_len=None,
+                         norms_enc=None, doc_lens_enc=None,
+                         input_sha256=None)
+                )
+            else:
+                docs_t = g_docs[lo:hi]
+                tfs_t = g_tfs[lo:hi]
+                nbs_t = nb_lookup[docs_t - doc_base]
+                d_enc, t_enc, s_enc = encode_postings(docs_t, tfs_t, nbs_t)
+                rows.append(
+                    dict(is_meta=False, term=term, seg_id=seg_id,
+                         df=df_local, cf=cf_local, doc_ids_enc=d_enc,
+                         tfs_enc=t_enc, skips_enc=s_enc, sdoc=None,
+                         stf=None, doc_base=None, doc_count=None,
+                         sum_len=None, norms_enc=None,
+                         doc_lens_enc=None, input_sha256=None)
+                )
+    rows.append(
+        dict(is_meta=True, term=None, seg_id=seg_id, df=None, cf=None,
+             doc_ids_enc=None, tfs_enc=None, skips_enc=None, sdoc=None,
+             stf=None, doc_base=doc_base, doc_count=n_docs,
+             sum_len=total_tokens, norms_enc=nb_lookup.tobytes(),
+             doc_lens_enc=len_lookup.astype("<i4").tobytes(),
+             input_sha256=input_sha)
+    )
+    return pd.DataFrame(rows)
+
+
+class IndexWriter:
+    """Builds (and resumes) the full index under `index_dir`."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
+        n_batches: int = 4,
+    ):
+        self.spark = spark
+        self.catalog = Catalog(index_dir)
+        self.docs_per_segment = int(docs_per_segment)
+        self.n_batches = int(n_batches)
+
+    # -- stage 1: docs --------------------------------------------------
+    def _docs_snapshot(self, corpus: DataFrame, resume: bool) -> Snapshot:
+        snap = self.catalog.latest_at_stage("docs", "segments", "commit", "merge")
+        if resume and snap is not None:
+            return snap
+        docs = assign_doc_ids(corpus).withColumn(
+            "content_sha256", F.sha2(F.col("content"), 256)
+        )
+        path = self.catalog.path("docs")
+        (
+            docs.drop("content")
+            .repartitionByRange(self.spark.sparkContext.defaultParallelism, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(path)
+        )
+        n_docs = self.spark.read.parquet(path).count()
+        return self.catalog.commit(
+            "docs",
+            tables={"docs": path},
+            props={
+                "n_docs": n_docs,
+                "docs_per_segment": self.docs_per_segment,
+                "n_batches": self.n_batches,
+            },
+        )
+
+    # -- stage 2: segments (batched, resumable) ---------------------------
+    def _docs_with_content(self, corpus: DataFrame) -> DataFrame:
+        docs = self.spark.read.parquet(self.catalog.path("docs"))
+        return docs.join(
+            corpus.dropDuplicates(DOC_KEY).select(*DOC_KEY, "content"),
+            on=DOC_KEY,
+            how="inner",
+        )
+
+    def build(self, corpus: DataFrame, resume: bool = True) -> Snapshot:
+        snap = self._docs_snapshot(corpus, resume)
+        if snap.stage in ("commit", "merge") and resume:
+            return snap
+        props = snap.props
+        n_docs = int(props["n_docs"])
+        dps = int(props.get("docs_per_segment", self.docs_per_segment))
+        n_batches = int(props.get("n_batches", self.n_batches))
+        n_segs = max((n_docs + dps - 1) // dps, 1)
+        segs_per_batch = max((n_segs + n_batches - 1) // n_batches, 1)
+
+        done = set(snap.props.get("batches_done", []))
+        if snap.stage == "docs":
+            done = set()
+        dwc = None
+        lineage_acc = list(snap.lineage) if snap.stage == "segments" else []
+        for b in range(n_batches):
+            lo_seg = b * segs_per_batch
+            if lo_seg >= n_segs:
+                break
+            if b in done:
+                continue
+            if dwc is None:
+                dwc = self._docs_with_content(corpus).withColumn(
+                    "seg_id", (F.col("doc_id") / F.lit(dps)).cast("long")
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+            hi_seg = min((b + 1) * segs_per_batch, n_segs)
+            batch_df = dwc.filter(
+                (F.col("seg_id") >= lo_seg) & (F.col("seg_id") < hi_seg)
+            ).select("seg_id", "doc_id", "content", "content_sha256")
+            out = batch_df.groupBy("seg_id").applyInPandas(
+                build_segment_udf, schema=SEGMENT_OUT_SCHEMA
+            )
+            path = self.catalog.path("seg", f"batch={b}")
+            out.write.mode("overwrite").partitionBy("is_meta").parquet(path)
+            lineage_acc.extend(self._batch_lineage(path, b))
+            done.add(b)
+            self.catalog.commit(
+                "segments",
+                tables={"docs": self.catalog.path("docs")},
+                props={**props, "batches_done": sorted(done)},
+                lineage=lineage_acc,
+            )
+        if dwc is not None:
+            dwc.unpersist()
+        return self._finalize(props, sorted(done), lineage_acc)
+
+    def _batch_lineage(self, path: str, batch: int) -> List[dict]:
+        sdf = self.spark.read.parquet(path)
+        post_agg = (
+            sdf.filter(~_is_meta_col())
+            .groupBy("seg_id")
+            .agg(
+                F.min("term").alias("term_lo"),
+                F.max("term").alias("term_hi"),
+                (
+                    F.sum(F.coalesce(F.length("doc_ids_enc"), F.lit(0)))
+                    + F.sum(F.coalesce(F.length("tfs_enc"), F.lit(0)))
+                    + F.sum(F.coalesce(F.length("skips_enc"), F.lit(0)))
+                ).alias("bytes"),
+            )
+        )
+        meta = sdf.filter(_is_meta_col()).select(
+            "seg_id", "doc_count", "input_sha256"
+        )
+        rows = meta.join(post_agg, "seg_id", "left").collect()
+        return [
+            dict(
+                partition_id=int(r["seg_id"]),
+                batch=batch,
+                term_range_lo=r["term_lo"],
+                term_range_hi=r["term_hi"],
+                doc_count=int(r["doc_count"]),
+                bytes=int(r["bytes"] or 0),
+                input_sha256=r["input_sha256"],
+            )
+            for r in rows
+        ]
+
+    # -- stage 3: stats + commit -----------------------------------------
+    def _finalize(self, props: dict, done: List[int], lineage: List[dict]) -> Snapshot:
+        batch_paths = [self.catalog.path("seg", f"batch={b}") for b in done]
+        postings, meta = read_segment_output(
+            self.spark, batch_paths, self.catalog.path("seg")
+        )
+        term_stats_path = self.catalog.path("stats", "term_stats")
+        (
+            postings.groupBy("term")
+            .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+            .repartitionByRange(self.spark.sparkContext.defaultParallelism, "term")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite").parquet(term_stats_path)
+        )
+        agg = meta.agg(
+            F.sum("doc_count").alias("max_doc"), F.sum("sum_len").alias("sum_ttf")
+        ).collect()[0]
+        coll = {
+            "max_doc": int(agg["max_doc"] or 0),
+            "sum_total_term_freq": int(agg["sum_ttf"] or 0),
+        }
+        coll_path = self.catalog.path("stats", "collection.json")
+        os.makedirs(os.path.dirname(coll_path), exist_ok=True)
+        with open(coll_path, "w") as f:
+            json.dump(coll, f)
+        return self.catalog.commit(
+            "commit",
+            tables={
+                "docs": self.catalog.path("docs"),
+                "postings": batch_paths,
+                "segments": batch_paths,
+                "term_stats": term_stats_path,
+                "collection_stats": coll_path,
+            },
+            props={**props, "batches_done": done, "group_factor": 1, **coll},
+            lineage=lineage,
+        )
+
+
+# -- merge (forceMerge / SegmentMerger analogue) ---------------------------
+
+MERGED_SCHEMA = (
+    "term string, seg_id long, df long, cf long, doc_ids_enc binary, "
+    "tfs_enc binary, skips_enc binary, sdoc long, stf long"
+)
+
+
+def _make_merge_udf(new_gfac: int):
+    """Factory for the per-(term, group) merge kernel.
+
+    Invariant maintained inductively: postings.seg_id is ALWAYS in
+    original-segment units — a merged row carries the first original
+    seg id of its group (+ a chunk offset < new_gfac when split by
+    MAX_POSTINGS_PER_ROW), so `seg_id // group_factor` addresses the
+    same scoring group for postings and segment norms at any number of
+    successive merges."""
+    from lucene_solr_spark.constants import MAX_POSTINGS_PER_ROW
+
+    def _merge_group_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        term, gid = key[0], int(key[1])
+        pdf = pdf.sort_values("seg_id", kind="stable")
+        docs_parts, tfs_parts, nbs_parts = [], [], []
+        for r in pdf.itertuples(index=False):
+            if r.df == 1:
+                docs_parts.append(np.array([r.sdoc], np.int64))
+                tfs_parts.append(np.array([r.stf], np.int32))
+                # no per-doc norm at hand: 255 (=shortest quantized doc)
+                # is a SAFE, loose block-max bound for WAND
+                nbs_parts.append(np.array([255], np.uint8))
+            else:
+                d, t = decode_postings(r.doc_ids_enc, r.tfs_enc, r.skips_enc)
+                docs_parts.append(d)
+                tfs_parts.append(t)
+                sk = decode_skips(r.skips_enc)
+                nbs_parts.append(np.repeat(sk["max_nb"], sk["count"]))
+        docs = np.concatenate(docs_parts)
+        tfs = np.concatenate(tfs_parts)
+        nbs = np.concatenate(nbs_parts)
+        out = []
+        base_seg = gid * new_gfac
+        n_chunks = (len(docs) + MAX_POSTINGS_PER_ROW - 1) // MAX_POSTINGS_PER_ROW
+        assert n_chunks <= new_gfac, (
+            "docs_per_segment * group_factor exceeds MAX_POSTINGS_PER_ROW "
+            "* group_factor — raise MAX_POSTINGS_PER_ROW or merge less"
+        )
+        for j, lo in enumerate(range(0, len(docs), MAX_POSTINGS_PER_ROW)):
+            hi = min(lo + MAX_POSTINGS_PER_ROW, len(docs))
+            sid = base_seg + j  # distinct, ordered: stable doc order on read
+            if hi - lo == 1:
+                out.append(dict(term=term, seg_id=sid, df=1, cf=int(tfs[lo]),
+                                doc_ids_enc=None, tfs_enc=None,
+                                skips_enc=None, sdoc=int(docs[lo]),
+                                stf=int(tfs[lo])))
+            else:
+                d_enc, t_enc, s_enc = encode_postings(
+                    docs[lo:hi], tfs[lo:hi], nbs[lo:hi]
+                )
+                out.append(dict(term=term, seg_id=sid, df=int(hi - lo),
+                                cf=int(tfs[lo:hi].sum()), doc_ids_enc=d_enc,
+                                tfs_enc=t_enc, skips_enc=s_enc, sdoc=None,
+                                stf=None))
+        return pd.DataFrame(out)
+
+    return _merge_group_udf
+
+
+def merge_postings(
+    spark: SparkSession, index_dir: str, segs_per_group: int = 16
+) -> Snapshot:
+    """Salted segment merge: shuffle key (term, seg_id // segs_per_group)
+    — the salt bounds every reducer's payload by the group's doc range,
+    so skewed high-DF terms are split BY CONSTRUCTION (AQE cannot do
+    this: the skew lives inside a single groupBy key whose payload is
+    order-sensitive; SURVEY.md section 2.4 'segment merge' row)."""
+    cat = Catalog(index_dir)
+    snap = cat.latest_at_stage("commit", "merge")
+    if snap is None:
+        raise ValueError("no committed index to merge")
+    post_paths = snap.tables["postings"]
+    if isinstance(post_paths, list):
+        sdf, _ = read_segment_output(spark, post_paths, cat.path("seg"))
+    else:
+        sdf = spark.read.parquet(post_paths)
+    gf_old = int(snap.props.get("group_factor", 1))
+    gfac = gf_old * int(segs_per_group)
+    # group key over ORIGINAL segment units (see _make_merge_udf invariant)
+    with_gid = sdf.withColumn(
+        "gid", (F.col("seg_id") / F.lit(gfac)).cast("long")
+    )
+    merged = with_gid.select(
+        "term", "gid", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc",
+        "skips_enc", "sdoc", "stf"
+    ).groupBy("term", "gid").applyInPandas(
+        _make_merge_udf(gfac), schema=MERGED_SCHEMA
+    )
+    gen = snap.snapshot_id + 1
+    out_path = cat.path("merged", f"gen-{gen}")
+    (
+        merged.repartitionByRange(
+            spark.sparkContext.defaultParallelism, "term", "seg_id"
+        )
+        .sortWithinPartitions("term", "seg_id")
+        .write.mode("overwrite").parquet(out_path)
+    )
+    tables = dict(snap.tables)
+    tables["postings"] = out_path
+    return cat.commit(
+        "merge",
+        tables=tables,
+        props={**snap.props, "group_factor": gfac},
+        lineage=snap.lineage,
+    )

@@ -1,0 +1,161 @@
+"""Posting-list codec: docID d-gaps + FOR(128) bit-packed blocks, skip
+array with per-block max-score metadata, singleton optimization.
+
+Reference format being re-expressed (not byte-copied):
+  - d-gap + 128-int FOR blocks: lucene/core/src/java/org/apache/lucene/
+    codecs/lucene41/Lucene41PostingsFormat.java:50-57,212-237 (BLOCK_SIZE
+    =384), ForUtil.java:157-204
+  - all-equal block optimization: ForUtil.java:38-41,158-162 (we use a
+    0xFF-marker header + one 8-byte value; reference uses 1-byte marker
+    + vint — same idea, different bytes, FORMAT_VERSION pins ours)
+  - tail block: reference writes VInts (Lucene41PostingsFormat.java:
+    221-237); we FOR-pack the partial tail block instead — a documented
+    lossless design choice (SURVEY.md section 2.5), faster to vectorize
+  - skip data every 128 docs: codecs/MultiLevelSkipListWriter.java:56-81,
+    Lucene41SkipWriter.java:46-150. We keep ONE level (a posting row is
+    already partition-local; binary search over the skip array replaces
+    multi-level seek) and ride the block-max metadata on the same array
+    (max_tf + max_norm_byte per block -> safe BM25 block upper bound;
+    this metadata does NOT exist in the reference snapshot — our WAND
+    addition per the north rule, SURVEY.md section 2.7)
+  - singleton terms (df==1) store doc inline, no blocks:
+    Lucene41PostingsFormat.java:165-167, Lucene41PostingsWriter.java:
+    496-520
+
+Block layout per block: 1 header byte W; if W==0xFF -> 8-byte LE uint64
+(all-equal value); else 16*W bytes = 128 values bit-packed LSB-first.
+The tail block packs `count` values (count from the skip entry) in
+ceil(count*W/8) bytes.
+
+Skip entry dtype (packed little-endian, 25 bytes):
+  last_doc  int64   — last docID in block (inclusive)
+  doc_off   int32   — byte offset of block in doc_ids_enc
+  tf_off    int32   — byte offset of block in tfs_enc
+  count     int32   — postings in block (128 except tail)
+  max_tf    int32   — block-max term frequency
+  max_nb    uint8   — block-max norm byte (= min quantized doc length)
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from lucene_solr_spark.constants import BLOCK_SIZE
+
+SKIP_DTYPE = np.dtype(
+    [
+        ("last_doc", "<i8"),
+        ("doc_off", "<i4"),
+        ("tf_off", "<i4"),
+        ("count", "<i4"),
+        ("max_tf", "<i4"),
+        ("max_nb", "u1"),
+    ]
+)
+
+ALL_EQUAL = 0xFF
+
+
+def _pack_block(values: np.ndarray) -> bytes:
+    """Bit-pack one block (<=128 uint64 values) LSB-first per value."""
+    n = len(values)
+    if n > 1 and (values == values[0]).all():
+        return bytes([ALL_EQUAL]) + values[0].astype("<u8").tobytes()
+    vmax = int(values.max()) if n else 0
+    width = max(vmax.bit_length(), 1)
+    # (n, width) bit matrix, bit j of value i at [i, j] (LSB first)
+    shifts = np.arange(width, dtype=np.uint64)
+    bits = ((values[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
+    packed = np.packbits(bits.reshape(-1), bitorder="little")
+    return bytes([width]) + packed.tobytes()
+
+
+def _unpack_block(buf: memoryview, off: int, count: int) -> Tuple[np.ndarray, int]:
+    """Inverse of _pack_block; returns (values uint64, bytes consumed)."""
+    width = buf[off]
+    if width == ALL_EQUAL:
+        val = np.frombuffer(buf, "<u8", count=1, offset=off + 1)[0]
+        return np.full(count, val, dtype=np.uint64), 9
+    nbytes = (count * width + 7) // 8
+    raw = np.frombuffer(buf, np.uint8, count=nbytes, offset=off + 1)
+    bits = np.unpackbits(raw, bitorder="little", count=count * width)
+    bits = bits.reshape(count, width).astype(np.uint64)
+    shifts = np.arange(width, dtype=np.uint64)
+    values = (bits << shifts).sum(axis=1, dtype=np.uint64)
+    return values, 1 + nbytes
+
+
+def encode_postings(
+    doc_ids: np.ndarray, tfs: np.ndarray, norm_bytes: np.ndarray
+) -> Tuple[bytes, bytes, bytes]:
+    """Encode one term's postings (sorted unique doc_ids, parallel tfs,
+    parallel norm bytes for block-max metadata).
+
+    Returns (doc_ids_enc, tfs_enc, skips_enc). Caller handles the
+    singleton df==1 case separately (no encoding at all).
+    """
+    n = len(doc_ids)
+    assert n >= 1
+    deltas = np.diff(doc_ids, prepend=np.int64(-1)).astype(np.uint64)
+    tfs64 = tfs.astype(np.uint64)
+    n_blocks = (n + BLOCK_SIZE - 1) // BLOCK_SIZE
+
+    doc_parts: List[bytes] = []
+    tf_parts: List[bytes] = []
+    skips = np.empty(n_blocks, dtype=SKIP_DTYPE)
+    doc_off = tf_off = 0
+    for bi in range(n_blocks):
+        lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
+        db = _pack_block(deltas[lo:hi])
+        tb = _pack_block(tfs64[lo:hi])
+        skips[bi] = (
+            doc_ids[hi - 1],
+            doc_off,
+            tf_off,
+            hi - lo,
+            int(tfs[lo:hi].max()),
+            int(norm_bytes[lo:hi].max()),
+        )
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        doc_off += len(db)
+        tf_off += len(tb)
+    return b"".join(doc_parts), b"".join(tf_parts), skips.tobytes()
+
+
+def decode_skips(skips_enc: bytes) -> np.ndarray:
+    return np.frombuffer(skips_enc, dtype=SKIP_DTYPE)
+
+
+def decode_postings(
+    doc_ids_enc: bytes,
+    tfs_enc: bytes,
+    skips_enc: bytes,
+    block_mask: np.ndarray | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode postings, optionally only blocks selected by block_mask
+    (bool array over blocks — the skip/WAND path decodes a subset).
+
+    Returns (doc_ids int64, tfs int32).
+    """
+    skips = decode_skips(skips_enc)
+    dbuf, tbuf = memoryview(doc_ids_enc), memoryview(tfs_enc)
+    docs_out: List[np.ndarray] = []
+    tfs_out: List[np.ndarray] = []
+    for bi in range(len(skips)):
+        if block_mask is not None and not block_mask[bi]:
+            continue
+        s = skips[bi]
+        count = int(s["count"])
+        deltas, _ = _unpack_block(dbuf, int(s["doc_off"]), count)
+        tfs, _ = _unpack_block(tbuf, int(s["tf_off"]), count)
+        base = np.int64(-1) if bi == 0 else skips[bi - 1]["last_doc"]
+        docs = deltas.astype(np.int64).cumsum() + base
+        # re-anchor: cumsum within block starts from previous block's last
+        docs_out.append(docs)
+        tfs_out.append(tfs.astype(np.int32))
+    if not docs_out:
+        return np.empty(0, np.int64), np.empty(0, np.int32)
+    return np.concatenate(docs_out), np.concatenate(tfs_out)

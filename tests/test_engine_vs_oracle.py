@@ -1,0 +1,107 @@
+"""THE correctness gate: dual execution engine-vs-oracle (the
+TestBoolean2/CheckHits pattern, lucene/core/src/test/.../search/
+TestBoolean2.java:132-144). Every query of the reference set must be
+rank-identical — same docIDs, same ranks, bitwise-equal float32 scores.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpusgen import CORPUS_SCHEMA, corpus_rows
+from lucene_solr_spark.fixtures import QUERY_SET
+from lucene_solr_spark.indexing.build import DOC_KEY, IndexWriter
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search.executor import IndexSearcher
+
+N_DOCS = 300
+
+
+@pytest.fixture(scope="module")
+def built(spark, small_corpus, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("idx"))
+    corpus = spark.createDataFrame(small_corpus, schema=CORPUS_SCHEMA)
+    writer = IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=3)
+    snap = writer.build(corpus)
+    assert snap.stage == "commit"
+
+    # oracle over the SAME docID assignment (rank over repo,path,commit)
+    docs_sorted = sorted(small_corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
+    oracle = OracleIndex.build([(i, r["content"]) for i, r in enumerate(docs_sorted)])
+    return index_dir, oracle
+
+
+def _run_engine(searcher, q, wand):
+    df = searcher.search(
+        q["query_text"], k=10, mode=q["mode"],
+        min_should_match=q["mm"], exclude=q["exclude"], wand=wand,
+    )
+    return [(r["doc_id"], np.float32(r["score"])) for r in df.collect()]
+
+
+@pytest.mark.parametrize("q", QUERY_SET, ids=[f"q{q['query_id']}_{q['kind']}" for q in QUERY_SET])
+def test_rank_identical(spark, built, q):
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    got = _run_engine(searcher, q, wand=False)
+    want = oracle.search(
+        q["query_text"], k=10, mode=q["mode"],
+        min_should_match=q["mm"], exclude=q["exclude"],
+    )
+    assert [d for d, _ in got] == [d for d, _ in want], (
+        f"docIDs diverge for q{q['query_id']}: {got} vs {want}"
+    )
+    for (dg, sg), (dw, sw) in zip(got, want):
+        assert sg.tobytes() == np.float32(sw).tobytes(), (
+            f"score bits diverge q{q['query_id']} doc {dg}: {sg!r} vs {sw!r}"
+        )
+
+
+def test_collection_stats_match(spark, built, small_corpus):
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    assert searcher.max_doc == oracle.max_doc
+    assert searcher.sum_ttf == oracle.sum_ttf
+
+
+def test_term_stats_match_oracle(spark, built):
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    rows = searcher._term_stats.collect()
+    assert len(rows) == len(oracle.postings)
+    for r in rows[:200]:
+        assert r["df"] == oracle.df(r["term"]), r["term"]
+
+
+def test_sha256_invariant(spark, built, small_corpus):
+    """Per-row invariant vs the input corpus: sha256(content) equality
+    (BASELINE.json input_hint)."""
+    index_dir, _ = built
+    searcher = IndexSearcher(spark, index_dir)
+    corpus = spark.createDataFrame(small_corpus, schema=CORPUS_SCHEMA)
+    joined = searcher._docs.join(
+        corpus.withColumn("sha_src", F.sha2("content", 256)), on=DOC_KEY
+    )
+    bad = joined.filter(F.col("content_sha256") != F.col("sha_src")).count()
+    assert bad == 0
+    assert joined.count() == searcher.max_doc
+
+
+def test_docid_assignment_parallelism_invariant(spark, small_corpus):
+    """docIDs must derive from data order only — never from partition
+    enumeration (SURVEY.md section 7 hard part 5)."""
+    from lucene_solr_spark.indexing.build import assign_doc_ids
+
+    corpus = spark.createDataFrame(small_corpus, schema=CORPUS_SCHEMA)
+    a = {
+        (r["repo"], r["path"]): r["doc_id"]
+        for r in assign_doc_ids(corpus, num_partitions=2).collect()
+    }
+    b = {
+        (r["repo"], r["path"]): r["doc_id"]
+        for r in assign_doc_ids(corpus.repartition(13), num_partitions=7).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(len(a)))
