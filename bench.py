@@ -1,0 +1,98 @@
+"""Benchmark harness (driver-run): index-build + reference query set at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "build_sec": ..., "build_docs_per_sec": ..., "query_p95_sec": ...}
+
+The build leg is a FRESH index build (docs -> segments -> salted merge
+-> commit) over the tier's ``documents`` table — the indexing
+throughput of the north rule. The query leg runs the engine query set
+(BM25 top-k single/AND/OR/mm/NOT, prefix, facet, grouping) against the
+built index. Scaling-efficiency evidence (N vs 4N cores) is produced by
+tools/bench_scaling.py which shells out to this file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lucene_solr_spark import driver_entry as de  # noqa: E402
+from lucene_solr_spark.session import get_spark  # noqa: E402
+
+QUERY_NAMES = [
+    "term_query",
+    "bool_and",
+    "bool_or",
+    "bool_mm2",
+    "bool_not",
+    "prefix_docs",
+    "facet_lang",
+    "grouping_top2",
+    "term_stats",
+    "doc_norms",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "doc_quality",
+    "ann_cosine_top10",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_name.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("lss_bench", cpus=cpus)
+
+    # fresh build (no resume): wipe the cached index for this tier
+    index_dir = os.path.join(
+        "/tmp", "lss_entry_index", sf_name
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    de._SEARCHERS.clear()
+    t0 = time.time()
+    searcher = de.get_searcher(spark, sf_dir)
+    build_sec = time.time() - t0
+    n_docs = searcher.max_doc
+
+    timings: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        fn = de.QUERIES[name]
+        t1 = time.time()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t1, 3)
+
+    lat = sorted(timings.values())
+    p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+    total = round(build_sec + sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "index_build+query_set_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "build_sec": round(build_sec, 3),
+                "build_docs_per_sec": round(n_docs / build_sec, 1),
+                "n_docs": n_docs,
+                "query_p95_sec": p95,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

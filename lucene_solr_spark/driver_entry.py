@@ -1,0 +1,655 @@
+"""Driver-contract adapter: runs the engine over the driver's testdata
+tables (``documents`` / ``embeddings`` parquet) and pairs every engine
+query with a bit-exact ANSI-SQL oracle for DuckDB.
+
+Two query families:
+
+1. **Engine-backed** (the fulltext tier, SURVEY.md section 2): the
+   ``documents`` table is mapped onto the engine's corpus shape
+   (BASELINE input_hint: repo/path/commit/lang/content), an index is
+   built (segment build -> salted merge -> snapshot commit) once per
+   sf_dir into a cached temp location, and each query runs through
+   ``IndexSearcher``. The oracle SQL re-derives the SAME float32 BM25
+   math (SmallFloat norm quantization included) in DuckDB by casting
+   every normative intermediate to FLOAT — exact-value parity, not
+   approximate (verified bitwise by tools/check_entry.py).
+
+2. **Corpus/pipeline operators** (training-data ops over ``documents``
+   and ``embeddings``): exact dedup, n-gram Jaccard near-dup pairs,
+   quality stats, token counts, brute-force cosine top-k — plain
+   DataFrame plans, no engine index.
+
+Float-parity rules used throughout the oracles (why these match
+bitwise): every f32 engine step is `CAST(<double expr of f32 operands>
+AS FLOAT)` in SQL — f32 +,* of f32 operands are exact in double, so
+double-compute-then-cast equals stepwise-f32; f32 division is the one
+double-rounding hazard (probability ~2^-29 per op) and is empirically
+clean on this deterministic data. Final outputs are cast to DOUBLE on
+both sides (exact widening) so schemas agree.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.constants import STOPWORDS
+from lucene_solr_spark.functions.bm25 import K1_PLUS_1
+
+F32 = np.float32
+
+# exact-f32 literals (double repr of the float32 constants the kernels use)
+K1_LIT = repr(float(F32(1.2))) + "e0"     # DOUBLE literal (bare decimals are DECIMAL in DuckDB)
+K1P1_LIT = repr(float(K1_PLUS_1)) + "e0"  # 2.200000047683716 as DOUBLE
+_STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+DOCS_PER_SEGMENT = 256   # small segments: exercises multi-segment merge
+SEGS_PER_GROUP = 4       # salted-merge group factor used for the gate
+TOP_K = 10
+
+
+# ---------------------------------------------------------------------------
+# corpus mapping + cached index build
+# ---------------------------------------------------------------------------
+
+def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's ``documents`` table onto the engine corpus shape.
+
+    path is the zero-padded original doc_id, so the engine's
+    deterministic docID (dense rank over (repo, path, commit),
+    SURVEY.md section 1.4) equals ``row_number() OVER (ORDER BY
+    doc_id) - 1`` — exactly what the oracle SQL uses."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return docs.select(
+        F.lit("corpus").alias("repo"),
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship the package to executors regardless of the driver's CWD
+    (local mode inherits sys.path, but addPyFile is the contract that
+    also holds under spark-submit on a real cluster)."""
+    if getattr(spark, "_lss_pyfiles", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "lucene_solr_spark_pyfiles.zip"
+    )
+    if not os.path.exists(zip_path):
+        tmp = zip_path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                        zf.write(full, rel)
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    spark._lss_pyfiles = True  # type: ignore[attr-defined]
+
+
+_SEARCHERS: dict = {}
+
+
+def get_searcher(spark: SparkSession, sf_dir: str):
+    """Build (once, resumable) the index for sf_dir and return a cached
+    IndexSearcher. Build = segment build + salted merge + commit."""
+    from lucene_solr_spark.indexing.build import IndexWriter, merge_postings
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    key = os.path.realpath(sf_dir)
+    hit = _SEARCHERS.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    _ensure_pyfiles(spark)
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        "lss_entry_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    corpus = documents_as_corpus(spark, sf_dir)
+    writer = IndexWriter(
+        spark, index_dir, docs_per_segment=DOCS_PER_SEGMENT, n_batches=2
+    )
+    snap = writer.build(corpus, resume=True)
+    if snap.stage != "merge":
+        merge_postings(spark, index_dir, segs_per_group=SEGS_PER_GROUP)
+    searcher = IndexSearcher(spark, index_dir)
+    _SEARCHERS[key] = (spark, searcher)
+    return searcher
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL prelude: analysis chain + doc/term/collection stats + the
+# float32 BM25 kernel, all in DuckDB SQL
+# ---------------------------------------------------------------------------
+
+# On the driver corpus the StandardTokenizer's output is exactly
+# whitespace splitting (text is lowercase [a-z ]+ only — verified over
+# every sf tier); the full UAX#29 grammar lives in functions/analysis.py
+# and is pinned by tests/test_analysis.py golden vectors instead.
+ORACLE_PRELUDE = f"""
+WITH docs0 AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id,
+         text, lang, source
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs0)
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOP_SQL})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dlen AS (
+  SELECT d.doc_id, d.lang, COALESCE(c.len, 0) AS doc_len
+  FROM docs0 d
+  LEFT JOIN (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id) c
+    USING (doc_id)
+),
+-- SmallFloat.floatToByte315(1/sqrt(len)): truncate the f32 bit pattern
+-- to 3 mantissa bits (SmallFloat.java:78-88); exact integer arithmetic
+norms AS (
+  SELECT doc_id, doc_len,
+    CASE WHEN doc_len = 0 THEN 255
+         ELSE CAST((floor(log2(x)) + 127) * 4
+                   + floor((x / pow(2, floor(log2(x))) - 1) * 4)
+                   - 384 AS INT)
+    END AS nb
+  FROM (SELECT doc_id, doc_len,
+               CAST(1.0e0 / sqrt(CAST(doc_len AS DOUBLE)) AS FLOAT) AS x
+        FROM dlen)
+),
+coll AS (
+  SELECT count(*) AS max_doc, sum(doc_len) AS sum_ttf,
+         CAST(CASE WHEN COALESCE(sum(doc_len), 0) <= 0 THEN 1.0e0
+                   ELSE sum(doc_len) / CAST(count(*) AS DOUBLE)
+              END AS FLOAT) AS avgdl
+  FROM dlen
+),
+tstats AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term),
+-- BM25 norm cache: k1*((1-b) + b*decode(nb)/avgdl) stepwise in f32
+-- (BM25Similarity.java:206-210); decode(nb) = 1/byte315ToFloat(nb)^2
+cachev AS (
+  SELECT doc_id, nb,
+    CAST({K1_LIT}
+         * CAST(0.25e0 + CAST(CAST(0.75e0 * declen AS FLOAT)
+                            / (SELECT avgdl FROM coll) AS FLOAT)
+                AS FLOAT)
+         AS FLOAT) AS nrm
+  FROM (
+    SELECT doc_id, nb, CAST(1.0e0 / (f * f) AS FLOAT) AS declen
+    FROM (SELECT doc_id, nb,
+                 pow(2.0, floor(nb / 4) - 31) * (1 + (nb % 4) / 4.0e0) AS f
+          FROM norms) ff
+  ) n
+),
+-- per-term weight: f32(ln(1+(N-df+.5)/(df+.5))) * f32(k1+1)
+-- (BM25Similarity.java:64-67,222)
+weights AS (
+  SELECT term, df,
+    CAST(CAST(ln(1 + ((SELECT max_doc FROM coll) - df + 0.5e0)
+                  / (df + 0.5e0)) AS FLOAT)
+         * {K1P1_LIT} AS FLOAT) AS wv
+  FROM tstats
+),
+-- per-(doc,term) BM25 partial: wv*tf/(tf+cache[nb]), stepwise f32
+-- (BM25Similarity.java:233-238)
+persc AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(CAST(w.wv * tf.tf AS FLOAT) / CAST(tf.tf + c.nrm AS FLOAT)
+         AS FLOAT) AS s
+  FROM tf
+  JOIN weights w ON tf.term = w.term
+  JOIN cachev c ON tf.doc_id = c.doc_id
+)
+"""
+
+
+def _sql_terms(terms) -> str:
+    return ", ".join(f"'{t}'" for t in terms)
+
+
+def oracle_topk_or(terms, k=TOP_K, mm=1, exclude=()) -> str:
+    """Disjunction: per-doc double sum of f32 partials, cast f32
+    (DisjunctionSumScorer accumulates double; engine mirrors)."""
+    ex = ""
+    if exclude:
+        ex = (f" AND doc_id NOT IN (SELECT doc_id FROM tf "
+              f"WHERE term IN ({_sql_terms(exclude)}))")
+    return ORACLE_PRELUDE + f"""
+, orsum AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score,
+         count(*) AS cnt
+  FROM persc WHERE term IN ({_sql_terms(terms)})
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(score AS DOUBLE) AS score
+FROM orsum WHERE cnt >= {mm}{ex}
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def oracle_topk_and2(t1, t2, k=TOP_K) -> str:
+    """2-clause conjunction: f32 sum of the two partials (order-free for
+    two operands — f32 round of the exact double sum)."""
+    return ORACLE_PRELUDE + f"""
+SELECT a.doc_id, CAST(CAST(a.s + b.s AS FLOAT) AS DOUBLE) AS score
+FROM (SELECT doc_id, s FROM persc WHERE term = '{t1}') a
+JOIN (SELECT doc_id, s FROM persc WHERE term = '{t2}') b USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# fixed reference query set over the testdata vocabulary
+Q_SINGLE = "merge"
+Q_AND = ("table", "window")
+Q_OR = ("spark", "merge", "vector")
+Q_NOT_INC = ("table", "stream")
+Q_NOT_EXC = ("vector",)
+Q_FACET = "merge"
+Q_GROUPING = "vector"
+Q_PREFIX = "s"
+Q_WILDCARD = "%a%e%"      # SQL LIKE / Spark like
+Q_FUZZY = "tabel"         # edit distance <= 1
+Q_RANGE = ("m", "s")
+
+
+# ---------------------------------------------------------------------------
+# engine-backed queries
+# ---------------------------------------------------------------------------
+
+def q_doc_norms(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.doc_stats().orderBy("doc_id")
+
+
+def q_collection_stats(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.collection_stats()
+
+
+def q_term_stats(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.term_stats().orderBy("term")
+
+
+def _topk_double(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.col("score").cast("double").alias("score"))
+
+
+def q_term_query(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search(Q_SINGLE, k=TOP_K))
+
+
+def q_bool_and(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search(" ".join(Q_AND), k=TOP_K, mode="and"))
+
+
+def q_bool_or(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search(" ".join(Q_OR), k=TOP_K, mode="or"))
+
+
+def q_bool_mm2(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(" ".join(Q_OR), k=TOP_K, mode="or", min_should_match=2)
+    )
+
+
+def q_bool_not(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(" ".join(Q_NOT_INC), k=TOP_K, exclude=" ".join(Q_NOT_EXC))
+    )
+
+
+def q_prefix_docs(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.match_docs(F.col("term").startswith(Q_PREFIX)).orderBy("doc_id")
+
+
+def q_wildcard_terms(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.expand_terms(F.col("term").like(Q_WILDCARD))
+
+
+def q_fuzzy_terms(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return s.expand_terms(F.levenshtein(F.col("term"), F.lit(Q_FUZZY)) <= 1)
+
+
+def q_term_range_terms(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    lo, hi = Q_RANGE
+    return s.expand_terms((F.col("term") >= lo) & (F.col("term") < hi))
+
+
+def q_facet_lang(spark, sf_dir):
+    """Facet counts over the full result set of a query (SimpleFacets,
+    solr/core/.../request/SimpleFacets.java:412-436): groupBy + count
+    over matching docs — Spark-native aggregation, no collect."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_FACET, k=None)
+    return (
+        hits.join(s._docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang").agg(F.count("*").alias("n"))
+        .orderBy("lang")
+    )
+
+
+def q_grouping_top2(spark, sf_dir):
+    """Grouping: top-2 docs per lang by (score desc, doc_id asc) — the
+    two-pass grouping collector (lucene/grouping/.../AbstractFirstPass
+    GroupingCollector.java) as a window rank."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_GROUPING, k=None)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        hits.join(s._docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("lang", "rnk", "doc_id",
+                F.col("score").cast("double").alias("score"))
+        .orderBy("lang", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus/pipeline operators (documents + embeddings, no index)
+# ---------------------------------------------------------------------------
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash: keep = min doc_id per group (the
+    content_sha256 invariant column doubles as the dedup key)."""
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    w = Window.partitionBy("h")
+    return (
+        d.withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("dup_count", F.count("*").over(w))
+        .filter(F.col("dup_count") > 1)
+        .select("doc_id", "keeper", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by 3-token-shingle Jaccard >= 0.5.
+    Shape: shingle-explode -> inverted-index self-join -> pair counts ->
+    Jaccard — the scalable skeleton (bounded by shingle df) that
+    MinHash/LSH approximates at 100 TB."""
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(3)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).filter(n >= 3).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("ida"),
+                 F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("idb"), F.col("sz").alias("szb"))
+    return (
+        pairs.join(sa, "ida").join(sb, "idb")
+        .withColumn(
+            "jacc",
+            F.col("inter")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jacc") >= 0.5)
+        .select("ida", "idb", "inter", "jacc")
+        .orderBy("ida", "idb")
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    """Per-doc quality stats: token count, mean token length, stopword
+    ratio — whole-stage-codegen column math, no UDF."""
+    d = _documents(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    nt = F.size(toks)
+    stops = F.size(
+        F.filter(toks, lambda t: t.isin(*sorted(STOPWORDS)))
+    )
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        ((F.length("text") - nt + 1) / nt.cast("double")).alias(
+            "avg_token_len"
+        ),
+        (stops / nt.cast("double")).alias("stop_ratio"),
+    ).orderBy("doc_id")
+
+
+def q_source_token_counts(spark, sf_dir):
+    d = _documents(spark, sf_dir)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ann_cosine_top10(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector — the
+    exactness baseline for ANN. Dot/norms via F.aggregate in double
+    (JVM-side fold, no Python); broadcast of the single query row."""
+    e = _embeddings(spark, sf_dir)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        joined.withColumn("cos", dot / (nrm("embedding") * nrm("qv")))
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .select("vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) for every query above
+# ---------------------------------------------------------------------------
+
+def _oracles() -> dict:
+    o = {}
+    o["doc_norms"] = ORACLE_PRELUDE + (
+        "SELECT doc_id, doc_len, nb AS norm_byte FROM norms "
+        "ORDER BY doc_id"
+    )
+    o["collection_stats"] = ORACLE_PRELUDE + (
+        "SELECT max_doc, sum_ttf, CAST(avgdl AS DOUBLE) AS avgdl FROM coll"
+    )
+    o["term_stats"] = ORACLE_PRELUDE + (
+        "SELECT term, df, cf FROM tstats ORDER BY term"
+    )
+    o["term_query"] = oracle_topk_or([Q_SINGLE])
+    o["bool_and"] = oracle_topk_and2(*Q_AND)
+    o["bool_or"] = oracle_topk_or(Q_OR)
+    o["bool_mm2"] = oracle_topk_or(Q_OR, mm=2)
+    o["bool_not"] = oracle_topk_or(Q_NOT_INC, exclude=Q_NOT_EXC)
+    o["prefix_docs"] = ORACLE_PRELUDE + (
+        f"SELECT DISTINCT doc_id FROM tf WHERE term LIKE '{Q_PREFIX}%' "
+        "ORDER BY doc_id"
+    )
+    o["wildcard_terms"] = ORACLE_PRELUDE + (
+        f"SELECT term, df FROM tstats WHERE term LIKE '{Q_WILDCARD}' "
+        "ORDER BY term"
+    )
+    o["fuzzy_terms"] = ORACLE_PRELUDE + (
+        f"SELECT term, df FROM tstats WHERE levenshtein(term, '{Q_FUZZY}') <= 1 "
+        "ORDER BY term"
+    )
+    o["term_range_terms"] = ORACLE_PRELUDE + (
+        f"SELECT term, df FROM tstats WHERE term >= '{Q_RANGE[0]}' "
+        f"AND term < '{Q_RANGE[1]}' ORDER BY term"
+    )
+    o["facet_lang"] = ORACLE_PRELUDE + f"""
+SELECT d.lang, count(*) AS n
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}') m
+JOIN docs0 d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+    o["grouping_top2"] = ORACLE_PRELUDE + f"""
+, hits AS (SELECT doc_id, s AS score FROM persc WHERE term = '{Q_GROUPING}')
+SELECT lang, rnk, doc_id, CAST(score AS DOUBLE) AS score FROM (
+  SELECT d.lang, h.doc_id, h.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY h.score DESC, h.doc_id ASC) AS rnk
+  FROM hits h JOIN docs0 d USING (doc_id)
+) WHERE rnk <= 2 ORDER BY lang, rnk
+"""
+    o["dedup_exact"] = """
+WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents)
+SELECT doc_id, keeper, dup_count FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keeper,
+         count(*) OVER (PARTITION BY h) AS dup_count
+  FROM h
+) WHERE dup_count > 1 ORDER BY doc_id
+"""
+    o["ngram_jaccard_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    concat_ws(' ', t[i + 1], t[i + 2], t[i + 3]) AS shingle
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
+        FROM toks WHERE len(t) >= 3)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ida, idb, inter,
+       inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jacc
+FROM pairs
+JOIN sizes sa ON sa.doc_id = ida
+JOIN sizes sb ON sb.doc_id = idb
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+ORDER BY ida, idb
+"""
+    stop_list = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    o["doc_quality"] = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks
+           FROM documents)
+SELECT doc_id, len(toks) AS n_tokens,
+  (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+    AS avg_token_len,
+  len(list_filter(toks, x -> x IN ({stop_list})))
+    / CAST(len(toks) AS DOUBLE) AS stop_ratio
+FROM t ORDER BY doc_id
+"""
+    o["source_token_counts"] = """
+SELECT source, sum(len(string_split(text, ' '))) AS total_tokens,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+    o["ann_cosine_top10"] = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+sims AS (
+  SELECT e.vec_id,
+    list_sum(list_transform(range(1, len(e.embedding) + 1),
+      i -> CAST(e.embedding[i] AS DOUBLE) * q.qv[i]))
+    / (sqrt(list_sum(list_transform(e.embedding,
+             x -> CAST(x AS DOUBLE) * x)))
+       * sqrt(list_sum(list_transform(q.qv,
+               x -> CAST(x AS DOUBLE) * x)))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    return o
+
+
+QUERIES = {
+    "doc_norms": q_doc_norms,
+    "collection_stats": q_collection_stats,
+    "term_stats": q_term_stats,
+    "term_query": q_term_query,
+    "bool_and": q_bool_and,
+    "bool_or": q_bool_or,
+    "bool_mm2": q_bool_mm2,
+    "bool_not": q_bool_not,
+    "prefix_docs": q_prefix_docs,
+    "wildcard_terms": q_wildcard_terms,
+    "fuzzy_terms": q_fuzzy_terms,
+    "term_range_terms": q_term_range_terms,
+    "facet_lang": q_facet_lang,
+    "grouping_top2": q_grouping_top2,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "doc_quality": q_doc_quality,
+    "source_token_counts": q_source_token_counts,
+    "ann_cosine_top10": q_ann_cosine_top10,
+}
+
+ORACLES = _oracles()
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: multi-term BM25 top-10 with display hydration over the
+    sf0.001 tier."""
+    sf_dir = "/root/testdata/sf0.001"
+    s = get_searcher(spark, sf_dir)
+    return s.search_display(" ".join(Q_OR), k=TOP_K)

@@ -144,13 +144,19 @@ class IndexSearcher:
     def search(
         self,
         query_text: str,
-        k: int = 10,
+        k: Optional[int] = 10,
         mode: str = "or",
         min_should_match: int = 0,
         exclude: str = "",
         wand: bool = True,
     ) -> DataFrame:
-        plan = self.plan(query_text, k, mode, min_should_match, exclude)
+        """Top-k BM25 search. ``k=None`` returns ALL matching docs with
+        scores (the TotalHitCount / facet / grouping feeding path — no
+        per-group truncation, no global limit)."""
+        plan = self.plan(query_text, k if k is not None else 0, mode,
+                         min_should_match, exclude)
+        if k is None:
+            plan.k = None  # type: ignore[assignment]
         if plan.empty:
             return self.spark.createDataFrame([], "doc_id long, score float")
         fetch = plan.terms + plan.exclude_terms
@@ -168,10 +174,95 @@ class IndexSearcher:
             .cogroup(segs.groupBy("gid"))
             .applyInPandas(kernel, schema="doc_id long, score float")
         )
-        return (
-            topk_per_group.orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(plan.k)
+        out = topk_per_group.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out if plan.k is None else out.limit(plan.k)
+
+    # -- auxiliary read surfaces ------------------------------------------
+    def doc_stats(self) -> DataFrame:
+        """Per-doc (doc_id, doc_len, norm_byte): the NormsReader analogue
+        (lucene/core/.../codecs/lucene42/Lucene42NormsFormat.java) —
+        decodes the per-segment norms/doc-length blobs written at build
+        time into a relational view. Distributed: one Arrow batch per
+        segment meta row, no collect."""
+        from lucene_solr_spark.indexing.build import read_segment_output
+
+        _, segs = read_segment_output(
+            self.spark, self.snap.tables["segments"], self.catalog.path("seg")
         )
+        meta = segs.select("doc_base", "doc_count", "norms_enc", "doc_lens_enc")
+
+        def decode(batches):
+            for pdf in batches:
+                for r in pdf.itertuples(index=False):
+                    n = int(r.doc_count)
+                    yield pd.DataFrame(
+                        {
+                            "doc_id": np.arange(n, dtype=np.int64)
+                            + int(r.doc_base),
+                            "doc_len": np.frombuffer(
+                                r.doc_lens_enc, dtype="<i4"
+                            ).astype(np.int64)[:n],
+                            "norm_byte": np.frombuffer(
+                                r.norms_enc, dtype=np.uint8
+                            ).astype(np.int32)[:n],
+                        }
+                    )
+
+        return meta.mapInPandas(
+            decode, schema="doc_id long, doc_len long, norm_byte int"
+        )
+
+    def collection_stats(self) -> DataFrame:
+        """One-row (max_doc, sum_ttf, avgdl) — CollectionStatistics
+        (lucene/core/.../search/CollectionStatistics.java:31-70)."""
+        return self.spark.createDataFrame(
+            [(self.max_doc, self.sum_ttf, float(self.avgdl))],
+            "max_doc long, sum_ttf long, avgdl double",
+        )
+
+    def term_stats(self) -> DataFrame:
+        """(term, df, cf) — TermStatistics for every term in the dict."""
+        return self._term_stats.select("term", "df", "cf")
+
+    def expand_terms(self, condition) -> DataFrame:
+        """Term-dictionary expansion for multi-term queries: apply a
+        Column predicate over the term dict, return (term, df). The
+        relational analogue of the term-dict automaton walk
+        (lucene/core/.../search/MultiTermQuery.java:66 rewrite inputs;
+        AutomatonQuery.java) — Catalyst pushes the predicate into the
+        sorted term_stats parquet scan."""
+        return (
+            self._term_stats.filter(condition)
+            .select("term", "df")
+            .orderBy("term")
+        )
+
+    def match_docs(self, term_condition) -> DataFrame:
+        """Distinct docs containing ANY term matching the predicate —
+        the CONSTANT_SCORE rewrite of multi-term queries
+        (MultiTermQuery.java:107-116 CONSTANT_SCORE_AUTO_REWRITE:
+        matching terms OR-ed into a non-scoring doc-set filter).
+        Decode is distributed (mapInPandas over posting rows); dedup is
+        a Spark distinct on the narrow doc_id column."""
+        posts = self._postings.filter(term_condition).select(
+            "df", "doc_ids_enc", "tfs_enc", "skips_enc", "sdoc"
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                out = []
+                for r in pdf.itertuples(index=False):
+                    if r.df == 1:
+                        out.append(np.array([r.sdoc], np.int64))
+                    else:
+                        d, _ = decode_postings(
+                            r.doc_ids_enc, r.tfs_enc, r.skips_enc
+                        )
+                        out.append(d)
+                if out:
+                    yield pd.DataFrame({"doc_id": np.concatenate(out)})
+
+        return posts.mapInPandas(decode, schema="doc_id long").distinct()
 
     def search_display(self, query_text: str, k: int = 10, **kw) -> DataFrame:
         """Two-stage hydration: score on narrow tables, join stored
@@ -185,9 +276,114 @@ class IndexSearcher:
         )
 
 
+class _TermIndex:
+    """Lazy, block-granular view of one term's postings inside a scoring
+    group — the TermScorer + skip-list reader analogue
+    (search/TermScorer.java:27-96; Lucene41PostingsReader.java:509-560).
+
+    Blocks are the codec's 128-posting FOR blocks; a df==1 singleton row
+    is a 1-doc pseudo-block. `his[g]` = last docID of global block g
+    (ascending across the term's rows, whose doc ranges are disjoint).
+    `decode_block` is memoized; `accumulated` flags support
+    accumulate-once semantics in the WAND loop."""
+
+    __slots__ = (
+        "his", "max_tf", "max_nb", "n_blocks",
+        "_rows", "_row_of", "_local_bi", "_row_nblocks", "_kind",
+        "_memo", "_done",
+    )
+
+    def __init__(self, rows, norms: np.ndarray, gbase: int):
+        his, kind, row_of, local_bi = [], [], [], []
+        mtf, mnb, row_nblocks = [], [], []
+        for ri, r in enumerate(rows):
+            if r.df == 1:
+                his.append(np.array([r.sdoc], np.int64))
+                kind.append(np.array([1], np.int8))
+                row_of.append(np.array([ri], np.int32))
+                local_bi.append(np.array([0], np.int32))
+                mtf.append(np.array([r.stf], np.int32))
+                # exact bound: the singleton's actual norm byte
+                mnb.append(
+                    np.array([norms[int(r.sdoc) - gbase]], np.uint8)
+                )
+                row_nblocks.append(1)
+            else:
+                sk = decode_skips(r.skips_enc)
+                n = len(sk)
+                his.append(sk["last_doc"].astype(np.int64))
+                kind.append(np.zeros(n, np.int8))
+                row_of.append(np.full(n, ri, np.int32))
+                local_bi.append(np.arange(n, dtype=np.int32))
+                mtf.append(sk["max_tf"].astype(np.int32))
+                mnb.append(sk["max_nb"].astype(np.uint8))
+                row_nblocks.append(n)
+        self._rows = rows
+        self.his = np.concatenate(his)
+        self._kind = np.concatenate(kind)
+        self._row_of = np.concatenate(row_of)
+        self._local_bi = np.concatenate(local_bi)
+        self.max_tf = np.concatenate(mtf)
+        self.max_nb = np.concatenate(mnb)
+        self._row_nblocks = row_nblocks
+        self.n_blocks = len(self.his)
+        self._memo: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        self._done = np.zeros(self.n_blocks, dtype=bool)
+
+    def decode_block(self, gi: int) -> Tuple[np.ndarray, np.ndarray]:
+        hit = self._memo.get(gi)
+        if hit is not None:
+            return hit
+        ri = int(self._row_of[gi])
+        r = self._rows[ri]
+        if self._kind[gi]:
+            out = (np.array([r.sdoc], np.int64), np.array([r.stf], np.int32))
+        else:
+            mask = np.zeros(self._row_nblocks[ri], dtype=bool)
+            mask[int(self._local_bi[gi])] = True
+            out = decode_postings(r.doc_ids_enc, r.tfs_enc, r.skips_enc, mask)
+        self._memo[gi] = out
+        return out
+
+    def decode_blocks(self, gis: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode a sorted set of global blocks; concat (docs ascending)."""
+        ds, ts = [], []
+        for gi in gis:
+            d, t = self.decode_block(int(gi))
+            ds.append(d)
+            ts.append(t)
+        if not ds:
+            return np.empty(0, np.int64), np.empty(0, np.int32)
+        return np.concatenate(ds), np.concatenate(ts)
+
+    def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
+        return self.decode_blocks(np.arange(self.n_blocks))
+
+
 def make_group_scorer(plan: QueryPlan, wand: bool):
     """Build the per-group cogrouped-applyInPandas kernel. All plan data
-    rides the closure (pickled once per query, broadcast by Spark)."""
+    rides the closure (pickled once per query, broadcast by Spark).
+
+    wand=True enables score-safe pruning (identical results, gated by
+    tests/test_engine_vs_oracle.py::test_wand_equals_exhaustive):
+      - OR/mm: block-max WAND — per-block upper bound from the skip
+        metadata (max_tf, max_nb); the f32 score kernel is monotone in
+        both, so f32score(max_tf, max_nb) bounds every score in the
+        block EXACTLY (correct rounding preserves monotonicity — no
+        epsilon fudge). Elementary docID intervals (all block
+        boundaries) are processed in descending summed-bound order,
+        decoding only covering blocks, until bound < the running k-th
+        score (strict: ties keep processing for the docID tie-break).
+        Bound sums and accumulators are f64 over f32 partials — exact,
+        so pruned docs provably cannot reach the heap. Our addition vs
+        the reference snapshot, which has no impacts/block-max
+        (SURVEY.md section 2.7 'score pruning' row).
+      - AND: skip-based conjunction — the rarest clause (cost order,
+        ConjunctionScorer.java:47-54) decodes fully; every other clause
+        decodes only blocks that can contain a surviving candidate
+        (np.searchsorted over skip last-docs = the advance() leapfrog,
+        Lucene41PostingsReader.java:509-560).
+    """
     terms = list(plan.terms)
     exclude_terms = list(plan.exclude_terms)
     weights = dict(plan.weights)
@@ -196,13 +392,15 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
     cache = plan.cache.copy()
     and_order = sorted(terms, key=lambda t: dfs[t])  # stable: ties keep order
 
+    def empty_result():
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
+
     def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
         if len(posts) == 0 or len(segs) == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float32")})
+            return empty_result()
         segs = segs.sort_values("doc_base")
         gbase = int(segs["doc_base"].iloc[0])
-        # group norm array over the contiguous doc span
         last = segs.iloc[-1]
         span = int(last["doc_base"]) + int(last["doc_count"]) - gbase
         norms = np.zeros(span, dtype=np.uint8)
@@ -211,87 +409,183 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
             nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
             norms[off : off + len(nb)] = nb
 
-        # decode + score each term's rows (rows = disjoint doc ranges)
-        def term_postings(t: str) -> Tuple[np.ndarray, np.ndarray]:
-            sub = posts[posts["term"] == t].sort_values("seg_id")
-            dparts, tparts = [], []
-            for r in sub.itertuples(index=False):
-                if r.df == 1:
-                    dparts.append(np.array([r.sdoc], np.int64))
-                    tparts.append(np.array([r.stf], np.int32))
-                else:
-                    d, tf = decode_postings(r.doc_ids_enc, r.tfs_enc, r.skips_enc)
-                    dparts.append(d)
-                    tparts.append(tf)
-            if not dparts:
-                return np.empty(0, np.int64), np.empty(0, np.int32)
-            return np.concatenate(dparts), np.concatenate(tparts)
+        by_term: Dict[str, list] = {}
+        for r in posts.sort_values("seg_id").itertuples(index=False):
+            by_term.setdefault(r.term, []).append(r)
 
-        def term_scores(t, docs, tfs):
-            wv = F32(F32(weights[t]) * K1_PLUS_1)
+        def tindex(t: str) -> Optional[_TermIndex]:
+            rows = by_term.get(t)
+            return None if not rows else _TermIndex(rows, norms, gbase)
+
+        def wv_of(t: str) -> np.float32:
+            return F32(F32(weights[t]) * K1_PLUS_1)
+
+        def term_scores(wv, docs, tfs):
             freq = tfs.astype(np.float32)
-            nb = norms[docs - gbase]
-            norm = cache[nb.astype(np.int64)]
-            return (wv * freq / (freq + norm)).astype(np.float32)
+            nrm = cache[norms[docs - gbase].astype(np.int64)]
+            return (wv * freq / (freq + nrm)).astype(np.float32)
+
+        def excl_mask_or_none() -> Optional[np.ndarray]:
+            if not exclude_terms:
+                return None
+            m = np.zeros(span, dtype=bool)
+            for t in exclude_terms:
+                ti = tindex(t)
+                if ti is not None:
+                    d, _ = ti.decode_all()
+                    m[d - gbase] = True
+            return m
 
         if mode == "and":
-            data = {}
+            tis = []
             for t in and_order:
-                docs, tfs = term_postings(t)
-                if len(docs) == 0:
-                    return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                         "score": pd.Series(dtype="float32")})
-                data[t] = (docs, tfs)
-            docs0 = data[and_order[0]][0]
-            mask = np.ones(len(docs0), dtype=bool)
-            for t in and_order[1:]:
-                mask &= np.isin(docs0, data[t][0], assume_unique=True)
-            cand = docs0[mask]
+                ti = tindex(t)
+                if ti is None:
+                    return empty_result()  # null MUST clause
+                tis.append(ti)
+            lead_docs, lead_tfs = tis[0].decode_all()
+            cand = lead_docs
+            datas = [(lead_docs, lead_tfs)]
+            for ti in tis[1:]:
+                if len(cand) == 0:
+                    return empty_result()
+                if wand:
+                    gis = np.unique(
+                        np.searchsorted(ti.his, cand, side="left")
+                    )
+                    gis = gis[gis < ti.n_blocks]
+                    docs_t, tfs_t = ti.decode_blocks(gis)
+                else:
+                    docs_t, tfs_t = ti.decode_all()
+                cand = cand[np.isin(cand, docs_t, assume_unique=True)]
+                datas.append((docs_t, tfs_t))
             if len(cand) == 0:
-                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                     "score": pd.Series(dtype="float32")})
+                return empty_result()
             acc = np.zeros(len(cand), dtype=np.float32)
-            for t in and_order:  # float32 sum in ascending-df order
-                docs, tfs = data[t]
-                pos = np.searchsorted(docs, cand)
-                acc = acc + term_scores(t, cand, tfs[pos])
+            for t, (docs_t, tfs_t) in zip(and_order, datas):
+                pos = np.searchsorted(docs_t, cand)
+                # float32 sum in ascending-df clause order (normative)
+                acc = acc + term_scores(wv_of(t), cand, tfs_t[pos])
             cand_docs, cand_scores = cand, acc
+            em = excl_mask_or_none()
+            if em is not None and len(cand_docs):
+                keep = ~em[cand_docs - gbase]
+                cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
         else:  # or / mm
-            acc = np.zeros(span, dtype=np.float64)   # double accumulate
-            cnt = np.zeros(span, dtype=np.int32)
-            for t in terms:  # clause order = query order (oracle parity)
-                docs, tfs = term_postings(t)
-                if len(docs) == 0:
-                    continue
-                s = term_scores(t, docs, tfs)
-                idxs = docs - gbase
-                acc[idxs] += s.astype(np.float64)
-                cnt[idxs] += 1
-            hit = cnt >= mm
-            idxs = np.nonzero(hit)[0]
-            cand_docs = idxs.astype(np.int64) + gbase
-            cand_scores = acc[idxs].astype(np.float32)
-
-        if exclude_terms:
-            ex = [term_postings(t)[0] for t in exclude_terms]
-            ex = np.concatenate([e for e in ex if len(e)] or
-                                [np.empty(0, np.int64)])
-            keep = ~np.isin(cand_docs, ex)
-            cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
+            tis, wvs = [], []
+            for t in terms:
+                ti = tindex(t)
+                if ti is not None:
+                    tis.append(ti)
+                    wvs.append(wv_of(t))
+            if not tis:
+                return empty_result()
+            em = excl_mask_or_none()
+            if wand and k is not None:
+                cand_docs, cand_scores = _wand_or(
+                    tis, wvs, cache, norms, gbase, span, k, mm,
+                    em, term_scores,
+                )
+            else:
+                acc = np.zeros(span, dtype=np.float64)
+                cnt = np.zeros(span, dtype=np.int32)
+                for ti, wv in zip(tis, wvs):
+                    docs, tfs = ti.decode_all()
+                    s = term_scores(wv, docs, tfs)
+                    idxs = docs - gbase
+                    acc[idxs] += s.astype(np.float64)
+                    cnt[idxs] += 1
+                hit = cnt >= mm
+                if em is not None:
+                    hit &= ~em
+                idxs = np.nonzero(hit)[0]
+                cand_docs = idxs.astype(np.int64) + gbase
+                cand_scores = acc[idxs].astype(np.float32)
 
         if len(cand_docs) == 0:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float32")})
-        # bounded per-group top-k: score desc, doc asc
-        if len(cand_docs) > k:
+            return empty_result()
+        # bounded per-group top-k: score desc, doc asc (k=None: keep all)
+        if k is not None and len(cand_docs) > k:
             # keep every candidate tied with the k-th score so the
             # docID-asc tie-break resolves exactly at the boundary
             thresh = cand_scores[np.argpartition(-cand_scores, k - 1)[k - 1]]
             sel = cand_scores >= thresh
             cand_docs, cand_scores = cand_docs[sel], cand_scores[sel]
-        order = np.lexsort((cand_docs, -cand_scores.astype(np.float64)))[:k]
+        order = np.lexsort((cand_docs, -cand_scores.astype(np.float64)))
+        if k is not None:
+            order = order[:k]
         return pd.DataFrame(
             {"doc_id": cand_docs[order], "score": cand_scores[order]}
         )
 
     return score_group
+
+
+def _wand_or(tis, wvs, cache, norms, gbase, span, k, mm, excl_mask,
+             term_scores):
+    """Block-max WAND over a scoring group (see make_group_scorer doc).
+
+    Returns (cand_docs, cand_scores f32) — exactly the docs/scores the
+    exhaustive path would emit for candidates that can reach the top-k
+    (plus any processed extras; the caller's top-k cut finishes it)."""
+    nI_his = [ti.his for ti in tis]
+    E = np.unique(np.concatenate(nI_his))
+    nI = len(E)
+    U = np.zeros(nI, dtype=np.float64)
+    block_of = []
+    for ti, wv in zip(tis, wvs):
+        freq = ti.max_tf.astype(np.float32)
+        nrm = cache[ti.max_nb.astype(np.int64)]
+        ub = ((wv * freq) / (freq + nrm)).astype(np.float32)
+        j = np.searchsorted(ti.his, E, side="left")
+        valid = j < ti.n_blocks
+        contrib = np.zeros(nI, dtype=np.float64)
+        contrib[valid] = ub[j[valid]].astype(np.float64)
+        U += contrib
+        block_of.append((j, valid))
+    U32 = U.astype(np.float32)
+    order = np.argsort(-U32, kind="stable")
+
+    acc = np.zeros(span, dtype=np.float64)
+    cnt = np.zeros(span, dtype=np.int32)
+    out_docs: List[np.ndarray] = []
+    out_scores: List[np.ndarray] = []
+    n_out = 0
+    theta: Optional[np.float32] = None
+    all_scores: List[np.ndarray] = []
+    for oi in order:
+        oi = int(oi)
+        if theta is not None and U32[oi] < theta:
+            break  # strict: U32==theta may still win the docID tie-break
+        for ti, wv, (j, valid) in zip(tis, wvs, block_of):
+            if not valid[oi]:
+                continue
+            gi = int(j[oi])
+            if ti._done[gi]:
+                continue
+            docs, tfs = ti.decode_block(gi)
+            s = term_scores(wv, docs, tfs)
+            ix = docs - gbase
+            acc[ix] += s.astype(np.float64)
+            cnt[ix] += 1
+            ti._done[gi] = True
+        # docs in (E[oi-1], E[oi]] now have every covering block decoded
+        lo_d = 0 if oi == 0 else int(E[oi - 1]) + 1 - gbase
+        hi_d = int(E[oi]) + 1 - gbase
+        local = np.nonzero(cnt[lo_d:hi_d] >= mm)[0] + lo_d
+        if excl_mask is not None and len(local):
+            local = local[~excl_mask[local]]
+        if len(local):
+            sc = acc[local].astype(np.float32)
+            out_docs.append(local.astype(np.int64) + gbase)
+            out_scores.append(sc)
+            all_scores.append(sc)
+            n_out += len(local)
+            if n_out >= k:
+                flat = (all_scores[0] if len(all_scores) == 1
+                        else np.concatenate(all_scores))
+                all_scores = [flat]
+                theta = np.partition(flat, len(flat) - k)[len(flat) - k]
+    if not out_docs:
+        return np.empty(0, np.int64), np.empty(0, np.float32)
+    return np.concatenate(out_docs), np.concatenate(out_scores)

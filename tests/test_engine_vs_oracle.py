@@ -105,3 +105,50 @@ def test_docid_assignment_parallelism_invariant(spark, small_corpus):
     }
     assert a == b
     assert sorted(a.values()) == list(range(len(a)))
+
+
+@pytest.fixture(scope="module")
+def merged(spark, built):
+    """Salted-merge generation over the built index (SegmentMerger /
+    forceMerge analogue) — searched through the same API."""
+    from lucene_solr_spark.indexing.build import merge_postings
+
+    index_dir, oracle = built
+    merge_postings(spark, index_dir, segs_per_group=2)
+    return index_dir, oracle
+
+
+@pytest.mark.parametrize(
+    "q", QUERY_SET, ids=[f"q{q['query_id']}_{q['kind']}" for q in QUERY_SET]
+)
+def test_wand_equals_exhaustive(spark, built, q):
+    """Dual execution: block-max WAND pruning must be score-safe —
+    bitwise-identical top-k vs the exhaustive path (the TestBoolean2
+    in-order/out-of-order duel transferred to our pruning axis)."""
+    index_dir, _ = built
+    searcher = IndexSearcher(spark, index_dir)
+    on = _run_engine(searcher, q, wand=True)
+    off = _run_engine(searcher, q, wand=False)
+    assert [d for d, _ in on] == [d for d, _ in off]
+    assert [s.tobytes() for _, s in on] == [s.tobytes() for _, s in off]
+
+
+@pytest.mark.parametrize(
+    "q", QUERY_SET, ids=[f"q{q['query_id']}_{q['kind']}" for q in QUERY_SET]
+)
+def test_merged_rank_identical_and_wand_safe(spark, merged, q):
+    """After the salted merge the index must answer every query
+    rank-identically (docIDs + float32 score bits) and WAND must stay
+    score-safe on merged (chunk-split) posting rows."""
+    index_dir, oracle = merged
+    searcher = IndexSearcher(spark, index_dir)
+    got = _run_engine(searcher, q, wand=True)
+    off = _run_engine(searcher, q, wand=False)
+    assert got == off
+    want = oracle.search(
+        q["query_text"], k=10, mode=q["mode"],
+        min_should_match=q["mm"], exclude=q["exclude"],
+    )
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (dg, sg), (dw, sw) in zip(got, want):
+        assert sg.tobytes() == np.float32(sw).tobytes()
