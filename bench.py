@@ -33,6 +33,7 @@ QUERY_NAMES = [
     "bool_or",
     "bool_mm2",
     "bool_not",
+    "phrase_query",
     "prefix_docs",
     "facet_lang",
     "grouping_top2",

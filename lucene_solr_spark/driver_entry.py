@@ -117,6 +117,17 @@ def get_searcher(spark: SparkSession, sf_dir: str):
         "lss_entry_index",
         os.path.basename(os.path.normpath(sf_dir)),
     )
+    # stale-format guard: wipe cached indexes from older codec versions
+    from lucene_solr_spark.catalog import Catalog
+    from lucene_solr_spark.constants import FORMAT_VERSION
+
+    old = Catalog(index_dir).latest()
+    if old is not None and int(
+        old.props.get("format_version", 0)
+    ) != FORMAT_VERSION:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
     corpus = documents_as_corpus(spark, sf_dir)
     writer = IndexWriter(
         spark, index_dir, docs_per_segment=DOCS_PER_SEGMENT, n_batches=2
@@ -197,6 +208,8 @@ cachev AS (
 -- (BM25Similarity.java:64-67,222)
 weights AS (
   SELECT term, df,
+    CAST(ln(1 + ((SELECT max_doc FROM coll) - df + 0.5e0)
+            / (df + 0.5e0)) AS FLOAT) AS idfv,
     CAST(CAST(ln(1 + ((SELECT max_doc FROM coll) - df + 0.5e0)
                   / (df + 0.5e0)) AS FLOAT)
          * {K1P1_LIT} AS FLOAT) AS wv
@@ -250,6 +263,48 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def oracle_phrase(terms_offsets, k=TOP_K) -> str:
+    """Hole-aware exact phrase: positions over ALL recognized tokens
+    (stopwords advance positions); phraseFreq counted by offset-aligned
+    self-joins; weight = f32 sum of clause idfs (chained in order)."""
+    (t0, _), rest = terms_offsets[0], terms_offsets[1:]
+    joins, conds = [], [f"p0.term = '{t0}'"]
+    for i, (t, off) in enumerate(rest, start=1):
+        joins.append(
+            f"JOIN tpos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {off}"
+        )
+        conds.append(f"p{i}.term = '{t}'")
+    # f32 idf sum in clause order: chained CAST-to-FLOAT additions
+    wexpr = f"(SELECT idfv FROM weights WHERE term = '{t0}')"
+    for t, _ in rest:
+        wexpr = (f"CAST({wexpr} + (SELECT idfv FROM weights "
+                 f"WHERE term = '{t}') AS FLOAT)")
+    return ORACLE_PRELUDE + f"""
+, tpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+),
+pf AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM tpos p0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY p0.doc_id
+),
+pw AS (SELECT CAST({wexpr} * {K1P1_LIT} AS FLOAT) AS wv)
+SELECT pf.doc_id,
+  CAST(CAST(CAST((SELECT wv FROM pw) * pf.pf AS FLOAT)
+            / CAST(pf.pf + c.nrm AS FLOAT) AS FLOAT) AS DOUBLE) AS score
+FROM pf JOIN cachev c ON pf.doc_id = c.doc_id
+ORDER BY score DESC, pf.doc_id ASC LIMIT {k}
+"""
+
+
 # fixed reference query set over the testdata vocabulary
 Q_SINGLE = "merge"
 Q_AND = ("table", "window")
@@ -262,6 +317,8 @@ Q_PREFIX = "s"
 Q_WILDCARD = "%a%e%"      # SQL LIKE / Spark like
 Q_FUZZY = "tabel"         # edit distance <= 1
 Q_RANGE = ("m", "s")
+Q_PHRASE = "table hash"
+Q_PHRASE_HOLE = "spark the small"   # StopFilter hole: small 2 after spark
 
 
 # ---------------------------------------------------------------------------
@@ -335,6 +392,16 @@ def q_term_range_terms(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     lo, hi = Q_RANGE
     return s.expand_terms((F.col("term") >= lo) & (F.col("term") < hi))
+
+
+def q_phrase(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search_phrase(Q_PHRASE, k=TOP_K))
+
+
+def q_phrase_hole(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search_phrase(Q_PHRASE_HOLE, k=TOP_K))
 
 
 def q_facet_lang(spark, sf_dir):
@@ -542,6 +609,8 @@ def _oracles() -> dict:
         f"SELECT term, df FROM tstats WHERE term >= '{Q_RANGE[0]}' "
         f"AND term < '{Q_RANGE[1]}' ORDER BY term"
     )
+    o["phrase_query"] = oracle_phrase([("table", 0), ("hash", 1)])
+    o["phrase_hole"] = oracle_phrase([("spark", 0), ("small", 2)])
     o["facet_lang"] = ORACLE_PRELUDE + f"""
 SELECT d.lang, count(*) AS n
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}') m
@@ -635,6 +704,8 @@ QUERIES = {
     "wildcard_terms": q_wildcard_terms,
     "fuzzy_terms": q_fuzzy_terms,
     "term_range_terms": q_term_range_terms,
+    "phrase_query": q_phrase,
+    "phrase_hole": q_phrase_hole,
     "facet_lang": q_facet_lang,
     "grouping_top2": q_grouping_top2,
     "dedup_exact": q_dedup_exact,

@@ -61,3 +61,14 @@ QUERY_SET = [
      "query_text": f"{HIGH_DF_IDS[0].upper()} {HIGH_DF_IDS[3].capitalize()}",
      "mode": "or", "mm": 0, "exclude": ""},
 ]
+
+# exact-phrase query set (PhraseQuery tier): int_to_english doc headers
+# give deterministic adjacent-token runs; entry 4 exercises a StopFilter
+# hole via an embedded stopword pattern
+PHRASE_QUERY_SET = [
+    "seven hundred",
+    "doc two hundred",
+    "hundred seventy",
+    "one thousand one hundred",
+    "nonexistent_phrase_term here",
+]

@@ -152,3 +152,32 @@ def tokenize_series(texts: Iterable[str]) -> List[List[str]]:
             ]
         )
     return result
+
+
+def tokenize_series_positions(texts: Iterable[str]):
+    """Batch analyze keeping token positions (StopFilter holes preserved,
+    over-long tokens advance position — StandardTokenizer.java:156-167,
+    StopFilter.java:124-127). Returns (token_lists, position_lists);
+    len(token_lists[i]) is the norm field length, same as
+    tokenize_series."""
+    findall = TOKEN_PATTERN.findall
+    stop = STOPWORDS
+    maxlen = MAX_TOKEN_LENGTH
+    toks_out: List[List[str]] = []
+    pos_out: List[List[int]] = []
+    for text in texts:
+        toks: List[str] = []
+        poss: List[int] = []
+        if text:
+            pos = -1
+            for t in findall(text):
+                pos += 1
+                if len(t) > maxlen:
+                    continue
+                lt = t.lower()
+                if lt not in stop:
+                    toks.append(lt)
+                    poss.append(pos)
+        toks_out.append(toks)
+        pos_out.append(poss)
+    return toks_out, pos_out

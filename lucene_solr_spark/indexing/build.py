@@ -47,13 +47,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lucene_solr_spark.catalog import Catalog, Snapshot
-from lucene_solr_spark.constants import DEFAULT_DOCS_PER_SEGMENT
-from lucene_solr_spark.functions.analysis import tokenize_series
+from lucene_solr_spark.constants import DEFAULT_DOCS_PER_SEGMENT, FORMAT_VERSION
+from lucene_solr_spark.functions.analysis import tokenize_series_positions
 from lucene_solr_spark.functions.smallfloat import encode_norm
 from lucene_solr_spark.indexing.codec import (
     decode_postings,
+    decode_prox,
     decode_skips,
+    deltas_from_positions,
     encode_postings,
+    encode_prox,
+    positions_from_deltas,
 )
 
 DOC_KEY = ["repo", "path", "commit"]
@@ -74,14 +78,14 @@ def read_segment_output(spark: SparkSession, paths, base_path: str):
 SEGMENT_OUT_SCHEMA = (
     "is_meta boolean, term string, seg_id long, df long, cf long, "
     "doc_ids_enc binary, tfs_enc binary, skips_enc binary, "
-    "sdoc long, stf long, "
+    "pos_enc binary, sdoc long, stf long, "
     "doc_base long, doc_count long, sum_len long, "
     "norms_enc binary, doc_lens_enc binary, input_sha256 string"
 )
 
 _POSTING_COLS = [
     "term", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc", "skips_enc",
-    "sdoc", "stf",
+    "pos_enc", "sdoc", "stf",
 ]
 _META_COLS = [
     "seg_id", "doc_base", "doc_count", "sum_len", "norms_enc",
@@ -148,7 +152,7 @@ def build_segment_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
     doc_base = int(doc_ids[0])
     n_docs = len(doc_ids)
 
-    token_lists = tokenize_series(pdf["content"].tolist())
+    token_lists, pos_lists = tokenize_series_positions(pdf["content"].tolist())
     lens = np.fromiter((len(t) for t in token_lists), np.int64, n_docs)
     with np.errstate(divide="ignore"):
         norm_bytes = np.atleast_1d(encode_norm(lens))
@@ -166,45 +170,73 @@ def build_segment_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
     rows: List[dict] = []
     total_tokens = int(lens.sum())
     if total_tokens:
-        flat_terms = [t for lst in token_lists for t in lst]
+        # flat (term, doc, position) triples -> sort term-major (UTF-8
+        # order via factorize(sort=True)), then doc, then position: the
+        # in-RAM inversion + prox stream in one vectorized pass
+        flat_terms = np.array(
+            [t for lst in token_lists for t in lst], dtype=object
+        )
         flat_docs = np.repeat(doc_ids, lens)
-        inv = pd.DataFrame({"t": flat_terms, "d": flat_docs})
-        grp = inv.groupby(["t", "d"], sort=True).size()
-        g_terms = grp.index.get_level_values(0).to_numpy()
-        g_docs = grp.index.get_level_values(1).to_numpy(np.int64)
-        g_tfs = grp.to_numpy(np.int32)
-        uniq_terms, starts = np.unique(g_terms, return_index=True)
-        bounds = np.append(starts, len(g_terms))
-        for i, term in enumerate(uniq_terms):
-            lo, hi = bounds[i], bounds[i + 1]
-            df_local = int(hi - lo)
-            cf_local = int(g_tfs[lo:hi].sum())
+        flat_pos = np.fromiter(
+            (p for lst in pos_lists for p in lst), np.int64, total_tokens
+        )
+        codes, uniq_terms = pd.factorize(flat_terms, sort=True)
+        order = np.lexsort((flat_pos, flat_docs, codes))
+        c = codes[order]
+        d = flat_docs[order]
+        p = flat_pos[order]
+        newg = np.empty(len(c), dtype=bool)
+        newg[0] = True
+        newg[1:] = (c[1:] != c[:-1]) | (d[1:] != d[:-1])
+        g_start = np.nonzero(newg)[0]
+        g_codes = c[g_start]
+        g_docs = d[g_start]
+        g_tfs = np.diff(np.append(g_start, len(c))).astype(np.int32)
+        # position deltas: first-in-doc absolute, then in-doc diffs
+        delta = p.copy()
+        delta[1:] -= p[:-1]
+        delta[g_start] = p[g_start]
+        delta = delta.astype(np.uint64)
+        t_new = np.empty(len(g_codes), dtype=bool)
+        t_new[0] = True
+        t_new[1:] = g_codes[1:] != g_codes[:-1]
+        t_start = np.nonzero(t_new)[0]
+        t_bounds = np.append(t_start, len(g_codes))
+        e_bounds = np.append(g_start, len(c))
+        for i in range(len(t_start)):
+            glo, ghi = int(t_bounds[i]), int(t_bounds[i + 1])
+            term = uniq_terms[g_codes[glo]]
+            df_local = ghi - glo
+            cf_local = int(g_tfs[glo:ghi].sum())
+            pos_b = encode_prox(delta[e_bounds[glo] : e_bounds[ghi]])
             if df_local == 1:
                 rows.append(
                     dict(is_meta=False, term=term, seg_id=seg_id,
                          df=1, cf=cf_local, doc_ids_enc=None,
-                         tfs_enc=None, skips_enc=None,
-                         sdoc=int(g_docs[lo]), stf=int(g_tfs[lo]),
+                         tfs_enc=None, skips_enc=None, pos_enc=pos_b,
+                         sdoc=int(g_docs[glo]), stf=int(g_tfs[glo]),
                          doc_base=None, doc_count=None, sum_len=None,
                          norms_enc=None, doc_lens_enc=None,
                          input_sha256=None)
                 )
             else:
-                docs_t = g_docs[lo:hi]
-                tfs_t = g_tfs[lo:hi]
+                docs_t = g_docs[glo:ghi]
+                tfs_t = g_tfs[glo:ghi]
                 nbs_t = nb_lookup[docs_t - doc_base]
                 d_enc, t_enc, s_enc = encode_postings(docs_t, tfs_t, nbs_t)
                 rows.append(
                     dict(is_meta=False, term=term, seg_id=seg_id,
                          df=df_local, cf=cf_local, doc_ids_enc=d_enc,
-                         tfs_enc=t_enc, skips_enc=s_enc, sdoc=None,
+                         tfs_enc=t_enc, skips_enc=s_enc, pos_enc=pos_b,
+                         sdoc=None,
                          stf=None, doc_base=None, doc_count=None,
                          sum_len=None, norms_enc=None,
                          doc_lens_enc=None, input_sha256=None)
                 )
     rows.append(
         dict(is_meta=True, term=None, seg_id=seg_id, df=None, cf=None,
-             doc_ids_enc=None, tfs_enc=None, skips_enc=None, sdoc=None,
+             doc_ids_enc=None, tfs_enc=None, skips_enc=None, pos_enc=None,
+             sdoc=None,
              stf=None, doc_base=doc_base, doc_count=n_docs,
              sum_len=total_tokens, norms_enc=nb_lookup.tobytes(),
              doc_lens_enc=len_lookup.astype("<i4").tobytes(),
@@ -236,6 +268,11 @@ class IndexWriter:
         docs = assign_doc_ids(corpus).withColumn(
             "content_sha256", F.sha2(F.col("content"), 256)
         )
+        # fresh build: reuse the assigned frame directly downstream —
+        # avoids re-joining content onto the docs table by DOC_KEY (a
+        # second full shuffle of the corpus at 100 TB); the join path
+        # below remains for resume-from-snapshot
+        self._assigned = docs
         path = self.catalog.path("docs")
         (
             docs.drop("content")
@@ -256,6 +293,9 @@ class IndexWriter:
 
     # -- stage 2: segments (batched, resumable) ---------------------------
     def _docs_with_content(self, corpus: DataFrame) -> DataFrame:
+        assigned = getattr(self, "_assigned", None)
+        if assigned is not None:
+            return assigned
         docs = self.spark.read.parquet(self.catalog.path("docs"))
         return docs.join(
             corpus.dropDuplicates(DOC_KEY).select(*DOC_KEY, "content"),
@@ -376,7 +416,8 @@ class IndexWriter:
                 "term_stats": term_stats_path,
                 "collection_stats": coll_path,
             },
-            props={**props, "batches_done": done, "group_factor": 1, **coll},
+            props={**props, "batches_done": done, "group_factor": 1,
+                   "format_version": FORMAT_VERSION, **coll},
             lineage=lineage,
         )
 
@@ -385,7 +426,7 @@ class IndexWriter:
 
 MERGED_SCHEMA = (
     "term string, seg_id long, df long, cf long, doc_ids_enc binary, "
-    "tfs_enc binary, skips_enc binary, sdoc long, stf long"
+    "tfs_enc binary, skips_enc binary, pos_enc binary, sdoc long, stf long"
 )
 
 
@@ -403,23 +444,31 @@ def _make_merge_udf(new_gfac: int):
     def _merge_group_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
         term, gid = key[0], int(key[1])
         pdf = pdf.sort_values("seg_id", kind="stable")
-        docs_parts, tfs_parts, nbs_parts = [], [], []
+        has_pos = ("pos_enc" in pdf.columns) and pdf["pos_enc"].notna().all()
+        docs_parts, tfs_parts, nbs_parts, pos_parts = [], [], [], []
         for r in pdf.itertuples(index=False):
             if r.df == 1:
+                tfs_r = np.array([r.stf], np.int32)
                 docs_parts.append(np.array([r.sdoc], np.int64))
-                tfs_parts.append(np.array([r.stf], np.int32))
+                tfs_parts.append(tfs_r)
                 # no per-doc norm at hand: 255 (=shortest quantized doc)
                 # is a SAFE, loose block-max bound for WAND
                 nbs_parts.append(np.array([255], np.uint8))
             else:
                 d, t = decode_postings(r.doc_ids_enc, r.tfs_enc, r.skips_enc)
+                tfs_r = t
                 docs_parts.append(d)
                 tfs_parts.append(t)
                 sk = decode_skips(r.skips_enc)
                 nbs_parts.append(np.repeat(sk["max_nb"], sk["count"]))
+            if has_pos:
+                deltas = decode_prox(r.pos_enc, int(tfs_r.sum()))
+                pos_parts.append(positions_from_deltas(deltas, tfs_r))
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
         nbs = np.concatenate(nbs_parts)
+        pos = np.concatenate(pos_parts) if has_pos else None
+        e_off = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
         out = []
         base_seg = gid * new_gfac
         n_chunks = (len(docs) + MAX_POSTINGS_PER_ROW - 1) // MAX_POSTINGS_PER_ROW
@@ -430,10 +479,17 @@ def _make_merge_udf(new_gfac: int):
         for j, lo in enumerate(range(0, len(docs), MAX_POSTINGS_PER_ROW)):
             hi = min(lo + MAX_POSTINGS_PER_ROW, len(docs))
             sid = base_seg + j  # distinct, ordered: stable doc order on read
+            pos_b = None
+            if has_pos:
+                chunk_pos = pos[e_off[lo] : e_off[hi]]
+                pos_b = encode_prox(
+                    deltas_from_positions(chunk_pos, tfs[lo:hi])
+                )
             if hi - lo == 1:
                 out.append(dict(term=term, seg_id=sid, df=1, cf=int(tfs[lo]),
                                 doc_ids_enc=None, tfs_enc=None,
-                                skips_enc=None, sdoc=int(docs[lo]),
+                                skips_enc=None, pos_enc=pos_b,
+                                sdoc=int(docs[lo]),
                                 stf=int(tfs[lo])))
             else:
                 d_enc, t_enc, s_enc = encode_postings(
@@ -441,7 +497,8 @@ def _make_merge_udf(new_gfac: int):
                 )
                 out.append(dict(term=term, seg_id=sid, df=int(hi - lo),
                                 cf=int(tfs[lo:hi].sum()), doc_ids_enc=d_enc,
-                                tfs_enc=t_enc, skips_enc=s_enc, sdoc=None,
+                                tfs_enc=t_enc, skips_enc=s_enc,
+                                pos_enc=pos_b, sdoc=None,
                                 stf=None))
         return pd.DataFrame(out)
 
@@ -473,7 +530,7 @@ def merge_postings(
     )
     merged = with_gid.select(
         "term", "gid", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc",
-        "skips_enc", "sdoc", "stf"
+        "skips_enc", "pos_enc", "sdoc", "stf"
     ).groupBy("term", "gid").applyInPandas(
         _make_merge_udf(gfac), schema=MERGED_SCHEMA
     )

@@ -159,3 +159,63 @@ def decode_postings(
     if not docs_out:
         return np.empty(0, np.int64), np.empty(0, np.int32)
     return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+# -- positions (.pos / .prox analogue) --------------------------------------
+# Reference: positions are per-doc deltas appended to the term's prox
+# stream (Lucene41PostingsFormat.java:240-254 'PosDelta'; writer
+# Lucene41PostingsWriter.java:300-349). Ours: one flat delta array per
+# posting row (first position of each doc absolute, then in-doc deltas),
+# FOR-packed in the same 128-value blocks. Per-element doc boundaries
+# are implied by the row's tf values, so no extra length prefix is
+# stored.
+
+def encode_prox(deltas: np.ndarray) -> bytes:
+    """FOR-pack a flat position-delta array in BLOCK_SIZE chunks."""
+    parts: List[bytes] = []
+    d = deltas.astype(np.uint64)
+    for lo in range(0, len(d), BLOCK_SIZE):
+        parts.append(_pack_block(d[lo : lo + BLOCK_SIZE]))
+    return b"".join(parts)
+
+
+def decode_prox(buf: bytes, count: int) -> np.ndarray:
+    """Inverse of encode_prox; returns uint64 deltas of length count."""
+    mv = memoryview(buf)
+    out: List[np.ndarray] = []
+    off = 0
+    remaining = int(count)
+    while remaining > 0:
+        c = min(BLOCK_SIZE, remaining)
+        vals, used = _unpack_block(mv, off, c)
+        out.append(vals)
+        off += used
+        remaining -= c
+    if not out:
+        return np.empty(0, np.uint64)
+    return np.concatenate(out)
+
+
+def positions_from_deltas(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Segmented cumsum: per-doc absolute positions from the flat delta
+    array (doc boundaries given by tfs)."""
+    if len(deltas) == 0:
+        return np.empty(0, np.int64)
+    cum = np.cumsum(deltas.astype(np.int64))
+    ends = np.cumsum(tfs.astype(np.int64))
+    starts = ends - tfs
+    base = np.repeat(
+        np.where(starts > 0, cum[np.maximum(starts - 1, 0)], 0), tfs
+    )
+    return cum - base
+
+
+def deltas_from_positions(pos: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of positions_from_deltas."""
+    if len(pos) == 0:
+        return np.empty(0, np.uint64)
+    delta = pos.astype(np.int64).copy()
+    delta[1:] -= pos[:-1]
+    starts = np.cumsum(tfs.astype(np.int64)) - tfs
+    delta[starts] = pos[starts]
+    return delta.astype(np.uint64)

@@ -24,7 +24,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from lucene_solr_spark.constants import B, K1
-from lucene_solr_spark.functions.analysis import analyze
+from lucene_solr_spark.functions.analysis import analyze, analyze_with_positions
 from lucene_solr_spark.functions.bm25 import K1_PLUS_1, avgdl, idf, norm_cache
 from lucene_solr_spark.functions.smallfloat import encode_norm
 
@@ -34,6 +34,7 @@ F32 = np.float32
 @dataclass
 class OracleIndex:
     postings: Dict[str, List[Tuple[int, int]]] = field(default_factory=dict)
+    positions: Dict[str, Dict[int, List[int]]] = field(default_factory=dict)
     norm_bytes: Dict[int, int] = field(default_factory=dict)
     max_doc: int = 0
     sum_ttf: int = 0
@@ -55,6 +56,10 @@ class OracleIndex:
                 tf[t] = tf.get(t, 0) + 1
             for t, f in tf.items():
                 idx.postings.setdefault(t, []).append((doc_id, f))
+            for t, pos in analyze_with_positions(content):
+                idx.positions.setdefault(t, {}).setdefault(
+                    doc_id, []
+                ).append(pos)
         for plist in idx.postings.values():
             plist.sort()
         return idx
@@ -143,5 +148,43 @@ class OracleIndex:
                 ex_docs.update(d for d, _ in self.postings.get(t, ()))
             scores = {d: s for d, s in scores.items() if d not in ex_docs}
 
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return ranked[:k]
+
+
+    # -- exact phrase (ExactPhraseScorer semantics) --------------------
+    def search_phrase(self, phrase: str, k: int = 10):
+        """Hole-aware exact phrase: analyzed offsets must align; freq =
+        phraseFreq; weight = float32 sum of clause idfs in order
+        (BM25Similarity.java:185-198; ExactPhraseScorer.java:26-91)."""
+        tp = analyze_with_positions(phrase)
+        if not tp:
+            return []
+        p0 = tp[0][1]
+        offsets = [(t, p - p0) for t, p in tp]
+        uniq = list(dict.fromkeys(t for t, _ in offsets))
+        if any(t not in self.postings for t in uniq):
+            return []
+        w = F32(0.0)
+        for t, _ in offsets:
+            w = F32(w + idf(self.df(t), self.max_doc))
+        weight_value = F32(w * K1_PLUS_1)
+        cache = self._cache()
+        docs = set(self.positions[uniq[0]])
+        for t in uniq[1:]:
+            docs &= set(self.positions[t])
+        scores = {}
+        for d in docs:
+            starts = None
+            for t, off in offsets:
+                cand = {p - off for p in self.positions[t][d]}
+                starts = cand if starts is None else (starts & cand)
+                if not starts:
+                    break
+            pf = len(starts) if starts else 0
+            if pf:
+                freq = F32(pf)
+                norm = cache[self.norm_bytes[d]]
+                scores[d] = F32(weight_value * freq / (freq + norm))
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return ranked[:k]

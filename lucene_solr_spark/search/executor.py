@@ -177,6 +177,53 @@ class IndexSearcher:
         out = topk_per_group.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if plan.k is None else out.limit(plan.k)
 
+    def search_phrase(
+        self, phrase_text: str, k: Optional[int] = 10
+    ) -> DataFrame:
+        """Exact phrase BM25 top-k (PhraseQuery + ExactPhraseScorer,
+        search/PhraseQuery.java, ExactPhraseScorer.java:26-91). The
+        phrase is analyzed with the SAME chain; StopFilter holes become
+        position offsets (QueryParserBase.java:570-616 with
+        enablePositionIncrements), so 'big the table' requires 'table'
+        two positions after 'big'. freq = phraseFreq; weight = sum of
+        clause idfs (BM25Similarity.java:185-198)."""
+        from lucene_solr_spark.functions.analysis import analyze_with_positions
+        from lucene_solr_spark.functions.bm25 import idf
+
+        tp = analyze_with_positions(phrase_text)
+        if not tp:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        p0 = tp[0][1]
+        offsets = [(t, p - p0) for t, p in tp]
+        uniq = list(dict.fromkeys(t for t, _ in offsets))
+        rows = (
+            self._term_stats.filter(F.col("term").isin(uniq))
+            .select("term", "df")
+            .collect()
+        )
+        dfs = {r["term"]: int(r["df"]) for r in rows}
+        if any(t not in dfs for t in uniq):
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        w = np.float32(0.0)
+        for t, _ in offsets:  # f32 accumulation in clause order
+            w = np.float32(w + idf(dfs[t], self.max_doc))
+        wv = np.float32(w * K1_PLUS_1)
+        gf = self.group_factor
+        posts = self._postings.filter(F.col("term").isin(uniq)).withColumn(
+            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
+        )
+        segs = self._segments.withColumn(
+            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
+        )
+        kernel = make_phrase_scorer(offsets, wv, self.cache, k)
+        topk = (
+            posts.groupBy("gid")
+            .cogroup(segs.groupBy("gid"))
+            .applyInPandas(kernel, schema="doc_id long, score float")
+        )
+        out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out if k is None else out.limit(k)
+
     # -- auxiliary read surfaces ------------------------------------------
     def doc_stats(self) -> DataFrame:
         """Per-doc (doc_id, doc_len, norm_byte): the NormsReader analogue
@@ -589,3 +636,107 @@ def _wand_or(tis, wvs, cache, norms, gbase, span, k, mm, excl_mask,
     if not out_docs:
         return np.empty(0, np.int64), np.empty(0, np.float32)
     return np.concatenate(out_docs), np.concatenate(out_scores)
+
+
+# -- exact phrase (ExactPhraseScorer analogue) ------------------------------
+
+def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
+    """Per-group kernel for exact phrase matching with position holes
+    (search/ExactPhraseScorer.java:26-91; QueryParser builds hole-aware
+    PhraseQuery positions from the analyzed stream,
+    queryparser/.../classic/QueryParserBase.java:570-616).
+
+    Vectorized shape: each (term, offset) clause contributes the sorted
+    int64 key set `doc << SHIFT | (pos - offset + OFFBASE)`; chained
+    sorted intersection leaves one key per phrase occurrence;
+    run-length over `key >> SHIFT` is the per-doc phraseFreq, scored
+    with the standard BM25 kernel where weight = sum of clause idfs
+    (BM25Similarity.java:185-198)."""
+    uniq_terms = list(dict.fromkeys(t for t, _ in offsets))
+    offbase = max(off for _, off in offsets)
+
+    def empty_result():
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
+
+    def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        if len(posts) == 0 or len(segs) == 0:
+            return empty_result()
+        segs = segs.sort_values("doc_base")
+        gbase = int(segs["doc_base"].iloc[0])
+        last = segs.iloc[-1]
+        span = int(last["doc_base"]) + int(last["doc_count"]) - gbase
+        norms = np.zeros(span, dtype=np.uint8)
+        for r in segs.itertuples(index=False):
+            off = int(r.doc_base) - gbase
+            nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
+            norms[off : off + len(nb)] = nb
+
+        from lucene_solr_spark.indexing.codec import (
+            decode_prox,
+            positions_from_deltas,
+        )
+
+        by_term: Dict[str, list] = {}
+        for r in posts.sort_values("seg_id").itertuples(index=False):
+            by_term.setdefault(r.term, []).append(r)
+        decoded = {}
+        max_pos = 0
+        for t in uniq_terms:
+            rows = by_term.get(t)
+            if not rows:
+                return empty_result()  # conjunction: all terms required
+            dparts, tparts, pparts = [], [], []
+            for r in rows:
+                if r.pos_enc is None:
+                    raise ValueError(
+                        "phrase query on an index built without positions"
+                    )
+                if r.df == 1:
+                    d = np.array([r.sdoc], np.int64)
+                    tf = np.array([r.stf], np.int32)
+                else:
+                    d, tf = decode_postings(
+                        r.doc_ids_enc, r.tfs_enc, r.skips_enc
+                    )
+                deltas = decode_prox(r.pos_enc, int(tf.sum()))
+                pos = positions_from_deltas(deltas, tf)
+                dparts.append(d)
+                tparts.append(tf)
+                pparts.append(pos)
+            d = np.concatenate(dparts)
+            tf = np.concatenate(tparts)
+            pos = np.concatenate(pparts)
+            if len(pos):
+                max_pos = max(max_pos, int(pos.max()))
+            decoded[t] = (d, tf, pos)
+
+        shift = max(21, int(max_pos + offbase + 1).bit_length())
+        keys = None
+        for t, off in offsets:
+            d, tf, pos = decoded[t]
+            kk = (np.repeat(d, tf) << shift) + (pos - off + offbase)
+            keys = kk if keys is None else np.intersect1d(
+                keys, kk, assume_unique=True
+            )
+            if len(keys) == 0:
+                return empty_result()
+        docs_h = keys >> shift
+        udocs, counts = np.unique(docs_h, return_counts=True)
+        pf = counts.astype(np.float32)
+        nrm = cache[norms[udocs - gbase].astype(np.int64)]
+        scores = ((wv * pf) / (pf + nrm)).astype(np.float32)
+
+        cand_docs, cand_scores = udocs, scores
+        if k is not None and len(cand_docs) > k:
+            thresh = cand_scores[np.argpartition(-cand_scores, k - 1)[k - 1]]
+            sel = cand_scores >= thresh
+            cand_docs, cand_scores = cand_docs[sel], cand_scores[sel]
+        order = np.lexsort((cand_docs, -cand_scores.astype(np.float64)))
+        if k is not None:
+            order = order[:k]
+        return pd.DataFrame(
+            {"doc_id": cand_docs[order], "score": cand_scores[order]}
+        )
+
+    return score_group

@@ -152,3 +152,37 @@ def test_merged_rank_identical_and_wand_safe(spark, merged, q):
     assert [d for d, _ in got] == [d for d, _ in want]
     for (dg, sg), (dw, sw) in zip(got, want):
         assert sg.tobytes() == np.float32(sw).tobytes()
+
+
+from lucene_solr_spark.fixtures import PHRASE_QUERY_SET
+
+
+@pytest.mark.parametrize("phrase", PHRASE_QUERY_SET)
+def test_phrase_rank_identical(spark, built, phrase):
+    """Exact phrase (positions tier): engine vs oracle, docIDs + f32
+    score bits (ExactPhraseScorer semantics, hole-aware offsets)."""
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search_phrase(phrase, k=10).collect()
+    ]
+    want = oracle.search_phrase(phrase, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], phrase
+    for (dg, sg), (dw, sw) in zip(got, want):
+        assert sg.tobytes() == np.float32(sw).tobytes()
+
+
+@pytest.mark.parametrize("phrase", PHRASE_QUERY_SET[:3])
+def test_phrase_after_merge(spark, merged, phrase):
+    """Positions survive the salted merge (prox re-encode per chunk)."""
+    index_dir, oracle = merged
+    searcher = IndexSearcher(spark, index_dir)
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search_phrase(phrase, k=10).collect()
+    ]
+    want = oracle.search_phrase(phrase, k=10)
+    assert [(d, np.float32(s).tobytes()) for d, s in got] == [
+        (d, np.float32(s).tobytes()) for d, s in want
+    ]

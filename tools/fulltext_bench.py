@@ -1,0 +1,103 @@
+"""Fulltext workload bench: index build + query set over the
+deterministic synthetic source-code corpus (corpusgen), at a given
+parallelism. Used standalone and by tools/bench_scaling.py for the
+N-vs-4N scaling-efficiency evidence (BASELINE.json north rule; no real
+cluster in this sandbox, so parallelism levels stand in for executor
+counts).
+
+Prints one JSON line:
+  {"cpus": N, "n_docs": D, "build_sec": ..., "build_docs_per_sec": ...,
+   "merge_sec": ..., "query_total_sec": ..., "query_p95_sec": ...,
+   "queries": {...}}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lucene_solr_spark.corpusgen import generate_corpus  # noqa: E402
+from lucene_solr_spark.fixtures import PHRASE_QUERY_SET, QUERY_SET  # noqa: E402
+from lucene_solr_spark.indexing.build import IndexWriter, merge_postings  # noqa: E402
+from lucene_solr_spark.search.executor import IndexSearcher  # noqa: E402
+from lucene_solr_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, default=32)
+    ap.add_argument("--docs", type=int, default=40960)
+    ap.add_argument("--dps", type=int, default=320,
+                    help="docs per segment (docs/dps tasks in the build)")
+    ap.add_argument("--work-dir", default="/tmp/lss_scalebench")
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    spark = get_spark("lss_scale_bench", cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # materialize the corpus once (untimed input, like reading a table)
+    corpus_path = os.path.join(args.work_dir, f"corpus_{args.docs}")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        generate_corpus(
+            spark, args.docs, partitions=max(args.cpus * 4, 32)
+        ).write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+
+    index_dir = os.path.join(args.work_dir, f"idx_{args.docs}_{args.cpus}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    t0 = time.time()
+    writer = IndexWriter(
+        spark, index_dir, docs_per_segment=args.dps, n_batches=1
+    )
+    writer.build(corpus, resume=False)
+    build_sec = time.time() - t0
+    t1 = time.time()
+    merge_postings(spark, index_dir, segs_per_group=8)
+    merge_sec = time.time() - t1
+
+    searcher = IndexSearcher(spark, index_dir)
+    timings = {}
+    tq = time.time()
+    for rep in range(args.reps):
+        for q in QUERY_SET:
+            t = time.time()
+            searcher.search(
+                q["query_text"], k=10, mode=q["mode"],
+                min_should_match=q["mm"], exclude=q["exclude"],
+            ).collect()
+            key = f"q{q['query_id']}"
+            timings[key] = min(timings.get(key, 1e9), time.time() - t)
+        for i, p in enumerate(PHRASE_QUERY_SET):
+            t = time.time()
+            searcher.search_phrase(p, k=10).collect()
+            key = f"ph{i}"
+            timings[key] = min(timings.get(key, 1e9), time.time() - t)
+    query_total = time.time() - tq
+    lat = sorted(timings.values())
+    p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+
+    print(json.dumps({
+        "cpus": args.cpus,
+        "n_docs": args.docs,
+        "build_sec": round(build_sec, 2),
+        "build_docs_per_sec": round(args.docs / build_sec, 1),
+        "merge_sec": round(merge_sec, 2),
+        "query_total_sec": round(query_total, 2),
+        "queries_per_sec": round(
+            args.reps * (len(QUERY_SET) + len(PHRASE_QUERY_SET))
+            / query_total, 2
+        ),
+        "query_p95_sec": round(p95, 4),
+        "queries": {k: round(v, 4) for k, v in sorted(timings.items())},
+    }))
+
+
+if __name__ == "__main__":
+    main()
