@@ -318,6 +318,8 @@ Q_WILDCARD = "%a%e%"      # SQL LIKE / Spark like
 Q_FUZZY = "tabel"         # edit distance <= 1
 Q_RANGE = ("m", "s")
 Q_PHRASE = "table hash"
+Q_BOOL_REQ_OPT = "+table +window stream"
+Q_BOOL_PHRASE = '+"table hash" spark -vector' 
 Q_PHRASE_HOLE = "spark the small"   # StopFilter hole: small 2 after spark
 
 
@@ -402,6 +404,16 @@ def q_phrase(spark, sf_dir):
 def q_phrase_hole(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     return _topk_double(s.search_phrase(Q_PHRASE_HOLE, k=TOP_K))
+
+
+def q_bool_req_opt(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search_boolean(Q_BOOL_REQ_OPT, k=TOP_K))
+
+
+def q_bool_phrase_must(spark, sf_dir):
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search_boolean(Q_BOOL_PHRASE, k=TOP_K))
 
 
 def q_facet_lang(spark, sf_dir):
@@ -610,6 +622,58 @@ def _oracles() -> dict:
         f"AND term < '{Q_RANGE[1]}' ORDER BY term"
     )
     o["phrase_query"] = oracle_phrase([("table", 0), ("hash", 1)])
+    # '+table +window stream': conjunction req (2-term f32 sum) + one
+    # optional clause added per ReqOptSumScorer (float add; absent -> req)
+    o["bool_req_opt"] = ORACLE_PRELUDE + """
+SELECT r.doc_id,
+  CAST(CAST(r.req + COALESCE(o.s, CAST(0 AS FLOAT)) AS FLOAT) AS DOUBLE)
+    AS score
+FROM (
+  SELECT a.doc_id, CAST(a.s + b.s AS FLOAT) AS req
+  FROM (SELECT doc_id, s FROM persc WHERE term = 'table') a
+  JOIN (SELECT doc_id, s FROM persc WHERE term = 'window') b USING (doc_id)
+) r
+LEFT JOIN (SELECT doc_id, s FROM persc WHERE term = 'stream') o
+  USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # '+"table hash" spark -vector': phrase MUST + optional + MUST_NOT
+    o["bool_phrase_must"] = ORACLE_PRELUDE + """
+, tpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+)
+, pf AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM tpos p0 JOIN tpos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'table' AND p1.term = 'hash'
+  GROUP BY p0.doc_id
+),
+pw AS (
+  SELECT CAST(CAST((SELECT idfv FROM weights WHERE term = 'table')
+                   + (SELECT idfv FROM weights WHERE term = 'hash')
+              AS FLOAT) * {K1P1} AS FLOAT) AS wv
+),
+pq AS (
+  SELECT pf.doc_id,
+    CAST(CAST((SELECT wv FROM pw) * pf.pf AS FLOAT)
+         / CAST(pf.pf + c.nrm AS FLOAT) AS FLOAT) AS ps
+  FROM pf JOIN cachev c ON pf.doc_id = c.doc_id
+)
+SELECT pq.doc_id,
+  CAST(CAST(pq.ps + COALESCE(o.s, CAST(0 AS FLOAT)) AS FLOAT) AS DOUBLE)
+    AS score
+FROM pq
+LEFT JOIN (SELECT doc_id, s FROM persc WHERE term = 'spark') o
+  USING (doc_id)
+WHERE pq.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'vector')
+ORDER BY score DESC, pq.doc_id ASC LIMIT 10
+""".replace("{K1P1}", K1P1_LIT)
     o["phrase_hole"] = oracle_phrase([("spark", 0), ("small", 2)])
     o["facet_lang"] = ORACLE_PRELUDE + f"""
 SELECT d.lang, count(*) AS n
@@ -705,6 +769,8 @@ QUERIES = {
     "fuzzy_terms": q_fuzzy_terms,
     "term_range_terms": q_term_range_terms,
     "phrase_query": q_phrase,
+    "bool_req_opt": q_bool_req_opt,
+    "bool_phrase_must": q_bool_phrase_must,
     "phrase_hole": q_phrase_hole,
     "facet_lang": q_facet_lang,
     "grouping_top2": q_grouping_top2,

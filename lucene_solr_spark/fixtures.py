@@ -72,3 +72,16 @@ PHRASE_QUERY_SET = [
     "one thousand one hundred",
     "nonexistent_phrase_term here",
 ]
+
+# classic query-string set (queryparser + BooleanScorer2 composition)
+BOOLEAN_QUERY_SET = [
+    f"+{VOCAB[50]} +{VOCAB[120]} {VOCAB[10]}",          # req + opt
+    f"{VOCAB[10]} OR {VOCAB[451]}",
+    f"{VOCAB[10]} AND {VOCAB[451]} {VOCAB[30]}",        # AND binds pair
+    f'+"seven hundred" {VOCAB[10]} -{HIGH_DF_IDS[0]}',  # phrase MUST
+    "read*",                                            # prefix const-score
+    f"{VOCAB[300]}~",                                   # fuzzy expansion
+    f"content:{VOCAB[15]} -{VOCAB[40]}",
+    f"-{VOCAB[10]}",                                    # only NOT -> empty
+    f'+{HIGH_DF_IDS[2]} "doc seven" {VOCAB[900]}',
+]

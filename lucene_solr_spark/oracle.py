@@ -188,3 +188,112 @@ class OracleIndex:
                 scores[d] = F32(weight_value * freq / (freq + norm))
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return ranked[:k]
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class OracleBoolean:
+    """search_boolean mirror for OracleIndex (BooleanScorer2 strategy:
+    conjunction core in ascending-cost f32 order, optional disjunction
+    added per ReqOptSumScorer float add, MUST_NOT exclusion)."""
+
+    def __init__(self, idx: OracleIndex):
+        self.idx = idx
+
+    def _clause_eval(self, c, cache):
+        """-> (dict doc->f32 score, cost) or None if unmatched."""
+        idx = self.idx
+        if c.kind == "term":
+            t = c.terms[0]
+            if t not in idx.postings:
+                return None
+            return idx._term_scores(t, cache), idx.df(t)
+        if c.kind == "phrase":
+            hits = idx.search_phrase(c.text, k=len(idx.norm_bytes))
+            if not hits:
+                return None
+            return dict(hits), min(idx.df(t) for t in c.terms)
+        if c.kind == "prefix":
+            terms = sorted(
+                t for t in idx.postings if t.startswith(c.pattern)
+            )[:1024]
+            if not terms:
+                return None
+            docs = set()
+            for t in terms:
+                docs.update(d for d, _ in idx.postings[t])
+            return {d: F32(1.0) for d in docs}, sum(idx.df(t) for t in terms)
+        if c.kind == "multi":
+            terms = sorted(
+                t for t in idx.postings if _levenshtein(t, c.pattern) <= 2
+            )[:1024]
+            if not terms:
+                return None
+            acc = {}
+            for t in terms:
+                for d, s in idx._term_scores(t, cache).items():
+                    acc[d] = acc.get(d, 0.0) + float(s)  # double acc
+            return {d: F32(s) for d, s in acc.items()}, sum(
+                idx.df(t) for t in terms
+            )
+        raise ValueError(c.kind)
+
+    def search(self, query_string: str, k: int = 10,
+               min_should_match: int = 0):
+        from lucene_solr_spark.search.queryparser import parse_query
+
+        ast = parse_query(query_string)
+        if not ast:
+            return []
+        cache = self.idx._cache()
+        musts, shoulds, nots = [], [], []
+        for c in ast:
+            ev = self._clause_eval(c, cache)
+            if ev is None:
+                if c.occur == "must":
+                    return []
+                continue
+            {"must": musts, "should": shoulds, "not": nots}[c.occur].append(ev)
+        if not musts and not shoulds:
+            return []
+        scores = {}
+        if musts:
+            order = sorted(range(len(musts)), key=lambda i: (musts[i][1], i))
+            docs = set(musts[order[0]][0])
+            for i in order[1:]:
+                docs &= set(musts[i][0])
+            for d in docs:
+                req = F32(0.0)
+                for i in order:  # f32 sum, ascending-cost order
+                    req = F32(req + musts[i][0][d])
+                opt = 0.0
+                hit = False
+                for sc, _ in shoulds:
+                    if d in sc:
+                        opt += float(sc[d])
+                        hit = True
+                scores[d] = F32(req + F32(opt)) if hit else req
+        else:
+            mm = max(min_should_match, 1)
+            dacc = {}
+            for sc, _ in shoulds:
+                for d, s in sc.items():
+                    cur = dacc.get(d, (0.0, 0))
+                    dacc[d] = (cur[0] + float(s), cur[1] + 1)
+            scores = {d: F32(s) for d, (s, n) in dacc.items() if n >= mm}
+        for sc, _ in nots:
+            for d in sc:
+                scores.pop(d, None)
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return ranked[:k]

@@ -224,6 +224,111 @@ class IndexSearcher:
         out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
 
+    def search_boolean(
+        self,
+        query_string: str,
+        k: Optional[int] = 10,
+        min_should_match: int = 0,
+    ) -> DataFrame:
+        """Parse a classic query string (queryparser.parse_query subset)
+        and execute the mixed boolean (make_boolean_scorer). Multi-term
+        clauses are rewritten driver-side against the term dictionary:
+        prefix -> CONSTANT_SCORE doc-set, fuzzy(~) -> SCORING_BOOLEAN
+        over <= 1024 expansions (BooleanQuery.maxClauseCount,
+        search/BooleanQuery.java:50-66)."""
+        from lucene_solr_spark.search.queryparser import parse_query
+
+        ast = parse_query(query_string)
+        empty_df = self.spark.createDataFrame([], "doc_id long, score float")
+        if not ast:
+            return empty_df
+        exact = set()
+        for c in ast:
+            exact.update(c.terms)
+        dfs: Dict[str, int] = {}
+        if exact:
+            rows = (
+                self._term_stats.filter(F.col("term").isin(list(exact)))
+                .select("term", "df")
+                .collect()
+            )
+            dfs = {r["term"]: int(r["df"]) for r in rows}
+
+        def term_wv(df_t: int) -> float:
+            return float(F32(F32(idf(df_t, self.max_doc)) * K1_PLUS_1))
+
+        planned: List[dict] = []
+        fetch: set = set()
+        for c in ast:
+            if c.kind == "term":
+                t = c.terms[0]
+                if t not in dfs:
+                    if c.occur == "must":
+                        return empty_df
+                    continue
+                planned.append(
+                    {"occur": c.occur, "kind": "term", "terms": [t],
+                     "wv": term_wv(dfs[t]), "cost": dfs[t]}
+                )
+                fetch.add(t)
+            elif c.kind == "phrase":
+                if any(t not in dfs for t in c.terms):
+                    if c.occur == "must":
+                        return empty_df
+                    continue
+                w = F32(0.0)
+                for t, _ in c.offsets:  # f32 idf sum in clause order
+                    w = F32(w + idf(dfs[t], self.max_doc))
+                planned.append(
+                    {"occur": c.occur, "kind": "phrase", "terms": c.terms,
+                     "offsets": c.offsets,
+                     "wv": float(F32(w * K1_PLUS_1)),
+                     "cost": min(dfs[t] for t in c.terms)}
+                )
+                fetch.update(c.terms)
+            else:  # prefix | multi — expand against the term dictionary
+                if c.kind == "prefix":
+                    cond = F.col("term").startswith(c.pattern)
+                else:
+                    cond = F.levenshtein(F.col("term"), F.lit(c.pattern)) <= 2
+                rows = (
+                    self._term_stats.filter(cond).select("term", "df")
+                    .orderBy("term").limit(1024).collect()
+                )
+                if not rows:
+                    if c.occur == "must":
+                        return empty_df
+                    continue
+                entry = {
+                    "occur": c.occur, "kind": c.kind,
+                    "terms": [r["term"] for r in rows],
+                    "cost": int(sum(int(r["df"]) for r in rows)),
+                }
+                if c.kind == "multi":
+                    entry["wvs"] = [term_wv(int(r["df"])) for r in rows]
+                planned.append(entry)
+                fetch.update(entry["terms"])
+        if not planned or not any(
+            p["occur"] in ("must", "should") for p in planned
+        ):
+            return empty_df
+        planned[0]["mm"] = int(min_should_match)
+        gf = self.group_factor
+        posts = self._postings.filter(
+            F.col("term").isin(sorted(fetch))
+        ).withColumn("gid", (F.col("seg_id") / F.lit(gf)).cast("long"))
+        segs = self._segments.withColumn(
+            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
+        )
+        kernel = make_boolean_scorer(planned, self.cache, k)
+        out = (
+            posts.groupBy("gid")
+            .cogroup(segs.groupBy("gid"))
+            .applyInPandas(kernel, schema="doc_id long, score float")
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return out if k is None else out.limit(k)
+
     # -- auxiliary read surfaces ------------------------------------------
     def doc_stats(self) -> DataFrame:
         """Per-doc (doc_id, doc_len, norm_byte): the NormsReader analogue
@@ -728,6 +833,222 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
         scores = ((wv * pf) / (pf + nrm)).astype(np.float32)
 
         cand_docs, cand_scores = udocs, scores
+        if k is not None and len(cand_docs) > k:
+            thresh = cand_scores[np.argpartition(-cand_scores, k - 1)[k - 1]]
+            sel = cand_scores >= thresh
+            cand_docs, cand_scores = cand_docs[sel], cand_scores[sel]
+        order = np.lexsort((cand_docs, -cand_scores.astype(np.float64)))
+        if k is not None:
+            order = order[:k]
+        return pd.DataFrame(
+            {"doc_id": cand_docs[order], "score": cand_scores[order]}
+        )
+
+    return score_group
+
+
+# -- mixed boolean queries (BooleanScorer2 composition) ---------------------
+
+def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
+                        k: Optional[int]):
+    """Per-group kernel for parsed boolean queries — the BooleanScorer2
+    strategy tree (search/BooleanScorer2.java ctor/strategy):
+
+      MUST clauses   -> conjunction, f32 score sum in ascending-cost
+                        order (ConjunctionScorer.java:47-54,104-111)
+      SHOULD clauses -> DisjunctionSumScorer over the required docs
+                        (double accumulate, cast f32); combined with the
+                        required score per ReqOptSumScorer.score()
+                        (float add; ReqOptSumScorer.java)
+      MUST_NOT       -> ReqExclScorer doc removal (ReqExclScorer.java)
+      no MUST        -> plain disjunction (+ optional mm)
+
+    Clause kinds: 'term' (TermScorer), 'phrase' (ExactPhraseScorer),
+    'prefix' (CONSTANT_SCORE rewrite: matching docs score 1.0,
+    MultiTermQuery.java:107-116), 'multi' (SCORING_BOOLEAN rewrite of a
+    fuzzy/multi-term expansion: an inner disjunction)."""
+
+    def empty_result():
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
+
+    def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        if len(posts) == 0 or len(segs) == 0:
+            return empty_result()
+        segs = segs.sort_values("doc_base")
+        gbase = int(segs["doc_base"].iloc[0])
+        last = segs.iloc[-1]
+        span = int(last["doc_base"]) + int(last["doc_count"]) - gbase
+        norms = np.zeros(span, dtype=np.uint8)
+        for r in segs.itertuples(index=False):
+            off = int(r.doc_base) - gbase
+            nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
+            norms[off : off + len(nb)] = nb
+
+        by_term: Dict[str, list] = {}
+        for r in posts.sort_values("seg_id").itertuples(index=False):
+            by_term.setdefault(r.term, []).append(r)
+
+        def term_arrays(t: str):
+            rows = by_term.get(t)
+            if not rows:
+                return None
+            ti = _TermIndex(rows, norms, gbase)
+            return ti.decode_all()
+
+        def scored(wv, docs, tfs):
+            freq = tfs.astype(np.float32)
+            nrm = cache[norms[docs - gbase].astype(np.int64)]
+            return ((F32(wv) * freq) / (freq + nrm)).astype(np.float32)
+
+        from lucene_solr_spark.indexing.codec import (
+            decode_prox,
+            positions_from_deltas,
+        )
+
+        def eval_phrase(c):
+            decoded = {}
+            max_pos = 0
+            for t in c["terms"]:
+                rows = by_term.get(t)
+                if not rows:
+                    return (np.empty(0, np.int64), np.empty(0, np.float32))
+                dparts, tparts, pparts = [], [], []
+                for r in rows:
+                    if r.df == 1:
+                        d = np.array([r.sdoc], np.int64)
+                        tf = np.array([r.stf], np.int32)
+                    else:
+                        d, tf = decode_postings(
+                            r.doc_ids_enc, r.tfs_enc, r.skips_enc
+                        )
+                    pos = positions_from_deltas(
+                        decode_prox(r.pos_enc, int(tf.sum())), tf
+                    )
+                    dparts.append(d)
+                    tparts.append(tf)
+                    pparts.append(pos)
+                d = np.concatenate(dparts)
+                tf = np.concatenate(tparts)
+                pos = np.concatenate(pparts)
+                if len(pos):
+                    max_pos = max(max_pos, int(pos.max()))
+                decoded[t] = (d, tf, pos)
+            offbase = max(off for _, off in c["offsets"])
+            shift = max(21, int(max_pos + offbase + 1).bit_length())
+            keys = None
+            for t, off in c["offsets"]:
+                d, tf, pos = decoded[t]
+                kk = (np.repeat(d, tf) << shift) + (pos - off + offbase)
+                keys = kk if keys is None else np.intersect1d(
+                    keys, kk, assume_unique=True
+                )
+                if len(keys) == 0:
+                    return (np.empty(0, np.int64), np.empty(0, np.float32))
+            udocs, counts = np.unique(keys >> shift, return_counts=True)
+            pf = counts.astype(np.float32)
+            nrm = cache[norms[udocs - gbase].astype(np.int64)]
+            s = ((F32(c["wv"]) * pf) / (pf + nrm)).astype(np.float32)
+            return udocs, s
+
+        def eval_clause(c):
+            """-> (docs sorted asc, f32 scores)."""
+            if c["kind"] == "term":
+                arr = term_arrays(c["terms"][0])
+                if arr is None:
+                    return (np.empty(0, np.int64), np.empty(0, np.float32))
+                docs, tfs = arr
+                return docs, scored(c["wv"], docs, tfs)
+            if c["kind"] == "phrase":
+                return eval_phrase(c)
+            if c["kind"] == "prefix":
+                parts = [term_arrays(t) for t in c["terms"]]
+                parts = [p[0] for p in parts if p is not None]
+                if not parts:
+                    return (np.empty(0, np.int64), np.empty(0, np.float32))
+                docs = np.unique(np.concatenate(parts))
+                return docs, np.ones(len(docs), dtype=np.float32)
+            if c["kind"] == "multi":  # inner scoring disjunction
+                acc = np.zeros(span, dtype=np.float64)
+                seen = np.zeros(span, dtype=bool)
+                for t, wv in zip(c["terms"], c["wvs"]):
+                    arr = term_arrays(t)
+                    if arr is None:
+                        continue
+                    docs, tfs = arr
+                    ix = docs - gbase
+                    acc[ix] += scored(wv, docs, tfs).astype(np.float64)
+                    seen[ix] = True
+                ix = np.nonzero(seen)[0]
+                return (ix.astype(np.int64) + gbase,
+                        acc[ix].astype(np.float32))
+            raise ValueError(c["kind"])
+
+        musts = [c for c in clauses if c["occur"] == "must"]
+        shoulds = [c for c in clauses if c["occur"] == "should"]
+        nots = [c for c in clauses if c["occur"] == "not"]
+        mm = max(int(clauses[0].get("mm", 0)) if clauses else 0, 1)
+
+        if musts:
+            musts = sorted(enumerate(musts),
+                           key=lambda ic: (ic[1]["cost"], ic[0]))
+            evs = []
+            for _, c in musts:
+                docs, sc = eval_clause(c)
+                if len(docs) == 0:
+                    return empty_result()
+                evs.append((docs, sc))
+            cand = evs[0][0]
+            for docs, _ in evs[1:]:
+                cand = cand[np.isin(cand, docs, assume_unique=True)]
+                if len(cand) == 0:
+                    return empty_result()
+            req = np.zeros(len(cand), dtype=np.float32)
+            for docs, sc in evs:  # f32 sum in ascending-cost order
+                pos = np.searchsorted(docs, cand)
+                req = req + sc[pos]
+            if shoulds:
+                opt = np.zeros(len(cand), dtype=np.float64)
+                hit = np.zeros(len(cand), dtype=bool)
+                for c in shoulds:
+                    docs, sc = eval_clause(c)
+                    if len(docs) == 0:
+                        continue
+                    pos = np.searchsorted(docs, cand)
+                    ok = (pos < len(docs)) & (docs[np.minimum(
+                        pos, len(docs) - 1)] == cand)
+                    opt[ok] += sc[pos[ok]].astype(np.float64)
+                    hit[ok] = True
+                opt32 = np.where(hit, opt.astype(np.float32),
+                                 np.float32(0.0)).astype(np.float32)
+                final = (req + opt32).astype(np.float32)
+            else:
+                final = req
+            cand_docs, cand_scores = cand, final
+        else:
+            acc = np.zeros(span, dtype=np.float64)
+            cnt = np.zeros(span, dtype=np.int32)
+            for c in shoulds:
+                docs, sc = eval_clause(c)
+                if len(docs) == 0:
+                    continue
+                ix = docs - gbase
+                acc[ix] += sc.astype(np.float64)
+                cnt[ix] += 1
+            ix = np.nonzero(cnt >= mm)[0]
+            cand_docs = ix.astype(np.int64) + gbase
+            cand_scores = acc[ix].astype(np.float32)
+
+        if nots and len(cand_docs):
+            ex = np.zeros(span, dtype=bool)
+            for c in nots:
+                docs, _ = eval_clause(c)
+                ex[docs - gbase] = True
+            keep = ~ex[cand_docs - gbase]
+            cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
+
+        if len(cand_docs) == 0:
+            return empty_result()
         if k is not None and len(cand_docs) > k:
             thresh = cand_scores[np.argpartition(-cand_scores, k - 1)[k - 1]]
             sel = cand_scores >= thresh

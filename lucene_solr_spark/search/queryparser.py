@@ -1,0 +1,128 @@
+"""Classic query-string parser (subset of the Lucene classic syntax,
+lucene/queryparser/src/java/org/apache/lucene/queryparser/classic/
+QueryParserBase.java:113 `parse`; clause modifiers :300-420; field
+terms re-analyzed through the same chain :490-620).
+
+Supported surface (documented subset — no parentheses/boost/slop):
+
+  term                 SHOULD TermQuery (default operator OR)
+  +term / -term        MUST / MUST_NOT
+  "a b"                PhraseQuery (hole-aware positions), +/- allowed
+  a AND b              both clauses MUST (classic AND binding)
+  NOT a                next clause MUST_NOT
+  a OR b               both SHOULD (the default)
+  content:term         explicit field (only `content` exists)
+  pre*                 PrefixQuery -> CONSTANT_SCORE rewrite
+                       (MultiTermQuery.java:107-116): matching docs
+                       score 1.0
+  term~                FuzzyQuery (edit distance <= 2, the classic `~`
+                       default) -> SCORING_BOOLEAN rewrite: expanded
+                       terms scored as a disjunction sub-scorer
+
+The parser produces occur-tagged clause ASTs; stats resolution and
+scoring live in the executor (search_boolean)."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+from lucene_solr_spark.functions.analysis import analyze, analyze_with_positions
+
+_TOKEN = re.compile(
+    r"""\s*(?:
+        (?P<mod>[+\-])?
+        (?:
+            "(?P<phrase>[^"]*)"
+          | (?P<word>[^\s"]+)
+        )
+    )""",
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"AND", "OR", "NOT", "&&", "||", "!"}
+
+
+@dataclass
+class Clause:
+    occur: str                  # 'must' | 'should' | 'not'
+    kind: str                   # 'term' | 'phrase' | 'prefix' | 'multi'
+    text: str                   # raw payload (analyzed later)
+    terms: List[str] = field(default_factory=list)
+    offsets: List[Tuple[str, int]] = field(default_factory=list)
+    # 'multi': rewrite expansion filled by the executor (term -> df)
+    pattern: Optional[str] = None   # prefix string / fuzzy source term
+
+
+class QueryParseError(ValueError):
+    pass
+
+
+def parse_query(q: str) -> List[Clause]:
+    if "(" in q or ")" in q:
+        raise QueryParseError("parentheses are not supported in this subset")
+    clauses: List[Clause] = []
+    pending: Optional[str] = None   # occur forced on the NEXT clause
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN.match(q, pos)
+        if not m or m.end() == pos:
+            break
+        pos = m.end()
+        mod, phrase, word = m.group("mod"), m.group("phrase"), m.group("word")
+        if phrase is None and word in _KEYWORDS:
+            if word in ("AND", "&&"):
+                if clauses and clauses[-1].occur == "should":
+                    clauses[-1].occur = "must"
+                pending = "must"
+            elif word in ("NOT", "!"):
+                pending = "not"
+            else:  # OR
+                pending = None
+            continue
+        occur = "should"
+        if mod == "+":
+            occur = "must"
+        elif mod == "-":
+            occur = "not"
+        elif pending is not None:
+            occur = pending
+        pending = None
+        if phrase is not None:
+            tp = analyze_with_positions(phrase)
+            if not tp:
+                continue
+            p0 = tp[0][1]
+            clauses.append(
+                Clause(occur=occur, kind="phrase", text=phrase,
+                       terms=list(dict.fromkeys(t for t, _ in tp)),
+                       offsets=[(t, p - p0) for t, p in tp])
+            )
+            continue
+        if ":" in word:
+            fld, word = word.split(":", 1)
+            if fld != "content":
+                raise QueryParseError(f"unknown field: {fld!r}")
+        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+            stem = analyze(word[:-1])
+            if len(stem) != 1:
+                raise QueryParseError(f"bad prefix term: {word!r}")
+            clauses.append(
+                Clause(occur=occur, kind="prefix", text=word,
+                       pattern=stem[0])
+            )
+            continue
+        if word.endswith("~"):
+            stem = analyze(word[:-1])
+            if len(stem) != 1:
+                raise QueryParseError(f"bad fuzzy term: {word!r}")
+            clauses.append(
+                Clause(occur=occur, kind="multi", text=word,
+                       pattern=stem[0])
+            )
+            continue
+        for t in analyze(word):
+            clauses.append(Clause(occur=occur, kind="term", text=t,
+                                  terms=[t]))
+    return clauses

@@ -186,3 +186,23 @@ def test_phrase_after_merge(spark, merged, phrase):
     assert [(d, np.float32(s).tobytes()) for d, s in got] == [
         (d, np.float32(s).tobytes()) for d, s in want
     ]
+
+
+from lucene_solr_spark.fixtures import BOOLEAN_QUERY_SET
+from lucene_solr_spark.oracle import OracleBoolean
+
+
+@pytest.mark.parametrize("qs", BOOLEAN_QUERY_SET)
+def test_boolean_query_rank_identical(spark, built, qs):
+    """Classic query strings through the parser + BooleanScorer2
+    composition vs the boolean oracle — docIDs and f32 score bits."""
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search_boolean(qs, k=10).collect()
+    ]
+    want = OracleBoolean(oracle).search(qs, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], qs
+    for (dg, sg), (dw, sw) in zip(got, want):
+        assert sg.tobytes() == np.float32(sw).tobytes(), (qs, dg)
