@@ -790,3 +790,265 @@ def entry(spark: SparkSession) -> DataFrame:
     sf_dir = "/root/testdata/sf0.001"
     s = get_searcher(spark, sf_dir)
     return s.search_display(" ".join(Q_OR), k=TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH + SimHash near-dup operators (training-data dedup family).
+# Cross-engine determinism: every hash is the first 15 hex chars of md5
+# parsed as a 60-bit integer — identical in Spark (conv(substr(md5)))
+# and DuckDB (CAST('0x'||substr(md5) AS BIGINT)); no engine-native
+# hash() anywhere.
+# ---------------------------------------------------------------------------
+
+MINHASH_FUNCS = 16
+MINHASH_BANDS = 8           # 8 bands x 2 rows
+SIMHASH_BITS = 60
+SIMHASH_MAX_HAMMING = 3
+SIMHASH_CHUNKS = 4          # 4 x 15-bit chunks: hamming<=3 -> >=1 equal
+
+
+def _md5int(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingles_df(spark, sf_dir):
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    return d.filter(n >= 3).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(3)),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                    F.element_at("toks", i + 3),
+                ),
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(16 funcs)/LSH(8 bands x 2) candidate pairs, verified by
+    exact shingle Jaccard >= 0.5. The scale path for near-dup detection:
+    work is bounded by band-bucket sizes, never all-pairs. Hash i of a
+    shingle = md5int(i || ':' || shingle) — salted rehash instead of
+    (a*x+b) mod p so no 64-bit modular multiply is needed."""
+    sh = _shingles_df(spark, sf_dir)
+    hid = F.explode(
+        F.sequence(F.lit(0), F.lit(MINHASH_FUNCS - 1))
+    ).alias("hid")
+    hashed = sh.select("doc_id", "shingle", hid).withColumn(
+        "h",
+        _md5int(F.concat_ws(":", F.col("hid"), F.col("shingle"))),
+    )
+    mh = hashed.groupBy("doc_id", "hid").agg(F.min("h").alias("mh"))
+    rows_per_band = MINHASH_FUNCS // MINHASH_BANDS
+    bands = (
+        mh.withColumn("band", (F.col("hid") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("hid", "mh"))
+                    ),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x")
+        .join(sh.alias("y"), "shingle")
+        .join(
+            cand,
+            (F.col("x.doc_id") == F.col("ida"))
+            & (F.col("y.doc_id") == F.col("idb")),
+        )
+        .groupBy("ida", "idb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("ida"),
+                                F.col("sz").alias("sza")), "ida")
+        .join(sizes.select(F.col("doc_id").alias("idb"),
+                           F.col("sz").alias("szb")), "idb")
+        .withColumn(
+            "jacc",
+            F.col("inter")
+            / (F.col("sza") + F.col("szb") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jacc") >= 0.5)
+        .select("ida", "idb", "jacc")
+        .orderBy("ida", "idb")
+    )
+
+
+def q_simhash_neardups(spark, sf_dir):
+    """60-bit tf-weighted SimHash over tokens; near-dup pairs with
+    hamming distance <= 3, candidate-paired by 15-bit chunk equality
+    (pigeonhole: <=3 differing bits -> >=1 of 4 chunks identical) —
+    the banding trick that avoids the all-pairs join at scale."""
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = d.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("h", _md5int(F.col("tok")))
+    bit = F.explode(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    ).alias("bit")
+    contrib = tf.select("doc_id", "tf", "h", bit).withColumn(
+        "c",
+        F.when(
+            F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1,
+            F.col("tf"),
+        ).otherwise(-F.col("tf")),
+    )
+    bits = (
+        contrib.groupBy("doc_id", "bit")
+        .agg(F.sum("c").alias("s"))
+        .withColumn(
+            "bv",
+            F.when(F.col("s") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(
+            F.col("bv") * F.pow(F.lit(2.0), F.col("bit")).cast("long")
+        ).alias("fp")
+    )
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    ch = F.explode(
+        F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))
+    ).alias("chunk")
+    chunks = fp.select("doc_id", "fp", ch).withColumn(
+        "ckey",
+        F.expr(f"shiftright(fp, chunk * {chunk_w})").bitwiseAND(
+            F.lit((1 << chunk_w) - 1)
+        ),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.col("a.fp").alias("fpa"),
+            F.col("b.fp").alias("fpb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("fpa").bitwiseXOR(F.col("fpb")))
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("ida", "idb", "hamming")
+        .orderBy("ida", "idb")
+    )
+
+
+_MINHASH_SQL = f"""
+WITH toks0 AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+    concat_ws(' ', t[i + 1], t[i + 2], t[i + 3]) AS shingle
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 2)) AS i
+        FROM toks0 WHERE len(t) >= 3)
+),
+hp AS (SELECT unnest(range(0, {MINHASH_FUNCS})) AS hid),
+mh AS (
+  SELECT doc_id, hid,
+    min(CAST(CONCAT('0x',
+        substr(md5(hid || ':' || shingle), 1, 15)) AS BIGINT)) AS mh
+  FROM sh, hp GROUP BY doc_id, hid
+),
+bands AS (
+  SELECT doc_id, CAST(hid // {MINHASH_FUNCS // MINHASH_BANDS} AS INT)
+           AS band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY hid) AS sig
+  FROM mh GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT ida, idb, count(*) AS inter
+  FROM cand JOIN sh x ON x.doc_id = ida
+            JOIN sh y ON y.doc_id = idb AND y.shingle = x.shingle
+  GROUP BY ida, idb
+)
+SELECT ida, idb,
+       inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jacc
+FROM inter
+JOIN sizes sa ON sa.doc_id = ida
+JOIN sizes sb ON sb.doc_id = idb
+WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+ORDER BY ida, idb
+"""
+
+_SIMHASH_SQL = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf,
+    CAST(CONCAT('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok
+),
+bits AS (
+  SELECT doc_id, bit,
+    CASE WHEN sum(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) > 0
+         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bv
+  FROM tf, (SELECT unnest(range(0, {SIMHASH_BITS})) AS bit)
+  GROUP BY doc_id, bit
+),
+fp AS (
+  SELECT doc_id, CAST(sum(bv * CAST(pow(2.0, bit) AS BIGINT)) AS BIGINT)
+           AS fp
+  FROM bits GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, fp, chunk,
+    (fp >> (chunk * {SIMHASH_BITS // SIMHASH_CHUNKS}))
+      & {(1 << (SIMHASH_BITS // SIMHASH_CHUNKS)) - 1} AS ckey
+  FROM fp, (SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS chunk)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+                  a.fp AS fpa, b.fp AS fpb
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT ida, idb, bit_count(xor(fpa, fpb)) AS hamming
+FROM cand WHERE bit_count(xor(fpa, fpb)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY ida, idb
+"""
+
+QUERIES["minhash_lsh_pairs"] = q_minhash_lsh
+QUERIES["simhash_neardups"] = q_simhash_neardups
+ORACLES["minhash_lsh_pairs"] = _MINHASH_SQL
+ORACLES["simhash_neardups"] = _SIMHASH_SQL

@@ -75,6 +75,54 @@ def read_segment_output(spark: SparkSession, paths, base_path: str):
     sdf = spark.read.option("basePath", base_path).parquet(*paths)
     return sdf.filter(~_is_meta_col()), sdf.filter(_is_meta_col())
 
+
+def _is_combined_dir(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "is_meta=false")) or os.path.isdir(
+        os.path.join(path, "is_meta=true")
+    )
+
+
+def read_postings_any(spark: SparkSession, entries) -> DataFrame:
+    """Read a postings table that may mix storage generations: combined
+    build/append dirs (is_meta-partitioned) and merged dirs (plain
+    MERGED_SCHEMA parquet). Normalized to _POSTING_COLS."""
+    if isinstance(entries, str):
+        entries = [entries]
+    parts = []
+    for p in entries:
+        if _is_combined_dir(p):
+            d = (
+                spark.read.option("basePath", p).parquet(p)
+                .filter(~_is_meta_col())
+                .select(*_POSTING_COLS)
+            )
+        else:
+            d = spark.read.parquet(p).select(*_POSTING_COLS)
+        parts.append(d)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def read_segments_any(spark: SparkSession, entries) -> DataFrame:
+    """Read segment-meta rows from combined dirs. Normalized to
+    _META_COLS."""
+    if isinstance(entries, str):
+        entries = [entries]
+    parts = []
+    for p in entries:
+        d = (
+            spark.read.option("basePath", p).parquet(p)
+            .filter(_is_meta_col())
+            .select(*_META_COLS)
+        )
+        parts.append(d)
+    out = parts[0]
+    for d in parts[1:]:
+        out = out.unionByName(d)
+    return out
+
 SEGMENT_OUT_SCHEMA = (
     "is_meta boolean, term string, seg_id long, df long, cf long, "
     "doc_ids_enc binary, tfs_enc binary, skips_enc binary, "
@@ -94,8 +142,9 @@ _META_COLS = [
 
 
 def assign_doc_ids(
-    corpus: DataFrame, num_partitions: Optional[int] = None
-) -> DataFrame:
+    corpus: DataFrame, num_partitions: Optional[int] = None,
+    return_count: bool = False,
+):
     """Dense deterministic docID = rank over (repo, path, commit).
 
     NOT a global Window.orderBy (single-partition sort at 100 TB):
@@ -107,14 +156,46 @@ def assign_doc_ids(
     spark = corpus.sparkSession
     if num_partitions is None:
         num_partitions = spark.sparkContext.defaultParallelism
+    # Range partitioning colocates equal keys, so duplicate-key removal
+    # (updateDocuments: one row per key) happens partition-locally in
+    # the same pass — no separate dropDuplicates shuffle.
     keyed = (
-        corpus.dropDuplicates(DOC_KEY)  # updateDocuments: one row per key
-        .repartitionByRange(num_partitions, *DOC_KEY)
+        corpus.repartitionByRange(num_partitions, *DOC_KEY)
         .sortWithinPartitions(*DOC_KEY)
         .withColumn("_pid", F.spark_partition_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = {r["_pid"]: r["count"] for r in keyed.groupBy("_pid").count().collect()}
+
+    def _first_occurrence_mask(pdf: pd.DataFrame, carry) -> np.ndarray:
+        """True where a row's key differs from the previous row's
+        (rows sorted by key); `carry` = last key of the previous batch."""
+        cols = [pdf[c].to_numpy(dtype=object) for c in DOC_KEY]
+        mask = np.zeros(len(pdf), dtype=bool)
+        mask[1:] = False
+        neq = np.zeros(len(pdf) - 1, dtype=bool) if len(pdf) > 1 else None
+        if neq is not None:
+            for c in cols:
+                neq |= c[1:] != c[:-1]
+            mask[1:] = neq
+        first = tuple(c[0] for c in cols)
+        mask[0] = carry is None or first != carry
+        return mask
+
+    def count_dedup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, n, carry = None, 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            n += int(_first_occurrence_mask(pdf, carry).sum())
+            carry = tuple(pdf[c].iloc[-1] for c in DOC_KEY)
+        if pid is not None:
+            yield pd.DataFrame({"_pid": [pid], "n": [n]})
+
+    counts = {
+        int(r["_pid"]): int(r["n"])
+        for r in keyed.mapInPandas(count_dedup, "_pid int, n long").collect()
+    }
     offsets = {}
     acc = 0
     for pid in sorted(counts):
@@ -128,16 +209,22 @@ def assign_doc_ids(
 
     def add_ids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         consumed = 0
+        carry = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            mask = _first_occurrence_mask(pdf, carry)
+            carry = tuple(pdf[c].iloc[-1] for c in DOC_KEY)
             base = offsets[int(pdf["_pid"].iloc[0])] + consumed
+            pdf = pdf[mask].drop(columns=["_pid"]).copy()
             consumed += len(pdf)
-            pdf = pdf.drop(columns=["_pid"])
             pdf["doc_id"] = np.arange(base, base + len(pdf), dtype=np.int64)
             yield pdf[out_cols]
 
-    return keyed.mapInPandas(add_ids, schema=out_schema)
+    out = keyed.mapInPandas(add_ids, schema=out_schema)
+    if return_count:
+        return out, acc
+    return out
 
 
 def build_segment_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -262,25 +349,27 @@ class IndexWriter:
 
     # -- stage 1: docs --------------------------------------------------
     def _docs_snapshot(self, corpus: DataFrame, resume: bool) -> Snapshot:
-        snap = self.catalog.latest_at_stage("docs", "segments", "commit", "merge")
+        snap = self.catalog.latest_at_stage(
+            "docs", "segments", "commit", "merge", "delete"
+        )
         if resume and snap is not None:
             return snap
-        docs = assign_doc_ids(corpus).withColumn(
+        assigned, n_docs = assign_doc_ids(corpus, return_count=True)
+        docs = assigned.withColumn(
             "content_sha256", F.sha2(F.col("content"), 256)
         )
         # fresh build: reuse the assigned frame directly downstream —
         # avoids re-joining content onto the docs table by DOC_KEY (a
         # second full shuffle of the corpus at 100 TB); the join path
-        # below remains for resume-from-snapshot
-        self._assigned = docs
+        # below remains for resume-from-snapshot. Disk-backed persist:
+        # one materialization feeds both the docs write and the
+        # segment-build pass.
+        self._assigned = docs.persist(StorageLevel.MEMORY_AND_DISK)
         path = self.catalog.path("docs")
         (
-            docs.drop("content")
-            .repartitionByRange(self.spark.sparkContext.defaultParallelism, "doc_id")
-            .sortWithinPartitions("doc_id")
+            self._assigned.drop("content")
             .write.mode("overwrite").parquet(path)
         )
-        n_docs = self.spark.read.parquet(path).count()
         return self.catalog.commit(
             "docs",
             tables={"docs": path},
@@ -305,7 +394,7 @@ class IndexWriter:
 
     def build(self, corpus: DataFrame, resume: bool = True) -> Snapshot:
         snap = self._docs_snapshot(corpus, resume)
-        if snap.stage in ("commit", "merge") and resume:
+        if snap.stage in ("commit", "merge", "delete") and resume:
             return snap
         props = snap.props
         n_docs = int(props["n_docs"])
@@ -441,28 +530,29 @@ def _make_merge_udf(new_gfac: int):
     successive merges."""
     from lucene_solr_spark.constants import MAX_POSTINGS_PER_ROW
 
-    def _merge_group_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        term, gid = key[0], int(key[1])
-        pdf = pdf.sort_values("seg_id", kind="stable")
-        has_pos = ("pos_enc" in pdf.columns) and pdf["pos_enc"].notna().all()
+    def _merge_one_term(term, gid, lo, hi, c_df, c_doc, c_tf, c_skip,
+                        c_pos, c_sdoc, c_stf) -> List[dict]:
+        """Merge one term's rows [lo, hi) (pre-sorted by seg_id) given
+        plain numpy column arrays — no per-term pandas objects."""
         docs_parts, tfs_parts, nbs_parts, pos_parts = [], [], [], []
-        for r in pdf.itertuples(index=False):
-            if r.df == 1:
-                tfs_r = np.array([r.stf], np.int32)
-                docs_parts.append(np.array([r.sdoc], np.int64))
+        has_pos = all(c_pos[i] is not None for i in range(lo, hi))
+        for i in range(lo, hi):
+            if c_df[i] == 1:
+                tfs_r = np.array([c_stf[i]], np.int32)
+                docs_parts.append(np.array([c_sdoc[i]], np.int64))
                 tfs_parts.append(tfs_r)
                 # no per-doc norm at hand: 255 (=shortest quantized doc)
                 # is a SAFE, loose block-max bound for WAND
                 nbs_parts.append(np.array([255], np.uint8))
             else:
-                d, t = decode_postings(r.doc_ids_enc, r.tfs_enc, r.skips_enc)
+                d, t = decode_postings(c_doc[i], c_tf[i], c_skip[i])
                 tfs_r = t
                 docs_parts.append(d)
                 tfs_parts.append(t)
-                sk = decode_skips(r.skips_enc)
+                sk = decode_skips(c_skip[i])
                 nbs_parts.append(np.repeat(sk["max_nb"], sk["count"]))
             if has_pos:
-                deltas = decode_prox(r.pos_enc, int(tfs_r.sum()))
+                deltas = decode_prox(c_pos[i], int(tfs_r.sum()))
                 pos_parts.append(positions_from_deltas(deltas, tfs_r))
         docs = np.concatenate(docs_parts)
         tfs = np.concatenate(tfs_parts)
@@ -500,9 +590,44 @@ def _make_merge_udf(new_gfac: int):
                                 tfs_enc=t_enc, skips_enc=s_enc,
                                 pos_enc=pos_b, sdoc=None,
                                 stf=None))
-        return pd.DataFrame(out)
+        return out
 
-    return _merge_group_udf
+    def _merge_gid_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        """One applyInPandas call per GROUP (not per (term, group)):
+        the reducer payload stays bounded by the group's doc range —
+        same salt guarantee — while the task count drops from
+        O(vocab x groups) to O(groups). One frame-level sort, then raw
+        numpy column slices per term (no per-term pandas frames)."""
+        gid = int(key[0])
+        pdf = pdf.sort_values(["term", "seg_id"], kind="stable",
+                              ignore_index=True)
+        terms = pdf["term"].to_numpy(dtype=object)
+        c_df = pdf["df"].to_numpy(np.int64)
+        c_doc = pdf["doc_ids_enc"].to_numpy(dtype=object)
+        c_tf = pdf["tfs_enc"].to_numpy(dtype=object)
+        c_skip = pdf["skips_enc"].to_numpy(dtype=object)
+        if "pos_enc" in pdf.columns:
+            c_pos = pdf["pos_enc"].to_numpy(dtype=object)
+        else:
+            c_pos = np.full(len(pdf), None, dtype=object)
+        c_sdoc = pdf["sdoc"].to_numpy(dtype=object)
+        c_stf = pdf["stf"].to_numpy(dtype=object)
+        n = len(pdf)
+        rows: List[dict] = []
+        lo = 0
+        while lo < n:
+            hi = lo + 1
+            t = terms[lo]
+            while hi < n and terms[hi] == t:
+                hi += 1
+            rows.extend(
+                _merge_one_term(t, gid, lo, hi, c_df, c_doc, c_tf,
+                                c_skip, c_pos, c_sdoc, c_stf)
+            )
+            lo = hi
+        return pd.DataFrame(rows)
+
+    return _merge_gid_udf
 
 
 def merge_postings(
@@ -514,14 +639,10 @@ def merge_postings(
     this: the skew lives inside a single groupBy key whose payload is
     order-sensitive; SURVEY.md section 2.4 'segment merge' row)."""
     cat = Catalog(index_dir)
-    snap = cat.latest_at_stage("commit", "merge")
+    snap = cat.latest_at_stage("commit", "merge", "delete")
     if snap is None:
         raise ValueError("no committed index to merge")
-    post_paths = snap.tables["postings"]
-    if isinstance(post_paths, list):
-        sdf, _ = read_segment_output(spark, post_paths, cat.path("seg"))
-    else:
-        sdf = spark.read.parquet(post_paths)
+    sdf = read_postings_any(spark, snap.tables["postings"])
     gf_old = int(snap.props.get("group_factor", 1))
     gfac = gf_old * int(segs_per_group)
     # group key over ORIGINAL segment units (see _make_merge_udf invariant)
@@ -531,7 +652,7 @@ def merge_postings(
     merged = with_gid.select(
         "term", "gid", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc",
         "skips_enc", "pos_enc", "sdoc", "stf"
-    ).groupBy("term", "gid").applyInPandas(
+    ).groupBy("gid").applyInPandas(
         _make_merge_udf(gfac), schema=MERGED_SCHEMA
     )
     gen = snap.snapshot_id + 1
@@ -551,3 +672,150 @@ def merge_postings(
         props={**snap.props, "group_factor": gfac},
         lineage=snap.lineage,
     )
+
+
+# -- incremental append + deletes (NRT / updateDocuments tier) --------------
+
+def _as_list(x) -> List[str]:
+    return x if isinstance(x, list) else [x]
+
+
+def append_documents(
+    spark: SparkSession, index_dir: str, corpus: DataFrame,
+) -> Snapshot:
+    """Incremental index append — the NRT segment-flush analogue
+    (DirectoryReader.open(writer) sees new in-RAM segments,
+    index/StandardDirectoryReader.java; SURVEY.md section 2.10): new
+    docs get the next dense docID range, form fresh segments appended
+    as a new storage generation, and stats are updated incrementally —
+    no touch of existing postings. Keys already present are tombstoned
+    first (IndexWriter.updateDocuments delete-then-add semantics,
+    IndexWriter.java:1257)."""
+    cat = Catalog(index_dir)
+    snap = cat.latest_at_stage("commit", "merge", "delete")
+    if snap is None:
+        raise ValueError("append requires a committed index")
+    props = dict(snap.props)
+    n0 = int(props["max_doc"])
+    dps = int(props.get("docs_per_segment", DEFAULT_DOCS_PER_SEGMENT))
+    next_seg = int(props.get("next_seg", (n0 + dps - 1) // dps))
+
+    assigned, n_new = assign_doc_ids(corpus, return_count=True)
+    if n_new == 0:
+        return snap
+    new_docs = (
+        assigned.withColumn("doc_id", F.col("doc_id") + F.lit(n0))
+        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs_path = snap.tables["docs"]
+    existing = spark.read.parquet(docs_path)
+    replaced = existing.join(
+        new_docs.select(*DOC_KEY), DOC_KEY, "inner"
+    ).select("doc_id")
+
+    batch = new_docs.withColumn(
+        "seg_id",
+        F.lit(next_seg)
+        + ((F.col("doc_id") - F.lit(n0)) / F.lit(dps)).cast("long"),
+    )
+    gen = snap.snapshot_id + 1
+    path = cat.path("seg", f"append-{gen}")
+    (
+        batch.select("seg_id", "doc_id", "content", "content_sha256")
+        .groupBy("seg_id")
+        .applyInPandas(build_segment_udf, schema=SEGMENT_OUT_SCHEMA)
+        .write.mode("overwrite").partitionBy("is_meta").parquet(path)
+    )
+    new_docs.drop("content").write.mode("append").parquet(docs_path)
+
+    # incremental stats: old + delta, never a full re-aggregation
+    apost, ameta = read_segment_output(spark, path, cat.path("seg"))
+    delta_ts = apost.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf")
+    )
+    old_ts = spark.read.parquet(snap.tables["term_stats"])
+    ts_path = cat.path("stats", f"term_stats_gen{gen}")
+    (
+        old_ts.unionByName(delta_ts)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(ts_path)
+    )
+    agg = ameta.agg(
+        F.sum("doc_count").alias("dc"), F.sum("sum_len").alias("sl")
+    ).collect()[0]
+    coll = {
+        "max_doc": n0 + int(agg["dc"] or 0),
+        "sum_total_term_freq": int(props["sum_total_term_freq"])
+        + int(agg["sl"] or 0),
+    }
+    coll_path = cat.path("stats", f"collection_gen{gen}.json")
+    with open(coll_path, "w") as f:
+        json.dump(coll, f)
+
+    tables = dict(snap.tables)
+    tables["postings"] = _as_list(tables["postings"]) + [path]
+    tables["segments"] = _as_list(tables["segments"]) + [path]
+    tables["term_stats"] = ts_path
+    tables["collection_stats"] = coll_path
+    n_segs_new = (n_new + dps - 1) // dps
+    out = cat.commit(
+        "commit",
+        tables=tables,
+        props={
+            **props,
+            **coll,
+            "n_docs": coll["max_doc"],
+            "next_seg": next_seg + n_segs_new,
+        },
+        lineage=snap.lineage,
+    )
+    new_docs.unpersist()
+    # updateDocuments: old versions of replaced keys become tombstones
+    return delete_docs(spark, index_dir, replaced)
+
+
+def delete_docs(
+    spark: SparkSession, index_dir: str, doc_ids: DataFrame
+) -> Snapshot:
+    """Tombstone a set of docIDs (LiveDocsFormat analogue): deletes are
+    a new snapshot generation carrying a tombstones table; postings are
+    untouched and masked at scorer level. Collection/term stats keep
+    counting deleted docs until a rebuild — exactly Lucene's maxDoc
+    semantics for BM25 (BM25Similarity.java:150-170 uses maxDoc)."""
+    cat = Catalog(index_dir)
+    snap = cat.latest_at_stage("commit", "merge", "delete")
+    if snap is None:
+        raise ValueError("no committed index")
+    df = doc_ids.select(F.col("doc_id").cast("long").alias("doc_id"))
+    old = snap.tables.get("tombstones")
+    if old:
+        df = df.unionByName(spark.read.parquet(old))
+    gen = snap.snapshot_id + 1
+    path = cat.path("tombstones", f"gen-{gen}")
+    df.distinct().repartition(1).write.mode("overwrite").parquet(path)
+    tables = dict(snap.tables)
+    tables["tombstones"] = path
+    return cat.commit(
+        "delete", tables=tables, props=snap.props, lineage=snap.lineage
+    )
+
+
+def delete_by_query(
+    spark: SparkSession, index_dir: str, query_text: str
+) -> Snapshot:
+    """delete-by-term(s): docs containing ANY analyzed term of
+    query_text (IndexWriter.deleteDocuments(Term...),
+    IndexWriter.java:1309)."""
+    from lucene_solr_spark.functions.analysis import analyze
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    terms = analyze(query_text)
+    searcher = IndexSearcher(spark, index_dir)
+    if not terms:
+        return searcher.snap
+    docs = searcher.match_docs(F.col("term").isin(terms))
+    return delete_docs(spark, index_dir, docs)

@@ -69,7 +69,7 @@ class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.catalog = Catalog(index_dir)
-        snap = self.catalog.latest_at_stage("commit", "merge")
+        snap = self.catalog.latest_at_stage("commit", "merge", "delete")
         if snap is None:
             raise ValueError(f"no committed index at {index_dir}")
         self.snap = snap
@@ -81,21 +81,54 @@ class IndexSearcher:
         self.cache = norm_cache(self.avgdl, K1, B)
         self.group_factor = int(snap.props.get("group_factor", 1))
 
-        from lucene_solr_spark.indexing.build import read_segment_output
-
-        pt = snap.tables["postings"]
-        seg_base = self.catalog.path("seg")
-        if isinstance(pt, list):
-            self._postings, _ = read_segment_output(spark, pt, seg_base)
-        else:
-            self._postings = spark.read.parquet(pt)
-        st = snap.tables["segments"]
-        _, segs = read_segment_output(spark, st, seg_base)
-        self._segments = segs.select(
-            "seg_id", "doc_base", "doc_count", "norms_enc"
+        from lucene_solr_spark.indexing.build import (
+            read_postings_any,
+            read_segments_any,
         )
-        self._term_stats = spark.read.parquet(snap.tables["term_stats"])
+
+        self._postings = read_postings_any(spark, snap.tables["postings"])
+        segs = read_segments_any(spark, snap.tables["segments"])
+        # segment meta (norm blobs) and term stats are small relative to
+        # postings (O(n_segs) / O(vocab)); cache them — every query
+        # cogroups against segments, and repeated reads from parquet
+        # dominate small-query latency otherwise
+        segments = segs.select("seg_id", "doc_base", "doc_count", "norms_enc")
+        tomb = snap.tables.get("tombstones")
+        if tomb:
+            segments = self._attach_tombstones(segments, tomb)
+        self._segments = segments.persist()
+        self._term_stats = spark.read.parquet(
+            snap.tables["term_stats"]
+        ).persist()
         self._docs = spark.read.parquet(snap.tables["docs"])
+        # driver-side TermContext cache (TermQuery gathers stats once
+        # per query, TermQuery.java:161-177; hot terms stay cached)
+        self._df_cache: Dict[str, Optional[int]] = {}
+
+    def _attach_tombstones(self, segments: DataFrame, tomb_path: str):
+        """Join the tombstone set onto segment meta as a per-segment
+        packed docID blob (the .liv bitset analogue) so every scoring
+        kernel sees deletions through the cogrouped segs side — no extra
+        shuffle at query time. Segment bounds broadcast (O(n_segs))."""
+        tomb = self.spark.read.parquet(tomb_path)
+        bounds = segments.select("seg_id", "doc_base", "doc_count")
+        joined = tomb.join(
+            F.broadcast(bounds),
+            (F.col("doc_id") >= F.col("doc_base"))
+            & (F.col("doc_id") < F.col("doc_base") + F.col("doc_count")),
+        ).select("seg_id", "doc_id")
+
+        def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ids = np.sort(pdf["doc_id"].to_numpy(np.int64))
+            return pd.DataFrame(
+                {"seg_id": [int(key[0])],
+                 "deleted_enc": [ids.astype("<i8").tobytes()]}
+            )
+
+        per_seg = joined.groupBy("seg_id").applyInPandas(
+            pack, schema="seg_id long, deleted_enc binary"
+        )
+        return segments.join(per_seg, "seg_id", "left")
 
     # -- stage A: plan -----------------------------------------------------
     def plan(
@@ -113,14 +146,7 @@ class IndexSearcher:
         seen_e: set = set()
         exterms = [t for t in ex_raw if not (t in seen_e or seen_e.add(t))]
         all_terms = list(dict.fromkeys(qterms + exterms))
-        dfs: Dict[str, int] = {}
-        if all_terms:
-            rows = (
-                self._term_stats.filter(F.col("term").isin(all_terms))
-                .select("term", "df")
-                .collect()
-            )
-            dfs = {r["term"]: int(r["df"]) for r in rows}
+        dfs = self._lookup_dfs(all_terms)
         empty = not qterms or all(t not in dfs for t in qterms)
         if mode == "and" and any(t not in dfs for t in qterms):
             empty = True  # null scorer on a MUST clause (BooleanQuery.java:301-366)
@@ -139,6 +165,22 @@ class IndexSearcher:
             cache=self.cache,
             empty=empty,
         )
+
+    def _lookup_dfs(self, terms) -> Dict[str, int]:
+        """df per term with a driver-side cache; misses become ONE
+        pushed-down scan of the sorted term_stats table."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            rows = (
+                self._term_stats.filter(F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t)
+        return {t: self._df_cache[t] for t in terms
+                if self._df_cache.get(t) is not None}
 
     # -- stage B + C: execute ----------------------------------------------
     def search(
@@ -196,12 +238,7 @@ class IndexSearcher:
         p0 = tp[0][1]
         offsets = [(t, p - p0) for t, p in tp]
         uniq = list(dict.fromkeys(t for t, _ in offsets))
-        rows = (
-            self._term_stats.filter(F.col("term").isin(uniq))
-            .select("term", "df")
-            .collect()
-        )
-        dfs = {r["term"]: int(r["df"]) for r in rows}
+        dfs = self._lookup_dfs(uniq)
         if any(t not in dfs for t in uniq):
             return self.spark.createDataFrame([], "doc_id long, score float")
         w = np.float32(0.0)
@@ -245,14 +282,7 @@ class IndexSearcher:
         exact = set()
         for c in ast:
             exact.update(c.terms)
-        dfs: Dict[str, int] = {}
-        if exact:
-            rows = (
-                self._term_stats.filter(F.col("term").isin(list(exact)))
-                .select("term", "df")
-                .collect()
-            )
-            dfs = {r["term"]: int(r["df"]) for r in rows}
+        dfs = self._lookup_dfs(sorted(exact))
 
         def term_wv(df_t: int) -> float:
             return float(F32(F32(idf(df_t, self.max_doc)) * K1_PLUS_1))
@@ -336,11 +366,9 @@ class IndexSearcher:
         decodes the per-segment norms/doc-length blobs written at build
         time into a relational view. Distributed: one Arrow batch per
         segment meta row, no collect."""
-        from lucene_solr_spark.indexing.build import read_segment_output
+        from lucene_solr_spark.indexing.build import read_segments_any
 
-        _, segs = read_segment_output(
-            self.spark, self.snap.tables["segments"], self.catalog.path("seg")
-        )
+        segs = read_segments_any(self.spark, self.snap.tables["segments"])
         meta = segs.select("doc_base", "doc_count", "norms_enc", "doc_lens_enc")
 
         def decode(batches):
@@ -426,6 +454,30 @@ class IndexSearcher:
             .select("doc_id", "score", "repo", "path", "commit", "lang")
             .orderBy(F.desc("score"), F.asc("doc_id"))
         )
+
+
+def _group_ctx(segs: pd.DataFrame):
+    """Shared per-group context for all scoring kernels: contiguous doc
+    span, dense norm-byte array (the in-RAM norms page), and the
+    live-docs tombstone mask (LiveDocsFormat analogue — deleted docs are
+    excluded at scorer level, TermQuery.java:85 acceptDocs)."""
+    segs = segs.sort_values("doc_base")
+    gbase = int(segs["doc_base"].iloc[0])
+    last = segs.iloc[-1]
+    span = int(last["doc_base"]) + int(last["doc_count"]) - gbase
+    norms = np.zeros(span, dtype=np.uint8)
+    deleted = None
+    has_del = "deleted_enc" in segs.columns
+    for r in segs.itertuples(index=False):
+        off = int(r.doc_base) - gbase
+        nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
+        norms[off : off + len(nb)] = nb
+        if has_del and r.deleted_enc is not None:
+            ids = np.frombuffer(r.deleted_enc, dtype="<i8")
+            if deleted is None:
+                deleted = np.zeros(span, dtype=bool)
+            deleted[ids - gbase] = True
+    return gbase, span, norms, deleted
 
 
 class _TermIndex:
@@ -551,15 +603,7 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
     def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
         if len(posts) == 0 or len(segs) == 0:
             return empty_result()
-        segs = segs.sort_values("doc_base")
-        gbase = int(segs["doc_base"].iloc[0])
-        last = segs.iloc[-1]
-        span = int(last["doc_base"]) + int(last["doc_count"]) - gbase
-        norms = np.zeros(span, dtype=np.uint8)
-        for r in segs.itertuples(index=False):
-            off = int(r.doc_base) - gbase
-            nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
-            norms[off : off + len(nb)] = nb
+        gbase, span, norms, deleted = _group_ctx(segs)
 
         by_term: Dict[str, list] = {}
         for r in posts.sort_values("seg_id").itertuples(index=False):
@@ -578,14 +622,15 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
             return (wv * freq / (freq + nrm)).astype(np.float32)
 
         def excl_mask_or_none() -> Optional[np.ndarray]:
-            if not exclude_terms:
-                return None
-            m = np.zeros(span, dtype=bool)
-            for t in exclude_terms:
-                ti = tindex(t)
-                if ti is not None:
-                    d, _ = ti.decode_all()
-                    m[d - gbase] = True
+            m = None if deleted is None else deleted.copy()
+            if exclude_terms:
+                if m is None:
+                    m = np.zeros(span, dtype=bool)
+                for t in exclude_terms:
+                    ti = tindex(t)
+                    if ti is not None:
+                        d, _ = ti.decode_all()
+                        m[d - gbase] = True
             return m
 
         if mode == "and":
@@ -767,15 +812,7 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
     def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
         if len(posts) == 0 or len(segs) == 0:
             return empty_result()
-        segs = segs.sort_values("doc_base")
-        gbase = int(segs["doc_base"].iloc[0])
-        last = segs.iloc[-1]
-        span = int(last["doc_base"]) + int(last["doc_count"]) - gbase
-        norms = np.zeros(span, dtype=np.uint8)
-        for r in segs.itertuples(index=False):
-            off = int(r.doc_base) - gbase
-            nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
-            norms[off : off + len(nb)] = nb
+        gbase, span, norms, deleted = _group_ctx(segs)
 
         from lucene_solr_spark.indexing.codec import (
             decode_prox,
@@ -828,6 +865,11 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
                 return empty_result()
         docs_h = keys >> shift
         udocs, counts = np.unique(docs_h, return_counts=True)
+        if deleted is not None and len(udocs):
+            keep = ~deleted[udocs - gbase]
+            udocs, counts = udocs[keep], counts[keep]
+        if len(udocs) == 0:
+            return empty_result()
         pf = counts.astype(np.float32)
         nrm = cache[norms[udocs - gbase].astype(np.int64)]
         scores = ((wv * pf) / (pf + nrm)).astype(np.float32)
@@ -875,15 +917,7 @@ def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
     def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
         if len(posts) == 0 or len(segs) == 0:
             return empty_result()
-        segs = segs.sort_values("doc_base")
-        gbase = int(segs["doc_base"].iloc[0])
-        last = segs.iloc[-1]
-        span = int(last["doc_base"]) + int(last["doc_count"]) - gbase
-        norms = np.zeros(span, dtype=np.uint8)
-        for r in segs.itertuples(index=False):
-            off = int(r.doc_base) - gbase
-            nb = np.frombuffer(r.norms_enc, dtype=np.uint8)
-            norms[off : off + len(nb)] = nb
+        gbase, span, norms, deleted = _group_ctx(segs)
 
         by_term: Dict[str, list] = {}
         for r in posts.sort_values("seg_id").itertuples(index=False):
@@ -1039,8 +1073,9 @@ def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
             cand_docs = ix.astype(np.int64) + gbase
             cand_scores = acc[ix].astype(np.float32)
 
-        if nots and len(cand_docs):
-            ex = np.zeros(span, dtype=bool)
+        if (nots or deleted is not None) and len(cand_docs):
+            ex = (np.zeros(span, dtype=bool) if deleted is None
+                  else deleted.copy())
             for c in nots:
                 docs, _ = eval_clause(c)
                 ex[docs - gbase] = True

@@ -1,0 +1,52 @@
+"""NRT (near-real-time) indexing: Structured Streaming micro-batches
+appended as index generations.
+
+Reference semantics being mirrored (SURVEY.md section 2.10):
+  - NRT reader sees flushed-but-uncommitted segments
+    (DirectoryReader.open(writer), index/StandardDirectoryReader.java;
+    SearcherManager.java) -> here: every micro-batch IS a committed
+    snapshot generation; a new IndexSearcher sees snapshot-latest.
+  - soft/hard commit split (solr/core/.../update/DirectUpdateHandler2
+    .java, UpdateLog.java tlog) -> the streaming checkpointLocation is
+    the tlog analogue: after a crash, Spark replays the unacknowledged
+    micro-batch and append_documents' updateDocuments semantics
+    (delete-then-add by (repo, path, commit)) make the replay
+    idempotent at the key level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from lucene_solr_spark.indexing.build import append_documents
+
+
+def start_nrt_indexer(
+    spark: SparkSession,
+    index_dir: str,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    **trigger_kwargs,
+):
+    """Attach an NRT indexing sink to a streaming corpus DataFrame
+    (columns: repo, path, commit, lang, content). Each micro-batch is
+    appended via append_documents (new docID range, new segments, stats
+    delta, replaced keys tombstoned). Returns the StreamingQuery.
+
+    trigger_kwargs pass through to ``writeStream.trigger`` (e.g.
+    ``availableNow=True`` for drain-and-stop, ``processingTime='10
+    seconds'`` for continuous micro-batching)."""
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_documents(spark, index_dir, batch_df)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_kwargs:
+        writer = writer.trigger(**trigger_kwargs)
+    return writer.start()

@@ -1,0 +1,199 @@
+"""Deletes (tombstones), incremental append (updateDocuments), NRT
+micro-batch indexing, and kill/resume — the index-mutation tier.
+Oracle expectations are rebuilt from scratch: an appended+deleted index
+must answer exactly like a fresh index over the surviving documents
+(with the append's stats semantics: stats count tombstoned docs until
+rebuild, exactly Lucene's maxDoc behavior)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpusgen import CORPUS_SCHEMA, corpus_rows, row
+from lucene_solr_spark.indexing.build import (
+    IndexWriter,
+    append_documents,
+    delete_by_query,
+    merge_postings,
+)
+from lucene_solr_spark.oracle import OracleIndex
+from lucene_solr_spark.search.executor import IndexSearcher
+
+
+def _hits(df):
+    return [(r["doc_id"], np.float32(r["score"])) for r in df.collect()]
+
+
+@pytest.fixture(scope="module")
+def base_index(spark, tmp_path_factory):
+    index_dir = str(tmp_path_factory.mktemp("mutidx"))
+    corpus = spark.createDataFrame(corpus_rows(200), schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=2).build(
+        corpus
+    )
+    return index_dir
+
+
+def test_delete_by_query_masks_docs(spark, base_index):
+    searcher = IndexSearcher(spark, base_index)
+    victim_term = "common_util"
+    before = set(
+        r["doc_id"]
+        for r in searcher.search(victim_term, k=None).collect()
+    )
+    assert before
+    delete_by_query(spark, base_index, victim_term)
+    s2 = IndexSearcher(spark, base_index)
+    assert s2.search(victim_term, k=10).count() == 0
+    # unrelated docs still match, scores unchanged (stats keep maxDoc)
+    other = s2.search("base_handler", k=None)
+    got = {r["doc_id"] for r in other.collect()}
+    assert got and not (got & before) == (got == got)  # sanity
+    for r in other.collect():
+        assert r["doc_id"] not in before
+    # boolean + phrase paths honor tombstones too
+    assert all(
+        r["doc_id"] not in before
+        for r in s2.search_boolean("base_handler core_ctx", k=None).collect()
+    )
+
+
+def test_append_then_search_matches_fresh_semantics(spark, tmp_path):
+    index_dir = str(tmp_path / "appidx")
+    first = spark.createDataFrame(corpus_rows(150), schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=1).build(
+        first
+    )
+    extra = spark.createDataFrame(
+        [row(i) for i in range(150, 230)], schema=CORPUS_SCHEMA
+    )
+    append_documents(spark, index_dir, extra)
+    searcher = IndexSearcher(spark, index_dir)
+    assert searcher.max_doc == 230
+
+    # oracle over all 230 docs in engine docID order
+    docs_sorted = sorted(
+        [row(i) for i in range(150)],
+        key=lambda r: (r["repo"], r["path"], r["commit"]),
+    )
+    extra_sorted = sorted(
+        [row(i) for i in range(150, 230)],
+        key=lambda r: (r["repo"], r["path"], r["commit"]),
+    )
+    all_docs = [(i, r["content"]) for i, r in enumerate(docs_sorted)] + [
+        (150 + i, r["content"]) for i, r in enumerate(extra_sorted)
+    ]
+    oracle = OracleIndex.build(all_docs)
+    for q, mode in [("common_util", "or"), ("seven hundred", "and"),
+                    ("base_handler core_ctx", "or")]:
+        got = _hits(searcher.search(q, k=10, mode=mode))
+        want = oracle.search(q, k=10, mode=mode)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (dg, sg), (dw, sw) in zip(got, want):
+            assert sg.tobytes() == np.float32(sw).tobytes(), q
+
+    # merge after append keeps answers identical
+    merge_postings(spark, index_dir, segs_per_group=2)
+    s3 = IndexSearcher(spark, index_dir)
+    got = _hits(s3.search("common_util", k=10))
+    want = oracle.search("common_util", k=10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+
+
+def test_append_replaces_existing_keys(spark, tmp_path):
+    index_dir = str(tmp_path / "updidx")
+    first = spark.createDataFrame(corpus_rows(100), schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=1).build(
+        first
+    )
+    # re-add docs 0..9 with new content under the SAME keys
+    updated = [dict(row(i), content=f"replacement_token_xyz doc {i}")
+               for i in range(10)]
+    append_documents(
+        spark, index_dir, spark.createDataFrame(updated, schema=CORPUS_SCHEMA)
+    )
+    searcher = IndexSearcher(spark, index_dir)
+    hits = searcher.search("replacement_token_xyz", k=None)
+    assert hits.count() == 10
+    assert all(r["doc_id"] >= 100 for r in hits.collect())
+    # the old versions are tombstoned: their (pre-append) doc_ids never
+    # surface again. docIDs are rank-by-key, so resolve them via the
+    # docs table (old generation = ids < 100)
+    upd_keys = {(d["repo"], d["path"], d["commit"]) for d in updated}
+    old_ids = {
+        r["doc_id"]
+        for r in searcher._docs.select("repo", "path", "commit", "doc_id")
+        .collect()
+        if (r["repo"], r["path"], r["commit"]) in upd_keys
+        and r["doc_id"] < 100
+    }
+    assert len(old_ids) == 10
+    old_hits = searcher.search("common_util base_handler core_ctx shared_buf",
+                               k=None)
+    assert all(r["doc_id"] not in old_ids for r in old_hits.collect())
+
+
+def test_nrt_micro_batches(spark, tmp_path):
+    from lucene_solr_spark.streaming.nrt import start_nrt_indexer
+
+    index_dir = str(tmp_path / "nrtidx")
+    stream_src = str(tmp_path / "stream_in")
+    checkpoint = str(tmp_path / "ckpt")
+    first = spark.createDataFrame(corpus_rows(80), schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=1).build(
+        first
+    )
+    batch = spark.createDataFrame(
+        [row(i) for i in range(80, 120)], schema=CORPUS_SCHEMA
+    )
+    batch.write.mode("overwrite").parquet(stream_src)
+    stream = spark.readStream.schema(CORPUS_SCHEMA).parquet(stream_src)
+    q = start_nrt_indexer(
+        spark, index_dir, stream, checkpoint, availableNow=True
+    )
+    q.awaitTermination(120)
+    searcher = IndexSearcher(spark, index_dir)
+    assert searcher.max_doc == 120
+
+
+def test_kill_resume_matches_clean_build(spark, tmp_path):
+    """Crash after the first committed batch snapshot; resume must skip
+    batch 0, rebuild the rest, and converge to the same lineage and
+    query answers as an uninterrupted build."""
+    corpus_data = corpus_rows(120)
+    clean_dir = str(tmp_path / "clean")
+    crash_dir = str(tmp_path / "crash")
+    corpus = spark.createDataFrame(corpus_data, schema=CORPUS_SCHEMA)
+    IndexWriter(spark, clean_dir, docs_per_segment=32, n_batches=2).build(
+        corpus
+    )
+
+    w = IndexWriter(spark, crash_dir, docs_per_segment=32, n_batches=2)
+    real = w._batch_lineage
+    calls = {"n": 0}
+
+    def dying(path, b):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("simulated crash mid-batch-2")
+        return real(path, b)
+
+    w._batch_lineage = dying
+    with pytest.raises(RuntimeError):
+        w.build(corpus)
+    # fresh writer, resume from the committed generation
+    snap = IndexWriter(
+        spark, crash_dir, docs_per_segment=32, n_batches=2
+    ).build(corpus, resume=True)
+    assert snap.stage == "commit"
+    by_part_crash = {r["partition_id"]: r["input_sha256"]
+                     for r in snap.lineage}
+    from lucene_solr_spark.catalog import Catalog
+
+    clean_snap = Catalog(clean_dir).latest()
+    by_part_clean = {r["partition_id"]: r["input_sha256"]
+                     for r in clean_snap.lineage}
+    assert by_part_crash == by_part_clean
+    a = _hits(IndexSearcher(spark, crash_dir).search("common_util", k=10))
+    b = _hits(IndexSearcher(spark, clean_dir).search("common_util", k=10))
+    assert a == b

@@ -28,7 +28,7 @@ def run(cpus: int, docs: int) -> dict:
 
 
 def main() -> None:
-    docs = int(os.environ.get("LSS_SCALE_DOCS", "40960"))
+    docs = int(os.environ.get("LSS_SCALE_DOCS", "163840"))
     lo = run(8, docs)
     hi = run(32, docs)
     build_eff = hi["build_docs_per_sec"] / (4 * lo["build_docs_per_sec"])

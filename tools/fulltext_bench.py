@@ -32,7 +32,7 @@ from lucene_solr_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
-    ap.add_argument("--docs", type=int, default=40960)
+    ap.add_argument("--docs", type=int, default=163840)
     ap.add_argument("--dps", type=int, default=320,
                     help="docs per segment (docs/dps tasks in the build)")
     ap.add_argument("--work-dir", default="/tmp/lss_scalebench")
@@ -63,25 +63,40 @@ def main() -> None:
     merge_sec = time.time() - t1
 
     searcher = IndexSearcher(spark, index_dir)
-    timings = {}
-    tq = time.time()
-    for rep in range(args.reps):
-        for q in QUERY_SET:
-            t = time.time()
+
+    def run_one(q):
+        if isinstance(q, str):
+            searcher.search_phrase(q, k=10).collect()
+        else:
             searcher.search(
                 q["query_text"], k=10, mode=q["mode"],
                 min_should_match=q["mm"], exclude=q["exclude"],
             ).collect()
+
+    # latency leg: sequential, best-of-reps per query
+    timings = {}
+    for rep in range(args.reps):
+        for q in QUERY_SET:
+            t = time.time()
+            run_one(q)
             key = f"q{q['query_id']}"
             timings[key] = min(timings.get(key, 1e9), time.time() - t)
         for i, p in enumerate(PHRASE_QUERY_SET):
             t = time.time()
-            searcher.search_phrase(p, k=10).collect()
+            run_one(p)
             key = f"ph{i}"
             timings[key] = min(timings.get(key, 1e9), time.time() - t)
-    query_total = time.time() - tq
     lat = sorted(timings.values())
     p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
+
+    # throughput leg: concurrent submission (the multi-client QPS shape;
+    # Spark schedules the per-query jobs' tasks across all cores)
+    from concurrent.futures import ThreadPoolExecutor
+    workload = (list(QUERY_SET) + list(PHRASE_QUERY_SET)) * args.reps
+    tq = time.time()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(run_one, workload))
+    query_total = time.time() - tq
 
     print(json.dumps({
         "cpus": args.cpus,
@@ -90,10 +105,7 @@ def main() -> None:
         "build_docs_per_sec": round(args.docs / build_sec, 1),
         "merge_sec": round(merge_sec, 2),
         "query_total_sec": round(query_total, 2),
-        "queries_per_sec": round(
-            args.reps * (len(QUERY_SET) + len(PHRASE_QUERY_SET))
-            / query_total, 2
-        ),
+        "queries_per_sec": round(len(workload) / query_total, 2),
         "query_p95_sec": round(p95, 4),
         "queries": {k: round(v, 4) for k, v in sorted(timings.items())},
     }))
