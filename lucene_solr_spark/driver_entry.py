@@ -152,7 +152,7 @@ def get_searcher(spark: SparkSession, sf_dir: str):
 ORACLE_PRELUDE = f"""
 WITH docs0 AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS doc_id,
-         text, lang, source
+         text, lang, source, n_chars
   FROM documents
 ),
 toks AS (
@@ -416,6 +416,38 @@ def q_bool_phrase_must(spark, sf_dir):
     return _topk_double(s.search_boolean(Q_BOOL_PHRASE, k=TOP_K))
 
 
+def q_search_after(spark, sf_dir):
+    """Deep paging: page 2 of the single-term query via the
+    (score, doc_id) cursor (IndexSearcher.searchAfter,
+    IndexSearcher.java:234-250)."""
+    s = get_searcher(spark, sf_dir)
+    page1 = s.search(Q_SINGLE, k=TOP_K).collect()
+    cur = page1[-1]
+    page2 = s.search(
+        Q_SINGLE, k=TOP_K, after=(float(cur["score"]), int(cur["doc_id"]))
+    )
+    return _topk_double(page2)
+
+
+def q_function_boost(spark, sf_dir):
+    """FunctionQuery/BoostedQuery: BM25 score * ln(1 + n_chars) — the
+    ValueSource family as native Column math (functions/valuesource.py,
+    SURVEY.md section 2.9)."""
+    from lucene_solr_spark.functions.valuesource import boosted_search
+
+    s = get_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("path"), "n_chars"
+    )
+    attrs = s._docs.select("doc_id", "path").join(docs, "path").select(
+        "doc_id", "n_chars"
+    )
+    return boosted_search(
+        s, Q_SINGLE,
+        F.log(F.lit(1.0) + F.col("n_chars")), attrs, k=TOP_K,
+    )
+
+
 def q_facet_lang(spark, sf_dir):
     """Facet counts over the full result set of a query (SimpleFacets,
     solr/core/.../request/SimpleFacets.java:412-436): groupBy + count
@@ -675,6 +707,18 @@ WHERE pq.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'vector')
 ORDER BY score DESC, pq.doc_id ASC LIMIT 10
 """.replace("{K1P1}", K1P1_LIT)
     o["phrase_hole"] = oracle_phrase([("spark", 0), ("small", 2)])
+    o["search_after"] = ORACLE_PRELUDE + f"""
+SELECT doc_id, CAST(s AS DOUBLE) AS score
+FROM persc WHERE term = '{Q_SINGLE}'
+ORDER BY s DESC, doc_id ASC LIMIT 10 OFFSET 10
+"""
+    o["function_boost"] = ORACLE_PRELUDE + f"""
+SELECT p.doc_id,
+       CAST(p.s AS DOUBLE) * ln(1 + d.n_chars) AS score
+FROM persc p JOIN docs0 d USING (doc_id)
+WHERE p.term = '{Q_SINGLE}'
+ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
     o["facet_lang"] = ORACLE_PRELUDE + f"""
 SELECT d.lang, count(*) AS n
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}') m
@@ -772,6 +816,8 @@ QUERIES = {
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,
     "phrase_hole": q_phrase_hole,
+    "search_after": q_search_after,
+    "function_boost": q_function_boost,
     "facet_lang": q_facet_lang,
     "grouping_top2": q_grouping_top2,
     "dedup_exact": q_dedup_exact,

@@ -1,0 +1,97 @@
+"""Function queries: the ValueSource family as native Column
+expressions (SURVEY.md section 2.9 — all 47 reference ValueSource
+classes are per-doc scalars; lucene/queries/src/java/org/apache/lucene/
+queries/function/valuesource/*.java). No UDFs: every function compiles
+to whole-stage-codegen Catalyst expressions.
+
+Two surfaces:
+
+1. ``VALUE_SOURCES``: name -> Column builder for the arithmetic / logic
+   ValueSources (SumFloatFunction, ProductFloatFunction,
+   DivFloatFunction, PowFloatFunction, Max/MinFloatFunction,
+   LinearFloatFunction, ReciprocalFloatFunction, ScaleFloatFunction,
+   IfFunction — file names cited above; each is a one-line Column
+   combinator here because Catalyst already IS a function-expression
+   engine).
+
+2. ``boosted_search``: BoostedQuery/FunctionQuery composition
+   (lucene/queries/.../function/BoostedQuery.java: score =
+   subQuery.score(doc) * valueSource(doc)) — BM25 hits joined with doc
+   attributes, final score = bm25 * f(doc columns), computed in double
+   (Catalyst numeric) with the product order preserved.
+
+Index-stats ValueSources (IDFValueSource, TFValueSource,
+DocFreqValueSource, NormValueSource, MaxDoc/NumDocsValueSource...) are
+served by the engine's stats tables: ``searcher.term_stats()``,
+``searcher.collection_stats()``, ``searcher.doc_stats()`` — join them
+like any dimension table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["VALUE_SOURCES", "boosted_search", "scale_float"]
+
+
+def scale_float(col: Column, min_v: float, max_v: float,
+                lo: float, hi: float) -> Column:
+    """ScaleFloatFunction.java: linearly map [min_v, max_v] -> [lo, hi].
+    (The reference computes min/max over the index in a pre-pass; pass
+    them in from an agg.)"""
+    span = max_v - min_v
+    return F.when(
+        F.lit(span) == 0, F.lit(lo)
+    ).otherwise((col - min_v) / F.lit(span) * (hi - lo) + lo)
+
+
+VALUE_SOURCES = {
+    # arithmetic (SumFloatFunction.java, ProductFloatFunction.java, ...)
+    "sum": lambda *cols: sum(cols[1:], cols[0]),
+    "product": lambda *cols: __import__("functools").reduce(
+        lambda a, b: a * b, cols
+    ),
+    "div": lambda a, b: a / b,
+    "pow": lambda a, b: F.pow(a, b),
+    "max": lambda *cols: F.greatest(*cols),
+    "min": lambda *cols: F.least(*cols),
+    # LinearFloatFunction.java: m*x + c
+    "linear": lambda x, m, c: x * F.lit(m) + F.lit(c),
+    # ReciprocalFloatFunction.java: a / (m*x + b)
+    "recip": lambda x, m, a, b: F.lit(a) / (F.lit(m) * x + F.lit(b)),
+    "scale": scale_float,
+    # logic (IfFunction.java, DefFunction.java)
+    "if": lambda c, a, b: F.when(c, a).otherwise(b),
+    "def": lambda a, b: F.coalesce(a, b),
+    # common field transforms (Solr function surface)
+    "log": lambda x: F.log(x),
+    "sqrt": lambda x: F.sqrt(x),
+    "abs": lambda x: F.abs(x),
+}
+
+
+def boosted_search(
+    searcher,
+    query_text: str,
+    boost: Column,
+    doc_attrs: DataFrame,
+    k: int = 10,
+    **search_kw,
+) -> DataFrame:
+    """BoostedQuery: BM25 top-k where final score = bm25_score *
+    boost(doc attributes). The boost must be non-negative and bounded
+    for the cut below to be exact, so the full (k=None) result set is
+    re-ranked — at scale, pre-filter or pass a per-group-safe boost.
+
+    doc_attrs: DataFrame keyed by doc_id carrying the columns ``boost``
+    references. Returns (doc_id, score) ordered score desc, doc asc.
+    """
+    hits = searcher.search(query_text, k=None, **search_kw)
+    return (
+        hits.join(doc_attrs, "doc_id")
+        .withColumn("score", F.col("score").cast("double") * boost)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )

@@ -361,10 +361,13 @@ class IndexWriter:
         # fresh build: reuse the assigned frame directly downstream —
         # avoids re-joining content onto the docs table by DOC_KEY (a
         # second full shuffle of the corpus at 100 TB); the join path
-        # below remains for resume-from-snapshot. Disk-backed persist:
-        # one materialization feeds both the docs write and the
-        # segment-build pass.
-        self._assigned = docs.persist(StorageLevel.MEMORY_AND_DISK)
+        # below remains for resume-from-snapshot. NOT persisted: the
+        # range-partitioned `keyed` frame inside assign_doc_ids is the
+        # single cached copy of the corpus; recomputing the cheap
+        # add-ids+sha map from it beats holding a second full-content
+        # copy in the storage pool (memory churn dominated the build at
+        # high core counts).
+        self._assigned = docs
         path = self.catalog.path("docs")
         (
             self._assigned.drop("content")

@@ -63,6 +63,7 @@ class QueryPlan:
     k: int
     cache: np.ndarray           # 256-entry float32 norm cache
     empty: bool = False
+    after: Optional[Tuple[float, int]] = None  # searchAfter cursor
 
 
 class IndexSearcher:
@@ -96,7 +97,20 @@ class IndexSearcher:
         tomb = snap.tables.get("tombstones")
         if tomb:
             segments = self._attach_tombstones(segments, tomb)
-        self._segments = segments.persist()
+        # pre-shard the cached segs side by scoring group: cogroups
+        # then reuse this hash partitioning instead of re-sharding into
+        # spark.sql.shuffle.partitions tiny tasks on every query — the
+        # per-query task count tracks n_groups, not the global conf
+        gf = self.group_factor
+        segments = segments.withColumn(
+            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
+        )
+        n_gids = segments.select("gid").distinct().count()
+        self.n_groups = max(int(n_gids), 1)
+        par = spark.sparkContext.defaultParallelism
+        n_parts = max(min(self.n_groups, 2 * par), 1)
+        self._segments = segments.repartition(n_parts, "gid").persist()
+        self._segments.count()  # materialize the cache eagerly
         self._term_stats = spark.read.parquet(
             snap.tables["term_stats"]
         ).persist()
@@ -191,14 +205,25 @@ class IndexSearcher:
         min_should_match: int = 0,
         exclude: str = "",
         wand: bool = True,
+        after: Optional[Tuple[float, int]] = None,
     ) -> DataFrame:
         """Top-k BM25 search. ``k=None`` returns ALL matching docs with
         scores (the TotalHitCount / facet / grouping feeding path — no
-        per-group truncation, no global limit)."""
+        per-group truncation, no global limit).
+
+        ``after=(score, doc_id)`` is the deep-paging cursor
+        (IndexSearcher.searchAfter, IndexSearcher.java:234-250): only
+        hits strictly after the cursor in (score desc, doc asc) order
+        are returned. Applied INSIDE the kernel before the per-group
+        cut, so page k+1 is exact; WAND is disabled for cursored pages
+        (the pruning bound assumes an empty floor)."""
         plan = self.plan(query_text, k if k is not None else 0, mode,
                          min_should_match, exclude)
         if k is None:
             plan.k = None  # type: ignore[assignment]
+        if after is not None:
+            plan.after = (float(np.float32(after[0])), int(after[1]))
+            wand = False
         if plan.empty:
             return self.spark.createDataFrame([], "doc_id long, score float")
         fetch = plan.terms + plan.exclude_terms
@@ -207,9 +232,7 @@ class IndexSearcher:
         posts = posts.withColumn(
             "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
         )
-        segs = self._segments.withColumn(
-            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
-        )
+        segs = self._segments
         kernel = make_group_scorer(plan, wand)
         topk_per_group = (
             posts.groupBy("gid")
@@ -249,9 +272,7 @@ class IndexSearcher:
         posts = self._postings.filter(F.col("term").isin(uniq)).withColumn(
             "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
         )
-        segs = self._segments.withColumn(
-            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
-        )
+        segs = self._segments
         kernel = make_phrase_scorer(offsets, wv, self.cache, k)
         topk = (
             posts.groupBy("gid")
@@ -347,9 +368,7 @@ class IndexSearcher:
         posts = self._postings.filter(
             F.col("term").isin(sorted(fetch))
         ).withColumn("gid", (F.col("seg_id") / F.lit(gf)).cast("long"))
-        segs = self._segments.withColumn(
-            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
-        )
+        segs = self._segments
         kernel = make_boolean_scorer(planned, self.cache, k)
         out = (
             posts.groupBy("gid")
@@ -594,6 +613,7 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
     dfs = dict(plan.dfs)
     mode, mm, k = plan.mode, max(plan.mm, 1), plan.k
     cache = plan.cache.copy()
+    after = plan.after
     and_order = sorted(terms, key=lambda t: dfs[t])  # stable: ties keep order
 
     def empty_result():
@@ -699,6 +719,12 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
                 cand_docs = idxs.astype(np.int64) + gbase
                 cand_scores = acc[idxs].astype(np.float32)
 
+        if after is not None and len(cand_docs):
+            s0 = np.float32(after[0])
+            keep = (cand_scores < s0) | (
+                (cand_scores == s0) & (cand_docs > after[1])
+            )
+            cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
         if len(cand_docs) == 0:
             return empty_result()
         # bounded per-group top-k: score desc, doc asc (k=None: keep all)

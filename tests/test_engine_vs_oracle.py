@@ -206,3 +206,86 @@ def test_boolean_query_rank_identical(spark, built, qs):
     assert [d for d, _ in got] == [d for d, _ in want], qs
     for (dg, sg), (dw, sw) in zip(got, want):
         assert sg.tobytes() == np.float32(sw).tobytes(), (qs, dg)
+
+
+def test_search_after_paging(spark, built):
+    """searchAfter: cursored page 2 == rows 11..20 of a k=20 search
+    (IndexSearcher.java:234-250 semantics: strictly after the cursor in
+    (score desc, doc asc) order)."""
+    index_dir, _ = built
+    searcher = IndexSearcher(spark, index_dir)
+    full = _run_engine(searcher, {"query_text": "common_util",
+                                  "mode": "or", "mm": 0, "exclude": ""},
+                       wand=False)
+    all20 = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search("common_util", k=20).collect()
+    ]
+    cur = all20[9]
+    page2 = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(
+            "common_util", k=10, after=(float(cur[1]), int(cur[0]))
+        ).collect()
+    ]
+    assert page2 == all20[10:20]
+    assert full == all20[:10]
+
+
+def test_boosted_function_query(spark, built):
+    """BoostedQuery: score * f(doc) re-ranks; verify against a direct
+    per-doc recomputation from the unboosted full result."""
+    from pyspark.sql import functions as SF
+
+    from lucene_solr_spark.functions.valuesource import boosted_search
+
+    index_dir, _ = built
+    searcher = IndexSearcher(spark, index_dir)
+    attrs = searcher._docs.select(
+        "doc_id", SF.length("path").alias("plen")
+    )
+    got = boosted_search(
+        searcher, "common_util", SF.log(SF.lit(1.0) + SF.col("plen")),
+        attrs, k=10,
+    ).collect()
+    base = {
+        r["doc_id"]: r["score"]
+        for r in searcher.search("common_util", k=None).collect()
+    }
+    plens = {r["doc_id"]: r["plen"] for r in attrs.collect()}
+    import math
+
+    want = sorted(
+        ((d, float(s) * math.log(1.0 + plens[d])) for d, s in base.items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (d, pytest.approx(s, rel=0, abs=0)) for d, s in want
+    ]
+
+
+def test_assign_doc_ids_dedupes_duplicate_keys(spark):
+    """updateDocuments ingest semantics: duplicate (repo, path, commit)
+    keys collapse to ONE row; dense rank unaffected by duplication
+    factor or partitioning (dedupe is in-pass under range
+    partitioning — regression guard for the dropDuplicates removal)."""
+    from lucene_solr_spark.indexing.build import assign_doc_ids
+
+    rows = []
+    for i in range(40):
+        r = {"repo": f"r{i % 5}", "path": f"p{i:03d}", "commit": "c",
+             "lang": "py", "content": f"doc {i}"}
+        rows.append(r)
+        if i % 3 == 0:
+            rows.append(dict(r))  # duplicate key
+    corpus = spark.createDataFrame(rows, schema=CORPUS_SCHEMA)
+    out, n = assign_doc_ids(corpus.repartition(7), num_partitions=3,
+                            return_count=True)
+    got = sorted(
+        (r["repo"], r["path"], r["doc_id"]) for r in out.collect()
+    )
+    assert n == 40
+    assert len(got) == 40
+    keys = sorted((f"r{i % 5}", f"p{i:03d}") for i in range(40))
+    assert [(g[0], g[1]) for g in got] == keys
+    assert sorted(g[2] for g in got) == list(range(40))

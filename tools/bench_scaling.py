@@ -28,9 +28,9 @@ def run(cpus: int, docs: int) -> dict:
 
 
 def main() -> None:
-    docs = int(os.environ.get("LSS_SCALE_DOCS", "163840"))
+    docs = int(os.environ.get("LSS_SCALE_DOCS", "327680"))
+    hi = run(32, docs)   # first: generates the shared corpus at full width
     lo = run(8, docs)
-    hi = run(32, docs)
     build_eff = hi["build_docs_per_sec"] / (4 * lo["build_docs_per_sec"])
     query_eff = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])
     result = {

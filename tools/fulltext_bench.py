@@ -32,8 +32,8 @@ from lucene_solr_spark.session import get_spark  # noqa: E402
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, default=32)
-    ap.add_argument("--docs", type=int, default=163840)
-    ap.add_argument("--dps", type=int, default=320,
+    ap.add_argument("--docs", type=int, default=327680)
+    ap.add_argument("--dps", type=int, default=1024,
                     help="docs per segment (docs/dps tasks in the build)")
     ap.add_argument("--work-dir", default="/tmp/lss_scalebench")
     ap.add_argument("--reps", type=int, default=3)
