@@ -43,4 +43,4 @@ MAX_POSTINGS_PER_ROW = 1 << 19
 # skew handling is ours — AQE cannot split inside one groupBy key).
 SKEW_DF_THRESHOLD = 1 << 20
 
-FORMAT_VERSION = 2  # v2: pos_enc prox streams on posting rows
+FORMAT_VERSION = 3  # v3: seg_id = doc_base (doc-unit groups), meta key arrays

@@ -2,26 +2,39 @@
 
 Spark shape (SURVEY.md section 3.2, re-expressing IndexWriter.addDocument
 -> flush -> commit, lucene/core/src/java/org/apache/lucene/index/
-IndexWriter.java:1161,2820):
+IndexWriter.java:1161,2820). The pipeline is ONE wide shuffle + ONE
+JVM->Python Arrow crossing over the corpus content, total:
 
   corpus(repo,path,commit,lang,content)
-    [1] deterministic docID assignment: dense rank over (repo,path,
-        commit) via range-repartition + per-partition offsets — never
-        from partition enumeration, so docIDs are identical at any
-        parallelism (the per-row invariant carrier).
-    [2] seg_id = doc_id // docs_per_segment: a segment is a contiguous
-        docID range — the DWPT/flush-unit analogue
-        (index/DocumentsWriterPerThread.java); embarrassingly parallel.
-    [3] groupBy(seg_id).applyInPandas(build_segment): tokenize
-        (vectorized chain), invert (pandas groupby (term,doc)), encode
-        (delta+FOR blocks, skips, block-max metadata), emit postings
-        rows + one segment-meta row (norms blob = the .nvd analogue).
-    [4] batched writes: segments are built in `n_batches` independent
-        jobs; each batch commit appends a snapshot with per-segment
+    [1] range-repartition + sort by (repo,path,commit): equal keys
+        co-located, global key order == partition order. The only
+        shuffle that moves content.
+    [2] counts pass (narrow — Catalyst prunes content below the
+        exchange): distinct keys per partition -> dense-rank offsets.
+        docIDs = offsets[pid] + running index depend only on the key
+        order, never on parallelism (the per-row invariant carrier).
+    [3] mapInPandas(make_stream_builder): per partition, streaming —
+        dedup adjacent duplicate keys, assign docIDs, sha256, tokenize
+        (vectorized chain), invert (factorize+lexsort), encode
+        (delta+FOR blocks, skips, block-max metadata); flush a segment
+        at every docID multiple of docs_per_segment. A segment is a
+        contiguous docID run with seg_id = its first docID — the
+        DWPT/flush-unit analogue (index/DocumentsWriterPerThread.java).
+        Postings rows + a meta row per segment (norms blob = .nvd
+        analogue + stored-key arrays = docs-table source) leave in one
+        output.
+    [4] batched writes: batches are contiguous partition ranges, each
+        an independent job committing a snapshot with per-segment
         lineage rows -> kill/resume restarts after the last committed
         batch (Iceberg-checkpoint model, catalog.py).
-    [5] finalize: term_stats / collection_stats aggregates + 'commit'
-        snapshot (the segments_N publish).
+    [5] finalize: term_stats / collection_stats aggregates, docs table
+        exploded from the meta-row key arrays (content never re-read),
+        + 'commit' snapshot (the segments_N publish).
+
+Scoring groups are docID windows: group_factor is in DOC units
+(initially docs_per_segment); a segment never crosses a dps-aligned
+boundary, so seg_id // group_factor assigns every posting row and every
+meta row to exactly one group at any merge depth.
 
 Merge (`merge_postings`) is the SegmentMerger/forceMerge analogue
 (index/SegmentMerger.java:71-119): groupBy (term, seg_group) —
@@ -38,7 +51,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -128,7 +141,9 @@ SEGMENT_OUT_SCHEMA = (
     "doc_ids_enc binary, tfs_enc binary, skips_enc binary, "
     "pos_enc binary, sdoc long, stf long, "
     "doc_base long, doc_count long, sum_len long, "
-    "norms_enc binary, doc_lens_enc binary, input_sha256 string"
+    "norms_enc binary, doc_lens_enc binary, input_sha256 string, "
+    "repos array<string>, paths array<string>, commits array<string>, "
+    "langs array<string>, shas array<string>"
 )
 
 _POSTING_COLS = [
@@ -139,6 +154,63 @@ _META_COLS = [
     "seg_id", "doc_base", "doc_count", "sum_len", "norms_enc",
     "doc_lens_enc", "input_sha256",
 ]
+
+
+def _first_occurrence_mask(pdf: pd.DataFrame, carry) -> np.ndarray:
+    """True where a row's key differs from the previous row's (rows
+    sorted by key); `carry` = last key of the previous batch."""
+    cols = [pdf[c].to_numpy(dtype=object) for c in DOC_KEY]
+    mask = np.zeros(len(pdf), dtype=bool)
+    if len(pdf) > 1:
+        neq = np.zeros(len(pdf) - 1, dtype=bool)
+        for c in cols:
+            neq |= c[1:] != c[:-1]
+        mask[1:] = neq
+    first = tuple(c[0] for c in cols)
+    mask[0] = carry is None or first != carry
+    return mask
+
+
+def _keyed_corpus(corpus: DataFrame, num_partitions: int) -> DataFrame:
+    """Range-partition + sort the corpus by (repo, path, commit): equal
+    keys co-located, global key order = partition order. The ONE wide
+    shuffle of the build; every downstream pass reuses its output."""
+    return (
+        corpus.repartitionByRange(num_partitions, *DOC_KEY)
+        .sortWithinPartitions(*DOC_KEY)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+
+
+def count_keys_per_partition(keyed: DataFrame) -> Dict[int, int]:
+    """Distinct-key count per range partition (narrow columns only —
+    content never crosses Arrow here). Feeds the dense-rank offsets."""
+
+    def count_dedup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid, n, carry = None, 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            n += int(_first_occurrence_mask(pdf, carry).sum())
+            carry = tuple(pdf[c].iloc[-1] for c in DOC_KEY)
+        if pid is not None:
+            yield pd.DataFrame({"_pid": [pid], "n": [n]})
+
+    return {
+        int(r["_pid"]): int(r["n"])
+        for r in keyed.select(*DOC_KEY, "_pid")
+        .mapInPandas(count_dedup, "_pid int, n long")
+        .collect()
+    }
+
+
+def offsets_from_counts(counts: Dict[int, int], base: int = 0):
+    offsets, acc = {}, base
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    return offsets, acc - base
 
 
 def assign_doc_ids(
@@ -166,21 +238,6 @@ def assign_doc_ids(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    def _first_occurrence_mask(pdf: pd.DataFrame, carry) -> np.ndarray:
-        """True where a row's key differs from the previous row's
-        (rows sorted by key); `carry` = last key of the previous batch."""
-        cols = [pdf[c].to_numpy(dtype=object) for c in DOC_KEY]
-        mask = np.zeros(len(pdf), dtype=bool)
-        mask[1:] = False
-        neq = np.zeros(len(pdf) - 1, dtype=bool) if len(pdf) > 1 else None
-        if neq is not None:
-            for c in cols:
-                neq |= c[1:] != c[:-1]
-            mask[1:] = neq
-        first = tuple(c[0] for c in cols)
-        mask[0] = carry is None or first != carry
-        return mask
-
     def count_dedup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid, n, carry = None, 0, None
         for pdf in batches:
@@ -194,7 +251,9 @@ def assign_doc_ids(
 
     counts = {
         int(r["_pid"]): int(r["n"])
-        for r in keyed.mapInPandas(count_dedup, "_pid int, n long").collect()
+        for r in keyed.select(*DOC_KEY, "_pid")  # prune content pre-Arrow
+        .mapInPandas(count_dedup, "_pid int, n long")
+        .collect()
     }
     offsets = {}
     acc = 0
@@ -223,23 +282,31 @@ def assign_doc_ids(
 
     out = keyed.mapInPandas(add_ids, schema=out_schema)
     if return_count:
-        return out, acc
+        return out, acc, keyed
     return out
 
 
-def build_segment_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
-    """applyInPandas kernel: one contiguous-docID segment in, postings
+def invert_segment(
+    seg_id: int,
+    doc_ids: np.ndarray,
+    token_lists: List[list],
+    pos_lists: List[list],
+    shas: List[str],
+    keys: Optional[dict] = None,
+) -> List[dict]:
+    """One contiguous-docID segment in (already tokenized), postings
     rows + one meta row out. The in-RAM inversion analogue
     (index/FreqProxTermsWriterPerField.java:161-245, term sort in UTF-8
     order TermsHashPerField.java:110-111 — Python str order == codepoint
-    order == UTF-8 byte order, so plain sort matches)."""
-    seg_id = int(key[0])
-    pdf = pdf.sort_values("doc_id", ignore_index=True)
-    doc_ids = pdf["doc_id"].to_numpy(np.int64)
+    order == UTF-8 byte order, so plain sort matches).
+
+    ``keys``: optional dict of per-doc stored-key lists (repo, path,
+    commit, lang) carried on the meta row as array columns — the docs
+    table is later exploded from them, so the corpus content makes
+    exactly ONE pass through Arrow during a build."""
+    doc_ids = np.asarray(doc_ids, np.int64)
     doc_base = int(doc_ids[0])
     n_docs = len(doc_ids)
-
-    token_lists, pos_lists = tokenize_series_positions(pdf["content"].tolist())
     lens = np.fromiter((len(t) for t in token_lists), np.int64, n_docs)
     with np.errstate(divide="ignore"):
         norm_bytes = np.atleast_1d(encode_norm(lens))
@@ -250,9 +317,7 @@ def build_segment_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
     len_lookup = np.zeros(span, dtype=np.int32)
     len_lookup[doc_ids - doc_base] = lens.astype(np.int32)
 
-    input_sha = hashlib.sha256(
-        "".join(pdf["content_sha256"].tolist()).encode()
-    ).hexdigest()
+    input_sha = hashlib.sha256("".join(shas).encode()).hexdigest()
 
     rows: List[dict] = []
     total_tokens = int(lens.sum())
@@ -327,9 +392,113 @@ def build_segment_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
              stf=None, doc_base=doc_base, doc_count=n_docs,
              sum_len=total_tokens, norms_enc=nb_lookup.tobytes(),
              doc_lens_enc=len_lookup.astype("<i4").tobytes(),
-             input_sha256=input_sha)
+             input_sha256=input_sha,
+             repos=None if keys is None else list(keys["repo"]),
+             paths=None if keys is None else list(keys["path"]),
+             commits=None if keys is None else list(keys["commit"]),
+             langs=None if keys is None else list(keys["lang"]),
+             shas=list(shas) if keys is not None else None)
     )
-    return pd.DataFrame(rows)
+    return rows
+
+
+_OUT_COLS = [f.split()[0].strip(", ") for f in SEGMENT_OUT_SCHEMA.split(", ")]
+
+
+_ARRAY_COLS = ("repos", "paths", "commits", "langs", "shas")
+
+
+def _rows_frame(rows: List[dict]) -> pd.DataFrame:
+    pdf = pd.DataFrame(rows)
+    for c in _OUT_COLS:  # postings rows omit the meta-only columns
+        if c not in pdf.columns:
+            pdf[c] = None
+    for c in _ARRAY_COLS:  # pandas fills missing keys with NaN; Arrow
+        pdf[c] = pdf[c].map(  # needs None for null array values
+            lambda v: v if isinstance(v, list) else None
+        )
+    return pdf[_OUT_COLS]
+
+
+def make_stream_builder(offsets: Dict[int, int], dps: int):
+    """mapInPandas factory: the whole IndexWriter hot path in ONE pass.
+
+    Input: the range-partitioned, key-sorted corpus (columns DOC_KEY +
+    lang + content + _pid). Per partition, streaming over Arrow batches:
+      - adjacent-duplicate keys collapse (updateDocuments one-row-per-key
+        ingest semantics; keys are co-located and sorted, so dedup is a
+        carry-aware adjacent compare),
+      - dense docIDs: offsets[_pid] + running index (deterministic: the
+        two-pass dense rank over (repo,path,commit), independent of
+        parallelism),
+      - sha256 per doc (the content invariant), tokenization (vectorized
+        chain), and segment flush at every docID multiple of ``dps`` —
+        a segment is a contiguous docID run within one dps-window, and
+        ``seg_id = first docID`` (unique + ordered; the DWPT flush-unit
+        analogue, index/DocumentsWriterPerThread.java).
+    The corpus content crosses JVM->Python exactly once and is never
+    shuffled again: postings, norms, doc-stats AND the stored-key arrays
+    (docs table source) all leave in the same output."""
+
+    def build_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        consumed = 0
+        carry = None
+        pend: Dict[str, list] = {
+            "ids": [], "toks": [], "poss": [], "shas": [],
+            "repo": [], "path": [], "commit": [], "lang": [],
+        }
+
+        def flush() -> Optional[pd.DataFrame]:
+            if not pend["ids"]:
+                return None
+            rows = invert_segment(
+                int(pend["ids"][0]),
+                np.asarray(pend["ids"], np.int64),
+                pend["toks"], pend["poss"], pend["shas"],
+                keys={k: pend[k] for k in ("repo", "path", "commit", "lang")},
+            )
+            for v in pend.values():
+                v.clear()
+            return _rows_frame(rows)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            mask = _first_occurrence_mask(pdf, carry)
+            carry = tuple(pdf[c].iloc[-1] for c in DOC_KEY)
+            pdf = pdf[mask]
+            if len(pdf) == 0:
+                continue
+            ids = offsets[pid] + consumed + np.arange(len(pdf), dtype=np.int64)
+            consumed += len(pdf)
+            contents = pdf["content"].tolist()
+            toks, poss = tokenize_series_positions(contents)
+            shas = [
+                hashlib.sha256(c.encode("utf-8")).hexdigest()
+                for c in contents
+            ]
+            cuts = np.nonzero(ids % dps == 0)[0]
+            bounds = sorted({0, len(ids), *cuts.tolist()})
+            cut_set = set(cuts.tolist())
+            cols = {c: pdf[c].tolist() for c in ("repo", "path", "commit",
+                                                 "lang")}
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                if lo in cut_set and pend["ids"]:
+                    out = flush()
+                    if out is not None:
+                        yield out
+                pend["ids"].extend(ids[lo:hi].tolist())
+                pend["toks"].extend(toks[lo:hi])
+                pend["poss"].extend(poss[lo:hi])
+                pend["shas"].extend(shas[lo:hi])
+                for c in ("repo", "path", "commit", "lang"):
+                    pend[c].extend(cols[c][lo:hi])
+        out = flush()
+        if out is not None:
+            yield out
+
+    return build_stream
 
 
 class IndexWriter:
@@ -347,99 +516,88 @@ class IndexWriter:
         self.docs_per_segment = int(docs_per_segment)
         self.n_batches = int(n_batches)
 
-    # -- stage 1: docs --------------------------------------------------
-    def _docs_snapshot(self, corpus: DataFrame, resume: bool) -> Snapshot:
+    # -- stage 1: plan (shuffle + counts -> dense-rank offsets) -----------
+    def _plan_snapshot(self, corpus: DataFrame, resume: bool) -> Snapshot:
         snap = self.catalog.latest_at_stage(
             "docs", "segments", "commit", "merge", "delete"
         )
         if resume and snap is not None:
             return snap
-        assigned, n_docs = assign_doc_ids(corpus, return_count=True)
-        docs = assigned.withColumn(
-            "content_sha256", F.sha2(F.col("content"), 256)
-        )
-        # fresh build: reuse the assigned frame directly downstream —
-        # avoids re-joining content onto the docs table by DOC_KEY (a
-        # second full shuffle of the corpus at 100 TB); the join path
-        # below remains for resume-from-snapshot. NOT persisted: the
-        # range-partitioned `keyed` frame inside assign_doc_ids is the
-        # single cached copy of the corpus; recomputing the cheap
-        # add-ids+sha map from it beats holding a second full-content
-        # copy in the storage pool (memory churn dominated the build at
-        # high core counts).
-        self._assigned = docs
-        path = self.catalog.path("docs")
-        (
-            self._assigned.drop("content")
-            .write.mode("overwrite").parquet(path)
-        )
+        # partition granularity: several partitions per core so the
+        # tokenize stage load-balances (doc lengths vary); recorded in
+        # props so a resume reproduces identical range boundaries
+        P = 4 * self.spark.sparkContext.defaultParallelism
+        keyed = _keyed_corpus(corpus, P)
+        counts = count_keys_per_partition(keyed)
+        _, n_docs = offsets_from_counts(counts)
         return self.catalog.commit(
             "docs",
-            tables={"docs": path},
+            tables={},
             props={
                 "n_docs": n_docs,
                 "docs_per_segment": self.docs_per_segment,
                 "n_batches": self.n_batches,
+                "num_partitions": P,
+                "counts": {str(k): v for k, v in counts.items()},
             },
         )
 
-    # -- stage 2: segments (batched, resumable) ---------------------------
-    def _docs_with_content(self, corpus: DataFrame) -> DataFrame:
-        assigned = getattr(self, "_assigned", None)
-        if assigned is not None:
-            return assigned
-        docs = self.spark.read.parquet(self.catalog.path("docs"))
-        return docs.join(
-            corpus.dropDuplicates(DOC_KEY).select(*DOC_KEY, "content"),
-            on=DOC_KEY,
-            how="inner",
-        )
-
+    # -- stage 2: segments (batched, resumable, single-pass) --------------
     def build(self, corpus: DataFrame, resume: bool = True) -> Snapshot:
-        snap = self._docs_snapshot(corpus, resume)
+        """The whole write path (SURVEY.md section 3.2) in its scalable
+        shape: ONE wide shuffle (range partition by doc key), ONE
+        JVM->Python Arrow crossing (make_stream_builder: dedup + docIDs
+        + sha256 + tokenize + invert + encode), then narrow aggregates.
+        Batches = contiguous ranges of shuffle partitions; each batch
+        commit is a resumable snapshot; the shuffle map stage is reused
+        across batch jobs (same exchange, skipped stages)."""
+        snap = self._plan_snapshot(corpus, resume)
         if snap.stage in ("commit", "merge", "delete") and resume:
             return snap
         props = snap.props
-        n_docs = int(props["n_docs"])
         dps = int(props.get("docs_per_segment", self.docs_per_segment))
         n_batches = int(props.get("n_batches", self.n_batches))
-        n_segs = max((n_docs + dps - 1) // dps, 1)
-        segs_per_batch = max((n_segs + n_batches - 1) // n_batches, 1)
+        P = int(props["num_partitions"])
+        counts = {int(k): int(v) for k, v in props["counts"].items()}
+        offsets, _ = offsets_from_counts(counts)
+        ppb = max((P + n_batches - 1) // n_batches, 1)
 
         done = set(snap.props.get("batches_done", []))
         if snap.stage == "docs":
             done = set()
-        dwc = None
         lineage_acc = list(snap.lineage) if snap.stage == "segments" else []
+        keyed = _keyed_corpus(corpus, P)
+        # the counts pass shuffles only the key columns (Catalyst prunes
+        # content below the exchange), so with one batch the corpus
+        # content is shuffled exactly once, by the segment pass. Spark
+        # does NOT reuse a shuffle across separate actions, so multi-
+        # batch builds cache the shuffled corpus instead of re-shuffling
+        # it per batch job.
+        if n_batches - len(done) > 1:
+            keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        builder = make_stream_builder(offsets, dps)
         for b in range(n_batches):
-            lo_seg = b * segs_per_batch
-            if lo_seg >= n_segs:
+            lo = b * ppb
+            if lo >= P:
                 break
             if b in done:
                 continue
-            if dwc is None:
-                dwc = self._docs_with_content(corpus).withColumn(
-                    "seg_id", (F.col("doc_id") / F.lit(dps)).cast("long")
-                ).persist(StorageLevel.MEMORY_AND_DISK)
-            hi_seg = min((b + 1) * segs_per_batch, n_segs)
-            batch_df = dwc.filter(
-                (F.col("seg_id") >= lo_seg) & (F.col("seg_id") < hi_seg)
-            ).select("seg_id", "doc_id", "content", "content_sha256")
-            out = batch_df.groupBy("seg_id").applyInPandas(
-                build_segment_udf, schema=SEGMENT_OUT_SCHEMA
+            hi = min((b + 1) * ppb, P)
+            part = keyed.filter(
+                (F.col("_pid") >= lo) & (F.col("_pid") < hi)
             )
+            out = part.mapInPandas(builder, schema=SEGMENT_OUT_SCHEMA)
             path = self.catalog.path("seg", f"batch={b}")
             out.write.mode("overwrite").partitionBy("is_meta").parquet(path)
             lineage_acc.extend(self._batch_lineage(path, b))
             done.add(b)
             self.catalog.commit(
                 "segments",
-                tables={"docs": self.catalog.path("docs")},
+                tables={},
                 props={**props, "batches_done": sorted(done)},
                 lineage=lineage_acc,
             )
-        if dwc is not None:
-            dwc.unpersist()
+        keyed.unpersist()
         return self._finalize(props, sorted(done), lineage_acc)
 
     def _batch_lineage(self, path: str, batch: int) -> List[dict]:
@@ -499,19 +657,56 @@ class IndexWriter:
         os.makedirs(os.path.dirname(coll_path), exist_ok=True)
         with open(coll_path, "w") as f:
             json.dump(coll, f)
+        docs_path = self.catalog.path("docs")
+        write_docs_table(
+            self.spark, batch_paths, self.catalog.path("seg"), docs_path
+        )
+        dps = int(props.get("docs_per_segment", self.docs_per_segment))
         return self.catalog.commit(
             "commit",
             tables={
-                "docs": self.catalog.path("docs"),
+                "docs": docs_path,
                 "postings": batch_paths,
                 "segments": batch_paths,
                 "term_stats": term_stats_path,
                 "collection_stats": coll_path,
             },
-            props={**props, "batches_done": done, "group_factor": 1,
+            # group_factor is in DOC units: scoring group g covers
+            # doc_ids [g*gf, (g+1)*gf). Initial gf = docs_per_segment
+            # (a segment never crosses a dps-aligned boundary).
+            props={**props, "batches_done": done, "group_factor": dps,
                    "format_version": FORMAT_VERSION, **coll},
             lineage=lineage,
         )
+
+
+def write_docs_table(
+    spark: SparkSession, batch_paths, base_path: str, docs_path: str,
+    mode: str = "overwrite",
+) -> None:
+    """Explode the per-segment stored-key arrays (meta rows) into the
+    relational docs table (doc_id, repo, path, commit, lang,
+    content_sha256). Narrow and parallel: content never re-read; doc_id
+    = doc_base + position in the arrays (docIDs are contiguous within a
+    segment by construction)."""
+    _, meta = read_segment_output(spark, batch_paths, base_path)
+    z = F.arrays_zip(
+        F.col("repos").alias("repo"), F.col("paths").alias("path"),
+        F.col("commits").alias("commit"), F.col("langs").alias("lang"),
+        F.col("shas").alias("content_sha256"),
+    )
+    (
+        meta.select("doc_base", F.posexplode(z).alias("i", "kv"))
+        .select(
+            (F.col("doc_base") + F.col("i")).alias("doc_id"),
+            F.col("kv.repo").alias("repo"),
+            F.col("kv.path").alias("path"),
+            F.col("kv.commit").alias("commit"),
+            F.col("kv.lang").alias("lang"),
+            F.col("kv.content_sha256").alias("content_sha256"),
+        )
+        .write.mode(mode).parquet(docs_path)
+    )
 
 
 # -- merge (forceMerge / SegmentMerger analogue) ---------------------------
@@ -525,12 +720,15 @@ MERGED_SCHEMA = (
 def _make_merge_udf(new_gfac: int):
     """Factory for the per-(term, group) merge kernel.
 
-    Invariant maintained inductively: postings.seg_id is ALWAYS in
-    original-segment units — a merged row carries the first original
-    seg id of its group (+ a chunk offset < new_gfac when split by
+    Invariant maintained inductively: seg_id is in DOC units (a segment
+    row's seg_id is >= its group's first docID and < the next group's).
+    A merged row carries gid * new_gfac + chunk_index — ascending with
+    the chunk's doc range and inside the group's docID window (chunk
+    count per group is bounded far below new_gfac by
     MAX_POSTINGS_PER_ROW), so `seg_id // group_factor` addresses the
     same scoring group for postings and segment norms at any number of
-    successive merges."""
+    successive merges, and sorting rows by seg_id always yields
+    ascending disjoint doc ranges."""
     from lucene_solr_spark.constants import MAX_POSTINGS_PER_ROW
 
     def _merge_one_term(term, gid, lo, hi, c_df, c_doc, c_tf, c_skip,
@@ -652,10 +850,21 @@ def merge_postings(
     with_gid = sdf.withColumn(
         "gid", (F.col("seg_id") / F.lit(gfac)).cast("long")
     )
+    # second salt dimension: term-hash bucket. The merge kernel is
+    # per-term, so bucketing terms only raises task-level parallelism —
+    # output rows are identical. Without it the task count is n_gids,
+    # which underfills the cluster after heavy compaction (the measured
+    # 8->32-core merge speedup was 1.09x before this).
+    par = spark.sparkContext.defaultParallelism
+    n_gids = max(-(-int(snap.props.get("max_doc", 0)) // gfac), 1)
+    n_buckets = max(1, -(-4 * par // n_gids))
+    with_gid = with_gid.withColumn(
+        "tb", F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    )
     merged = with_gid.select(
-        "term", "gid", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc",
+        "term", "gid", "tb", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc",
         "skips_enc", "pos_enc", "sdoc", "stf"
-    ).groupBy("gid").applyInPandas(
+    ).groupBy("gid", "tb").applyInPandas(
         _make_merge_udf(gfac), schema=MERGED_SCHEMA
     )
     gen = snap.snapshot_id + 1
@@ -701,36 +910,32 @@ def append_documents(
     props = dict(snap.props)
     n0 = int(props["max_doc"])
     dps = int(props.get("docs_per_segment", DEFAULT_DOCS_PER_SEGMENT))
-    next_seg = int(props.get("next_seg", (n0 + dps - 1) // dps))
 
-    assigned, n_new = assign_doc_ids(corpus, return_count=True)
+    # same single-pass shape as build: one range shuffle of the delta,
+    # one Arrow crossing; new docIDs continue the dense space at n0, so
+    # appended segments (seg_id = doc_base >= n0) slot into existing
+    # scoring groups by construction
+    par = spark.sparkContext.defaultParallelism
+    P = 4 * par
+    keyed = _keyed_corpus(corpus, P)
+    counts = count_keys_per_partition(keyed)
+    offsets, n_new = offsets_from_counts(counts, base=n0)
     if n_new == 0:
         return snap
-    new_docs = (
-        assigned.withColumn("doc_id", F.col("doc_id") + F.lit(n0))
-        .withColumn("content_sha256", F.sha2(F.col("content"), 256))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    gen = snap.snapshot_id + 1
+    path = cat.path("seg", f"append-{gen}")
+    (
+        keyed.mapInPandas(
+            make_stream_builder(offsets, dps), schema=SEGMENT_OUT_SCHEMA
+        )
+        .write.mode("overwrite").partitionBy("is_meta").parquet(path)
     )
     docs_path = snap.tables["docs"]
     existing = spark.read.parquet(docs_path)
     replaced = existing.join(
-        new_docs.select(*DOC_KEY), DOC_KEY, "inner"
+        corpus.select(*DOC_KEY).dropDuplicates(DOC_KEY), DOC_KEY, "inner"
     ).select("doc_id")
-
-    batch = new_docs.withColumn(
-        "seg_id",
-        F.lit(next_seg)
-        + ((F.col("doc_id") - F.lit(n0)) / F.lit(dps)).cast("long"),
-    )
-    gen = snap.snapshot_id + 1
-    path = cat.path("seg", f"append-{gen}")
-    (
-        batch.select("seg_id", "doc_id", "content", "content_sha256")
-        .groupBy("seg_id")
-        .applyInPandas(build_segment_udf, schema=SEGMENT_OUT_SCHEMA)
-        .write.mode("overwrite").partitionBy("is_meta").parquet(path)
-    )
-    new_docs.drop("content").write.mode("append").parquet(docs_path)
+    write_docs_table(spark, path, cat.path("seg"), docs_path, mode="append")
 
     # incremental stats: old + delta, never a full re-aggregation
     apost, ameta = read_segment_output(spark, path, cat.path("seg"))
@@ -764,19 +969,16 @@ def append_documents(
     tables["segments"] = _as_list(tables["segments"]) + [path]
     tables["term_stats"] = ts_path
     tables["collection_stats"] = coll_path
-    n_segs_new = (n_new + dps - 1) // dps
-    out = cat.commit(
+    cat.commit(
         "commit",
         tables=tables,
         props={
             **props,
             **coll,
             "n_docs": coll["max_doc"],
-            "next_seg": next_seg + n_segs_new,
         },
         lineage=snap.lineage,
     )
-    new_docs.unpersist()
     # updateDocuments: old versions of replaced keys become tombstones
     return delete_docs(spark, index_dir, replaced)
 

@@ -378,6 +378,114 @@ class IndexSearcher:
         )
         return out if k is None else out.limit(k)
 
+    def search_many(
+        self,
+        queries: List,
+        k: int = 10,
+        wand: bool = True,
+    ) -> DataFrame:
+        """Batched query execution: the whole query set in ONE Spark job.
+
+        Each element is either a dict {query_text, mode, mm, exclude}
+        (term/boolean query, same surface as ``search``) or a plain
+        string (exact phrase, same surface as ``search_phrase``).
+        Returns (query_id, doc_id, score), top-k per query, ordered
+        (query_id, score desc, doc_id asc).
+
+        This is the high-QPS shape at cluster scale: per-query results
+        are identical to ``search``/``search_phrase`` (the same kernels
+        run, one per query, inside a single cogroup pass), but N queries
+        cost one scheduling round + one shuffle instead of N — the
+        multi-client QPS analogue of Lucene's shared IndexSearcher
+        (search/IndexSearcher.java:428-462 slice executor, amortized
+        across a whole query batch)."""
+        from lucene_solr_spark.functions.analysis import analyze_with_positions
+        from lucene_solr_spark.functions.bm25 import idf as _idf
+
+        out_schema = "query_id int, doc_id long, score float"
+        # warm the df cache with every term in the batch in ONE scan
+        probe: set = set()
+        for q in queries:
+            if isinstance(q, str):
+                probe.update(t for t, _ in analyze_with_positions(q))
+            else:
+                probe.update(analyze(q.get("query_text", "")))
+                probe.update(analyze(q.get("exclude", "")))
+        self._lookup_dfs(sorted(probe))
+
+        subkernels: List[Tuple[int, List[str], object]] = []
+        fetch: set = set()
+        for qid, q in enumerate(queries):
+            if isinstance(q, str):
+                tp = analyze_with_positions(q)
+                if not tp:
+                    continue
+                p0 = tp[0][1]
+                offsets = [(t, p - p0) for t, p in tp]
+                uniq = list(dict.fromkeys(t for t, _ in offsets))
+                dfs = self._lookup_dfs(uniq)
+                if any(t not in dfs for t in uniq):
+                    continue
+                w = F32(0.0)
+                for t, _ in offsets:  # f32 accumulation in clause order
+                    w = F32(w + _idf(dfs[t], self.max_doc))
+                kern = make_phrase_scorer(
+                    offsets, F32(w * K1_PLUS_1), self.cache, k
+                )
+                terms = uniq
+            else:
+                plan = self.plan(
+                    q.get("query_text", ""), k, q.get("mode", "or"),
+                    q.get("mm", 0), q.get("exclude", ""),
+                )
+                if plan.empty:
+                    continue
+                kern = make_group_scorer(plan, wand)
+                terms = plan.terms + plan.exclude_terms
+            subkernels.append((qid, sorted(set(terms)), kern))
+            fetch.update(terms)
+        if not subkernels:
+            return self.spark.createDataFrame([], out_schema)
+
+        gf = self.group_factor
+        posts = self._postings.filter(
+            F.col("term").isin(sorted(fetch))
+        ).withColumn("gid", (F.col("seg_id") / F.lit(gf)).cast("long"))
+        kernels = subkernels
+
+        def multi(posts_pdf: pd.DataFrame, segs_pdf: pd.DataFrame):
+            outs = []
+            for qid, terms, kern in kernels:
+                sub = posts_pdf[posts_pdf["term"].isin(terms)]
+                r = kern(sub, segs_pdf)
+                if len(r):
+                    r.insert(0, "query_id", np.int32(qid))
+                    outs.append(r)
+            if not outs:
+                return pd.DataFrame(
+                    {"query_id": pd.Series(dtype="int32"),
+                     "doc_id": pd.Series(dtype="int64"),
+                     "score": pd.Series(dtype="float32")}
+                )
+            return pd.concat(outs, ignore_index=True)
+
+        per_group = (
+            posts.groupBy("gid")
+            .cogroup(self._segments.groupBy("gid"))
+            .applyInPandas(multi, schema=out_schema)
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        return (
+            per_group.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+        )
+
     # -- auxiliary read surfaces ------------------------------------------
     def doc_stats(self) -> DataFrame:
         """Per-doc (doc_id, doc_len, norm_byte): the NormsReader analogue

@@ -264,6 +264,33 @@ def test_boosted_function_query(spark, built):
     ]
 
 
+def test_search_many_matches_individual(spark, built):
+    """Batched execution: search_many must return bit-identical top-k
+    per query vs the single-query paths (same kernels, one job)."""
+    from lucene_solr_spark.fixtures import PHRASE_QUERY_SET, QUERY_SET
+
+    index_dir, _ = built
+    s = IndexSearcher(spark, index_dir)
+    batch = list(QUERY_SET[:6]) + list(PHRASE_QUERY_SET[:2])
+    res = s.search_many(batch, k=10).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], np.float32(r["score"]))
+        )
+    for qid, q in enumerate(batch):
+        if isinstance(q, str):
+            want_df = s.search_phrase(q, k=10)
+        else:
+            want_df = s.search(
+                q["query_text"], k=10, mode=q["mode"],
+                min_should_match=q["mm"], exclude=q["exclude"],
+            )
+        want = [(r["doc_id"], np.float32(r["score"]))
+                for r in want_df.collect()]
+        assert got.get(qid, []) == want, f"batch query {qid} diverges"
+
+
 def test_assign_doc_ids_dedupes_duplicate_keys(spark):
     """updateDocuments ingest semantics: duplicate (repo, path, commit)
     keys collapse to ONE row; dense rank unaffected by duplication
@@ -279,8 +306,8 @@ def test_assign_doc_ids_dedupes_duplicate_keys(spark):
         if i % 3 == 0:
             rows.append(dict(r))  # duplicate key
     corpus = spark.createDataFrame(rows, schema=CORPUS_SCHEMA)
-    out, n = assign_doc_ids(corpus.repartition(7), num_partitions=3,
-                            return_count=True)
+    out, n, _keyed = assign_doc_ids(corpus.repartition(7), num_partitions=3,
+                                    return_count=True)
     got = sorted(
         (r["repo"], r["path"], r["doc_id"]) for r in out.collect()
     )

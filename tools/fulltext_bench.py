@@ -89,14 +89,22 @@ def main() -> None:
     lat = sorted(timings.values())
     p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))]
 
-    # throughput leg: concurrent submission (the multi-client QPS shape;
-    # Spark schedules the per-query jobs' tasks across all cores)
-    from concurrent.futures import ThreadPoolExecutor
-    workload = (list(QUERY_SET) + list(PHRASE_QUERY_SET)) * args.reps
+    # throughput leg: batched execution (search_many) — the whole query
+    # set in one job per rep; the multi-client QPS shape with scheduling
+    # amortized, scaling with task parallelism not client count
+    workload = list(QUERY_SET) + list(PHRASE_QUERY_SET)
+    batch = [
+        (q if isinstance(q, str)
+         else {"query_text": q["query_text"], "mode": q["mode"],
+               "mm": q["mm"], "exclude": q["exclude"]})
+        for q in workload
+    ]
+    searcher.search_many(batch, k=10).collect()  # warm
     tq = time.time()
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        list(pool.map(run_one, workload))
+    for _ in range(args.reps):
+        searcher.search_many(batch, k=10).collect()
     query_total = time.time() - tq
+    workload = workload * args.reps
 
     print(json.dumps({
         "cpus": args.cpus,

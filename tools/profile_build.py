@@ -14,7 +14,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from lucene_solr_spark.corpusgen import generate_corpus  # noqa: E402
-from lucene_solr_spark.indexing.build import IndexWriter, merge_postings  # noqa: E402
+from lucene_solr_spark.indexing.build import (  # noqa: E402
+    IndexWriter,
+    count_keys_per_partition,
+    _keyed_corpus,
+    make_stream_builder,
+    merge_postings,
+    offsets_from_counts,
+    SEGMENT_OUT_SCHEMA,
+)
 from lucene_solr_spark.session import get_spark  # noqa: E402
 
 
@@ -48,35 +56,29 @@ def main() -> None:
 
     w = IndexWriter(spark, index_dir, docs_per_segment=args.dps, n_batches=1)
 
+    P = 4 * spark.sparkContext.defaultParallelism
     t = time.time()
-    snap = w._docs_snapshot(corpus, resume=False)
-    t = mark("docs_snapshot(assign+sha+write)", t)
-    props = snap.props
-    import pyspark.sql.functions as F
-    from pyspark import StorageLevel
+    keyed = _keyed_corpus(corpus, P)
+    counts = count_keys_per_partition(keyed)
+    offsets, n_docs = offsets_from_counts(counts)
+    t = mark("counts(narrow shuffle)", t)
 
-    dps = args.dps
-    dwc = w._docs_with_content(corpus).withColumn(
-        "seg_id", (F.col("doc_id") / F.lit(dps)).cast("long")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    dwc.count()
-    t = mark("dwc_persist", t)
-    from lucene_solr_spark.indexing.build import (
-        SEGMENT_OUT_SCHEMA,
-        build_segment_udf,
-    )
-
-    batch_df = dwc.select("seg_id", "doc_id", "content", "content_sha256")
-    out = batch_df.groupBy("seg_id").applyInPandas(
-        build_segment_udf, schema=SEGMENT_OUT_SCHEMA
+    out = keyed.mapInPandas(
+        make_stream_builder(offsets, args.dps), schema=SEGMENT_OUT_SCHEMA
     )
     path = w.catalog.path("seg", "batch=0")
     out.write.mode("overwrite").partitionBy("is_meta").parquet(path)
-    t = mark("segment_build+write", t)
+    t = mark("segment_pass(shuffle+tokenize+encode+write)", t)
+
     lin = w._batch_lineage(path, 0)
     t = mark("lineage", t)
+    props = {
+        "n_docs": n_docs, "docs_per_segment": args.dps, "n_batches": 1,
+        "num_partitions": P,
+        "counts": {str(k): v for k, v in counts.items()},
+    }
     w._finalize(props, [0], lin)
-    t = mark("finalize(term_stats)", t)
+    t = mark("finalize(term_stats+docs)", t)
     t = time.time()
     merge_postings(spark, index_dir, segs_per_group=8)
     mark("merge", t)
