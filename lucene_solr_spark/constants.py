@@ -43,4 +43,7 @@ MAX_POSTINGS_PER_ROW = 1 << 19
 # skew handling is ours — AQE cannot split inside one groupBy key).
 SKEW_DF_THRESHOLD = 1 << 20
 
-FORMAT_VERSION = 3  # v3: seg_id = doc_base (doc-unit groups), meta key arrays
+# v3: seg_id = doc_base (doc-unit groups), meta key arrays
+# v4: self-contained blocks (skip entries carry the docID base) ->
+#     concat-only merge; multi-part prox streams with pos_cnts
+FORMAT_VERSION = 4

@@ -64,13 +64,9 @@ from lucene_solr_spark.constants import DEFAULT_DOCS_PER_SEGMENT, FORMAT_VERSION
 from lucene_solr_spark.functions.analysis import tokenize_series_positions
 from lucene_solr_spark.functions.smallfloat import encode_norm
 from lucene_solr_spark.indexing.codec import (
-    decode_postings,
-    decode_prox,
-    decode_skips,
-    deltas_from_positions,
+    concat_postings,
     encode_postings,
     encode_prox,
-    positions_from_deltas,
 )
 
 DOC_KEY = ["repo", "path", "commit"]
@@ -139,7 +135,7 @@ def read_segments_any(spark: SparkSession, entries) -> DataFrame:
 SEGMENT_OUT_SCHEMA = (
     "is_meta boolean, term string, seg_id long, df long, cf long, "
     "doc_ids_enc binary, tfs_enc binary, skips_enc binary, "
-    "pos_enc binary, sdoc long, stf long, "
+    "pos_enc binary, pos_cnts binary, sdoc long, stf long, "
     "doc_base long, doc_count long, sum_len long, "
     "norms_enc binary, doc_lens_enc binary, input_sha256 string, "
     "repos array<string>, paths array<string>, commits array<string>, "
@@ -148,7 +144,7 @@ SEGMENT_OUT_SCHEMA = (
 
 _POSTING_COLS = [
     "term", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc", "skips_enc",
-    "pos_enc", "sdoc", "stf",
+    "pos_enc", "pos_cnts", "sdoc", "stf",
 ]
 _META_COLS = [
     "seg_id", "doc_base", "doc_count", "sum_len", "norms_enc",
@@ -171,38 +167,103 @@ def _first_occurrence_mask(pdf: pd.DataFrame, carry) -> np.ndarray:
     return mask
 
 
-def _keyed_corpus(corpus: DataFrame, num_partitions: int) -> DataFrame:
-    """Range-partition + sort the corpus by (repo, path, commit): equal
-    keys co-located, global key order = partition order. The ONE wide
-    shuffle of the build; every downstream pass reuses its output."""
+KEY_SEP = "\x00"  # composite-key separator; lexicographic on the
+# joined string == tuple order provided components contain no NUL
+
+
+def _composite_key() -> F.Column:
+    return F.concat_ws(KEY_SEP, *DOC_KEY)
+
+
+def compute_key_bounds(corpus: DataFrame, num_buckets: int) -> List[str]:
+    """DETERMINISTIC key-range boundaries (num_buckets-1 composite keys).
+
+    Spark's repartitionByRange samples with an RDD-id-dependent seed, so
+    two jobs over the same data can disagree on boundaries — fatal here,
+    because the counts pass and the segment pass must see identical
+    buckets, and a resumed build (new process) must reproduce the
+    boundaries recorded in its snapshot. This sampler has no RNG at
+    all: evenly strided keys per input partition, quantiles on the
+    driver. Boundaries are stored in snapshot props and reused."""
+    keys = corpus.select(_composite_key().alias("k"))
+
+    def sample_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: List[str] = []
+        for pdf in batches:
+            buf.extend(pdf["k"].tolist())
+        if buf:
+            buf.sort()
+            step = max(len(buf) // 512, 1)
+            yield pd.DataFrame({"k": buf[::step]})
+
+    samp = sorted(
+        r["k"] for r in keys.mapInPandas(sample_part, "k string").collect()
+    )
+    if not samp:
+        return []
+    bounds = {
+        samp[min(int(len(samp) * i / num_buckets), len(samp) - 1)]
+        for i in range(1, num_buckets)
+    }
+    return sorted(bounds)
+
+
+def _keyed_corpus(corpus: DataFrame, bounds: List[str]) -> DataFrame:
+    """Bucket + shuffle + sort the corpus by (repo, path, commit): equal
+    keys co-located, bucket order == key order. The ONE wide shuffle of
+    the build. All downstream logic keys off the deterministic ``_bkt``
+    column (bucket = f(key, stored bounds)) — NEVER off physical
+    partition ids, so any job, process, or AQE decision sees the same
+    bucketing. Range-partitioning on the int bucket never splits a
+    bucket across partitions (it may co-locate several — handled)."""
+    barr = np.array(bounds, dtype=object)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bucket_of(k: pd.Series) -> pd.Series:
+        return pd.Series(
+            np.searchsorted(barr, k.to_numpy(dtype=object), side="right")
+            .astype(np.int32)
+        )
+
+    nb = len(bounds) + 1
     return (
-        corpus.repartitionByRange(num_partitions, *DOC_KEY)
+        corpus.withColumn("_bkt", bucket_of(_composite_key()))
+        .repartitionByRange(nb, "_bkt")
         .sortWithinPartitions(*DOC_KEY)
-        .withColumn("_pid", F.spark_partition_id())
     )
 
 
-def count_keys_per_partition(keyed: DataFrame) -> Dict[int, int]:
-    """Distinct-key count per range partition (narrow columns only —
-    content never crosses Arrow here). Feeds the dense-rank offsets."""
+def count_keys_per_bucket(keyed: DataFrame) -> Dict[int, int]:
+    """Distinct-key count per bucket (narrow columns only — content
+    never crosses Arrow here). Feeds the dense-rank offsets."""
 
     def count_dedup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid, n, carry = None, 0, None
+        acc: Dict[int, int] = {}
+        carry = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
-            n += int(_first_occurrence_mask(pdf, carry).sum())
+            mask = _first_occurrence_mask(pdf, carry)
             carry = tuple(pdf[c].iloc[-1] for c in DOC_KEY)
-        if pid is not None:
-            yield pd.DataFrame({"_pid": [pid], "n": [n]})
+            bkt = pdf["_bkt"].to_numpy(np.int64)[mask]
+            u, c = np.unique(bkt, return_counts=True)
+            for b, n in zip(u.tolist(), c.tolist()):
+                acc[b] = acc.get(b, 0) + n
+        if acc:
+            yield pd.DataFrame(
+                {"_bkt": list(acc), "n": list(acc.values())}
+            )
 
-    return {
-        int(r["_pid"]): int(r["n"])
-        for r in keyed.select(*DOC_KEY, "_pid")
-        .mapInPandas(count_dedup, "_pid int, n long")
+    out: Dict[int, int] = {}
+    for r in (
+        keyed.select(*DOC_KEY, "_bkt")
+        .mapInPandas(count_dedup, "_bkt int, n long")
         .collect()
-    }
+    ):
+        out[int(r["_bkt"])] = out.get(int(r["_bkt"]), 0) + int(r["n"])
+    return out
 
 
 def offsets_from_counts(counts: Dict[int, int], base: int = 0):
@@ -441,7 +502,7 @@ def make_stream_builder(offsets: Dict[int, int], dps: int):
     (docs table source) all leave in the same output."""
 
     def build_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        consumed = 0
+        consumed: Dict[int, int] = {}
         carry = None
         pend: Dict[str, list] = {
             "ids": [], "toks": [], "poss": [], "shas": [],
@@ -464,27 +525,45 @@ def make_stream_builder(offsets: Dict[int, int], dps: int):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            pid = int(pdf["_pid"].iloc[0])
             mask = _first_occurrence_mask(pdf, carry)
             carry = tuple(pdf[c].iloc[-1] for c in DOC_KEY)
             pdf = pdf[mask]
             if len(pdf) == 0:
                 continue
-            ids = offsets[pid] + consumed + np.arange(len(pdf), dtype=np.int64)
-            consumed += len(pdf)
+            bkts = pdf["_bkt"].to_numpy(np.int64)
+            # rows are key-sorted and bucket order == key order, so
+            # buckets form nondecreasing runs; docIDs continue each
+            # bucket's dense range
+            ids = np.empty(len(bkts), dtype=np.int64)
+            run_starts = np.nonzero(
+                np.diff(bkts, prepend=bkts[0] - 1)
+            )[0].tolist() + [len(bkts)]
+            for rlo, rhi in zip(run_starts[:-1], run_starts[1:]):
+                b = int(bkts[rlo])
+                seen = consumed.get(b, 0)
+                ids[rlo:rhi] = offsets[b] + seen + np.arange(
+                    rhi - rlo, dtype=np.int64
+                )
+                consumed[b] = seen + (rhi - rlo)
             contents = pdf["content"].tolist()
             toks, poss = tokenize_series_positions(contents)
             shas = [
                 hashlib.sha256(c.encode("utf-8")).hexdigest()
                 for c in contents
             ]
-            cuts = np.nonzero(ids % dps == 0)[0]
-            bounds = sorted({0, len(ids), *cuts.tolist()})
-            cut_set = set(cuts.tolist())
+            # segment cuts: dps-aligned docID boundaries AND docID
+            # discontinuities (bucket transitions jump the id space) —
+            # including a discontinuity at the Arrow batch boundary
+            disc = np.nonzero(np.diff(ids) != 1)[0] + 1
+            cuts = set(np.nonzero(ids % dps == 0)[0].tolist())
+            cuts.update(disc.tolist())
+            if pend["ids"] and ids[0] != pend["ids"][-1] + 1:
+                cuts.add(0)
+            bounds = sorted({0, len(ids), *cuts})
             cols = {c: pdf[c].tolist() for c in ("repo", "path", "commit",
                                                  "lang")}
             for lo, hi in zip(bounds[:-1], bounds[1:]):
-                if lo in cut_set and pend["ids"]:
+                if lo in cuts and pend["ids"]:
                     out = flush()
                     if out is not None:
                         yield out
@@ -516,19 +595,21 @@ class IndexWriter:
         self.docs_per_segment = int(docs_per_segment)
         self.n_batches = int(n_batches)
 
-    # -- stage 1: plan (shuffle + counts -> dense-rank offsets) -----------
+    # -- stage 1: plan (bounds + counts -> dense-rank offsets) ------------
     def _plan_snapshot(self, corpus: DataFrame, resume: bool) -> Snapshot:
         snap = self.catalog.latest_at_stage(
             "docs", "segments", "commit", "merge", "delete"
         )
         if resume and snap is not None:
             return snap
-        # partition granularity: several partitions per core so the
-        # tokenize stage load-balances (doc lengths vary); recorded in
-        # props so a resume reproduces identical range boundaries
+        # bucket granularity: several buckets per core so the tokenize
+        # stage load-balances (doc lengths vary); bounds recorded in
+        # props, so every job and every resumed process reproduces the
+        # identical bucketing
         P = 4 * self.spark.sparkContext.defaultParallelism
-        keyed = _keyed_corpus(corpus, P)
-        counts = count_keys_per_partition(keyed)
+        bounds = compute_key_bounds(corpus, P)
+        keyed = _keyed_corpus(corpus, bounds)
+        counts = count_keys_per_bucket(keyed)
         _, n_docs = offsets_from_counts(counts)
         return self.catalog.commit(
             "docs",
@@ -537,7 +618,7 @@ class IndexWriter:
                 "n_docs": n_docs,
                 "docs_per_segment": self.docs_per_segment,
                 "n_batches": self.n_batches,
-                "num_partitions": P,
+                "key_bounds": bounds,
                 "counts": {str(k): v for k, v in counts.items()},
             },
         )
@@ -545,28 +626,30 @@ class IndexWriter:
     # -- stage 2: segments (batched, resumable, single-pass) --------------
     def build(self, corpus: DataFrame, resume: bool = True) -> Snapshot:
         """The whole write path (SURVEY.md section 3.2) in its scalable
-        shape: ONE wide shuffle (range partition by doc key), ONE
-        JVM->Python Arrow crossing (make_stream_builder: dedup + docIDs
-        + sha256 + tokenize + invert + encode), then narrow aggregates.
-        Batches = contiguous ranges of shuffle partitions; each batch
-        commit is a resumable snapshot; the shuffle map stage is reused
-        across batch jobs (same exchange, skipped stages)."""
+        shape: ONE wide shuffle (bucket the corpus by doc key against
+        snapshot-recorded deterministic bounds), ONE JVM->Python Arrow
+        crossing (make_stream_builder: dedup + docIDs + sha256 +
+        tokenize + invert + encode), then narrow aggregates. Batches =
+        contiguous BUCKET ranges (bucket = f(key, stored bounds), never
+        a physical partition id), so a kill/resume in a fresh process
+        rebuilds exactly the remaining docID ranges."""
         snap = self._plan_snapshot(corpus, resume)
         if snap.stage in ("commit", "merge", "delete") and resume:
             return snap
         props = snap.props
         dps = int(props.get("docs_per_segment", self.docs_per_segment))
         n_batches = int(props.get("n_batches", self.n_batches))
-        P = int(props["num_partitions"])
+        bounds = list(props["key_bounds"])
+        NB = len(bounds) + 1
         counts = {int(k): int(v) for k, v in props["counts"].items()}
         offsets, _ = offsets_from_counts(counts)
-        ppb = max((P + n_batches - 1) // n_batches, 1)
+        bpb = max((NB + n_batches - 1) // n_batches, 1)
 
         done = set(snap.props.get("batches_done", []))
         if snap.stage == "docs":
             done = set()
         lineage_acc = list(snap.lineage) if snap.stage == "segments" else []
-        keyed = _keyed_corpus(corpus, P)
+        keyed = _keyed_corpus(corpus, bounds)
         # the counts pass shuffles only the key columns (Catalyst prunes
         # content below the exchange), so with one batch the corpus
         # content is shuffled exactly once, by the segment pass. Spark
@@ -577,14 +660,14 @@ class IndexWriter:
             keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
         builder = make_stream_builder(offsets, dps)
         for b in range(n_batches):
-            lo = b * ppb
-            if lo >= P:
+            lo = b * bpb
+            if lo >= NB:
                 break
             if b in done:
                 continue
-            hi = min((b + 1) * ppb, P)
+            hi = min((b + 1) * bpb, NB)
             part = keyed.filter(
-                (F.col("_pid") >= lo) & (F.col("_pid") < hi)
+                (F.col("_bkt") >= lo) & (F.col("_bkt") < hi)
             )
             out = part.mapInPandas(builder, schema=SEGMENT_OUT_SCHEMA)
             path = self.catalog.path("seg", f"batch={b}")
@@ -713,8 +796,10 @@ def write_docs_table(
 
 MERGED_SCHEMA = (
     "term string, seg_id long, df long, cf long, doc_ids_enc binary, "
-    "tfs_enc binary, skips_enc binary, pos_enc binary, sdoc long, stf long"
+    "tfs_enc binary, skips_enc binary, pos_enc binary, pos_cnts binary, "
+    "sdoc long, stf long"
 )
+_MERGED_COLS = [f.split()[0] for f in MERGED_SCHEMA.split(", ")]
 
 
 def _make_merge_udf(new_gfac: int):
@@ -731,79 +816,94 @@ def _make_merge_udf(new_gfac: int):
     ascending disjoint doc ranges."""
     from lucene_solr_spark.constants import MAX_POSTINGS_PER_ROW
 
-    def _merge_one_term(term, gid, lo, hi, c_df, c_doc, c_tf, c_skip,
-                        c_pos, c_sdoc, c_stf) -> List[dict]:
-        """Merge one term's rows [lo, hi) (pre-sorted by seg_id) given
-        plain numpy column arrays — no per-term pandas objects."""
-        docs_parts, tfs_parts, nbs_parts, pos_parts = [], [], [], []
+    def _merge_one_term(term, gid, lo, hi, c_df, c_cf, c_doc, c_tf,
+                        c_skip, c_pos, c_pcnt, c_sdoc, c_stf) -> List[dict]:
+        """Merge one term's rows [lo, hi) (pre-sorted by seg_id = doc
+        order). Every posting row is a self-contained sequence of
+        blocks (codec v4 stores each block's docID base in its skip
+        entry), so merging is byte concatenation + skip-offset rebase —
+        surviving blocks are NEVER decoded. Only df==1 singletons get
+        (re-)encoded, into 1-posting parts. Prox streams concatenate
+        too; per-part delta counts ride in pos_cnts for the decoder."""
         has_pos = all(c_pos[i] is not None for i in range(lo, hi))
+        # (doc_enc, tf_enc, skip_enc, df, cf, sdoc, pos_enc, pos_cnts)
+        parts = []
         for i in range(lo, hi):
             if c_df[i] == 1:
-                tfs_r = np.array([c_stf[i]], np.int32)
-                docs_parts.append(np.array([c_sdoc[i]], np.int64))
-                tfs_parts.append(tfs_r)
-                # no per-doc norm at hand: 255 (=shortest quantized doc)
-                # is a SAFE, loose block-max bound for WAND
-                nbs_parts.append(np.array([255], np.uint8))
-            else:
-                d, t = decode_postings(c_doc[i], c_tf[i], c_skip[i])
-                tfs_r = t
-                docs_parts.append(d)
-                tfs_parts.append(t)
-                sk = decode_skips(c_skip[i])
-                nbs_parts.append(np.repeat(sk["max_nb"], sk["count"]))
-            if has_pos:
-                deltas = decode_prox(c_pos[i], int(tfs_r.sum()))
-                pos_parts.append(positions_from_deltas(deltas, tfs_r))
-        docs = np.concatenate(docs_parts)
-        tfs = np.concatenate(tfs_parts)
-        nbs = np.concatenate(nbs_parts)
-        pos = np.concatenate(pos_parts) if has_pos else None
-        e_off = np.concatenate(([0], np.cumsum(tfs.astype(np.int64))))
-        out = []
-        base_seg = gid * new_gfac
-        n_chunks = (len(docs) + MAX_POSTINGS_PER_ROW - 1) // MAX_POSTINGS_PER_ROW
-        assert n_chunks <= new_gfac, (
-            "docs_per_segment * group_factor exceeds MAX_POSTINGS_PER_ROW "
-            "* group_factor — raise MAX_POSTINGS_PER_ROW or merge less"
-        )
-        for j, lo in enumerate(range(0, len(docs), MAX_POSTINGS_PER_ROW)):
-            hi = min(lo + MAX_POSTINGS_PER_ROW, len(docs))
-            sid = base_seg + j  # distinct, ordered: stable doc order on read
-            pos_b = None
-            if has_pos:
-                chunk_pos = pos[e_off[lo] : e_off[hi]]
-                pos_b = encode_prox(
-                    deltas_from_positions(chunk_pos, tfs[lo:hi])
+                stf = int(c_stf[i])
+                d_enc, t_enc, s_enc = encode_postings(
+                    np.array([c_sdoc[i]], np.int64),
+                    np.array([stf], np.int32),
+                    # no per-doc norm at hand: 255 (=shortest quantized
+                    # doc) is a SAFE, loose block-max bound for WAND
+                    np.array([255], np.uint8),
                 )
-            if hi - lo == 1:
-                out.append(dict(term=term, seg_id=sid, df=1, cf=int(tfs[lo]),
+                pcnt = (np.array([stf], "<i8") if has_pos else None)
+                parts.append((d_enc, t_enc, s_enc, 1, stf,
+                              int(c_sdoc[i]), c_pos[i], pcnt))
+            else:
+                if has_pos:
+                    pcnt = (np.frombuffer(c_pcnt[i], "<i8")
+                            if c_pcnt[i] is not None
+                            else np.array([int(c_cf[i])], "<i8"))
+                else:
+                    pcnt = None
+                parts.append((c_doc[i], c_tf[i], c_skip[i], int(c_df[i]),
+                              int(c_cf[i]), None, c_pos[i], pcnt))
+
+        out: List[dict] = []
+        base_seg = gid * new_gfac
+
+        def emit(chunk, j):
+            assert j < new_gfac, (
+                "chunk count exceeds group_factor — raise "
+                "MAX_POSTINGS_PER_ROW or merge less"
+            )
+            sid = base_seg + j  # distinct, ordered: doc order on read
+            df = sum(p[3] for p in chunk)
+            cf = sum(p[4] for p in chunk)
+            pos_b = b"".join(p[6] for p in chunk) if has_pos else None
+            if df == 1:
+                out.append(dict(term=term, seg_id=sid, df=1, cf=cf,
                                 doc_ids_enc=None, tfs_enc=None,
                                 skips_enc=None, pos_enc=pos_b,
-                                sdoc=int(docs[lo]),
-                                stf=int(tfs[lo])))
-            else:
-                d_enc, t_enc, s_enc = encode_postings(
-                    docs[lo:hi], tfs[lo:hi], nbs[lo:hi]
-                )
-                out.append(dict(term=term, seg_id=sid, df=int(hi - lo),
-                                cf=int(tfs[lo:hi].sum()), doc_ids_enc=d_enc,
-                                tfs_enc=t_enc, skips_enc=s_enc,
-                                pos_enc=pos_b, sdoc=None,
-                                stf=None))
+                                pos_cnts=None,
+                                sdoc=chunk[0][5], stf=cf))
+                return
+            d_enc, t_enc, s_enc = concat_postings(
+                [(p[0], p[1], p[2]) for p in chunk]
+            )
+            pc = (np.concatenate([p[7] for p in chunk]).astype("<i8")
+                  .tobytes() if has_pos else None)
+            out.append(dict(term=term, seg_id=sid, df=df, cf=cf,
+                            doc_ids_enc=d_enc, tfs_enc=t_enc,
+                            skips_enc=s_enc, pos_enc=pos_b, pos_cnts=pc,
+                            sdoc=None, stf=None))
+
+        chunk, cnt, j = [], 0, 0
+        for p in parts:
+            if chunk and cnt + p[3] > MAX_POSTINGS_PER_ROW:
+                emit(chunk, j)
+                j += 1
+                chunk, cnt = [], 0
+            chunk.append(p)
+            cnt += p[3]
+        if chunk:
+            emit(chunk, j)
         return out
 
     def _merge_gid_udf(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        """One applyInPandas call per GROUP (not per (term, group)):
-        the reducer payload stays bounded by the group's doc range —
-        same salt guarantee — while the task count drops from
-        O(vocab x groups) to O(groups). One frame-level sort, then raw
-        numpy column slices per term (no per-term pandas frames)."""
+        """One applyInPandas call per (group, term-bucket): the reducer
+        payload stays bounded by the group's doc range — same salt
+        guarantee — while the task count is n_gids x n_buckets. One
+        frame-level sort, then raw numpy column slices per term (no
+        per-term pandas frames)."""
         gid = int(key[0])
         pdf = pdf.sort_values(["term", "seg_id"], kind="stable",
                               ignore_index=True)
         terms = pdf["term"].to_numpy(dtype=object)
         c_df = pdf["df"].to_numpy(np.int64)
+        c_cf = pdf["cf"].to_numpy(np.int64)
         c_doc = pdf["doc_ids_enc"].to_numpy(dtype=object)
         c_tf = pdf["tfs_enc"].to_numpy(dtype=object)
         c_skip = pdf["skips_enc"].to_numpy(dtype=object)
@@ -811,6 +911,10 @@ def _make_merge_udf(new_gfac: int):
             c_pos = pdf["pos_enc"].to_numpy(dtype=object)
         else:
             c_pos = np.full(len(pdf), None, dtype=object)
+        if "pos_cnts" in pdf.columns:
+            c_pcnt = pdf["pos_cnts"].to_numpy(dtype=object)
+        else:
+            c_pcnt = np.full(len(pdf), None, dtype=object)
         c_sdoc = pdf["sdoc"].to_numpy(dtype=object)
         c_stf = pdf["stf"].to_numpy(dtype=object)
         n = len(pdf)
@@ -822,11 +926,15 @@ def _make_merge_udf(new_gfac: int):
             while hi < n and terms[hi] == t:
                 hi += 1
             rows.extend(
-                _merge_one_term(t, gid, lo, hi, c_df, c_doc, c_tf,
-                                c_skip, c_pos, c_sdoc, c_stf)
+                _merge_one_term(t, gid, lo, hi, c_df, c_cf, c_doc, c_tf,
+                                c_skip, c_pos, c_pcnt, c_sdoc, c_stf)
             )
             lo = hi
-        return pd.DataFrame(rows)
+        if not rows:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=object) for c in _MERGED_COLS}
+            )
+        return pd.DataFrame(rows)[_MERGED_COLS]
 
     return _merge_gid_udf
 
@@ -863,7 +971,7 @@ def merge_postings(
     )
     merged = with_gid.select(
         "term", "gid", "tb", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc",
-        "skips_enc", "pos_enc", "sdoc", "stf"
+        "skips_enc", "pos_enc", "pos_cnts", "sdoc", "stf"
     ).groupBy("gid", "tb").applyInPandas(
         _make_merge_udf(gfac), schema=MERGED_SCHEMA
     )
@@ -916,9 +1024,9 @@ def append_documents(
     # appended segments (seg_id = doc_base >= n0) slot into existing
     # scoring groups by construction
     par = spark.sparkContext.defaultParallelism
-    P = 4 * par
-    keyed = _keyed_corpus(corpus, P)
-    counts = count_keys_per_partition(keyed)
+    bounds = compute_key_bounds(corpus, 4 * par)
+    keyed = _keyed_corpus(corpus, bounds)
+    counts = count_keys_per_bucket(keyed)
     offsets, n_new = offsets_from_counts(counts, base=n0)
     if n_new == 0:
         return snap

@@ -27,8 +27,13 @@ Block layout per block: 1 header byte W; if W==0xFF -> 8-byte LE uint64
 The tail block packs `count` values (count from the skip entry) in
 ceil(count*W/8) bytes.
 
-Skip entry dtype (packed little-endian, 25 bytes):
+Skip entry dtype (packed little-endian, 33 bytes):
   last_doc  int64   — last docID in block (inclusive)
+  base      int64   — docID preceding the block's first (-1 for the
+                      absolute-first block): docs = cumsum(deltas)+base.
+                      Every block is fully self-contained, so posting
+                      rows CONCATENATE byte-wise (offset rebase only) —
+                      the segment merge never decodes surviving blocks.
   doc_off   int32   — byte offset of block in doc_ids_enc
   tf_off    int32   — byte offset of block in tfs_enc
   count     int32   — postings in block (128 except tail)
@@ -38,7 +43,7 @@ Skip entry dtype (packed little-endian, 25 bytes):
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -47,6 +52,7 @@ from lucene_solr_spark.constants import BLOCK_SIZE
 SKIP_DTYPE = np.dtype(
     [
         ("last_doc", "<i8"),
+        ("base", "<i8"),
         ("doc_off", "<i4"),
         ("tf_off", "<i4"),
         ("count", "<i4"),
@@ -112,6 +118,7 @@ def encode_postings(
         tb = _pack_block(tfs64[lo:hi])
         skips[bi] = (
             doc_ids[hi - 1],
+            -1 if lo == 0 else doc_ids[lo - 1],
             doc_off,
             tf_off,
             hi - lo,
@@ -151,14 +158,40 @@ def decode_postings(
         count = int(s["count"])
         deltas, _ = _unpack_block(dbuf, int(s["doc_off"]), count)
         tfs, _ = _unpack_block(tbuf, int(s["tf_off"]), count)
-        base = np.int64(-1) if bi == 0 else skips[bi - 1]["last_doc"]
-        docs = deltas.astype(np.int64).cumsum() + base
-        # re-anchor: cumsum within block starts from previous block's last
+        # self-contained block: cumsum anchored by the stored base
+        # (deltas were diff'd with prepend=base, so cumsum+base restores)
+        docs = deltas.astype(np.int64).cumsum() + np.int64(s["base"])
         docs_out.append(docs)
         tfs_out.append(tfs.astype(np.int32))
     if not docs_out:
         return np.empty(0, np.int64), np.empty(0, np.int32)
     return np.concatenate(docs_out), np.concatenate(tfs_out)
+
+
+def concat_postings(
+    parts: List[Tuple[bytes, bytes, bytes]],
+) -> Tuple[bytes, bytes, bytes]:
+    """Concatenate self-contained posting parts (ascending disjoint doc
+    ranges) WITHOUT decoding: join the byte streams, rebase the skip
+    entries' byte offsets. The zero-CPU segment-merge primitive."""
+    if len(parts) == 1:
+        return parts[0]
+    doc_parts, tf_parts, skip_arrs = [], [], []
+    doc_off = tf_off = 0
+    for d, t, s in parts:
+        sk = np.frombuffer(s, dtype=SKIP_DTYPE).copy()
+        sk["doc_off"] += doc_off
+        sk["tf_off"] += tf_off
+        skip_arrs.append(sk)
+        doc_parts.append(d)
+        tf_parts.append(t)
+        doc_off += len(d)
+        tf_off += len(t)
+    return (
+        b"".join(doc_parts),
+        b"".join(tf_parts),
+        np.concatenate(skip_arrs).tobytes(),
+    )
 
 
 # -- positions (.pos / .prox analogue) --------------------------------------
@@ -191,6 +224,32 @@ def decode_prox(buf: bytes, count: int) -> np.ndarray:
         out.append(vals)
         off += used
         remaining -= c
+    if not out:
+        return np.empty(0, np.uint64)
+    return np.concatenate(out)
+
+
+def decode_prox_parts(
+    buf: bytes, counts: Optional[np.ndarray], total: int
+) -> np.ndarray:
+    """Decode a prox stream that may be a concatenation of independently
+    block-chunked parts (merged rows carry the per-part delta counts in
+    ``pos_cnts``; fresh rows have counts=None = one part of ``total``).
+    Part boundaries are doc boundaries, so the concatenated delta array
+    feeds positions_from_deltas unchanged."""
+    if counts is None:
+        return decode_prox(buf, total)
+    mv = memoryview(buf)
+    out: List[np.ndarray] = []
+    off = 0
+    for cnt in counts:
+        remaining = int(cnt)
+        while remaining > 0:
+            c = min(BLOCK_SIZE, remaining)
+            vals, used = _unpack_block(mv, off, c)
+            out.append(vals)
+            off += used
+            remaining -= c
     if not out:
         return np.empty(0, np.uint64)
     return np.concatenate(out)

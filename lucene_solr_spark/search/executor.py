@@ -36,6 +36,7 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,7 +88,17 @@ class IndexSearcher:
             read_segments_any,
         )
 
-        self._postings = read_postings_any(spark, snap.tables["postings"])
+        # postings cached: every query filters this table by term, and
+        # re-reading + re-decoding parquet per query is the latency
+        # floor otherwise. Spark's columnar cache keeps per-batch
+        # min/max stats on the sorted term column, so the isin() filter
+        # prunes cached batches the same way parquet row groups prune.
+        # (Cluster scale: postings >> RAM — drop the persist and rely
+        # on parquet predicate pushdown + OS page cache, exactly the
+        # Lucene mmap model.)
+        self._postings = read_postings_any(
+            spark, snap.tables["postings"]
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         segs = read_segments_any(spark, snap.tables["segments"])
         # segment meta (norm blobs) and term stats are small relative to
         # postings (O(n_segs) / O(vocab)); cache them — every query
@@ -949,7 +960,7 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
         gbase, span, norms, deleted = _group_ctx(segs)
 
         from lucene_solr_spark.indexing.codec import (
-            decode_prox,
+            decode_prox_parts,
             positions_from_deltas,
         )
 
@@ -975,7 +986,9 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
                     d, tf = decode_postings(
                         r.doc_ids_enc, r.tfs_enc, r.skips_enc
                     )
-                deltas = decode_prox(r.pos_enc, int(tf.sum()))
+                cnts = (None if getattr(r, "pos_cnts", None) is None
+                        else np.frombuffer(r.pos_cnts, "<i8"))
+                deltas = decode_prox_parts(r.pos_enc, cnts, int(tf.sum()))
                 pos = positions_from_deltas(deltas, tf)
                 dparts.append(d)
                 tparts.append(tf)
@@ -1070,7 +1083,7 @@ def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
             return ((F32(wv) * freq) / (freq + nrm)).astype(np.float32)
 
         from lucene_solr_spark.indexing.codec import (
-            decode_prox,
+            decode_prox_parts,
             positions_from_deltas,
         )
 
@@ -1090,8 +1103,11 @@ def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
                         d, tf = decode_postings(
                             r.doc_ids_enc, r.tfs_enc, r.skips_enc
                         )
+                    cnts = (None if getattr(r, "pos_cnts", None) is None
+                            else np.frombuffer(r.pos_cnts, "<i8"))
                     pos = positions_from_deltas(
-                        decode_prox(r.pos_enc, int(tf.sum())), tf
+                        decode_prox_parts(r.pos_enc, cnts, int(tf.sum())),
+                        tf,
                     )
                     dparts.append(d)
                     tparts.append(tf)

@@ -85,3 +85,48 @@ def test_wide_deltas():
     got_docs, got_tfs = decode_postings(d, t, s)
     assert got_docs.tolist() == docs.tolist()
     assert got_tfs.tolist() == tfs.tolist()
+
+
+def test_concat_postings_equals_full_encode():
+    """The merge primitive: byte-concat of self-contained parts decodes
+    identically to the parts decoded separately (no re-encode needed)."""
+    from lucene_solr_spark.indexing.codec import concat_postings
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    all_docs, all_tfs, parts = [], [], []
+    base = 0
+    for n in (1, 300, 128, 77):
+        docs, tfs, nbs = _random_postings(rng, n, 10_000)
+        docs = docs + base
+        base = int(docs[-1]) + 1 + int(rng.integers(1, 1000))
+        parts.append(encode_postings(docs, tfs, nbs))
+        all_docs.append(docs)
+        all_tfs.append(tfs)
+    d, t, s = concat_postings(parts)
+    got_docs, got_tfs = decode_postings(d, t, s)
+    assert got_docs.tolist() == np.concatenate(all_docs).tolist()
+    assert got_tfs.tolist() == np.concatenate(all_tfs).tolist()
+    # skip metadata survives: ascending last_doc, masked decode works
+    sk = decode_skips(s)
+    assert (np.diff(sk["last_doc"]) > 0).all()
+    mask = np.zeros(len(sk), dtype=bool)
+    mask[0] = mask[len(sk) - 1] = True
+    md, mt = decode_postings(d, t, s, block_mask=mask)
+    assert md[0] == got_docs[0] and md[-1] == got_docs[-1]
+
+
+def test_decode_prox_parts_multi():
+    from lucene_solr_spark.indexing.codec import decode_prox_parts, encode_prox
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    parts, all_deltas, cnts = [], [], []
+    for n in (5, 300, 128):
+        deltas = rng.integers(0, 50, n).astype(np.uint64)
+        parts.append(encode_prox(deltas))
+        all_deltas.append(deltas)
+        cnts.append(n)
+    buf = b"".join(parts)
+    got = decode_prox_parts(buf, np.array(cnts, "<i8"), sum(cnts))
+    assert got.tolist() == np.concatenate(all_deltas).tolist()
+    one = decode_prox_parts(parts[1], None, 300)
+    assert one.tolist() == all_deltas[1].tolist()

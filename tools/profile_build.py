@@ -16,7 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from lucene_solr_spark.corpusgen import generate_corpus  # noqa: E402
 from lucene_solr_spark.indexing.build import (  # noqa: E402
     IndexWriter,
-    count_keys_per_partition,
+    compute_key_bounds,
+    count_keys_per_bucket,
     _keyed_corpus,
     make_stream_builder,
     merge_postings,
@@ -58,8 +59,9 @@ def main() -> None:
 
     P = 4 * spark.sparkContext.defaultParallelism
     t = time.time()
-    keyed = _keyed_corpus(corpus, P)
-    counts = count_keys_per_partition(keyed)
+    bounds = compute_key_bounds(corpus, P)
+    keyed = _keyed_corpus(corpus, bounds)
+    counts = count_keys_per_bucket(keyed)
     offsets, n_docs = offsets_from_counts(counts)
     t = mark("counts(narrow shuffle)", t)
 
@@ -74,7 +76,7 @@ def main() -> None:
     t = mark("lineage", t)
     props = {
         "n_docs": n_docs, "docs_per_segment": args.dps, "n_batches": 1,
-        "num_partitions": P,
+        "key_bounds": bounds,
         "counts": {str(k): v for k, v in counts.items()},
     }
     w._finalize(props, [0], lin)
