@@ -91,12 +91,60 @@ def _build_pattern():
 
 TOKEN_PATTERN = _build_pattern()
 
+# -- ASCII fast path --------------------------------------------------------
+# On ASCII text the UAX#29 subset collapses to small char classes
+# (probed from the full pattern's \p{WB=...} classes, Unicode 6.1
+# emulation): ALetter=[A-Za-z], Numeric=[0-9], ExtendNumLet=[_],
+# MidLetter=[:], MidNum=[,;], MidNumLet=[.], SingleQuote=['].
+# No token can span any other ASCII char, so we pre-split on those
+# delimiters with str.translate (C speed), emit pure
+# [A-Za-z0-9_]-chunks directly (always exactly one token when they
+# contain an alnum), and run the precise grammar only on chunks
+# containing mid-punctuation. Output is identical to
+# TOKEN_PATTERN.findall on ASCII input (property-tested in
+# tests/test_analysis.py); non-ASCII rows take the full pattern.
+import re as _stdre
+
+_A_NUM = r"[0-9](?:_+[0-9]|[.,;'][0-9]|[0-9])*"
+_A_AL = r"[A-Za-z](?:_+[A-Za-z]|[.':][A-Za-z]|[A-Za-z])*"
+_A_CORE = f"(?:{_A_NUM}|{_A_AL})+"
+_ASCII_FINDALL = _stdre.compile(
+    f"_*{_A_CORE}(?:_+{_A_CORE})*_*"
+).findall
+
+_WORDCHARS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789_"
+)
+_MIDCHARS = ".,:;'"
+_SPLIT_TABLE = {
+    i: " " for i in range(128) if chr(i) not in set(_WORDCHARS + _MIDCHARS)
+}
+_DEL_WORDCHARS = {ord(c): None for c in _WORDCHARS}
+
+
+def _findall_ascii(text: str) -> List[str]:
+    out: List[str] = []
+    for p in text.translate(_SPLIT_TABLE).split():
+        if p.translate(_DEL_WORDCHARS):
+            out.extend(_ASCII_FINDALL(p))  # has mid-punctuation
+        elif p.strip("_"):
+            out.append(p)  # pure word chars with >=1 alnum: one token
+    return out
+
+
+def findall_tokens(text: str) -> List[str]:
+    """StandardTokenizer boundary scan: ASCII fast path or full UAX#29
+    pattern; identical output either way."""
+    if text.isascii():
+        return _findall_ascii(text)
+    return TOKEN_PATTERN.findall(text)
+
 
 def tokenize(text: str) -> List[str]:
     """Raw StandardTokenizer output (pre-lowercase, pre-stop), honoring
     the 255-char max-token skip rule (StandardTokenizer.java:156-167)."""
     return [
-        t for t in TOKEN_PATTERN.findall(text) if len(t) <= MAX_TOKEN_LENGTH
+        t for t in findall_tokens(text) if len(t) <= MAX_TOKEN_LENGTH
     ]
 
 
@@ -104,7 +152,7 @@ def analyze(text: str) -> List[str]:
     """Full chain: tokenize -> lowercase -> stop-filter. Returned list
     length == norm field length (emitted-token count)."""
     out = []
-    for t in TOKEN_PATTERN.findall(text):
+    for t in findall_tokens(text):
         if len(t) > MAX_TOKEN_LENGTH:
             continue  # skipped, still advances position; length unaffected
         t = t.lower()
@@ -120,7 +168,7 @@ def analyze_with_positions(text: str) -> List[Tuple[str, int]]:
     and by analyzer golden-vector tests."""
     out = []
     pos = -1
-    for t in TOKEN_PATTERN.findall(text):
+    for t in findall_tokens(text):
         pos += 1  # every recognized token advances position by 1
         if len(t) > MAX_TOKEN_LENGTH:
             continue
@@ -135,7 +183,7 @@ def tokenize_series(texts: Iterable[str]) -> List[List[str]]:
     """Vectorized-ish batch analyze for pandas UDFs: one C-level regex
     scan per row, list building only. pandas .str methods cannot express
     the UAX#29 grammar, so a tight loop over the batch is the floor."""
-    findall = TOKEN_PATTERN.findall
+    findall = findall_tokens
     stop = STOPWORDS
     maxlen = MAX_TOKEN_LENGTH
     result = []
@@ -160,7 +208,7 @@ def tokenize_series_positions(texts: Iterable[str]):
     StopFilter.java:124-127). Returns (token_lists, position_lists);
     len(token_lists[i]) is the norm field length, same as
     tokenize_series."""
-    findall = TOKEN_PATTERN.findall
+    findall = findall_tokens
     stop = STOPWORDS
     maxlen = MAX_TOKEN_LENGTH
     toks_out: List[List[str]] = []

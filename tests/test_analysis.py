@@ -68,3 +68,32 @@ def test_stopword_set_is_33_words():
 def test_batch_equals_scalar(small_corpus):
     texts = [r["content"] for r in small_corpus[:50]]
     assert tokenize_series(texts) == [analyze(t) for t in texts]
+
+
+def test_ascii_fast_path_equivalence():
+    """The ASCII fast path must reproduce the full UAX#29 pattern's
+    output exactly — random adversarial strings over the delimiter/mid
+    alphabet plus pinned fixtures."""
+    import random
+
+    from lucene_solr_spark.functions.analysis import (
+        TOKEN_PATTERN,
+        _findall_ascii,
+        findall_tokens,
+    )
+
+    rng = random.Random(17)
+    alphabet = list("abzAZ09_.,:;'()+= -\t\n/\\\"#!|&*<>[]{}~`?%^@$")
+    for _ in range(5000):
+        s = "".join(
+            rng.choice(alphabet) for _ in range(rng.randint(0, 48))
+        )
+        assert _findall_ascii(s) == TOKEN_PATTERN.findall(s), repr(s)
+    for s in ["foo_bar_baz", "a.b", "a..b", "wi.fi's", "1,000.5",
+              "a:b:c", "_x_", "___", "sha256", "don't", "a.1", "1.a",
+              "x,;y", "a_.b", "3.14.15", "1_000", "::a::", "_9_a_"]:
+        assert _findall_ascii(s) == TOKEN_PATTERN.findall(s), s
+    # non-ASCII routes through the full pattern
+    assert findall_tokens("héllo wörld") == TOKEN_PATTERN.findall(
+        "héllo wörld"
+    )
