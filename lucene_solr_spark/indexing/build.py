@@ -354,9 +354,9 @@ def invert_segment(
     pos_lists: List[list],
     shas: List[str],
     keys: Optional[dict] = None,
-) -> List[dict]:
+) -> pd.DataFrame:
     """One contiguous-docID segment in (already tokenized), postings
-    rows + one meta row out. The in-RAM inversion analogue
+    rows + one meta row out (column-wise frame). The in-RAM inversion analogue
     (index/FreqProxTermsWriterPerField.java:161-245, term sort in UTF-8
     order TermsHashPerField.java:110-111 — Python str order == codepoint
     order == UTF-8 byte order, so plain sort matches).
@@ -416,69 +416,89 @@ def invert_segment(
         t_start = np.nonzero(t_new)[0]
         t_bounds = np.append(t_start, len(g_codes))
         e_bounds = np.append(g_start, len(c))
-        for i in range(len(t_start)):
+        n_terms = len(t_start)
+        # column-wise emit: per-term dicts cost more than the encode
+        # itself at this call volume (~6k terms/segment)
+        o_term = uniq_terms[g_codes[t_start]].tolist()
+        o_df = (t_bounds[1:] - t_bounds[:-1]).astype(np.int64)
+        o_cf = np.add.reduceat(
+            g_tfs.astype(np.int64), t_bounds[:-1]
+        ) if n_terms else np.empty(0, np.int64)
+        o_doc, o_tf, o_skip, o_pos = [], [], [], []
+        o_sdoc, o_stf = [], []
+        for i in range(n_terms):
             glo, ghi = int(t_bounds[i]), int(t_bounds[i + 1])
-            term = uniq_terms[g_codes[glo]]
-            df_local = ghi - glo
-            cf_local = int(g_tfs[glo:ghi].sum())
-            pos_b = encode_prox(delta[e_bounds[glo] : e_bounds[ghi]])
-            if df_local == 1:
-                rows.append(
-                    dict(is_meta=False, term=term, seg_id=seg_id,
-                         df=1, cf=cf_local, doc_ids_enc=None,
-                         tfs_enc=None, skips_enc=None, pos_enc=pos_b,
-                         sdoc=int(g_docs[glo]), stf=int(g_tfs[glo]),
-                         doc_base=None, doc_count=None, sum_len=None,
-                         norms_enc=None, doc_lens_enc=None,
-                         input_sha256=None)
-                )
+            o_pos.append(encode_prox(delta[e_bounds[glo] : e_bounds[ghi]]))
+            if ghi - glo == 1:
+                o_doc.append(None)
+                o_tf.append(None)
+                o_skip.append(None)
+                o_sdoc.append(int(g_docs[glo]))
+                o_stf.append(int(g_tfs[glo]))
             else:
                 docs_t = g_docs[glo:ghi]
-                tfs_t = g_tfs[glo:ghi]
-                nbs_t = nb_lookup[docs_t - doc_base]
-                d_enc, t_enc, s_enc = encode_postings(docs_t, tfs_t, nbs_t)
-                rows.append(
-                    dict(is_meta=False, term=term, seg_id=seg_id,
-                         df=df_local, cf=cf_local, doc_ids_enc=d_enc,
-                         tfs_enc=t_enc, skips_enc=s_enc, pos_enc=pos_b,
-                         sdoc=None,
-                         stf=None, doc_base=None, doc_count=None,
-                         sum_len=None, norms_enc=None,
-                         doc_lens_enc=None, input_sha256=None)
+                d_enc, t_enc, s_enc = encode_postings(
+                    docs_t, g_tfs[glo:ghi], nb_lookup[docs_t - doc_base]
                 )
-    rows.append(
-        dict(is_meta=True, term=None, seg_id=seg_id, df=None, cf=None,
-             doc_ids_enc=None, tfs_enc=None, skips_enc=None, pos_enc=None,
-             sdoc=None,
-             stf=None, doc_base=doc_base, doc_count=n_docs,
-             sum_len=total_tokens, norms_enc=nb_lookup.tobytes(),
-             doc_lens_enc=len_lookup.astype("<i4").tobytes(),
-             input_sha256=input_sha,
-             repos=None if keys is None else list(keys["repo"]),
-             paths=None if keys is None else list(keys["path"]),
-             commits=None if keys is None else list(keys["commit"]),
-             langs=None if keys is None else list(keys["lang"]),
-             shas=list(shas) if keys is not None else None)
+                o_doc.append(d_enc)
+                o_tf.append(t_enc)
+                o_skip.append(s_enc)
+                o_sdoc.append(None)
+                o_stf.append(None)
+        cols = {
+            "is_meta": [False] * n_terms,
+            "term": o_term,
+            "seg_id": np.full(n_terms, seg_id, np.int64),
+            "df": o_df,
+            "cf": o_cf,
+            "doc_ids_enc": o_doc,
+            "tfs_enc": o_tf,
+            "skips_enc": o_skip,
+            "pos_enc": o_pos,
+            "pos_cnts": [None] * n_terms,
+            "sdoc": o_sdoc,
+            "stf": o_stf,
+        }
+    else:
+        cols = {c: [] for c in (
+            "is_meta", "term", "seg_id", "df", "cf", "doc_ids_enc",
+            "tfs_enc", "skips_enc", "pos_enc", "pos_cnts", "sdoc", "stf",
+        )}
+    pdf = pd.DataFrame(
+        {c: (pd.Series(v, dtype=object) if not isinstance(v, np.ndarray)
+             else v)
+         for c, v in cols.items()}
     )
-    return rows
+    for c in ("doc_base", "doc_count", "sum_len", "norms_enc",
+              "doc_lens_enc", "input_sha256", *_ARRAY_COLS):
+        pdf[c] = None
+    meta = {
+        "is_meta": True, "term": None, "seg_id": seg_id, "df": None,
+        "cf": None, "doc_ids_enc": None, "tfs_enc": None,
+        "skips_enc": None, "pos_enc": None, "pos_cnts": None,
+        "sdoc": None, "stf": None,
+        "doc_base": doc_base, "doc_count": n_docs,
+        "sum_len": total_tokens, "norms_enc": nb_lookup.tobytes(),
+        "doc_lens_enc": len_lookup.astype("<i4").tobytes(),
+        "input_sha256": input_sha,
+        "repos": None if keys is None else list(keys["repo"]),
+        "paths": None if keys is None else list(keys["path"]),
+        "commits": None if keys is None else list(keys["commit"]),
+        "langs": None if keys is None else list(keys["lang"]),
+        "shas": list(shas) if keys is not None else None,
+    }
+    meta_df = pd.DataFrame(
+        {k: pd.Series([v], dtype=object) for k, v in meta.items()}
+    )
+    pdf = pd.concat([pdf[_OUT_COLS], meta_df[_OUT_COLS]],
+                    ignore_index=True)
+    return pdf
 
 
 _OUT_COLS = [f.split()[0].strip(", ") for f in SEGMENT_OUT_SCHEMA.split(", ")]
 
 
 _ARRAY_COLS = ("repos", "paths", "commits", "langs", "shas")
-
-
-def _rows_frame(rows: List[dict]) -> pd.DataFrame:
-    pdf = pd.DataFrame(rows)
-    for c in _OUT_COLS:  # postings rows omit the meta-only columns
-        if c not in pdf.columns:
-            pdf[c] = None
-    for c in _ARRAY_COLS:  # pandas fills missing keys with NaN; Arrow
-        pdf[c] = pdf[c].map(  # needs None for null array values
-            lambda v: v if isinstance(v, list) else None
-        )
-    return pdf[_OUT_COLS]
 
 
 def make_stream_builder(offsets: Dict[int, int], dps: int):
@@ -512,7 +532,7 @@ def make_stream_builder(offsets: Dict[int, int], dps: int):
         def flush() -> Optional[pd.DataFrame]:
             if not pend["ids"]:
                 return None
-            rows = invert_segment(
+            out = invert_segment(
                 int(pend["ids"][0]),
                 np.asarray(pend["ids"], np.int64),
                 pend["toks"], pend["poss"], pend["shas"],
@@ -520,7 +540,7 @@ def make_stream_builder(offsets: Dict[int, int], dps: int):
             )
             for v in pend.values():
                 v.clear()
-            return _rows_frame(rows)
+            return out
 
         for pdf in batches:
             if len(pdf) == 0:

@@ -424,7 +424,7 @@ class IndexSearcher:
                 probe.update(analyze(q.get("exclude", "")))
         self._lookup_dfs(sorted(probe))
 
-        subkernels: List[Tuple[int, List[str], object]] = []
+        subkernels: List[Tuple[int, List[str], object, bool]] = []
         fetch: set = set()
         for qid, q in enumerate(queries):
             if isinstance(q, str):
@@ -443,6 +443,7 @@ class IndexSearcher:
                 kern = make_phrase_scorer(
                     offsets, F32(w * K1_PLUS_1), self.cache, k
                 )
+                shareable = False
                 terms = uniq
             else:
                 plan = self.plan(
@@ -452,8 +453,9 @@ class IndexSearcher:
                 if plan.empty:
                     continue
                 kern = make_group_scorer(plan, wand)
+                shareable = True
                 terms = plan.terms + plan.exclude_terms
-            subkernels.append((qid, sorted(set(terms)), kern))
+            subkernels.append((qid, sorted(set(terms)), kern, shareable))
             fetch.update(terms)
         if not subkernels:
             return self.spark.createDataFrame([], out_schema)
@@ -466,9 +468,11 @@ class IndexSearcher:
 
         def multi(posts_pdf: pd.DataFrame, segs_pdf: pd.DataFrame):
             outs = []
-            for qid, terms, kern in kernels:
+            shared: dict = {}
+            for qid, terms, kern, shareable in kernels:
                 sub = posts_pdf[posts_pdf["term"].isin(terms)]
-                r = kern(sub, segs_pdf)
+                r = (kern.with_shared(sub, segs_pdf, shared)
+                     if shareable else kern(sub, segs_pdf))
                 if len(r):
                     r.insert(0, "query_id", np.int32(qid))
                     outs.append(r)
@@ -485,17 +489,21 @@ class IndexSearcher:
             .cogroup(self._segments.groupBy("gid"))
             .applyInPandas(multi, schema=out_schema)
         )
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("score"), F.asc("doc_id")
-        )
-        return (
-            per_group.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= k)
-            .drop("rn")
-            .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
-        )
+        # final top-k merge on the driver: <= n_groups*k rows per query
+        # survive the per-group cut, so this is the tiny exact merge of
+        # Solr's mergeIds (QueryComponent.java:772-870) — done locally
+        # instead of spending a window+orderBy shuffle stage per batch
+        rows = per_group.collect()
+        by_q: Dict[int, List] = {}
+        for r in rows:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"])
+            )
+        out = []
+        for qid in sorted(by_q):
+            hits = sorted(by_q[qid], key=lambda ds: (-ds[1], ds[0]))[:k]
+            out.extend((qid, d, s) for d, s in hits)
+        return self.spark.createDataFrame(out, out_schema)
 
     # -- auxiliary read surfaces ------------------------------------------
     def doc_stats(self) -> DataFrame:
@@ -626,13 +634,15 @@ class _TermIndex:
     Blocks are the codec's 128-posting FOR blocks; a df==1 singleton row
     is a 1-doc pseudo-block. `his[g]` = last docID of global block g
     (ascending across the term's rows, whose doc ranges are disjoint).
-    `decode_block` is memoized; `accumulated` flags support
-    accumulate-once semantics in the WAND loop."""
+    `decode_block` is memoized. Instances are READ-ONLY after
+    construction (the WAND loop keeps its accumulate-once flags
+    locally), so one instance is safely shared by every query of a
+    batch — high-DF terms decode once per task, not once per query."""
 
     __slots__ = (
         "his", "max_tf", "max_nb", "n_blocks",
         "_rows", "_row_of", "_local_bi", "_row_nblocks", "_kind",
-        "_memo", "_done",
+        "_memo",
     )
 
     def __init__(self, rows, norms: np.ndarray, gbase: int):
@@ -670,7 +680,6 @@ class _TermIndex:
         self._row_nblocks = row_nblocks
         self.n_blocks = len(self.his)
         self._memo: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
-        self._done = np.zeros(self.n_blocks, dtype=bool)
 
     def decode_block(self, gi: int) -> Tuple[np.ndarray, np.ndarray]:
         hit = self._memo.get(gi)
@@ -739,10 +748,19 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float32")})
 
-    def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+    def score_group(posts: pd.DataFrame, segs: pd.DataFrame,
+                    shared: Optional[dict] = None) -> pd.DataFrame:
+        """``shared``: per-(task, gid) registry used by search_many —
+        group context and _TermIndex instances (decoded blocks) are
+        built once and reused by every query kernel in the batch."""
         if len(posts) == 0 or len(segs) == 0:
             return empty_result()
-        gbase, span, norms, deleted = _group_ctx(segs)
+        if shared is not None and "ctx" in shared:
+            gbase, span, norms, deleted = shared["ctx"]
+        else:
+            gbase, span, norms, deleted = _group_ctx(segs)
+            if shared is not None:
+                shared["ctx"] = (gbase, span, norms, deleted)
 
         by_term: Dict[str, list] = {}
         for r in posts.sort_values("seg_id").itertuples(index=False):
@@ -750,7 +768,15 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
 
         def tindex(t: str) -> Optional[_TermIndex]:
             rows = by_term.get(t)
-            return None if not rows else _TermIndex(rows, norms, gbase)
+            if not rows:
+                return None
+            if shared is not None:
+                ti = shared.get(("ti", t))
+                if ti is None:
+                    ti = _TermIndex(rows, norms, gbase)
+                    shared[("ti", t)] = ti
+                return ti
+            return _TermIndex(rows, norms, gbase)
 
         def wv_of(t: str) -> np.float32:
             return F32(F32(weights[t]) * K1_PLUS_1)
@@ -860,7 +886,14 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
             {"doc_id": cand_docs[order], "score": cand_scores[order]}
         )
 
-    return score_group
+    def kernel(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        # cogroup.applyInPandas dispatches on arity (3 args would mean
+        # (key, left, right)) — keep the public kernel 2-arg and expose
+        # the batch-sharing variant separately
+        return score_group(posts, segs)
+
+    kernel.with_shared = score_group  # type: ignore[attr-defined]
+    return kernel
 
 
 def _wand_or(tis, wvs, cache, norms, gbase, span, k, mm, excl_mask,
@@ -890,6 +923,7 @@ def _wand_or(tis, wvs, cache, norms, gbase, span, k, mm, excl_mask,
 
     acc = np.zeros(span, dtype=np.float64)
     cnt = np.zeros(span, dtype=np.int32)
+    done = [np.zeros(ti.n_blocks, dtype=bool) for ti in tis]
     out_docs: List[np.ndarray] = []
     out_scores: List[np.ndarray] = []
     n_out = 0
@@ -899,18 +933,18 @@ def _wand_or(tis, wvs, cache, norms, gbase, span, k, mm, excl_mask,
         oi = int(oi)
         if theta is not None and U32[oi] < theta:
             break  # strict: U32==theta may still win the docID tie-break
-        for ti, wv, (j, valid) in zip(tis, wvs, block_of):
+        for ti, wv, dn, (j, valid) in zip(tis, wvs, done, block_of):
             if not valid[oi]:
                 continue
             gi = int(j[oi])
-            if ti._done[gi]:
+            if dn[gi]:
                 continue
             docs, tfs = ti.decode_block(gi)
             s = term_scores(wv, docs, tfs)
             ix = docs - gbase
             acc[ix] += s.astype(np.float64)
             cnt[ix] += 1
-            ti._done[gi] = True
+            dn[gi] = True
         # docs in (E[oi-1], E[oi]] now have every covering block decoded
         lo_d = 0 if oi == 0 else int(E[oi - 1]) + 1 - gbase
         hi_d = int(E[oi]) + 1 - gbase
@@ -1033,7 +1067,14 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
             {"doc_id": cand_docs[order], "score": cand_scores[order]}
         )
 
-    return score_group
+    def kernel(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        # cogroup.applyInPandas dispatches on arity (3 args would mean
+        # (key, left, right)) — keep the public kernel 2-arg and expose
+        # the batch-sharing variant separately
+        return score_group(posts, segs)
+
+    kernel.with_shared = score_group  # type: ignore[attr-defined]
+    return kernel
 
 
 # -- mixed boolean queries (BooleanScorer2 composition) ---------------------
@@ -1245,4 +1286,11 @@ def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
             {"doc_id": cand_docs[order], "score": cand_scores[order]}
         )
 
-    return score_group
+    def kernel(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        # cogroup.applyInPandas dispatches on arity (3 args would mean
+        # (key, left, right)) — keep the public kernel 2-arg and expose
+        # the batch-sharing variant separately
+        return score_group(posts, segs)
+
+    kernel.with_shared = score_group  # type: ignore[attr-defined]
+    return kernel
