@@ -96,9 +96,22 @@ class IndexSearcher:
         # (Cluster scale: postings >> RAM — drop the persist and rely
         # on parquet predicate pushdown + OS page cache, exactly the
         # Lucene mmap model.)
-        self._postings = read_postings_any(
-            spark, snap.tables["postings"]
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        gf = self.group_factor
+        par = spark.sparkContext.defaultParallelism
+        # the cache is pre-partitioned by scoring group and term-sorted
+        # inside each partition: groupBy("gid").applyInPandas reuses
+        # the cached hash partitioning (NO shuffle on the query path —
+        # the kernel runs in the same stage as the cache scan), while
+        # per-batch term min/max stats keep pruning the isin() lookup
+        n_groups_est = max(-(-self.max_doc // gf), 1)
+        self._posts_parts = max(min(n_groups_est, 2 * par), 1)
+        self._postings = (
+            read_postings_any(spark, snap.tables["postings"])
+            .withColumn("gid", (F.col("seg_id") / F.lit(gf)).cast("long"))
+            .repartition(self._posts_parts, "gid")
+            .sortWithinPartitions("term")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         segs = read_segments_any(spark, snap.tables["segments"])
         # segment meta (norm blobs) and term stats are small relative to
         # postings (O(n_segs) / O(vocab)); cache them — every query
@@ -112,7 +125,6 @@ class IndexSearcher:
         # then reuse this hash partitioning instead of re-sharding into
         # spark.sql.shuffle.partitions tiny tasks on every query — the
         # per-query task count tracks n_groups, not the global conf
-        gf = self.group_factor
         segments = segments.withColumn(
             "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
         )
@@ -122,6 +134,20 @@ class IndexSearcher:
         n_parts = max(min(self.n_groups, 2 * par), 1)
         self._segments = segments.repartition(n_parts, "gid").persist()
         self._segments.count()  # materialize the cache eagerly
+        # adaptive broadcast of segment meta (the Catalyst
+        # broadcast-join idea applied to the norms side): when all norm
+        # blobs fit comfortably (~1 byte/doc + deletions), ship them to
+        # every task once and run the scoring kernels under a plain
+        # groupBy — one shuffle leg instead of a cogroup's two, and no
+        # per-query Arrow transfer of the segs side. Above the
+        # threshold (cluster scale) the cogroup path delivers each task
+        # exactly its groups' norms.
+        self._segs_bc = None
+        if self.max_doc <= 32 * 1024 * 1024:
+            seg_pdf = self._segments.toPandas()
+            self._segs_bc = spark.sparkContext.broadcast(
+                {int(g): p for g, p in seg_pdf.groupby("gid")}
+            )
         self._term_stats = spark.read.parquet(
             snap.tables["term_stats"]
         ).persist()
@@ -207,6 +233,30 @@ class IndexSearcher:
         return {t: self._df_cache[t] for t in terms
                 if self._df_cache.get(t) is not None}
 
+
+    def _run_kernel(self, posts: DataFrame, kernel, schema: str) -> DataFrame:
+        """Execute a per-group scoring kernel: broadcast-segments fast
+        path (one shuffle leg) when the norms fit in a broadcast,
+        cogroup (each task receives exactly its groups' norms) at
+        scale."""
+        if self._segs_bc is not None:
+            bc = self._segs_bc
+
+            def with_bcast(key, pdf):
+                segs = bc.value.get(int(key[0]))
+                if segs is None:
+                    segs = pdf.iloc[0:0]  # no meta: kernel returns empty
+                return kernel(pdf, segs)
+
+            return posts.groupBy("gid").applyInPandas(
+                with_bcast, schema=schema
+            )
+        return (
+            posts.groupBy("gid")
+            .cogroup(self._segments.groupBy("gid"))
+            .applyInPandas(kernel, schema=schema)
+        )
+
     # -- stage B + C: execute ----------------------------------------------
     def search(
         self,
@@ -239,16 +289,9 @@ class IndexSearcher:
             return self.spark.createDataFrame([], "doc_id long, score float")
         fetch = plan.terms + plan.exclude_terms
         posts = self._postings.filter(F.col("term").isin(fetch))
-        gf = self.group_factor
-        posts = posts.withColumn(
-            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
-        )
-        segs = self._segments
         kernel = make_group_scorer(plan, wand)
-        topk_per_group = (
-            posts.groupBy("gid")
-            .cogroup(segs.groupBy("gid"))
-            .applyInPandas(kernel, schema="doc_id long, score float")
+        topk_per_group = self._run_kernel(
+            posts, kernel, "doc_id long, score float"
         )
         out = topk_per_group.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if plan.k is None else out.limit(plan.k)
@@ -279,17 +322,9 @@ class IndexSearcher:
         for t, _ in offsets:  # f32 accumulation in clause order
             w = np.float32(w + idf(dfs[t], self.max_doc))
         wv = np.float32(w * K1_PLUS_1)
-        gf = self.group_factor
-        posts = self._postings.filter(F.col("term").isin(uniq)).withColumn(
-            "gid", (F.col("seg_id") / F.lit(gf)).cast("long")
-        )
-        segs = self._segments
+        posts = self._postings.filter(F.col("term").isin(uniq))
         kernel = make_phrase_scorer(offsets, wv, self.cache, k)
-        topk = (
-            posts.groupBy("gid")
-            .cogroup(segs.groupBy("gid"))
-            .applyInPandas(kernel, schema="doc_id long, score float")
-        )
+        topk = self._run_kernel(posts, kernel, "doc_id long, score float")
         out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
 
@@ -375,18 +410,11 @@ class IndexSearcher:
         ):
             return empty_df
         planned[0]["mm"] = int(min_should_match)
-        gf = self.group_factor
-        posts = self._postings.filter(
-            F.col("term").isin(sorted(fetch))
-        ).withColumn("gid", (F.col("seg_id") / F.lit(gf)).cast("long"))
-        segs = self._segments
+        posts = self._postings.filter(F.col("term").isin(sorted(fetch)))
         kernel = make_boolean_scorer(planned, self.cache, k)
-        out = (
-            posts.groupBy("gid")
-            .cogroup(segs.groupBy("gid"))
-            .applyInPandas(kernel, schema="doc_id long, score float")
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-        )
+        out = self._run_kernel(
+            posts, kernel, "doc_id long, score float"
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
 
     def search_many(
@@ -460,10 +488,7 @@ class IndexSearcher:
         if not subkernels:
             return self.spark.createDataFrame([], out_schema)
 
-        gf = self.group_factor
-        posts = self._postings.filter(
-            F.col("term").isin(sorted(fetch))
-        ).withColumn("gid", (F.col("seg_id") / F.lit(gf)).cast("long"))
+        posts = self._postings.filter(F.col("term").isin(sorted(fetch)))
         kernels = subkernels
 
         def multi(posts_pdf: pd.DataFrame, segs_pdf: pd.DataFrame):
@@ -484,11 +509,7 @@ class IndexSearcher:
                 )
             return pd.concat(outs, ignore_index=True)
 
-        per_group = (
-            posts.groupBy("gid")
-            .cogroup(self._segments.groupBy("gid"))
-            .applyInPandas(multi, schema=out_schema)
-        )
+        per_group = self._run_kernel(posts, multi, out_schema)
         # final top-k merge on the driver: <= n_groups*k rows per query
         # survive the per-group cut, so this is the tiny exact merge of
         # Solr's mergeIds (QueryComponent.java:772-870) — done locally
@@ -499,11 +520,20 @@ class IndexSearcher:
             by_q.setdefault(r["query_id"], []).append(
                 (r["doc_id"], r["score"])
             )
-        out = []
+        o_q: List[int] = []
+        o_d: List[int] = []
+        o_s: List[float] = []
         for qid in sorted(by_q):
-            hits = sorted(by_q[qid], key=lambda ds: (-ds[1], ds[0]))[:k]
-            out.extend((qid, d, s) for d, s in hits)
-        return self.spark.createDataFrame(out, out_schema)
+            for d, sc in sorted(by_q[qid], key=lambda ds: (-ds[1], ds[0]))[:k]:
+                o_q.append(qid)
+                o_d.append(d)
+                o_s.append(sc)
+        pdf = pd.DataFrame(
+            {"query_id": pd.Series(o_q, dtype="int32"),
+             "doc_id": pd.Series(o_d, dtype="int64"),
+             "score": pd.Series(o_s, dtype="float32")}
+        )
+        return self.spark.createDataFrame(pdf, out_schema)
 
     # -- auxiliary read surfaces ------------------------------------------
     def doc_stats(self) -> DataFrame:

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # finer cached-table batches: posting rows carry large binary
+        # cells, so 10k-row default batches defeat min/max pruning on
+        # the sorted term column and decompress far too much per query
+        .config("spark.sql.inMemoryColumnarStorage.batchSize", "1024")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")

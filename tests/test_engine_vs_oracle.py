@@ -291,6 +291,27 @@ def test_search_many_matches_individual(spark, built):
         assert got.get(qid, []) == want, f"batch query {qid} diverges"
 
 
+def test_cogroup_path_matches_broadcast_path(spark, built):
+    """The at-scale cogroup execution (norms too big to broadcast) must
+    return bit-identical results to the broadcast fast path."""
+    index_dir, _ = built
+    s = IndexSearcher(spark, index_dir)
+    assert s._segs_bc is not None  # small index: broadcast active
+    a = [(r["doc_id"], np.float32(r["score"]))
+         for r in s.search("common_util base_handler", k=10,
+                           mode="and").collect()]
+    ph_a = [(r["doc_id"], np.float32(r["score"]))
+            for r in s.search_phrase("seven hundred", k=10).collect()]
+    s._segs_bc = None  # force the cogroup path
+    b = [(r["doc_id"], np.float32(r["score"]))
+         for r in s.search("common_util base_handler", k=10,
+                           mode="and").collect()]
+    ph_b = [(r["doc_id"], np.float32(r["score"]))
+            for r in s.search_phrase("seven hundred", k=10).collect()]
+    assert a == b
+    assert ph_a == ph_b
+
+
 def test_assign_doc_ids_dedupes_duplicate_keys(spark):
     """updateDocuments ingest semantics: duplicate (repo, path, commit)
     keys collapse to ONE row; dense rank unaffected by duplication
