@@ -448,6 +448,36 @@ def q_function_boost(spark, sf_dir):
     )
 
 
+def q_classic_single(spark, sf_dir):
+    """Classic TFIDF (DefaultSimilarity — the reference's wired
+    default, IndexSearcher.java:92,106) single-term search: the
+    pluggable-similarity seam (functions/similarity.py, SURVEY.md
+    section 2.11) with the full queryNorm float32 chain."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="classic")
+    )
+
+
+def q_classic_or(spark, sf_dir):
+    """Classic TFIDF disjunction: coordFactors[m] = m/maxOverlap applied
+    to the f32 sum (BooleanScorer2 coordinator; TFIDFSimilarity.coord)."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(" ".join(Q_OR), k=TOP_K, mode="or",
+                 similarity="classic")
+    )
+
+
+def q_lmdirichlet(spark, sf_dir):
+    """LMDirichletSimilarity (mu=2000) single-term search — one of the
+    reference's 14 SimilarityBase models (LMDirichletSimilarity.java)."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="lmdirichlet")
+    )
+
+
 def q_facet_lang(spark, sf_dir):
     """Facet counts over the full result set of a query (SimpleFacets,
     solr/core/.../request/SimpleFacets.java:412-436): groupBy + count
@@ -719,6 +749,104 @@ FROM persc p JOIN docs0 d USING (doc_id)
 WHERE p.term = '{Q_SINGLE}'
 ORDER BY score DESC, p.doc_id ASC LIMIT 10
 """
+    # classic TFIDF decode: f = byte315ToFloat(nb); value chain mirrors
+    # functions/similarity.py classic_values / classic_score_block f32
+    # step-by-step (DefaultSimilarity + IDFStats.normalize)
+    _FDEC = """
+, fdec AS (
+  SELECT doc_id,
+    CAST(pow(2.0, floor(nb / 4) - 31) * (1 + (nb % 4) / 4.0e0) AS FLOAT)
+      AS f
+  FROM norms
+)
+"""
+    o["classic_single"] = ORACLE_PRELUDE + _FDEC + f"""
+, cw AS (
+  SELECT term,
+    CAST(ln((SELECT max_doc FROM coll) / (df + 1.0e0)) + 1.0e0 AS FLOAT)
+      AS idfv
+  FROM tstats WHERE term = '{Q_SINGLE}'
+),
+cval AS (
+  SELECT term,
+    CAST(CAST(idfv * CAST(1.0e0 / sqrt(CAST(CAST(idfv * idfv AS FLOAT)
+                                            AS DOUBLE)) AS FLOAT)
+              AS FLOAT) * idfv AS FLOAT) AS val
+  FROM cw
+)
+SELECT tf.doc_id,
+  CAST(CAST(CAST(CAST(sqrt(CAST(tf.tf AS DOUBLE)) AS FLOAT) * v.val
+                 AS FLOAT) * fd.f AS FLOAT) AS DOUBLE) AS score
+FROM tf
+JOIN cval v ON tf.term = v.term
+JOIN fdec fd ON tf.doc_id = fd.doc_id
+ORDER BY score DESC, tf.doc_id ASC LIMIT 10
+"""
+    _t1, _t2, _t3 = Q_OR
+    o["classic_or"] = ORACLE_PRELUDE + _FDEC + f"""
+, ci AS (
+  SELECT term,
+    CAST(ln((SELECT max_doc FROM coll) / (df + 1.0e0)) + 1.0e0 AS FLOAT)
+      AS idfv
+  FROM tstats WHERE term IN ('{_t1}', '{_t2}', '{_t3}')
+),
+-- ordered f32 accumulation of sumOfSquaredWeights (clause order)
+ssw AS (
+  SELECT CAST(CAST(
+      CAST((SELECT idfv * idfv FROM ci WHERE term = '{_t1}') AS FLOAT)
+    + CAST((SELECT idfv * idfv FROM ci WHERE term = '{_t2}') AS FLOAT)
+      AS FLOAT)
+    + CAST((SELECT idfv * idfv FROM ci WHERE term = '{_t3}') AS FLOAT)
+      AS FLOAT) AS v
+),
+qn AS (
+  SELECT CAST(1.0e0 / sqrt(CAST((SELECT v FROM ssw) AS DOUBLE)) AS FLOAT)
+    AS v
+),
+cvals AS (
+  SELECT term,
+    CAST(CAST(idfv * (SELECT v FROM qn) AS FLOAT) * idfv AS FLOAT) AS val
+  FROM ci
+),
+persc_c AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(CAST(CAST(sqrt(CAST(tf.tf AS DOUBLE)) AS FLOAT) * v.val
+              AS FLOAT) * fd.f AS FLOAT) AS s
+  FROM tf
+  JOIN cvals v ON tf.term = v.term
+  JOIN fdec fd ON tf.doc_id = fd.doc_id
+),
+agg AS (
+  SELECT doc_id, CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS ssum,
+         count(*) AS m
+  FROM persc_c GROUP BY doc_id
+)
+SELECT doc_id,
+  CAST(CAST(ssum * CAST(m / 3.0e0 AS FLOAT) AS FLOAT) AS DOUBLE) AS score
+FROM agg ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    o["lmdirichlet"] = ORACLE_PRELUDE + f"""
+, ddec AS (
+  SELECT doc_id,
+    CAST(CAST(1.0e0 / (pow(2.0, floor(nb / 4) - 31)
+                       * (1 + (nb % 4) / 4.0e0)
+                       * pow(2.0, floor(nb / 4) - 31)
+                       * (1 + (nb % 4) / 4.0e0)) AS FLOAT) AS DOUBLE)
+      AS dl
+  FROM norms
+),
+lp AS (
+  SELECT ((SELECT cf FROM tstats WHERE term = '{Q_SINGLE}') + 1.0e0)
+         / ((SELECT sum_ttf FROM coll) + 1.0e0) AS p
+)
+SELECT tf.doc_id,
+  CAST(CAST(ln(1.0e0 + tf.tf / (2000.0e0 * (SELECT p FROM lp)))
+            + ln(2000.0e0 / (d.dl + 2000.0e0)) AS FLOAT) AS DOUBLE)
+    AS score
+FROM tf JOIN ddec d USING (doc_id)
+WHERE tf.term = '{Q_SINGLE}'
+ORDER BY score DESC, tf.doc_id ASC LIMIT 10
+"""
     o["facet_lang"] = ORACLE_PRELUDE + f"""
 SELECT d.lang, count(*) AS n
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}') m
@@ -818,6 +946,9 @@ QUERIES = {
     "phrase_hole": q_phrase_hole,
     "search_after": q_search_after,
     "function_boost": q_function_boost,
+    "classic_single": q_classic_single,
+    "classic_or": q_classic_or,
+    "lmdirichlet": q_lmdirichlet,
     "facet_lang": q_facet_lang,
     "grouping_top2": q_grouping_top2,
     "dedup_exact": q_dedup_exact,

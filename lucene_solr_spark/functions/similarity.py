@@ -1,0 +1,124 @@
+"""Pluggable Similarity models (SURVEY.md section 2.11): the reference
+ships 14 models behind a common scoring seam (lucene/core/src/java/org/
+apache/lucene/search/similarities/Similarity.java; SimilarityBase.java);
+its wired default is the TFIDF DefaultSimilarity
+(lucene/core/.../search/IndexSearcher.java:92,106). This module
+re-expresses the seam for the vectorized kernels: a similarity is a
+driver-side weight computation (per-term f32 values from global stats)
+plus a numpy block scorer (tfs, norm_bytes) -> float32 scores.
+
+Models:
+  - "bm25"        BM25Similarity (the engine default; kernels inline it)
+  - "classic"     TFIDFSimilarity/DefaultSimilarity
+                  (TFIDFSimilarity.java; DefaultSimilarity.java):
+                  idf = (float)(log(maxDoc/(double)(df+1)) + 1)
+                  queryNorm = (float)(1/sqrt(sumOfSquaredWeights)),
+                  f32 accumulation over clauses in clause order
+                  (IndexSearcher.createNormalizedWeight); value =
+                  (queryWeight*queryNorm)*idf; score(doc) =
+                  f32(f32(sqrt(freq)) * value) * byte315ToFloat(norm);
+                  coord = (float)(overlap/(double)maxOverlap) applied
+                  per matching-clause count (TFIDFSimilarity.coord;
+                  BooleanScorer2 coordinator).
+  - "lmdirichlet" LMDirichletSimilarity (LMDirichletSimilarity.java,
+                  mu=2000): score = (float)(log(1 + freq/(mu*p)) +
+                  log(mu/(docLen+mu))), p = (cf+1)/(sumTTF+1),
+                  docLen = quantized decoded length; coord = 1
+                  (SimilarityBase keeps the Similarity default).
+
+The norm BYTE is shared across models exactly as in the reference: all
+of them encode boost/sqrt(length) with SmallFloat.floatToByte315 at
+index time and decode their own view of it (BM25: 1/(f*f) = length;
+classic: f itself; LM: length).
+
+Block-max WAND stays BM25-only: the pruning bound is derived from
+BM25's monotonicity; other models run the exhaustive (still
+partition-parallel) path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List
+
+import numpy as np
+
+from lucene_solr_spark.functions.smallfloat import (
+    LENGTH_TABLE,
+    byte315_to_float,
+)
+
+F32 = np.float32
+
+# classic decode table: byte315ToFloat(i) (TFIDFSimilarity.decodeNormValue)
+DECODE_TABLE = byte315_to_float(np.arange(256, dtype=np.uint8)).astype(
+    np.float32
+)
+
+LMD_MU = 2000.0  # LMDirichletSimilarity default mu
+
+
+def classic_idf(df: int, max_doc: int) -> np.float32:
+    """DefaultSimilarity.idf (TFIDFSimilarity.java idf explanation):
+    (float)(log(maxDoc/(double)(df+1)) + 1.0)."""
+    return F32(math.log(max_doc / (df + 1.0)) + 1.0)
+
+
+def classic_values(
+    terms: List[str], dfs: Dict[str, int], max_doc: int
+) -> Dict[str, float]:
+    """Per-term classic weight value with the query-level normalization
+    chain (IndexSearcher.createNormalizedWeight -> IDFStats.normalize):
+    queryWeight = idf (boost 1); sumOfSquaredWeights accumulates f32 in
+    clause order; queryNorm = (float)(1/sqrt((double)sum)); value =
+    (queryWeight*queryNorm)*idf, each step f32."""
+    idfs = {t: classic_idf(dfs[t], max_doc) for t in terms}
+    ssw = F32(0.0)
+    for t in terms:
+        ssw = F32(ssw + F32(idfs[t] * idfs[t]))
+    if ssw <= 0 or not np.isfinite(ssw):
+        qn = F32(1.0)
+    else:
+        qn = F32(1.0 / math.sqrt(float(ssw)))
+    return {
+        t: float(F32(F32(idfs[t] * qn) * idfs[t])) for t in terms
+    }
+
+
+def classic_score_block(
+    value: float, tfs: np.ndarray, norm_bytes: np.ndarray
+) -> np.ndarray:
+    """ExactTFIDFDocScorer.score: f32(sqrt(freq)) * value, then * decoded
+    norm — f32 at every step."""
+    tfw = np.sqrt(tfs.astype(np.float32)).astype(np.float32)
+    raw = (tfw * F32(value)).astype(np.float32)
+    return (raw * DECODE_TABLE[norm_bytes.astype(np.int64)]).astype(
+        np.float32
+    )
+
+
+def classic_coords(max_coord: int) -> np.ndarray:
+    """coordFactors[m] = (float)(m/(double)maxOverlap), m = 0..maxCoord
+    (BooleanScorer2 coordinator / TFIDFSimilarity.coord)."""
+    m = np.arange(max_coord + 1, dtype=np.float64)
+    return (m / float(max_coord)).astype(np.float32)
+
+
+def lmd_p(cf: int, sum_ttf: int) -> float:
+    """LMDirichletSimilarity collection model p = (F(w)+1)/(|C|+1)
+    (LMSimilarity.DefaultCollectionModel)."""
+    return (cf + 1.0) / (sum_ttf + 1.0)
+
+
+def lmd_score_block(
+    p: float, tfs: np.ndarray, norm_bytes: np.ndarray, mu: float = LMD_MU
+) -> np.ndarray:
+    """LMDirichletSimilarity.score (double math, cast to float):
+    log(1 + freq/(mu*p)) + log(mu/(docLen+mu)). docLen = decoded
+    quantized length (SimilarityBase.decodeNormValue)."""
+    freq = tfs.astype(np.float64)
+    doclen = LENGTH_TABLE[norm_bytes.astype(np.int64)].astype(np.float64)
+    # log(1 + x), not log1p: mirrors the reference's Math.log(1 + ...)
+    # and keeps the DuckDB oracle's ln(1 + x) argument bit-identical
+    s = np.log(1.0 + freq / (mu * p)) + np.log(mu / (doclen + mu))
+    return s.astype(np.float32)

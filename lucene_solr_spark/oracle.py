@@ -82,6 +82,24 @@ class OracleIndex:
             out[doc_id] = F32(weight_value * freq / (freq + norm))
         return out
 
+    def _term_scores_sim(self, term, similarity, values, mu=2000.0):
+        """Per-doc scores for one term under a non-BM25 similarity
+        (functions/similarity.py formulas, same f32 chains)."""
+        from lucene_solr_spark.functions.similarity import (
+            classic_score_block,
+            lmd_score_block,
+        )
+
+        out = {}
+        for doc_id, tf in self.postings.get(term, ()):
+            tfs = np.array([tf], np.int32)
+            nbs = np.array([self.norm_bytes[doc_id]], np.uint8)
+            if similarity == "classic":
+                out[doc_id] = classic_score_block(values[term], tfs, nbs)[0]
+            else:
+                out[doc_id] = lmd_score_block(values[term], tfs, nbs, mu)[0]
+        return out
+
     def search(
         self,
         query: str,
@@ -89,6 +107,7 @@ class OracleIndex:
         mode: str = "or",
         min_should_match: int = 0,
         exclude: str = "",
+        similarity: str = "bm25",
     ) -> List[Tuple[int, np.float32]]:
         """Analyze `query` with the same chain, score, return top-k
         [(doc_id, float32 score)] in collector order (score desc, doc asc).
@@ -113,8 +132,29 @@ class OracleIndex:
         qterms = [t for t in qterms if t in self.postings]
         if not qterms:
             return []
-        cache = self._cache()
-        per_term = {t: self._term_scores(t, cache) for t in qterms}
+        if similarity == "bm25":
+            cache = self._cache()
+            per_term = {t: self._term_scores(t, cache) for t in qterms}
+        else:
+            from lucene_solr_spark.functions.similarity import (
+                LMD_MU,
+                classic_values,
+                lmd_p,
+            )
+
+            if similarity == "classic":
+                dfs = {t: self.df(t) for t in qterms}
+                values = classic_values(qterms, dfs, self.max_doc)
+            else:
+                cfs = {
+                    t: sum(f for _, f in self.postings.get(t, ()))
+                    for t in qterms
+                }
+                values = {t: lmd_p(cfs[t], self.sum_ttf) for t in qterms}
+            per_term = {
+                t: self._term_scores_sim(t, similarity, values, LMD_MU)
+                for t in qterms
+            }
 
         scores: Dict[int, np.float32] = {}
         if mode == "and":
@@ -136,9 +176,20 @@ class OracleIndex:
                     cur = dacc.get(d, (0.0, 0))
                     dacc[d] = (cur[0] + float(s), cur[1] + 1)  # double acc
             mm = max(min_should_match, 1)
-            scores = {
-                d: F32(s) for d, (s, n) in dacc.items() if n >= mm
-            }
+            if similarity == "classic":
+                from lucene_solr_spark.functions.similarity import (
+                    classic_coords,
+                )
+
+                coords = classic_coords(len(qterms))
+                scores = {
+                    d: F32(F32(s) * coords[n])
+                    for d, (s, n) in dacc.items() if n >= mm
+                }
+            else:
+                scores = {
+                    d: F32(s) for d, (s, n) in dacc.items() if n >= mm
+                }
         else:
             raise ValueError(mode)
 

@@ -65,6 +65,7 @@ class QueryPlan:
     cache: np.ndarray           # 256-entry float32 norm cache
     empty: bool = False
     after: Optional[Tuple[float, int]] = None  # searchAfter cursor
+    sim: Optional[dict] = None  # non-BM25 similarity spec (functions/similarity.py)
 
 
 class IndexSearcher:
@@ -189,6 +190,7 @@ class IndexSearcher:
         mode: str = "or",
         min_should_match: int = 0,
         exclude: str = "",
+        similarity: str = "bm25",
     ) -> QueryPlan:
         raw = analyze(query_text)
         seen: set = set()
@@ -205,6 +207,22 @@ class IndexSearcher:
         weights = {
             t: float(idf(dfs[t], self.max_doc)) for t in scoring
         }
+        sim = None
+        if similarity != "bm25" and scoring:
+            from lucene_solr_spark.functions import similarity as S
+
+            if similarity == "classic":
+                sim = {"kind": "classic",
+                       "values": S.classic_values(
+                           scoring, dfs, self.max_doc),
+                       "max_coord": len(scoring)}
+            elif similarity == "lmdirichlet":
+                cfs = self._lookup_cfs(scoring)
+                sim = {"kind": "lmdirichlet", "mu": S.LMD_MU,
+                       "values": {t: S.lmd_p(cfs[t], self.sum_ttf)
+                                  for t in scoring}}
+            else:
+                raise ValueError(f"unknown similarity: {similarity}")
         return QueryPlan(
             terms=scoring,
             dfs={t: dfs[t] for t in scoring},
@@ -215,6 +233,7 @@ class IndexSearcher:
             k=int(k),
             cache=self.cache,
             empty=empty,
+            sim=sim,
         )
 
     def _lookup_dfs(self, terms) -> Dict[str, int]:
@@ -224,13 +243,20 @@ class IndexSearcher:
         if missing:
             rows = (
                 self._term_stats.filter(F.col("term").isin(missing))
-                .select("term", "df")
+                .select("term", "df", "cf")
                 .collect()
             )
-            found = {r["term"]: int(r["df"]) for r in rows}
+            found = {r["term"]: (int(r["df"]), int(r["cf"])) for r in rows}
             for t in missing:
                 self._df_cache[t] = found.get(t)
-        return {t: self._df_cache[t] for t in terms
+        return {t: self._df_cache[t][0] for t in terms
+                if self._df_cache.get(t) is not None}
+
+    def _lookup_cfs(self, terms) -> Dict[str, int]:
+        """totalTermFreq per term (TermStatistics.totalTermFreq) — same
+        cache as _lookup_dfs."""
+        self._lookup_dfs(terms)
+        return {t: self._df_cache[t][1] for t in terms
                 if self._df_cache.get(t) is not None}
 
 
@@ -267,6 +293,7 @@ class IndexSearcher:
         exclude: str = "",
         wand: bool = True,
         after: Optional[Tuple[float, int]] = None,
+        similarity: str = "bm25",
     ) -> DataFrame:
         """Top-k BM25 search. ``k=None`` returns ALL matching docs with
         scores (the TotalHitCount / facet / grouping feeding path — no
@@ -279,7 +306,9 @@ class IndexSearcher:
         cut, so page k+1 is exact; WAND is disabled for cursored pages
         (the pruning bound assumes an empty floor)."""
         plan = self.plan(query_text, k if k is not None else 0, mode,
-                         min_should_match, exclude)
+                         min_should_match, exclude, similarity)
+        if plan.sim is not None:
+            wand = False  # block-max bound is BM25-specific
         if k is None:
             plan.k = None  # type: ignore[assignment]
         if after is not None:
@@ -772,6 +801,8 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
     mode, mm, k = plan.mode, max(plan.mm, 1), plan.k
     cache = plan.cache.copy()
     after = plan.after
+    sim = plan.sim
+    wand = wand and sim is None  # block-max bound is BM25-specific
     and_order = sorted(terms, key=lambda t: dfs[t])  # stable: ties keep order
 
     def empty_result():
@@ -816,6 +847,29 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
             nrm = cache[norms[docs - gbase].astype(np.int64)]
             return (wv * freq / (freq + nrm)).astype(np.float32)
 
+        if sim is None:
+            def clause_scores(t, docs, tfs):
+                return term_scores(wv_of(t), docs, tfs)
+        elif sim["kind"] == "classic":
+            from lucene_solr_spark.functions.similarity import (
+                classic_score_block,
+            )
+
+            def clause_scores(t, docs, tfs):
+                return classic_score_block(
+                    sim["values"][t], tfs, norms[docs - gbase]
+                )
+        else:  # lmdirichlet
+            from lucene_solr_spark.functions.similarity import (
+                lmd_score_block,
+            )
+
+            def clause_scores(t, docs, tfs):
+                return lmd_score_block(
+                    sim["values"][t], tfs, norms[docs - gbase],
+                    sim["mu"],
+                )
+
         def excl_mask_or_none() -> Optional[np.ndarray]:
             m = None if deleted is None else deleted.copy()
             if exclude_terms:
@@ -857,19 +911,20 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
             for t, (docs_t, tfs_t) in zip(and_order, datas):
                 pos = np.searchsorted(docs_t, cand)
                 # float32 sum in ascending-df clause order (normative)
-                acc = acc + term_scores(wv_of(t), cand, tfs_t[pos])
+                acc = acc + clause_scores(t, cand, tfs_t[pos])
             cand_docs, cand_scores = cand, acc
             em = excl_mask_or_none()
             if em is not None and len(cand_docs):
                 keep = ~em[cand_docs - gbase]
                 cand_docs, cand_scores = cand_docs[keep], cand_scores[keep]
         else:  # or / mm
-            tis, wvs = [], []
+            tis, wvs, tnames = [], [], []
             for t in terms:
                 ti = tindex(t)
                 if ti is not None:
                     tis.append(ti)
-                    wvs.append(wv_of(t))
+                    wvs.append(wv_of(t) if sim is None else None)
+                    tnames.append(t)
             if not tis:
                 return empty_result()
             em = excl_mask_or_none()
@@ -881,9 +936,9 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
             else:
                 acc = np.zeros(span, dtype=np.float64)
                 cnt = np.zeros(span, dtype=np.int32)
-                for ti, wv in zip(tis, wvs):
+                for ti, t in zip(tis, tnames):
                     docs, tfs = ti.decode_all()
-                    s = term_scores(wv, docs, tfs)
+                    s = clause_scores(t, docs, tfs)
                     idxs = docs - gbase
                     acc[idxs] += s.astype(np.float64)
                     cnt[idxs] += 1
@@ -893,6 +948,17 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
                 idxs = np.nonzero(hit)[0]
                 cand_docs = idxs.astype(np.int64) + gbase
                 cand_scores = acc[idxs].astype(np.float32)
+                if sim is not None and sim["kind"] == "classic":
+                    # coordFactors[m] applied to the f32 sum
+                    # (BooleanScorer2 coordinator, TFIDFSimilarity.coord)
+                    from lucene_solr_spark.functions.similarity import (
+                        classic_coords,
+                    )
+
+                    coords = classic_coords(sim["max_coord"])
+                    cand_scores = (
+                        cand_scores * coords[cnt[idxs]]
+                    ).astype(np.float32)
 
         if after is not None and len(cand_docs):
             s0 = np.float32(after[0])

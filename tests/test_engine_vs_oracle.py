@@ -291,6 +291,35 @@ def test_search_many_matches_individual(spark, built):
         assert got.get(qid, []) == want, f"batch query {qid} diverges"
 
 
+@pytest.mark.parametrize("similarity", ["classic", "lmdirichlet"])
+@pytest.mark.parametrize("q", [QUERY_SET[0], QUERY_SET[2], QUERY_SET[3],
+                               QUERY_SET[5]],
+                         ids=lambda q: f"q{q['query_id']}")
+def test_pluggable_similarity_rank_identical(spark, built, q, similarity):
+    """Similarity seam (SURVEY.md section 2.11): classic TFIDF
+    (DefaultSimilarity incl. queryNorm + coord chains) and LMDirichlet
+    must be rank-identical with bitwise-equal float32 scores vs the
+    pure-Python oracle running the same published formulas."""
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(
+            q["query_text"], k=10, mode=q["mode"],
+            min_should_match=q["mm"], exclude=q["exclude"],
+            similarity=similarity,
+        ).collect()
+    ]
+    want = oracle.search(
+        q["query_text"], k=10, mode=q["mode"],
+        min_should_match=q["mm"], exclude=q["exclude"],
+        similarity=similarity,
+    )
+    assert [d for d, _ in got] == [d for d, _ in want], (similarity, q)
+    for (dg, sg), (dw, sw) in zip(got, want):
+        assert sg.tobytes() == np.float32(sw).tobytes(), (similarity, dg)
+
+
 def test_cogroup_path_matches_broadcast_path(spark, built):
     """The at-scale cogroup execution (norms too big to broadcast) must
     return bit-identical results to the broadcast fast path."""
