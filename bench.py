@@ -35,6 +35,10 @@ QUERY_NAMES = [
     "bool_not",
     "phrase_query",
     "prefix_docs",
+    "classic_single",
+    "lmdirichlet",
+    "sort_by_field",
+    "total_hits",
     "facet_lang",
     "grouping_top2",
     "term_stats",

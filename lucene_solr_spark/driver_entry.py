@@ -478,6 +478,47 @@ def q_lmdirichlet(spark, sf_dir):
     )
 
 
+def q_sort_by_field(spark, sf_dir):
+    """Sort-by-docvalues (Sort/SortField/TopFieldCollector,
+    lucene/core/.../search/TopFieldCollector.java): docs matching a
+    term ordered by a per-doc field (doc_len desc, docID asc) — native
+    Catalyst orderBy+limit over the doc-stats surface."""
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs(F.col("term") == Q_SINGLE)
+    return (
+        m.join(s.doc_stats(), "doc_id")
+        .select("doc_id", "doc_len")
+        .orderBy(F.desc("doc_len"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_stats_doclen(spark, sf_dir):
+    """Solr StatsComponent (solr/core/.../handler/component/
+    StatsComponent.java): min/max/sum/mean over a field of the result
+    set — one native Spark agg."""
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs(F.col("term") == Q_SINGLE)
+    return (
+        m.join(s.doc_stats(), "doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("doc_len").alias("mn"),
+            F.max("doc_len").alias("mx"),
+            F.sum("doc_len").alias("sm"),
+            F.avg("doc_len").alias("mean"),
+        )
+    )
+
+
+def q_total_hits(spark, sf_dir):
+    """TotalHitCountCollector (search/TotalHitCountCollector.java):
+    count matches only, no scoring."""
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs(F.col("term").isin(list(Q_OR)))
+    return m.agg(F.count("*").alias("n"))
+
+
 def q_facet_lang(spark, sf_dir):
     """Facet counts over the full result set of a query (SimpleFacets,
     solr/core/.../request/SimpleFacets.java:412-436): groupBy + count
@@ -847,6 +888,23 @@ FROM tf JOIN ddec d USING (doc_id)
 WHERE tf.term = '{Q_SINGLE}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT 10
 """
+    o["sort_by_field"] = ORACLE_PRELUDE + f"""
+SELECT m.doc_id, d.doc_len
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}') m
+JOIN dlen d USING (doc_id)
+ORDER BY d.doc_len DESC, m.doc_id ASC LIMIT {TOP_K}
+"""
+    o["stats_doclen"] = ORACLE_PRELUDE + f"""
+SELECT count(*) AS n, min(d.doc_len) AS mn, max(d.doc_len) AS mx,
+       sum(d.doc_len) AS sm, avg(CAST(d.doc_len AS DOUBLE)) AS mean
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}') m
+JOIN dlen d USING (doc_id)
+"""
+    o["total_hits"] = ORACLE_PRELUDE + f"""
+SELECT count(*) AS n
+FROM (SELECT DISTINCT doc_id FROM tf
+      WHERE term IN ('{Q_OR[0]}', '{Q_OR[1]}', '{Q_OR[2]}'))
+"""
     o["facet_lang"] = ORACLE_PRELUDE + f"""
 SELECT d.lang, count(*) AS n
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}') m
@@ -949,6 +1007,9 @@ QUERIES = {
     "classic_single": q_classic_single,
     "classic_or": q_classic_or,
     "lmdirichlet": q_lmdirichlet,
+    "sort_by_field": q_sort_by_field,
+    "stats_doclen": q_stats_doclen,
+    "total_hits": q_total_hits,
     "facet_lang": q_facet_lang,
     "grouping_top2": q_grouping_top2,
     "dedup_exact": q_dedup_exact,

@@ -138,6 +138,7 @@ SEGMENT_OUT_SCHEMA = (
     "pos_enc binary, pos_cnts binary, sdoc long, stf long, "
     "doc_base long, doc_count long, sum_len long, "
     "norms_enc binary, doc_lens_enc binary, input_sha256 string, "
+    "term_lo string, term_hi string, post_bytes long, "
     "repos array<string>, paths array<string>, commits array<string>, "
     "langs array<string>, shas array<string>"
 )
@@ -470,13 +471,26 @@ def invert_segment(
          for c, v in cols.items()}
     )
     for c in ("doc_base", "doc_count", "sum_len", "norms_enc",
-              "doc_lens_enc", "input_sha256", *_ARRAY_COLS):
+              "doc_lens_enc", "input_sha256", "term_lo", "term_hi",
+              "post_bytes", *_ARRAY_COLS):
         pdf[c] = None
+    # lineage stats computed in-pass: per-segment term range + encoded
+    # byte volume ride the meta row, so the lineage step never re-reads
+    # the postings output
+    n_terms_out = len(cols["term"])
+    post_bytes = sum(
+        len(v) for col in (cols["doc_ids_enc"], cols["tfs_enc"],
+                           cols["skips_enc"])
+        for v in col if v is not None
+    )
     meta = {
         "is_meta": True, "term": None, "seg_id": seg_id, "df": None,
         "cf": None, "doc_ids_enc": None, "tfs_enc": None,
         "skips_enc": None, "pos_enc": None, "pos_cnts": None,
         "sdoc": None, "stf": None,
+        "term_lo": cols["term"][0] if n_terms_out else None,
+        "term_hi": cols["term"][-1] if n_terms_out else None,
+        "post_bytes": post_bytes,
         "doc_base": doc_base, "doc_count": n_docs,
         "sum_len": total_tokens, "norms_enc": nb_lookup.tobytes(),
         "doc_lens_enc": len_lookup.astype("<i4").tobytes(),
@@ -704,24 +718,15 @@ class IndexWriter:
         return self._finalize(props, sorted(done), lineage_acc)
 
     def _batch_lineage(self, path: str, batch: int) -> List[dict]:
-        sdf = self.spark.read.parquet(path)
-        post_agg = (
-            sdf.filter(~_is_meta_col())
-            .groupBy("seg_id")
-            .agg(
-                F.min("term").alias("term_lo"),
-                F.max("term").alias("term_hi"),
-                (
-                    F.sum(F.coalesce(F.length("doc_ids_enc"), F.lit(0)))
-                    + F.sum(F.coalesce(F.length("tfs_enc"), F.lit(0)))
-                    + F.sum(F.coalesce(F.length("skips_enc"), F.lit(0)))
-                ).alias("bytes"),
-            )
+        # meta rows carry the per-segment stats (computed in the build
+        # pass): one pruned read of the is_meta=true partition only
+        rows = (
+            self.spark.read.parquet(path)
+            .filter(_is_meta_col())
+            .select("seg_id", "doc_count", "input_sha256", "term_lo",
+                    "term_hi", "post_bytes")
+            .collect()
         )
-        meta = sdf.filter(_is_meta_col()).select(
-            "seg_id", "doc_count", "input_sha256"
-        )
-        rows = meta.join(post_agg, "seg_id", "left").collect()
         return [
             dict(
                 partition_id=int(r["seg_id"]),
@@ -729,7 +734,7 @@ class IndexWriter:
                 term_range_lo=r["term_lo"],
                 term_range_hi=r["term_hi"],
                 doc_count=int(r["doc_count"]),
-                bytes=int(r["bytes"] or 0),
+                bytes=int(r["post_bytes"] or 0),
                 input_sha256=r["input_sha256"],
             )
             for r in rows
