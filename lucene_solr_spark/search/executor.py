@@ -20,11 +20,25 @@ lucene/core/src/java/org/apache/lucene/search/IndexSearcher.java:259-273):
     groups share one global docID space (unlike Solr's shardIndex
     tie-break, TopDocs.java:95-117; SURVEY.md section 3.3).
 
-One shuffle (the cogroup) + one tiny collect per query. Block-max WAND
-pruning (wand=True) uses the per-block (max_tf, max_nb) skip metadata to
-decode only blocks that can still beat the group's running heap floor —
-score-safe, so results are identical with wand on/off (gated by
+Physical execution adapts to scale:
+  - postings cache pre-partitioned by scoring group (term-sorted within
+    partitions): groupBy(gid).applyInPandas reuses the partitioning, so
+    a query's kernel runs in the SAME stage as the cache scan — zero
+    shuffles per query;
+  - segment norms broadcast when they fit (<=32M docs, the
+    broadcast-join idea), else cogrouped so each task receives exactly
+    its groups' norms;
+  - search_many multiplexes a whole query batch through one job with
+    per-(task, group, term) decode sharing and a driver-side exact
+    merge — the high-QPS path.
+
+Block-max WAND pruning (wand=True, BM25 only) uses the per-block
+(max_tf, max_nb) skip metadata to decode only blocks that can still
+beat the group's running heap floor — score-safe, so results are
+identical with wand on/off (gated by
 tests/test_engine_vs_oracle.py::test_wand_equals_exhaustive).
+Similarities: bm25 (default) / classic TFIDF / lmdirichlet
+(functions/similarity.py), all dual-execution gated.
 """
 
 from __future__ import annotations
