@@ -46,6 +46,8 @@ def main(argv=None) -> int:
     b.add_argument("--docs-per-segment", type=int, default=65536)
     b.add_argument("--batches", type=int, default=4)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--analyzer", default="standard",
+                   help="standard | whitespace | simple | stop | keyword")
 
     m = sub.add_parser("merge")
     m.add_argument("--index", required=True)
@@ -76,7 +78,7 @@ def main(argv=None) -> int:
         t0 = time.time()
         snap = IndexWriter(
             spark, args.index, docs_per_segment=args.docs_per_segment,
-            n_batches=args.batches,
+            n_batches=args.batches, analyzer=args.analyzer,
         ).build(spark.read.parquet(args.corpus),
                 resume=not args.no_resume)
         print(json.dumps({

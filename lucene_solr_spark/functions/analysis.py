@@ -179,6 +179,115 @@ def analyze_with_positions(text: str) -> List[Tuple[str, int]]:
     return out
 
 
+# -- pluggable analyzers ----------------------------------------------------
+# The reference's Analyzer seam (lucene/core/.../analysis/Analyzer.java;
+# concrete chains in lucene/analysis/common/.../core/): an analyzer is a
+# boundary scanner + optional LowerCaseFilter + optional StopFilter.
+# Persisted by NAME in the index snapshot so the query side always
+# re-analyzes with the identical chain (QueryParserBase re-analysis).
+
+class AnalyzerSpec:
+    """name + scanner + filter flags; generic analyze paths. The
+    'standard' spec overrides them with the optimized module-level
+    implementations."""
+
+    def __init__(self, name: str, scanner, lowercase: bool = True,
+                 stopwords: frozenset = frozenset(),
+                 max_len: int = MAX_TOKEN_LENGTH):
+        self.name = name
+        self.scanner = scanner
+        self.lowercase = lowercase
+        self.stopwords = stopwords
+        self.max_len = max_len
+
+    def analyze(self, text: str) -> List[str]:
+        out = []
+        for t in self.scanner(text):
+            if len(t) > self.max_len:
+                continue
+            if self.lowercase:
+                t = t.lower()
+            if t not in self.stopwords:
+                out.append(t)
+        return out
+
+    def analyze_with_positions(self, text: str) -> List[Tuple[str, int]]:
+        out = []
+        pos = -1
+        for t in self.scanner(text):
+            pos += 1
+            if len(t) > self.max_len:
+                continue
+            if self.lowercase:
+                t = t.lower()
+            if t in self.stopwords:
+                continue
+            out.append((t, pos))
+        return out
+
+    def tokenize_series_positions(self, texts):
+        toks_out: List[List[str]] = []
+        pos_out: List[List[int]] = []
+        for text in texts:
+            tp = self.analyze_with_positions(text) if text else []
+            toks_out.append([t for t, _ in tp])
+            pos_out.append([p for _, p in tp])
+        return toks_out, pos_out
+
+
+class _StandardSpec(AnalyzerSpec):
+    """StandardAnalyzer chain via the optimized fast paths."""
+
+    def __init__(self):
+        super().__init__("standard", None, True, STOPWORDS)
+
+    def analyze(self, text):
+        return analyze(text)
+
+    def analyze_with_positions(self, text):
+        return analyze_with_positions(text)
+
+    def tokenize_series_positions(self, texts):
+        return tokenize_series_positions(texts)
+
+
+import re as _re_mod
+
+_LETTER_RUNS = _re_mod.compile(r"[^\W\d_]+", _re_mod.UNICODE).findall
+
+ANALYZERS: dict = {}
+
+
+def register_analyzer(spec: AnalyzerSpec) -> AnalyzerSpec:
+    ANALYZERS[spec.name] = spec
+    return spec
+
+
+register_analyzer(_StandardSpec())
+# WhitespaceAnalyzer (analysis/core/WhitespaceAnalyzer.java): maximal
+# non-whitespace runs, no lowercase, no stopwords
+register_analyzer(AnalyzerSpec("whitespace", str.split, False))
+# SimpleAnalyzer (analysis/core/SimpleAnalyzer.java): letter runs + lower
+register_analyzer(AnalyzerSpec("simple", _LETTER_RUNS, True))
+# StopAnalyzer (analysis/core/StopAnalyzer.java): simple + 33 stopwords
+register_analyzer(AnalyzerSpec("stop", _LETTER_RUNS, True, STOPWORDS))
+# KeywordAnalyzer (analysis/core/KeywordAnalyzer.java): whole field as
+# ONE token, no length cap (KeywordTokenizer buffers the entire input)
+register_analyzer(
+    AnalyzerSpec("keyword", lambda t: [t] if t else [], False,
+                 max_len=1 << 30)
+)
+
+
+def get_analyzer(name: str) -> AnalyzerSpec:
+    try:
+        return ANALYZERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown analyzer {name!r}; registered: {sorted(ANALYZERS)}"
+        )
+
+
 def tokenize_series(texts: Iterable[str]) -> List[List[str]]:
     """Vectorized-ish batch analyze for pandas UDFs: one C-level regex
     scan per row, list building only. pandas .str methods cannot express

@@ -61,7 +61,7 @@ from pyspark.sql import functions as F
 
 from lucene_solr_spark.catalog import Catalog, Snapshot
 from lucene_solr_spark.constants import DEFAULT_DOCS_PER_SEGMENT, FORMAT_VERSION
-from lucene_solr_spark.functions.analysis import tokenize_series_positions
+from lucene_solr_spark.functions.analysis import get_analyzer
 from lucene_solr_spark.functions.smallfloat import encode_norm
 from lucene_solr_spark.indexing.codec import (
     concat_postings,
@@ -515,7 +515,8 @@ _OUT_COLS = [f.split()[0].strip(", ") for f in SEGMENT_OUT_SCHEMA.split(", ")]
 _ARRAY_COLS = ("repos", "paths", "commits", "langs", "shas")
 
 
-def make_stream_builder(offsets: Dict[int, int], dps: int):
+def make_stream_builder(offsets: Dict[int, int], dps: int,
+                        analyzer: str = "standard"):
     """mapInPandas factory: the whole IndexWriter hot path in ONE pass.
 
     Input: the range-partitioned, key-sorted corpus (columns DOC_KEY +
@@ -580,7 +581,9 @@ def make_stream_builder(offsets: Dict[int, int], dps: int):
                 )
                 consumed[b] = seen + (rhi - rlo)
             contents = pdf["content"].tolist()
-            toks, poss = tokenize_series_positions(contents)
+            toks, poss = get_analyzer(analyzer).tokenize_series_positions(
+                contents
+            )
             shas = [
                 hashlib.sha256(c.encode("utf-8")).hexdigest()
                 for c in contents
@@ -623,11 +626,13 @@ class IndexWriter:
         index_dir: str,
         docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
         n_batches: int = 4,
+        analyzer: str = "standard",
     ):
         self.spark = spark
         self.catalog = Catalog(index_dir)
         self.docs_per_segment = int(docs_per_segment)
         self.n_batches = int(n_batches)
+        self.analyzer = get_analyzer(analyzer).name  # validate + pin
 
     # -- stage 1: plan (bounds + counts -> dense-rank offsets) ------------
     def _plan_snapshot(self, corpus: DataFrame, resume: bool) -> Snapshot:
@@ -652,6 +657,7 @@ class IndexWriter:
                 "n_docs": n_docs,
                 "docs_per_segment": self.docs_per_segment,
                 "n_batches": self.n_batches,
+                "analyzer": self.analyzer,
                 "key_bounds": bounds,
                 "counts": {str(k): v for k, v in counts.items()},
             },
@@ -684,6 +690,7 @@ class IndexWriter:
             done = set()
         lineage_acc = list(snap.lineage) if snap.stage == "segments" else []
         keyed = _keyed_corpus(corpus, bounds)
+        analyzer = props.get("analyzer", "standard")
         # the counts pass shuffles only the key columns (Catalyst prunes
         # content below the exchange), so with one batch the corpus
         # content is shuffled exactly once, by the segment pass. Spark
@@ -692,7 +699,7 @@ class IndexWriter:
         # it per batch job.
         if n_batches - len(done) > 1:
             keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-        builder = make_stream_builder(offsets, dps)
+        builder = make_stream_builder(offsets, dps, analyzer)
         for b in range(n_batches):
             lo = b * bpb
             if lo >= NB:
@@ -1059,7 +1066,10 @@ def append_documents(
     path = cat.path("seg", f"append-{gen}")
     (
         keyed.mapInPandas(
-            make_stream_builder(offsets, dps), schema=SEGMENT_OUT_SCHEMA
+            make_stream_builder(
+                offsets, dps, props.get("analyzer", "standard")
+            ),
+            schema=SEGMENT_OUT_SCHEMA,
         )
         .write.mode("overwrite").partitionBy("is_meta").parquet(path)
     )
@@ -1148,11 +1158,10 @@ def delete_by_query(
     """delete-by-term(s): docs containing ANY analyzed term of
     query_text (IndexWriter.deleteDocuments(Term...),
     IndexWriter.java:1309)."""
-    from lucene_solr_spark.functions.analysis import analyze
     from lucene_solr_spark.search.executor import IndexSearcher
 
-    terms = analyze(query_text)
     searcher = IndexSearcher(spark, index_dir)
+    terms = searcher.analyzer.analyze(query_text)
     if not terms:
         return searcher.snap
     docs = searcher.match_docs(F.col("term").isin(terms))

@@ -24,7 +24,11 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from lucene_solr_spark.constants import B, K1
-from lucene_solr_spark.functions.analysis import analyze, analyze_with_positions
+from lucene_solr_spark.functions.analysis import (
+    analyze,
+    analyze_with_positions,
+    get_analyzer,
+)
 from lucene_solr_spark.functions.bm25 import K1_PLUS_1, avgdl, idf, norm_cache
 from lucene_solr_spark.functions.smallfloat import encode_norm
 
@@ -40,11 +44,14 @@ class OracleIndex:
     sum_ttf: int = 0
 
     @classmethod
-    def build(cls, docs: Sequence[Tuple[int, str]]) -> "OracleIndex":
+    def build(cls, docs: Sequence[Tuple[int, str]],
+              analyzer: str = "standard") -> "OracleIndex":
         """docs: (doc_id, content) with dense pre-assigned docIDs."""
         idx = cls()
+        idx.analyzer = analyzer
+        spec = get_analyzer(analyzer)
         for doc_id, content in docs:
-            terms = analyze(content)
+            terms = spec.analyze(content)
             idx.max_doc += 1
             idx.sum_ttf += len(terms)
             # len==0 -> 1/sqrt(0)=inf -> floatToByte315 overflow -> 0xFF,
@@ -56,7 +63,7 @@ class OracleIndex:
                 tf[t] = tf.get(t, 0) + 1
             for t, f in tf.items():
                 idx.postings.setdefault(t, []).append((doc_id, f))
-            for t, pos in analyze_with_positions(content):
+            for t, pos in spec.analyze_with_positions(content):
                 idx.positions.setdefault(t, {}).setdefault(
                     doc_id, []
                 ).append(pos)
@@ -116,7 +123,7 @@ class OracleIndex:
         min_should_match: for 'or', require >= mm matching clauses.
         exclude: text whose terms' docs are excluded (MUST_NOT).
         """
-        terms = analyze(query)
+        terms = get_analyzer(getattr(self, "analyzer", "standard")).analyze(query)
         # de-dup preserving first occurrence (BooleanQuery keeps duplicate
         # clauses; our surface treats the query as a term SET, documented)
         seen, qterms = set(), []

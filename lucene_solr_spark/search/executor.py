@@ -56,7 +56,7 @@ from pyspark.sql import functions as F
 
 from lucene_solr_spark.catalog import Catalog
 from lucene_solr_spark.constants import B, K1
-from lucene_solr_spark.functions.analysis import analyze
+from lucene_solr_spark.functions.analysis import get_analyzer
 from lucene_solr_spark.functions.bm25 import K1_PLUS_1, avgdl, idf, norm_cache
 from lucene_solr_spark.indexing.codec import decode_postings, decode_skips
 
@@ -97,6 +97,9 @@ class IndexSearcher:
         self.avgdl = avgdl(self.sum_ttf, self.max_doc)
         self.cache = norm_cache(self.avgdl, K1, B)
         self.group_factor = int(snap.props.get("group_factor", 1))
+        # query text is ALWAYS re-analyzed with the chain the index was
+        # built with (QueryParserBase re-analysis semantics)
+        self.analyzer = get_analyzer(snap.props.get("analyzer", "standard"))
 
         from lucene_solr_spark.indexing.build import (
             read_postings_any,
@@ -206,10 +209,10 @@ class IndexSearcher:
         exclude: str = "",
         similarity: str = "bm25",
     ) -> QueryPlan:
-        raw = analyze(query_text)
+        raw = self.analyzer.analyze(query_text)
         seen: set = set()
         qterms = [t for t in raw if not (t in seen or seen.add(t))]
-        ex_raw = analyze(exclude) if exclude else []
+        ex_raw = self.analyzer.analyze(exclude) if exclude else []
         seen_e: set = set()
         exterms = [t for t in ex_raw if not (t in seen_e or seen_e.add(t))]
         all_terms = list(dict.fromkeys(qterms + exterms))
@@ -349,10 +352,9 @@ class IndexSearcher:
         enablePositionIncrements), so 'big the table' requires 'table'
         two positions after 'big'. freq = phraseFreq; weight = sum of
         clause idfs (BM25Similarity.java:185-198)."""
-        from lucene_solr_spark.functions.analysis import analyze_with_positions
         from lucene_solr_spark.functions.bm25 import idf
 
-        tp = analyze_with_positions(phrase_text)
+        tp = self.analyzer.analyze_with_positions(phrase_text)
         if not tp:
             return self.spark.createDataFrame([], "doc_id long, score float")
         p0 = tp[0][1]
@@ -481,9 +483,10 @@ class IndexSearcher:
         multi-client QPS analogue of Lucene's shared IndexSearcher
         (search/IndexSearcher.java:428-462 slice executor, amortized
         across a whole query batch)."""
-        from lucene_solr_spark.functions.analysis import analyze_with_positions
         from lucene_solr_spark.functions.bm25 import idf as _idf
 
+        analyze = self.analyzer.analyze
+        analyze_with_positions = self.analyzer.analyze_with_positions
         out_schema = "query_id int, doc_id long, score float"
         # warm the df cache with every term in the batch in ONE scan
         probe: set = set()

@@ -366,3 +366,33 @@ def test_assign_doc_ids_dedupes_duplicate_keys(spark):
     keys = sorted((f"r{i % 5}", f"p{i:03d}") for i in range(40))
     assert [(g[0], g[1]) for g in got] == keys
     assert sorted(g[2] for g in got) == list(range(40))
+
+
+def test_whitespace_analyzer_rank_identical(spark, small_corpus, tmp_path):
+    """Pluggable analyzer (Analyzer seam, lucene/core/.../analysis/
+    Analyzer.java): an index built with the whitespace chain must be
+    rank-identical to the oracle using the same chain, and the searcher
+    must re-analyze query text with the index's pinned analyzer."""
+    from lucene_solr_spark.corpusgen import CORPUS_SCHEMA
+    from lucene_solr_spark.oracle import OracleIndex
+
+    index_dir = str(tmp_path / "wsidx")
+    corpus = spark.createDataFrame(small_corpus, schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=1,
+                analyzer="whitespace").build(corpus)
+    searcher = IndexSearcher(spark, index_dir)
+    assert searcher.analyzer.name == "whitespace"
+    docs_sorted = sorted(
+        small_corpus, key=lambda r: (r["repo"], r["path"], r["commit"])
+    )
+    oracle = OracleIndex.build(
+        [(i, r["content"]) for i, r in enumerate(docs_sorted)],
+        analyzer="whitespace",
+    )
+    for q in ["mergeIdx", "=", "def common_util(init_0)"]:
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in searcher.search(q, k=10).collect()]
+        want = oracle.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        for (dg, sg), (dw, sw) in zip(got, want):
+            assert sg.tobytes() == np.float32(sw).tobytes(), (q, dg)
