@@ -1026,6 +1026,28 @@ def merge_postings(
     )
 
 
+def maybe_compact(
+    spark: SparkSession, index_dir: str,
+    max_generations: int = 10, segs_per_group: int = 16,
+) -> Optional[Snapshot]:
+    """Tiered-compaction policy (TieredMergePolicy analogue,
+    lucene/core/.../index/TieredMergePolicy.java:81-87 — '<= 10 segments
+    per tier' is the reference default this mirrors at generation
+    granularity): trigger the salted merge only when the number of live
+    postings storage generations exceeds ``max_generations``. Returns
+    the merge snapshot, or None when no compaction was needed. The NRT
+    sink calls this after every micro-batch append, so read-side row
+    counts stay bounded under continuous ingestion."""
+    cat = Catalog(index_dir)
+    snap = cat.latest_at_stage("commit", "merge", "delete")
+    if snap is None:
+        return None
+    gens = _as_list(snap.tables.get("postings", []))
+    if len(gens) <= max_generations:
+        return None
+    return merge_postings(spark, index_dir, segs_per_group=segs_per_group)
+
+
 # -- incremental append + deletes (NRT / updateDocuments tier) --------------
 
 def _as_list(x) -> List[str]:

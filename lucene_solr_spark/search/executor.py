@@ -581,6 +581,143 @@ class IndexSearcher:
         )
         return self.spark.createDataFrame(pdf, out_schema)
 
+    def explain(
+        self,
+        query_text: str,
+        doc_id: int,
+        mode: str = "or",
+        min_should_match: int = 0,
+        exclude: str = "",
+        similarity: str = "bm25",
+    ) -> dict:
+        """Score explanation for one document (IndexSearcher.explain,
+        lucene/core/.../search/IndexSearcher.java; the CheckHits
+        checkExplanations contract: the explanation's value re-derives
+        the exact float32 score the collector saw,
+        test-framework/.../search/CheckHits.java:288+).
+
+        Returns a nested Explanation-like dict:
+          {match, value, description, details: [{term, value, tf,
+           norm_byte, ...}]}
+        """
+        plan = self.plan(query_text, 10, mode, min_should_match,
+                         exclude, similarity)
+        if plan.empty:
+            return {"match": False, "value": 0.0,
+                    "description": "no scoring clauses"}
+        gf = self.group_factor
+        gid = int(doc_id) // gf
+        fetch = plan.terms + plan.exclude_terms
+        rows = (
+            self._postings.filter(
+                (F.col("gid") == gid) & F.col("term").isin(fetch)
+            ).toPandas()
+        )
+        if self._segs_bc is not None:
+            segs = self._segs_bc.value.get(gid)
+        else:
+            segs = self._segments.filter(F.col("gid") == gid).toPandas()
+        if segs is None or len(segs) == 0 or len(rows) == 0:
+            return {"match": False, "value": 0.0,
+                    "description": "document matches no query term"}
+        gbase, span, norms, deleted = _group_ctx(segs)
+        off = int(doc_id) - gbase
+        if off < 0 or off >= span or (
+            deleted is not None and deleted[off]
+        ):
+            return {"match": False, "value": 0.0,
+                    "description": "document deleted or out of range"}
+        nb = int(norms[off])
+
+        def tf_of(term: str) -> int:
+            sub = [r for r in rows.itertuples(index=False)
+                   if r.term == term]
+            if not sub:
+                return 0
+            ti = _TermIndex(sorted(sub, key=lambda r: r.seg_id),
+                            norms, gbase)
+            bi = int(np.searchsorted(ti.his, doc_id, side="left"))
+            if bi >= ti.n_blocks:
+                return 0
+            docs, tfs = ti.decode_block(bi)
+            j = int(np.searchsorted(docs, doc_id))
+            if j < len(docs) and docs[j] == doc_id:
+                return int(tfs[j])
+            return 0
+
+        for t in plan.exclude_terms:
+            if tf_of(t) > 0:
+                return {"match": False, "value": 0.0,
+                        "description": f"excluded by MUST_NOT '{t}'"}
+
+        def clause_value(t: str, tf: int) -> np.float32:
+            tfs = np.array([tf], np.int32)
+            nbs = np.array([nb], np.uint8)
+            if plan.sim is None:
+                wv = F32(F32(plan.weights[t]) * K1_PLUS_1)
+                freq = tfs.astype(np.float32)
+                nrm = plan.cache[nbs.astype(np.int64)]
+                return F32((wv * freq / (freq + nrm))[0])
+            if plan.sim["kind"] == "classic":
+                from lucene_solr_spark.functions.similarity import (
+                    classic_score_block,
+                )
+                return F32(
+                    classic_score_block(plan.sim["values"][t], tfs, nbs)[0]
+                )
+            from lucene_solr_spark.functions.similarity import (
+                lmd_score_block,
+            )
+            return F32(lmd_score_block(
+                plan.sim["values"][t], tfs, nbs, plan.sim["mu"])[0])
+
+        tfs_by_term = {t: tf_of(t) for t in plan.terms}
+        details = []
+        if mode == "and":
+            if any(tfs_by_term[t] == 0 for t in plan.terms):
+                missing = [t for t in plan.terms if tfs_by_term[t] == 0]
+                return {"match": False, "value": 0.0,
+                        "description": f"MUST clause(s) absent: {missing}"}
+            order = sorted(plan.terms, key=lambda t: plan.dfs[t])
+            acc = F32(0.0)
+            for t in order:  # f32 sum in cost order (ConjunctionScorer)
+                v = clause_value(t, tfs_by_term[t])
+                acc = F32(acc + v)
+                details.append({"term": t, "value": float(v),
+                                "tf": tfs_by_term[t], "norm_byte": nb,
+                                "df": plan.dfs[t]})
+            value = acc
+            desc = "sum of (float32, cost order):"
+        else:
+            matched = [t for t in plan.terms if tfs_by_term[t] > 0]
+            if len(matched) < max(plan.mm, 1):
+                return {"match": False, "value": 0.0,
+                        "description": (
+                            f"{len(matched)} matching clauses < "
+                            f"minShouldMatch {max(plan.mm, 1)}")}
+            acc = 0.0  # double (DisjunctionSumScorer)
+            for t in plan.terms:
+                if tfs_by_term[t] == 0:
+                    continue
+                v = clause_value(t, tfs_by_term[t])
+                acc += float(v)
+                details.append({"term": t, "value": float(v),
+                                "tf": tfs_by_term[t], "norm_byte": nb,
+                                "df": plan.dfs[t]})
+            value = F32(acc)
+            desc = "sum of (double accumulate, float32 cast):"
+            if plan.sim is not None and plan.sim["kind"] == "classic":
+                from lucene_solr_spark.functions.similarity import (
+                    classic_coords,
+                )
+                coords = classic_coords(plan.sim["max_coord"])
+                value = F32(value * coords[len(matched)])
+                desc = (f"{desc} coord({len(matched)}/"
+                        f"{plan.sim['max_coord']}) applied")
+        return {"match": True, "value": float(value),
+                "description": desc, "similarity": similarity,
+                "details": details}
+
     # -- auxiliary read surfaces ------------------------------------------
     def doc_stats(self) -> DataFrame:
         """Per-doc (doc_id, doc_len, norm_byte): the NormsReader analogue

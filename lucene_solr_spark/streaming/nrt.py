@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from lucene_solr_spark.indexing.build import append_documents
+from lucene_solr_spark.indexing.build import append_documents, maybe_compact
 
 
 def start_nrt_indexer(
@@ -26,6 +26,7 @@ def start_nrt_indexer(
     index_dir: str,
     stream_df: DataFrame,
     checkpoint_dir: str,
+    compact_after: int = 10,
     **trigger_kwargs,
 ):
     """Attach an NRT indexing sink to a streaming corpus DataFrame
@@ -41,6 +42,11 @@ def start_nrt_indexer(
         if batch_df.isEmpty():
             return
         append_documents(spark, index_dir, batch_df)
+        if compact_after:
+            # background-merge analogue (ConcurrentMergeScheduler +
+            # TieredMergePolicy): bound the generation count so query
+            # row counts stay flat under continuous ingestion
+            maybe_compact(spark, index_dir, max_generations=compact_after)
 
     writer = (
         stream_df.writeStream.foreachBatch(process_batch)

@@ -197,3 +197,47 @@ def test_kill_resume_matches_clean_build(spark, tmp_path):
     a = _hits(IndexSearcher(spark, crash_dir).search("common_util", k=10))
     b = _hits(IndexSearcher(spark, clean_dir).search("common_util", k=10))
     assert a == b
+
+
+def test_tiered_compaction_bounds_generations(spark, tmp_path):
+    """TieredMergePolicy analogue: maybe_compact fires only past the
+    generation threshold and queries stay identical across it."""
+    from lucene_solr_spark.corpusgen import CORPUS_SCHEMA, corpus_rows
+    from lucene_solr_spark.indexing.build import (
+        IndexWriter,
+        append_documents,
+        maybe_compact,
+        _as_list,
+    )
+    from lucene_solr_spark.catalog import Catalog
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    index_dir = str(tmp_path / "tieridx")
+    rows = corpus_rows(120)
+    corpus = spark.createDataFrame(rows[:60], schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=32, n_batches=1).build(
+        corpus
+    )
+    for lo in range(60, 120, 20):
+        batch = spark.createDataFrame(rows[lo:lo + 20],
+                                      schema=CORPUS_SCHEMA)
+        append_documents(spark, index_dir, batch)
+    snap = Catalog(index_dir).latest_at_stage("commit", "merge", "delete")
+    n_gens = len(_as_list(snap.tables["postings"]))
+    assert n_gens == 4  # base + 3 appends
+    assert maybe_compact(spark, index_dir, max_generations=10) is None
+    before = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in IndexSearcher(spark, index_dir)
+        .search("common_util", k=10).collect()
+    ]
+    out = maybe_compact(spark, index_dir, max_generations=3)
+    assert out is not None and out.stage == "merge"
+    snap2 = Catalog(index_dir).latest_at_stage("commit", "merge", "delete")
+    assert len(_as_list(snap2.tables["postings"])) == 1
+    after = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in IndexSearcher(spark, index_dir)
+        .search("common_util", k=10).collect()
+    ]
+    assert before == after

@@ -396,3 +396,36 @@ def test_whitespace_analyzer_rank_identical(spark, small_corpus, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (dg, sg), (dw, sw) in zip(got, want):
             assert sg.tobytes() == np.float32(sw).tobytes(), (q, dg)
+
+
+def test_explain_rederives_collector_scores(spark, built):
+    """The CheckHits contract (test-framework/.../search/CheckHits.java
+    :288+): explain(query, doc).value must equal the float32 score the
+    collector returned, for every hit, across modes and similarities."""
+    index_dir, _ = built
+    s = IndexSearcher(spark, index_dir)
+    cases = [
+        dict(query_text="common_util base_handler", mode="and",
+             min_should_match=0, exclude=""),
+        dict(query_text="read_buf scan_impl token_codec", mode="or",
+             min_should_match=2, exclude=""),
+    ]
+    for kw in cases:
+        for similarity in ("bm25", "classic"):
+            hits = s.search(k=5, similarity=similarity, **kw).collect()
+            assert hits
+            for r in hits:
+                ex = s.explain(
+                    kw["query_text"], int(r["doc_id"]), mode=kw["mode"],
+                    min_should_match=kw["min_should_match"],
+                    exclude=kw["exclude"], similarity=similarity,
+                )
+                assert ex["match"], (kw, similarity, r)
+                assert np.float32(ex["value"]).tobytes() == np.float32(
+                    r["score"]
+                ).tobytes(), (kw, similarity, r["doc_id"])
+    # non-matching doc explains as no-match
+    hits = s.search("common_util", k=None).collect()
+    matched = {r["doc_id"] for r in hits}
+    non = next(d for d in range(s.max_doc) if d not in matched)
+    assert not s.explain("common_util", non)["match"]
