@@ -673,6 +673,7 @@ class IndexWriter:
         contiguous BUCKET ranges (bucket = f(key, stored bounds), never
         a physical partition id), so a kill/resume in a fresh process
         rebuilds exactly the remaining docID ranges."""
+        self.spark.conf.set("spark.sql.adaptive.enabled", "true")
         snap = self._plan_snapshot(corpus, resume)
         if snap.stage in ("commit", "merge", "delete") and resume:
             return snap

@@ -90,6 +90,13 @@ class IndexSearcher:
         if snap is None:
             raise ValueError(f"no committed index at {index_dir}")
         self.snap = snap
+        # queries are small fixed-shape plans: AQE's re-planning both
+        # adds driver latency and WRAPS the cached postings plan so its
+        # gid hash partitioning is no longer visible to
+        # groupBy(gid).applyInPandas — reintroducing a per-query
+        # Exchange. Disable it for the search phase (IndexWriter.build
+        # turns it back on; see tools/explain_audit.py evidence).
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with open(snap.tables["collection_stats"]) as f:
             coll = json.load(f)
         self.max_doc = int(coll["max_doc"])

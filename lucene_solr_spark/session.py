@@ -45,6 +45,15 @@ def get_spark(
         # cells, so 10k-row default batches defeat min/max pruning on
         # the sorted term column and decompress far too much per query
         .config("spark.sql.inMemoryColumnarStorage.batchSize", "1024")
+        # keep cached-plan output partitioning VISIBLE to consumers:
+        # the query path relies on the postings cache's gid hash
+        # partitioning being reused by groupBy(gid).applyInPandas (zero
+        # per-query shuffles); letting AQE re-partition cached plans
+        # hides it and reintroduces an Exchange per query
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "false",
+        )
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")

@@ -429,3 +429,41 @@ def test_explain_rederives_collector_scores(spark, built):
     matched = {r["doc_id"] for r in hits}
     non = next(d for d in range(s.max_doc) if d not in matched)
     assert not s.explain("common_util", non)["match"]
+
+
+def test_randomized_query_duel(spark, built):
+    """Randomized dual execution (the LuceneTestCase seeded-random
+    pattern, test-framework/.../util/LuceneTestCase.java: failures
+    reproduce from the printed seed): random term sets, modes, mm and
+    exclusions drawn from the corpus vocabulary — engine vs oracle,
+    docIDs + float32 score bits, WAND on."""
+    import random
+
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    vocab = sorted(oracle.postings)
+    seed = int(os.environ.get("LSS_DUEL_SEED", "1237"))
+    rng = random.Random(seed)
+    for trial in range(25):
+        n = rng.randint(1, 5)
+        terms = rng.sample(vocab, n)
+        # sometimes inject a nonexistent term (null-scorer paths)
+        if rng.random() < 0.3:
+            terms[rng.randrange(n)] = "zz_no_such_term_zz"
+        mode = rng.choice(["or", "or", "and"])
+        mm = rng.randint(0, n) if mode == "or" else 0
+        exclude = " ".join(rng.sample(vocab, 1)) if rng.random() < 0.4 else ""
+        q = " ".join(terms)
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in searcher.search(
+                q, k=10, mode=mode, min_should_match=mm, exclude=exclude
+            ).collect()
+        ]
+        want = oracle.search(q, k=10, mode=mode, min_should_match=mm,
+                             exclude=exclude)
+        ctx = f"seed={seed} trial={trial} q={q!r} mode={mode} mm={mm} ex={exclude!r}"
+        assert [d for d, _ in got] == [d for d, _ in want], ctx
+        assert [s.tobytes() for _, s in got] == [
+            np.float32(s).tobytes() for _, s in want
+        ], ctx
