@@ -478,6 +478,16 @@ def q_lmdirichlet(spark, sf_dir):
     )
 
 
+def q_term_range_docs(spark, sf_dir):
+    """TermRangeQuery (search/TermRangeQuery.java) under the
+    CONSTANT_SCORE rewrite (MultiTermQuery.java:107-116): docs holding
+    any term in ['ma', 'mo') — a pushed-down byte-range scan of the
+    sorted term dictionary, then a distinct doc set."""
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs((F.col("term") >= "ma") & (F.col("term") < "mo"))
+    return m.orderBy("doc_id").limit(50)
+
+
 def q_sort_by_field(spark, sf_dir):
     """Sort-by-docvalues (Sort/SortField/TopFieldCollector,
     lucene/core/.../search/TopFieldCollector.java): docs matching a
@@ -888,6 +898,11 @@ FROM tf JOIN ddec d USING (doc_id)
 WHERE tf.term = '{Q_SINGLE}'
 ORDER BY score DESC, tf.doc_id ASC LIMIT 10
 """
+    o["term_range_docs"] = ORACLE_PRELUDE + """
+SELECT DISTINCT doc_id FROM tf
+WHERE term >= 'ma' AND term < 'mo'
+ORDER BY doc_id LIMIT 50
+"""
     o["sort_by_field"] = ORACLE_PRELUDE + f"""
 SELECT m.doc_id, d.doc_len
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}') m
@@ -1007,6 +1022,7 @@ QUERIES = {
     "classic_single": q_classic_single,
     "classic_or": q_classic_or,
     "lmdirichlet": q_lmdirichlet,
+    "term_range_docs": q_term_range_docs,
     "sort_by_field": q_sort_by_field,
     "stats_doclen": q_stats_doclen,
     "total_hits": q_total_hits,

@@ -209,14 +209,9 @@ def compute_key_bounds(corpus: DataFrame, num_buckets: int) -> List[str]:
     return sorted(bounds)
 
 
-def _keyed_corpus(corpus: DataFrame, bounds: List[str]) -> DataFrame:
-    """Bucket + shuffle + sort the corpus by (repo, path, commit): equal
-    keys co-located, bucket order == key order. The ONE wide shuffle of
-    the build. All downstream logic keys off the deterministic ``_bkt``
-    column (bucket = f(key, stored bounds)) — NEVER off physical
-    partition ids, so any job, process, or AQE decision sees the same
-    bucketing. Range-partitioning on the int bucket never splits a
-    bucket across partitions (it may co-locate several — handled)."""
+def _bucket_col(bounds: List[str]) -> F.Column:
+    """Deterministic bucket = np.searchsorted(bounds, composite_key)
+    as a vectorized pandas UDF column."""
     barr = np.array(bounds, dtype=object)
 
     from pyspark.sql.functions import pandas_udf
@@ -228,43 +223,38 @@ def _keyed_corpus(corpus: DataFrame, bounds: List[str]) -> DataFrame:
             .astype(np.int32)
         )
 
+    return bucket_of(_composite_key())
+
+
+def _keyed_corpus(corpus: DataFrame, bounds: List[str]) -> DataFrame:
+    """Bucket + shuffle + sort the corpus by (repo, path, commit): equal
+    keys co-located, bucket order == key order. The ONE wide shuffle of
+    the build. All downstream logic keys off the deterministic ``_bkt``
+    column (bucket = f(key, stored bounds)) — NEVER off physical
+    partition ids, so any job, process, or AQE decision sees the same
+    bucketing. Range-partitioning on the int bucket never splits a
+    bucket across partitions (it may co-locate several — handled)."""
     nb = len(bounds) + 1
     return (
-        corpus.withColumn("_bkt", bucket_of(_composite_key()))
+        corpus.withColumn("_bkt", _bucket_col(bounds))
         .repartitionByRange(nb, "_bkt")
         .sortWithinPartitions(*DOC_KEY)
     )
 
 
-def count_keys_per_bucket(keyed: DataFrame) -> Dict[int, int]:
-    """Distinct-key count per bucket (narrow columns only — content
-    never crosses Arrow here). Feeds the dense-rank offsets."""
-
-    def count_dedup(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        acc: Dict[int, int] = {}
-        carry = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mask = _first_occurrence_mask(pdf, carry)
-            carry = tuple(pdf[c].iloc[-1] for c in DOC_KEY)
-            bkt = pdf["_bkt"].to_numpy(np.int64)[mask]
-            u, c = np.unique(bkt, return_counts=True)
-            for b, n in zip(u.tolist(), c.tolist()):
-                acc[b] = acc.get(b, 0) + n
-        if acc:
-            yield pd.DataFrame(
-                {"_bkt": list(acc), "n": list(acc.values())}
-            )
-
-    out: Dict[int, int] = {}
-    for r in (
-        keyed.select(*DOC_KEY, "_bkt")
-        .mapInPandas(count_dedup, "_bkt int, n long")
+def count_keys_per_bucket(corpus: DataFrame, bounds: List[str]) -> Dict[int, int]:
+    """Distinct-key count per bucket — pure JVM aggregation (map-side
+    partial agg, no sort, no range shuffle, content column pruned at
+    the parquet scan). Feeds the dense-rank offsets."""
+    keyed = corpus.select(*DOC_KEY).withColumn(
+        "_bkt", _bucket_col(bounds)
+    )
+    return {
+        int(r["_bkt"]): int(r["n"])
+        for r in keyed.groupBy("_bkt")
+        .agg(F.count_distinct(*[F.col(c) for c in DOC_KEY]).alias("n"))
         .collect()
-    ):
-        out[int(r["_bkt"])] = out.get(int(r["_bkt"]), 0) + int(r["n"])
-    return out
+    }
 
 
 def offsets_from_counts(counts: Dict[int, int], base: int = 0):
@@ -647,8 +637,7 @@ class IndexWriter:
         # identical bucketing
         P = 4 * self.spark.sparkContext.defaultParallelism
         bounds = compute_key_bounds(corpus, P)
-        keyed = _keyed_corpus(corpus, bounds)
-        counts = count_keys_per_bucket(keyed)
+        counts = count_keys_per_bucket(corpus, bounds)
         _, n_docs = offsets_from_counts(counts)
         return self.catalog.commit(
             "docs",
@@ -1081,7 +1070,7 @@ def append_documents(
     par = spark.sparkContext.defaultParallelism
     bounds = compute_key_bounds(corpus, 4 * par)
     keyed = _keyed_corpus(corpus, bounds)
-    counts = count_keys_per_bucket(keyed)
+    counts = count_keys_per_bucket(corpus, bounds)
     offsets, n_new = offsets_from_counts(counts, base=n0)
     if n_new == 0:
         return snap

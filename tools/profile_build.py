@@ -61,7 +61,7 @@ def main() -> None:
     t = time.time()
     bounds = compute_key_bounds(corpus, P)
     keyed = _keyed_corpus(corpus, bounds)
-    counts = count_keys_per_bucket(keyed)
+    counts = count_keys_per_bucket(corpus, bounds)
     offsets, n_docs = offsets_from_counts(counts)
     t = mark("counts(narrow shuffle)", t)
 

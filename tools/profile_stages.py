@@ -48,7 +48,7 @@ def main() -> None:
 
     bounds = compute_key_bounds(corpus, 4 * args.cpus)
     keyed = _keyed_corpus(corpus, bounds)
-    counts = count_keys_per_bucket(keyed)
+    counts = count_keys_per_bucket(corpus, bounds)
     offsets, _ = offsets_from_counts(counts)
     t("warm count (map reused?)", lambda: keyed.count())
     t("shuffle map + count", lambda: keyed.count())
