@@ -181,13 +181,14 @@ norms AS (
         FROM dlen)
 ),
 coll AS (
-  SELECT count(*) AS max_doc, sum(doc_len) AS sum_ttf,
+  SELECT count(*) AS max_doc, CAST(sum(doc_len) AS BIGINT) AS sum_ttf,
          CAST(CASE WHEN COALESCE(sum(doc_len), 0) <= 0 THEN 1.0e0
                    ELSE sum(doc_len) / CAST(count(*) AS DOUBLE)
               END AS FLOAT) AS avgdl
   FROM dlen
 ),
-tstats AS (SELECT term, count(*) AS df, sum(tf) AS cf FROM tf GROUP BY term),
+tstats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+           FROM tf GROUP BY term),
 -- BM25 norm cache: k1*((1-b) + b*decode(nb)/avgdl) stepwise in f32
 -- (BM25Similarity.java:206-210); decode(nb) = 1/byte315ToFloat(nb)^2
 cachev AS (
@@ -911,7 +912,8 @@ ORDER BY d.doc_len DESC, m.doc_id ASC LIMIT {TOP_K}
 """
     o["stats_doclen"] = ORACLE_PRELUDE + f"""
 SELECT count(*) AS n, min(d.doc_len) AS mn, max(d.doc_len) AS mx,
-       sum(d.doc_len) AS sm, avg(CAST(d.doc_len AS DOUBLE)) AS mean
+       CAST(sum(d.doc_len) AS BIGINT) AS sm,
+       avg(CAST(d.doc_len AS DOUBLE)) AS mean
 FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}') m
 JOIN dlen d USING (doc_id)
 """
@@ -979,7 +981,8 @@ SELECT doc_id, len(toks) AS n_tokens,
 FROM t ORDER BY doc_id
 """
     o["source_token_counts"] = """
-SELECT source, sum(len(string_split(text, ' '))) AS total_tokens,
+SELECT source,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
