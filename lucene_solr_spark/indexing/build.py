@@ -173,7 +173,14 @@ KEY_SEP = "\x00"  # composite-key separator; lexicographic on the
 
 
 def _composite_key() -> F.Column:
-    return F.concat_ws(KEY_SEP, *DOC_KEY)
+    # NULL key columns map to '' (concat_ws would silently DROP them,
+    # conflating ('a', NULL, 'c') with ('a', 'c') — ADVICE r1); bucket
+    # assignment only needs a deterministic total order, and the
+    # dedup/count passes compare raw column tuples, so '' vs NULL stays
+    # distinct where it must.
+    return F.concat_ws(
+        KEY_SEP, *[F.coalesce(F.col(c), F.lit("")) for c in DOC_KEY]
+    )
 
 
 def compute_key_bounds(corpus: DataFrame, num_buckets: int) -> List[str]:
@@ -249,10 +256,14 @@ def count_keys_per_bucket(corpus: DataFrame, bounds: List[str]) -> Dict[int, int
     keyed = corpus.select(*DOC_KEY).withColumn(
         "_bkt", _bucket_col(bounds)
     )
+    # count_distinct over a STRUCT, not bare columns: bare-column
+    # count_distinct excludes rows where ANY key column is NULL, while
+    # the Python-side _first_occurrence_mask dedup counts them — the
+    # mismatch would shift docID offsets and collide ranges (ADVICE r1).
     return {
         int(r["_bkt"]): int(r["n"])
         for r in keyed.groupBy("_bkt")
-        .agg(F.count_distinct(*[F.col(c) for c in DOC_KEY]).alias("n"))
+        .agg(F.count_distinct(F.struct(*DOC_KEY)).alias("n"))
         .collect()
     }
 
@@ -662,7 +673,17 @@ class IndexWriter:
         contiguous BUCKET ranges (bucket = f(key, stored bounds), never
         a physical partition id), so a kill/resume in a fresh process
         rebuilds exactly the remaining docID ranges."""
+        # AQE on for the duration of the build only (coalesce/skew help
+        # the wide shuffle); restore the caller's setting afterwards —
+        # no permanent flip of shared-session conf (ADVICE r1).
+        prev_aqe = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
         self.spark.conf.set("spark.sql.adaptive.enabled", "true")
+        try:
+            return self._build_inner(corpus, resume)
+        finally:
+            self.spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    def _build_inner(self, corpus: DataFrame, resume: bool) -> Snapshot:
         snap = self._plan_snapshot(corpus, resume)
         if snap.stage in ("commit", "merge", "delete") and resume:
             return snap
@@ -1085,12 +1106,27 @@ def append_documents(
         )
         .write.mode("overwrite").partitionBy("is_meta").parquet(path)
     )
-    docs_path = snap.tables["docs"]
-    existing = spark.read.parquet(docs_path)
-    replaced = existing.join(
-        corpus.select(*DOC_KEY).dropDuplicates(DOC_KEY), DOC_KEY, "inner"
-    ).select("doc_id")
-    write_docs_table(spark, path, cat.path("seg"), docs_path, mode="append")
+    # Crash-safe append protocol: every write in this function targets a
+    # NEW generation-specific path; the ONE snapshot commit at the end
+    # flips visibility (docs list + stats + tombstones together). A
+    # crash anywhere before the commit leaves the live snapshot
+    # untouched, and an NRT replay recomputes gen from the unchanged
+    # snapshot_id and overwrites the same staging paths — idempotent
+    # (IndexWriter two-phase commit semantics, IndexWriter.java
+    # prepareCommit/commit; ADVICE r1: no in-place mutation of the live
+    # docs table, no separate delete commit).
+    existing = spark.read.parquet(*_as_list(snap.tables["docs"]))
+    replaced_path = cat.path("tombstones", f"replaced-gen-{gen}")
+    (
+        existing.join(
+            corpus.select(*DOC_KEY).dropDuplicates(DOC_KEY), DOC_KEY, "inner"
+        )
+        .select("doc_id")
+        .write.mode("overwrite")
+        .parquet(replaced_path)
+    )
+    docs_gen_path = cat.path("docs_gen", f"gen-{gen}")
+    write_docs_table(spark, path, cat.path("seg"), docs_gen_path)
 
     # incremental stats: old + delta, never a full re-aggregation
     apost, ameta = read_segment_output(spark, path, cat.path("seg"))
@@ -1122,9 +1158,20 @@ def append_documents(
     tables = dict(snap.tables)
     tables["postings"] = _as_list(tables["postings"]) + [path]
     tables["segments"] = _as_list(tables["segments"]) + [path]
+    tables["docs"] = _as_list(tables["docs"]) + [docs_gen_path]
     tables["term_stats"] = ts_path
     tables["collection_stats"] = coll_path
-    cat.commit(
+    # updateDocuments: old versions of replaced keys become tombstones
+    # in the SAME commit as the appended docs (delete-then-add is one
+    # atomic visibility flip, IndexWriter.java:1257 updateDocuments)
+    tomb = spark.read.parquet(replaced_path)
+    old_tomb = tables.get("tombstones")
+    if old_tomb:
+        tomb = tomb.unionByName(spark.read.parquet(old_tomb))
+    tomb_path = cat.path("tombstones", f"gen-{gen}")
+    tomb.distinct().repartition(1).write.mode("overwrite").parquet(tomb_path)
+    tables["tombstones"] = tomb_path
+    return cat.commit(
         "commit",
         tables=tables,
         props={
@@ -1134,8 +1181,6 @@ def append_documents(
         },
         lineage=snap.lineage,
     )
-    # updateDocuments: old versions of replaced keys become tombstones
-    return delete_docs(spark, index_dir, replaced)
 
 
 def delete_docs(

@@ -309,9 +309,13 @@ class OracleBoolean:
 
     def search(self, query_string: str, k: int = 10,
                min_should_match: int = 0):
+        from lucene_solr_spark.functions.analysis import get_analyzer
         from lucene_solr_spark.search.queryparser import parse_query
 
-        ast = parse_query(query_string)
+        ast = parse_query(
+            query_string,
+            analyzer=get_analyzer(getattr(self.idx, "analyzer", "standard")),
+        )
         if not ast:
             return []
         cache = self.idx._cache()

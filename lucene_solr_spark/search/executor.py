@@ -84,19 +84,24 @@ class QueryPlan:
 
 class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str):
-        self.spark = spark
+        # The search phase runs on a conf-isolated sibling session:
+        # newSession() shares the SparkContext AND the cache manager
+        # (persisted postings/segments are visible) but has its OWN
+        # SQLConf, so disabling AQE here cannot leak to co-tenant ETL
+        # on the caller's session (ADVICE r1: no session-global side
+        # effects from a constructor). AQE is off for queries because
+        # its re-planning both adds driver latency and WRAPS the cached
+        # postings plan so its gid hash partitioning is no longer
+        # visible to groupBy(gid).applyInPandas — reintroducing a
+        # per-query Exchange (see tools/explain_audit.py evidence).
+        self.spark = spark.newSession()
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark = self.spark
         self.catalog = Catalog(index_dir)
         snap = self.catalog.latest_at_stage("commit", "merge", "delete")
         if snap is None:
             raise ValueError(f"no committed index at {index_dir}")
         self.snap = snap
-        # queries are small fixed-shape plans: AQE's re-planning both
-        # adds driver latency and WRAPS the cached postings plan so its
-        # gid hash partitioning is no longer visible to
-        # groupBy(gid).applyInPandas — reintroducing a per-query
-        # Exchange. Disable it for the search phase (IndexWriter.build
-        # turns it back on; see tools/explain_audit.py evidence).
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
         with open(snap.tables["collection_stats"]) as f:
             coll = json.load(f)
         self.max_doc = int(coll["max_doc"])
@@ -176,7 +181,10 @@ class IndexSearcher:
         self._term_stats = spark.read.parquet(
             snap.tables["term_stats"]
         ).persist()
-        self._docs = spark.read.parquet(snap.tables["docs"])
+        _docs_paths = snap.tables["docs"]
+        if not isinstance(_docs_paths, list):
+            _docs_paths = [_docs_paths]
+        self._docs = spark.read.parquet(*_docs_paths)
         # driver-side TermContext cache (TermQuery gathers stats once
         # per query, TermQuery.java:161-177; hot terms stay cached)
         self._df_cache: Dict[str, Optional[int]] = {}
@@ -394,7 +402,7 @@ class IndexSearcher:
         search/BooleanQuery.java:50-66)."""
         from lucene_solr_spark.search.queryparser import parse_query
 
-        ast = parse_query(query_string)
+        ast = parse_query(query_string, analyzer=self.analyzer)
         empty_df = self.spark.createDataFrame([], "doc_id long, score float")
         if not ast:
             return empty_df

@@ -28,8 +28,6 @@ import re
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
-from lucene_solr_spark.functions.analysis import analyze, analyze_with_positions
-
 _TOKEN = re.compile(
     r"""\s*(?:
         (?P<mod>[+\-])?
@@ -59,7 +57,17 @@ class QueryParseError(ValueError):
     pass
 
 
-def parse_query(q: str) -> List[Clause]:
+def parse_query(q: str, analyzer=None) -> List[Clause]:
+    """Parse ``q`` into occur-tagged clauses, re-analyzing every field
+    term through ``analyzer`` (an AnalyzerSpec; defaults to the
+    standard chain) — QueryParserBase re-analysis contract: query terms
+    MUST go through the same chain the index was built with."""
+    if analyzer is None:
+        from lucene_solr_spark.functions.analysis import get_analyzer
+
+        analyzer = get_analyzer("standard")
+    analyze = analyzer.analyze
+    analyze_with_positions = analyzer.analyze_with_positions
     if "(" in q or ")" in q:
         raise QueryParseError("parentheses are not supported in this subset")
     clauses: List[Clause] = []

@@ -396,6 +396,28 @@ def test_whitespace_analyzer_rank_identical(spark, small_corpus, tmp_path):
         assert [d for d, _ in got] == [d for d, _ in want], q
         for (dg, sg), (dw, sw) in zip(got, want):
             assert sg.tobytes() == np.float32(sw).tobytes(), (q, dg)
+    # boolean query strings must ALSO re-analyze with the pinned chain
+    # (QueryParserBase re-analysis through the index analyzer) — under
+    # whitespace analysis 'common_util(init_0)' is ONE term and case is
+    # preserved, so a standard-chain parse would produce different
+    # clauses entirely.
+    from lucene_solr_spark.oracle import OracleBoolean
+
+    ob = OracleBoolean(oracle)
+    for q in ["+mergeIdx def", "def OR = -zzz_absent"]:
+        got = [(r["doc_id"], np.float32(r["score"]))
+               for r in searcher.search_boolean(q, k=10).collect()]
+        want = ob.search(q, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want], q
+        assert got, q
+        for (dg, sg), (dw, sw) in zip(got, want):
+            assert sg.tobytes() == np.float32(sw).tobytes(), (q, dg)
+    # clause-level spot check: the whitespace chain must keep case and
+    # punctuation tokens that the standard chain would fold or split
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    ast = parse_query("+mergeIdx =", analyzer=searcher.analyzer)
+    assert [c.terms for c in ast] == [["mergeIdx"], ["="]]
 
 
 def test_explain_rederives_collector_scores(spark, built):
