@@ -347,6 +347,72 @@ def _topk_double(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.col("score").cast("double").alias("score"))
 
 
+Q_DISMAX = ("table", "window")
+DISMAX_TIE = 0.1
+Q_NUMRANGE = (50, 150)            # doc_len in [50, 150]
+Q_REGEXP = "s.*a.*"               # whole-term regex: scan/spark/stream
+# date math over events.ts: a pinned deterministic anchor (NOW comes
+# from the request context in Solr; the driver contract needs
+# repeatable plans, so the anchor is a fixed instant)
+DATE_ANCHOR = "2024-01-03T07:45:00Z"
+DATE_LO_EXPR = DATE_ANCHOR + "/DAY"
+DATE_HI_EXPR = DATE_ANCHOR + "/DAY+4DAYS+12HOURS"
+
+
+def q_dismax(spark, sf_dir):
+    """DisjunctionMaxQuery top-10 (search/DisjunctionMaxQuery.java;
+    DisjunctionMaxScorer.java:85-87): score = max sub-score + tie *
+    (sum - max), float32."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search_dismax(" ".join(Q_DISMAX), k=TOP_K, tie=DISMAX_TIE)
+    )
+
+
+def q_numeric_range(spark, sf_dir):
+    """NumericRangeQuery (search/NumericRangeQuery.java, inclusive
+    bounds): doc_len in [lo, hi] as a pushdown BETWEEN over the
+    doc-stats surface — constant-score doc set."""
+    s = get_searcher(spark, sf_dir)
+    return s.numeric_range_docs("doc_len", *Q_NUMRANGE).orderBy("doc_id")
+
+
+def q_date_math_range(spark, sf_dir):
+    """Solr date-math range filter (util/DateMathParser.java +
+    TrieDateField range semantics): events with ts in
+    [anchor/DAY, anchor/DAY+4DAYS+12HOURS) — the parsed instants become
+    Catalyst timestamp literals, so the filter pushes into the scan."""
+    from datetime import datetime
+
+    from lucene_solr_spark.functions.datemath import parse_date_math
+
+    now = datetime(2024, 1, 3, 7, 45, 0)
+    lo = parse_date_math(DATE_LO_EXPR, now)
+    hi = parse_date_math(DATE_HI_EXPR, now)
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .select("event_id")
+        .orderBy("event_id")
+    )
+
+
+def q_regexp_terms(spark, sf_dir):
+    """RegexpQuery surface (search/RegexpQuery.java / AutomatonQuery):
+    whole-term regex over the sorted term dictionary."""
+    s = get_searcher(spark, sf_dir)
+    return s.expand_terms(
+        F.col("term").rlike(f"^(?:{Q_REGEXP})$")
+    ).orderBy("term")
+
+
+def q_matchall_count(spark, sf_dir):
+    """MatchAllDocsQuery (search/MatchAllDocsQuery.java): live-doc count
+    via the docs surface — no postings touched."""
+    s = get_searcher(spark, sf_dir)
+    return s.match_all_docs().agg(F.count("*").alias("n"))
+
+
 def q_term_query(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     return _topk_double(s.search(Q_SINGLE, k=TOP_K))
@@ -986,6 +1052,52 @@ SELECT source,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
+    _dm1, _dm2 = Q_DISMAX
+    _tie_lit = repr(float(F32(DISMAX_TIE))) + "e0"
+    o["dismax_top10"] = ORACLE_PRELUDE + f"""
+, da AS (SELECT doc_id, s FROM persc WHERE term = '{_dm1}'),
+db AS (SELECT doc_id, s FROM persc WHERE term = '{_dm2}'),
+u AS (
+  SELECT COALESCE(da.doc_id, db.doc_id) AS doc_id, da.s AS sa, db.s AS sb
+  FROM da FULL OUTER JOIN db ON da.doc_id = db.doc_id
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN sa IS NULL THEN sb WHEN sb IS NULL THEN sa
+         WHEN sa >= sb THEN sa ELSE sb END AS mx,
+    CASE WHEN sa IS NULL THEN sb WHEN sb IS NULL THEN sa
+         ELSE CAST(sa + sb AS FLOAT) END AS sm
+  FROM u
+)
+SELECT doc_id,
+  CAST(CAST(mx + CAST(CAST(sm - mx AS FLOAT) * {_tie_lit} AS FLOAT)
+            AS FLOAT) AS DOUBLE) AS score
+FROM c ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+"""
+    o["numeric_range_docs"] = ORACLE_PRELUDE + f"""
+SELECT doc_id FROM dlen
+WHERE doc_len BETWEEN {Q_NUMRANGE[0]} AND {Q_NUMRANGE[1]}
+ORDER BY doc_id
+"""
+    from datetime import datetime as _dt
+
+    from lucene_solr_spark.functions.datemath import parse_date_math as _pdm
+
+    _dm_now = _dt(2024, 1, 3, 7, 45, 0)
+    _dm_lo = _pdm(DATE_LO_EXPR, _dm_now)
+    _dm_hi = _pdm(DATE_HI_EXPR, _dm_now)
+    o["date_math_range"] = f"""
+SELECT event_id FROM events
+WHERE ts >= TIMESTAMP '{_dm_lo}' AND ts < TIMESTAMP '{_dm_hi}'
+ORDER BY event_id
+"""
+    o["regexp_terms"] = ORACLE_PRELUDE + f"""
+SELECT term, df FROM tstats
+WHERE regexp_full_match(term, '{Q_REGEXP}') ORDER BY term
+"""
+    o["matchall_count"] = ORACLE_PRELUDE + (
+        "SELECT count(*) AS n FROM docs0"
+    )
     o["ann_cosine_top10"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 sims AS (
@@ -1031,6 +1143,11 @@ QUERIES = {
     "total_hits": q_total_hits,
     "facet_lang": q_facet_lang,
     "grouping_top2": q_grouping_top2,
+    "dismax_top10": q_dismax,
+    "numeric_range_docs": q_numeric_range,
+    "date_math_range": q_date_math_range,
+    "regexp_terms": q_regexp_terms,
+    "matchall_count": q_matchall_count,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_quality": q_doc_quality,

@@ -194,18 +194,20 @@ def compute_key_bounds(corpus: DataFrame, num_buckets: int) -> List[str]:
     all: evenly strided keys per input partition, quantiles on the
     driver. Boundaries are stored in snapshot props and reused."""
     keys = corpus.select(_composite_key().alias("k"))
-
-    def sample_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: List[str] = []
-        for pdf in batches:
-            buf.extend(pdf["k"].tolist())
-        if buf:
-            buf.sort()
-            step = max(len(buf) // 512, 1)
-            yield pd.DataFrame({"k": buf[::step]})
-
+    # Deterministic JVM-side hash sample (xxhash64 has no seed state; a
+    # key either is or is not in the sample, independent of
+    # partitioning, process, or run — unlike Spark's range sampler).
+    # Target ~64 samples per boundary; the whole pipeline stays in
+    # whole-stage codegen with only the sampled keys crossing to the
+    # driver, so the cost is one pruned scan regardless of corpus size.
+    n = corpus.count()
+    target = max(num_buckets * 64, 4096)
+    mod = max(int(n) // target, 1)
     samp = sorted(
-        r["k"] for r in keys.mapInPandas(sample_part, "k string").collect()
+        r["k"]
+        for r in keys.filter(
+            F.pmod(F.xxhash64("k"), F.lit(mod)) == 0
+        ).collect()
     )
     if not samp:
         return []
@@ -217,20 +219,45 @@ def compute_key_bounds(corpus: DataFrame, num_buckets: int) -> List[str]:
 
 
 def _bucket_col(bounds: List[str]) -> F.Column:
-    """Deterministic bucket = np.searchsorted(bounds, composite_key)
-    as a vectorized pandas UDF column."""
-    barr = np.array(bounds, dtype=object)
+    """Deterministic bucket = searchsorted(bounds, composite_key,
+    side='right') = |{b in bounds : b <= key}|.
 
-    from pyspark.sql.functions import pandas_udf
+    Expressed as a Catalyst binary-search WHEN-tree (O(bounds) nodes,
+    O(log bounds) comparisons per row, whole-stage codegen) so neither
+    the counts pass nor the segment pass's shuffle input crosses into
+    Python for bucketing. Spark string comparison is bytewise UTF-8 ==
+    code-point order, matching the Python str ordering used by the
+    in-kernel dedup. Falls back to the pandas UDF above 4096 bounds
+    (expression-size guard for extreme bucket counts)."""
+    key = _composite_key()
+    if not bounds:
+        return F.lit(0).cast("int")
+    if len(bounds) > 4096:
+        barr = np.array(bounds, dtype=object)
 
-    @pandas_udf("int")
-    def bucket_of(k: pd.Series) -> pd.Series:
-        return pd.Series(
-            np.searchsorted(barr, k.to_numpy(dtype=object), side="right")
-            .astype(np.int32)
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def bucket_of(k: pd.Series) -> pd.Series:
+            return pd.Series(
+                np.searchsorted(barr, k.to_numpy(dtype=object),
+                                side="right")
+                .astype(np.int32)
+            )
+
+        return bucket_of(key)
+
+    def build(lo: int, hi: int) -> F.Column:
+        # result in [lo, hi] = count of bounds <= key
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return (
+            F.when(F.lit(bounds[mid]) <= key, build(mid + 1, hi))
+            .otherwise(build(lo, mid))
         )
 
-    return bucket_of(_composite_key())
+    return build(0, len(bounds)).cast("int")
 
 
 def _keyed_corpus(corpus: DataFrame, bounds: List[str]) -> DataFrame:

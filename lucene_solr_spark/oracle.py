@@ -264,10 +264,77 @@ def _levenshtein(a: str, b: str) -> int:
 class OracleBoolean:
     """search_boolean mirror for OracleIndex (BooleanScorer2 strategy:
     conjunction core in ascending-cost f32 order, optional disjunction
-    added per ReqOptSumScorer float add, MUST_NOT exclusion)."""
+    added per ReqOptSumScorer float add, MUST_NOT exclusion). Multi-term
+    expansion mirrors IndexSearcher._expand_rows: constant-score kinds
+    (prefix/wildcard/regexp/range), fuzzy scoring disjunction, the
+    TooManyClauses cap, and the top_terms_<n> boost-ranked rewrite."""
 
-    def __init__(self, idx: OracleIndex):
+    MAX_CLAUSE_COUNT = 1024
+
+    def __init__(self, idx: OracleIndex, rewrite=None):
         self.idx = idx
+        self.rewrite = rewrite
+
+    def _expand(self, c):
+        """[(term, boost f32)] for a multi-term clause (sorted by term;
+        top_terms: by boost desc, term asc, truncated)."""
+        import re as _re
+
+        from lucene_solr_spark.search.queryparser import TooManyClauses
+
+        vocab = sorted(self.idx.postings)
+        if c.kind == "prefix":
+            hits = [t for t in vocab if t.startswith(c.pattern)]
+        elif c.kind == "wildcard":
+            from lucene_solr_spark.search.executor import _wildcard_regex
+
+            rx = _re.compile(_wildcard_regex(c.pattern))
+            hits = [t for t in vocab if rx.match(t)]
+        elif c.kind == "regexp":
+            rx = _re.compile(f"^(?:{c.pattern})$")
+            hits = [t for t in vocab if rx.match(t)]
+        elif c.kind == "range":
+            hits = [
+                t for t in vocab
+                if (c.lo is None
+                    or (t >= c.lo if c.include_lo else t > c.lo))
+                and (c.hi is None
+                     or (t <= c.hi if c.include_hi else t < c.hi))
+            ]
+        elif c.kind == "multi":
+            hits = [
+                t for t in vocab
+                if abs(len(t) - len(c.pattern)) <= 2
+                and _levenshtein(t, c.pattern) <= 2
+            ]
+        else:
+            raise ValueError(c.kind)
+
+        def boost(t):
+            if c.kind != "multi":
+                return 1.0
+            d = _levenshtein(t, c.pattern)
+            if d == 0:
+                return 1.0
+            return float(F32(1.0) - F32(d) / F32(min(len(t),
+                                                     len(c.pattern))))
+
+        top_n = None
+        if self.rewrite is not None:
+            m = _re.match(r"^top_terms_(\d+)$", self.rewrite)
+            if not m:
+                raise ValueError(f"unknown rewrite {self.rewrite!r}")
+            top_n = int(m.group(1))
+        if top_n is None:
+            # only SCORING expansions cap at maxClauseCount; the
+            # constant-score kinds rewrite to a filter (no cap) —
+            # CONSTANT_SCORE_AUTO semantics
+            if c.kind == "multi" and len(hits) > self.MAX_CLAUSE_COUNT:
+                raise TooManyClauses(c.text)
+            return [(t, 1.0) for t in hits]
+        scored = [(t, boost(t)) for t in hits]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return scored[:top_n]
 
     def _clause_eval(self, c, cache):
         """-> (dict doc->f32 score, cost) or None if unmatched."""
@@ -282,30 +349,32 @@ class OracleBoolean:
             if not hits:
                 return None
             return dict(hits), min(idx.df(t) for t in c.terms)
-        if c.kind == "prefix":
-            terms = sorted(
-                t for t in idx.postings if t.startswith(c.pattern)
-            )[:1024]
-            if not terms:
-                return None
-            docs = set()
-            for t in terms:
-                docs.update(d for d, _ in idx.postings[t])
-            return {d: F32(1.0) for d in docs}, sum(idx.df(t) for t in terms)
         if c.kind == "multi":
-            terms = sorted(
-                t for t in idx.postings if _levenshtein(t, c.pattern) <= 2
-            )[:1024]
-            if not terms:
+            expanded = self._expand(c)
+            if not expanded:
                 return None
             acc = {}
-            for t in terms:
-                for d, s in idx._term_scores(t, cache).items():
-                    acc[d] = acc.get(d, 0.0) + float(s)  # double acc
+            for t, b in expanded:
+                wv = F32(F32(b) * F32(F32(idf(idx.df(t), idx.max_doc))
+                                      * K1_PLUS_1))
+                for doc_id, tf in idx.postings.get(t, ()):
+                    freq = F32(tf)
+                    norm = cache[idx.norm_bytes[doc_id]]
+                    s = F32(wv * freq / (freq + norm))
+                    acc[doc_id] = acc.get(doc_id, 0.0) + float(s)  # dbl acc
             return {d: F32(s) for d, s in acc.items()}, sum(
-                idx.df(t) for t in terms
+                idx.df(t) for t, _ in expanded
             )
-        raise ValueError(c.kind)
+        # constant-score kinds
+        expanded = self._expand(c)
+        if not expanded:
+            return None
+        docs = set()
+        for t, _ in expanded:
+            docs.update(d for d, _ in idx.postings[t])
+        return {d: F32(1.0) for d in docs}, sum(
+            idx.df(t) for t, _ in expanded
+        )
 
     def search(self, query_string: str, k: int = 10,
                min_should_match: int = 0):

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
@@ -72,7 +73,7 @@ class QueryPlan:
     terms: List[str]            # scoring clauses, original order
     dfs: Dict[str, int]
     weights: Dict[str, float]   # float32 idf per term (boost=1)
-    mode: str                   # 'or' | 'and'
+    mode: str                   # 'or' | 'and' | 'dismax'
     mm: int
     exclude_terms: List[str]
     k: int
@@ -80,6 +81,22 @@ class QueryPlan:
     empty: bool = False
     after: Optional[Tuple[float, int]] = None  # searchAfter cursor
     sim: Optional[dict] = None  # non-BM25 similarity spec (functions/similarity.py)
+    tie: float = 0.0            # dismax tieBreakerMultiplier
+
+
+def _wildcard_regex(pat: str) -> str:
+    """WildcardQuery pattern -> anchored Java regex for Column.rlike:
+    ``*`` = any run, ``?`` = one char, everything else literal
+    (WildcardQuery.java:33-59 toAutomaton)."""
+    out = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "^" + "".join(out) + "$"
 
 
 class IndexSearcher:
@@ -223,6 +240,7 @@ class IndexSearcher:
         min_should_match: int = 0,
         exclude: str = "",
         similarity: str = "bm25",
+        tie: float = 0.0,
     ) -> QueryPlan:
         raw = self.analyzer.analyze(query_text)
         seen: set = set()
@@ -266,6 +284,7 @@ class IndexSearcher:
             cache=self.cache,
             empty=empty,
             sim=sim,
+            tie=float(tie),
         )
 
     def _lookup_dfs(self, terms) -> Dict[str, int]:
@@ -326,6 +345,7 @@ class IndexSearcher:
         wand: bool = True,
         after: Optional[Tuple[float, int]] = None,
         similarity: str = "bm25",
+        tie: float = 0.0,
     ) -> DataFrame:
         """Top-k BM25 search. ``k=None`` returns ALL matching docs with
         scores (the TotalHitCount / facet / grouping feeding path — no
@@ -338,7 +358,7 @@ class IndexSearcher:
         cut, so page k+1 is exact; WAND is disabled for cursored pages
         (the pruning bound assumes an empty floor)."""
         plan = self.plan(query_text, k if k is not None else 0, mode,
-                         min_should_match, exclude, similarity)
+                         min_should_match, exclude, similarity, tie)
         if plan.sim is not None:
             wand = False  # block-max bound is BM25-specific
         if k is None:
@@ -388,17 +408,112 @@ class IndexSearcher:
         out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
 
+    MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
+
+    def _expand_rows(self, c, rewrite: Optional[str]):
+        """Expand a multi-term clause against the term dictionary.
+        Returns [(term, df, boost)] — the relational analogue of the
+        automaton/terms-enum walk feeding a MultiTermQuery rewrite
+        (MultiTermQuery.java:66+).
+
+        rewrite=None: CONSTANT_SCORE / SCORING_BOOLEAN; raises
+        TooManyClauses past MAX_CLAUSE_COUNT (BooleanQuery.java:50-66 —
+        the reference throws rather than silently truncating).
+        rewrite='top_terms_<n>': TopTermsRewrite.java:39-140 — keep the
+        n best terms by (boost desc, term asc); boost is the fuzzy
+        similarity (FuzzyTermsEnum.java:366-377, minSim=0 scale) and
+        1.0 for the constant-boost kinds (prefix/wildcard/regexp/range,
+        where top-n therefore = first n in term order)."""
+        from lucene_solr_spark.search.queryparser import TooManyClauses
+
+        if c.kind == "prefix":
+            cond = F.col("term").startswith(c.pattern)
+        elif c.kind == "wildcard":
+            cond = F.col("term").rlike(_wildcard_regex(c.pattern))
+        elif c.kind == "regexp":
+            # RegexpQuery: pattern must match the WHOLE term
+            # (AutomatonQuery semantics)
+            cond = F.col("term").rlike(f"^(?:{c.pattern})$")
+        elif c.kind == "range":
+            cond = F.lit(True)
+            if c.lo is not None:
+                cond = cond & (F.col("term") >= c.lo if c.include_lo
+                               else F.col("term") > c.lo)
+            if c.hi is not None:
+                cond = cond & (F.col("term") <= c.hi if c.include_hi
+                               else F.col("term") < c.hi)
+        elif c.kind == "multi":
+            # fuzzy: |len(term) - len(pattern)| <= 2 is a NECESSARY
+            # condition for edit distance <= 2 — a pushdown-able
+            # pre-filter standing in for the Levenshtein-automaton walk
+            # (FuzzyTermsEnum.java), so the expensive levenshtein only
+            # runs on the length-window slice of the term dict
+            n = len(c.pattern)
+            cond = (
+                F.length("term").between(n - 2, n + 2)
+                & (F.levenshtein(F.col("term"), F.lit(c.pattern)) <= 2)
+            )
+        else:
+            raise ValueError(c.kind)
+
+        top_n = None
+        if rewrite is not None:
+            m = re.match(r"^top_terms_(\d+)$", rewrite)
+            if not m:
+                raise ValueError(f"unknown rewrite {rewrite!r}")
+            top_n = int(m.group(1))
+        limit = self.MAX_CLAUSE_COUNT
+        q = self._term_stats.filter(cond).select("term", "df").orderBy("term")
+        if top_n is None:
+            if c.kind != "multi":
+                # constant-score kinds above the enumeration threshold
+                # become an executor-side doc-set clause (the
+                # CONSTANT_SCORE_FILTER leg of CONSTANT_SCORE_AUTO,
+                # MultiTermQuery.java:107-116 + cutoff logic :150-170:
+                # big expansions build a filter, never boolean clauses
+                # — and the driver never holds the term list)
+                rows = q.limit(limit + 1).collect()
+                if len(rows) > limit:
+                    return ("docset", cond)
+                return [(r["term"], int(r["df"]), 1.0) for r in rows]
+            rows = q.limit(limit + 1).collect()
+            if len(rows) > limit:
+                raise TooManyClauses(
+                    f"{c.kind} expansion of {c.text!r} exceeds "
+                    f"maxClauseCount={limit}"
+                )
+            return [(r["term"], int(r["df"]), 1.0) for r in rows]
+        rows = q.collect()
+        if c.kind == "multi":
+            from lucene_solr_spark.oracle import _levenshtein
+
+            scored = []
+            for r in rows:
+                t = r["term"]
+                d = _levenshtein(t, c.pattern)
+                b = 1.0 if d == 0 else float(
+                    F32(1.0) - F32(d) / F32(min(len(t), len(c.pattern)))
+                )
+                scored.append((t, int(r["df"]), b))
+            scored.sort(key=lambda x: (-x[2], x[0]))
+            return scored[:top_n]
+        return [(r["term"], int(r["df"]), 1.0) for r in rows[:top_n]]
+
     def search_boolean(
         self,
         query_string: str,
         k: Optional[int] = 10,
         min_should_match: int = 0,
+        rewrite: Optional[str] = None,
     ) -> DataFrame:
         """Parse a classic query string (queryparser.parse_query subset)
         and execute the mixed boolean (make_boolean_scorer). Multi-term
         clauses are rewritten driver-side against the term dictionary:
-        prefix -> CONSTANT_SCORE doc-set, fuzzy(~) -> SCORING_BOOLEAN
-        over <= 1024 expansions (BooleanQuery.maxClauseCount,
+        prefix/wildcard/regexp/range -> CONSTANT_SCORE doc-set,
+        fuzzy(~) -> SCORING_BOOLEAN; ``rewrite='top_terms_<n>'`` uses
+        the TopTermsRewrite selection instead (TopTermsRewrite.java).
+        Oversize expansions raise TooManyClauses
+        (BooleanQuery.maxClauseCount,
         search/BooleanQuery.java:50-66)."""
         from lucene_solr_spark.search.queryparser import parse_query
 
@@ -416,6 +531,7 @@ class IndexSearcher:
 
         planned: List[dict] = []
         fetch: set = set()
+        docset_conds: List = []
         for c in ast:
             if c.kind == "term":
                 t = c.terms[0]
@@ -443,26 +559,52 @@ class IndexSearcher:
                      "cost": min(dfs[t] for t in c.terms)}
                 )
                 fetch.update(c.terms)
-            else:  # prefix | multi — expand against the term dictionary
-                if c.kind == "prefix":
-                    cond = F.col("term").startswith(c.pattern)
-                else:
-                    cond = F.levenshtein(F.col("term"), F.lit(c.pattern)) <= 2
-                rows = (
-                    self._term_stats.filter(cond).select("term", "df")
-                    .orderBy("term").limit(1024).collect()
-                )
+            else:  # multi-term kinds — expand against the term dictionary
+                rows = self._expand_rows(c, rewrite)
+                if isinstance(rows, tuple) and rows[0] == "docset":
+                    # oversize constant-score expansion: ship the term
+                    # PREDICATE, not the term list — matching postings
+                    # rows are tagged with this clause id and unioned
+                    # into the kernel input (stats via one tiny agg)
+                    cond = rows[1]
+                    agg = (
+                        self._term_stats.filter(cond)
+                        .agg(F.count("*").alias("n"),
+                             F.sum("df").alias("sumdf"))
+                        .collect()[0]
+                    )
+                    if not agg["n"]:
+                        if c.occur == "must":
+                            return empty_df
+                        continue
+                    cl = len(docset_conds)
+                    docset_conds.append(cond)
+                    planned.append(
+                        {"occur": c.occur, "kind": "docset", "cl": cl,
+                         "cost": int(agg["sumdf"] or 0)}
+                    )
+                    continue
                 if not rows:
                     if c.occur == "must":
                         return empty_df
                     continue
                 entry = {
-                    "occur": c.occur, "kind": c.kind,
-                    "terms": [r["term"] for r in rows],
-                    "cost": int(sum(int(r["df"]) for r in rows)),
+                    "occur": c.occur,
+                    # constant-score kinds share the 'prefix' doc-set
+                    # evaluator; fuzzy stays an inner scoring disjunction
+                    "kind": "multi" if c.kind == "multi" else "prefix",
+                    "terms": [t for t, _, _ in rows],
+                    "cost": int(sum(df for _, df, _ in rows)),
                 }
                 if c.kind == "multi":
-                    entry["wvs"] = [term_wv(int(r["df"])) for r in rows]
+                    # TOP_TERMS folds the FuzzyTermsEnum boost into the
+                    # term weight (TopTermsRewrite keeps BoostAttribute;
+                    # wv_t = f32(boost * wv)); the default
+                    # SCORING_BOOLEAN path keeps boost == 1
+                    entry["wvs"] = [
+                        float(F32(F32(b) * F32(term_wv(df))))
+                        for _, df, b in rows
+                    ]
                 planned.append(entry)
                 fetch.update(entry["terms"])
         if not planned or not any(
@@ -471,6 +613,18 @@ class IndexSearcher:
             return empty_df
         planned[0]["mm"] = int(min_should_match)
         posts = self._postings.filter(F.col("term").isin(sorted(fetch)))
+        if docset_conds:
+            # tag each oversize-expansion clause's postings with its
+            # clause id; term-addressed clauses read the _cl = -1 rows.
+            # Union discards the cached gid partitioning, so these rare
+            # filter-rewrite queries pay one re-shuffle of the matched
+            # postings — the price of never materializing the term list
+            # on the driver.
+            posts = posts.withColumn("_cl", F.lit(-1))
+            for cl, cond in enumerate(docset_conds):
+                posts = posts.unionByName(
+                    self._postings.filter(cond).withColumn("_cl", F.lit(cl))
+                )
         kernel = make_boolean_scorer(planned, self.cache, k)
         out = self._run_kernel(
             posts, kernel, "doc_id long, score float"
@@ -816,7 +970,70 @@ class IndexSearcher:
                 if out:
                     yield pd.DataFrame({"doc_id": np.concatenate(out)})
 
-        return posts.mapInPandas(decode, schema="doc_id long").distinct()
+        return self._live(
+            posts.mapInPandas(decode, schema="doc_id long").distinct()
+        )
+
+    def _live(self, df: DataFrame) -> DataFrame:
+        """Apply the live-docs mask to a doc_id DataFrame (LiveDocsFormat
+        analogue): broadcast anti-join against the tombstone set. The
+        scoring kernels mask via the per-segment deleted bitmap; doc-set
+        (constant-score / filter) paths mask here."""
+        tomb = self.snap.tables.get("tombstones")
+        if not tomb:
+            return df
+        t = self.spark.read.parquet(tomb).select("doc_id")
+        return df.join(F.broadcast(t), "doc_id", "left_anti")
+
+    def search_dismax(self, query_text: str, k: Optional[int] = 10,
+                      tie: float = 0.0, exclude: str = "") -> DataFrame:
+        """DisjunctionMaxQuery over the analyzed terms of ``query_text``
+        (search/DisjunctionMaxQuery.java; Solr defType=dismax maps each
+        user term across fields — with one content field the sub-queries
+        are the term queries): score = max of sub-scores + tie * rest
+        (DisjunctionMaxScorer.java:85-87 float math)."""
+        return self.search(query_text, k=k, mode="dismax", tie=tie,
+                           exclude=exclude)
+
+    def numeric_range_docs(
+        self, field: str, lo=None, hi=None,
+        include_lo: bool = True, include_hi: bool = True,
+    ) -> DataFrame:
+        """NumericRangeQuery analogue (search/NumericRangeQuery.java:
+        trie-decomposed [lo..hi] over indexed numeric fields; inclusive
+        bounds by default, null bound = open end). Spark-first: the trie
+        is unnecessary — a BETWEEN predicate over the per-doc numeric
+        surface pushes into the column scan and Catalyst prunes row
+        groups by min/max, which IS the trie's job. Constant-score
+        (MultiTermQuery CONSTANT_SCORE rewrite), live-docs masked.
+        ``field``: 'doc_len' (doc-stats surface) or any numeric column
+        of the docs table."""
+        if field == "doc_len":
+            src = self.doc_stats().select("doc_id", F.col("doc_len").alias("v"))
+        else:
+            src = self._docs.select("doc_id", F.col(field).alias("v"))
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("v") >= lo if include_lo else F.col("v") > lo)
+        if hi is not None:
+            cond = cond & (F.col("v") <= hi if include_hi else F.col("v") < hi)
+        return self._live(src.filter(cond).select("doc_id"))
+
+    def match_all_docs(self) -> DataFrame:
+        """MatchAllDocsQuery (search/MatchAllDocsQuery.java): every live
+        doc, constant score 1.0 — the docs-table scan with the
+        tombstone mask, no postings touched."""
+        return self._live(self._docs.select("doc_id")).withColumn(
+            "score", F.lit(1.0).cast("float")
+        )
+
+    def field_value_docs(self, field: str, exists: bool = True) -> DataFrame:
+        """FieldValueFilter (search/FieldValueFilter.java:142): docs
+        where ``field`` has a value (or is missing, negate=True) —
+        an IS [NOT] NULL predicate over the docs table, live-masked."""
+        cond = (F.col(field).isNotNull() if exists
+                else F.col(field).isNull())
+        return self._live(self._docs.filter(cond).select("doc_id"))
 
     def search_display(self, query_text: str, k: int = 10, **kw) -> DataFrame:
         """Two-stage hydration: score on narrow tables, join stored
@@ -968,10 +1185,12 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
     weights = dict(plan.weights)
     dfs = dict(plan.dfs)
     mode, mm, k = plan.mode, max(plan.mm, 1), plan.k
+    tie = np.float32(plan.tie)
     cache = plan.cache.copy()
     after = plan.after
     sim = plan.sim
-    wand = wand and sim is None  # block-max bound is BM25-specific
+    # block-max bound is BM25-specific and assumes sum-combination
+    wand = wand and sim is None and mode != "dismax"
     and_order = sorted(terms, key=lambda t: dfs[t])  # stable: ties keep order
 
     def empty_result():
@@ -1097,7 +1316,34 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
             if not tis:
                 return empty_result()
             em = excl_mask_or_none()
-            if wand and k is not None:
+            if mode == "dismax":
+                # DisjunctionMaxScorer (search/DisjunctionMaxScorer.java
+                # :85-108): score = scoreMax + (scoreSum - scoreMax) *
+                # tieBreakerMultiplier, all float32. scoreSum/scoreMax
+                # accumulate in FLOAT per sub-scorer; we accumulate in
+                # clause order (identical to the reference's heap walk
+                # for <= 3 clauses; a documented deterministic variant
+                # beyond that — max is order-free, only the f32 sum
+                # rounding order differs).
+                ssum = np.zeros(span, dtype=np.float32)
+                smax = np.full(span, -np.inf, dtype=np.float32)
+                cnt = np.zeros(span, dtype=np.int32)
+                for ti, t in zip(tis, tnames):
+                    docs, tfs = ti.decode_all()
+                    s = clause_scores(t, docs, tfs)
+                    idxs = docs - gbase
+                    ssum[idxs] = ssum[idxs] + s      # f32 step add
+                    smax[idxs] = np.maximum(smax[idxs], s)
+                    cnt[idxs] += 1
+                hit = cnt >= 1
+                if em is not None:
+                    hit &= ~em
+                idxs = np.nonzero(hit)[0]
+                cand_docs = idxs.astype(np.int64) + gbase
+                cand_scores = (
+                    smax[idxs] + (ssum[idxs] - smax[idxs]) * tie
+                ).astype(np.float32)
+            elif wand and k is not None:
                 cand_docs, cand_scores = _wand_or(
                     tis, wvs, cache, norms, gbase, span, k, mm,
                     em, term_scores,
@@ -1372,6 +1618,15 @@ def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
             return empty_result()
         gbase, span, norms, deleted = _group_ctx(segs)
 
+        # docset clauses ride in with a _cl tag (>= 0); term-addressed
+        # clauses use the _cl == -1 rows (or everything when untagged)
+        by_clause: Dict[int, pd.DataFrame] = {}
+        if "_cl" in posts.columns:
+            cl = posts["_cl"].to_numpy()
+            for c_id in np.unique(cl[cl >= 0]):
+                by_clause[int(c_id)] = posts[cl == c_id]
+            posts = posts[cl == -1]
+
         by_term: Dict[str, list] = {}
         for r in posts.sort_values("seg_id").itertuples(index=False):
             by_term.setdefault(r.term, []).append(r)
@@ -1456,6 +1711,23 @@ def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
                 parts = [p[0] for p in parts if p is not None]
                 if not parts:
                     return (np.empty(0, np.int64), np.empty(0, np.float32))
+                docs = np.unique(np.concatenate(parts))
+                return docs, np.ones(len(docs), dtype=np.float32)
+            if c["kind"] == "docset":
+                # filter-rewrite constant-score: union the doc arrays of
+                # every tagged postings row (no term addressing at all)
+                rows = by_clause.get(c["cl"])
+                if rows is None or len(rows) == 0:
+                    return (np.empty(0, np.int64), np.empty(0, np.float32))
+                parts = []
+                for r in rows.itertuples(index=False):
+                    if r.df == 1:
+                        parts.append(np.array([r.sdoc], np.int64))
+                    else:
+                        d, _ = decode_postings(
+                            r.doc_ids_enc, r.tfs_enc, r.skips_enc
+                        )
+                        parts.append(d)
                 docs = np.unique(np.concatenate(parts))
                 return docs, np.ones(len(docs), dtype=np.float32)
             if c["kind"] == "multi":  # inner scoring disjunction

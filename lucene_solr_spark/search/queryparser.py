@@ -33,11 +33,15 @@ _TOKEN = re.compile(
         (?P<mod>[+\-])?
         (?:
             "(?P<phrase>[^"]*)"
+          | (?P<rng>[\[\{][^\]\}]*[\]\}])
+          | /(?P<regex>(?:[^/\\]|\\.)*)/
           | (?P<word>[^\s"]+)
         )
     )""",
     re.VERBOSE,
 )
+
+_RANGE_INNER = re.compile(r"^\s*(\S+)\s+TO\s+(\S+)\s*$")
 
 _KEYWORDS = {"AND", "OR", "NOT", "&&", "||", "!"}
 
@@ -45,16 +49,31 @@ _KEYWORDS = {"AND", "OR", "NOT", "&&", "||", "!"}
 @dataclass
 class Clause:
     occur: str                  # 'must' | 'should' | 'not'
-    kind: str                   # 'term' | 'phrase' | 'prefix' | 'multi'
+    # 'term' | 'phrase' | 'prefix' | 'wildcard' | 'regexp' | 'range'
+    # | 'multi' (fuzzy)
+    kind: str
     text: str                   # raw payload (analyzed later)
     terms: List[str] = field(default_factory=list)
     offsets: List[Tuple[str, int]] = field(default_factory=list)
-    # 'multi': rewrite expansion filled by the executor (term -> df)
-    pattern: Optional[str] = None   # prefix string / fuzzy source term
+    # multi-term kinds: expansion source (prefix stem / fuzzy term /
+    # wildcard pattern / regexp source)
+    pattern: Optional[str] = None
+    # 'range' bounds (TermRangeQuery): None = open end
+    lo: Optional[str] = None
+    hi: Optional[str] = None
+    include_lo: bool = True
+    include_hi: bool = True
 
 
 class QueryParseError(ValueError):
     pass
+
+
+class TooManyClauses(QueryParseError):
+    """A multi-term expansion exceeded BooleanQuery.maxClauseCount
+    (search/BooleanQuery.java:50-66 throws TooManyClauses rather than
+    silently truncating; same contract here — use a TOP_TERMS(n)
+    rewrite for large expansions)."""
 
 
 def parse_query(q: str, analyzer=None) -> List[Clause]:
@@ -68,8 +87,6 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
         analyzer = get_analyzer("standard")
     analyze = analyzer.analyze
     analyze_with_positions = analyzer.analyze_with_positions
-    if "(" in q or ")" in q:
-        raise QueryParseError("parentheses are not supported in this subset")
     clauses: List[Clause] = []
     pending: Optional[str] = None   # occur forced on the NEXT clause
     pos = 0
@@ -79,6 +96,48 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             break
         pos = m.end()
         mod, phrase, word = m.group("mod"), m.group("phrase"), m.group("word")
+        rng, regex = m.group("rng"), m.group("regex")
+        occur0 = "should"
+        if mod == "+":
+            occur0 = "must"
+        elif mod == "-":
+            occur0 = "not"
+        elif pending is not None:
+            occur0 = pending
+        if rng is not None:
+            # TermRangeQuery surface: [a TO b] inclusive, {a TO b}
+            # exclusive, mixed brackets allowed, * = open end
+            # (classic QP range syntax, QueryParserBase.java range
+            # production; TermRangeQuery.java inclusive-bound flags)
+            pending = None
+            inner = _RANGE_INNER.match(rng[1:-1])
+            if not inner:
+                raise QueryParseError(f"bad range syntax: {rng!r}")
+
+            def _bound(tok: str) -> Optional[str]:
+                if tok == "*":
+                    return None
+                ts = analyze(tok)
+                if len(ts) != 1:
+                    raise QueryParseError(f"bad range bound: {tok!r}")
+                return ts[0]
+
+            clauses.append(
+                Clause(occur=occur0, kind="range", text=rng,
+                       lo=_bound(inner.group(1)), hi=_bound(inner.group(2)),
+                       include_lo=rng[0] == "[", include_hi=rng[-1] == "]")
+            )
+            continue
+        if regex is not None:
+            # RegexpQuery surface (search/RegexpQuery.java): /pattern/
+            # matches whole terms; the pattern is NOT analyzed (the
+            # automaton walks raw term bytes — AutomatonQuery.java)
+            pending = None
+            clauses.append(
+                Clause(occur=occur0, kind="regexp", text=f"/{regex}/",
+                       pattern=regex)
+            )
+            continue
         if phrase is None and word in _KEYWORDS:
             if word in ("AND", "&&"):
                 if clauses and clauses[-1].occur == "should":
@@ -108,17 +167,34 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
                        offsets=[(t, p - p0) for t, p in tp])
             )
             continue
+        if "(" in word or ")" in word:
+            # grouping parens are not in this subset (regex bodies may
+            # contain them — those are consumed by the /…/ branch above)
+            raise QueryParseError(
+                "parentheses are not supported in this subset"
+            )
         if ":" in word:
             fld, word = word.split(":", 1)
             if fld != "content":
                 raise QueryParseError(f"unknown field: {fld!r}")
-        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1]:
+        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1] \
+                and "?" not in word:
             stem = analyze(word[:-1])
             if len(stem) != 1:
                 raise QueryParseError(f"bad prefix term: {word!r}")
             clauses.append(
                 Clause(occur=occur, kind="prefix", text=word,
                        pattern=stem[0])
+            )
+            continue
+        if "*" in word or "?" in word:
+            # WildcardQuery (search/WildcardQuery.java): * = any run,
+            # ? = one char. Pattern is lowercased when the chain
+            # lowercases (QueryParserBase lowercaseExpandedTerms) but
+            # otherwise NOT analyzed.
+            pat = word.lower() if analyzer.lowercase else word
+            clauses.append(
+                Clause(occur=occur, kind="wildcard", text=word, pattern=pat)
             )
             continue
         if word.endswith("~"):

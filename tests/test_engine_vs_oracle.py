@@ -19,18 +19,8 @@ from lucene_solr_spark.search.executor import IndexSearcher
 N_DOCS = 300
 
 
-@pytest.fixture(scope="module")
-def built(spark, small_corpus, tmp_path_factory):
-    index_dir = str(tmp_path_factory.mktemp("idx"))
-    corpus = spark.createDataFrame(small_corpus, schema=CORPUS_SCHEMA)
-    writer = IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=3)
-    snap = writer.build(corpus)
-    assert snap.stage == "commit"
-
-    # oracle over the SAME docID assignment (rank over repo,path,commit)
-    docs_sorted = sorted(small_corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
-    oracle = OracleIndex.build([(i, r["content"]) for i, r in enumerate(docs_sorted)])
-    return index_dir, oracle
+# `built` (index + oracle) now lives in conftest.py, session-scoped —
+# shared by every read-only engine-vs-oracle gate.
 
 
 def _run_engine(searcher, q, wand):

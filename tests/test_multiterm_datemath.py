@@ -1,0 +1,205 @@
+"""Round-2 operator gates: regexp/wildcard/range query surface,
+TOP_TERMS rewrite, TooManyClauses, dismax, numeric range + field-value
+filters, and Solr date math — engine vs pure-Python oracles."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lucene_solr_spark.oracle import (  # noqa: E402
+    OracleBoolean,
+    _levenshtein as _lev,
+)
+from lucene_solr_spark.search.executor import IndexSearcher  # noqa: E402
+from lucene_solr_spark.search.queryparser import (  # noqa: E402
+    TooManyClauses,
+    parse_query,
+)
+
+F32 = np.float32
+
+
+def _dual(spark, built, qs, rewrite=None):
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    got = [
+        (r["doc_id"], F32(r["score"]))
+        for r in searcher.search_boolean(qs, k=10, rewrite=rewrite).collect()
+    ]
+    want = OracleBoolean(oracle, rewrite=rewrite).search(qs, k=10)
+    assert [d for d, _ in got] == [d for d, _ in want], qs
+    for (dg, sg), (dw, sw) in zip(got, want):
+        assert sg.tobytes() == F32(sw).tobytes(), (qs, dg)
+    return got
+
+
+@pytest.mark.parametrize("qs", [
+    "/c.mmon_util/",                 # RegexpQuery whole-term match
+    "/read_(buf|buffer)/ scan_impl",  # regexp as a SHOULD clause
+    "c?mmon_util",                   # WildcardQuery '?'
+    "*_util",                        # leading-wildcard run
+    "[base_handler TO common_util]",  # TermRangeQuery inclusive
+    "{base_handler TO common_util]",  # exclusive lower bound
+    "[common_util TO *]",            # open upper end
+    "+scan_impl [base_handler TO common_util}",
+])
+def test_multiterm_syntax_rank_identical(spark, built, qs):
+    got = _dual(spark, built, qs)
+    assert got, qs  # every pattern matches something in this corpus
+
+
+def test_top_terms_rewrite_fuzzy(spark, built):
+    """TOP_TERMS(n) (TopTermsRewrite.java): boost-ranked selection with
+    the FuzzyTermsEnum similarity boost folded into term weights."""
+    got = _dual(spark, built, "common_utik~", rewrite="top_terms_3")
+    assert got
+    # and the selection must actually differ from the plain rewrite
+    # when n is tiny (1 nearest term only)
+    got1 = _dual(spark, built, "common_utik~", rewrite="top_terms_1")
+    assert got1
+
+
+def test_oversize_constant_expansion_uses_docset(spark, built):
+    """Constant-score kinds past maxClauseCount rewrite to an executor-
+    side doc-set filter (CONSTANT_SCORE_AUTO's filter leg) — results
+    stay rank-identical, no TooManyClauses, driver holds no term list."""
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    ast = parse_query("*")
+    assert ast[0].kind == "wildcard"
+    assert len(oracle.postings) > searcher.MAX_CLAUSE_COUNT, \
+        "fixture drift: match-all no longer overflows the clause cap"
+    got = _dual(spark, built, "* common_util")
+    assert got
+    # TOP_TERMS bounds the expansion driver-side instead
+    assert _dual(spark, built, "write_*", rewrite="top_terms_8") is not None
+
+
+def test_too_many_clauses_raises_for_scoring_expansion(spark, built):
+    """Fuzzy (SCORING_BOOLEAN) expansions past maxClauseCount raise
+    TooManyClauses (BooleanQuery.java:50-66), engine and oracle alike."""
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    pat = "heap_buf"
+    n_match = sum(
+        1 for t in oracle.postings
+        if abs(len(t) - len(pat)) <= 2 and _lev(t, pat) <= 2
+    )
+    assert n_match >= 2, "fixture drift: fuzzy pattern matches < 2 terms"
+    # shrink the cap so the small-corpus vocabulary overflows it
+    cap = n_match - 1
+    searcher.MAX_CLAUSE_COUNT = cap  # instance override
+    try:
+        with pytest.raises(TooManyClauses):
+            searcher.search_boolean(f"{pat}~", k=10).collect()
+        ob = OracleBoolean(oracle)
+        ob.MAX_CLAUSE_COUNT = cap
+        with pytest.raises(TooManyClauses):
+            ob.search(f"{pat}~", k=10)
+        # TOP_TERMS bounds it instead of raising (selection still must
+        # agree between engine and oracle under the shrunken cap)
+        got = [
+            (r["doc_id"], F32(r["score"])) for r in searcher.search_boolean(
+                f"{pat}~", k=10, rewrite=f"top_terms_{cap}").collect()
+        ]
+        obt = OracleBoolean(oracle, rewrite=f"top_terms_{cap}")
+        obt.MAX_CLAUSE_COUNT = cap
+        want = obt.search(f"{pat}~", k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (dg, sg), (dw, sw) in zip(got, want):
+            assert sg.tobytes() == F32(sw).tobytes(), dg
+    finally:
+        del searcher.MAX_CLAUSE_COUNT
+
+
+def test_dismax_vs_clausewise_combination(spark, built):
+    """DisjunctionMaxScorer float math: max + (sum-max)*tie over the
+    per-term BM25 scores (DisjunctionMaxScorer.java:85-87)."""
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    terms = ["common_util", "base_handler"]
+    tie = 0.3
+    cache = oracle._cache()
+    per = [oracle._term_scores(t, cache) for t in terms]
+    docs = set().union(*[set(p) for p in per])
+    want = []
+    for d in sorted(docs):
+        subs = [p[d] for p in per if d in p]
+        ssum, smax = F32(0.0), F32(-np.inf)
+        for x in subs:
+            ssum = F32(ssum + x)
+            smax = max(smax, x)
+        want.append((d, F32(smax + F32(F32(ssum - smax) * F32(tie)))))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    want = want[:10]
+    got = [
+        (r["doc_id"], F32(r["score"]))
+        for r in searcher.search_dismax(" ".join(terms), k=10,
+                                        tie=tie).collect()
+    ]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (dg, sg), (dw, sw) in zip(got, want):
+        assert sg.tobytes() == sw.tobytes(), dg
+    # tie=0 is pure max
+    got0 = searcher.search_dismax(" ".join(terms), k=5, tie=0.0).collect()
+    for r in got0:
+        subs = [p[r["doc_id"]] for p in per if r["doc_id"] in p]
+        assert F32(r["score"]).tobytes() == max(subs).tobytes()
+
+
+def test_numeric_range_and_field_value(spark, built):
+    index_dir, oracle = built
+    searcher = IndexSearcher(spark, index_dir)
+    stats = {r["doc_id"]: r["doc_len"]
+             for r in searcher.doc_stats().collect()}
+    lo, hi = 40, 90
+    want = sorted(d for d, n in stats.items() if lo <= n <= hi)
+    got = sorted(r["doc_id"] for r in
+                 searcher.numeric_range_docs("doc_len", lo, hi).collect())
+    assert got == want
+    # exclusive bounds
+    want_ex = sorted(d for d, n in stats.items() if lo < n < hi)
+    got_ex = sorted(r["doc_id"] for r in searcher.numeric_range_docs(
+        "doc_len", lo, hi, include_lo=False, include_hi=False).collect())
+    assert got_ex == want_ex
+    # open end
+    want_open = sorted(d for d, n in stats.items() if n >= hi)
+    got_open = sorted(r["doc_id"] for r in
+                      searcher.numeric_range_docs("doc_len", hi).collect())
+    assert got_open == want_open
+    # field-value filter: every doc has a lang in this corpus
+    assert searcher.field_value_docs("lang").count() == len(stats)
+    assert searcher.field_value_docs("lang", exists=False).count() == 0
+
+
+def test_date_math_parser():
+    from datetime import datetime
+
+    from lucene_solr_spark.functions.datemath import (
+        DateMathParseError,
+        parse_date_math,
+    )
+
+    now = datetime(2024, 3, 15, 10, 37, 42, 123000)
+    cases = {
+        "NOW": now,
+        "NOW/DAY": datetime(2024, 3, 15),
+        "NOW/HOUR": datetime(2024, 3, 15, 10),
+        "NOW-7DAYS": datetime(2024, 3, 8, 10, 37, 42, 123000),
+        "NOW/DAY+6MONTHS+3DAYS": datetime(2024, 9, 18),
+        "NOW/YEAR": datetime(2024, 1, 1),
+        "NOW+2YEARS/MONTH": datetime(2026, 3, 1),
+        "NOW-1MILLI": datetime(2024, 3, 15, 10, 37, 42, 122000),
+        "2024-01-31T00:00:00Z+1MONTH": datetime(2024, 2, 29),  # clamp
+        "2024-01-05T08:30:00Z/DAY+12HOURS": datetime(2024, 1, 5, 12),
+        "2024-06-01T00:00:00.250Z": datetime(2024, 6, 1, 0, 0, 0, 250000),
+    }
+    for expr, want in cases.items():
+        assert parse_date_math(expr, now) == want, expr
+    for bad in ["NOW/WEEK", "NOW+", "NOW*3DAYS", "TOMORROW", "NOW+3"]:
+        with pytest.raises(DateMathParseError):
+            parse_date_math(bad, now)
