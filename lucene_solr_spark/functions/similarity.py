@@ -104,6 +104,79 @@ def classic_coords(max_coord: int) -> np.ndarray:
     return (m / float(max_coord)).astype(np.float32)
 
 
+LMJM_LAMBDA = 0.7  # LMJelinekMercerSimilarity lambda (long-query optimum
+#                    per the class javadoc; the class has no default)
+DFR_C = 1.0        # NormalizationH2 default c (NormalizationH2.java:47)
+_LOG_2 = math.log(2.0)  # SimilarityBase.LOG_2 (precomputed double)
+
+
+def avg_field_length(sum_ttf: int, max_doc: int) -> float:
+    """SimilarityBase.fillBasicStats:127 — (float)numberOfFieldTokens /
+    numberOfDocuments: both operands converted to f32, f32 division."""
+    if sum_ttf <= 0:
+        return 1.0
+    return float(F32(F32(sum_ttf) / F32(max_doc)))
+
+
+def dfr_score_block(
+    df: int, cf: int, max_doc: int, avg_fl: float,
+    tfs: np.ndarray, norm_bytes: np.ndarray,
+) -> np.ndarray:
+    """DFR GB2 = BasicModelG + AfterEffectB + NormalizationH2(c=1)
+    (DFRSimilarity.java:108-112), boost = 1, stepwise types mirrored:
+
+      tfn = (float)(tf * log2(1 + c*avgFL/len))   inner chain f32,
+            log2 in double (NormalizationH2.java:52-54)
+      lambda = (cf+1)/(N + cf+1)                  double
+      G  = (float)(log2(lambda+1) + tfn*log2((1+lambda)/lambda))
+           (BasicModelG.java:34-41)
+      B  = (float)((cf+2) / ((df+1) * (tfn+1)))   f32 ops
+           (AfterEffectB.java:32-36)
+      score = f32(G * B)
+    docLen is the quantized decoded length (SimilarityBase NORM_TABLE =
+    1/(byte315ToFloat^2), :220-227)."""
+    ln = LENGTH_TABLE[norm_bytes.astype(np.int64)]  # f32 lengths
+    arg = (F32(1.0) + (F32(DFR_C) * F32(avg_fl)) / ln).astype(np.float32)
+    tfn = (
+        tfs.astype(np.float64)
+        * (np.log(arg.astype(np.float64)) / _LOG_2)
+    ).astype(np.float32)
+    Fd = float(cf + 1)
+    N = float(max_doc)
+    lam = Fd / (N + Fd)
+    g = (
+        math.log(lam + 1.0) / _LOG_2
+        + tfn.astype(np.float64) * (math.log((1.0 + lam) / lam) / _LOG_2)
+    ).astype(np.float32)
+    b = (
+        F32(cf + 2) / (F32(df + 1) * (tfn + F32(1.0)))
+    ).astype(np.float32)
+    return (g * b).astype(np.float32)
+
+
+def lmjm_p(cf: int, sum_ttf: int) -> float:
+    """LMSimilarity.DefaultCollectionModel.computeProbability:153 —
+    (cf+1F)/(sumTTF+1F), f32 operands and division."""
+    return float(F32(F32(cf + 1.0) / F32(sum_ttf + 1.0)))
+
+
+def lmjm_score_block(
+    p: float, tfs: np.ndarray, norm_bytes: np.ndarray,
+    lam: float = LMJM_LAMBDA,
+) -> np.ndarray:
+    """LMJelinekMercerSimilarity.score (LMJelinekMercerSimilarity.java
+    :53-58), boost = 1: (float)log(1 + ((1-λ)*freq/docLen)/(λ*p)) —
+    the ENTIRE log argument is an f32 chain (every operand is float in
+    the reference), only the log itself runs in double."""
+    lam32 = F32(lam)
+    freq = tfs.astype(np.float32)
+    ln = LENGTH_TABLE[norm_bytes.astype(np.int64)]
+    num = ((F32(1.0) - lam32) * freq / ln).astype(np.float32)
+    den = F32(lam32 * F32(p))
+    arg = (F32(1.0) + num / den).astype(np.float32)
+    return np.log(arg.astype(np.float64)).astype(np.float32)
+
+
 def lmd_p(cf: int, sum_ttf: int) -> float:
     """LMDirichletSimilarity collection model p = (F(w)+1)/(|C|+1)
     (LMSimilarity.DefaultCollectionModel)."""

@@ -93,8 +93,11 @@ class OracleIndex:
         """Per-doc scores for one term under a non-BM25 similarity
         (functions/similarity.py formulas, same f32 chains)."""
         from lucene_solr_spark.functions.similarity import (
+            avg_field_length,
             classic_score_block,
+            dfr_score_block,
             lmd_score_block,
+            lmjm_score_block,
         )
 
         out = {}
@@ -103,6 +106,15 @@ class OracleIndex:
             nbs = np.array([self.norm_bytes[doc_id]], np.uint8)
             if similarity == "classic":
                 out[doc_id] = classic_score_block(values[term], tfs, nbs)[0]
+            elif similarity == "dfr":
+                df_t, cf_t = values[term]
+                out[doc_id] = dfr_score_block(
+                    df_t, cf_t, self.max_doc,
+                    avg_field_length(self.sum_ttf, self.max_doc),
+                    tfs, nbs,
+                )[0]
+            elif similarity == "lmjelinekmercer":
+                out[doc_id] = lmjm_score_block(values[term], tfs, nbs)[0]
             else:
                 out[doc_id] = lmd_score_block(values[term], tfs, nbs, mu)[0]
         return out
@@ -157,7 +169,18 @@ class OracleIndex:
                     t: sum(f for _, f in self.postings.get(t, ()))
                     for t in qterms
                 }
-                values = {t: lmd_p(cfs[t], self.sum_ttf) for t in qterms}
+                if similarity == "dfr":
+                    values = {t: (self.df(t), cfs[t]) for t in qterms}
+                elif similarity == "lmjelinekmercer":
+                    from lucene_solr_spark.functions.similarity import (
+                        lmjm_p,
+                    )
+
+                    values = {t: lmjm_p(cfs[t], self.sum_ttf)
+                              for t in qterms}
+                else:
+                    values = {t: lmd_p(cfs[t], self.sum_ttf)
+                              for t in qterms}
             per_term = {
                 t: self._term_scores_sim(t, similarity, values, LMD_MU)
                 for t in qterms

@@ -271,6 +271,17 @@ class IndexSearcher:
                 sim = {"kind": "lmdirichlet", "mu": S.LMD_MU,
                        "values": {t: S.lmd_p(cfs[t], self.sum_ttf)
                                   for t in scoring}}
+            elif similarity == "dfr":
+                cfs = self._lookup_cfs(scoring)
+                sim = {"kind": "dfr", "max_doc": self.max_doc,
+                       "avg_fl": S.avg_field_length(
+                           self.sum_ttf, self.max_doc),
+                       "values": {t: (dfs[t], cfs[t]) for t in scoring}}
+            elif similarity == "lmjelinekmercer":
+                cfs = self._lookup_cfs(scoring)
+                sim = {"kind": "lmjm", "lambda": S.LMJM_LAMBDA,
+                       "values": {t: S.lmjm_p(cfs[t], self.sum_ttf)
+                                  for t in scoring}}
             else:
                 raise ValueError(f"unknown similarity: {similarity}")
         return QueryPlan(
@@ -409,6 +420,9 @@ class IndexSearcher:
         return out if k is None else out.limit(k)
 
     MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
+    # search_many merges per-group top-k on the driver below this many
+    # estimated rows; above it the merge is a per-query executor window
+    SEARCH_MANY_DRIVER_MERGE_MAX = 200_000
 
     def _expand_rows(self, c, rewrite: Optional[str]):
         """Expand a multi-term clause against the term dictionary.
@@ -725,10 +739,25 @@ class IndexSearcher:
             return pd.concat(outs, ignore_index=True)
 
         per_group = self._run_kernel(posts, multi, out_schema)
-        # final top-k merge on the driver: <= n_groups*k rows per query
-        # survive the per-group cut, so this is the tiny exact merge of
-        # Solr's mergeIds (QueryComponent.java:772-870) — done locally
-        # instead of spending a window+orderBy shuffle stage per batch
+        # final top-k merge: <= n_groups*k rows per query survive the
+        # per-group cut (Solr mergeIds, QueryComponent.java:772-870).
+        # Small batches merge on the driver (saves a shuffle stage);
+        # when n_groups*n_queries*k outgrows the cap (n_groups scales
+        # with corpus size at 100x), the merge runs executor-side as a
+        # per-query window top-k — identical results, bounded driver.
+        est_rows = self.n_groups * len(kernels) * k
+        if est_rows > self.SEARCH_MANY_DRIVER_MERGE_MAX:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("score"), F.asc("doc_id")
+            )
+            return (
+                per_group.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= k)
+                .drop("_rn")
+                .orderBy("query_id", F.desc("score"), F.asc("doc_id"))
+            )
         rows = per_group.collect()
         by_q: Dict[int, List] = {}
         for r in rows:
@@ -834,6 +863,21 @@ class IndexSearcher:
                 return F32(
                     classic_score_block(plan.sim["values"][t], tfs, nbs)[0]
                 )
+            if plan.sim["kind"] == "dfr":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_score_block,
+                )
+                df_t, cf_t = plan.sim["values"][t]
+                return F32(dfr_score_block(
+                    df_t, cf_t, plan.sim["max_doc"], plan.sim["avg_fl"],
+                    tfs, nbs)[0])
+            if plan.sim["kind"] == "lmjm":
+                from lucene_solr_spark.functions.similarity import (
+                    lmjm_score_block,
+                )
+                return F32(lmjm_score_block(
+                    plan.sim["values"][t], tfs, nbs,
+                    plan.sim["lambda"])[0])
             from lucene_solr_spark.functions.similarity import (
                 lmd_score_block,
             )
@@ -1018,6 +1062,150 @@ class IndexSearcher:
         if hi is not None:
             cond = cond & (F.col("v") <= hi if include_hi else F.col("v") < hi)
         return self._live(src.filter(cond).select("doc_id"))
+
+    def join_query(
+        self,
+        from_query: str,
+        from_field: str,
+        to_field: str,
+        mode: str = "or",
+    ) -> DataFrame:
+        """Query-time doc-to-doc join — JoinUtil.createJoinQuery
+        (lucene/join/src/java/org/apache/lucene/search/join/
+        JoinUtil.java:46-90; Solr {{!join from=f to=t}}q):
+        docs matching ``from_query`` project their ``from_field``
+        values; the result is every live doc whose ``to_field`` equals
+        one of them (ScoreMode.None = constant score, the Solr join
+        default). Spark-first: two narrow joins — hits⋈docs to collect
+        values, then a semi-join back onto the docs table; Catalyst
+        broadcasts whichever side is small."""
+        hits = self.search(from_query, k=None, mode=mode)
+        vals = (
+            hits.join(self._docs, "doc_id")
+            .select(F.col(from_field).alias("_v"))
+            .distinct()
+        )
+        return self._live(
+            self._docs.join(
+                vals, self._docs[to_field] == vals["_v"], "leftsemi"
+            ).select("doc_id")
+        )
+
+    def highlight(
+        self,
+        query_text: str,
+        store: DataFrame,
+        text_col: str = "content",
+        k: int = 10,
+        frag_tokens: int = 7,
+        pre: str = "<em>",
+        post: str = "</em>",
+        **kw,
+    ) -> DataFrame:
+        """Best-fragment highlighting for the top-k hits (ref
+        lucene/highlighter/.../Highlighter.java + SimpleHTMLFormatter +
+        SimpleFragmenter; Solr hl component). ``store`` is the stored-
+        fields surface (doc_id + text column) — by design the corpus
+        table is the row store (SURVEY.md stored-fields row).
+
+        Deterministic simplification of the reference's best-fragment
+        scan, documented: the fragment is the ``frag_tokens``-token
+        window centred on the FIRST occurrence of the highest-weighted
+        query term present in the doc; every query-term token inside
+        the window is wrapped pre/post (SimpleHTMLFormatter.java:31-44
+        emits exactly this shape). Entirely Catalyst array functions —
+        split/array_position/slice/transform — no Python in the row
+        path."""
+        plan = self.plan(query_text, k, kw.get("mode", "or"),
+                         kw.get("min_should_match", 0),
+                         kw.get("exclude", ""))
+        hits = self.search(query_text, k=k, **kw)
+        if plan.empty:
+            return hits.withColumn("snippet", F.lit(None).cast("string"))
+        # anchor term preference: descending idf weight, then term order
+        # (the highest-scoring term's first position anchors the best
+        # fragment — Highlighter QueryScorer's max-weight behavior)
+        anchor_terms = sorted(
+            plan.terms, key=lambda t: (-plan.weights[t], t)
+        )
+        toks = F.split(F.col(text_col), " ")
+        pos = None
+        for t in anchor_terms:
+            p = F.array_position(toks, t)
+            pos = p if pos is None else F.when(pos > 0, pos).otherwise(p)
+        half = (frag_tokens - 1) // 2
+        start = F.greatest(F.lit(1), pos - half)
+        frag = F.slice(toks, start, frag_tokens)
+        qset = list(dict.fromkeys(plan.terms))
+        marked = F.transform(
+            frag,
+            lambda tk: F.when(
+                tk.isin(qset), F.concat(F.lit(pre), tk, F.lit(post))
+            ).otherwise(tk),
+        )
+        return (
+            hits.join(store.select("doc_id", text_col), "doc_id")
+            .select(
+                "doc_id",
+                F.col("score").cast("double").alias("score"),
+                F.when(pos > 0, F.concat_ws(" ", marked))
+                .otherwise(F.lit(None))
+                .alias("snippet"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+
+    def more_like_this(
+        self,
+        doc_id: int,
+        store: DataFrame,
+        text_col: str = "content",
+        min_tf: int = 2,
+        min_df: int = 5,
+        max_terms: int = 25,
+        k: int = 10,
+    ) -> DataFrame:
+        """MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java; Solr
+        MLT handler): re-analyze the source doc's stored text (the
+        no-term-vectors path, MoreLikeThis.java:132 changelog note),
+        rank its terms by tf * idf (DefaultSimilarity idf,
+        createQueue), keep the top ``max_terms`` past the min_tf /
+        min_df gates, and run the resulting OR query — excluding the
+        source doc itself (the Solr handler drops it from results).
+        Tie-break on (score desc, term asc) — documented deterministic
+        replacement for the reference's insertion-ordered PQ."""
+        import math as _math
+
+        row = (
+            store.filter(F.col("doc_id") == doc_id)
+            .select(text_col)
+            .collect()
+        )
+        if not row:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        toks = self.analyzer.analyze(row[0][0] or "")
+        tf: Dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        cand = [t for t, n in tf.items() if n >= min_tf]
+        dfs = self._lookup_dfs(cand)
+        scored = []
+        for t in cand:
+            df_t = dfs.get(t)
+            if df_t is None or df_t < min_df:
+                continue
+            idf_t = F32(_math.log(self.max_doc / (df_t + 1.0)) + 1.0)
+            scored.append((float(F32(tf[t] * idf_t)), t))
+        scored.sort(key=lambda st: (-st[0], st[1]))
+        terms = [t for _, t in scored[:max_terms]]
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        hits = self.search(" ".join(terms), k=None, mode="or")
+        return (
+            hits.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
 
     def match_all_docs(self) -> DataFrame:
         """MatchAllDocsQuery (search/MatchAllDocsQuery.java): every live
@@ -1247,7 +1435,7 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
                 return classic_score_block(
                     sim["values"][t], tfs, norms[docs - gbase]
                 )
-        else:  # lmdirichlet
+        elif sim["kind"] == "lmdirichlet":
             from lucene_solr_spark.functions.similarity import (
                 lmd_score_block,
             )
@@ -1257,6 +1445,29 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
                     sim["values"][t], tfs, norms[docs - gbase],
                     sim["mu"],
                 )
+        elif sim["kind"] == "dfr":
+            from lucene_solr_spark.functions.similarity import (
+                dfr_score_block,
+            )
+
+            def clause_scores(t, docs, tfs):
+                df_t, cf_t = sim["values"][t]
+                return dfr_score_block(
+                    df_t, cf_t, sim["max_doc"], sim["avg_fl"],
+                    tfs, norms[docs - gbase],
+                )
+        elif sim["kind"] == "lmjm":
+            from lucene_solr_spark.functions.similarity import (
+                lmjm_score_block,
+            )
+
+            def clause_scores(t, docs, tfs):
+                return lmjm_score_block(
+                    sim["values"][t], tfs, norms[docs - gbase],
+                    sim["lambda"],
+                )
+        else:
+            raise ValueError(sim["kind"])
 
         def excl_mask_or_none() -> Optional[np.ndarray]:
             m = None if deleted is None else deleted.copy()

@@ -55,6 +55,12 @@ def get_spark(
             "false",
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle/spill scratch: overridable so benchmarks can place it
+        # on a per-executor-class resource (each cluster executor has
+        # its own local disks; the shared single VM disk is a hardware
+        # artifact of the sandbox, like the shared memory bus)
+        .config("spark.local.dir",
+                os.environ.get("LSS_LOCAL_DIR", "/tmp"))
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

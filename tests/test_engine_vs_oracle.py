@@ -281,7 +281,31 @@ def test_search_many_matches_individual(spark, built):
         assert got.get(qid, []) == want, f"batch query {qid} diverges"
 
 
-@pytest.mark.parametrize("similarity", ["classic", "lmdirichlet"])
+def test_search_many_executor_merge_path(spark, built):
+    """Large-batch leg: when n_groups*n_queries*k exceeds the driver
+    cap, the final merge runs executor-side (window top-k) — results
+    must be identical to the driver merge."""
+    from lucene_solr_spark.fixtures import QUERY_SET
+
+    index_dir, _ = built
+    s = IndexSearcher(spark, index_dir)
+    batch = list(QUERY_SET[:4])
+    small = s.search_many(batch, k=10).collect()
+    s.SEARCH_MANY_DRIVER_MERGE_MAX = 0  # force the executor window path
+    try:
+        big = s.search_many(batch, k=10).collect()
+    finally:
+        del s.SEARCH_MANY_DRIVER_MERGE_MAX
+    norm = lambda rows: sorted(  # noqa: E731
+        (r["query_id"], r["doc_id"], np.float32(r["score"]).tobytes())
+        for r in rows
+    )
+    assert norm(small) == norm(big)
+
+
+@pytest.mark.parametrize(
+    "similarity", ["classic", "lmdirichlet", "dfr", "lmjelinekmercer"]
+)
 @pytest.mark.parametrize("q", [QUERY_SET[0], QUERY_SET[2], QUERY_SET[3],
                                QUERY_SET[5]],
                          ids=lambda q: f"q{q['query_id']}")
