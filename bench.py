@@ -47,6 +47,26 @@ QUERY_NAMES = [
     "ngram_jaccard_pairs",
     "doc_quality",
     "ann_cosine_top10",
+    # round 2 operators
+    "dismax_top10",
+    "dfr_single",
+    "lmjm_single",
+    "numeric_range_docs",
+    "date_math_range",
+    "regexp_terms",
+    "filtered_range_query",
+    "join_lang_docs",
+    "highlight_top10",
+    "mlt_similar",
+    "facet_range",
+    "facet_pivot",
+    "facet_query",
+    "minhash_lsh_pairs",
+    "simhash_neardups",
+    "ann_lsh_top10",
+    "langid_pred",
+    "winnow_fingerprints",
+    "media_feature_vecs",
 ]
 
 

@@ -49,6 +49,20 @@ K1_LIT = repr(float(F32(1.2))) + "e0"     # DOUBLE literal (bare decimals are DE
 K1P1_LIT = repr(float(K1_PLUS_1)) + "e0"  # 2.200000047683716 as DOUBLE
 _STOP_SQL = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
+# language-ID profiles: characteristic function words per language
+# (the classic stopword-profile heuristic — a deterministic, literal
+# stand-in for a character-n-gram model; the Spark plumbing — JVM
+# array ops, left-to-right argmax fold — is the production shape)
+LANGID_PROFILES = {
+    "de": ("der", "die", "das", "und", "nicht", "ist", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+    "zh": ("de5", "le5", "shi4", "zai4", "he2", "you3", "wo3"),
+}
+WINNOW_K = 4   # k-gram size (tokens)
+WINNOW_W = 5   # winnowing window (Schleimer et al., SIGMOD'03)
+
 DOCS_PER_SEGMENT = 256   # small segments: exercises multi-segment merge
 SEGS_PER_GROUP = 4       # salted-merge group factor used for the gate
 TOP_K = 10
@@ -405,6 +419,52 @@ def q_regexp_terms(spark, sf_dir):
     return s.expand_terms(
         F.col("term").rlike(f"^(?:{Q_REGEXP})$")
     ).orderBy("term")
+
+
+def q_filtered_range(spark, sf_dir):
+    """FilteredQuery / Solr fq (search/FilteredQuery.java): a scored
+    term query intersected with a non-scoring numeric-range filter —
+    scores untouched, doc set restricted, filter applied before the
+    top-k cut."""
+    s = get_searcher(spark, sf_dir)
+    lo, hi = Q_NUMRANGE
+    return _topk_double(
+        s.search_boolean(f"{Q_SINGLE} doc_len:[{lo} TO {hi}]", k=TOP_K)
+    )
+
+
+def q_function_ord(spark, sf_dir):
+    """OrdFieldSource / ReverseOrdFieldSource as per-doc values: the
+    1-based dense ordinal of each doc's lang among sorted distinct
+    values, both directions."""
+    from lucene_solr_spark.functions.valuesource import ord_source
+
+    s = get_searcher(spark, sf_dir)
+    o = ord_source(s, "lang")
+    r = ord_source(s, "lang", reverse=True).withColumnRenamed(
+        "ord", "rord"
+    )
+    return o.join(r, "doc_id").orderBy("doc_id")
+
+
+def q_function_tf_boost(spark, sf_dir):
+    """FunctionQuery composition with an index-stats ValueSource
+    (TermFreqValueSource): score = bm25('merge') * (1 + tf('table')),
+    double math, top-10."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_SINGLE, k=None)
+    tfv = s.term_freqs("table")
+    return (
+        hits.join(tfv, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("score").cast("double")
+             * (F.lit(1.0) + F.coalesce(F.col("tf"), F.lit(0))))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
 
 
 def q_matchall_count(spark, sf_dir):
@@ -1522,6 +1582,28 @@ WHERE regexp_full_match(term, '{Q_REGEXP}') ORDER BY term
     o["matchall_count"] = ORACLE_PRELUDE + (
         "SELECT count(*) AS n FROM docs0"
     )
+    o["function_ord_lang"] = ORACLE_PRELUDE + """
+SELECT doc_id,
+  CAST(dense_rank() OVER (ORDER BY lang ASC) AS INT) AS ord,
+  CAST(dense_rank() OVER (ORDER BY lang DESC) AS INT) AS rord
+FROM docs0 ORDER BY doc_id
+"""
+    o["function_tf_boost"] = ORACLE_PRELUDE + f"""
+SELECT p.doc_id,
+  CAST(p.s AS DOUBLE) * (1.0e0 + COALESCE(t.tf, 0)) AS score
+FROM persc p
+LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'table') t
+  USING (doc_id)
+WHERE p.term = '{Q_SINGLE}'
+ORDER BY score DESC, p.doc_id ASC LIMIT {TOP_K}
+"""
+    o["filtered_range_query"] = ORACLE_PRELUDE + f"""
+SELECT p.doc_id, CAST(p.s AS DOUBLE) AS score
+FROM persc p JOIN dlen d USING (doc_id)
+WHERE p.term = '{Q_SINGLE}'
+  AND d.doc_len BETWEEN {Q_NUMRANGE[0]} AND {Q_NUMRANGE[1]}
+ORDER BY score DESC, p.doc_id ASC LIMIT {TOP_K}
+"""
     o["ann_cosine_top10"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 sims AS (
@@ -1535,6 +1617,71 @@ sims AS (
   FROM embeddings e, q WHERE e.vec_id <> 0
 )
 SELECT vec_id FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+    _lang_scores = ",\n  ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in LANGID_PROFILES[lg]), lg
+        )
+        for lg in sorted(LANGID_PROFILES)
+    )
+    _lang_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{lg}' AS lang, s_{lg} AS score FROM s"
+        for lg in sorted(LANGID_PROFILES)
+    )
+    o["langid_pred"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id,
+  {_lang_scores}
+FROM t),
+u AS ({_lang_union}),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM u
+)
+SELECT doc_id,
+  CASE WHEN score > 0 THEN lang ELSE 'und' END AS pred_lang,
+  CAST(CASE WHEN score > 0 THEN score ELSE 0 END AS BIGINT)
+    AS best_score
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+    _wk, _ww = WINNOW_K, WINNOW_W
+    _gram_concat = ", ".join(f"toks[i + {j + 1}]" for j in range(_wk))
+    o["winnow_fingerprints"] = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+g AS (
+  SELECT doc_id, i,
+    CAST(CONCAT('0x', substr(md5(concat_ws(' ', {_gram_concat})), 1, 15))
+         AS BIGINT) AS h
+  FROM (SELECT doc_id, toks, unnest(range(0, len(toks) - {_wk} + 1)) AS i
+        FROM t WHERE len(toks) >= {_wk})
+),
+wm AS (
+  SELECT doc_id, i,
+    min(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN CURRENT ROW AND {_ww - 1} FOLLOWING)
+      AS wmin,
+    max(i) OVER (PARTITION BY doc_id) AS maxi
+  FROM g
+),
+fp AS (
+  SELECT DISTINCT doc_id, wmin FROM wm WHERE i <= maxi - {_ww - 1}
+)
+SELECT doc_id, count(*) AS n_fp, min(wmin) AS min_fp, max(wmin) AS max_fp
+FROM fp GROUP BY doc_id ORDER BY doc_id
+"""
+    _fdims = ", ".join(
+        "CAST(CAST(CAST(CONCAT('0x', substr(md5(text || ':' || {i}), 1, 16))"
+        " AS UBIGINT) / 18446744073709551616.0 AS FLOAT) AS DOUBLE)"
+        " AS f{i}".format(i=i)
+        for i in range(4)
+    )
+    o["media_feature_vecs"] = f"""
+SELECT doc_id, {_fdims}
+FROM documents ORDER BY doc_id
 """
     o["ann_lsh_top10"] = _ann_lsh_oracle()
     return o
@@ -1581,6 +1728,9 @@ QUERIES = {
     "date_math_range": q_date_math_range,
     "regexp_terms": q_regexp_terms,
     "matchall_count": q_matchall_count,
+    "filtered_range_query": q_filtered_range,
+    "function_ord_lang": q_function_ord,
+    "function_tf_boost": q_function_tf_boost,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_quality": q_doc_quality,
@@ -1613,6 +1763,79 @@ MINHASH_BANDS = 8           # 8 bands x 2 rows
 SIMHASH_BITS = 60
 SIMHASH_MAX_HAMMING = 3
 SIMHASH_CHUNKS = 4          # 4 x 15-bit chunks: hamming<=3 -> >=1 equal
+
+
+def q_langid(spark, sf_dir):
+    """Language ID per doc: stopword-profile scores + argmax with a
+    deterministic (score desc, lang asc) tie-break; 'und' (undetected)
+    when every profile scores 0."""
+    d = _documents(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    langs = sorted(LANGID_PROFILES)
+    scores = {
+        lg: F.size(F.filter(toks, lambda t: t.isin(*LANGID_PROFILES[lg])))
+        for lg in langs
+    }
+    pred = F.lit("und")
+    best = F.lit(0)
+    # left-to-right fold keeps the first (lang-asc) winner on ties
+    for lg in langs:
+        pred = F.when(scores[lg] > best, F.lit(lg)).otherwise(pred)
+        best = F.when(scores[lg] > best, scores[lg]).otherwise(best)
+    return d.select(
+        "doc_id", pred.alias("pred_lang"),
+        best.cast("long").alias("best_score"),
+    ).orderBy("doc_id")
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): rolling k-gram hashes (md5-based,
+    engine/oracle identical), min hash per sliding window of w,
+    fingerprint set = distinct window minima. Output: per-doc
+    fingerprint count + set extremes (compact, hash-gated)."""
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+    n = F.size("toks")
+    grams = d.filter(n >= WINNOW_K).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(WINNOW_K)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at("toks", i + j + 1)
+                      for j in range(WINNOW_K)],
+                ),
+            )
+        ).alias("i", "gram"),
+    ).withColumn("h", _md5int(F.col("gram")))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    fps = (
+        grams.withColumn("wmin", F.min("h").over(w))
+        # positions past (n_grams - w) have truncated windows; the
+        # paper's windows are exactly size w — drop the tail
+        .withColumn(
+            "maxi", F.max("i").over(Window.partitionBy("doc_id"))
+        )
+        .filter(F.col("i") <= F.col("maxi") - (WINNOW_W - 1))
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_fp"),
+            F.min("wmin").alias("min_fp"),
+            F.max("wmin").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _md5int(col):
@@ -1862,6 +2085,27 @@ ORDER BY ida, idb
 """
 
 QUERIES["minhash_lsh_pairs"] = q_minhash_lsh
+def q_media_features(spark, sf_dir):
+    """Binary-column feature extraction (multimodal.extract_features):
+    documents' text bytes stand in for media payloads (binary column,
+    same Arrow plumbing); 4-dim deterministic md5-derived embedding,
+    dims exposed as double columns for the hash gate."""
+    from lucene_solr_spark import multimodal as mm
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    feats = mm.extract_features(d, dim=4)
+    return feats.select(
+        "doc_id",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}")
+          for i in range(4)],
+    ).orderBy("doc_id")
+
+
+QUERIES["media_feature_vecs"] = q_media_features
+QUERIES["langid_pred"] = q_langid
+QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 QUERIES["simhash_neardups"] = q_simhash_neardups
 ORACLES["minhash_lsh_pairs"] = _MINHASH_SQL
 ORACLES["simhash_neardups"] = _SIMHASH_SQL

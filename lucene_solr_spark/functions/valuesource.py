@@ -71,6 +71,45 @@ VALUE_SOURCES = {
 }
 
 
+def ord_source(searcher, field: str, reverse: bool = False) -> DataFrame:
+    """OrdFieldSource / ReverseOrdFieldSource (lucene/queries/.../
+    valuesource/OrdFieldSource.java, ReverseOrdFieldSource.java): the
+    1-based ordinal of the doc's field value among the index-sorted
+    distinct values (rord = ordinal from the top). One dense_rank
+    window over the docs surface — a single shuffle, reused by every
+    consumer via join."""
+    from pyspark.sql import Window
+
+    order = F.desc(field) if reverse else F.asc(field)
+    w = Window.orderBy(order)
+    return searcher._docs.select(
+        "doc_id", F.dense_rank().over(w).alias("ord")
+    )
+
+
+def query_value_source(searcher, query_text: str,
+                       default: float = 0.0, **kw) -> DataFrame:
+    """QueryValueSource (valuesource/QueryValueSource.java): the score
+    of an arbitrary query as a per-doc value; non-matching docs get
+    ``default``. Join with a coalesce — the relational defVal."""
+    hits = searcher.search(query_text, k=None, **kw)
+    return searcher._docs.select("doc_id").join(
+        hits, "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("score").cast("double"),
+                   F.lit(float(default))).alias("qv"),
+    )
+
+
+def term_freq_source(searcher, term: str) -> DataFrame:
+    """TFValueSource / TermFreqValueSource (valuesource/
+    TermFreqValueSource.java): per-doc raw term frequency of one term
+    — decoded from the term's postings, 0 docs omitted (join with
+    coalesce for defaults)."""
+    return searcher.term_freqs(term)
+
+
 def boosted_search(
     searcher,
     query_text: str,

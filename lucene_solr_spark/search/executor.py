@@ -535,6 +535,17 @@ class IndexSearcher:
         empty_df = self.spark.createDataFrame([], "doc_id long, score float")
         if not ast:
             return empty_df
+        # field ranges (doc_len:[50 TO 150]) are NON-SCORING filters —
+        # FilteredQuery / Solr fq semantics (search/FilteredQuery.java;
+        # CachingWrapperFilter): the doc-set predicate intersects (or,
+        # with '-', subtracts from) the scored result without touching
+        # scores. Applied as semi/anti joins BEFORE the top-k cut.
+        field_filters = [c for c in ast
+                         if c.kind == "range" and c.field is not None]
+        ast = [c for c in ast
+               if not (c.kind == "range" and c.field is not None)]
+        if not ast:
+            return empty_df
         exact = set()
         for c in ast:
             exact.update(c.terms)
@@ -639,10 +650,29 @@ class IndexSearcher:
                 posts = posts.unionByName(
                     self._postings.filter(cond).withColumn("_cl", F.lit(cl))
                 )
-        kernel = make_boolean_scorer(planned, self.cache, k)
-        out = self._run_kernel(
-            posts, kernel, "doc_id long, score float"
-        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        # with filters present the per-group cut cannot run before the
+        # filter joins — run the kernel uncut, filter, then cut
+        kern_k = None if field_filters else k
+        kernel = make_boolean_scorer(planned, self.cache, kern_k)
+        out = self._run_kernel(posts, kernel, "doc_id long, score float")
+        for c in field_filters:
+            def _coerce(v):
+                if v is None:
+                    return None
+                try:
+                    return int(v)
+                except ValueError:
+                    try:
+                        return float(v)
+                    except ValueError:
+                        return v
+            rng = self.numeric_range_docs(
+                c.field, _coerce(c.lo), _coerce(c.hi),
+                include_lo=c.include_lo, include_hi=c.include_hi,
+            )
+            how = "left_anti" if c.occur == "not" else "leftsemi"
+            out = out.join(rng, "doc_id", how)
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
 
     def search_many(
@@ -1016,6 +1046,37 @@ class IndexSearcher:
 
         return self._live(
             posts.mapInPandas(decode, schema="doc_id long").distinct()
+        )
+
+    def term_freqs(self, term: str) -> DataFrame:
+        """(doc_id, tf) for one term — the TFValueSource surface
+        (lucene/queries/.../valuesource/TermFreqValueSource.java):
+        postings of the term decoded distributedly, live-masked."""
+        posts = self._postings.filter(F.col("term") == term).select(
+            "df", "doc_ids_enc", "tfs_enc", "skips_enc", "sdoc", "stf"
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                ds, ts = [], []
+                for r in pdf.itertuples(index=False):
+                    if r.df == 1:
+                        ds.append(np.array([r.sdoc], np.int64))
+                        ts.append(np.array([r.stf], np.int64))
+                    else:
+                        d, t = decode_postings(
+                            r.doc_ids_enc, r.tfs_enc, r.skips_enc
+                        )
+                        ds.append(d)
+                        ts.append(t.astype(np.int64))
+                if ds:
+                    yield pd.DataFrame({
+                        "doc_id": np.concatenate(ds),
+                        "tf": np.concatenate(ts),
+                    })
+
+        return self._live(
+            posts.mapInPandas(decode, schema="doc_id long, tf long")
         )
 
     def _live(self, df: DataFrame) -> DataFrame:

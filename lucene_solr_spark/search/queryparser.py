@@ -33,7 +33,7 @@ _TOKEN = re.compile(
         (?P<mod>[+\-])?
         (?:
             "(?P<phrase>[^"]*)"
-          | (?P<rng>[\[\{][^\]\}]*[\]\}])
+          | (?:(?P<rfld>[A-Za-z_]\w*):)?(?P<rng>[\[\{][^\]\}]*[\]\}])
           | /(?P<regex>(?:[^/\\]|\\.)*)/
           | (?P<word>[^\s"]+)
         )
@@ -63,6 +63,9 @@ class Clause:
     hi: Optional[str] = None
     include_lo: bool = True
     include_hi: bool = True
+    # 'range' only: None/'content' = term range over the index; any
+    # other name = numeric/field range (NumericRangeQuery surface)
+    field: Optional[str] = None
 
 
 class QueryParseError(ValueError):
@@ -108,8 +111,14 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             # TermRangeQuery surface: [a TO b] inclusive, {a TO b}
             # exclusive, mixed brackets allowed, * = open end
             # (classic QP range syntax, QueryParserBase.java range
-            # production; TermRangeQuery.java inclusive-bound flags)
+            # production; TermRangeQuery.java inclusive-bound flags).
+            # field:[a TO b] on a non-content field is the numeric/
+            # field range (NumericRangeQuery surface) — bounds kept
+            # verbatim (trie fields are not analyzed).
             pending = None
+            rfld = m.group("rfld")
+            if rfld == "content":
+                rfld = None
             inner = _RANGE_INNER.match(rng[1:-1])
             if not inner:
                 raise QueryParseError(f"bad range syntax: {rng!r}")
@@ -117,6 +126,8 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             def _bound(tok: str) -> Optional[str]:
                 if tok == "*":
                     return None
+                if rfld is not None:
+                    return tok
                 ts = analyze(tok)
                 if len(ts) != 1:
                     raise QueryParseError(f"bad range bound: {tok!r}")
@@ -125,7 +136,8 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             clauses.append(
                 Clause(occur=occur0, kind="range", text=rng,
                        lo=_bound(inner.group(1)), hi=_bound(inner.group(2)),
-                       include_lo=rng[0] == "[", include_hi=rng[-1] == "]")
+                       include_lo=rng[0] == "[", include_hi=rng[-1] == "]",
+                       field=rfld)
             )
             continue
         if regex is not None:
