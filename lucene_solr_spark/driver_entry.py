@@ -467,6 +467,16 @@ def q_function_tf_boost(spark, sf_dir):
     )
 
 
+def q_spell_suggest(spark, sf_dir):
+    """DirectSpellChecker suggestions for a misspelling
+    (suggest/spell/DirectSpellChecker.java; SuggestWordQueue
+    score-then-frequency order)."""
+    s = get_searcher(spark, sf_dir)
+    return s.suggest(Q_FUZZY, n=5).select(
+        "term", "df", F.col("score").cast("double").alias("score")
+    )
+
+
 def q_matchall_count(spark, sf_dir):
     """MatchAllDocsQuery (search/MatchAllDocsQuery.java): live-doc count
     via the docs surface — no postings touched."""
@@ -1582,6 +1592,16 @@ WHERE regexp_full_match(term, '{Q_REGEXP}') ORDER BY term
     o["matchall_count"] = ORACLE_PRELUDE + (
         "SELECT count(*) AS n FROM docs0"
     )
+    o["spell_suggest"] = ORACLE_PRELUDE + f"""
+SELECT term, df,
+  1.0e0 - levenshtein(term, '{Q_FUZZY}')
+          / CAST(least(length(term), {len(Q_FUZZY)}) AS DOUBLE) AS score
+FROM tstats
+WHERE length(term) BETWEEN {len(Q_FUZZY) - 2} AND {len(Q_FUZZY) + 2}
+  AND levenshtein(term, '{Q_FUZZY}') <= 2
+  AND term <> '{Q_FUZZY}' AND df >= 1
+ORDER BY score DESC, df DESC, term ASC LIMIT 5
+"""
     o["function_ord_lang"] = ORACLE_PRELUDE + """
 SELECT doc_id,
   CAST(dense_rank() OVER (ORDER BY lang ASC) AS INT) AS ord,
@@ -1730,6 +1750,7 @@ QUERIES = {
     "matchall_count": q_matchall_count,
     "filtered_range_query": q_filtered_range,
     "function_ord_lang": q_function_ord,
+    "spell_suggest": q_spell_suggest,
     "function_tf_boost": q_function_tf_boost,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

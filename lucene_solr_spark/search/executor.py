@@ -1048,6 +1048,37 @@ class IndexSearcher:
             posts.mapInPandas(decode, schema="doc_id long").distinct()
         )
 
+    def suggest(self, term: str, n: int = 5,
+                max_edits: int = 2, min_df: int = 1) -> DataFrame:
+        """Spell suggestions — DirectSpellChecker semantics
+        (lucene/suggest/.../spell/DirectSpellChecker.java:58+,
+        SuggestWordQueue: score-then-frequency ordering). Candidates
+        come from the term dict via the pushdown length window +
+        levenshtein <= max_edits (our relational stand-in for the
+        Levenshtein-automaton walk; plain Levenshtein, not Damerau —
+        same documented divergence as fuzzy queries). score =
+        1 - dist/min(|term|, |candidate|); ordered (score desc, df
+        desc, term asc). The exact query term itself is excluded
+        (suggestions are alternatives)."""
+        ln = len(term)
+        cond = (
+            F.length("term").between(ln - max_edits, ln + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+            & (F.col("term") != term)
+            & (F.col("df") >= min_df)
+        )
+        dist = F.levenshtein(F.col("term"), F.lit(term))
+        score = (
+            F.lit(1.0)
+            - dist / F.least(F.length("term"), F.lit(ln)).cast("double")
+        )
+        return (
+            self._term_stats.filter(cond)
+            .select("term", "df", score.alias("score"))
+            .orderBy(F.desc("score"), F.desc("df"), F.asc("term"))
+            .limit(n)
+        )
+
     def term_freqs(self, term: str) -> DataFrame:
         """(doc_id, tf) for one term — the TFValueSource surface
         (lucene/queries/.../valuesource/TermFreqValueSource.java):

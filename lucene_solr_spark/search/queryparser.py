@@ -17,7 +17,18 @@ Supported surface (documented subset — no parentheses/boost/slop):
                        score 1.0
   term~                FuzzyQuery (edit distance <= 2, the classic `~`
                        default) -> SCORING_BOOLEAN rewrite: expanded
-                       terms scored as a disjunction sub-scorer
+                       terms scored as a disjunction sub-scorer.
+                       DOCUMENTED DIVERGENCE: distance is plain
+                       Levenshtein (insert/delete/substitute), while
+                       the reference FuzzyQuery uses Damerau-
+                       Levenshtein (adjacent TRANSPOSITION counts as 1
+                       edit, not 2 — LevenshteinAutomata.java
+                       transpositions=true). 'abcd'~ therefore does NOT
+                       match 'bacd' at distance 1 here; both engine and
+                       oracle use the same metric, so the gates agree
+                       by construction. rewrite='top_terms_<n>' bounds
+                       oversize expansions; without it they raise
+                       TooManyClauses (scoring kinds only).
 
 The parser produces occur-tagged clause ASTs; stats resolution and
 scoring live in the executor (search_boolean)."""

