@@ -100,7 +100,13 @@ def _wildcard_regex(pat: str) -> str:
 
 
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    # postings above this on-disk size are NOT persisted: rely on
+    # parquet predicate pushdown + OS page cache (the Lucene mmap
+    # model). Override with LSS_POSTINGS_CACHE_MAX_BYTES.
+    POSTINGS_CACHE_MAX_BYTES = 8 * 1024 ** 3
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 cache_postings: Optional[bool] = None):
         # The search phase runs on a conf-isolated sibling session:
         # newSession() shares the SparkContext AND the cache manager
         # (persisted postings/segments are visible) but has its OWN
@@ -152,13 +158,29 @@ class IndexSearcher:
         # per-batch term min/max stats keep pruning the isin() lookup
         n_groups_est = max(-(-self.max_doc // gf), 1)
         self._posts_parts = max(min(n_groups_est, 2 * par), 1)
-        self._postings = (
+        if cache_postings is None:
+            # auto: cache only when the postings plausibly fit — above
+            # the threshold the persist would thrash executor memory at
+            # cluster scale, and the sorted-parquet pushdown path is
+            # the designed fallback (scan prunes row groups by term
+            # min/max exactly like the cache prunes batches)
+            import os as _os
+
+            limit = int(_os.environ.get(
+                "LSS_POSTINGS_CACHE_MAX_BYTES",
+                self.POSTINGS_CACHE_MAX_BYTES,
+            ))
+            cache_postings = self._postings_bytes() <= limit
+        self.postings_cached = bool(cache_postings)
+        posts = (
             read_postings_any(spark, snap.tables["postings"])
             .withColumn("gid", (F.col("seg_id") / F.lit(gf)).cast("long"))
             .repartition(self._posts_parts, "gid")
             .sortWithinPartitions("term")
-            .persist(StorageLevel.MEMORY_AND_DISK)
         )
+        if self.postings_cached:
+            posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+        self._postings = posts
         segs = read_segments_any(spark, snap.tables["segments"])
         # segment meta (norm blobs) and term stats are small relative to
         # postings (O(n_segs) / O(vocab)); cache them — every query
@@ -205,6 +227,28 @@ class IndexSearcher:
         # driver-side TermContext cache (TermQuery gathers stats once
         # per query, TermQuery.java:161-177; hot terms stay cached)
         self._df_cache: Dict[str, Optional[int]] = {}
+
+    def _postings_bytes(self) -> int:
+        """On-disk size of the postings parquet paths (driver-side file
+        stat — no Spark job). Local-FS stand-in; on HDFS/S3 swap in the
+        filesystem client's content summary."""
+        import os as _os
+
+        paths = self.snap.tables["postings"]
+        if not isinstance(paths, list):
+            paths = [paths]
+        total = 0
+        for p in paths:
+            for root, _dirs, files in _os.walk(p):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        try:
+                            total += _os.path.getsize(
+                                _os.path.join(root, fn)
+                            )
+                        except OSError:
+                            pass
+        return total
 
     def _attach_tombstones(self, segments: DataFrame, tomb_path: str):
         """Join the tombstone set onto segment meta as a per-segment

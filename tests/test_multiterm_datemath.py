@@ -176,6 +176,39 @@ def test_numeric_range_and_field_value(spark, built):
     assert searcher.field_value_docs("lang", exists=False).count() == 0
 
 
+def test_uncached_postings_path_rank_identical(spark, built):
+    """The postings >> RAM fallback (no persist, parquet pushdown) must
+    return bit-identical results to the cached path, and the scan plan
+    must show the term predicate pushed into parquet."""
+    index_dir, _ = built
+    cached = IndexSearcher(spark, index_dir)
+    assert cached.postings_cached
+    uncached = IndexSearcher(spark, index_dir, cache_postings=False)
+    assert not uncached.postings_cached
+    for q, kw in [("common_util", {}), ("common_util base_handler",
+                                        {"mode": "and"})]:
+        a = [(r["doc_id"], np.float32(r["score"]).tobytes())
+             for r in cached.search(q, k=10, **kw).collect()]
+        b = [(r["doc_id"], np.float32(r["score"]).tobytes())
+             for r in uncached.search(q, k=10, **kw).collect()]
+        assert a == b, q
+    plan = (
+        uncached._postings.filter(
+            uncached._postings["term"].isin(["common_util"])
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters" in plan and "common_util" in plan, plan
+    # size threshold auto-path: a tiny limit must disable the cache
+    assert cached._postings_bytes() > 0
+    os.environ["LSS_POSTINGS_CACHE_MAX_BYTES"] = "1"
+    try:
+        tiny = IndexSearcher(spark, index_dir)
+        assert not tiny.postings_cached
+    finally:
+        del os.environ["LSS_POSTINGS_CACHE_MAX_BYTES"]
+
+
 def test_date_math_parser():
     from datetime import datetime
 
