@@ -623,6 +623,13 @@ def q_lmjm_single(spark, sf_dir):
     )
 
 
+def q_ib_single(spark, sf_dir):
+    """IB LL-D-H2 (IBSimilarity.java: DistributionLL + LambdaDF +
+    NormalizationH2) single-term search."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search(Q_SINGLE, k=TOP_K, similarity="ib"))
+
+
 def q_lmdirichlet(spark, sf_dir):
     """LMDirichletSimilarity (mu=2000) single-term search — one of the
     reference's 14 SimilarityBase models (LMDirichletSimilarity.java)."""
@@ -1351,6 +1358,31 @@ SELECT doc_id,
     AS FLOAT) AS DOUBLE) AS score
 FROM dtfn ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # IB LL-D-H2: lambda = f32((df+1)/(N+1)); tfn as in DFR H2;
+    # score = f32(-ln(f32(lambda / f32(tfn + lambda))))
+    o["ib_single"] = ORACLE_PRELUDE + _LEND + f"""
+, iavg AS (
+  SELECT CAST(CAST((SELECT sum_ttf FROM coll) AS FLOAT)
+              / CAST((SELECT max_doc FROM coll) AS FLOAT) AS FLOAT) AS v
+),
+ilam AS (
+  SELECT CAST(CAST((SELECT df FROM tstats WHERE term = '{Q_SINGLE}')
+                   + 1 AS FLOAT)
+              / CAST((SELECT max_doc FROM coll) + 1 AS FLOAT)
+              AS FLOAT) AS lam
+),
+itfn AS (
+  SELECT tf.doc_id,
+    CAST(tf.tf * (ln(CAST(1 + CAST((SELECT v FROM iavg) / l.lenv AS FLOAT)
+                          AS FLOAT)) / ln(2)) AS FLOAT) AS tfn
+  FROM tf JOIN lend l USING (doc_id) WHERE tf.term = '{Q_SINGLE}'
+)
+SELECT doc_id,
+  CAST(CAST(-ln(CAST((SELECT lam FROM ilam)
+                     / CAST(tfn + (SELECT lam FROM ilam) AS FLOAT)
+                AS FLOAT)) AS FLOAT) AS DOUBLE) AS score
+FROM itfn ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     _OML = "0.30000001192092896e0"  # f32(1) - f32(0.7), exact double
     _LAM = "0.699999988079071e0"    # f32(0.7)
     o["lmjm_single"] = ORACLE_PRELUDE + _LEND + f"""
@@ -1731,6 +1763,7 @@ QUERIES = {
     "lmdirichlet": q_lmdirichlet,
     "dfr_single": q_dfr_single,
     "lmjm_single": q_lmjm_single,
+    "ib_single": q_ib_single,
     "term_range_docs": q_term_range_docs,
     "sort_by_field": q_sort_by_field,
     "stats_doclen": q_stats_doclen,
@@ -1793,19 +1826,29 @@ def q_langid(spark, sf_dir):
     d = _documents(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     langs = sorted(LANGID_PROFILES)
-    scores = {
-        lg: F.size(F.filter(toks, lambda t: t.isin(*LANGID_PROFILES[lg])))
-        for lg in langs
-    }
-    pred = F.lit("und")
-    best = F.lit(0)
-    # left-to-right fold keeps the first (lang-asc) winner on ties
-    for lg in langs:
-        pred = F.when(scores[lg] > best, F.lit(lg)).otherwise(pred)
-        best = F.when(scores[lg] > best, scores[lg]).otherwise(best)
-    return d.select(
-        "doc_id", pred.alias("pred_lang"),
-        best.cast("long").alias("best_score"),
+    # ONE array_max over (score, tiebreak, lang) structs: every profile
+    # filter is evaluated exactly once per row (a naive when/otherwise
+    # fold re-expands the running-max subtree per language — the
+    # expression doubles each step and the row cost explodes); struct
+    # ordering = score desc via max, ties broken toward the EARLIER
+    # lang by the descending tiebreak field
+    entries = [
+        F.struct(
+            F.size(
+                F.filter(toks, lambda t: t.isin(*LANGID_PROFILES[lg]))
+            ).alias("s"),
+            F.lit(len(langs) - i).alias("tb"),
+            F.lit(lg).alias("lg"),
+        )
+        for i, lg in enumerate(langs)
+    ]
+    scored = d.select("doc_id", F.array_max(F.array(*entries)).alias("mx"))
+    return scored.select(
+        "doc_id",
+        F.when(F.col("mx.s") > 0, F.col("mx.lg"))
+        .otherwise(F.lit("und")).alias("pred_lang"),
+        F.when(F.col("mx.s") > 0, F.col("mx.s"))
+        .otherwise(F.lit(0)).cast("long").alias("best_score"),
     ).orderBy("doc_id")
 
 

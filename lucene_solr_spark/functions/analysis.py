@@ -193,27 +193,33 @@ class AnalyzerSpec:
 
     def __init__(self, name: str, scanner, lowercase: bool = True,
                  stopwords: frozenset = frozenset(),
-                 max_len: int = MAX_TOKEN_LENGTH):
+                 max_len: int = MAX_TOKEN_LENGTH,
+                 stem=None):
         self.name = name
         self.scanner = scanner
         self.lowercase = lowercase
         self.stopwords = stopwords
         self.max_len = max_len
+        # optional token-final stem stage (PorterStemFilter slot in the
+        # EnglishAnalyzer chain — runs AFTER the StopFilter)
+        self.stem = stem
 
     def analyze(self, text: str) -> List[str]:
         out = []
+        stem = self.stem
         for t in self.scanner(text):
             if len(t) > self.max_len:
                 continue
             if self.lowercase:
                 t = t.lower()
             if t not in self.stopwords:
-                out.append(t)
+                out.append(stem(t) if stem else t)
         return out
 
     def analyze_with_positions(self, text: str) -> List[Tuple[str, int]]:
         out = []
         pos = -1
+        stem = self.stem
         for t in self.scanner(text):
             pos += 1
             if len(t) > self.max_len:
@@ -222,7 +228,7 @@ class AnalyzerSpec:
                 t = t.lower()
             if t in self.stopwords:
                 continue
-            out.append((t, pos))
+            out.append((stem(t) if stem else t, pos))
         return out
 
     def tokenize_series_positions(self, texts):
@@ -276,6 +282,18 @@ register_analyzer(AnalyzerSpec("stop", _LETTER_RUNS, True, STOPWORDS))
 register_analyzer(
     AnalyzerSpec("keyword", lambda t: [t] if t else [], False,
                  max_len=1 << 30)
+)
+
+# EnglishAnalyzer-style chain (analysis/common/.../en/
+# EnglishAnalyzer.java): tokenize + lowercase + stop + PorterStemFilter
+# (stem AFTER stop, same slot as the reference chain; the possessive
+# filter is omitted — letter-run scanning already splits on the
+# apostrophe)
+from lucene_solr_spark.functions.porter import porter_stem  # noqa: E402
+
+register_analyzer(
+    AnalyzerSpec("english", _LETTER_RUNS, True, STOPWORDS,
+                 stem=porter_stem)
 )
 
 

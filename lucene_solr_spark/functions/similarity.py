@@ -154,6 +154,25 @@ def dfr_score_block(
     return (g * b).astype(np.float32)
 
 
+def ib_score_block(
+    df: int, max_doc: int, avg_fl: float,
+    tfs: np.ndarray, norm_bytes: np.ndarray,
+) -> np.ndarray:
+    """IB LL-D-H2 = DistributionLL + LambdaDF + NormalizationH2(c=1)
+    (IBSimilarity.java score; DistributionLL.java:34 —
+    (float)-log(lambda/(tfn+lambda)); LambdaDF.java:33 —
+    (df+1F)/(N+1F), f32 ops), boost = 1. tfn as in DFR (H2)."""
+    lam = F32(F32(df + 1.0) / F32(max_doc + 1.0))
+    ln = LENGTH_TABLE[norm_bytes.astype(np.int64)]
+    arg = (F32(1.0) + (F32(DFR_C) * F32(avg_fl)) / ln).astype(np.float32)
+    tfn = (
+        tfs.astype(np.float64)
+        * (np.log(arg.astype(np.float64)) / _LOG_2)
+    ).astype(np.float32)
+    x = (lam / (tfn + lam)).astype(np.float32)
+    return (-np.log(x.astype(np.float64))).astype(np.float32)
+
+
 def lmjm_p(cf: int, sum_ttf: int) -> float:
     """LMSimilarity.DefaultCollectionModel.computeProbability:153 —
     (cf+1F)/(sumTTF+1F), f32 operands and division."""

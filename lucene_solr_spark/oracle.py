@@ -115,9 +115,72 @@ class OracleIndex:
                 )[0]
             elif similarity == "lmjelinekmercer":
                 out[doc_id] = lmjm_score_block(values[term], tfs, nbs)[0]
+            elif similarity == "ib":
+                from lucene_solr_spark.functions.similarity import (
+                    ib_score_block,
+                )
+
+                out[doc_id] = ib_score_block(
+                    values[term], self.max_doc,
+                    avg_field_length(self.sum_ttf, self.max_doc),
+                    tfs, nbs,
+                )[0]
             else:
                 out[doc_id] = lmd_score_block(values[term], tfs, nbs, mu)[0]
         return out
+
+    def _per_term_maps(self, qterms, similarity: str):
+        """{term: {doc: f32 score}} under any similarity name, incl.
+        ``multi:a+b`` (MultiSimilarity: f32 sum of sub-scores in sub
+        order, MultiSimilarity.java:76-82)."""
+        if similarity.startswith("multi:"):
+            subs = [
+                self._per_term_maps(qterms, n)
+                for n in similarity[len("multi:"):].split("+")
+            ]
+            out = {}
+            for t in qterms:
+                acc: Dict[int, np.float32] = {}
+                for sub in subs:
+                    for d, s in sub[t].items():
+                        acc[d] = F32(acc.get(d, F32(0.0)) + s)
+                out[t] = acc
+            return out
+        if similarity == "bm25":
+            cache = self._cache()
+            return {t: self._term_scores(t, cache) for t in qterms}
+        from lucene_solr_spark.functions.similarity import (
+            LMD_MU,
+            classic_values,
+            lmd_p,
+        )
+
+        if similarity == "classic":
+            dfs = {t: self.df(t) for t in qterms}
+            values = classic_values(qterms, dfs, self.max_doc)
+        else:
+            cfs = {
+                t: sum(f for _, f in self.postings.get(t, ()))
+                for t in qterms
+            }
+            if similarity == "dfr":
+                values = {t: (self.df(t), cfs[t]) for t in qterms}
+            elif similarity == "ib":
+                values = {t: self.df(t) for t in qterms}
+            elif similarity == "lmjelinekmercer":
+                from lucene_solr_spark.functions.similarity import (
+                    lmjm_p,
+                )
+
+                values = {t: lmjm_p(cfs[t], self.sum_ttf)
+                          for t in qterms}
+            else:
+                values = {t: lmd_p(cfs[t], self.sum_ttf)
+                          for t in qterms}
+        return {
+            t: self._term_scores_sim(t, similarity, values, LMD_MU)
+            for t in qterms
+        }
 
     def search(
         self,
@@ -151,40 +214,7 @@ class OracleIndex:
         qterms = [t for t in qterms if t in self.postings]
         if not qterms:
             return []
-        if similarity == "bm25":
-            cache = self._cache()
-            per_term = {t: self._term_scores(t, cache) for t in qterms}
-        else:
-            from lucene_solr_spark.functions.similarity import (
-                LMD_MU,
-                classic_values,
-                lmd_p,
-            )
-
-            if similarity == "classic":
-                dfs = {t: self.df(t) for t in qterms}
-                values = classic_values(qterms, dfs, self.max_doc)
-            else:
-                cfs = {
-                    t: sum(f for _, f in self.postings.get(t, ()))
-                    for t in qterms
-                }
-                if similarity == "dfr":
-                    values = {t: (self.df(t), cfs[t]) for t in qterms}
-                elif similarity == "lmjelinekmercer":
-                    from lucene_solr_spark.functions.similarity import (
-                        lmjm_p,
-                    )
-
-                    values = {t: lmjm_p(cfs[t], self.sum_ttf)
-                              for t in qterms}
-                else:
-                    values = {t: lmd_p(cfs[t], self.sum_ttf)
-                              for t in qterms}
-            per_term = {
-                t: self._term_scores_sim(t, similarity, values, LMD_MU)
-                for t in qterms
-            }
+        per_term = self._per_term_maps(qterms, similarity)
 
         scores: Dict[int, np.float32] = {}
         if mode == "and":

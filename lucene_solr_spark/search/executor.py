@@ -303,31 +303,7 @@ class IndexSearcher:
         }
         sim = None
         if similarity != "bm25" and scoring:
-            from lucene_solr_spark.functions import similarity as S
-
-            if similarity == "classic":
-                sim = {"kind": "classic",
-                       "values": S.classic_values(
-                           scoring, dfs, self.max_doc),
-                       "max_coord": len(scoring)}
-            elif similarity == "lmdirichlet":
-                cfs = self._lookup_cfs(scoring)
-                sim = {"kind": "lmdirichlet", "mu": S.LMD_MU,
-                       "values": {t: S.lmd_p(cfs[t], self.sum_ttf)
-                                  for t in scoring}}
-            elif similarity == "dfr":
-                cfs = self._lookup_cfs(scoring)
-                sim = {"kind": "dfr", "max_doc": self.max_doc,
-                       "avg_fl": S.avg_field_length(
-                           self.sum_ttf, self.max_doc),
-                       "values": {t: (dfs[t], cfs[t]) for t in scoring}}
-            elif similarity == "lmjelinekmercer":
-                cfs = self._lookup_cfs(scoring)
-                sim = {"kind": "lmjm", "lambda": S.LMJM_LAMBDA,
-                       "values": {t: S.lmjm_p(cfs[t], self.sum_ttf)
-                                  for t in scoring}}
-            else:
-                raise ValueError(f"unknown similarity: {similarity}")
+            sim = self._sim_spec(similarity, scoring, dfs)
         return QueryPlan(
             terms=scoring,
             dfs={t: dfs[t] for t in scoring},
@@ -341,6 +317,48 @@ class IndexSearcher:
             sim=sim,
             tie=float(tie),
         )
+
+    def _sim_spec(self, similarity: str, scoring, dfs):
+        """Build the serializable similarity spec for the kernels.
+        ``multi:a+b+...`` composes sub-similarities per MultiSimilarity
+        (f32 score sum, MultiSimilarity.java:76-82); ``bm25`` inside a
+        multi resolves to the inlined default (spec None)."""
+        from lucene_solr_spark.functions import similarity as S
+
+        if similarity.startswith("multi:"):
+            names = similarity[len("multi:"):].split("+")
+            if len(names) < 2:
+                raise ValueError(f"multi needs >= 2 subs: {similarity!r}")
+            return {"kind": "multi",
+                    "subs": [None if n == "bm25"
+                             else self._sim_spec(n, scoring, dfs)
+                             for n in names]}
+        if similarity == "classic":
+            return {"kind": "classic",
+                    "values": S.classic_values(scoring, dfs, self.max_doc),
+                    "max_coord": len(scoring)}
+        if similarity == "lmdirichlet":
+            cfs = self._lookup_cfs(scoring)
+            return {"kind": "lmdirichlet", "mu": S.LMD_MU,
+                    "values": {t: S.lmd_p(cfs[t], self.sum_ttf)
+                               for t in scoring}}
+        if similarity == "dfr":
+            cfs = self._lookup_cfs(scoring)
+            return {"kind": "dfr", "max_doc": self.max_doc,
+                    "avg_fl": S.avg_field_length(
+                        self.sum_ttf, self.max_doc),
+                    "values": {t: (dfs[t], cfs[t]) for t in scoring}}
+        if similarity == "lmjelinekmercer":
+            cfs = self._lookup_cfs(scoring)
+            return {"kind": "lmjm", "lambda": S.LMJM_LAMBDA,
+                    "values": {t: S.lmjm_p(cfs[t], self.sum_ttf)
+                               for t in scoring}}
+        if similarity == "ib":
+            return {"kind": "ib", "max_doc": self.max_doc,
+                    "avg_fl": S.avg_field_length(
+                        self.sum_ttf, self.max_doc),
+                    "values": {t: dfs[t] for t in scoring}}
+        raise ValueError(f"unknown similarity: {similarity}")
 
     def _lookup_dfs(self, terms) -> Dict[str, int]:
         """df per term with a driver-side cache; misses become ONE
@@ -922,41 +940,55 @@ class IndexSearcher:
                 return {"match": False, "value": 0.0,
                         "description": f"excluded by MUST_NOT '{t}'"}
 
-        def clause_value(t: str, tf: int) -> np.float32:
-            tfs = np.array([tf], np.int32)
-            nbs = np.array([nb], np.uint8)
-            if plan.sim is None:
+        def _spec_value(spec, t: str, tfs, nbs) -> np.float32:
+            if spec is None:
                 wv = F32(F32(plan.weights[t]) * K1_PLUS_1)
                 freq = tfs.astype(np.float32)
                 nrm = plan.cache[nbs.astype(np.int64)]
                 return F32((wv * freq / (freq + nrm))[0])
-            if plan.sim["kind"] == "classic":
+            kind = spec["kind"]
+            if kind == "classic":
                 from lucene_solr_spark.functions.similarity import (
                     classic_score_block,
                 )
-                return F32(
-                    classic_score_block(plan.sim["values"][t], tfs, nbs)[0]
-                )
-            if plan.sim["kind"] == "dfr":
+                return F32(classic_score_block(
+                    spec["values"][t], tfs, nbs)[0])
+            if kind == "dfr":
                 from lucene_solr_spark.functions.similarity import (
                     dfr_score_block,
                 )
-                df_t, cf_t = plan.sim["values"][t]
+                df_t, cf_t = spec["values"][t]
                 return F32(dfr_score_block(
-                    df_t, cf_t, plan.sim["max_doc"], plan.sim["avg_fl"],
+                    df_t, cf_t, spec["max_doc"], spec["avg_fl"],
                     tfs, nbs)[0])
-            if plan.sim["kind"] == "lmjm":
+            if kind == "lmjm":
                 from lucene_solr_spark.functions.similarity import (
                     lmjm_score_block,
                 )
                 return F32(lmjm_score_block(
-                    plan.sim["values"][t], tfs, nbs,
-                    plan.sim["lambda"])[0])
+                    spec["values"][t], tfs, nbs, spec["lambda"])[0])
+            if kind == "ib":
+                from lucene_solr_spark.functions.similarity import (
+                    ib_score_block,
+                )
+                return F32(ib_score_block(
+                    spec["values"][t], spec["max_doc"],
+                    spec["avg_fl"], tfs, nbs)[0])
+            if kind == "multi":  # f32 sum of subs in order
+                acc = F32(0.0)
+                for s2 in spec["subs"]:
+                    acc = F32(acc + _spec_value(s2, t, tfs, nbs))
+                return acc
             from lucene_solr_spark.functions.similarity import (
                 lmd_score_block,
             )
             return F32(lmd_score_block(
-                plan.sim["values"][t], tfs, nbs, plan.sim["mu"])[0])
+                spec["values"][t], tfs, nbs, spec["mu"])[0])
+
+        def clause_value(t: str, tf: int) -> np.float32:
+            tfs = np.array([tf], np.int32)
+            nbs = np.array([nb], np.uint8)
+            return _spec_value(plan.sim, t, tfs, nbs)
 
         tfs_by_term = {t: tf_of(t) for t in plan.terms}
         details = []
@@ -1559,51 +1591,73 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
             nrm = cache[norms[docs - gbase].astype(np.int64)]
             return (wv * freq / (freq + nrm)).astype(np.float32)
 
-        if sim is None:
-            def clause_scores(t, docs, tfs):
-                return term_scores(wv_of(t), docs, tfs)
-        elif sim["kind"] == "classic":
-            from lucene_solr_spark.functions.similarity import (
-                classic_score_block,
-            )
-
-            def clause_scores(t, docs, tfs):
-                return classic_score_block(
-                    sim["values"][t], tfs, norms[docs - gbase]
+        def scorer_for(spec):
+            """Per-similarity clause scorer factory (the SimScorer
+            seam). spec None = BM25 (the kernel-inlined default)."""
+            if spec is None:
+                return lambda t, docs, tfs: term_scores(
+                    wv_of(t), docs, tfs
                 )
-        elif sim["kind"] == "lmdirichlet":
-            from lucene_solr_spark.functions.similarity import (
-                lmd_score_block,
-            )
-
-            def clause_scores(t, docs, tfs):
-                return lmd_score_block(
-                    sim["values"][t], tfs, norms[docs - gbase],
-                    sim["mu"],
+            kind = spec["kind"]
+            if kind == "classic":
+                from lucene_solr_spark.functions.similarity import (
+                    classic_score_block,
                 )
-        elif sim["kind"] == "dfr":
-            from lucene_solr_spark.functions.similarity import (
-                dfr_score_block,
-            )
-
-            def clause_scores(t, docs, tfs):
-                df_t, cf_t = sim["values"][t]
-                return dfr_score_block(
-                    df_t, cf_t, sim["max_doc"], sim["avg_fl"],
+                return lambda t, docs, tfs: classic_score_block(
+                    spec["values"][t], tfs, norms[docs - gbase]
+                )
+            if kind == "lmdirichlet":
+                from lucene_solr_spark.functions.similarity import (
+                    lmd_score_block,
+                )
+                return lambda t, docs, tfs: lmd_score_block(
+                    spec["values"][t], tfs, norms[docs - gbase],
+                    spec["mu"],
+                )
+            if kind == "dfr":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_score_block,
+                )
+                return lambda t, docs, tfs: dfr_score_block(
+                    spec["values"][t][0], spec["values"][t][1],
+                    spec["max_doc"], spec["avg_fl"],
                     tfs, norms[docs - gbase],
                 )
-        elif sim["kind"] == "lmjm":
-            from lucene_solr_spark.functions.similarity import (
-                lmjm_score_block,
-            )
-
-            def clause_scores(t, docs, tfs):
-                return lmjm_score_block(
-                    sim["values"][t], tfs, norms[docs - gbase],
-                    sim["lambda"],
+            if kind == "lmjm":
+                from lucene_solr_spark.functions.similarity import (
+                    lmjm_score_block,
                 )
-        else:
-            raise ValueError(sim["kind"])
+                return lambda t, docs, tfs: lmjm_score_block(
+                    spec["values"][t], tfs, norms[docs - gbase],
+                    spec["lambda"],
+                )
+            if kind == "ib":
+                from lucene_solr_spark.functions.similarity import (
+                    ib_score_block,
+                )
+                return lambda t, docs, tfs: ib_score_block(
+                    spec["values"][t], spec["max_doc"], spec["avg_fl"],
+                    tfs, norms[docs - gbase],
+                )
+            if kind == "multi":
+                # MultiSimilarity (similarities/MultiSimilarity.java
+                # :76-82): float32 SUM of the sub-scorers' scores in
+                # sub order
+                subs = [scorer_for(s2) for s2 in spec["subs"]]
+
+                def multi_scores(t, docs, tfs):
+                    acc = None
+                    for sub in subs:
+                        s = sub(t, docs, tfs)
+                        acc = s if acc is None else (
+                            acc + s
+                        ).astype(np.float32)
+                    return acc
+
+                return multi_scores
+            raise ValueError(kind)
+
+        clause_scores = scorer_for(sim)
 
         def excl_mask_or_none() -> Optional[np.ndarray]:
             m = None if deleted is None else deleted.copy()

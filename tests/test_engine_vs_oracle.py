@@ -304,7 +304,9 @@ def test_search_many_executor_merge_path(spark, built):
 
 
 @pytest.mark.parametrize(
-    "similarity", ["classic", "lmdirichlet", "dfr", "lmjelinekmercer"]
+    "similarity",
+    ["classic", "lmdirichlet", "dfr", "lmjelinekmercer", "ib",
+     "multi:bm25+lmdirichlet", "multi:dfr+ib"],
 )
 @pytest.mark.parametrize("q", [QUERY_SET[0], QUERY_SET[2], QUERY_SET[3],
                                QUERY_SET[5]],
