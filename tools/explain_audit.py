@@ -105,6 +105,57 @@ def main() -> None:
         ("join present", "Join" in plan),
     ]))
 
+    # round-2 operators over the driver testdata shape
+    from lucene_solr_spark.driver_entry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+
+    plan = fmt(QUERIES["dismax_top10"](spark, sf))
+    sections.append(("DisMax top-10", plan, [
+        ("no shuffle below the kernel",
+         plan.split("InMemoryRelation")[0].count("Exchange") == 0),
+        ("kernel in scan stage", "FlatMapGroupsInPandas" in plan),
+    ]))
+
+    plan = fmt(QUERIES["numeric_range_docs"](spark, sf))
+    sections.append(("Numeric range (doc-stats surface)", plan, [
+        ("distributed decode (no collect)", "MapInPandas" in plan),
+    ]))
+
+    plan = fmt(QUERIES["ann_lsh_top10"](spark, sf))
+    sections.append(("LSH ANN (banded signatures -> candidates)", plan, [
+        ("query band-keys broadcast", "Broadcast" in plan),
+        ("no cartesian product", "CartesianProduct" not in plan
+         or "BroadcastNestedLoopJoin" in plan),
+    ]))
+
+    plan = fmt(QUERIES["minhash_lsh_pairs"](spark, sf))
+    sections.append(("MinHash/LSH near-dup pairs (verify leg)", plan, [
+        ("no all-pairs cartesian", "CartesianProduct" not in plan),
+        ("candidate-scoped verify join",
+         plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+         + plan.count("BroadcastHashJoin") >= 3),
+    ]))
+
+    plan = fmt(QUERIES["highlight_top10"](spark, sf))
+    sections.append(("Highlighter (top-k then hydrate+mark)", plan, [
+        ("join present", "Join" in plan),
+        ("array ops stay in codegen", "WholeStageCodegen" in plan
+         or "Project" in plan),
+    ]))
+
+    plan = fmt(QUERIES["langid_pred"](spark, sf))
+    sections.append(("Language-ID (profile argmax)", plan, [
+        ("single-pass projection (array_max, no per-lang re-scan)",
+         plan.count("array_max") >= 1),
+        ("only the final sort shuffles", plan.count("Exchange") <= 2),
+    ]))
+
+    plan = fmt(QUERIES["media_feature_vecs"](spark, sf))
+    sections.append(("Binary-column feature extraction", plan, [
+        ("Arrow-batched (mapInPandas)", "MapInPandas" in plan),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
