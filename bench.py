@@ -64,6 +64,13 @@ QUERY_NAMES = [
     "minhash_lsh_pairs",
     "simhash_neardups",
     "ann_lsh_top10",
+    "embed_neardup_pairs",
+    "ib_single",
+    "dfr_inl2_single",
+    "spell_suggest",
+    "function_ord_lang",
+    "function_tf_boost",
+    "matchall_count",
     "langid_pred",
     "winnow_fingerprints",
     "media_feature_vecs",

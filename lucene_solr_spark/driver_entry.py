@@ -623,6 +623,15 @@ def q_lmjm_single(spark, sf_dir):
     )
 
 
+def q_dfr_inl2_single(spark, sf_dir):
+    """DFR InL2 (BasicModelIn + AfterEffectL + NormalizationH2)
+    single-term search — the widely-used InL2 combination."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="dfr_inl2")
+    )
+
+
 def q_ib_single(spark, sf_dir):
     """IB LL-D-H2 (IBSimilarity.java: DistributionLL + LambdaDF +
     NormalizationH2) single-term search."""
@@ -1005,16 +1014,12 @@ def _ann_planes() -> np.ndarray:
     return rng.standard_normal((ANN_PLANES, ANN_DIM))
 
 
-def q_ann_lsh_top10(spark, sf_dir):
-    """Bucketed ANN: random-hyperplane sign-LSH (16 bits, 4 bands x 4)
-    -> candidate set = vectors sharing ANY band key with the query ->
-    exact cosine re-rank of candidates only. This is the 100 TB path:
-    the banded signature join bounds work by bucket sizes; the exact
-    scan is confined to candidates (vs ann_cosine_top10's full scan).
-    Recall vs the exact baseline is data-dependent (sign-LSH recalls
-    CLOSE neighbors; on uniformly random embeddings the true top-10 are
-    near-orthogonal, so this returns the exact top-10 of the candidate
-    subset — which is exactly what the oracle verifies, hash-exact)."""
+EMBED_NEARDUP_TAU = 0.4
+
+
+def _band_keys_df(spark, sf_dir):
+    """(vec_id, band, key) sign-LSH band signatures for every
+    embedding (shared by the ANN search and the near-dup join)."""
     planes = _ann_planes()
     B = ANN_PLANES // ANN_BAND_BITS
     e = _embeddings(spark, sf_dir)
@@ -1039,9 +1044,64 @@ def q_ann_lsh_top10(spark, sf_dir):
                 "key": np.concatenate(out_key),
             })
 
-    sigs = e.select("vec_id", "embedding").mapInPandas(
+    return e.select("vec_id", "embedding").mapInPandas(
         band_keys, "vec_id long, band int, key long"
     )
+
+
+def q_embed_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs: sign-LSH banding bounds
+    the candidate set (pairs sharing >= 1 band key), exact cosine
+    re-verification keeps pairs >= tau. The all-pairs O(n^2) scan never
+    happens — work is sum of band-bucket sizes squared, the embedding
+    analogue of the MinHash/LSH text path."""
+    sigs = _band_keys_df(spark, sf_dir)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("ida"),
+                F.col("b.vec_id").alias("idb"))
+        .distinct()
+    )
+    e = _embeddings(spark, sf_dir)
+    ea = e.select(F.col("vec_id").alias("ida"),
+                  F.col("embedding").alias("va"))
+    eb = e.select(F.col("vec_id").alias("idb"),
+                  F.col("embedding").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        cand.join(ea, "ida").join(eb, "idb")
+        .withColumn("cos", dot / (nrm("va") * nrm("vb")))
+        .filter(F.col("cos") >= EMBED_NEARDUP_TAU)
+        .select("ida", "idb", "cos")
+        .orderBy("ida", "idb")
+    )
+
+
+def q_ann_lsh_top10(spark, sf_dir):
+    """Bucketed ANN: random-hyperplane sign-LSH (16 bits, 4 bands x 4)
+    -> candidate set = vectors sharing ANY band key with the query ->
+    exact cosine re-rank of candidates only. This is the 100 TB path:
+    the banded signature join bounds work by bucket sizes; the exact
+    scan is confined to candidates (vs ann_cosine_top10's full scan).
+    Recall vs the exact baseline is data-dependent (sign-LSH recalls
+    CLOSE neighbors; on uniformly random embeddings the true top-10 are
+    near-orthogonal, so this returns the exact top-10 of the candidate
+    subset — which is exactly what the oracle verifies, hash-exact)."""
+    e = _embeddings(spark, sf_dir)
+    sigs = _band_keys_df(spark, sf_dir)
     qkeys = sigs.filter(F.col("vec_id") == 0).select("band", "key")
     cand = (
         sigs.filter(F.col("vec_id") != 0)
@@ -1357,6 +1417,30 @@ SELECT doc_id,
                 * CAST(tfn + 1 AS FLOAT) AS FLOAT) AS FLOAT)
     AS FLOAT) AS DOUBLE) AS score
 FROM dtfn ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # DFR InL2: bm = f32(tfn * f32(ln((N+1)/(df+0.5))/ln 2));
+    # ae = f32(1/(tfn+1)); score = f32(bm * ae)
+    o["dfr_inl2_single"] = ORACLE_PRELUDE + _LEND + f"""
+, navg AS (
+  SELECT CAST(CAST((SELECT sum_ttf FROM coll) AS FLOAT)
+              / CAST((SELECT max_doc FROM coll) AS FLOAT) AS FLOAT) AS v
+),
+nw AS (
+  SELECT CAST(ln(((SELECT max_doc FROM coll) + 1)
+               / ((SELECT df FROM tstats WHERE term = '{Q_SINGLE}')
+                  + 0.5e0)) / ln(2) AS FLOAT) AS w
+),
+ntfn AS (
+  SELECT tf.doc_id,
+    CAST(tf.tf * (ln(CAST(1 + CAST((SELECT v FROM navg) / l.lenv AS FLOAT)
+                          AS FLOAT)) / ln(2)) AS FLOAT) AS tfn
+  FROM tf JOIN lend l USING (doc_id) WHERE tf.term = '{Q_SINGLE}'
+)
+SELECT doc_id,
+  CAST(CAST(CAST(tfn * (SELECT w FROM nw) AS FLOAT)
+            * CAST(1 / CAST(tfn + 1 AS FLOAT) AS FLOAT)
+       AS FLOAT) AS DOUBLE) AS score
+FROM ntfn ORDER BY score DESC, doc_id ASC LIMIT 10
 """
     # IB LL-D-H2: lambda = f32((df+1)/(N+1)); tfn as in DFR H2;
     # score = f32(-ln(f32(lambda / f32(tfn + lambda))))
@@ -1736,6 +1820,48 @@ SELECT doc_id, {_fdims}
 FROM documents ORDER BY doc_id
 """
     o["ann_lsh_top10"] = _ann_lsh_oracle()
+    planes = _ann_planes()
+    _prows = ", ".join(
+        "({}, [{}])".format(
+            p, ", ".join(repr(float(x)) for x in planes[p])
+        )
+        for p in range(ANN_PLANES)
+    )
+    _r = ANN_BAND_BITS
+    o["embed_neardup_pairs"] = f"""
+WITH planes(pid, pv) AS (VALUES {_prows}),
+bits AS (
+  SELECT e.vec_id, p.pid,
+    CASE WHEN list_sum(list_transform(range(1, {ANN_DIM} + 1),
+        i -> CAST(e.embedding[i] AS DOUBLE) * p.pv[i])) > 0
+      THEN 1 ELSE 0 END AS bit
+  FROM embeddings e, planes p
+),
+keys AS (
+  SELECT vec_id, pid // {_r} AS band,
+         CAST(sum(bit * (1 << (pid % {_r}))) AS BIGINT) AS key
+  FROM bits GROUP BY vec_id, pid // {_r}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+  FROM keys a JOIN keys b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT c.ida, c.idb,
+    list_sum(list_transform(range(1, {ANN_DIM} + 1),
+      i -> CAST(ea.embedding[i] AS DOUBLE) * eb.embedding[i]))
+    / (sqrt(list_sum(list_transform(ea.embedding,
+             x -> CAST(x AS DOUBLE) * x)))
+       * sqrt(list_sum(list_transform(eb.embedding,
+               x -> CAST(x AS DOUBLE) * x)))) AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.ida
+  JOIN embeddings eb ON eb.vec_id = c.idb
+)
+SELECT ida, idb, cos FROM pairs
+WHERE cos >= {EMBED_NEARDUP_TAU} ORDER BY ida, idb
+"""
     return o
 
 
@@ -1764,6 +1890,7 @@ QUERIES = {
     "dfr_single": q_dfr_single,
     "lmjm_single": q_lmjm_single,
     "ib_single": q_ib_single,
+    "dfr_inl2_single": q_dfr_inl2_single,
     "term_range_docs": q_term_range_docs,
     "sort_by_field": q_sort_by_field,
     "stats_doclen": q_stats_doclen,
@@ -1791,6 +1918,7 @@ QUERIES = {
     "source_token_counts": q_source_token_counts,
     "ann_cosine_top10": q_ann_cosine_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
+    "embed_neardup_pairs": q_embed_neardup_pairs,
 }
 
 ORACLES = _oracles()
@@ -1934,13 +2062,22 @@ def q_minhash_lsh(spark, sf_dir):
     shingle = md5int(i || ':' || shingle) — salted rehash instead of
     (a*x+b) mod p so no 64-bit modular multiply is needed."""
     sh = _shingles_df(spark, sf_dir)
+    # hash each DISTINCT shingle once (md5 is the cost center; corpora
+    # repeat shingles heavily, so hashing distinct values and joining
+    # back cuts the hash work by the average shingle df), then min per
+    # (doc, hash-function)
     hid = F.explode(
         F.sequence(F.lit(0), F.lit(MINHASH_FUNCS - 1))
     ).alias("hid")
-    hashed = sh.select("doc_id", "shingle", hid).withColumn(
-        "h",
-        _md5int(F.concat_ws(":", F.col("hid"), F.col("shingle"))),
+    shash = (
+        sh.select("shingle").distinct()
+        .select("shingle", hid)
+        .withColumn(
+            "h",
+            _md5int(F.concat_ws(":", F.col("hid"), F.col("shingle"))),
+        )
     )
+    hashed = sh.join(shash, "shingle")
     mh = hashed.groupBy("doc_id", "hid").agg(F.min("h").alias("mh"))
     rows_per_band = MINHASH_FUNCS // MINHASH_BANDS
     bands = (

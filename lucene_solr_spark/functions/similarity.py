@@ -154,6 +154,26 @@ def dfr_score_block(
     return (g * b).astype(np.float32)
 
 
+def dfr_inl2_score_block(
+    df: int, max_doc: int, avg_fl: float,
+    tfs: np.ndarray, norm_bytes: np.ndarray,
+) -> np.ndarray:
+    """DFR InL2 = BasicModelIn + AfterEffectL + NormalizationH2(c=1)
+    (BasicModelIn.java: tfn * (float)log2((N+1)/(n+0.5));
+    AfterEffectL.java: 1/(tfn+1); DFRSimilarity.score float product),
+    boost = 1."""
+    ln = LENGTH_TABLE[norm_bytes.astype(np.int64)]
+    arg = (F32(1.0) + (F32(DFR_C) * F32(avg_fl)) / ln).astype(np.float32)
+    tfn = (
+        tfs.astype(np.float64)
+        * (np.log(arg.astype(np.float64)) / _LOG_2)
+    ).astype(np.float32)
+    w = F32(math.log((max_doc + 1) / (df + 0.5)) / _LOG_2)
+    bm = (tfn * w).astype(np.float32)
+    ae = (F32(1.0) / (tfn + F32(1.0))).astype(np.float32)
+    return (bm * ae).astype(np.float32)
+
+
 def ib_score_block(
     df: int, max_doc: int, avg_fl: float,
     tfs: np.ndarray, norm_bytes: np.ndarray,

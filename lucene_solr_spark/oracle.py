@@ -125,6 +125,16 @@ class OracleIndex:
                     avg_field_length(self.sum_ttf, self.max_doc),
                     tfs, nbs,
                 )[0]
+            elif similarity == "dfr_inl2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_inl2_score_block,
+                )
+
+                out[doc_id] = dfr_inl2_score_block(
+                    values[term], self.max_doc,
+                    avg_field_length(self.sum_ttf, self.max_doc),
+                    tfs, nbs,
+                )[0]
             else:
                 out[doc_id] = lmd_score_block(values[term], tfs, nbs, mu)[0]
         return out
@@ -165,7 +175,7 @@ class OracleIndex:
             }
             if similarity == "dfr":
                 values = {t: (self.df(t), cfs[t]) for t in qterms}
-            elif similarity == "ib":
+            elif similarity in ("ib", "dfr_inl2"):
                 values = {t: self.df(t) for t in qterms}
             elif similarity == "lmjelinekmercer":
                 from lucene_solr_spark.functions.similarity import (

@@ -84,6 +84,10 @@ class QueryPlan:
     tie: float = 0.0            # dismax tieBreakerMultiplier
 
 
+class TimeExceededError(RuntimeError):
+    """TimeLimitingCollector.TimeExceededException analogue."""
+
+
 def _wildcard_regex(pat: str) -> str:
     """WildcardQuery pattern -> anchored Java regex for Column.rlike:
     ``*`` = any run, ``?`` = one char, everything else literal
@@ -355,6 +359,11 @@ class IndexSearcher:
                                for t in scoring}}
         if similarity == "ib":
             return {"kind": "ib", "max_doc": self.max_doc,
+                    "avg_fl": S.avg_field_length(
+                        self.sum_ttf, self.max_doc),
+                    "values": {t: dfs[t] for t in scoring}}
+        if similarity == "dfr_inl2":
+            return {"kind": "dfr_inl2", "max_doc": self.max_doc,
                     "avg_fl": S.avg_field_length(
                         self.sum_ttf, self.max_doc),
                     "values": {t: dfs[t] for t in scoring}}
@@ -974,6 +983,13 @@ class IndexSearcher:
                 return F32(ib_score_block(
                     spec["values"][t], spec["max_doc"],
                     spec["avg_fl"], tfs, nbs)[0])
+            if kind == "dfr_inl2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_inl2_score_block,
+                )
+                return F32(dfr_inl2_score_block(
+                    spec["values"][t], spec["max_doc"],
+                    spec["avg_fl"], tfs, nbs)[0])
             if kind == "multi":  # f32 sum of subs in order
                 acc = F32(0.0)
                 for s2 in spec["subs"]:
@@ -1123,6 +1139,57 @@ class IndexSearcher:
         return self._live(
             posts.mapInPandas(decode, schema="doc_id long").distinct()
         )
+
+    def search_with_time_limit(
+        self, query_text: str, timeout_ms: int, k: int = 10, **kw
+    ):
+        """TimeLimitingCollector (search/TimeLimitingCollector.java):
+        abort the search when the budget expires, raising
+        TimeExceededError (the reference's TimeExceededException
+        default; its optional greedy/partial mode has no analogue here
+        because a cancelled Spark job yields no partial rows). The
+        budget is enforced by cancelling the query's job group — the
+        distributed equivalent of the collector's per-doc clock check.
+        Returns collected rows (this API is eager by necessity)."""
+        import threading
+        import time as _time
+        import uuid
+
+        sc = self.spark.sparkContext
+        group = f"lss-timed-{uuid.uuid4().hex[:8]}"
+        done = threading.Event()
+        t0 = _time.monotonic()
+        deadline = t0 + timeout_ms / 1000.0
+
+        def killer():
+            # keep cancelling past the deadline until the submitter
+            # thread finishes — a single cancel can land BEFORE the job
+            # is registered and silently no-op
+            while not done.wait(0.05):
+                if _time.monotonic() >= deadline:
+                    sc.cancelJobGroup(group)
+
+        t = threading.Thread(target=killer, daemon=True)
+        sc.setJobGroup(group, f"time-limited search: {query_text!r}",
+                       interruptOnCancel=True)
+        t.start()
+        try:
+            rows = self.search(query_text, k=k, **kw).collect()
+        except Exception as e:  # cancelled job surfaces as a Py4J error
+            raise TimeExceededError(
+                f"search exceeded {timeout_ms} ms: {query_text!r}"
+            ) from e
+        finally:
+            done.set()
+            sc.setJobGroup(None, None)
+        if _time.monotonic() >= deadline:
+            # clock ran out while collecting (the reference collector
+            # checks the clock per doc and raises even if a segment
+            # finished) — partial results are not returned by default
+            raise TimeExceededError(
+                f"search exceeded {timeout_ms} ms: {query_text!r}"
+            )
+        return rows
 
     def suggest(self, term: str, n: int = 5,
                 max_edits: int = 2, min_df: int = 1) -> DataFrame:
@@ -1636,6 +1703,14 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
                     ib_score_block,
                 )
                 return lambda t, docs, tfs: ib_score_block(
+                    spec["values"][t], spec["max_doc"], spec["avg_fl"],
+                    tfs, norms[docs - gbase],
+                )
+            if kind == "dfr_inl2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_inl2_score_block,
+                )
+                return lambda t, docs, tfs: dfr_inl2_score_block(
                     spec["values"][t], spec["max_doc"], spec["avg_fl"],
                     tfs, norms[docs - gbase],
                 )

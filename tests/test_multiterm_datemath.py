@@ -209,6 +209,23 @@ def test_uncached_postings_path_rank_identical(spark, built):
         del os.environ["LSS_POSTINGS_CACHE_MAX_BYTES"]
 
 
+def test_time_limiting_collector(spark, built):
+    """TimeLimitingCollector analogue: a generous budget returns the
+    normal top-k; an expired budget cancels the job group and raises
+    TimeExceededError."""
+    from lucene_solr_spark.search.executor import TimeExceededError
+
+    index_dir, _ = built
+    s = IndexSearcher(spark, index_dir)
+    rows = s.search_with_time_limit("common_util", timeout_ms=120_000,
+                                    k=5)
+    want = s.search("common_util", k=5).collect()
+    assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in want]
+    with pytest.raises(TimeExceededError):
+        s.search_with_time_limit("common_util base_handler",
+                                 timeout_ms=1, k=5, mode="and")
+
+
 def test_date_math_parser():
     from datetime import datetime
 
