@@ -241,3 +241,79 @@ def test_tiered_compaction_bounds_generations(spark, tmp_path):
         .search("common_util", k=10).collect()
     ]
     assert before == after
+
+
+def test_append_crash_before_commit_is_invisible(spark, tmp_path):
+    """Atomic append protocol (round-2 fix): every write goes to a NEW
+    generation path and the single snapshot commit flips visibility —
+    a crash anywhere before the commit leaves the live snapshot exactly
+    as it was, and a replay succeeds without duplicate doc_ids."""
+    from lucene_solr_spark import catalog as catmod
+    from lucene_solr_spark.indexing import build as buildmod
+
+    index_dir = str(tmp_path / "crashidx")
+    first = spark.createDataFrame(corpus_rows(100), schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=1).build(
+        first
+    )
+    before = IndexSearcher(spark, index_dir)
+    base_hits = _hits(before.search("common_util", k=10))
+    delta = spark.createDataFrame(
+        [dict(row(i), content=f"crashy_token doc {i}")
+         for i in range(100, 120)],
+        schema=CORPUS_SCHEMA,
+    )
+
+    real_commit = catmod.Catalog.commit
+    class Boom(RuntimeError):
+        pass
+
+    def exploding_commit(self, stage, **kw):
+        if stage == "commit":
+            raise Boom("simulated crash before snapshot commit")
+        return real_commit(self, stage, **kw)
+
+    catmod.Catalog.commit = exploding_commit
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Boom):
+            buildmod.append_documents(spark, index_dir, delta)
+    finally:
+        catmod.Catalog.commit = real_commit
+
+    # live snapshot untouched: same max_doc, same hits, no crashy docs
+    mid = IndexSearcher(spark, index_dir)
+    assert mid.max_doc == 100
+    assert _hits(mid.search("common_util", k=10)) == base_hits
+    assert mid.search("crashy_token", k=None).count() == 0
+
+    # replay after the crash: clean append, no duplicate doc_ids
+    buildmod.append_documents(spark, index_dir, delta)
+    after = IndexSearcher(spark, index_dir)
+    assert after.max_doc == 120
+    assert after.search("crashy_token", k=None).count() == 20
+    docs = after._docs.select("doc_id").collect()
+    ids = [r["doc_id"] for r in docs]
+    assert len(ids) == len(set(ids)) == 120
+
+
+def test_null_key_columns_no_docid_collision(spark, tmp_path):
+    """NULL doc-key columns (round-2 fix): the JVM distinct-struct
+    count and the python dedup agree, so docIDs stay collision-free and
+    every row is searchable."""
+    index_dir = str(tmp_path / "nullidx")
+    rows = corpus_rows(40)
+    rows[3] = dict(rows[3], commit=None)
+    rows[17] = dict(rows[17], repo=None)
+    corpus = spark.createDataFrame(rows, schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=16, n_batches=1).build(
+        corpus
+    )
+    s = IndexSearcher(spark, index_dir)
+    assert s.max_doc == 40
+    docs = s._docs.select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in docs)
+    assert ids == list(range(40))
+    # all docs reachable (match-all over live docs)
+    assert s.match_all_docs().count() == 40
