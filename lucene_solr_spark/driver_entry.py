@@ -30,6 +30,7 @@ both sides (exact widening) so schemas agree.
 
 from __future__ import annotations
 
+import math
 import os
 import tempfile
 import zipfile
@@ -637,6 +638,32 @@ def q_ib_single(spark, sf_dir):
     NormalizationH2) single-term search."""
     s = get_searcher(spark, sf_dir)
     return _topk_double(s.search(Q_SINGLE, k=TOP_K, similarity="ib"))
+
+
+def q_dfr_ifb2_single(spark, sf_dir):
+    """DFR IFB2 (BasicModelIF.java:32-36 + AfterEffectB +
+    NormalizationH2) single-term search — a third DFR combination
+    through the SimilarityBase seam."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="dfr_ifb2")
+    )
+
+
+def q_dfr_pl2_single(spark, sf_dir):
+    """DFR PL2 (BasicModelP.java:38-43 Poisson approximation +
+    AfterEffectL + NormalizationH2) single-term search."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="dfr_pl2")
+    )
+
+
+def q_ib_spl_single(spark, sf_dir):
+    """IB SPL-D-H2 (DistributionSPL.java:34-40 smoothed power-law +
+    LambdaDF + NormalizationH2) single-term search."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search(Q_SINGLE, k=TOP_K, similarity="ib_spl"))
 
 
 def q_lmdirichlet(spark, sf_dir):
@@ -1467,6 +1494,93 @@ SELECT doc_id,
                 AS FLOAT)) AS FLOAT) AS DOUBLE) AS score
 FROM itfn ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # DFR IFB2: w = f32(ln(1 + (N+1)/(cf+0.5))/ln 2); bm = f32(tfn*w);
+    # b = f32(f32(cf+2) / f32(f32(df+1)*f32(tfn+1))); score = f32(bm*b)
+    o["dfr_ifb2_single"] = ORACLE_PRELUDE + _LEND + f"""
+, gavg AS (
+  SELECT CAST(CAST((SELECT sum_ttf FROM coll) AS FLOAT)
+              / CAST((SELECT max_doc FROM coll) AS FLOAT) AS FLOAT) AS v
+),
+gstat AS (SELECT df, cf FROM tstats WHERE term = '{Q_SINGLE}'),
+gtfn AS (
+  SELECT tf.doc_id,
+    CAST(tf.tf * (ln(CAST(1 + CAST((SELECT v FROM gavg) / l.lenv AS FLOAT)
+                          AS FLOAT)) / ln(2)) AS FLOAT) AS tfn
+  FROM tf JOIN lend l USING (doc_id) WHERE tf.term = '{Q_SINGLE}'
+)
+SELECT doc_id,
+  CAST(CAST(
+    CAST(tfn * CAST(ln(1 + ((SELECT max_doc FROM coll) + 1)
+                        / ((SELECT cf FROM gstat) + 0.5e0)) / ln(2)
+               AS FLOAT) AS FLOAT)
+    *
+    CAST(CAST((SELECT cf FROM gstat) + 2 AS FLOAT)
+         / CAST(CAST((SELECT df FROM gstat) + 1 AS FLOAT)
+                * CAST(tfn + 1 AS FLOAT) AS FLOAT) AS FLOAT)
+    AS FLOAT) AS DOUBLE) AS score
+FROM gtfn ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # DFR PL2: lam = f32(f32(cf+1)/f32(N+1)); P in double over f32
+    # intermediates (BasicModelP.java:38-43); ae = f32(1/f32(tfn+1))
+    _L2E = repr(math.log(math.e) / math.log(2.0)) + "e0"  # LOG2_E double
+    o["dfr_pl2_single"] = ORACLE_PRELUDE + _LEND + f"""
+, pavg AS (
+  SELECT CAST(CAST((SELECT sum_ttf FROM coll) AS FLOAT)
+              / CAST((SELECT max_doc FROM coll) AS FLOAT) AS FLOAT) AS v
+),
+plam AS (
+  SELECT CAST(CAST((SELECT cf FROM tstats WHERE term = '{Q_SINGLE}')
+                   + 1 AS FLOAT)
+              / CAST((SELECT max_doc FROM coll) + 1 AS FLOAT)
+              AS FLOAT) AS lam
+),
+ptfn AS (
+  SELECT tf.doc_id,
+    CAST(tf.tf * (ln(CAST(1 + CAST((SELECT v FROM pavg) / l.lenv AS FLOAT)
+                          AS FLOAT)) / ln(2)) AS FLOAT) AS tfn
+  FROM tf JOIN lend l USING (doc_id) WHERE tf.term = '{Q_SINGLE}'
+)
+SELECT doc_id,
+  CAST(CAST(
+    CAST(tfn * (ln(CAST(tfn / (SELECT lam FROM plam) AS FLOAT)) / ln(2))
+         + CAST((SELECT lam FROM plam)
+                + CAST(1 / CAST(12 * tfn AS FLOAT) AS FLOAT)
+                - tfn AS FLOAT) * {_L2E}
+         + 0.5e0 * (ln(2 * pi() * tfn) / ln(2))
+    AS FLOAT)
+    * CAST(1 / CAST(tfn + 1 AS FLOAT) AS FLOAT)
+    AS FLOAT) AS DOUBLE) AS score
+FROM ptfn ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # IB SPL: lam = f32((df+1)/(N+1)) [0.99 guard]; expo =
+    # f32(tfn/f32(tfn+1)); score = f32(-ln((lam^expo - lam)/f32(1-lam)))
+    o["ib_spl_single"] = ORACLE_PRELUDE + _LEND + f"""
+, savg AS (
+  SELECT CAST(CAST((SELECT sum_ttf FROM coll) AS FLOAT)
+              / CAST((SELECT max_doc FROM coll) AS FLOAT) AS FLOAT) AS v
+),
+slam AS (
+  SELECT CASE WHEN lam0 = 1 THEN CAST(0.99 AS FLOAT) ELSE lam0 END AS lam
+  FROM (SELECT CAST(CAST((SELECT df FROM tstats WHERE term = '{Q_SINGLE}')
+                         + 1 AS FLOAT)
+                    / CAST((SELECT max_doc FROM coll) + 1 AS FLOAT)
+                    AS FLOAT) AS lam0)
+),
+stfn AS (
+  SELECT tf.doc_id,
+    CAST(tf.tf * (ln(CAST(1 + CAST((SELECT v FROM savg) / l.lenv AS FLOAT)
+                          AS FLOAT)) / ln(2)) AS FLOAT) AS tfn
+  FROM tf JOIN lend l USING (doc_id) WHERE tf.term = '{Q_SINGLE}'
+)
+SELECT doc_id,
+  CAST(CAST(-ln(
+    (pow((SELECT lam FROM slam),
+         CAST(tfn / CAST(tfn + 1 AS FLOAT) AS FLOAT))
+     - (SELECT lam FROM slam))
+    / CAST(1 - (SELECT lam FROM slam) AS FLOAT)
+  ) AS FLOAT) AS DOUBLE) AS score
+FROM stfn ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     _OML = "0.30000001192092896e0"  # f32(1) - f32(0.7), exact double
     _LAM = "0.699999988079071e0"    # f32(0.7)
     o["lmjm_single"] = ORACLE_PRELUDE + _LEND + f"""
@@ -1891,6 +2005,9 @@ QUERIES = {
     "lmjm_single": q_lmjm_single,
     "ib_single": q_ib_single,
     "dfr_inl2_single": q_dfr_inl2_single,
+    "dfr_ifb2_single": q_dfr_ifb2_single,
+    "dfr_pl2_single": q_dfr_pl2_single,
+    "ib_spl_single": q_ib_spl_single,
     "term_range_docs": q_term_range_docs,
     "sort_by_field": q_sort_by_field,
     "stats_doclen": q_stats_doclen,

@@ -234,3 +234,89 @@ def lmd_score_block(
     # and keeps the DuckDB oracle's ln(1 + x) argument bit-identical
     s = np.log(1.0 + freq / (mu * p)) + np.log(mu / (doclen + mu))
     return s.astype(np.float32)
+
+
+def _h2_tfn(avg_fl: float, tfs: np.ndarray,
+            norm_bytes: np.ndarray) -> np.ndarray:
+    """NormalizationH2 (NormalizationH2.java:52-54, c=1):
+    tfn = (float)(tf * log2(1 + c*avgFL/len)); the inner 1 + c*avg/len
+    chain is f32, the log2 and the tf product run in double before the
+    final f32 cast. len is the quantized decoded length
+    (SimilarityBase NORM_TABLE)."""
+    ln = LENGTH_TABLE[norm_bytes.astype(np.int64)]
+    arg = (F32(1.0) + (F32(DFR_C) * F32(avg_fl)) / ln).astype(np.float32)
+    return (
+        tfs.astype(np.float64)
+        * (np.log(arg.astype(np.float64)) / _LOG_2)
+    ).astype(np.float32)
+
+
+def dfr_ifb2_score_block(
+    df: int, cf: int, max_doc: int, avg_fl: float,
+    tfs: np.ndarray, norm_bytes: np.ndarray,
+) -> np.ndarray:
+    """DFR IFB2 = BasicModelIF + AfterEffectB + NormalizationH2(c=1),
+    boost = 1. BasicModelIF.java:32-36:
+      w = tfn * (float)log2(1 + (N+1)/(F+0.5))   N=maxDoc, F=cf;
+          (N+1)/(F+0.5) is a double division, log2 double, f32 cast,
+          f32 product with tfn
+    AfterEffectB.java (as in GB2): (F+2)/((df+1)*(tfn+1)) in f32 ops.
+    score = f32(IF * B) (DFRSimilarity.score float product chain)."""
+    tfn = _h2_tfn(avg_fl, tfs, norm_bytes)
+    w = F32(math.log(1.0 + (max_doc + 1) / (cf + 0.5)) / _LOG_2)
+    bm = (tfn * w).astype(np.float32)
+    b = (
+        F32(cf + 2) / (F32(df + 1) * (tfn + F32(1.0)))
+    ).astype(np.float32)
+    return (bm * b).astype(np.float32)
+
+
+# BasicModelP.LOG2_E = log2(Math.E), a double constant
+_LOG2_E = math.log(math.e) / _LOG_2
+
+
+def dfr_pl2_score_block(
+    cf: int, max_doc: int, avg_fl: float,
+    tfs: np.ndarray, norm_bytes: np.ndarray,
+) -> np.ndarray:
+    """DFR PL2 = BasicModelP + AfterEffectL + NormalizationH2(c=1),
+    boost = 1. BasicModelP.java:38-43 (type chain mirrored):
+      lambda = (float)(F+1) / (N+1)              f32 division
+      P = (float)(tfn * log2(tfn/lambda)         tfn/lambda in f32,
+          + (lambda + 1/(12*tfn) - tfn) * LOG2_E    inner chain f32,
+          + 0.5 * log2(2*pi*tfn))                all-double tail
+    AfterEffectL.java: 1/(tfn+1) in f32.
+    score = f32(P * L)."""
+    tfn = _h2_tfn(avg_fl, tfs, norm_bytes)
+    lam = F32(F32(cf + 1) / F32(max_doc + 1))
+    ratio = (tfn / lam).astype(np.float32)
+    inner = (lam + (F32(1.0) / (F32(12.0) * tfn)) - tfn).astype(np.float32)
+    p = (
+        tfn.astype(np.float64) * (np.log(ratio.astype(np.float64))
+                                  / _LOG_2)
+        + inner.astype(np.float64) * _LOG2_E
+        + 0.5 * (np.log(2.0 * math.pi * tfn.astype(np.float64)) / _LOG_2)
+    ).astype(np.float32)
+    ae = (F32(1.0) / (tfn + F32(1.0))).astype(np.float32)
+    return (p * ae).astype(np.float32)
+
+
+def ib_spl_score_block(
+    df: int, max_doc: int, avg_fl: float,
+    tfs: np.ndarray, norm_bytes: np.ndarray,
+) -> np.ndarray:
+    """IB SPL-D-H2 = DistributionSPL + LambdaDF + NormalizationH2(c=1),
+    boost = 1. DistributionSPL.java:34-40:
+      lambda = f32((df+1)/(N+1))  (LambdaDF.java:33); 1f -> 0.99f guard
+      score = (float)-log((pow(lambda, tfn/(tfn+1)) - lambda)
+                          / (1 - lambda))
+    tfn/(tfn+1) is an f32 division; 1 - lambda an f32 subtraction; the
+    pow/sub/div/log tail runs in double."""
+    lam = F32(F32(df + 1.0) / F32(max_doc + 1.0))
+    if lam == F32(1.0):
+        lam = F32(0.99)
+    tfn = _h2_tfn(avg_fl, tfs, norm_bytes)
+    expo = (tfn / (tfn + F32(1.0))).astype(np.float32)
+    denom = float(F32(1.0) - lam)
+    num = np.power(float(lam), expo.astype(np.float64)) - float(lam)
+    return (-np.log(num / denom)).astype(np.float32)

@@ -135,6 +135,37 @@ class OracleIndex:
                     avg_field_length(self.sum_ttf, self.max_doc),
                     tfs, nbs,
                 )[0]
+            elif similarity == "dfr_ifb2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_ifb2_score_block,
+                )
+
+                df_t, cf_t = values[term]
+                out[doc_id] = dfr_ifb2_score_block(
+                    df_t, cf_t, self.max_doc,
+                    avg_field_length(self.sum_ttf, self.max_doc),
+                    tfs, nbs,
+                )[0]
+            elif similarity == "dfr_pl2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_pl2_score_block,
+                )
+
+                out[doc_id] = dfr_pl2_score_block(
+                    values[term], self.max_doc,
+                    avg_field_length(self.sum_ttf, self.max_doc),
+                    tfs, nbs,
+                )[0]
+            elif similarity == "ib_spl":
+                from lucene_solr_spark.functions.similarity import (
+                    ib_spl_score_block,
+                )
+
+                out[doc_id] = ib_spl_score_block(
+                    values[term], self.max_doc,
+                    avg_field_length(self.sum_ttf, self.max_doc),
+                    tfs, nbs,
+                )[0]
             else:
                 out[doc_id] = lmd_score_block(values[term], tfs, nbs, mu)[0]
         return out
@@ -173,10 +204,12 @@ class OracleIndex:
                 t: sum(f for _, f in self.postings.get(t, ()))
                 for t in qterms
             }
-            if similarity == "dfr":
+            if similarity in ("dfr", "dfr_ifb2"):
                 values = {t: (self.df(t), cfs[t]) for t in qterms}
-            elif similarity in ("ib", "dfr_inl2"):
+            elif similarity in ("ib", "dfr_inl2", "ib_spl"):
                 values = {t: self.df(t) for t in qterms}
+            elif similarity == "dfr_pl2":
+                values = {t: cfs[t] for t in qterms}
             elif similarity == "lmjelinekmercer":
                 from lucene_solr_spark.functions.similarity import (
                     lmjm_p,

@@ -367,6 +367,23 @@ class IndexSearcher:
                     "avg_fl": S.avg_field_length(
                         self.sum_ttf, self.max_doc),
                     "values": {t: dfs[t] for t in scoring}}
+        if similarity == "dfr_ifb2":
+            cfs = self._lookup_cfs(scoring)
+            return {"kind": "dfr_ifb2", "max_doc": self.max_doc,
+                    "avg_fl": S.avg_field_length(
+                        self.sum_ttf, self.max_doc),
+                    "values": {t: (dfs[t], cfs[t]) for t in scoring}}
+        if similarity == "dfr_pl2":
+            cfs = self._lookup_cfs(scoring)
+            return {"kind": "dfr_pl2", "max_doc": self.max_doc,
+                    "avg_fl": S.avg_field_length(
+                        self.sum_ttf, self.max_doc),
+                    "values": {t: cfs[t] for t in scoring}}
+        if similarity == "ib_spl":
+            return {"kind": "ib_spl", "max_doc": self.max_doc,
+                    "avg_fl": S.avg_field_length(
+                        self.sum_ttf, self.max_doc),
+                    "values": {t: dfs[t] for t in scoring}}
         raise ValueError(f"unknown similarity: {similarity}")
 
     def _lookup_dfs(self, terms) -> Dict[str, int]:
@@ -988,6 +1005,28 @@ class IndexSearcher:
                     dfr_inl2_score_block,
                 )
                 return F32(dfr_inl2_score_block(
+                    spec["values"][t], spec["max_doc"],
+                    spec["avg_fl"], tfs, nbs)[0])
+            if kind == "dfr_ifb2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_ifb2_score_block,
+                )
+                df_t, cf_t = spec["values"][t]
+                return F32(dfr_ifb2_score_block(
+                    df_t, cf_t, spec["max_doc"],
+                    spec["avg_fl"], tfs, nbs)[0])
+            if kind == "dfr_pl2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_pl2_score_block,
+                )
+                return F32(dfr_pl2_score_block(
+                    spec["values"][t], spec["max_doc"],
+                    spec["avg_fl"], tfs, nbs)[0])
+            if kind == "ib_spl":
+                from lucene_solr_spark.functions.similarity import (
+                    ib_spl_score_block,
+                )
+                return F32(ib_spl_score_block(
                     spec["values"][t], spec["max_doc"],
                     spec["avg_fl"], tfs, nbs)[0])
             if kind == "multi":  # f32 sum of subs in order
@@ -1711,6 +1750,31 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
                     dfr_inl2_score_block,
                 )
                 return lambda t, docs, tfs: dfr_inl2_score_block(
+                    spec["values"][t], spec["max_doc"], spec["avg_fl"],
+                    tfs, norms[docs - gbase],
+                )
+            if kind == "dfr_ifb2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_ifb2_score_block,
+                )
+                return lambda t, docs, tfs: dfr_ifb2_score_block(
+                    spec["values"][t][0], spec["values"][t][1],
+                    spec["max_doc"], spec["avg_fl"],
+                    tfs, norms[docs - gbase],
+                )
+            if kind == "dfr_pl2":
+                from lucene_solr_spark.functions.similarity import (
+                    dfr_pl2_score_block,
+                )
+                return lambda t, docs, tfs: dfr_pl2_score_block(
+                    spec["values"][t], spec["max_doc"], spec["avg_fl"],
+                    tfs, norms[docs - gbase],
+                )
+            if kind == "ib_spl":
+                from lucene_solr_spark.functions.similarity import (
+                    ib_spl_score_block,
+                )
+                return lambda t, docs, tfs: ib_spl_score_block(
                     spec["values"][t], spec["max_doc"], spec["avg_fl"],
                     tfs, norms[docs - gbase],
                 )

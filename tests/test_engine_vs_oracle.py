@@ -306,7 +306,8 @@ def test_search_many_executor_merge_path(spark, built):
 @pytest.mark.parametrize(
     "similarity",
     ["classic", "lmdirichlet", "dfr", "lmjelinekmercer", "ib",
-     "dfr_inl2", "multi:bm25+lmdirichlet", "multi:dfr+ib"],
+     "dfr_inl2", "dfr_ifb2", "dfr_pl2", "ib_spl",
+     "multi:bm25+lmdirichlet", "multi:dfr+ib"],
 )
 @pytest.mark.parametrize("q", [QUERY_SET[0], QUERY_SET[2], QUERY_SET[3],
                                QUERY_SET[5]],
