@@ -587,6 +587,52 @@ def q_function_boost(spark, sf_dir):
     )
 
 
+def q_elevation(spark, sf_dir):
+    """QueryElevationComponent (solr/core/.../component/
+    QueryElevationComponent.java): docs 7 and 3 pinned (in that order)
+    for the single-term query, doc 5 excluded; the remainder keeps the
+    BM25 order."""
+    s = get_searcher(spark, sf_dir)
+    return s.search_elevated(
+        Q_SINGLE, elevate_ids=[7, 3], exclude_ids=[5], k=TOP_K
+    )
+
+
+def q_common_terms(spark, sf_dir):
+    """CommonTermsQuery (lucene/queries/.../CommonTermsQuery.java):
+    'dup merge data' with maxTermFrequency=0.1 — 'dup' (df 25) stays
+    low-frequency and is required; 'merge'/'data' (df ~400 > ceil(0.1 *
+    500)) become the optional high-frequency group. ReqOptSum
+    combination of the two disjunction sums."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search_common_terms("dup merge data",
+                              max_term_frequency=0.1, k=TOP_K)
+    )
+
+
+def q_function_recip_rangemap(spark, sf_dir):
+    """ReciprocalFloatFunction + RangeMapFloatFunction composed with
+    "sum" (valuesource/ReciprocalFloatFunction.java,
+    RangeMapFloatFunction.java, SumFloatFunction.java): BM25 score *
+    (recip(doc_len, 1, 1000, 1000) + rangemap(doc_len, 0..50 -> 2.0,
+    else 1.0)) — the classic Solr boost-function shape over the
+    engine's doc_stats surface, all Catalyst column math."""
+    from lucene_solr_spark.functions.valuesource import (
+        VALUE_SOURCES,
+        boosted_search,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    dl = F.col("doc_len").cast("double")
+    boost = VALUE_SOURCES["sum"](
+        VALUE_SOURCES["recip"](dl, 1.0, 1000.0, 1000.0),
+        VALUE_SOURCES["rangemap"](dl, 0.0, 50.0, 2.0, 1.0),
+    )
+    attrs = s.doc_stats().select("doc_id", "doc_len")
+    return boosted_search(s, Q_SINGLE, boost, attrs, k=TOP_K)
+
+
 def q_classic_single(spark, sf_dir):
     """Classic TFIDF (DefaultSimilarity — the reference's wired
     default, IndexSearcher.java:92,106) single-term search: the
@@ -1306,6 +1352,69 @@ FROM persc p JOIN docs0 d USING (doc_id)
 WHERE p.term = '{Q_SINGLE}'
 ORDER BY score DESC, p.doc_id ASC LIMIT 10
 """
+    # QueryElevationComponent: pinned ids first in config order (score
+    # 0 when not matching), excluded id removed, rest in BM25 order
+    o["elevation_top10"] = ORACLE_PRELUDE + f"""
+, ehits AS (SELECT doc_id, CAST(s AS DOUBLE) AS score
+            FROM persc WHERE term = '{Q_SINGLE}'),
+eprio AS (SELECT * FROM (VALUES (7, 0), (3, 1)) AS t(doc_id, elev_rank)),
+eelev AS (
+  SELECT p.doc_id, COALESCE(h.score, 0.0e0) AS score, p.elev_rank
+  FROM eprio p LEFT JOIN ehits h USING (doc_id)
+),
+erest AS (
+  SELECT doc_id, score FROM ehits
+  WHERE doc_id NOT IN (SELECT doc_id FROM eprio) AND doc_id <> 5
+)
+SELECT doc_id, score, elevated FROM (
+  SELECT doc_id, score, 1 AS elevated, elev_rank FROM eelev
+  UNION ALL
+  SELECT doc_id, score, 0 AS elevated, NULL AS elev_rank FROM erest
+)
+ORDER BY elevated DESC, elev_rank ASC NULLS LAST, score DESC, doc_id ASC
+LIMIT 10
+"""
+    # CommonTermsQuery: df-split at ceil(f32(0.1)*f32(maxDoc)); score =
+    # f32 ReqOptSum add of the two f32(double-sum) group scores
+    o["common_terms"] = ORACLE_PRELUDE + """
+, ctq AS (SELECT term, df FROM tstats
+          WHERE term IN ('dup', 'merge', 'data')),
+ccut AS (
+  SELECT ceil(CAST(CAST(0.1 AS FLOAT)
+              * CAST((SELECT max_doc FROM coll) AS FLOAT) AS FLOAT)) AS c
+),
+clow AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS v
+  FROM persc WHERE term IN
+    (SELECT term FROM ctq WHERE df <= (SELECT c FROM ccut))
+  GROUP BY doc_id
+),
+chigh AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS v
+  FROM persc WHERE term IN
+    (SELECT term FROM ctq WHERE df > (SELECT c FROM ccut))
+  GROUP BY doc_id
+)
+SELECT l.doc_id,
+  CAST(CASE WHEN h.doc_id IS NULL THEN l.v
+            ELSE CAST(l.v + h.v AS FLOAT) END AS DOUBLE) AS score
+FROM clow l LEFT JOIN chigh h USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # recip(len,1,1000,1000) + rangemap(len, 0..50 -> 2.0 else 1.0),
+    # both over the double-cast doc_len, product with the BM25 score in
+    # double — mirrors the Catalyst expression tree exactly
+    o["function_recip_rangemap"] = ORACLE_PRELUDE + f"""
+SELECT p.doc_id,
+       CAST(p.s AS DOUBLE) *
+       (1000.0e0 / (1.0e0 * CAST(d.doc_len AS DOUBLE) + 1000.0e0)
+        + CASE WHEN CAST(d.doc_len AS DOUBLE) >= 0.0e0
+                AND CAST(d.doc_len AS DOUBLE) <= 50.0e0
+               THEN 2.0e0 ELSE 1.0e0 END) AS score
+FROM persc p JOIN dlen d USING (doc_id)
+WHERE p.term = '{Q_SINGLE}'
+ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
     # classic TFIDF decode: f = byte315ToFloat(nb); value chain mirrors
     # functions/similarity.py classic_values / classic_score_block f32
     # step-by-step (DefaultSimilarity + IDFStats.normalize)
@@ -1998,6 +2107,9 @@ QUERIES = {
     "phrase_hole": q_phrase_hole,
     "search_after": q_search_after,
     "function_boost": q_function_boost,
+    "function_recip_rangemap": q_function_recip_rangemap,
+    "common_terms": q_common_terms,
+    "elevation_top10": q_elevation,
     "classic_single": q_classic_single,
     "classic_or": q_classic_or,
     "lmdirichlet": q_lmdirichlet,

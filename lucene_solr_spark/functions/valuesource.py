@@ -61,9 +61,24 @@ VALUE_SOURCES = {
     # ReciprocalFloatFunction.java: a / (m*x + b)
     "recip": lambda x, m, a, b: F.lit(a) / (F.lit(m) * x + F.lit(b)),
     "scale": scale_float,
-    # logic (IfFunction.java, DefFunction.java)
+    # RangeMapFloatFunction.java: val in [min,max] -> target, else
+    # default (or the value itself when no default is given)
+    "rangemap": lambda x, mn, mx, target, dflt=None: F.when(
+        (x >= F.lit(mn)) & (x <= F.lit(mx)), F.lit(target)
+    ).otherwise(x if dflt is None else F.lit(dflt)),
+    # logic (IfFunction.java, DefFunction.java, SimpleBoolFunction /
+    # MultiBoolFunction subclasses NotFunction/AndFunction/OrFunction)
     "if": lambda c, a, b: F.when(c, a).otherwise(b),
     "def": lambda a, b: F.coalesce(a, b),
+    "and": lambda *cs: __import__("functools").reduce(
+        lambda a, b: a & b, cs
+    ),
+    "or": lambda *cs: __import__("functools").reduce(
+        lambda a, b: a | b, cs
+    ),
+    "not": lambda c: ~c,
+    # FieldValueFilter-as-value / ExistsValueSource
+    "exists": lambda x: x.isNotNull(),
     # common field transforms (Solr function surface)
     "log": lambda x: F.log(x),
     "sqrt": lambda x: F.sqrt(x),
@@ -108,6 +123,43 @@ def term_freq_source(searcher, term: str) -> DataFrame:
     — decoded from the term's postings, 0 docs omitted (join with
     coalesce for defaults)."""
     return searcher.term_freqs(term)
+
+
+def index_stats_sources(searcher) -> dict:
+    """The index-stats-as-value family (valuesource/MaxDocValueSource,
+    NumDocsValueSource, SumTotalTermFreqValueSource,
+    IDFValueSource, DocFreqValueSource, TotalTermFreqValueSource):
+    collection-level values are driver-side scalars (they are constant
+    per index), per-term values are tiny lookups against the sorted
+    term_stats table. Use the scalars as ``F.lit(...)`` in Column math.
+    """
+
+    def _df_cf(term: str):
+        dfs = searcher._lookup_dfs([term])
+        cfs = searcher._lookup_cfs([term])
+        return dfs.get(term, 0), cfs.get(term, 0)
+
+    from lucene_solr_spark.functions.bm25 import idf as _bm25_idf
+
+    return {
+        "maxdoc": lambda: searcher.max_doc,
+        # NumDocsValueSource: maxDoc - numDeletedDocs (live docs)
+        "numdocs": lambda: searcher.doc_stats().count(),
+        "sumtotaltermfreq": lambda: searcher.sum_ttf,
+        "docfreq": lambda term: _df_cf(term)[0],
+        "totaltermfreq": lambda term: _df_cf(term)[1],
+        # IDFValueSource.java: the similarity's idf for the term —
+        # BM25 form (the engine default)
+        "idf": lambda term: float(_bm25_idf(
+            _df_cf(term)[0], searcher.max_doc
+        )),
+    }
+
+
+def norm_source(searcher) -> DataFrame:
+    """NormValueSource.java: the decoded norm as a per-doc value —
+    served from the engine's doc_stats surface (doc_id, norm_byte)."""
+    return searcher.doc_stats().select("doc_id", "norm_byte")
 
 
 def boosted_search(

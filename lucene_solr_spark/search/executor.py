@@ -1497,6 +1497,134 @@ class IndexSearcher:
                 else F.col(field).isNull())
         return self._live(self._docs.filter(cond).select("doc_id"))
 
+    def search_common_terms(
+        self,
+        query_text: str,
+        max_term_frequency: float = 0.1,
+        k: Optional[int] = 10,
+    ) -> DataFrame:
+        """CommonTermsQuery (lucene/queries/src/java/org/apache/lucene/
+        queries/CommonTermsQuery.java:170-225): terms whose docFreq
+        exceeds ceil(f32(maxTermFrequency) * f32(maxDoc)) (or the
+        absolute cutoff when maxTermFrequency >= 1) form a
+        high-frequency group; the rest — including absent terms
+        (termContext == null, :179-180) — the low-frequency group.
+        With the default SHOULD/SHOULD occurs buildQuery rewrites to
+
+            +(low1 low2 ...) (high1 high2 ...)
+
+        i.e. ReqOptSumScorer(required = low-freq disjunction, optional
+        = high-freq disjunction): only docs matching >= 1 low-freq term
+        match; matching high-freq terms add score. Each group sum is
+        double-accumulated and cast f32 (DisjunctionSumScorer), the
+        group combination is a single f32 add (ReqOptSumScorer.score).
+        Degenerate groups follow buildQuery exactly: no low terms ->
+        the high terms run as a conjunction (:198-213, "prevent slow
+        queries"); no high terms -> a plain low disjunction (:215-218).
+
+        Scale: the split is a driver-side df lookup against the sorted
+        term_stats table (one pushed-down scan shared with every other
+        query); both group scans run on the shared postings cache, and
+        the left join keys on doc_id within one partition layout.
+        """
+        raw = self.analyzer.analyze(query_text)
+        seen: set = set()
+        qterms = [t for t in raw if not (t in seen or seen.add(t))]
+        dfs = self._lookup_dfs(qterms)
+        mtf = float(max_term_frequency)
+        # (int) Math.ceil(maxTermFrequency * (float) maxDoc) — f32
+        # product, double ceil (CommonTermsQuery.java:182-184)
+        cutoff = math.ceil(float(np.float32(
+            np.float32(mtf) * np.float32(self.max_doc)
+        )))
+        high: List[str] = []
+        low: List[str] = []
+        for t in qterms:
+            df_t = dfs.get(t)
+            if df_t is None:
+                low.append(t)
+            elif (mtf >= 1.0 and df_t > mtf) or df_t > cutoff:
+                high.append(t)
+            else:
+                low.append(t)
+        if not low:
+            return self.search(" ".join(high), k=k, mode="and")
+        if not high:
+            return self.search(" ".join(low), k=k, mode="or")
+        lowhits = self.search(" ".join(low), k=None, mode="or")
+        highhits = (
+            self.search(" ".join(high), k=None, mode="or")
+            .withColumnRenamed("score", "opt_score")
+        )
+        out = lowhits.join(highhits, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("opt_score").isNull(), F.col("score"))
+            .otherwise(
+                (F.col("score") + F.col("opt_score")).cast("float")
+            )
+            .alias("score"),
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.limit(int(k)) if k is not None else out
+
+    def search_elevated(
+        self,
+        query_text: str,
+        elevate_ids,
+        exclude_ids=(),
+        k: Optional[int] = 10,
+        **kw,
+    ) -> DataFrame:
+        """QueryElevationComponent (solr/core/src/java/org/apache/solr/
+        handler/component/QueryElevationComponent.java): editorially
+        pin documents for a query. Elevated ids come first in the
+        configured order regardless of score (ElevationComparatorSource
+        sort), are included even when they don't match the query
+        (score 0), and excluded ids are removed from the results; the
+        remainder keeps the normal score-desc/doc-asc order.
+
+        Returns (doc_id, score double, elevated int). Scale: the
+        elevation map is a tiny per-query broadcast join; the base
+        search is unchanged.
+        """
+        elev = list(dict.fromkeys(int(i) for i in elevate_ids))
+        excl = {int(i) for i in exclude_ids}
+        hits = self.search(query_text, k=None, **kw).select(
+            "doc_id", F.col("score").cast("double").alias("score")
+        )
+        prio = self.spark.createDataFrame(
+            [(d, i) for i, d in enumerate(elev)] or [(-1, 0)],
+            "doc_id long, elev_rank int",
+        )
+        if not elev:
+            prio = prio.filter(F.col("doc_id") >= 0)
+        live = self._live(self._docs.select("doc_id"))
+        elevated = (
+            prio.join(live, "doc_id", "inner")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("score"), F.lit(0.0)).alias("score"),
+                F.lit(1).alias("elevated"),
+                "elev_rank",
+            )
+        )
+        drop = elev + sorted(excl)
+        rest = hits.filter(~F.col("doc_id").isin(drop)).select(
+            "doc_id", "score", F.lit(0).alias("elevated"),
+            F.lit(None).cast("int").alias("elev_rank"),
+        )
+        out = (
+            elevated.unionByName(rest)
+            .orderBy(
+                F.desc("elevated"),
+                F.asc_nulls_last("elev_rank"),
+                F.desc("score"),
+                F.asc("doc_id"),
+            )
+            .select("doc_id", "score", "elevated")
+        )
+        return out.limit(int(k)) if k is not None else out
+
     def search_display(self, query_text: str, k: int = 10, **kw) -> DataFrame:
         """Two-stage hydration: score on narrow tables, join stored
         fields for the <= k winners only (the GET_TOP_IDS / GET_FIELDS
