@@ -587,6 +587,22 @@ def q_function_boost(spark, sf_dir):
     )
 
 
+def q_sloppy_phrase(spark, sf_dir):
+    """SloppyPhraseScorer (search/SloppyPhraseScorer.java via
+    search/sloppy.py): matched doc set for '"merge data"~2'. The
+    greedy scored freq is gated bit-exactly by the engine-vs-oracle
+    pytest duels (tests/test_sloppy_phrase.py); the DuckDB oracle here
+    checks the DOC SET, valid because for a two-term phrase freq > 0
+    iff min pair distance <= slop (fuzz-verified over 20k random
+    position sets)."""
+    s = get_searcher(spark, sf_dir)
+    return (
+        s.search_phrase("merge data", k=None, slop=2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_elevation(spark, sf_dir):
     """QueryElevationComponent (solr/core/.../component/
     QueryElevationComponent.java): docs 7 and 3 pinned (in that order)
@@ -1352,6 +1368,26 @@ FROM persc p JOIN docs0 d USING (doc_id)
 WHERE p.term = '{Q_SINGLE}'
 ORDER BY score DESC, p.doc_id ASC LIMIT 10
 """
+    # Sloppy phrase doc set: adjusted positions a = pos(merge),
+    # b = pos(data) - 1; a doc matches iff min |a - b| <= slop (exact
+    # for 2-term phrases; scored freq gated by the pytest duels)
+    o["sloppy_phrase"] = ORACLE_PRELUDE + """
+, tpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+)
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM tpos WHERE term = 'merge') a
+JOIN (SELECT doc_id, pos - 1 AS posb FROM tpos WHERE term = 'data') b
+  USING (doc_id)
+WHERE abs(a.pos - b.posb) <= 2
+ORDER BY doc_id
+"""
     # QueryElevationComponent: pinned ids first in config order (score
     # 0 when not matching), excluded id removed, rest in BM25 order
     o["elevation_top10"] = ORACLE_PRELUDE + f"""
@@ -2110,6 +2146,7 @@ QUERIES = {
     "function_recip_rangemap": q_function_recip_rangemap,
     "common_terms": q_common_terms,
     "elevation_top10": q_elevation,
+    "sloppy_phrase": q_sloppy_phrase,
     "classic_single": q_classic_single,
     "classic_or": q_classic_or,
     "lmdirichlet": q_lmdirichlet,

@@ -307,10 +307,15 @@ class OracleIndex:
 
 
     # -- exact phrase (ExactPhraseScorer semantics) --------------------
-    def search_phrase(self, phrase: str, k: int = 10):
-        """Hole-aware exact phrase: analyzed offsets must align; freq =
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0):
+        """Hole-aware phrase: analyzed offsets must align; freq =
         phraseFreq; weight = float32 sum of clause idfs in order
-        (BM25Similarity.java:185-198; ExactPhraseScorer.java:26-91)."""
+        (BM25Similarity.java:185-198; ExactPhraseScorer.java:26-91).
+        slop > 0 runs SloppyPhraseScorer.phraseFreq over the oracle's
+        raw token positions (the greedy traversal in search/sloppy.py
+        is the spec, pinned by hand-traced golden vectors; this path
+        independently exercises the engine's codec decode, doc-set
+        conjunction and distribution plumbing)."""
         tp = analyze_with_positions(phrase)
         if not tp:
             return []
@@ -329,6 +334,23 @@ class OracleIndex:
             docs &= set(self.positions[t])
         scores = {}
         for d in docs:
+            if slop > 0:
+                from lucene_solr_spark.search.sloppy import (
+                    sloppy_phrase_freq,
+                )
+
+                arrs = [np.asarray(self.positions[t][d], dtype=np.int64)
+                        for t, _ in offsets]
+                freq = sloppy_phrase_freq(
+                    arrs, [o for _, o in offsets],
+                    [t for t, _ in offsets], slop,
+                )
+                if freq > 0:
+                    norm = cache[self.norm_bytes[d]]
+                    scores[d] = F32(
+                        weight_value * freq / (freq + norm)
+                    )
+                continue
             starts = None
             for t, off in offsets:
                 cand = {p - off for p in self.positions[t][d]}
@@ -441,7 +463,8 @@ class OracleBoolean:
                 return None
             return idx._term_scores(t, cache), idx.df(t)
         if c.kind == "phrase":
-            hits = idx.search_phrase(c.text, k=len(idx.norm_bytes))
+            hits = idx.search_phrase(c.text, k=len(idx.norm_bytes),
+                                     slop=c.slop)
             if not hits:
                 return None
             return dict(hits), min(idx.df(t) for t in c.terms)

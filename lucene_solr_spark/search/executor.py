@@ -477,10 +477,12 @@ class IndexSearcher:
         return out if plan.k is None else out.limit(plan.k)
 
     def search_phrase(
-        self, phrase_text: str, k: Optional[int] = 10
+        self, phrase_text: str, k: Optional[int] = 10, slop: int = 0
     ) -> DataFrame:
-        """Exact phrase BM25 top-k (PhraseQuery + ExactPhraseScorer,
-        search/PhraseQuery.java, ExactPhraseScorer.java:26-91). The
+        """Phrase BM25 top-k (PhraseQuery, search/PhraseQuery.java).
+        slop=0 runs ExactPhraseScorer (ExactPhraseScorer.java:26-91);
+        slop>0 runs SloppyPhraseScorer (SloppyPhraseScorer.java via
+        search/sloppy.py) with freq = the float sloppy frequency. The
         phrase is analyzed with the SAME chain; StopFilter holes become
         position offsets (QueryParserBase.java:570-616 with
         enablePositionIncrements), so 'big the table' requires 'table'
@@ -502,7 +504,12 @@ class IndexSearcher:
             w = np.float32(w + idf(dfs[t], self.max_doc))
         wv = np.float32(w * K1_PLUS_1)
         posts = self._postings.filter(F.col("term").isin(uniq))
-        kernel = make_phrase_scorer(offsets, wv, self.cache, k)
+        if slop > 0:
+            kernel = make_sloppy_phrase_scorer(
+                offsets, wv, self.cache, k, int(slop)
+            )
+        else:
+            kernel = make_phrase_scorer(offsets, wv, self.cache, k)
         topk = self._run_kernel(posts, kernel, "doc_id long, score float")
         out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
@@ -667,7 +674,7 @@ class IndexSearcher:
                     w = F32(w + idf(dfs[t], self.max_doc))
                 planned.append(
                     {"occur": c.occur, "kind": "phrase", "terms": c.terms,
-                     "offsets": c.offsets,
+                     "offsets": c.offsets, "slop": int(c.slop),
                      "wv": float(F32(w * K1_PLUS_1)),
                      "cost": min(dfs[t] for t in c.terms)}
                 )
@@ -2148,6 +2155,55 @@ def _wand_or(tis, wvs, cache, norms, gbase, span, k, mm, excl_mask,
 
 # -- exact phrase (ExactPhraseScorer analogue) ------------------------------
 
+def _decode_phrase_postings(posts: pd.DataFrame, uniq_terms):
+    """Shared decode for the positional kernels: {term: (docs, tfs,
+    flat positions)} with positions aligned to np.repeat(docs, tfs).
+    Returns (decoded, max_pos) or None when any term is absent from
+    the group (conjunction semantics — PhraseQuery requires all
+    terms)."""
+    from lucene_solr_spark.indexing.codec import (
+        decode_prox_parts,
+        positions_from_deltas,
+    )
+
+    by_term: Dict[str, list] = {}
+    for r in posts.sort_values("seg_id").itertuples(index=False):
+        by_term.setdefault(r.term, []).append(r)
+    decoded = {}
+    max_pos = 0
+    for t in uniq_terms:
+        rows = by_term.get(t)
+        if not rows:
+            return None
+        dparts, tparts, pparts = [], [], []
+        for r in rows:
+            if r.pos_enc is None:
+                raise ValueError(
+                    "phrase query on an index built without positions"
+                )
+            if r.df == 1:
+                d = np.array([r.sdoc], np.int64)
+                tf = np.array([r.stf], np.int32)
+            else:
+                d, tf = decode_postings(
+                    r.doc_ids_enc, r.tfs_enc, r.skips_enc
+                )
+            cnts = (None if getattr(r, "pos_cnts", None) is None
+                    else np.frombuffer(r.pos_cnts, "<i8"))
+            deltas = decode_prox_parts(r.pos_enc, cnts, int(tf.sum()))
+            pos = positions_from_deltas(deltas, tf)
+            dparts.append(d)
+            tparts.append(tf)
+            pparts.append(pos)
+        d = np.concatenate(dparts)
+        tf = np.concatenate(tparts)
+        pos = np.concatenate(pparts)
+        if len(pos):
+            max_pos = max(max_pos, int(pos.max()))
+        decoded[t] = (d, tf, pos)
+    return decoded, max_pos
+
+
 def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
     """Per-group kernel for exact phrase matching with position holes
     (search/ExactPhraseScorer.java:26-91; QueryParser builds hole-aware
@@ -2172,46 +2228,10 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
             return empty_result()
         gbase, span, norms, deleted = _group_ctx(segs)
 
-        from lucene_solr_spark.indexing.codec import (
-            decode_prox_parts,
-            positions_from_deltas,
-        )
-
-        by_term: Dict[str, list] = {}
-        for r in posts.sort_values("seg_id").itertuples(index=False):
-            by_term.setdefault(r.term, []).append(r)
-        decoded = {}
-        max_pos = 0
-        for t in uniq_terms:
-            rows = by_term.get(t)
-            if not rows:
-                return empty_result()  # conjunction: all terms required
-            dparts, tparts, pparts = [], [], []
-            for r in rows:
-                if r.pos_enc is None:
-                    raise ValueError(
-                        "phrase query on an index built without positions"
-                    )
-                if r.df == 1:
-                    d = np.array([r.sdoc], np.int64)
-                    tf = np.array([r.stf], np.int32)
-                else:
-                    d, tf = decode_postings(
-                        r.doc_ids_enc, r.tfs_enc, r.skips_enc
-                    )
-                cnts = (None if getattr(r, "pos_cnts", None) is None
-                        else np.frombuffer(r.pos_cnts, "<i8"))
-                deltas = decode_prox_parts(r.pos_enc, cnts, int(tf.sum()))
-                pos = positions_from_deltas(deltas, tf)
-                dparts.append(d)
-                tparts.append(tf)
-                pparts.append(pos)
-            d = np.concatenate(dparts)
-            tf = np.concatenate(tparts)
-            pos = np.concatenate(pparts)
-            if len(pos):
-                max_pos = max(max_pos, int(pos.max()))
-            decoded[t] = (d, tf, pos)
+        dec = _decode_phrase_postings(posts, uniq_terms)
+        if dec is None:
+            return empty_result()  # conjunction: all terms required
+        decoded, max_pos = dec
 
         shift = max(21, int(max_pos + offbase + 1).bit_length())
         keys = None
@@ -2250,6 +2270,95 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
         # cogroup.applyInPandas dispatches on arity (3 args would mean
         # (key, left, right)) — keep the public kernel 2-arg and expose
         # the batch-sharing variant separately
+        return score_group(posts, segs)
+
+    kernel.with_shared = score_group  # type: ignore[attr-defined]
+    return kernel
+
+
+# -- sloppy phrase (SloppyPhraseScorer analogue) ----------------------------
+
+def make_sloppy_phrase_scorer(offsets, wv, cache: np.ndarray,
+                              k: Optional[int], slop: int):
+    """Per-group kernel for sloppy phrase matching
+    (search/SloppyPhraseScorer.java via search/sloppy.py): candidate
+    docs are the conjunction of all clause terms' doc sets (the
+    ConjunctionScorer walk driving the reference scorer), then each
+    candidate runs the exact greedy phraseFreq traversal; freq > 0 docs
+    are scored with the float sloppy freq through the standard BM25
+    kernel (weightValue * freq / (freq + norm),
+    BM25Similarity.java:233-238 with freq = sloppyFreq).
+
+    Scale: the candidate intersection is vectorized per partition; the
+    per-doc Python loop touches candidate docs only (post-conjunction),
+    linear in their position lists — the reference's own per-doc cost.
+    """
+    from lucene_solr_spark.search.sloppy import sloppy_phrase_freq
+
+    uniq_terms = list(dict.fromkeys(t for t, _ in offsets))
+    clause_terms = [t for t, _ in offsets]
+    clause_offs = [o for _, o in offsets]
+
+    def empty_result():
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
+
+    def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        if len(posts) == 0 or len(segs) == 0:
+            return empty_result()
+        gbase, span, norms, deleted = _group_ctx(segs)
+        dec = _decode_phrase_postings(posts, uniq_terms)
+        if dec is None:
+            return empty_result()
+        decoded, _ = dec
+        cand = None
+        for t in uniq_terms:
+            d = decoded[t][0]
+            cand = d if cand is None else np.intersect1d(
+                cand, d, assume_unique=True
+            )
+            if len(cand) == 0:
+                return empty_result()
+        if deleted is not None and len(cand):
+            cand = cand[~deleted[cand - gbase]]
+        if len(cand) == 0:
+            return empty_result()
+        slices = {}
+        for t in uniq_terms:
+            d, tf, pos = decoded[t]
+            ends = np.cumsum(tf)
+            starts = ends - tf
+            idx = np.searchsorted(d, cand)
+            slices[t] = (starts[idx], ends[idx], pos)
+        pf = np.zeros(len(cand), np.float32)
+        for j in range(len(cand)):
+            arrs = []
+            for t in clause_terms:
+                s, e, pos = slices[t]
+                arrs.append(pos[s[j]:e[j]])
+            pf[j] = sloppy_phrase_freq(
+                arrs, clause_offs, clause_terms, slop
+            )
+        sel = pf > 0
+        udocs, pfv = cand[sel], pf[sel]
+        if len(udocs) == 0:
+            return empty_result()
+        nrm = cache[norms[udocs - gbase].astype(np.int64)]
+        scores = ((wv * pfv) / (pfv + nrm)).astype(np.float32)
+
+        cand_docs, cand_scores = udocs, scores
+        if k is not None and len(cand_docs) > k:
+            thresh = cand_scores[np.argpartition(-cand_scores, k - 1)[k - 1]]
+            sel2 = cand_scores >= thresh
+            cand_docs, cand_scores = cand_docs[sel2], cand_scores[sel2]
+        order = np.lexsort((cand_docs, -cand_scores.astype(np.float64)))
+        if k is not None:
+            order = order[:k]
+        return pd.DataFrame(
+            {"doc_id": cand_docs[order], "score": cand_scores[order]}
+        )
+
+    def kernel(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
         return score_group(posts, segs)
 
     kernel.with_shared = score_group  # type: ignore[attr-defined]
@@ -2347,6 +2456,48 @@ def make_boolean_scorer(clauses: List[dict], cache: np.ndarray,
                 if len(pos):
                     max_pos = max(max_pos, int(pos.max()))
                 decoded[t] = (d, tf, pos)
+            if c.get("slop", 0) > 0:
+                # SloppyPhraseScorer clause inside a boolean tree
+                from lucene_solr_spark.search.sloppy import (
+                    sloppy_phrase_freq,
+                )
+
+                cand = None
+                for t in c["terms"]:
+                    d = decoded[t][0]
+                    cand = d if cand is None else np.intersect1d(
+                        cand, d, assume_unique=True
+                    )
+                    if len(cand) == 0:
+                        return (np.empty(0, np.int64),
+                                np.empty(0, np.float32))
+                slices = {}
+                for t in c["terms"]:
+                    d, tf, pos = decoded[t]
+                    ends = np.cumsum(tf)
+                    idx = np.searchsorted(d, cand)
+                    slices[t] = (ends[idx] - tf[idx], ends[idx], pos)
+                cl_terms = [t for t, _ in c["offsets"]]
+                cl_offs = [o for _, o in c["offsets"]]
+                pf = np.zeros(len(cand), np.float32)
+                for j in range(len(cand)):
+                    arrs = []
+                    for t in cl_terms:
+                        st, en, pos = slices[t]
+                        arrs.append(pos[st[j]:en[j]])
+                    pf[j] = sloppy_phrase_freq(
+                        arrs, cl_offs, cl_terms, c["slop"]
+                    )
+                sel = pf > 0
+                udocs, pfv = cand[sel], pf[sel]
+                if len(udocs) == 0:
+                    return (np.empty(0, np.int64),
+                            np.empty(0, np.float32))
+                nrm = cache[norms[udocs - gbase].astype(np.int64)]
+                s = ((F32(c["wv"]) * pfv) / (pfv + nrm)).astype(
+                    np.float32
+                )
+                return udocs, s
             offbase = max(off for _, off in c["offsets"])
             shift = max(21, int(max_pos + offbase + 1).bit_length())
             keys = None

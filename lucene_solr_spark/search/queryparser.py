@@ -43,7 +43,7 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<mod>[+\-])?
         (?:
-            "(?P<phrase>[^"]*)"
+            "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?
           | (?:(?P<rfld>[A-Za-z_]\w*):)?(?P<rng>[\[\{][^\]\}]*[\]\}])
           | /(?P<regex>(?:[^/\\]|\\.)*)/
           | (?P<word>[^\s"]+)
@@ -74,6 +74,8 @@ class Clause:
     hi: Optional[str] = None
     include_lo: bool = True
     include_hi: bool = True
+    # phrase slop ("..."~n -> SloppyPhraseScorer; 0 = exact)
+    slop: int = 0
     # 'range' only: None/'content' = term range over the index; any
     # other name = numeric/field range (NumericRangeQuery surface)
     field: Optional[str] = None
@@ -184,10 +186,12 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             if not tp:
                 continue
             p0 = tp[0][1]
+            pslop = m.group("pslop")
             clauses.append(
                 Clause(occur=occur, kind="phrase", text=phrase,
                        terms=list(dict.fromkeys(t for t, _ in tp)),
-                       offsets=[(t, p - p0) for t, p in tp])
+                       offsets=[(t, p - p0) for t, p in tp],
+                       slop=int(pslop) if pslop else 0)
             )
             continue
         if "(" in word or ")" in word:
