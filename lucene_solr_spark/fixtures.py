@@ -84,4 +84,7 @@ BOOLEAN_QUERY_SET = [
     f"content:{VOCAB[15]} -{VOCAB[40]}",
     f"-{VOCAB[10]}",                                    # only NOT -> empty
     f'+{HIGH_DF_IDS[2]} "doc seven" {VOCAB[900]}',
+    f"{VOCAB[10]}^2 {VOCAB[451]}",                      # term boost
+    f'"seven hundred"^3 {VOCAB[10]}^0.5',               # phrase + frac boost
+    f'+{VOCAB[15]}^4 -{VOCAB[40]} "doc seven"~2^2',     # boosted sloppy
 ]

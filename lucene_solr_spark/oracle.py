@@ -79,8 +79,9 @@ class OracleIndex:
         return norm_cache(avgdl(self.sum_ttf, self.max_doc), K1, B)
 
     # -- scoring -------------------------------------------------------
-    def _term_scores(self, term: str, cache: np.ndarray) -> Dict[int, np.float32]:
-        w = idf(self.df(term), self.max_doc)
+    def _term_scores(self, term: str, cache: np.ndarray,
+                     boost: float = 1.0) -> Dict[int, np.float32]:
+        w = F32(idf(self.df(term), self.max_doc) * F32(boost))
         weight_value = F32(w * K1_PLUS_1)
         out = {}
         for doc_id, tf in self.postings.get(term, ()):
@@ -307,7 +308,8 @@ class OracleIndex:
 
 
     # -- exact phrase (ExactPhraseScorer semantics) --------------------
-    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0):
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0,
+                      boost: float = 1.0):
         """Hole-aware phrase: analyzed offsets must align; freq =
         phraseFreq; weight = float32 sum of clause idfs in order
         (BM25Similarity.java:185-198; ExactPhraseScorer.java:26-91).
@@ -327,7 +329,7 @@ class OracleIndex:
         w = F32(0.0)
         for t, _ in offsets:
             w = F32(w + idf(self.df(t), self.max_doc))
-        weight_value = F32(w * K1_PLUS_1)
+        weight_value = F32(F32(w * F32(boost)) * K1_PLUS_1)
         cache = self._cache()
         docs = set(self.positions[uniq[0]])
         for t in uniq[1:]:
@@ -461,10 +463,10 @@ class OracleBoolean:
             t = c.terms[0]
             if t not in idx.postings:
                 return None
-            return idx._term_scores(t, cache), idx.df(t)
+            return idx._term_scores(t, cache, c.boost), idx.df(t)
         if c.kind == "phrase":
             hits = idx.search_phrase(c.text, k=len(idx.norm_bytes),
-                                     slop=c.slop)
+                                     slop=c.slop, boost=c.boost)
             if not hits:
                 return None
             return dict(hits), min(idx.df(t) for t in c.terms)

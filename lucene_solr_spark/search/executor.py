@@ -646,8 +646,11 @@ class IndexSearcher:
             exact.update(c.terms)
         dfs = self._lookup_dfs(sorted(exact))
 
-        def term_wv(df_t: int) -> float:
-            return float(F32(F32(idf(df_t, self.max_doc)) * K1_PLUS_1))
+        def term_wv(df_t: int, boost: float = 1.0) -> float:
+            # weight = f32(idf * queryBoost) (BM25Stats.normalize,
+            # BM25Similarity.java:289-293), weightValue = f32(w*(k1+1))
+            w = F32(F32(idf(df_t, self.max_doc)) * F32(boost))
+            return float(F32(w * K1_PLUS_1))
 
         planned: List[dict] = []
         fetch: set = set()
@@ -661,7 +664,7 @@ class IndexSearcher:
                     continue
                 planned.append(
                     {"occur": c.occur, "kind": "term", "terms": [t],
-                     "wv": term_wv(dfs[t]), "cost": dfs[t]}
+                     "wv": term_wv(dfs[t], c.boost), "cost": dfs[t]}
                 )
                 fetch.add(t)
             elif c.kind == "phrase":
@@ -675,7 +678,7 @@ class IndexSearcher:
                 planned.append(
                     {"occur": c.occur, "kind": "phrase", "terms": c.terms,
                      "offsets": c.offsets, "slop": int(c.slop),
-                     "wv": float(F32(w * K1_PLUS_1)),
+                     "wv": float(F32(F32(w * F32(c.boost)) * K1_PLUS_1)),
                      "cost": min(dfs[t] for t in c.terms)}
                 )
                 fetch.update(c.terms)

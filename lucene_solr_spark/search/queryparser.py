@@ -43,7 +43,7 @@ _TOKEN = re.compile(
     r"""\s*(?:
         (?P<mod>[+\-])?
         (?:
-            "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?
+            "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
           | (?:(?P<rfld>[A-Za-z_]\w*):)?(?P<rng>[\[\{][^\]\}]*[\]\}])
           | /(?P<regex>(?:[^/\\]|\\.)*)/
           | (?P<word>[^\s"]+)
@@ -76,6 +76,10 @@ class Clause:
     include_hi: bool = True
     # phrase slop ("..."~n -> SloppyPhraseScorer; 0 = exact)
     slop: int = 0
+    # query boost (term^2 / "phrase"^2): weight = f32(idf * boost)
+    # before the (k1+1) factor (BM25Stats.normalize,
+    # similarities/BM25Similarity.java:289-293)
+    boost: float = 1.0
     # 'range' only: None/'content' = term range over the index; any
     # other name = numeric/field range (NumericRangeQuery surface)
     field: Optional[str] = None
@@ -186,12 +190,13 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             if not tp:
                 continue
             p0 = tp[0][1]
-            pslop = m.group("pslop")
+            pslop, pboost = m.group("pslop"), m.group("pboost")
             clauses.append(
                 Clause(occur=occur, kind="phrase", text=phrase,
                        terms=list(dict.fromkeys(t for t, _ in tp)),
                        offsets=[(t, p - p0) for t, p in tp],
-                       slop=int(pslop) if pslop else 0)
+                       slop=int(pslop) if pslop else 0,
+                       boost=float(pboost) if pboost else 1.0)
             )
             continue
         if "(" in word or ")" in word:
@@ -204,6 +209,14 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             fld, word = word.split(":", 1)
             if fld != "content":
                 raise QueryParseError(f"unknown field: {fld!r}")
+        boost = 1.0
+        bm = re.match(r"^(.+)\^(\d+(?:\.\d+)?)$", word)
+        if bm:
+            word, boost = bm.group(1), float(bm.group(2))
+            if "*" in word or "?" in word or word.endswith("~"):
+                raise QueryParseError(
+                    "boost is supported on term and phrase clauses only"
+                )
         if word.endswith("*") and len(word) > 1 and "*" not in word[:-1] \
                 and "?" not in word:
             stem = analyze(word[:-1])
@@ -235,5 +248,5 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             continue
         for t in analyze(word):
             clauses.append(Clause(occur=occur, kind="term", text=t,
-                                  terms=[t]))
+                                  terms=[t], boost=boost))
     return clauses
