@@ -728,6 +728,29 @@ def q_ib_spl_single(spark, sf_dir):
     return _topk_double(s.search(Q_SINGLE, k=TOP_K, similarity="ib_spl"))
 
 
+def q_dfr_gl1_single(spark, sf_dir):
+    """Composed SimilarityBase config dfr:g:l:h1 — BasicModelG +
+    AfterEffectL + NormalizationH1, assembled by the generic
+    composition framework (DFRSimilarity.java ctor semantics), not a
+    hand-fused block. Exercises the H1 norm (tf*avgFL/len, pure f32)
+    and the G-with-L pairing the fused entries don't cover."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="dfr:g:l:h1")
+    )
+
+
+def q_ib_spl_ttf_h3_single(spark, sf_dir):
+    """Composed SimilarityBase config ib:spl:ttf:h3 — DistributionSPL +
+    LambdaTTF + NormalizationH3(mu=800) (IBSimilarity.java ctor
+    semantics). Exercises the TTF lambda and the Dirichlet-style H3
+    norm, neither reachable through the fused entries."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="ib:spl:ttf:h3")
+    )
+
+
 def q_lmdirichlet(spark, sf_dir):
     """LMDirichletSimilarity (mu=2000) single-term search — one of the
     reference's 14 SimilarityBase models (LMDirichletSimilarity.java)."""
@@ -1726,6 +1749,68 @@ SELECT doc_id,
   ) AS FLOAT) AS DOUBLE) AS score
 FROM stfn ORDER BY score DESC, doc_id ASC LIMIT 10
 """
+    # dfr:g:l:h1 (composed): tfn = f32(f32(tf*avgFL)/len) [H1];
+    # bm = f32(ln(lam+1)/ln2 + tfn*ln((1+lam)/lam)/ln2), lam double =
+    # (cf+1)/(N+cf+1) [G]; ae = f32(1/f32(tfn+1)) [L]; score=f32(bm*ae)
+    o["dfr_gl1_single"] = ORACLE_PRELUDE + _LEND + f"""
+, gavg AS (
+  SELECT CAST(CAST((SELECT sum_ttf FROM coll) AS FLOAT)
+              / CAST((SELECT max_doc FROM coll) AS FLOAT) AS FLOAT) AS v
+),
+gstat AS (SELECT df, cf FROM tstats WHERE term = '{Q_SINGLE}'),
+glam AS (
+  SELECT ((SELECT cf FROM gstat) + 1.0e0)
+         / ((SELECT max_doc FROM coll)
+            + (SELECT cf FROM gstat) + 1.0e0) AS lam
+),
+gtfn AS (
+  SELECT tf.doc_id,
+    CAST(CAST(CAST(tf.tf AS FLOAT) * (SELECT v FROM gavg) AS FLOAT)
+         / l.lenv AS FLOAT) AS tfn
+  FROM tf JOIN lend l USING (doc_id) WHERE tf.term = '{Q_SINGLE}'
+)
+SELECT doc_id,
+  CAST(CAST(
+    CAST(ln((SELECT lam FROM glam) + 1) / ln(2)
+         + tfn * (ln((1 + (SELECT lam FROM glam))
+                     / (SELECT lam FROM glam)) / ln(2)) AS FLOAT)
+    * CAST(1 / CAST(tfn + 1 AS FLOAT) AS FLOAT)
+    AS FLOAT) AS DOUBLE) AS score
+FROM gtfn ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    # ib:spl:ttf:h3 (composed): tfn = f32 chain (tf + mu*f32((cf+1)/
+    # (sumTTF+1))) / (len+mu) * mu, mu=800f [H3]; lam = f32((cf+1)/
+    # (N+1)) [TTF]; SPL as in ib_spl_single
+    o["ib_spl_ttf_h3_single"] = ORACLE_PRELUDE + _LEND + f"""
+, hstat AS (SELECT cf FROM tstats WHERE term = '{Q_SINGLE}'),
+hlam AS (
+  SELECT CASE WHEN lam0 = 1 THEN CAST(0.99 AS FLOAT) ELSE lam0 END AS lam
+  FROM (SELECT CAST(CAST((SELECT cf FROM hstat) + 1 AS FLOAT)
+                    / CAST((SELECT max_doc FROM coll) + 1 AS FLOAT)
+                    AS FLOAT) AS lam0)
+),
+hcm AS (
+  SELECT CAST(CAST((SELECT cf FROM hstat) + 1 AS FLOAT)
+              / CAST((SELECT sum_ttf FROM coll) + 1 AS FLOAT)
+              AS FLOAT) AS cm
+),
+htfn AS (
+  SELECT tf.doc_id,
+    CAST(CAST(
+      CAST(CAST(tf.tf AS FLOAT)
+           + CAST(800 * (SELECT cm FROM hcm) AS FLOAT) AS FLOAT)
+      / CAST(l.lenv + 800 AS FLOAT) AS FLOAT) * 800 AS FLOAT) AS tfn
+  FROM tf JOIN lend l USING (doc_id) WHERE tf.term = '{Q_SINGLE}'
+)
+SELECT doc_id,
+  CAST(CAST(-ln(
+    (pow((SELECT lam FROM hlam),
+         CAST(tfn / CAST(tfn + 1 AS FLOAT) AS FLOAT))
+     - (SELECT lam FROM hlam))
+    / CAST(1 - (SELECT lam FROM hlam) AS FLOAT)
+  ) AS FLOAT) AS DOUBLE) AS score
+FROM htfn ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     _OML = "0.30000001192092896e0"  # f32(1) - f32(0.7), exact double
     _LAM = "0.699999988079071e0"    # f32(0.7)
     o["lmjm_single"] = ORACLE_PRELUDE + _LEND + f"""
@@ -2157,6 +2242,8 @@ QUERIES = {
     "dfr_ifb2_single": q_dfr_ifb2_single,
     "dfr_pl2_single": q_dfr_pl2_single,
     "ib_spl_single": q_ib_spl_single,
+    "dfr_gl1_single": q_dfr_gl1_single,
+    "ib_spl_ttf_h3_single": q_ib_spl_ttf_h3_single,
     "term_range_docs": q_term_range_docs,
     "sort_by_field": q_sort_by_field,
     "stats_doclen": q_stats_doclen,

@@ -301,6 +301,223 @@ def dfr_pl2_score_block(
     return (p * ae).astype(np.float32)
 
 
+# ---------------------------------------------------------------------------
+# SimilarityBase composition framework — the FULL reference grid.
+#
+# The reference composes DFR and IB similarities from pluggable parts
+# (DFRSimilarity.java ctor: BasicModel x AfterEffect x Normalization;
+# IBSimilarity.java ctor: Distribution x Lambda x Normalization). The
+# specialized *_score_block functions above are the hand-fused hot
+# configs; this section re-expresses every part separately with the
+# same stepwise float32/float64 type chains, so ANY reference
+# combination is available by name:
+#
+#   "dfr:<model>:<effect>:<norm>"   model: be d g if in ine p
+#                                   (BasicModelBE/D/G/IF/In/Ine/P.java)
+#                                   effect: no l b  (AfterEffect.java)
+#                                   norm:  no h1 h2 h3 z
+#                                   (Normalization*.java)
+#   "ib:<dist>:<lambda>:<norm>"     dist: ll spl; lambda: df ttf
+#
+# Normalization parameters are the reference defaults: H1/H2 c=1,
+# H3 mu=800 (NormalizationH3.java:29), Z z=0.30 (NormalizationZ.java).
+# Aliases: dfr == dfr:g:b:h2, dfr_inl2 == dfr:in:l:h2,
+# dfr_ifb2 == dfr:if:b:h2, dfr_pl2 == dfr:p:l:h2, ib == ib:ll:df:h2,
+# ib_spl == ib:spl:df:h2 (bit-exact equivalence is test-gated).
+# ---------------------------------------------------------------------------
+
+SB_MODELS = ("be", "d", "g", "if", "in", "ine", "p")
+SB_EFFECTS = ("no", "l", "b")
+SB_NORMS = ("no", "h1", "h2", "h3", "z")
+SB_DISTS = ("ll", "spl")
+SB_LAMBDAS = ("df", "ttf")
+H3_MU = 800.0   # NormalizationH3.java:29 default
+Z_Z = 0.30      # NormalizationZ.java default
+
+
+def sb_parse(name: str):
+    """Parse a composed similarity name; None if it isn't one."""
+    parts = name.lower().split(":")
+    if len(parts) != 4:
+        return None
+    fam = parts[0]
+    if fam == "dfr":
+        model, effect, norm = parts[1], parts[2], parts[3]
+        if (model in SB_MODELS and effect in SB_EFFECTS
+                and norm in SB_NORMS):
+            return {"family": "dfr", "model": model, "effect": effect,
+                    "norm": norm}
+        return None
+    if fam == "ib":
+        dist, lam, norm = parts[1], parts[2], parts[3]
+        if dist in SB_DISTS and lam in SB_LAMBDAS and norm in SB_NORMS:
+            return {"family": "ib", "dist": dist, "lam": lam,
+                    "norm": norm}
+    return None
+
+
+def sb_tfn(norm: str, avg_fl: float, cf: int, sum_ttf: int,
+           tfs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Normalization.tfn(stats, tf, len) — tf enters as float
+    (SimilarityBase.score freq param); len is the quantized decoded
+    length. Each variant mirrors its Java type chain exactly."""
+    tf32 = tfs.astype(np.float32)
+    if norm == "no":
+        # NoNormalization (Normalization.java): tfn = tf
+        return tf32
+    if norm == "h1":
+        # NormalizationH1.java: tf * avgFieldLength / len — pure f32
+        # ops (note: the reference's H1 takes c but does not use it)
+        return ((tf32 * F32(avg_fl)) / lens).astype(np.float32)
+    if norm == "h2":
+        # NormalizationH2.java:52-54 (c=1): inner 1 + c*avg/len chain
+        # f32; log2 + tf product double; final f32 cast
+        arg = (F32(1.0) + (F32(DFR_C) * F32(avg_fl)) / lens).astype(
+            np.float32
+        )
+        return (
+            tfs.astype(np.float64)
+            * (np.log(arg.astype(np.float64)) / _LOG_2)
+        ).astype(np.float32)
+    if norm == "h3":
+        # NormalizationH3.java: (tf + mu*((F+1F)/(T+1F))) / (len + mu)
+        # * mu — every step f32 (all operands are float)
+        mu = F32(H3_MU)
+        cm = F32(F32(cf + 1.0) / F32(sum_ttf + 1.0))
+        num = (tf32 + F32(mu * cm)).astype(np.float32)
+        den = (lens + mu).astype(np.float32)
+        return ((num / den) * mu).astype(np.float32)
+    # NormalizationZ.java: (float)(tf * pow(avg/len, z)) — avg/len is
+    # an f32 division; pow and the tf product run in double
+    ratio = (F32(avg_fl) / lens).astype(np.float32)
+    return (
+        tfs.astype(np.float64)
+        * np.power(ratio.astype(np.float64), float(Z_Z))
+    ).astype(np.float32)
+
+
+def sb_basic_model(model: str, df: int, cf: int, max_doc: int,
+                   tfn: np.ndarray) -> np.ndarray:
+    """BasicModel.score(stats, tfn) -> f32, per BasicModel*.java."""
+    t64 = tfn.astype(np.float64)
+    N = float(max_doc)
+    if model == "be":
+        # BasicModelBE.java: all-double chain, F = cf+1+tfn
+        Fd = cf + 1.0 + t64
+        Nd = Fd + N
+
+        def f(n, m):
+            return (m + 0.5) * (np.log(n / m) / _LOG_2) \
+                + (n - m) * (np.log(n) / _LOG_2)
+
+        s = (
+            -(np.log((Nd - 1.0) * math.e) / _LOG_2)
+            + f(Nd + Fd - 1.0, Nd + Fd - t64 - 2.0)
+            - f(Fd, Fd - t64)
+        )
+        return s.astype(np.float32)
+    if model == "d":
+        # BasicModelD.java: all-double chain
+        Fd = cf + 1.0 + t64
+        phi = t64 / Fd
+        nphi = 1.0 - phi
+        p = 1.0 / (N + 1.0)
+        D = phi * (np.log(phi / p) / _LOG_2) \
+            + nphi * (np.log(nphi / (1.0 - p)) / _LOG_2)
+        s = D * Fd + 0.5 * (
+            np.log(1.0 + 2.0 * math.pi * t64 * nphi) / _LOG_2
+        )
+        return s.astype(np.float32)
+    if model == "g":
+        # BasicModelG.java: lambda = (F)/(N+F), F = cf+1, double chain
+        Fd = float(cf + 1)
+        lam = Fd / (N + Fd)
+        s = (math.log(lam + 1.0) / _LOG_2) \
+            + t64 * (math.log((1.0 + lam) / lam) / _LOG_2)
+        return s.astype(np.float32)
+    if model == "if":
+        # BasicModelIF.java: tfn * (float)log2(1 + (N+1)/(F+0.5))
+        w = F32(math.log(1.0 + (max_doc + 1) / (cf + 0.5)) / _LOG_2)
+        return (tfn * w).astype(np.float32)
+    if model == "in":
+        # BasicModelIn.java: tfn * (float)log2((N+1)/(n+0.5))
+        w = F32(math.log((max_doc + 1) / (df + 0.5)) / _LOG_2)
+        return (tfn * w).astype(np.float32)
+    if model == "ine":
+        # BasicModelIne.java: ne = N*(1-((N-1)/N)^F) in double
+        ne = N * (1.0 - math.pow((N - 1.0) / N, float(cf)))
+        w = F32(math.log((max_doc + 1) / (ne + 0.5)) / _LOG_2)
+        return (tfn * w).astype(np.float32)
+    # BasicModelP.java: lambda f32; tfn/lambda f32 div; double tail
+    lam = F32(F32(cf + 1) / F32(max_doc + 1))
+    ratio = (tfn / lam).astype(np.float32)
+    inner = (lam + (F32(1.0) / (F32(12.0) * tfn)) - tfn).astype(
+        np.float32
+    )
+    s = (
+        t64 * (np.log(ratio.astype(np.float64)) / _LOG_2)
+        + inner.astype(np.float64) * _LOG2_E
+        + 0.5 * (np.log(2.0 * math.pi * t64) / _LOG_2)
+    )
+    return s.astype(np.float32)
+
+
+def sb_after_effect(effect: str, df: int, cf: int,
+                    tfn: np.ndarray) -> np.ndarray:
+    """AfterEffect.score(stats, tfn) -> f32 (AfterEffect*.java)."""
+    if effect == "no":
+        return np.ones_like(tfn, dtype=np.float32)
+    if effect == "l":
+        # AfterEffectL.java: 1/(tfn+1) — f32 ops
+        return (F32(1.0) / (tfn + F32(1.0))).astype(np.float32)
+    # AfterEffectB.java: (F+1)/(n*(tfn+1)), F = cf+1, n = df+1 —
+    # long*(f32) then long/(f32), i.e. f32 mult + f32 div
+    return (
+        F32(cf + 2) / (F32(df + 1) * (tfn + F32(1.0)))
+    ).astype(np.float32)
+
+
+def sb_lambda(lam: str, df: int, cf: int, max_doc: int) -> np.float32:
+    """Lambda.lambda(stats) -> f32 (LambdaDF/LambdaTTF.java)."""
+    if lam == "df":
+        return F32(F32(df + 1.0) / F32(max_doc + 1.0))
+    return F32(F32(cf + 1.0) / F32(max_doc + 1.0))
+
+
+def sb_distribution(dist: str, tfn: np.ndarray,
+                    lam: np.float32) -> np.ndarray:
+    """Distribution.score(stats, tfn, lambda) -> f32."""
+    if dist == "ll":
+        # DistributionLL.java: (float)-log(lambda/(tfn+lambda))
+        x = (lam / (tfn + lam)).astype(np.float32)
+        return (-np.log(x.astype(np.float64))).astype(np.float32)
+    # DistributionSPL.java: lambda==1f -> 0.99f guard; tfn/(tfn+1)
+    # f32; pow/sub/div/log tail double
+    if lam == F32(1.0):
+        lam = F32(0.99)
+    expo = (tfn / (tfn + F32(1.0))).astype(np.float32)
+    denom = float(F32(1.0) - lam)
+    num = np.power(float(lam), expo.astype(np.float64)) - float(lam)
+    return (-np.log(num / denom)).astype(np.float32)
+
+
+def sb_score_block(
+    p: dict, df: int, cf: int, max_doc: int, avg_fl: float,
+    sum_ttf: int, tfs: np.ndarray, norm_bytes: np.ndarray,
+) -> np.ndarray:
+    """Composed SimilarityBase score (boost = 1):
+    DFRSimilarity.score — f32(boost * model(tfn)) * effect(tfn);
+    IBSimilarity.score  — f32(boost * dist(tfn, lambda))."""
+    lens = LENGTH_TABLE[norm_bytes.astype(np.int64)]
+    tfn = sb_tfn(p["norm"], avg_fl, cf, sum_ttf, tfs, lens)
+    if p["family"] == "dfr":
+        bm = sb_basic_model(p["model"], df, cf, max_doc, tfn)
+        ae = sb_after_effect(p["effect"], df, cf, tfn)
+        return (bm * ae).astype(np.float32)
+    lam = sb_lambda(p["lam"], df, cf, max_doc)
+    return sb_distribution(p["dist"], tfn, lam)
+
+
 def ib_spl_score_block(
     df: int, max_doc: int, avg_fl: float,
     tfs: np.ndarray, norm_bytes: np.ndarray,

@@ -101,11 +101,24 @@ class OracleIndex:
             lmjm_score_block,
         )
 
+        from lucene_solr_spark.functions.similarity import (
+            sb_parse,
+            sb_score_block,
+        )
+
+        sbp = sb_parse(similarity)
         out = {}
         for doc_id, tf in self.postings.get(term, ()):
             tfs = np.array([tf], np.int32)
             nbs = np.array([self.norm_bytes[doc_id]], np.uint8)
-            if similarity == "classic":
+            if sbp is not None:
+                df_t, cf_t = values[term]
+                out[doc_id] = sb_score_block(
+                    sbp, df_t, cf_t, self.max_doc,
+                    avg_field_length(self.sum_ttf, self.max_doc),
+                    self.sum_ttf, tfs, nbs,
+                )[0]
+            elif similarity == "classic":
                 out[doc_id] = classic_score_block(values[term], tfs, nbs)[0]
             elif similarity == "dfr":
                 df_t, cf_t = values[term]
@@ -205,7 +218,11 @@ class OracleIndex:
                 t: sum(f for _, f in self.postings.get(t, ()))
                 for t in qterms
             }
-            if similarity in ("dfr", "dfr_ifb2"):
+            from lucene_solr_spark.functions.similarity import sb_parse
+
+            if sb_parse(similarity) is not None:
+                values = {t: (self.df(t), cfs[t]) for t in qterms}
+            elif similarity in ("dfr", "dfr_ifb2"):
                 values = {t: (self.df(t), cfs[t]) for t in qterms}
             elif similarity in ("ib", "dfr_inl2", "ib_spl"):
                 values = {t: self.df(t) for t in qterms}

@@ -337,6 +337,17 @@ class IndexSearcher:
                     "subs": [None if n == "bm25"
                              else self._sim_spec(n, scoring, dfs)
                              for n in names]}
+        sbp = S.sb_parse(similarity)
+        if sbp is not None:
+            # composed SimilarityBase grid (dfr:<model>:<effect>:<norm>
+            # / ib:<dist>:<lambda>:<norm>) — ship per-term (df, cf) and
+            # the global stats; the kernel composes the parts
+            cfs = self._lookup_cfs(scoring)
+            return {"kind": "sb", "params": sbp,
+                    "max_doc": self.max_doc, "sum_ttf": self.sum_ttf,
+                    "avg_fl": S.avg_field_length(
+                        self.sum_ttf, self.max_doc),
+                    "values": {t: (dfs[t], cfs[t]) for t in scoring}}
         if similarity == "classic":
             return {"kind": "classic",
                     "values": S.classic_values(scoring, dfs, self.max_doc),
@@ -1039,6 +1050,14 @@ class IndexSearcher:
                 return F32(ib_spl_score_block(
                     spec["values"][t], spec["max_doc"],
                     spec["avg_fl"], tfs, nbs)[0])
+            if kind == "sb":
+                from lucene_solr_spark.functions.similarity import (
+                    sb_score_block,
+                )
+                df_t, cf_t = spec["values"][t]
+                return F32(sb_score_block(
+                    spec["params"], df_t, cf_t, spec["max_doc"],
+                    spec["avg_fl"], spec["sum_ttf"], tfs, nbs)[0])
             if kind == "multi":  # f32 sum of subs in order
                 acc = F32(0.0)
                 for s2 in spec["subs"]:
@@ -1914,6 +1933,16 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
                 )
                 return lambda t, docs, tfs: ib_spl_score_block(
                     spec["values"][t], spec["max_doc"], spec["avg_fl"],
+                    tfs, norms[docs - gbase],
+                )
+            if kind == "sb":
+                from lucene_solr_spark.functions.similarity import (
+                    sb_score_block,
+                )
+                return lambda t, docs, tfs: sb_score_block(
+                    spec["params"], spec["values"][t][0],
+                    spec["values"][t][1], spec["max_doc"],
+                    spec["avg_fl"], spec["sum_ttf"],
                     tfs, norms[docs - gbase],
                 )
             if kind == "multi":

@@ -307,7 +307,14 @@ def test_search_many_executor_merge_path(spark, built):
     "similarity",
     ["classic", "lmdirichlet", "dfr", "lmjelinekmercer", "ib",
      "dfr_inl2", "dfr_ifb2", "dfr_pl2", "ib_spl",
-     "multi:bm25+lmdirichlet", "multi:dfr+ib"],
+     "multi:bm25+lmdirichlet", "multi:dfr+ib",
+     # composed SimilarityBase grid sample: every BasicModel,
+     # AfterEffect, Normalization, Distribution and Lambda appears
+     # at least once (full grid available; see sb_parse)
+     "dfr:be:l:h2", "dfr:d:b:h1", "dfr:g:l:h3", "dfr:ine:b:z",
+     "dfr:if:no:no", "dfr:p:b:h1",
+     "ib:ll:ttf:h2", "ib:spl:df:h3",
+     "multi:dfr:be:l:h2+ib:ll:ttf:h1"],
 )
 @pytest.mark.parametrize("q", [QUERY_SET[0], QUERY_SET[2], QUERY_SET[3],
                                QUERY_SET[5]],
@@ -335,6 +342,26 @@ def test_pluggable_similarity_rank_identical(spark, built, q, similarity):
     assert [d for d, _ in got] == [d for d, _ in want], (similarity, q)
     for (dg, sg), (dw, sw) in zip(got, want):
         assert sg.tobytes() == np.float32(sw).tobytes(), (similarity, dg)
+
+
+@pytest.mark.parametrize(
+    "alias,composed",
+    [("dfr", "dfr:g:b:h2"), ("dfr_inl2", "dfr:in:l:h2"),
+     ("dfr_ifb2", "dfr:if:b:h2"), ("dfr_pl2", "dfr:p:l:h2"),
+     ("ib", "ib:ll:df:h2"), ("ib_spl", "ib:spl:df:h2")],
+)
+def test_sb_composition_equals_fused_alias(spark, built, alias, composed):
+    """The generic SimilarityBase composition must be bit-identical to
+    the hand-fused score blocks for the named configs (DFRSimilarity /
+    IBSimilarity ctor equivalences)."""
+    index_dir, _ = built
+    searcher = IndexSearcher(spark, index_dir)
+    q = QUERY_SET[2]["query_text"]
+    a = [(r["doc_id"], np.float32(r["score"]).tobytes())
+         for r in searcher.search(q, k=10, similarity=alias).collect()]
+    b = [(r["doc_id"], np.float32(r["score"]).tobytes())
+         for r in searcher.search(q, k=10, similarity=composed).collect()]
+    assert a == b, (alias, composed)
 
 
 def test_cogroup_path_matches_broadcast_path(spark, built):
