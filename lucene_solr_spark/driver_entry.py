@@ -670,6 +670,18 @@ def q_classic_or(spark, sf_dir):
     )
 
 
+def q_sweetspot_single(spark, sf_dir):
+    """SweetSpotSimilarity (misc/SweetSpotSimilarity.java) single-term
+    search: classic idf weight with the baseline tf curve
+    (tf<=6 -> 1.5 else sqrt(tf+1.5^2-6)) and the plateau length norm
+    (1/sqrt(0.5*(|l-3|+|l-5|-2)+1)); config from the Solr test schema
+    schema-sweetspot.xml."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="sweetspot")
+    )
+
+
 def q_dfr_single(spark, sf_dir):
     """DFR GB2 (DFRSimilarity.java: BasicModelG + AfterEffectB +
     NormalizationH2(c=1)) single-term search — SimilarityBase seam."""
@@ -1507,6 +1519,56 @@ JOIN cval v ON tf.term = v.term
 JOIN fdec fd ON tf.doc_id = fd.doc_id
 ORDER BY score DESC, tf.doc_id ASC LIMIT 10
 """
+    # SweetSpotSimilarity: classic idf value; baselineTf
+    # (tf<=6 -> 1.5 else f32(sqrt(f32(tf + 1.5^2 - 6)))); plateau norm
+    # f32(1/sqrt(f32(0.5*f32(|l-3|+|l-5|-2) + 1))) on the quantized
+    # length (see functions/similarity.py sweetspot_score_block)
+    o["sweetspot_single"] = ORACLE_PRELUDE + """
+, lend AS (
+  SELECT doc_id, CAST(1.0e0 / (f * f) AS FLOAT) AS lenv
+  FROM (SELECT doc_id,
+               pow(2.0, floor(nb / 4) - 31) * (1 + (nb % 4) / 4.0e0) AS f
+        FROM norms) ff
+),
+ssn AS (
+  SELECT doc_id,
+    CAST(1.0e0 / sqrt(CAST(
+      CAST(0.5 AS FLOAT)
+      * CAST(abs(lenv - CAST(3 AS FLOAT)) + abs(lenv - CAST(5 AS FLOAT))
+             - CAST(2 AS FLOAT) AS FLOAT)
+      + CAST(1 AS FLOAT) AS FLOAT)) AS FLOAT) AS nrm
+  FROM lend
+)
+""" + f"""
+, sw AS (
+  SELECT term,
+    CAST(ln((SELECT max_doc FROM coll) / (df + 1.0e0)) + 1.0e0 AS FLOAT)
+      AS idfv
+  FROM tstats WHERE term = '{Q_SINGLE}'
+),
+sval AS (
+  SELECT term,
+    CAST(CAST(idfv * CAST(1.0e0 / sqrt(CAST(CAST(idfv * idfv AS FLOAT)
+                                            AS DOUBLE)) AS FLOAT)
+              AS FLOAT) * idfv AS FLOAT) AS val
+  FROM sw
+),
+stw AS (
+  SELECT tf.doc_id,
+    CASE WHEN CAST(tf.tf AS FLOAT) <= CAST(6.0 AS FLOAT)
+         THEN CAST(1.5 AS FLOAT)
+         ELSE CAST(sqrt(CAST(
+                CAST(CAST(tf.tf AS FLOAT) + CAST(2.25 AS FLOAT)
+                     - CAST(6.0 AS FLOAT) AS FLOAT)
+              AS DOUBLE)) AS FLOAT) END AS tfw
+  FROM tf WHERE tf.term = '{Q_SINGLE}'
+)
+SELECT s.doc_id,
+  CAST(CAST(CAST(s.tfw * (SELECT val FROM sval) AS FLOAT) * n.nrm
+            AS FLOAT) AS DOUBLE) AS score
+FROM stw s JOIN ssn n ON s.doc_id = n.doc_id
+ORDER BY score DESC, s.doc_id ASC LIMIT 10
+"""
     _t1, _t2, _t3 = Q_OR
     o["classic_or"] = ORACLE_PRELUDE + _FDEC + f"""
 , ci AS (
@@ -2233,6 +2295,7 @@ QUERIES = {
     "elevation_top10": q_elevation,
     "sloppy_phrase": q_sloppy_phrase,
     "classic_single": q_classic_single,
+    "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
     "lmdirichlet": q_lmdirichlet,
     "dfr_single": q_dfr_single,

@@ -537,3 +537,56 @@ def ib_spl_score_block(
     denom = float(F32(1.0) - lam)
     num = np.power(float(lam), expo.astype(np.float64)) - float(lam)
     return (-np.log(num / denom)).astype(np.float32)
+
+
+# SweetSpotSimilarity (misc/SweetSpotSimilarity.java) — a classic-TFIDF
+# variant with a baseline tf curve and a plateau length norm. Config is
+# the Solr test schema's baseline setup (solr/core/src/test-files/
+# solr/collection1/conf/schema-sweetspot.xml: baselineTfMin=6.0,
+# baselineTfBase=1.5, lengthNormMin=3, lengthNormMax=5,
+# lengthNormSteepness=0.5).
+SS_TF_MIN = 6.0
+SS_TF_BASE = 1.5
+SS_LN_MIN = 3
+SS_LN_MAX = 5
+SS_LN_STEEP = 0.5
+
+
+def sweetspot_norms(norm_bytes: np.ndarray) -> np.ndarray:
+    """computeLengthNorm (SweetSpotSimilarity.java:137-153):
+    f32(1.0f / sqrt(s*(|x-min|+|x-max|-(max-min)) + 1.0f)), the sqrt
+    argument built in f32, the 1/sqrt division in double.
+    DOCUMENTED DIVERGENCE: the reference applies this at INDEX time to
+    the exact token count and stores byte315(norm); our index stores
+    the classic norm byte, so x here is the byte315-quantized length
+    (exact below ~40 tokens, quantized above). Oracle mirrors."""
+    ln = LENGTH_TABLE[norm_bytes.astype(np.int64)]
+    inner = (
+        np.abs(ln - F32(SS_LN_MIN)) + np.abs(ln - F32(SS_LN_MAX))
+        - F32(SS_LN_MAX - SS_LN_MIN)
+    ).astype(np.float32)
+    arg = (F32(SS_LN_STEEP) * inner + F32(1.0)).astype(np.float32)
+    return (1.0 / np.sqrt(arg.astype(np.float64))).astype(np.float32)
+
+
+def sweetspot_score_block(
+    value: float, tfs: np.ndarray, norm_bytes: np.ndarray
+) -> np.ndarray:
+    """SweetSpot score = baselineTf(freq) * value * lengthNorm.
+    baselineTf (SweetSpotSimilarity.java:178-186):
+      freq <= min ? base : f32(sqrt(f32(freq + base*base - min)))
+    with the sqrt running in double on the f32 inner chain; the
+    weight/norm products are the classic ExactTFIDFDocScorer f32
+    chain (TFIDFSimilarity.java)."""
+    tf32 = tfs.astype(np.float32)
+    inner = (
+        tf32 + F32(SS_TF_BASE * SS_TF_BASE) - F32(SS_TF_MIN)
+    ).astype(np.float32)
+    with np.errstate(invalid="ignore"):  # sqrt branch unused for tf<=min
+        tfw = np.where(
+            tf32 <= F32(SS_TF_MIN),
+            F32(SS_TF_BASE),
+            np.sqrt(inner.astype(np.float64)).astype(np.float32),
+        ).astype(np.float32)
+    raw = (tfw * F32(value)).astype(np.float32)
+    return (raw * sweetspot_norms(norm_bytes)).astype(np.float32)

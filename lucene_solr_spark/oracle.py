@@ -120,6 +120,13 @@ class OracleIndex:
                 )[0]
             elif similarity == "classic":
                 out[doc_id] = classic_score_block(values[term], tfs, nbs)[0]
+            elif similarity == "sweetspot":
+                from lucene_solr_spark.functions.similarity import (
+                    sweetspot_score_block,
+                )
+                out[doc_id] = sweetspot_score_block(
+                    values[term], tfs, nbs
+                )[0]
             elif similarity == "dfr":
                 df_t, cf_t = values[term]
                 out[doc_id] = dfr_score_block(
@@ -210,7 +217,7 @@ class OracleIndex:
             lmd_p,
         )
 
-        if similarity == "classic":
+        if similarity in ("classic", "sweetspot"):
             dfs = {t: self.df(t) for t in qterms}
             values = classic_values(qterms, dfs, self.max_doc)
         else:

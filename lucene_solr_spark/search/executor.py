@@ -352,6 +352,11 @@ class IndexSearcher:
             return {"kind": "classic",
                     "values": S.classic_values(scoring, dfs, self.max_doc),
                     "max_coord": len(scoring)}
+        if similarity == "sweetspot":
+            # SweetSpotSimilarity: classic idf/queryNorm weight, its
+            # own tf curve + plateau length norm in the score block
+            return {"kind": "sweetspot",
+                    "values": S.classic_values(scoring, dfs, self.max_doc)}
         if similarity == "lmdirichlet":
             cfs = self._lookup_cfs(scoring)
             return {"kind": "lmdirichlet", "mu": S.LMD_MU,
@@ -999,6 +1004,12 @@ class IndexSearcher:
                     classic_score_block,
                 )
                 return F32(classic_score_block(
+                    spec["values"][t], tfs, nbs)[0])
+            if kind == "sweetspot":
+                from lucene_solr_spark.functions.similarity import (
+                    sweetspot_score_block,
+                )
+                return F32(sweetspot_score_block(
                     spec["values"][t], tfs, nbs)[0])
             if kind == "dfr":
                 from lucene_solr_spark.functions.similarity import (
@@ -1867,6 +1878,13 @@ def make_group_scorer(plan: QueryPlan, wand: bool):
                     classic_score_block,
                 )
                 return lambda t, docs, tfs: classic_score_block(
+                    spec["values"][t], tfs, norms[docs - gbase]
+                )
+            if kind == "sweetspot":
+                from lucene_solr_spark.functions.similarity import (
+                    sweetspot_score_block,
+                )
+                return lambda t, docs, tfs: sweetspot_score_block(
                     spec["values"][t], tfs, norms[docs - gbase]
                 )
             if kind == "lmdirichlet":

@@ -306,7 +306,7 @@ def test_search_many_executor_merge_path(spark, built):
 @pytest.mark.parametrize(
     "similarity",
     ["classic", "lmdirichlet", "dfr", "lmjelinekmercer", "ib",
-     "dfr_inl2", "dfr_ifb2", "dfr_pl2", "ib_spl",
+     "dfr_inl2", "dfr_ifb2", "dfr_pl2", "ib_spl", "sweetspot",
      "multi:bm25+lmdirichlet", "multi:dfr+ib",
      # composed SimilarityBase grid sample: every BasicModel,
      # AfterEffect, Normalization, Distribution and Lambda appears
