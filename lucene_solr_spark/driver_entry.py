@@ -478,6 +478,52 @@ def q_spell_suggest(spark, sf_dir):
     )
 
 
+def q_suggest_complete(spark, sf_dir):
+    """AnalyzingSuggester lookup (suggest/analyzing/
+    AnalyzingSuggester.java): top-5 completions of the analyzed prefix
+    's', weight = cf, ordered weight desc then surface form asc."""
+    s = get_searcher(spark, sf_dir)
+    return s.complete("s", n=5)
+
+
+def q_term_vector_doc(spark, sf_dir):
+    """TermVectorComponent (solr/core/.../component/
+    TermVectorComponent.java): per-doc (term, tf, df) vectors for two
+    requested docs, re-derived by re-analysis of the stored text."""
+    s = get_searcher(spark, sf_dir)
+    return s.term_vectors([3, 7], _store(spark, sf_dir))
+
+
+def q_sort_by_function(spark, sf_dir):
+    """Sort by function query (Solr sort=recip(...) — FunctionQuery as
+    a SortField; ReciprocalFloatFunction.java a/(m*x+b)): docs matching
+    the term ordered by recip(doc_len,1,1000,1000) desc, docID asc —
+    the ValueSource compiled to a Catalyst Column over doc stats."""
+    from lucene_solr_spark.functions.valuesource import VALUE_SOURCES
+
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs(F.col("term") == Q_SINGLE)
+    fv = VALUE_SOURCES["recip"](
+        F.col("doc_len").cast("double"), 1.0, 1000.0, 1000.0
+    )
+    return (
+        m.join(s.doc_stats(), "doc_id")
+        .select("doc_id", fv.cast("double").alias("fv"))
+        .orderBy(F.desc("fv"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_field_exists_docs(spark, sf_dir):
+    """FieldValueFilter (search/FieldValueFilter.java:142): count of
+    live docs where the lang field has a value — IS NOT NULL over the
+    docs surface, no postings touched."""
+    s = get_searcher(spark, sf_dir)
+    return s.field_value_docs("lang", exists=True).agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
 def q_matchall_count(spark, sf_dir):
     """MatchAllDocsQuery (search/MatchAllDocsQuery.java): live-doc count
     via the docs surface — no postings touched."""
@@ -2114,6 +2160,29 @@ WHERE regexp_full_match(term, '{Q_REGEXP}') ORDER BY term
     o["matchall_count"] = ORACLE_PRELUDE + (
         "SELECT count(*) AS n FROM docs0"
     )
+    o["field_exists_docs"] = ORACLE_PRELUDE + (
+        "SELECT CAST(count(*) AS BIGINT) AS n FROM docs0 "
+        "WHERE lang IS NOT NULL"
+    )
+    o["suggest_complete"] = ORACLE_PRELUDE + """
+SELECT term, CAST(cf AS BIGINT) AS weight
+FROM tstats WHERE term LIKE 's%'
+ORDER BY weight DESC, term ASC LIMIT 5
+"""
+    o["term_vector_doc"] = ORACLE_PRELUDE + """
+SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
+       CAST(ts.df AS BIGINT) AS df
+FROM tf JOIN tstats ts USING (term)
+WHERE tf.doc_id IN (3, 7)
+"""
+    o["sort_by_function"] = ORACLE_PRELUDE + f"""
+SELECT m.doc_id,
+  CAST(1000.0e0 / (1.0e0 * CAST(d.doc_len AS DOUBLE) + 1000.0e0)
+       AS DOUBLE) AS fv
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}') m
+JOIN dlen d USING (doc_id)
+ORDER BY fv DESC, m.doc_id ASC LIMIT {TOP_K}
+"""
     o["spell_suggest"] = ORACLE_PRELUDE + f"""
 SELECT term, df,
   1.0e0 - levenshtein(term, '{Q_FUZZY}')
@@ -2327,6 +2396,10 @@ QUERIES = {
     "filtered_range_query": q_filtered_range,
     "function_ord_lang": q_function_ord,
     "spell_suggest": q_spell_suggest,
+    "suggest_complete": q_suggest_complete,
+    "term_vector_doc": q_term_vector_doc,
+    "sort_by_function": q_sort_by_function,
+    "field_exists_docs": q_field_exists_docs,
     "function_tf_boost": q_function_tf_boost,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,

@@ -1301,6 +1301,62 @@ class IndexSearcher:
             .limit(n)
         )
 
+    def complete(self, prefix: str, n: int = 5) -> DataFrame:
+        """Analyzed-prefix completion — AnalyzingSuggester semantics
+        (lucene/suggest/.../analyzing/AnalyzingSuggester.java: the
+        input is analyzed, the FST maps analyzed form -> weighted
+        surface forms, lookup returns the top-n by weight). Our term
+        dict IS the analyzed surface and cf (total term frequency) is
+        the corpus-derived weight (the suggester test harness feeds
+        term frequencies as weights the same way). Order: weight desc,
+        then term asc (AnalyzingSuggester sorts by cost, then surface
+        bytes). The startswith predicate is pushed down to the sorted
+        term_stats parquet — a range probe, not a dict scan."""
+        toks = self.analyzer.analyze(prefix)
+        if not toks:
+            return self.spark.createDataFrame(
+                [], "term string, weight long")
+        pre = toks[-1]
+        return (
+            self._term_stats.filter(F.col("term").startswith(pre))
+            .select("term", F.col("cf").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(n)
+        )
+
+    def term_vectors(self, doc_ids, store: DataFrame,
+                     text_col: str = "content") -> DataFrame:
+        """Per-document term vectors — TermVectorComponent
+        (solr/core/.../component/TermVectorComponent.java: per-doc
+        (term, tf, df) response). The vector is re-derived by
+        re-analyzing the stored text with the index's pinned analyzer
+        (MoreLikeThis's no-stored-term-vectors path does exactly this,
+        MoreLikeThis.java:132); df comes from the term dict. A k-doc
+        point operation (driver-side analysis like more_like_this),
+        not a corpus scan — at 100 TB this stays O(requested docs)."""
+        ids = [int(d) for d in doc_ids]
+        rows = (
+            store.filter(F.col("doc_id").isin(ids))
+            .select("doc_id", text_col)
+            .collect()
+        )
+        per_doc = []
+        vocab = set()
+        for r in rows:
+            tf: Dict[str, int] = {}
+            for t in self.analyzer.analyze(r[1] or ""):
+                tf[t] = tf.get(t, 0) + 1
+            vocab.update(tf)
+            per_doc.append((int(r[0]), tf))
+        dfs = self._lookup_dfs(sorted(vocab))
+        out = [
+            (d, t, int(c), int(dfs.get(t, 0)))
+            for d, tf in per_doc
+            for t, c in sorted(tf.items())
+        ]
+        return self.spark.createDataFrame(
+            out, "doc_id long, term string, tf long, df long")
+
     def term_freqs(self, term: str) -> DataFrame:
         """(doc_id, tf) for one term — the TFValueSource surface
         (lucene/queries/.../valuesource/TermFreqValueSource.java):
