@@ -649,6 +649,56 @@ def q_sloppy_phrase(spark, sf_dir):
     )
 
 
+def q_span_near_ordered(spark, sf_dir):
+    """SpanNearQuery ordered (search/spans/SpanNearQuery.java +
+    NearSpansOrdered.java via search/spans.py): matched doc set for
+    spanNear([merge, data], slop=3, inOrder=true). Scored freq/rank is
+    gated bit-exactly by the engine-vs-OracleIndex duels
+    (tests/test_spans.py rank-identical cases); the DuckDB oracle here
+    checks the DOC SET, valid because for two unit-length subspans a
+    match exists iff some pair (a, b) with b > a has gap
+    b - a - 1 <= slop (NearSpansOrdered.shrinkToAfterShortestMatch
+    reduces to exactly this when every subspan has length 1)."""
+    from lucene_solr_spark.search.spans import SpanNear, SpanTerm
+
+    s = get_searcher(spark, sf_dir)
+    q = SpanNear((SpanTerm("merge"), SpanTerm("data")), slop=3,
+                 in_order=True)
+    return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
+
+
+def q_span_or_near(spark, sf_dir):
+    """Nested spans (SpanOrQuery.java inside SpanNearQuery.java):
+    spanNear([spanOr([table, merge]), data], slop=2, inOrder=true) doc
+    set — SpanOr's unit spans at the union of positions feed the same
+    ordered-near gap rule, so the doc set is EXISTS a in
+    pos(table) u pos(merge), b in pos(data): b > a AND
+    b - a - 1 <= 2."""
+    from lucene_solr_spark.search.spans import SpanNear, SpanOr, SpanTerm
+
+    s = get_searcher(spark, sf_dir)
+    q = SpanNear(
+        (SpanOr((SpanTerm("table"), SpanTerm("merge"))),
+         SpanTerm("data")),
+        slop=2, in_order=True,
+    )
+    return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
+
+
+def q_span_first(spark, sf_dir):
+    """SpanFirstQuery (search/spans/SpanFirstQuery.java): top-10 for
+    spanFirst(merge, 5), FULLY scored in the oracle — every accepted
+    match is a unit span (end = pos + 1 <= 5), each contributing
+    sloppyFreq(1) = 0.5 to the f32 freq (exact: 0.5 * m), weight =
+    f32(idf) * (k1 + 1) (single extracted term), then the standard
+    BM25 kernel wv * freq / (freq + norm)."""
+    from lucene_solr_spark.search.spans import SpanFirst, SpanTerm
+
+    s = get_searcher(spark, sf_dir)
+    q = SpanFirst(SpanTerm("merge"), end=5)
+    return _topk_double(s.search_spans(q, k=TOP_K))
+
+
 def q_elevation(spark, sf_dir):
     """QueryElevationComponent (solr/core/.../component/
     QueryElevationComponent.java): docs 7 and 3 pinned (in that order)
@@ -1468,6 +1518,54 @@ JOIN (SELECT doc_id, pos - 1 AS posb FROM tpos WHERE term = 'data') b
   USING (doc_id)
 WHERE abs(a.pos - b.posb) <= 2
 ORDER BY doc_id
+"""
+    # Span near ordered doc set (NearSpansOrdered.java, unit subspans):
+    # match exists iff a pair b > a has gap b - a - 1 <= slop
+    _TPOS = """
+, tpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+)
+"""
+    o["span_near_ordered"] = ORACLE_PRELUDE + _TPOS + """
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM tpos WHERE term = 'merge') a
+JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'data') b
+  USING (doc_id)
+WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+ORDER BY doc_id
+"""
+    # SpanOr inside SpanNear: union of positions feeds the same rule
+    o["span_or_near"] = ORACLE_PRELUDE + _TPOS + """
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM tpos
+      WHERE term IN ('table', 'merge')) a
+JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'data') b
+  USING (doc_id)
+WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+ORDER BY doc_id
+"""
+    # SpanFirst fully scored: unit matches at pos <= end-1 each add
+    # sloppyFreq(1) = 0.5 (exact in f32); weight = f32(idf)*(k1+1);
+    # standard BM25 kernel wv*freq/(freq+norm) stepwise f32
+    o["span_first_top10"] = ORACLE_PRELUDE + _TPOS + """
+, sfm AS (
+  SELECT doc_id, CAST(0.5e0 * count(*) AS FLOAT) AS freq
+  FROM tpos WHERE term = 'merge' AND pos <= 4
+  GROUP BY doc_id
+)
+SELECT m.doc_id,
+  CAST(CAST(CAST(w.wv * m.freq AS FLOAT)
+            / CAST(m.freq + c.nrm AS FLOAT) AS FLOAT) AS DOUBLE) AS score
+FROM sfm m
+JOIN cachev c USING (doc_id)
+JOIN weights w ON w.term = 'merge'
+ORDER BY score DESC, m.doc_id ASC LIMIT 10
 """
     # QueryElevationComponent: pinned ids first in config order (score
     # 0 when not matching), excluded id removed, rest in BM25 order
@@ -2363,6 +2461,9 @@ QUERIES = {
     "common_terms": q_common_terms,
     "elevation_top10": q_elevation,
     "sloppy_phrase": q_sloppy_phrase,
+    "span_near_ordered": q_span_near_ordered,
+    "span_or_near": q_span_or_near,
+    "span_first_top10": q_span_first,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,

@@ -391,6 +391,44 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return ranked[:k]
 
+    def search_spans(self, span, k: int = 10):
+        """Span query oracle (search/spans/SpanScorer.java): evaluate
+        the span tree's exact match enumeration (search/spans.py is
+        the shared spec, unit-pinned by hand-traced vectors) over the
+        oracle's RAW analyzed positions for EVERY doc containing any
+        query term — no candidate pruning, independently exercising
+        the engine's codec decode + candidate recursion + kernel
+        distribution. weight = f32 idf sum over distinct terms in
+        sorted order (SpanWeight.java TreeSet) * (k1+1)."""
+        from lucene_solr_spark.search import spans as SP
+
+        w_terms = sorted(set(SP.span_terms(span)))
+        p_terms = list(dict.fromkeys(SP.positions_terms(span)))
+        w = F32(0.0)
+        for t in w_terms:
+            w = F32(w + idf(self.df(t), self.max_doc))
+        weight_value = F32(w * K1_PLUS_1)
+        cache = self._cache()
+        docs = set()
+        for t in p_terms:
+            docs.update(self.positions.get(t, {}))
+        scores = {}
+        empty = np.empty(0, np.int64)
+        for d in sorted(docs):
+
+            def pos_of(t, _d=d):
+                lst = self.positions.get(t, {}).get(_d)
+                if not lst:
+                    return empty
+                return np.asarray(lst, np.int64)
+
+            freq = SP.span_freq(span, pos_of)
+            if freq > 0:
+                norm = cache[self.norm_bytes[d]]
+                scores[d] = F32(weight_value * freq / (freq + norm))
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return ranked[:k]
+
 
 def _levenshtein(a: str, b: str) -> int:
     if a == b:

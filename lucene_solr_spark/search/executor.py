@@ -530,6 +530,36 @@ class IndexSearcher:
         out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
 
+    def search_spans(self, span, k: Optional[int] = 10) -> DataFrame:
+        """Span query top-k (lucene/core/.../search/spans/): pass a
+        span AST built from search/spans.py node types (SpanTerm,
+        SpanNear ordered/unordered, SpanOr, SpanNot, SpanFirst). Terms
+        are NOT re-analyzed (SpanTermQuery takes index terms verbatim,
+        SpanTermQuery.java). Scoring per SpanScorer: freq = f32 sum of
+        1/(matchLength+1) over the reference match enumeration; weight
+        = f32 idf sum over the query's distinct terms in SORTED order
+        (SpanWeight.java:33-50 TreeSet) * (k1+1)."""
+        from lucene_solr_spark.functions.bm25 import idf
+        from lucene_solr_spark.search import spans as SP
+
+        w_terms = sorted(set(SP.span_terms(span)))
+        p_terms = list(dict.fromkeys(SP.positions_terms(span)))
+        dfs = self._lookup_dfs(p_terms)
+        w = np.float32(0.0)
+        for t in w_terms:  # f32 accumulation in sorted term order;
+            # absent terms still contribute idf with df=0 (SpanWeight
+            # builds TermStatistics for every extracted term)
+            w = np.float32(w + idf(dfs.get(t, 0), self.max_doc))
+        wv = np.float32(w * K1_PLUS_1)
+        present = [t for t in p_terms if t in dfs]
+        if not present:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        posts = self._postings.filter(F.col("term").isin(present))
+        kernel = make_span_scorer(span, wv, self.cache, k)
+        topk = self._run_kernel(posts, kernel, "doc_id long, score float")
+        out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out if k is None else out.limit(k)
+
     MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
     # search_many merges per-group top-k on the driver below this many
     # estimated rows; above it the merge is a per-query executor window
@@ -2261,12 +2291,14 @@ def _wand_or(tis, wvs, cache, norms, gbase, span, k, mm, excl_mask,
 
 # -- exact phrase (ExactPhraseScorer analogue) ------------------------------
 
-def _decode_phrase_postings(posts: pd.DataFrame, uniq_terms):
+def _decode_phrase_postings(posts: pd.DataFrame, uniq_terms,
+                            require_all: bool = True):
     """Shared decode for the positional kernels: {term: (docs, tfs,
     flat positions)} with positions aligned to np.repeat(docs, tfs).
     Returns (decoded, max_pos) or None when any term is absent from
     the group (conjunction semantics — PhraseQuery requires all
-    terms)."""
+    terms). require_all=False (span trees with OR branches) maps
+    absent terms to empty arrays instead."""
     from lucene_solr_spark.indexing.codec import (
         decode_prox_parts,
         positions_from_deltas,
@@ -2280,6 +2312,11 @@ def _decode_phrase_postings(posts: pd.DataFrame, uniq_terms):
     for t in uniq_terms:
         rows = by_term.get(t)
         if not rows:
+            if not require_all:
+                decoded[t] = (np.empty(0, np.int64),
+                              np.empty(0, np.int32),
+                              np.empty(0, np.int64))
+                continue
             return None
         dparts, tparts, pparts = [], [], []
         for r in rows:
@@ -2452,6 +2489,116 @@ def make_sloppy_phrase_scorer(offsets, wv, cache: np.ndarray,
         nrm = cache[norms[udocs - gbase].astype(np.int64)]
         scores = ((wv * pfv) / (pfv + nrm)).astype(np.float32)
 
+        cand_docs, cand_scores = udocs, scores
+        if k is not None and len(cand_docs) > k:
+            thresh = cand_scores[np.argpartition(-cand_scores, k - 1)[k - 1]]
+            sel2 = cand_scores >= thresh
+            cand_docs, cand_scores = cand_docs[sel2], cand_scores[sel2]
+        order = np.lexsort((cand_docs, -cand_scores.astype(np.float64)))
+        if k is not None:
+            order = order[:k]
+        return pd.DataFrame(
+            {"doc_id": cand_docs[order], "score": cand_scores[order]}
+        )
+
+    def kernel(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        return score_group(posts, segs)
+
+    kernel.with_shared = score_group  # type: ignore[attr-defined]
+    return kernel
+
+
+# -- span queries (SpanScorer + spans algebra) ------------------------------
+
+def make_span_scorer(span, wv, cache: np.ndarray, k: Optional[int]):
+    """Per-group kernel for span queries (search/spans/SpanScorer.java
+    over the spans algebra in search/spans.py). Candidate docs are
+    pruned by the span tree's REQUIRED-doc recursion (Near = all
+    clauses, Or = any clause, Not = include side, First = wrapped) —
+    sound because a pruned doc enumerates zero spans — then each
+    candidate runs the exact reference iterator tree; freq > 0 docs
+    score through the standard BM25 kernel
+    (weightValue * freq / (freq + norm)) with freq the f32
+    slop-factor sum (SpanScorer.setFreqCurrentDoc).
+
+    Scale: candidate pruning is vectorized set algebra per partition;
+    the per-doc Python loop is linear in candidate position lists —
+    the reference's own per-doc cost, parallel across groups."""
+    from lucene_solr_spark.search import spans as SP
+
+    uniq_terms = list(dict.fromkeys(SP.positions_terms(span)))
+
+    def empty_result():
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
+
+    def node_docs(node, decoded):
+        if isinstance(node, SP.SpanTerm):
+            return decoded[node.term][0]
+        if isinstance(node, SP.SpanNear):
+            cand = None
+            for c in node.clauses:
+                d = node_docs(c, decoded)
+                cand = d if cand is None else np.intersect1d(
+                    cand, d, assume_unique=False
+                )
+                if len(cand) == 0:
+                    break
+            return cand
+        if isinstance(node, SP.SpanOr):
+            return np.unique(np.concatenate(
+                [node_docs(c, decoded) for c in node.clauses]
+            ))
+        if isinstance(node, SP.SpanNot):
+            return node_docs(node.include, decoded)
+        if isinstance(node, SP.SpanFirst):
+            return node_docs(node.match, decoded)
+        raise TypeError(f"not a span node: {node!r}")
+
+    def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        if len(posts) == 0 or len(segs) == 0:
+            return empty_result()
+        gbase, span_w, norms, deleted = _group_ctx(segs)
+        dec = _decode_phrase_postings(posts, uniq_terms,
+                                      require_all=False)
+        if dec is None:
+            return empty_result()
+        decoded, _ = dec
+        cand = node_docs(span, decoded)
+        if cand is None or len(cand) == 0:
+            return empty_result()
+        if deleted is not None:
+            cand = cand[~deleted[cand - gbase]]
+        if len(cand) == 0:
+            return empty_result()
+        slices = {}
+        for t in uniq_terms:
+            d, tf, pos = decoded[t]
+            ends = np.cumsum(tf)
+            starts = ends - tf
+            idx = np.searchsorted(d, cand)
+            # clamp: cand may contain docs missing for this term
+            idx = np.minimum(idx, max(len(d) - 1, 0))
+            slices[t] = (d, starts, ends, pos, idx)
+        empty = np.empty(0, np.int64)
+        pf = np.zeros(len(cand), np.float32)
+        for j in range(len(cand)):
+            doc = cand[j]
+
+            def pos_of(t, _j=j, _doc=doc):
+                d, starts, ends, pos, idx = slices[t]
+                i = idx[_j] if len(d) else 0
+                if len(d) == 0 or d[i] != _doc:
+                    return empty
+                return pos[starts[i]:ends[i]]
+
+            pf[j] = SP.span_freq(span, pos_of)
+        sel = pf > 0
+        udocs, pfv = cand[sel], pf[sel]
+        if len(udocs) == 0:
+            return empty_result()
+        nrm = cache[norms[udocs - gbase].astype(np.int64)]
+        scores = ((wv * pfv) / (pfv + nrm)).astype(np.float32)
         cand_docs, cand_scores = udocs, scores
         if k is not None and len(cand_docs) > k:
             thresh = cand_scores[np.argpartition(-cand_scores, k - 1)[k - 1]]

@@ -151,6 +151,13 @@ def main() -> None:
         ("only the final sort shuffles", plan.count("Exchange") <= 2),
     ]))
 
+    plan = fmt(QUERIES["span_near_ordered"](spark, sf))
+    sections.append(("Span near ordered (spans algebra in the kernel)", plan, [
+        ("no shuffle below the kernel",
+         plan.split("InMemoryRelation")[0].count("Exchange") == 0),
+        ("kernel in scan stage", "FlatMapGroupsInPandas" in plan),
+    ]))
+
     plan = fmt(QUERIES["media_feature_vecs"](spark, sf))
     sections.append(("Binary-column feature extraction", plan, [
         ("Arrow-batched (mapInPandas)", "MapInPandas" in plan),
