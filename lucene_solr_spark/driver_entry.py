@@ -699,6 +699,42 @@ def q_span_first(spark, sf_dir):
     return _topk_double(s.search_spans(q, k=TOP_K))
 
 
+def q_span_not(spark, sf_dir):
+    """SpanNotQuery (search/spans/SpanNotQuery.java): doc set for
+    spanNot(data, spanNear([merge, data], 0, true)) — docs with a
+    standalone 'data' not covered by a "merge data" bigram. With
+    slop=0 ordered unit subspans the exclude span is exactly
+    [p, p+2) for merge@p, data@p+1, and a unit include span [q, q+1)
+    overlaps it iff q in {p, p+1}; q = p is impossible (one token per
+    position), so the doc set is EXISTS data@q with NO merge@(q-1).
+    Scored freq/rank is gated by the engine-vs-OracleIndex duels
+    (tests/test_spans.py includes SpanNot trees)."""
+    from lucene_solr_spark.search.spans import SpanNear, SpanNot, SpanTerm
+
+    s = get_searcher(spark, sf_dir)
+    q = SpanNot(
+        SpanTerm("data"),
+        SpanNear((SpanTerm("merge"), SpanTerm("data")), slop=0,
+                 in_order=True),
+    )
+    return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
+
+
+def q_span_near_unordered(spark, sf_dir):
+    """SpanNearQuery unordered (NearSpansUnordered.java CellQueue):
+    doc set for spanNear([table, data], slop=4, inOrder=false). For
+    two unit subspans the match rule max.end - min.start -
+    totalLength <= slop reduces to |a - b| - 1 <= slop (positions are
+    distinct across terms), so the doc set is EXISTS a in pos(table),
+    b in pos(data): abs(a - b) <= 5."""
+    from lucene_solr_spark.search.spans import SpanNear, SpanTerm
+
+    s = get_searcher(spark, sf_dir)
+    q = SpanNear((SpanTerm("table"), SpanTerm("data")), slop=4,
+                 in_order=False)
+    return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
+
+
 def q_elevation(spark, sf_dir):
     """QueryElevationComponent (solr/core/.../component/
     QueryElevationComponent.java): docs 7 and 3 pinned (in that order)
@@ -1566,6 +1602,26 @@ FROM sfm m
 JOIN cachev c USING (doc_id)
 JOIN weights w ON w.term = 'merge'
 ORDER BY score DESC, m.doc_id ASC LIMIT 10
+"""
+    # SpanNot(data, spanNear([merge, data], 0, true)): a unit include
+    # span survives iff no bigram exclude span covers it (see
+    # q_span_not derivation)
+    o["span_not"] = ORACLE_PRELUDE + _TPOS + """
+SELECT DISTINCT d.doc_id AS doc_id
+FROM (SELECT doc_id, pos FROM tpos WHERE term = 'data') d
+LEFT JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'merge') m
+  ON m.doc_id = d.doc_id AND m.pos = d.pos - 1
+WHERE m.pos IS NULL
+ORDER BY doc_id
+"""
+    # Unordered near, unit subspans: |a - b| - 1 <= slop
+    o["span_near_unordered"] = ORACLE_PRELUDE + _TPOS + """
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM tpos WHERE term = 'table') a
+JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'data') b
+  USING (doc_id)
+WHERE abs(a.pos - b.pos) <= 5
+ORDER BY doc_id
 """
     # QueryElevationComponent: pinned ids first in config order (score
     # 0 when not matching), excluded id removed, rest in BM25 order
@@ -2464,6 +2520,8 @@ QUERIES = {
     "span_near_ordered": q_span_near_ordered,
     "span_or_near": q_span_or_near,
     "span_first_top10": q_span_first,
+    "span_not": q_span_not,
+    "span_near_unordered": q_span_near_unordered,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
