@@ -332,7 +332,9 @@ Q_FACET = "merge"
 Q_GROUPING = "vector"
 Q_PREFIX = "s"
 Q_WILDCARD = "%a%e%"      # SQL LIKE / Spark like
-Q_FUZZY = "tabel"         # edit distance <= 1
+Q_FUZZY = "tabel"         # edit distance <= 2 ('table' is a transposition
+#                           = 2 plain-Levenshtein edits, FuzzyQuery default
+#                           maxEdits; FuzzyQuery.java defaultMaxEdits=2)
 Q_RANGE = ("m", "s")
 Q_PHRASE = "table hash"
 Q_BOOL_REQ_OPT = "+table +window stream"
@@ -572,7 +574,7 @@ def q_wildcard_terms(spark, sf_dir):
 
 def q_fuzzy_terms(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
-    return s.expand_terms(F.levenshtein(F.col("term"), F.lit(Q_FUZZY)) <= 1)
+    return s.expand_terms(F.levenshtein(F.col("term"), F.lit(Q_FUZZY)) <= 2)
 
 
 def q_term_range_terms(spark, sf_dir):
@@ -1462,7 +1464,7 @@ def _oracles() -> dict:
         "ORDER BY term"
     )
     o["fuzzy_terms"] = ORACLE_PRELUDE + (
-        f"SELECT term, df FROM tstats WHERE levenshtein(term, '{Q_FUZZY}') <= 1 "
+        f"SELECT term, df FROM tstats WHERE levenshtein(term, '{Q_FUZZY}') <= 2 "
         "ORDER BY term"
     )
     o["term_range_terms"] = ORACLE_PRELUDE + (
