@@ -1097,6 +1097,26 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_prefix(spark, sf_dir):
+    """Boilerplate-prefix dedup (training-data pipeline op): groups
+    keyed on the leading 64 chars — the common 'same header, different
+    tail' near-dup class exact dedup misses. Same keeper/min shape as
+    q_dedup_exact; non-vacuous at the sf0.01 gate (the raw-text hash
+    has zero dup groups there). Scale: hash-partitioned window on the
+    prefix key, no all-pairs work."""
+    d = _documents(spark, sf_dir).select(
+        "doc_id", F.substring(F.col("text"), 1, 64).alias("h")
+    )
+    w = Window.partitionBy("h")
+    return (
+        d.withColumn("keeper", F.min("doc_id").over(w))
+        .withColumn("dup_count", F.count("*").over(w))
+        .filter(F.col("dup_count") > 1)
+        .select("doc_id", "keeper", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
 SHINGLE_DF_CAP = 100  # hot-shingle ceiling for the exact-Jaccard join
 
 
@@ -2174,6 +2194,14 @@ SELECT doc_id, keeper, dup_count FROM (
   FROM h
 ) WHERE dup_count > 1 ORDER BY doc_id
 """
+    o["dedup_prefix64"] = """
+WITH h AS (SELECT doc_id, substr(text, 1, 64) AS h FROM documents)
+SELECT doc_id, keeper, dup_count FROM (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS keeper,
+         count(*) OVER (PARTITION BY h) AS dup_count
+  FROM h
+) WHERE dup_count > 1 ORDER BY doc_id
+"""
     o["ngram_jaccard_pairs"] = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -2563,6 +2591,7 @@ QUERIES = {
     "field_exists_docs": q_field_exists_docs,
     "function_tf_boost": q_function_tf_boost,
     "dedup_exact": q_dedup_exact,
+    "dedup_prefix64": q_dedup_prefix,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_quality": q_doc_quality,
     "source_token_counts": q_source_token_counts,
