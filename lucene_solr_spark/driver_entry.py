@@ -156,6 +156,64 @@ def get_searcher(spark: SparkSession, sf_dir: str):
     return searcher
 
 
+# Distributed-search shards (q_dist_merge): two OVERLAPPING shards —
+# doc parity, plus docs < 50 indexed in BOTH — so the mergeIds dedup
+# path (first-shard-wins) is actually exercised, like a Solr cloud
+# with an overlapping reindex window.
+DIST_OVERLAP = 50
+
+
+def get_shard_searcher(spark: SparkSession, sf_dir: str, shard: int):
+    """Per-shard index build + cached IndexSearcher: each shard is an
+    INDEPENDENT index over its document subset, so its collection
+    statistics (df, maxDoc, avgdl -> idf, norm cache) are shard-local,
+    exactly the reference's non-merged distributed idf
+    (QueryComponent.java:722-724 createDistributedIdf is empty)."""
+    from lucene_solr_spark.indexing.build import IndexWriter, merge_postings
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    key = (os.path.realpath(sf_dir), shard)
+    hit = _SEARCHERS.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    _ensure_pyfiles(spark)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = docs.filter(
+        (F.col("doc_id") % 2 == shard) | (F.col("doc_id") < DIST_OVERLAP)
+    )
+    corpus = docs.select(
+        F.lit("corpus").alias("repo"),
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        "lss_entry_index",
+        os.path.basename(os.path.normpath(sf_dir)) + f"_shard{shard}",
+    )
+    from lucene_solr_spark.catalog import Catalog
+    from lucene_solr_spark.constants import FORMAT_VERSION
+
+    old = Catalog(index_dir).latest()
+    if old is not None and int(
+        old.props.get("format_version", 0)
+    ) != FORMAT_VERSION:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+    writer = IndexWriter(
+        spark, index_dir, docs_per_segment=DOCS_PER_SEGMENT, n_batches=2
+    )
+    snap = writer.build(corpus, resume=True)
+    if snap.stage != "merge":
+        merge_postings(spark, index_dir, segs_per_group=SEGS_PER_GROUP)
+    searcher = IndexSearcher(spark, index_dir)
+    _SEARCHERS[key] = (spark, searcher)
+    return searcher
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL prelude: analysis chain + doc/term/collection stats + the
 # float32 BM25 kernel, all in DuckDB SQL
@@ -243,6 +301,76 @@ persc AS (
   JOIN cachev c ON tf.doc_id = c.doc_id
 )
 """
+
+
+def _dist_shard_ctes(i: int) -> str:
+    """Shard-scoped BM25 CTE chain for the dist_merge_top10 oracle:
+    the ORACLE_PRELUDE pipeline (tokenize -> doc_len -> byte315 norm ->
+    norm cache -> idf weight -> per-doc score) re-derived over ONE
+    shard's documents so every statistic is shard-local, mirroring
+    get_shard_searcher's independent index."""
+    pred = f"(doc_id % 2 = {i} OR doc_id < {DIST_OVERLAP})"
+    return f"""
+, d{i} AS (SELECT doc_id, text FROM docs0 WHERE {pred})
+, t{i} AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d{i})
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOP_SQL})
+)
+, dl{i} AS (
+  SELECT d.doc_id, COALESCE(c.len, 0) AS doc_len
+  FROM d{i} d
+  LEFT JOIN (SELECT doc_id, count(*) AS len FROM t{i} GROUP BY doc_id) c
+    USING (doc_id)
+)
+, co{i} AS (
+  SELECT count(*) AS max_doc,
+         CAST(CASE WHEN COALESCE(sum(doc_len), 0) <= 0 THEN 1.0e0
+                   ELSE sum(doc_len) / CAST(count(*) AS DOUBLE)
+              END AS FLOAT) AS avgdl
+  FROM dl{i}
+)
+, nr{i} AS (
+  SELECT doc_id,
+    CASE WHEN doc_len = 0 THEN 255
+         ELSE CAST((floor(log2(x)) + 127) * 4
+                   + floor((x / pow(2, floor(log2(x))) - 1) * 4)
+                   - 384 AS INT)
+    END AS nb
+  FROM (SELECT doc_id, doc_len,
+               CAST(1.0e0 / sqrt(CAST(doc_len AS DOUBLE)) AS FLOAT) AS x
+        FROM dl{i})
+)
+, cv{i} AS (
+  SELECT doc_id,
+    CAST({K1_LIT}
+         * CAST(0.25e0 + CAST(CAST(0.75e0 * declen AS FLOAT)
+                            / (SELECT avgdl FROM co{i}) AS FLOAT)
+                AS FLOAT)
+         AS FLOAT) AS nrm
+  FROM (
+    SELECT doc_id, CAST(1.0e0 / (f * f) AS FLOAT) AS declen
+    FROM (SELECT doc_id, nb,
+                 pow(2.0, floor(nb / 4) - 31) * (1 + (nb % 4) / 4.0e0) AS f
+          FROM nr{i}) ff
+  ) n
+)
+, tfq{i} AS (SELECT doc_id, count(*) AS tf FROM t{i}
+             WHERE term = '{Q_SINGLE}' GROUP BY doc_id)
+, wq{i} AS (
+  SELECT CAST(CAST(ln(1 + ((SELECT max_doc FROM co{i}) - df + 0.5e0)
+                   / (df + 0.5e0)) AS FLOAT)
+              * {K1P1_LIT} AS FLOAT) AS wv
+  FROM (SELECT count(*) AS df FROM tfq{i})
+)
+, top{i} AS (
+  SELECT doc_id,
+    CAST(CAST((SELECT wv FROM wq{i}) * tf AS FLOAT)
+         / CAST(tf + c.nrm AS FLOAT) AS FLOAT) AS score,
+    {i} AS shard_idx
+  FROM tfq{i} JOIN cv{i} c USING (doc_id)
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""
 
 
 def _sql_terms(terms) -> str:
@@ -735,6 +863,35 @@ def q_span_near_unordered(spark, sf_dir):
     q = SpanNear((SpanTerm("table"), SpanTerm("data")), slop=4,
                  in_order=False)
     return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
+
+
+def q_dist_merge(spark, sf_dir):
+    """Distributed search (QueryComponent.java:772-870 mergeIds via
+    search/distributed.py): two overlapping shards (parity split, docs
+    < DIST_OVERLAP in both), each an independent index searched top-10
+    for 'merge' with SHARD-LOCAL stats (per-shard idf/avgdl — the
+    reference does not merge global stats), merged with first-shard-
+    wins dedup on the uniqueKey and (score desc, shard_idx asc, key
+    asc) order. doc_id in the output is the ORIGINAL document id
+    (uniqueKey), recovered from the stored path field."""
+    from lucene_solr_spark.search.distributed import merge_shard_topdocs
+
+    tops = []
+    for shard in (0, 1):
+        s = get_shard_searcher(spark, sf_dir, shard)
+        hits = s.search_display(Q_SINGLE, k=TOP_K, mode="or")
+        tops.append(
+            hits.select(
+                F.col("path").cast("long").alias("doc_id"),
+                F.col("score"),
+            )
+        )
+    merged = merge_shard_topdocs(tops, ["doc_id"], TOP_K)
+    return merged.select(
+        "doc_id",
+        F.col("score").cast("double").alias("score"),
+        "shard_idx",
+    )
 
 
 def q_elevation(spark, sf_dir):
@@ -1645,6 +1802,22 @@ JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'data') b
 WHERE abs(a.pos - b.pos) <= 5
 ORDER BY doc_id
 """
+    # Distributed mergeIds: shard-scoped f32 BM25 chains (shard-local
+    # df/maxDoc/avgdl per QueryComponent's non-merged idf), per-shard
+    # top-10, first-shard-wins dedup, (score, shard, key) merge order
+    o["dist_merge_top10"] = (
+        ORACLE_PRELUDE
+        + _dist_shard_ctes(0)
+        + _dist_shard_ctes(1)
+        + """
+SELECT doc_id, CAST(score AS DOUBLE) AS score, shard_idx FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY shard_idx) AS rk
+  FROM (SELECT * FROM top0 UNION ALL SELECT * FROM top1)
+) WHERE rk = 1
+ORDER BY score DESC, shard_idx ASC, doc_id ASC LIMIT 10
+"""
+    )
     # QueryElevationComponent: pinned ids first in config order (score
     # 0 when not matching), excluded id removed, rest in BM25 order
     o["elevation_top10"] = ORACLE_PRELUDE + f"""
@@ -2552,6 +2725,7 @@ QUERIES = {
     "span_first_top10": q_span_first,
     "span_not": q_span_not,
     "span_near_unordered": q_span_near_unordered,
+    "dist_merge_top10": q_dist_merge,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
