@@ -1367,6 +1367,74 @@ def q_source_token_counts(spark, sf_dir):
     )
 
 
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition filters (Rae et al. 2021, §A1.1, token
+    n-gram variants): per doc, the fraction of tokens covered by the
+    single most frequent 2-gram (top2gram_frac = 2*max_count/n_tokens)
+    and the fraction of tokens inside duplicated 3-grams
+    (dup3gram_frac = 3*sum(count where count>=2)/n_tokens).
+
+    100 TB plan: ZERO shuffle — n-gram counting is a per-document
+    sort+run-length fold over the token array (array_sort + aggregate
+    with a (prev, run, acc) struct state), entirely inside whole-stage
+    codegen; no explode, no groupBy. The filter is a pure map, so it
+    composes with the scan at any scale."""
+    d = _documents(spark, sf_dir)
+    toks = "split(text, ' ')"
+    n = f"size({toks})"
+    bi = (f"zip_with(slice({toks}, 1, {n} - 1), slice({toks}, 2, {n} - 1),"
+          " (a, b) -> concat(a, ' ', b))")
+    tri = (f"zip_with(slice({bi}, 1, {n} - 2), slice({toks}, 3, {n} - 2),"
+           " (a, b) -> concat(a, ' ', b))")
+    max_run = f"""
+aggregate(array_sort({bi}),
+  named_struct('prev', CAST(NULL AS STRING),
+               'run', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT)),
+  (s, x) -> named_struct(
+    'prev', x,
+    'run', IF(x <=> s.prev, s.run + 1, CAST(1 AS BIGINT)),
+    'mx', GREATEST(s.mx, IF(x <=> s.prev, s.run + 1, CAST(1 AS BIGINT)))),
+  s -> s.mx)"""
+    dup_sum = f"""
+aggregate(array_sort({tri}),
+  named_struct('prev', CAST(NULL AS STRING),
+               'run', CAST(0 AS BIGINT), 'dup', CAST(0 AS BIGINT)),
+  (s, x) -> named_struct(
+    'prev', x,
+    'run', IF(x <=> s.prev, s.run + 1, CAST(1 AS BIGINT)),
+    'dup', s.dup + IF(x <=> s.prev,
+                      IF(s.run = 1, CAST(2 AS BIGINT), CAST(1 AS BIGINT)),
+                      CAST(0 AS BIGINT))),
+  s -> s.dup)"""
+    return d.select(
+        "doc_id",
+        F.expr(n).cast("long").alias("n_tokens"),
+        F.expr(
+            f"IF({n} >= 2, 2.0D * ({max_run}) / {n}, 0.0D)"
+        ).alias("top2gram_frac"),
+        F.expr(
+            f"IF({n} >= 3, 3.0D * ({dup_sum}) / {n}, 0.0D)"
+        ).alias("dup3gram_frac"),
+    ).orderBy("doc_id")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic ~10% corpus sample: keep a doc iff the first hex
+    byte of md5(doc_id) < 0x1a (26/256 ≈ 10.2%). Hash-based sampling
+    is the scale-correct method for training-data subsetting: it is
+    reproducible bit-for-bit across cluster sizes and reruns (unlike
+    rand()/TABLESAMPLE), needs no coordination, and composes as a pure
+    pushdown-adjacent map filter. Returns the sampled rows plus the
+    per-source stratum so skew across sources is visible."""
+    d = _documents(spark, sf_dir)
+    key = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (
+        d.filter(key < "1a")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector — the
     exactness baseline for ANN. Dot/norms via F.aggregate in double
@@ -2423,6 +2491,41 @@ SELECT source,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
+    # Gopher repetition filters: n-gram counts re-derived relationally
+    # (unnest + GROUP BY) — the oracle checks the fold's arithmetic,
+    # not its plan; double math ordered exactly as the engine's
+    o["repetition_quality"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bi AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS g
+       FROM toks),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+bimax AS (SELECT doc_id, max(c) AS mc FROM bic GROUP BY doc_id),
+tri AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        FROM toks),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+tridup AS (SELECT doc_id,
+                  sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS ds
+           FROM tric GROUP BY doc_id)
+SELECT k.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+  CASE WHEN len(t) >= 2
+       THEN 2.0 * COALESCE(mc, 0) / len(t) ELSE 0.0 END AS top2gram_frac,
+  CASE WHEN len(t) >= 3
+       THEN 3.0 * CAST(COALESCE(ds, 0) AS BIGINT) / len(t)
+       ELSE 0.0 END AS dup3gram_frac
+FROM toks k LEFT JOIN bimax USING (doc_id) LEFT JOIN tridup USING (doc_id)
+ORDER BY doc_id
+"""
+    # md5-bucket sampling is engine-independent by construction: both
+    # sides hash the decimal rendering of doc_id
+    o["sample_stratified"] = """
+SELECT doc_id, source FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+ORDER BY doc_id
+"""
     o["join_lang_docs"] = ORACLE_PRELUDE + f"""
 SELECT doc_id FROM docs0 WHERE lang IN (
   SELECT DISTINCT d.lang
@@ -2768,6 +2871,8 @@ QUERIES = {
     "dedup_prefix64": q_dedup_prefix,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_quality": q_doc_quality,
+    "repetition_quality": q_repetition_quality,
+    "sample_stratified": q_sample_stratified,
     "source_token_counts": q_source_token_counts,
     "ann_cosine_top10": q_ann_cosine_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
