@@ -1226,6 +1226,90 @@ def q_grouping_top2(spark, sf_dir):
     )
 
 
+RERANK_DOCS = 50      # ReRankQParserPlugin reRankDocs window
+RERANK_WEIGHT = 2.0   # reRankWeight default
+
+
+def q_collapse_top10(spark, sf_dir):
+    """Field collapsing (solr/core/.../search/
+    CollapsingQParserPlugin.java, max-score group head selection): keep
+    only the best-scoring doc per collapse field (lang), then the
+    normal top-10 over the collapsed set. One window over the hit set
+    partitioned by the collapse key — no second query pass."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_GROUPING, k=None)
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.join(s._docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang",
+                F.col("score").cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_rerank_top10(spark, sf_dir):
+    """Two-pass re-ranking (solr/core/.../search/ReRankQParserPlugin
+    semantics): first pass = BM25 top-RERANK_DOCS for the main query;
+    docs inside that window that also match the rerank query get
+    combined score main + weight*rerank (double combine — documented
+    divergence from Solr's float add); final top-10. The 50-row first
+    pass is broadcast into the rerank join, so the second pass costs
+    one semi-joined posting scan regardless of corpus size."""
+    s = get_searcher(spark, sf_dir)
+    main = s.search(Q_SINGLE, k=RERANK_DOCS).select(
+        "doc_id", F.col("score").cast("double").alias("sm")
+    )
+    rr = s.search(Q_GROUPING, k=None).select(
+        "doc_id", F.col("score").cast("double").alias("sr")
+    )
+    # outer joins cannot broadcast the preserved side, so reduce the
+    # rerank scores to the 50-doc window with an inner broadcast join
+    # first; the <=50-row result then broadcasts into the left join —
+    # both joins shuffle-free at any corpus size
+    rr_win = rr.join(F.broadcast(main.select("doc_id")), "doc_id")
+    return (
+        main.join(F.broadcast(rr_win), "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("sm")
+             + F.lit(RERANK_WEIGHT)
+             * F.coalesce(F.col("sr"), F.lit(0.0))).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_blockjoin_parents(spark, sf_dir):
+    """ToParentBlockJoinQuery with ScoreMode.Max (lucene/join/.../
+    ToParentBlockJoinQuery.java): children = documents, parents =
+    source strata; parent score = max child BM25 score, plus the
+    matching-child count. The reference walks parent bitset blocks;
+    relationally the same reduction is a groupBy(parent) over scored
+    children — one agg shuffle keyed by parent."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_SINGLE, k=None)
+    orig = s._docs.select(
+        "doc_id", F.col("path").cast("long").alias("orig_id")
+    )
+    src = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    return (
+        hits.join(orig, "doc_id").join(src, "orig_id")
+        .groupBy("source")
+        .agg(
+            F.max("score").cast("double").alias("score"),
+            F.count("*").alias("n_children"),
+        )
+        .orderBy(F.desc("score"), F.asc("source"))
+        .limit(TOP_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus/pipeline operators (documents + embeddings, no index)
 # ---------------------------------------------------------------------------
@@ -2491,6 +2575,42 @@ SELECT source,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
+    # CollapsingQParser: best doc per lang (score desc, doc_id asc
+    # head selection), then normal top-10 over the collapsed set
+    o["collapse_top10"] = ORACLE_PRELUDE + f"""
+, hits AS (SELECT doc_id, s AS score FROM persc
+           WHERE term = '{Q_GROUPING}')
+SELECT doc_id, lang, CAST(score AS DOUBLE) AS score FROM (
+  SELECT h.doc_id, d.lang, h.score,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY h.score DESC, h.doc_id ASC) AS rn
+  FROM hits h JOIN docs0 d USING (doc_id)
+) WHERE rn = 1
+ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+"""
+    # ReRank: top-RERANK_DOCS main window, combined score
+    # main + weight*rerank in double (same op order as the engine)
+    o["rerank_top10"] = ORACLE_PRELUDE + f"""
+, m AS (SELECT doc_id, CAST(s AS DOUBLE) AS sm FROM persc
+        WHERE term = '{Q_SINGLE}'
+        ORDER BY s DESC, doc_id ASC LIMIT {RERANK_DOCS})
+, r AS (SELECT doc_id, CAST(s AS DOUBLE) AS sr FROM persc
+        WHERE term = '{Q_GROUPING}')
+SELECT m.doc_id,
+       m.sm + {RERANK_WEIGHT} * COALESCE(r.sr, 0.0) AS score
+FROM m LEFT JOIN r USING (doc_id)
+ORDER BY score DESC, m.doc_id ASC LIMIT {TOP_K}
+"""
+    # ToParentBlockJoin ScoreMode.Max: parent = source stratum,
+    # parent score = f32 max of child scores (max is round-exact)
+    o["blockjoin_parents"] = ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id, s FROM persc WHERE term = '{Q_SINGLE}')
+SELECT d.source, CAST(max(h.s) AS DOUBLE) AS score,
+       count(*) AS n_children
+FROM h JOIN docs0 d USING (doc_id)
+GROUP BY d.source
+ORDER BY score DESC, source ASC LIMIT {TOP_K}
+"""
     # Gopher repetition filters: n-gram counts re-derived relationally
     # (unnest + GROUP BY) — the oracle checks the fold's arithmetic,
     # not its plan; double math ordered exactly as the engine's
@@ -2829,6 +2949,9 @@ QUERIES = {
     "span_not": q_span_not,
     "span_near_unordered": q_span_near_unordered,
     "dist_merge_top10": q_dist_merge,
+    "collapse_top10": q_collapse_top10,
+    "rerank_top10": q_rerank_top10,
+    "blockjoin_parents": q_blockjoin_parents,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
