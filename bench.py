@@ -89,6 +89,15 @@ QUERY_NAMES = [
     "dfr_pl2_single",
     "ib_spl_single",
     "function_recip_rangemap",
+    # round 2c operators
+    "span_near_ordered",
+    "collapse_top10",
+    "rerank_top10",
+    "blockjoin_parents",
+    "repetition_quality",
+    "sample_stratified",
+    "dedup_prefix64",
+    "suggest_complete",
 ]
 
 
