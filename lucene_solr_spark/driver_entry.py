@@ -1519,6 +1519,64 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+# BPE-ish subword pattern: letter runs | digit runs | single symbol.
+# Identical semantics in Java regex (Spark) and RE2 (DuckDB) — no
+# classes or anchors that differ between the dialects.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """Per-source subword token counts with a BPE-ish regex (letter
+    runs / digit runs / single symbols — the pre-tokenization split
+    GPT-2-style BPE applies before merges). Pure map + partial agg:
+    regexp_extract_all is JVM-side, the groupBy(source) combines
+    map-side, so the shuffle carries one row per (partition, source)."""
+    d = _documents(spark, sf_dir)
+    n = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(n).cast("long").alias("total_subtokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# deterministic synthetic geo coords (the corpus has no lat/lon):
+# lat/lon derived from doc_id by integer arithmetic, identical in any
+# engine. Query point (10, 20); cos(10 deg) as a shared literal so the
+# planar scaling is bit-identical on both sides.
+GEO_LAT0, GEO_LON0 = 10.0, 20.0
+GEO_COSLAT0 = 0.984807753012208
+GEO_RADIUS = 40.0
+
+
+def q_geodist_top10(spark, sf_dir):
+    """Spatial distance filter + sort (lucene/spatial; Solr {!geofilt}
+    + geodist() sort): docs within GEO_RADIUS of the query point,
+    nearest first. Distance is the equirectangular planar
+    approximation sqrt(dlat^2 + (dlon*cos(lat0))^2) in degrees — a
+    documented divergence from Solr's haversine, chosen because it is
+    pure IEEE arithmetic (no libm transcendentals at query time), so
+    it is bit-identical across engines AND cheap enough to fuse into
+    the scan at 100 TB. The filter and sort push to the scan stage; no
+    index structure is needed because the synthetic coords derive from
+    doc_id."""
+    d = _documents(spark, sf_dir).select("doc_id")
+    lat = ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0)
+    lon = ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0)
+    dlat = lat - GEO_LAT0
+    dlon = (lon - GEO_LON0) * GEO_COSLAT0
+    dist = F.sqrt(dlat * dlat + dlon * dlon)
+    return (
+        d.select("doc_id", dist.alias("dist"))
+        .filter(F.col("dist") <= GEO_RADIUS)
+        .orderBy(F.asc("dist"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector — the
     exactness baseline for ANN. Dot/norms via F.aggregate in double
@@ -2639,6 +2697,34 @@ SELECT k.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
 FROM toks k LEFT JOIN bimax USING (doc_id) LEFT JOIN tridup USING (doc_id)
 ORDER BY doc_id
 """
+    # BPE-ish pre-tokenization: same pattern string, same semantics in
+    # Java regex and RE2 (verified: no dialect-divergent constructs)
+    o["bpe_token_counts"] = f"""
+SELECT source,
+  CAST(sum(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT)
+    AS total_subtokens,
+  count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+    # geodist: e0 literals force DOUBLE in DuckDB (bare 100.0 would
+    # parse as DECIMAL and change the division), matching Spark's
+    # double arithmetic bit-for-bit
+    o["geodist_top10"] = f"""
+WITH g AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0e0 - 90.0e0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0e0 - 180.0e0 AS lon
+  FROM documents
+), dd AS (
+  SELECT doc_id,
+         sqrt((lat - {GEO_LAT0!r}e0) * (lat - {GEO_LAT0!r}e0)
+              + ((lon - {GEO_LON0!r}e0) * {GEO_COSLAT0!r}e0)
+              * ((lon - {GEO_LON0!r}e0) * {GEO_COSLAT0!r}e0)) AS dist
+  FROM g
+)
+SELECT doc_id, dist FROM dd WHERE dist <= {GEO_RADIUS!r}e0
+ORDER BY dist ASC, doc_id ASC LIMIT {TOP_K}
+"""
     # md5-bucket sampling is engine-independent by construction: both
     # sides hash the decimal rendering of doc_id
     o["sample_stratified"] = """
@@ -2996,6 +3082,8 @@ QUERIES = {
     "doc_quality": q_doc_quality,
     "repetition_quality": q_repetition_quality,
     "sample_stratified": q_sample_stratified,
+    "bpe_token_counts": q_bpe_token_counts,
+    "geodist_top10": q_geodist_top10,
     "source_token_counts": q_source_token_counts,
     "ann_cosine_top10": q_ann_cosine_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
