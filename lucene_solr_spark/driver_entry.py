@@ -3496,3 +3496,183 @@ QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 QUERIES["simhash_neardups"] = q_simhash_neardups
 ORACLES["minhash_lsh_pairs"] = _MINHASH_SQL
 ORACLES["simhash_neardups"] = _SIMHASH_SQL
+
+
+# ---------------------------------------------------------------------------
+# classification (lucene/classification) + Solr TermsComponent
+# ---------------------------------------------------------------------------
+
+NB_INPUT_N = 100       # classify the first N docs against the full model
+KNN_INPUT_N = 16       # kNN-classify docs 0..15
+KNN_K = 10
+TERMS_PREFIX = "s"
+TERMS_MINCOUNT = 5
+
+
+def _std_toks():
+    """StandardAnalyzer token array, fully JVM-side (the driver corpus
+    is lowercase space-separated, so the UAX#29 scan reduces to a
+    split — the same shortcut ORACLE_PRELUDE documents)."""
+    toks = F.split(F.col("text"), " ")
+    stop = sorted(STOPWORDS)
+    return F.filter(
+        toks,
+        lambda t: (t != "") & (F.length(t) <= 255) & ~t.isin(*stop),
+    )
+
+
+def q_classify_nb(spark, sf_dir):
+    """SimpleNaiveBayesClassifier (lucene/classification/.../
+    SimpleNaiveBayesClassifier.java): train on every doc with lang as
+    the class field, classify the first N docs' own text. Log-space
+    likelihood (argmax-identical; see classification.py docstring),
+    tie-break (score desc, class asc) = the reference's strict-> over
+    sorted class terms."""
+    from lucene_solr_spark.classification import train_naive_bayes
+
+    d = _documents(spark, sf_dir)
+    docs = d.select(
+        "doc_id", _std_toks().alias("toks"), F.col("lang").alias("cls")
+    )
+    model = train_naive_bayes(docs)
+    inputs = docs.filter(F.col("doc_id") < NB_INPUT_N).select(
+        "doc_id", "toks"
+    )
+    return (
+        model.classify(inputs)
+        .select("doc_id", F.col("pred_cls").alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+def q_classify_knn(spark, sf_dir):
+    """KNearestNeighborClassifier (lucene/classification/.../
+    KNearestNeighborClassifier.java): MoreLikeThis term selection per
+    input doc, one batched search_many job for all inputs, majority
+    vote over the top-k neighbours' lang (votes desc, lang asc)."""
+    from lucene_solr_spark.classification import knn_classify
+
+    s = get_searcher(spark, sf_dir)
+    store = _documents(spark, sf_dir).select(
+        "doc_id", F.col("text").alias("content"), "lang"
+    )
+    return knn_classify(s, store, list(range(KNN_INPUT_N)), k=KNN_K)
+
+
+def q_terms_component(spark, sf_dir):
+    """Solr TermsComponent (handler/component/TermsComponent.java):
+    term enumeration under terms.prefix / terms.mincount, sort=count."""
+    s = get_searcher(spark, sf_dir)
+    return s.terms(
+        prefix=TERMS_PREFIX, mincount=TERMS_MINCOUNT, limit=TOP_K
+    )
+
+
+_NB_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOP_SQL})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+tlen AS (
+  SELECT d.doc_id, COALESCE(c.len, 0) AS tlen
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id) c
+    USING (doc_id)
+),
+tcdf AS (
+  SELECT term, lang, count(*) AS dfc
+  FROM (SELECT DISTINCT t.doc_id, t.term, d.lang
+        FROM toks t JOIN documents d USING (doc_id))
+  GROUP BY term, lang
+),
+gl AS (SELECT CAST(count(*) AS DOUBLE) AS sum_df,
+              CAST(count(DISTINCT doc_id) AS DOUBLE) AS doc_cnt FROM tf),
+nall AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+cst AS (
+  SELECT lang,
+         ln(CAST(count(*) AS DOUBLE) / (SELECT n FROM nall)) AS ln_prior,
+         ln(CAST(count(*) AS DOUBLE) * (SELECT sum_df / doc_cnt FROM gl)
+            + (SELECT n FROM nall)) AS ln_den
+  FROM documents GROUP BY lang
+),
+itf AS (SELECT doc_id, term, tf FROM tf WHERE doc_id < {NB_INPUT_N}),
+msum AS (
+  SELECT i.doc_id, c.lang,
+         sum(CAST(i.tf AS DOUBLE) * ln(CAST(c.dfc AS DOUBLE) + 1.0e0))
+           AS msum
+  FROM itf i JOIN tcdf c USING (term) GROUP BY i.doc_id, c.lang
+),
+ll AS (
+  SELECT b.doc_id, c.lang,
+         COALESCE(m.msum, 0.0e0) + c.ln_prior
+           - CAST(b.tlen AS DOUBLE) * c.ln_den AS ll
+  FROM (SELECT doc_id, tlen FROM tlen WHERE doc_id < {NB_INPUT_N}) b
+  CROSS JOIN cst c
+  LEFT JOIN msum m ON b.doc_id = m.doc_id AND c.lang = m.lang
+)
+SELECT doc_id, lang AS pred_lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY ll DESC, lang ASC) AS rn
+  FROM ll
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+_KNN_SQL = ORACLE_PRELUDE + f"""
+, iq AS (
+  SELECT tf.doc_id AS qid, tf.term,
+         CAST(tf.tf * CAST(ln((SELECT max_doc FROM coll) / (ts.df + 1.0e0))
+                           + 1.0e0 AS FLOAT) AS FLOAT) AS mscore
+  FROM tf JOIN tstats ts USING (term)
+  WHERE tf.doc_id < {KNN_INPUT_N} AND tf.tf >= 2 AND ts.df >= 5
+),
+mterms AS (
+  SELECT qid, term FROM (
+    SELECT qid, term,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY mscore DESC, term ASC) AS rn
+    FROM iq
+  ) WHERE rn <= 25
+),
+scores AS (
+  SELECT m.qid, p.doc_id,
+         CAST(sum(CAST(p.s AS DOUBLE)) AS FLOAT) AS score
+  FROM mterms m JOIN persc p USING (term)
+  GROUP BY m.qid, p.doc_id
+),
+topk AS (
+  SELECT qid, doc_id FROM (
+    SELECT qid, doc_id,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY score DESC, doc_id ASC) AS rn
+    FROM scores
+  ) WHERE rn <= {KNN_K}
+),
+votes AS (
+  SELECT t.qid, d.lang, count(*) AS votes
+  FROM topk t JOIN docs0 d ON t.doc_id = d.doc_id
+  GROUP BY t.qid, d.lang
+)
+SELECT qid AS doc_id, lang AS pred_lang, CAST(votes AS INT) AS votes FROM (
+  SELECT qid, lang, votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, lang ASC) AS rn
+  FROM votes
+) WHERE rn = 1 ORDER BY doc_id
+"""
+
+_TERMS_SQL = ORACLE_PRELUDE + f"""
+SELECT term, df FROM tstats
+WHERE term LIKE '{TERMS_PREFIX}%' AND df >= {TERMS_MINCOUNT}
+ORDER BY df DESC, term ASC LIMIT {TOP_K}
+"""
+
+QUERIES["classify_nb"] = q_classify_nb
+QUERIES["classify_knn"] = q_classify_knn
+QUERIES["terms_component"] = q_terms_component
+ORACLES["classify_nb"] = _NB_SQL
+ORACLES["classify_knn"] = _KNN_SQL
+ORACLES["terms_component"] = _TERMS_SQL

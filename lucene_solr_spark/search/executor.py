@@ -1615,6 +1615,35 @@ class IndexSearcher:
             "score", F.lit(1.0).cast("float")
         )
 
+    def terms(
+        self,
+        prefix: str = "",
+        mincount: int = 1,
+        limit: int = 10,
+        sort: str = "count",
+    ) -> DataFrame:
+        """Solr TermsComponent (solr/core/src/java/org/apache/solr/
+        handler/component/TermsComponent.java:84-178): enumerate the
+        term dictionary with terms.prefix / terms.mincount gates;
+        sort=count ranks by docFreq (ties broken term asc — the
+        deterministic pin for the reference's insertion-ordered
+        BoundedTreeSet), sort=index is plain term order. Like the
+        reference's TermsEnum.docFreq, counts include deleted docs
+        (the stats table is rebuilt on merge, not per-delete).
+
+        Plan: pushed-down prefix+range filter on the sorted term_stats
+        parquet, orderBy+limit — a TopK over one small scan."""
+        t = self._term_stats.select("term", "df")
+        if prefix:
+            t = t.filter(F.col("term").startswith(prefix))
+        if mincount > 1:
+            t = t.filter(F.col("df") >= mincount)
+        if sort == "count":
+            t = t.orderBy(F.desc("df"), F.asc("term"))
+        else:
+            t = t.orderBy(F.asc("term"))
+        return t.limit(limit)
+
     def field_value_docs(self, field: str, exists: bool = True) -> DataFrame:
         """FieldValueFilter (search/FieldValueFilter.java:142): docs
         where ``field`` has a value (or is missing, negate=True) —
