@@ -3676,3 +3676,144 @@ QUERIES["terms_component"] = q_terms_component
 ORACLES["classify_nb"] = _NB_SQL
 ORACLES["classify_knn"] = _KNN_SQL
 ORACLES["terms_component"] = _TERMS_SQL
+
+
+# ---------------------------------------------------------------------------
+# token-filter chains (shingle / edge-ngram / synonym) exercised
+# corpus-side: the real AnalyzerSpec post-filter code runs inside an
+# Arrow-batched UDF (the same code path an index build would pin);
+# oracles re-derive the streams with DuckDB list functions
+# ---------------------------------------------------------------------------
+
+SYNONYM_MAP = {"merge": ["join"], "row": ["line"]}
+EDGE_MIN, EDGE_MAX = 2, 4
+
+
+def _analyzer_terms(spark, sf_dir, analyzer_name):
+    """documents -> exploded (doc_id, term) through a named chain."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    spec = get_analyzer(analyzer_name)
+
+    @pandas_udf("array<string>")
+    def toks(texts: pd.Series) -> pd.Series:
+        analyze = spec.analyze
+        return texts.map(lambda t: analyze(t or ""))
+
+    d = _documents(spark, sf_dir)
+    return d.select("doc_id", F.explode(toks("text")).alias("term"))
+
+
+def q_shingle_bigrams(spark, sf_dir):
+    """ShingleFilter over the whitespace chain (shingle/
+    ShingleFilter.java defaults: min=max=2, ' ' separator, unigrams
+    kept): top-10 bigram shingles by document frequency."""
+    t = _analyzer_terms(spark, sf_dir, "shingle_ws")
+    bi = t.filter(F.col("term").contains(" ")).dropDuplicates(
+        ["doc_id", "term"]
+    )
+    return (
+        bi.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(TOP_K)
+    )
+
+
+def q_edge_ngram_terms(spark, sf_dir):
+    """EdgeNGramTokenFilter (ngram/EdgeNGramTokenFilter.java) over the
+    standard chain, front grams 2..4: top-10 grams by doc frequency —
+    the index-side half of a prefix-autocomplete field."""
+    t = _analyzer_terms(spark, sf_dir, "edge_ngram")
+    u = t.dropDuplicates(["doc_id", "term"])
+    return (
+        u.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(TOP_K)
+    )
+
+
+def q_synonym_counts(spark, sf_dir):
+    """Single-token SynonymFilter (synonym/SynonymFilter.java, keepOrig):
+    corpus token totals for the rule terms after injection — tf(join)
+    gains tf(merge), tf(line) gains tf(row)."""
+    from lucene_solr_spark.functions.analysis import (
+        make_filtered_analyzer,
+        synonym_post,
+    )
+
+    make_filtered_analyzer(
+        "synonym_demo", "standard", synonym_post(SYNONYM_MAP)
+    )
+    t = _analyzer_terms(spark, sf_dir, "synonym_demo")
+    probe = sorted(
+        set(SYNONYM_MAP) | {s for v in SYNONYM_MAP.values() for s in v}
+    )
+    return (
+        t.filter(F.col("term").isin(probe))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("term")
+    )
+
+
+_CHAIN_TOKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOP_SQL})
+)
+"""
+
+_SHINGLE_SQL = """
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS term
+  FROM d
+),
+u AS (SELECT DISTINCT doc_id, term FROM b)
+SELECT term, count(*) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+_EDGE_SQL = _CHAIN_TOKS_SQL + f"""
+, g AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range({EDGE_MIN}, least({EDGE_MAX}, length(term)) + 1),
+             n -> term[1:n])) AS gram
+  FROM toks
+),
+u AS (SELECT DISTINCT doc_id, gram AS term FROM g)
+SELECT term, count(*) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+_SYN_SQL = _CHAIN_TOKS_SQL + """
+SELECT term, cnt FROM (
+  SELECT 'join' AS term,
+         (SELECT count(*) FROM toks WHERE term IN ('join', 'merge')) AS cnt
+  UNION ALL SELECT 'line',
+         (SELECT count(*) FROM toks WHERE term IN ('line', 'row'))
+  UNION ALL SELECT 'merge',
+         (SELECT count(*) FROM toks WHERE term = 'merge')
+  UNION ALL SELECT 'row',
+         (SELECT count(*) FROM toks WHERE term = 'row')
+) ORDER BY term
+"""
+
+QUERIES["shingle_bigrams"] = q_shingle_bigrams
+QUERIES["edge_ngram_terms"] = q_edge_ngram_terms
+QUERIES["synonym_counts"] = q_synonym_counts
+ORACLES["shingle_bigrams"] = _SHINGLE_SQL
+ORACLES["edge_ngram_terms"] = _EDGE_SQL
+ORACLES["synonym_counts"] = _SYN_SQL

@@ -194,7 +194,7 @@ class AnalyzerSpec:
     def __init__(self, name: str, scanner, lowercase: bool = True,
                  stopwords: frozenset = frozenset(),
                  max_len: int = MAX_TOKEN_LENGTH,
-                 stem=None):
+                 stem=None, post=None, emits_overlaps: bool = False):
         self.name = name
         self.scanner = scanner
         self.lowercase = lowercase
@@ -203,8 +203,20 @@ class AnalyzerSpec:
         # optional token-final stem stage (PorterStemFilter slot in the
         # EnglishAnalyzer chain — runs AFTER the StopFilter)
         self.stem = stem
+        # optional stream-level post filter: List[(token, position)] ->
+        # List[(token, position)] — the TokenFilter slot for graph-ish
+        # filters (Shingle/Synonym/EdgeNGram) that inject tokens at
+        # existing positions (posInc 0) or consume hole information.
+        self.post = post
+        # True when `post` can emit several tokens at one position; the
+        # index build then counts norm length as DISTINCT positions
+        # (Lucene discountOverlaps: length - numOverlap,
+        # BM25Similarity.java:137-141)
+        self.emits_overlaps = emits_overlaps
 
     def analyze(self, text: str) -> List[str]:
+        if self.post is not None:
+            return [t for t, _ in self.analyze_with_positions(text)]
         out = []
         stem = self.stem
         for t in self.scanner(text):
@@ -229,6 +241,8 @@ class AnalyzerSpec:
             if t in self.stopwords:
                 continue
             out.append((stem(t) if stem else t, pos))
+        if self.post is not None:
+            out = self.post(out)
         return out
 
     def tokenize_series_positions(self, texts):
@@ -295,6 +309,125 @@ register_analyzer(
     AnalyzerSpec("english", _LETTER_RUNS, True, STOPWORDS,
                  stem=porter_stem)
 )
+
+
+# ---------------------------------------------------------------------------
+# stream-level token filters (the TokenFilter graph slot): Shingle,
+# single-token Synonym, EdgeNGram — composed over any registered base
+# chain via AnalyzerSpec(post=...)
+# ---------------------------------------------------------------------------
+
+SHINGLE_FILLER = "_"    # ShingleFilter.FILLER_TOKEN (ShingleFilter.java:50)
+SHINGLE_SEP = " "       # ShingleFilter.TOKEN_SEPARATOR (:70)
+
+
+def shingle_post(min_shingle: int = 2, max_shingle: int = 2,
+                 output_unigrams: bool = True):
+    """ShingleFilter (analysis/common/.../shingle/ShingleFilter.java,
+    defaults :55-70): emit unigrams (real tokens only) plus all
+    shingles of ``min..max`` adjacent positions, ' '-joined, with '_'
+    filler tokens standing in for StopFilter holes (posInc > 1 gaps —
+    including leading holes). A shingle's position is its window start;
+    all-filler shingles are never emitted (golden vectors:
+    shingle/ShingleFilterTest.java BI_GRAM_TOKENS_WITH_HOLES
+    :114-133, TRI_GRAM_TOKENS_WITH_HOLES :679+)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        if not tp:
+            return tp
+        # dense stream: real tokens at their positions, fillers in gaps
+        stream: List[Tuple[str, bool]] = []
+        base = []  # position per stream slot
+        prev = -1
+        for t, p in tp:
+            for q in range(prev + 1, p):
+                stream.append((SHINGLE_FILLER, False))
+                base.append(q)
+            stream.append((t, True))
+            base.append(p)
+            prev = p
+        out: List[Tuple[str, int]] = []
+        n = len(stream)
+        for i in range(n):
+            tok, real = stream[i]
+            if real and output_unigrams:
+                out.append((tok, base[i]))
+            for size in range(min_shingle, max_shingle + 1):
+                if i + size > n:
+                    break
+                window = stream[i:i + size]
+                if any(r for _, r in window):
+                    out.append(
+                        (SHINGLE_SEP.join(w for w, _ in window), base[i])
+                    )
+        return out
+
+    return post
+
+
+def synonym_post(mapping: dict, keep_orig: bool = True):
+    """Single-token SynonymFilter (analysis/common/.../synonym/
+    SynonymFilter.java): for each token with a rule, inject the mapped
+    tokens at the SAME position (posInc 0), optionally keeping the
+    original (SynonymMap.Builder keepOrig). Scope cut vs the reference:
+    multi-word (graph) rules are not supported — the FST matcher's
+    phrase inputs/outputs need position-length aware indexing the
+    posting model doesn't carry (documented non-goal)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        for t, p in tp:
+            reps = mapping.get(t)
+            if reps is None:
+                out.append((t, p))
+                continue
+            if keep_orig:
+                out.append((t, p))
+            out.extend((r, p) for r in reps)
+        return out
+
+    return post
+
+
+def edge_ngram_post(min_gram: int = 1, max_gram: int = 1):
+    """EdgeNGramTokenFilter (analysis/common/.../ngram/
+    EdgeNGramTokenFilter.java:91-120, defaults :39-40): per input
+    token, front-edge grams of size min..max (sizes capped at the
+    token's codepoint length), first gram carries the position
+    increment and the rest posInc 0 — i.e. every gram sits at the
+    source token's position. Tokens shorter than min_gram emit
+    nothing but still advance the position (savePosIncr accumulation
+    :102-103)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        for t, p in tp:
+            hi = min(max_gram, len(t))
+            for size in range(min_gram, hi + 1):
+                out.append((t[:size], p))
+        return out
+
+    return post
+
+
+def make_filtered_analyzer(name: str, base: str, post,
+                           emits_overlaps: bool = True) -> AnalyzerSpec:
+    """Compose a registered base chain with a stream post filter and
+    register the result under ``name`` (pinnable in index snapshots)."""
+    b = ANALYZERS[base]
+    spec = AnalyzerSpec(name, b.scanner, b.lowercase, b.stopwords,
+                        b.max_len, b.stem, post=post,
+                        emits_overlaps=emits_overlaps)
+    if isinstance(b, _StandardSpec):
+        # the standard fast path has scanner=None; fall back to the
+        # module-level findall with identical token boundaries
+        spec.scanner = findall_tokens
+    return register_analyzer(spec)
+
+
+make_filtered_analyzer("shingle", "standard", shingle_post(2, 2, True))
+make_filtered_analyzer("shingle_ws", "whitespace", shingle_post(2, 2, True))
+make_filtered_analyzer("edge_ngram", "standard", edge_ngram_post(2, 4))
 
 
 def get_analyzer(name: str) -> AnalyzerSpec:

@@ -383,6 +383,7 @@ def invert_segment(
     pos_lists: List[list],
     shas: List[str],
     keys: Optional[dict] = None,
+    overlap_aware: bool = False,
 ) -> pd.DataFrame:
     """One contiguous-docID segment in (already tokenized), postings
     rows + one meta row out (column-wise frame). The in-RAM inversion analogue
@@ -397,9 +398,30 @@ def invert_segment(
     doc_ids = np.asarray(doc_ids, np.int64)
     doc_base = int(doc_ids[0])
     n_docs = len(doc_ids)
+    # lens = emitted token count: drives the postings flatten AND the
+    # stored doc_len (sumTotalTermFreq semantics — Lucene's avgdl
+    # counts posInc-0 injections, BM25Similarity avgFieldLength =
+    # sumTotalTermFreq / maxDoc)
     lens = np.fromiter((len(t) for t in token_lists), np.int64, n_docs)
+    if overlap_aware:
+        # ...but the NORM length discounts overlaps (shingle/synonym/
+        # edge-ngram chains): Lucene discountOverlaps counts
+        # state.length - state.numOverlap (BM25Similarity.java:137-141)
+        # = number of DISTINCT positions in the emitted stream
+        # (positions are nondecreasing, so distinct = non-equal steps)
+        norm_lens = np.fromiter(
+            (
+                (len(p) - sum(a == b for a, b in zip(p, p[1:])))
+                if p else 0
+                for p in pos_lists
+            ),
+            np.int64,
+            n_docs,
+        )
+    else:
+        norm_lens = lens
     with np.errstate(divide="ignore"):
-        norm_bytes = np.atleast_1d(encode_norm(lens))
+        norm_bytes = np.atleast_1d(encode_norm(norm_lens))
     # dense norm lookup over the segment's contiguous doc range
     span = int(doc_ids[-1]) - doc_base + 1
     nb_lookup = np.zeros(span, dtype=np.uint8)
@@ -580,6 +602,7 @@ def make_stream_builder(offsets: Dict[int, int], dps: int,
                 np.asarray(pend["ids"], np.int64),
                 pend["toks"], pend["poss"], pend["shas"],
                 keys={k: pend[k] for k in ("repo", "path", "commit", "lang")},
+                overlap_aware=get_analyzer(analyzer).emits_overlaps,
             )
             for v in pend.values():
                 v.clear()

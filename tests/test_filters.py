@@ -1,0 +1,143 @@
+"""Golden vectors for the stream-level token filters (Shingle /
+single-token Synonym / EdgeNGram), taken from the reference test
+suites:
+
+- shingle/ShingleFilterTest.java (BI_GRAM_TOKENS :91+,
+  BI_GRAM_TOKENS_WITH_HOLES :114+, TRI_GRAM_TOKENS :189+)
+- ngram/EdgeNGramTokenFilterTest.java (front-gram semantics,
+  short-token position accumulation)
+- plus the discountOverlaps norm rule (BM25Similarity.java:137-141)
+  through invert_segment(overlap_aware=True).
+"""
+
+import numpy as np
+
+from lucene_solr_spark.functions.analysis import (
+    AnalyzerSpec,
+    edge_ngram_post,
+    get_analyzer,
+    shingle_post,
+    synonym_post,
+)
+
+SENT = "please divide this sentence into shingles"
+
+
+def _ws(post):
+    return AnalyzerSpec("t", str.split, False, post=post,
+                        emits_overlaps=True)
+
+
+def _ws_stop(post, stop):
+    return AnalyzerSpec("t", str.split, False, frozenset(stop), post=post,
+                        emits_overlaps=True)
+
+
+def test_shingle_bigram_no_holes():
+    spec = _ws(shingle_post(2, 2, True))
+    got = spec.analyze_with_positions(SENT)
+    assert got == [
+        ("please", 0), ("please divide", 0),
+        ("divide", 1), ("divide this", 1),
+        ("this", 2), ("this sentence", 2),
+        ("sentence", 3), ("sentence into", 3),
+        ("into", 4), ("into shingles", 4),
+        ("shingles", 5),
+    ]
+
+
+def test_shingle_bigram_with_holes():
+    # ShingleFilterTest.BI_GRAM_TOKENS_WITH_HOLES (stopset {this, into})
+    spec = _ws_stop(shingle_post(2, 2, True), {"this", "into"})
+    got = spec.analyze_with_positions(SENT)
+    assert got == [
+        ("please", 0), ("please divide", 0),
+        ("divide", 1), ("divide _", 1),
+        ("_ sentence", 2),
+        ("sentence", 3), ("sentence _", 3),
+        ("_ shingles", 4),
+        ("shingles", 5),
+    ]
+
+
+def test_shingle_trigram():
+    spec = _ws(shingle_post(2, 3, True))
+    got = [t for t, _ in spec.analyze_with_positions(SENT)]
+    assert got == [
+        "please", "please divide", "please divide this",
+        "divide", "divide this", "divide this sentence",
+        "this", "this sentence", "this sentence into",
+        "sentence", "sentence into", "sentence into shingles",
+        "into", "into shingles",
+        "shingles",
+    ]
+
+
+def test_shingle_without_unigrams():
+    spec = _ws(shingle_post(2, 2, False))
+    got = spec.analyze_with_positions(SENT)
+    assert [t for t, _ in got] == [
+        "please divide", "divide this", "this sentence",
+        "sentence into", "into shingles",
+    ]
+    assert [p for _, p in got] == [0, 1, 2, 3, 4]
+
+
+def test_shingle_single_token_passthrough():
+    spec = _ws(shingle_post(2, 2, True))
+    assert spec.analyze_with_positions("please") == [("please", 0)]
+
+
+def test_edge_ngram_front_grams():
+    spec = _ws(edge_ngram_post(2, 3))
+    got = spec.analyze_with_positions("abcde no x")
+    # 'no' emits only its 2-gram; 'x' (< min_gram) emits nothing but
+    # still holds position 2 (savePosIncr accumulation)
+    assert got == [("ab", 0), ("abc", 0), ("no", 1)]
+
+
+def test_edge_ngram_defaults_are_1_1():
+    spec = _ws(edge_ngram_post())
+    assert spec.analyze_with_positions("abc de") == [("a", 0), ("d", 1)]
+
+
+def test_synonym_injection_same_position():
+    spec = _ws(synonym_post({"fast": ["quick", "rapid"]}))
+    got = spec.analyze_with_positions("a fast one")
+    assert got == [
+        ("a", 0), ("fast", 1), ("quick", 1), ("rapid", 1), ("one", 2),
+    ]
+
+
+def test_synonym_replace_mode():
+    spec = _ws(synonym_post({"fast": ["quick"]}, keep_orig=False))
+    assert spec.analyze("a fast one") == ["a", "quick", "one"]
+
+
+def test_registered_chains_exist():
+    for name in ("shingle", "shingle_ws", "edge_ngram"):
+        spec = get_analyzer(name)
+        assert spec.emits_overlaps
+    # standard chain base: stopword holes become fillers
+    got = get_analyzer("shingle").analyze_with_positions("spark the small")
+    assert got == [
+        ("spark", 0), ("spark _", 0), ("_ small", 1), ("small", 2),
+    ]
+
+
+def test_overlap_aware_norm_length():
+    from lucene_solr_spark.indexing.build import invert_segment
+    from lucene_solr_spark.functions.smallfloat import encode_norm
+
+    toks = [["a", "a b", "b", "b c", "c"]]
+    poss = [[0, 0, 1, 1, 2]]
+    out = invert_segment(0, np.array([0]), toks, poss, ["sha"],
+                         overlap_aware=True)
+    meta = out[out["term"].isna()]
+    # doc_len keeps sumTotalTermFreq semantics: all 5 emitted tokens
+    lens = np.frombuffer(meta.iloc[0]["doc_lens_enc"], dtype="<i4")
+    assert lens[0] == 5
+    # the norm byte discounts posInc-0 overlaps: 3 distinct positions
+    nb = np.frombuffer(meta.iloc[0]["norms_enc"], dtype=np.uint8)
+    assert nb[0] == np.atleast_1d(encode_norm(np.array([3])))[0]
+    assert nb[0] != np.atleast_1d(encode_norm(np.array([5])))[0]

@@ -30,6 +30,7 @@ PIPELINE_ENTRIES = [
     "embed_neardup_pairs",
     "ann_cosine_top10",
     "ann_lsh_top10",
+    "classify_nb",
 ]
 
 TABLES = [
