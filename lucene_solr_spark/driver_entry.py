@@ -3817,3 +3817,61 @@ QUERIES["synonym_counts"] = q_synonym_counts
 ORACLES["shingle_bigrams"] = _SHINGLE_SQL
 ORACLES["edge_ngram_terms"] = _EDGE_SQL
 ORACLES["synonym_counts"] = _SYN_SQL
+
+
+def q_wdf_subwords(spark, sf_dir):
+    """WordDelimiterFilter (miscellaneous/WordDelimiterFilter.java)
+    over the part.p_brand + orders.o_orderpriority short-text columns
+    ('Brand#2', '5-LOW'): subword + preserved-original token counts —
+    the text_code field shape for identifier search."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    spec = get_analyzer("word_delimiter_code")
+
+    @pandas_udf("array<string>")
+    def toks(texts: pd.Series) -> pd.Series:
+        analyze = spec.analyze
+        return texts.map(lambda t: analyze(t or ""))
+
+    part = spark.read.parquet(os.path.join(sf_dir, "part.parquet")).select(
+        F.col("p_brand").alias("tok")
+    )
+    orders = spark.read.parquet(
+        os.path.join(sf_dir, "orders.parquet")
+    ).select(F.col("o_orderpriority").alias("tok"))
+    src = part.unionAll(orders)
+    return (
+        src.select(F.explode(toks("tok")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy("term")
+    )
+
+
+_WDF_SQL = """
+WITH src AS (
+  SELECT p_brand AS tok FROM part
+  UNION ALL SELECT o_orderpriority FROM orders
+),
+wtoks AS (
+  -- whitespace tokenizer runs before the filter ('4-NOT SPECIFIED'
+  -- is two stream tokens)
+  SELECT unnest(list_filter(string_split(tok, ' '), x -> x <> ''))
+    AS tok
+  FROM src
+),
+parts AS (
+  SELECT unnest(list_filter(
+      regexp_split_to_array(tok, '[^0-9A-Za-z]+'), x -> x <> '')) AS term
+  FROM wtoks
+  -- preserve_original only fires when the token actually split
+  -- (delimiter present); pure-alnum tokens pass through once
+  UNION ALL SELECT tok FROM wtoks WHERE regexp_matches(tok, '[^0-9A-Za-z]')
+)
+SELECT term, count(*) AS cnt FROM parts GROUP BY term ORDER BY term
+"""
+
+QUERIES["wdf_subwords"] = q_wdf_subwords
+ORACLES["wdf_subwords"] = _WDF_SQL

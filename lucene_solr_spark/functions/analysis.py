@@ -410,6 +410,140 @@ def edge_ngram_post(min_gram: int = 1, max_gram: int = 1):
     return post
 
 
+def word_delimiter_post(
+    generate_word_parts: bool = True,
+    generate_number_parts: bool = True,
+    split_on_case_change: bool = True,
+    split_on_numerics: bool = True,
+    stem_english_possessive: bool = True,
+    catenate_words: bool = False,
+    catenate_numbers: bool = False,
+    catenate_all: bool = False,
+    preserve_original: bool = False,
+):
+    """WordDelimiterFilter (analysis/common/.../miscellaneous/
+    WordDelimiterFilter.java:36-120 flag semantics,
+    WordDelimiterIterator.java subword scan): split tokens into
+    subwords at intra-word delimiters (non-alphanumeric chars), case
+    transitions (camelCase; acronym rule "ABCDef" -> "ABC","Def") and
+    letter<->digit transitions; strip trailing "'s"; optionally
+    catenate maximal same-type subword runs (emitted at the LAST
+    subword's position, posInc 0 — javadoc :46-53) and/or preserve the
+    original token at the FIRST subword's position. Generated parts
+    occupy consecutive positions, so following stream tokens shift
+    right — the posInc-1 injection the reference performs. The key
+    source-code use: identifiers like ``common_util`` / ``parseURL2``
+    become searchable by their parts."""
+
+    def ctype(c: str) -> str:
+        if c.islower():
+            return "l"
+        if c.isupper():
+            return "u"
+        if c.isdigit():
+            return "d"
+        return "x"
+
+    def split_token(tok: str):
+        """-> list of (subword, is_alpha) in order."""
+        if stem_english_possessive:
+            # trailing 's of each subword (javadoc :44-46); the
+            # apostrophe is a delimiter, so strip before scanning
+            import re as _re
+
+            tok = _re.sub(r"'[sS](?=$|[^0-9A-Za-z])", "", tok)
+        parts = []
+        cur: List[str] = []
+
+        def flush():
+            if cur:
+                word = "".join(cur)
+                parts.append((word, ctype(cur[0]) != "d"))
+                cur.clear()
+
+        for c in tok:
+            ty = ctype(c)
+            if ty == "x":
+                flush()
+                continue
+            if cur:
+                pty = ctype(cur[-1])
+                if split_on_numerics and (pty == "d") != (ty == "d"):
+                    flush()
+                elif split_on_case_change and pty == "l" and ty == "u":
+                    flush()
+                elif (
+                    split_on_case_change
+                    and ty == "l"
+                    and pty == "u"
+                    and len(cur) >= 2
+                    and ctype(cur[-2]) == "u"
+                ):
+                    # acronym boundary: "ABCd" -> "AB" + "Cd"
+                    last = cur.pop()
+                    flush()
+                    cur.append(last)
+            cur.append(c)
+        flush()
+        return parts
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        shift = 0
+        for tok, pos in tp:
+            p0 = pos + shift
+            parts = split_token(tok)
+            if not parts:
+                continue  # all-delimiter token vanishes; hole remains
+            if len(parts) == 1 and parts[0][0] == tok:
+                out.append((tok, p0))
+                continue
+            emitted = []
+            keep = [
+                (w, alpha)
+                for (w, alpha) in parts
+                if (alpha and generate_word_parts)
+                or (not alpha and generate_number_parts)
+            ]
+            for i, (w, _alpha) in enumerate(keep):
+                emitted.append((w, p0 + i))
+            if preserve_original:
+                emitted.insert(0, (tok, p0))
+            # catenate maximal same-type runs (>= 2 parts) at the run's
+            # last position
+            def cat_runs(want_alpha):
+                run: List[Tuple[str, int]] = []
+                for i, (w, alpha) in enumerate(keep):
+                    if alpha == want_alpha:
+                        run.append((w, i))
+                    else:
+                        if len(run) >= 2:
+                            emitted.append(
+                                ("".join(w for w, _ in run),
+                                 p0 + run[-1][1])
+                            )
+                        run = []
+                if len(run) >= 2:
+                    emitted.append(
+                        ("".join(w for w, _ in run), p0 + run[-1][1])
+                    )
+
+            if catenate_words:
+                cat_runs(True)
+            if catenate_numbers:
+                cat_runs(False)
+            if catenate_all and len(keep) >= 2:
+                emitted.append(
+                    ("".join(w for w, _ in keep), p0 + len(keep) - 1)
+                )
+            emitted.sort(key=lambda wp: wp[1])
+            out.extend(emitted)
+            shift += len(keep) - 1 if keep else 0
+        return out
+
+    return post
+
+
 def make_filtered_analyzer(name: str, base: str, post,
                            emits_overlaps: bool = True) -> AnalyzerSpec:
     """Compose a registered base chain with a stream post filter and
@@ -428,6 +562,14 @@ def make_filtered_analyzer(name: str, base: str, post,
 make_filtered_analyzer("shingle", "standard", shingle_post(2, 2, True))
 make_filtered_analyzer("shingle_ws", "whitespace", shingle_post(2, 2, True))
 make_filtered_analyzer("edge_ngram", "standard", edge_ngram_post(2, 4))
+# code-identifier chain: whitespace + WordDelimiterFilter with the
+# Solr schema defaults for an index-side text_code field
+# (generate parts, all splits, possessive; original kept so exact
+# identifier queries still match)
+make_filtered_analyzer(
+    "word_delimiter_code", "whitespace",
+    word_delimiter_post(preserve_original=True),
+)
 
 
 def get_analyzer(name: str) -> AnalyzerSpec:

@@ -141,3 +141,82 @@ def test_overlap_aware_norm_length():
     nb = np.frombuffer(meta.iloc[0]["norms_enc"], dtype=np.uint8)
     assert nb[0] == np.atleast_1d(encode_norm(np.array([3])))[0]
     assert nb[0] != np.atleast_1d(encode_norm(np.array([5])))[0]
+
+
+# --- WordDelimiterFilter golden vectors (WordDelimiterFilter.java
+# javadoc :36-53 examples + WordDelimiterIterator subword rules) ---
+
+from lucene_solr_spark.functions.analysis import word_delimiter_post
+
+
+def _wdf(**kw):
+    return AnalyzerSpec("t", str.split, False,
+                        post=word_delimiter_post(**kw),
+                        emits_overlaps=True)
+
+
+def test_wdf_basic_splits():
+    spec = _wdf()
+    assert spec.analyze("Wi-Fi") == ["Wi", "Fi"]
+    assert spec.analyze("PowerShot") == ["Power", "Shot"]
+    assert spec.analyze("SD500") == ["SD", "500"]
+    assert spec.analyze("common_util") == ["common", "util"]
+    assert spec.analyze("parseURL2") == ["parse", "URL", "2"]
+
+
+def test_wdf_delimiter_trim_and_possessive():
+    spec = _wdf()
+    assert spec.analyze("//hello---there, 'dude'") == [
+        "hello", "there", "dude"
+    ]
+    assert spec.analyze("O'Neil's") == ["O", "Neil"]
+
+
+def test_wdf_acronym_boundary():
+    spec = _wdf()
+    # "ABCDef" -> "ABC" + "Def" (upper-run keeps all but the upper
+    # that starts the following capitalized word)
+    assert spec.analyze("ABCDef") == ["ABC", "Def"]
+
+
+def test_wdf_positions_shift_following_tokens():
+    spec = _wdf()
+    got = spec.analyze_with_positions("wi-fi router")
+    assert got == [("wi", 0), ("fi", 1), ("router", 2)]
+
+
+def test_wdf_catenate_words_javadoc_example():
+    spec = _wdf(catenate_words=True)
+    got = spec.analyze_with_positions("Super-Duper-XL500-42-AutoCoder!")
+    assert got == [
+        ("Super", 0), ("Duper", 1), ("XL", 2), ("SuperDuperXL", 2),
+        ("500", 3), ("42", 4), ("Auto", 5), ("Coder", 6),
+        ("AutoCoder", 6),
+    ]
+
+
+def test_wdf_catenate_possessive_run():
+    spec = _wdf(catenate_words=True)
+    got = spec.analyze_with_positions("A's+B's&C's")
+    assert got == [("A", 0), ("B", 1), ("C", 2), ("ABC", 2)]
+
+
+def test_wdf_preserve_original():
+    spec = _wdf(preserve_original=True)
+    got = spec.analyze_with_positions("500-42")
+    assert got == [("500-42", 0), ("500", 0), ("42", 1)]
+
+
+def test_wdf_passthrough_and_vanish():
+    spec = _wdf()
+    assert spec.analyze_with_positions("plain token") == [
+        ("plain", 0), ("token", 1)
+    ]
+    # all-delimiter token vanishes, hole remains
+    assert spec.analyze_with_positions("a +++ b") == [("a", 0), ("b", 2)]
+
+
+def test_wdf_catenate_all():
+    spec = _wdf(catenate_all=True)
+    got = spec.analyze_with_positions("wi-fi-4000")
+    assert ("wifi4000", 2) in got
