@@ -3875,3 +3875,132 @@ SELECT term, count(*) AS cnt FROM parts GROUP BY term ORDER BY term
 
 QUERIES["wdf_subwords"] = q_wdf_subwords
 ORACLES["wdf_subwords"] = _WDF_SQL
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN: the third ANN tier next to brute-force (exactness
+# baseline) and sign-LSH (hash-bucket path)
+# ---------------------------------------------------------------------------
+
+IVF_CENTROID_IDS = (3, 17, 29, 41, 53, 67, 79, 97)  # sampled coarse set
+IVF_NPROBE = 3
+
+
+def q_ann_ivf_top10(spark, sf_dir):
+    """IVF-flat ANN over the embeddings table: coarse quantizer =
+    deterministic sampled centroids (fixed vec_ids — the
+    zero-iteration stand-in for training k-means on a sample; the
+    production-shape parts are the ASSIGNMENT broadcast join, the
+    inverted-list partitioning, and nprobe probing), assign each
+    vector to its max-cosine centroid, probe the query's nprobe
+    nearest lists, exact cosine re-rank inside them. At 100 TB the
+    assignment is one broadcast join + window (or a partitionBy(cid)
+    write so each list is a parquet partition and probing is
+    partition pruning); only lists covering nprobe/K of the corpus
+    are ever scanned per query."""
+    e = _embeddings(spark, sf_dir)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def nrm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    cents = e.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    pairs = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "cos_c",
+            dot(F.col("embedding"), F.col("cv"))
+            / (nrm(F.col("embedding")) * nrm(F.col("cv"))),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_c"), F.asc("cid")
+    )
+    assigned = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probes = (
+        cents.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cos_q",
+            dot(F.col("cv"), F.col("qv"))
+            / (nrm(F.col("cv")) * nrm(F.col("qv"))),
+        )
+        .orderBy(F.desc("cos_q"), F.asc("cid"))
+        .limit(IVF_NPROBE)
+        .select("cid")
+    )
+    cand = assigned.join(F.broadcast(probes), "cid")
+    scored = cand.crossJoin(F.broadcast(q)).withColumn(
+        "cos",
+        dot(F.col("embedding"), F.col("qv"))
+        / (nrm(F.col("embedding")) * nrm(F.col("qv"))),
+    )
+    return (
+        scored.orderBy(F.desc("cos"), F.asc("vec_id"))
+        .select("vec_id")
+        .limit(10)
+    )
+
+
+_IVF_COS = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * {b}[i])) "
+    "/ (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * x))) "
+    "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
+)
+
+_IVF_SQL = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id IN {IVF_CENTROID_IDS}
+),
+asg AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cv')} DESC,
+                 c.cid ASC) AS rn
+    FROM embeddings e, cents c WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT c.cid, {_IVF_COS.format(a='c.cv', b='q.qv')} AS cosq
+    FROM cents c, q
+  ) ORDER BY cosq DESC, cid ASC LIMIT {IVF_NPROBE}
+),
+cand AS (
+  SELECT a.vec_id, a.embedding FROM asg a JOIN probes p USING (cid)
+),
+sims AS (
+  SELECT vec_id, {_IVF_COS.format(a='cand.embedding', b='q.qv')} AS cos
+  FROM cand, q
+)
+SELECT vec_id FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+QUERIES["ann_ivf_top10"] = q_ann_ivf_top10
+ORACLES["ann_ivf_top10"] = _IVF_SQL

@@ -30,7 +30,12 @@ PIPELINE_ENTRIES = [
     "embed_neardup_pairs",
     "ann_cosine_top10",
     "ann_lsh_top10",
+    "ann_ivf_top10",
     "classify_nb",
+    "wdf_subwords",
+    "shingle_bigrams",
+    "edge_ngram_terms",
+    "synonym_counts",
 ]
 
 TABLES = [
