@@ -98,6 +98,16 @@ QUERY_NAMES = [
     "sample_stratified",
     "dedup_prefix64",
     "suggest_complete",
+    # round 2d operators
+    "classify_nb",
+    "classify_knn",
+    "terms_component",
+    "shingle_bigrams",
+    "edge_ngram_terms",
+    "synonym_counts",
+    "wdf_subwords",
+    "ann_ivf_top10",
+    "facet_date_range",
 ]
 
 

@@ -4004,3 +4004,69 @@ SELECT vec_id FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10
 
 QUERIES["ann_ivf_top10"] = q_ann_ivf_top10
 ORACLES["ann_ivf_top10"] = _IVF_SQL
+
+
+def q_facet_date_range(spark, sf_dir):
+    """Date range faceting (solr SimpleFacets getFacetDateCounts /
+    getFacetRangeCounts with a DateMathParser gap: facet.range=ts,
+    start=NOW/DAY-2DAYS, gap=+1DAY, 5 buckets, mincount=0): per-day
+    event counts with empty buckets kept. The date math endpoints are
+    resolved once on the driver (Solr resolves NOW per request);
+    bucketing is a JVM date_trunc + left join against the literal
+    bucket table."""
+    from datetime import datetime, timedelta
+
+    from lucene_solr_spark.functions.datemath import parse_date_math
+
+    now = datetime(2024, 1, 3, 7, 45, 0)
+    start = parse_date_math("NOW/DAY-2DAYS", now)
+    gap = timedelta(days=1)
+    n_buckets = 5
+    end = start + n_buckets * gap
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    counts = (
+        ev.filter((F.col("ts") >= F.lit(start)) & (F.col("ts") < F.lit(end)))
+        .withColumn("d", F.date_trunc("DAY", F.col("ts")))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    buckets = spark.createDataFrame(
+        [(start + i * gap,) for i in range(n_buckets)], "d timestamp"
+    )
+    return (
+        buckets.join(counts, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("bucket"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _facet_date_sql() -> str:
+    from datetime import datetime, timedelta
+
+    from lucene_solr_spark.functions.datemath import parse_date_math
+
+    now = datetime(2024, 1, 3, 7, 45, 0)
+    start = parse_date_math("NOW/DAY-2DAYS", now)
+    end = start + 5 * timedelta(days=1)
+    return f"""
+WITH buckets AS (
+  SELECT TIMESTAMP '{start}' + i * INTERVAL 1 DAY AS d
+  FROM (SELECT unnest(range(0, 5)) AS i)
+),
+counts AS (
+  SELECT date_trunc('day', ts) AS d, count(*) AS n FROM events
+  WHERE ts >= TIMESTAMP '{start}' AND ts < TIMESTAMP '{end}'
+  GROUP BY d
+)
+SELECT strftime(b.d, '%Y-%m-%d') AS bucket,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM buckets b LEFT JOIN counts c USING (d)
+ORDER BY bucket
+"""
+
+
+QUERIES["facet_date_range"] = q_facet_date_range
+ORACLES["facet_date_range"] = _facet_date_sql()

@@ -194,8 +194,14 @@ class AnalyzerSpec:
     def __init__(self, name: str, scanner, lowercase: bool = True,
                  stopwords: frozenset = frozenset(),
                  max_len: int = MAX_TOKEN_LENGTH,
-                 stem=None, post=None, emits_overlaps: bool = False):
+                 stem=None, post=None, emits_overlaps: bool = False,
+                 pre=None):
         self.name = name
+        # optional CharFilter stage (str -> str) applied BEFORE the
+        # tokenizer (Lucene CharFilter slot: HTMLStrip/Mapping/
+        # PatternReplace). Offset correction is not tracked — we never
+        # expose char offsets (documented non-goal).
+        self.pre = pre
         self.scanner = scanner
         self.lowercase = lowercase
         self.stopwords = stopwords
@@ -217,6 +223,8 @@ class AnalyzerSpec:
     def analyze(self, text: str) -> List[str]:
         if self.post is not None:
             return [t for t, _ in self.analyze_with_positions(text)]
+        if self.pre is not None:
+            text = self.pre(text)
         out = []
         stem = self.stem
         for t in self.scanner(text):
@@ -229,6 +237,8 @@ class AnalyzerSpec:
         return out
 
     def analyze_with_positions(self, text: str) -> List[Tuple[str, int]]:
+        if self.pre is not None:
+            text = self.pre(text)
         out = []
         pos = -1
         stem = self.stem
@@ -542,6 +552,85 @@ def word_delimiter_post(
         return out
 
     return post
+
+
+# ---------------------------------------------------------------------------
+# CharFilter stage (pre-tokenizer str -> str): HTMLStrip / Mapping /
+# PatternReplace (analysis/common/.../charfilter/)
+# ---------------------------------------------------------------------------
+
+import html as _html_mod
+
+
+def html_strip_charfilter():
+    """HTMLStripCharFilter (charfilter/HTMLStripCharFilter.jflex):
+    drop script/style elements with their content, comments, and all
+    tags; decode character entities. Documented deltas vs the jflex
+    grammar: tags are replaced by ONE space (the grammar removes them
+    and relies on offset correction; without offsets a space keeps
+    'a<br>b' as two tokens, which is what indexing wants), and CDATA /
+    processing-instruction edge cases follow the regexes below."""
+    import re as _re
+
+    script = _re.compile(
+        r"<(script|style)\b[^>]*>.*?</\1\s*>", _re.I | _re.S
+    )
+    comment = _re.compile(r"<!--.*?-->", _re.S)
+    tag = _re.compile(r"<[^>]*>")
+
+    def pre(text: str) -> str:
+        text = script.sub(" ", text)
+        text = comment.sub(" ", text)
+        text = tag.sub(" ", text)
+        return _html_mod.unescape(text)
+
+    return pre
+
+
+def mapping_charfilter(mapping: dict):
+    """MappingCharFilter (charfilter/MappingCharFilter.java +
+    NormalizeCharMap): greedy longest-match string rewriting before
+    tokenization (classic use: fold 'ph'->'f', strip diacritics)."""
+    import re as _re
+
+    if not mapping:
+        return lambda text: text
+    alt = _re.compile(
+        "|".join(
+            _re.escape(k)
+            for k in sorted(mapping, key=len, reverse=True)
+        )
+    )
+
+    def pre(text: str) -> str:
+        return alt.sub(lambda m: mapping[m.group(0)], text)
+
+    return pre
+
+
+def pattern_replace_charfilter(pattern: str, replacement: str):
+    """PatternReplaceCharFilter (charfilter/
+    PatternReplaceCharFilter.java): regex replace on the raw input."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+
+    def pre(text: str) -> str:
+        return rx.sub(replacement, text)
+
+    return pre
+
+
+def make_charfiltered_analyzer(name: str, base: str, pre) -> AnalyzerSpec:
+    """Compose a registered base chain with a CharFilter pre stage and
+    register under ``name``."""
+    b = ANALYZERS[base]
+    spec = AnalyzerSpec(name, b.scanner, b.lowercase, b.stopwords,
+                        b.max_len, b.stem, post=b.post,
+                        emits_overlaps=b.emits_overlaps, pre=pre)
+    if isinstance(b, _StandardSpec):
+        spec.scanner = findall_tokens
+    return register_analyzer(spec)
 
 
 def make_filtered_analyzer(name: str, base: str, post,

@@ -220,3 +220,48 @@ def test_wdf_catenate_all():
     spec = _wdf(catenate_all=True)
     got = spec.analyze_with_positions("wi-fi-4000")
     assert ("wifi4000", 2) in got
+
+
+# --- CharFilter stage (charfilter/) ---
+
+from lucene_solr_spark.functions.analysis import (
+    html_strip_charfilter,
+    make_charfiltered_analyzer,
+    mapping_charfilter,
+    pattern_replace_charfilter,
+)
+
+
+def test_html_strip():
+    pre = html_strip_charfilter()
+    spec = AnalyzerSpec("t", str.split, True, pre=pre)
+    got = spec.analyze(
+        "<html><head><script>var x=1;</script><style>b{}</style></head>"
+        "<body><p>Hello&nbsp;<b>World</b></p><!-- note -->a<br>b</body>"
+    )
+    assert got == ["hello", "world", "a", "b"]
+
+
+def test_html_strip_entities():
+    pre = html_strip_charfilter()
+    assert pre("fish &amp; chips &lt;now&gt;") == "fish & chips <now>"
+
+
+def test_mapping_charfilter_longest_match():
+    pre = mapping_charfilter({"ph": "f", "p": "b"})
+    assert pre("phone pot") == "fone bot"
+
+
+def test_pattern_replace_charfilter():
+    pre = pattern_replace_charfilter(r"\d+", "#")
+    spec = AnalyzerSpec("t", str.split, False, pre=pre)
+    assert spec.analyze("abc123 45def") == ["abc#", "#def"]
+
+
+def test_charfiltered_analyzer_registration():
+    spec = make_charfiltered_analyzer(
+        "html_standard", "standard", html_strip_charfilter()
+    )
+    got = spec.analyze_with_positions("<p>Spark the engine</p>")
+    # stopword hole at 'the' preserved after the strip
+    assert got == [("spark", 0), ("engine", 2)]
