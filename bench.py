@@ -108,6 +108,8 @@ QUERY_NAMES = [
     "wdf_subwords",
     "ann_ivf_top10",
     "facet_date_range",
+    "fuzzy_suggest",
+    "percolate_matches",
 ]
 
 

@@ -96,19 +96,34 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     also holds under spark-submit on a real cluster)."""
     if getattr(spark, "_lss_pyfiles", False):
         return
+    import hashlib
+
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    # content-addressed zip name: a zip cached only by existence goes
+    # STALE across sessions — workers then resolve the package from the
+    # old zip (addPyFile prepends it to their sys.path) and unpickle
+    # against outdated classes, silently changing results
+    members = []
+    h = hashlib.sha256()
+    for root, _dirs, files in os.walk(pkg_dir):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                full = os.path.join(root, fn)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                members.append((full, rel))
+    for full, rel in sorted(members, key=lambda m: m[1]):
+        h.update(rel.encode())
+        with open(full, "rb") as f:
+            h.update(f.read())
     zip_path = os.path.join(
-        tempfile.gettempdir(), "lucene_solr_spark_pyfiles.zip"
+        tempfile.gettempdir(),
+        f"lucene_solr_spark_pyfiles_{h.hexdigest()[:12]}.zip",
     )
     if not os.path.exists(zip_path):
         tmp = zip_path + f".{os.getpid()}.tmp"
         with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                        zf.write(full, rel)
+            for full, rel in members:
+                zf.write(full, rel)
         os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)
     spark._lss_pyfiles = True  # type: ignore[attr-defined]
@@ -4070,3 +4085,69 @@ ORDER BY bucket
 
 QUERIES["facet_date_range"] = q_facet_date_range
 ORACLES["facet_date_range"] = _facet_date_sql()
+
+
+FUZZY_SUGGEST_INPUT = "teble"   # one substitution off 'table'
+
+
+def q_fuzzy_suggest(spark, sf_dir):
+    """FuzzySuggester (suggest/analyzing/FuzzySuggester.java):
+    completion tolerant to maxEdits=1 in the analyzed input, first
+    char exact; weight = corpus cf like suggest_complete."""
+    s = get_searcher(spark, sf_dir)
+    return s.suggest_fuzzy(FUZZY_SUGGEST_INPUT, n=5)
+
+
+def _fuzzy_suggest_sql() -> str:
+    pre = FUZZY_SUGGEST_INPUT
+    L = len(pre)
+    ks = range(max(1, L - 1), L + 2)
+    cond = " OR ".join(
+        f"levenshtein(substr(term, 1, {k}), '{pre}') <= 1" for k in ks
+    )
+    return ORACLE_PRELUDE + f"""
+SELECT term, cf AS weight FROM tstats
+WHERE substr(term, 1, 1) = '{pre[0]}' AND ({cond})
+ORDER BY weight DESC, term ASC LIMIT 5
+"""
+
+
+QUERIES["fuzzy_suggest"] = q_fuzzy_suggest
+ORACLES["fuzzy_suggest"] = _fuzzy_suggest_sql()
+
+
+PERCOLATE_N = 200
+
+
+def q_percolate(spark, sf_dir):
+    """MemoryIndex percolation (lucene/memory/.../MemoryIndex.java —
+    datastream matching): the boolean query '+table +window stream' is
+    compiled ONCE into a Catalyst predicate over the token array and
+    evaluated per arriving doc, index-free. matched = all MUSTs
+    present (SHOULD clauses don't gate matching at mm=0)."""
+    from lucene_solr_spark.memory import percolate_predicate
+
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < PERCOLATE_N)
+    w = d.select("doc_id", _std_toks().alias("toks"))
+    pred = percolate_predicate(Q_BOOL_REQ_OPT, F.col("toks"))
+    return w.select(
+        "doc_id", pred.alias("matched")
+    ).orderBy("doc_id")
+
+
+_PERCOLATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     t -> t <> '' AND length(t) <= 255
+                          AND t NOT IN ({_STOP_SQL})) AS l
+  FROM documents WHERE doc_id < {PERCOLATE_N}
+)
+SELECT doc_id,
+       (list_contains(l, 'table') AND list_contains(l, 'window'))
+         AS matched
+FROM d ORDER BY doc_id
+"""
+
+QUERIES["percolate_matches"] = q_percolate
+ORACLES["percolate_matches"] = _PERCOLATE_SQL

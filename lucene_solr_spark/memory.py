@@ -1,0 +1,111 @@
+"""MemoryIndex-style percolation: match queries against un-indexed
+documents.
+
+Reference: lucene/memory/src/java/org/apache/lucene/index/memory/
+MemoryIndex.java — a single-document in-RAM index whose headline use
+(class javadoc "Prototype for datastream matching") is percolation:
+route/alert on each arriving document by running stored queries against
+it, without ever touching the main index.
+
+Spark re-expression: instead of building one tiny index per document,
+the query is compiled ONCE into a Catalyst boolean Column over the
+document's token-array column. A stream of documents is then percolated
+with `df.withColumn("matched", pred)` — whole-stage-codegen array ops,
+no Python, no shuffle, directly usable inside a Structured Streaming
+`readStream -> filter -> writeStream` alerting pipeline. That is the
+100 TB shape: percolation cost is a map over arriving batches,
+independent of corpus size.
+
+Supported clause kinds: term, prefix, wildcard, regexp, term range
+(same parser surface as IndexSearcher.search_boolean); matching
+semantics are BooleanQuery's: every MUST present, no NOT present, and
+at least ``mm`` SHOULD clauses present. Phrase clauses are rejected —
+the token-array column carries order but percolation would need the
+position-holes array too; use the indexed phrase path (documented
+scope cut).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.search.queryparser import parse_query
+
+
+def _clause_predicate(c, toks_col: Column) -> Column:
+    if c.kind == "term":
+        return F.array_contains(toks_col, c.terms[0])
+    if c.kind == "prefix":
+        pat = c.pattern
+        return F.exists(toks_col, lambda t: t.startswith(pat))
+    if c.kind == "wildcard":
+        from lucene_solr_spark.search.executor import _wildcard_regex
+
+        rx = _wildcard_regex(c.pattern)
+        return F.exists(toks_col, lambda t: t.rlike(rx))
+    if c.kind == "regexp":
+        # whole-term anchored, like RegexpQuery (executor parity)
+        rx = f"^(?:{c.pattern})$"
+        return F.exists(toks_col, lambda t: t.rlike(rx))
+    if c.kind == "range":
+        lo, hi = c.lo, c.hi
+
+        def in_range(t):
+            conds = []
+            if lo is not None:
+                conds.append(t >= lo if c.include_lo else t > lo)
+            if hi is not None:
+                conds.append(t <= hi if c.include_hi else t < hi)
+            out = conds[0] if conds else F.lit(True)
+            for x in conds[1:]:
+                out = out & x
+            return out
+
+        return F.exists(toks_col, in_range)
+    if c.kind == "multi":  # fuzzy — needs the term dict; not stream-able
+        raise NotImplementedError(
+            "fuzzy clauses need the index term dict; percolation is "
+            "index-free by design"
+        )
+    raise NotImplementedError(
+        f"percolation does not support {c.kind!r} clauses "
+        "(phrases need the position-holes array; use the indexed path)"
+    )
+
+
+def percolate_predicate(
+    query_text: str,
+    toks_col: Column,
+    analyzer=None,
+    mm: int = 0,
+) -> Column:
+    """Compile ``query_text`` into a boolean Column over an
+    array<string> token column (BooleanQuery matching semantics:
+    all MUST, no NOT, >= mm SHOULD)."""
+    clauses = parse_query(query_text, analyzer=analyzer)
+    musts = [c for c in clauses if c.occur == "must"]
+    shoulds = [c for c in clauses if c.occur == "should"]
+    nots = [c for c in clauses if c.occur == "not"]
+    pred: Optional[Column] = None
+
+    def conj(a, b):
+        return b if a is None else a & b
+
+    for c in musts:
+        pred = conj(pred, _clause_predicate(c, toks_col))
+    for c in nots:
+        pred = conj(pred, ~_clause_predicate(c, toks_col))
+    if shoulds:
+        need = mm if (musts or mm > 0) else 1
+        if need > 0:
+            hits = None
+            for c in shoulds:
+                h = _clause_predicate(c, toks_col).cast("int")
+                hits = h if hits is None else hits + h
+            pred = conj(pred, hits >= need)
+    if pred is None:
+        pred = F.lit(False)
+    return pred

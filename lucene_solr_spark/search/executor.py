@@ -1354,6 +1354,52 @@ class IndexSearcher:
             .limit(n)
         )
 
+    def suggest_fuzzy(
+        self,
+        prefix: str,
+        n: int = 5,
+        max_edits: int = 1,
+        non_fuzzy_prefix: int = 1,
+        min_fuzzy_length: int = 3,
+    ) -> DataFrame:
+        """FuzzySuggester (lucene/suggest/.../analyzing/
+        FuzzySuggester.java, defaults :83-96: maxEdits=1,
+        nonFuzzyPrefix=1, minFuzzyLength=3): completion where the
+        analyzed prefix may contain up to ``max_edits`` errors — the
+        reference intersects a Levenshtein automaton of the input with
+        the suggest FST; the relational stand-in matches terms whose
+        own prefix (length within ±max_edits of the input's) is within
+        edit distance, anchored on ``non_fuzzy_prefix`` exact leading
+        chars (which is also the pushed-down range probe on the sorted
+        term dict). Inputs shorter than ``min_fuzzy_length`` fall back
+        to exact completion (:251-255). Documented delta: plain
+        Levenshtein (no transposition primitive), same as the
+        FuzzyQuery surface (queryparser docstring)."""
+        toks = self.analyzer.analyze(prefix)
+        if not toks:
+            return self.spark.createDataFrame(
+                [], "term string, weight long")
+        pre = toks[-1]
+        if len(pre) < min_fuzzy_length:
+            return self.suggest(pre, n)
+        L = len(pre)
+        t = self._term_stats.filter(
+            F.col("term").startswith(pre[:non_fuzzy_prefix])
+        )
+        cond = None
+        for k in range(max(1, L - max_edits), L + max_edits + 1):
+            c = (
+                F.levenshtein(F.substring("term", 1, k), F.lit(pre))
+                <= max_edits
+            )
+            cond = c if cond is None else (cond | c)
+        return (
+            t.filter(cond)
+            .select("term", F.col("cf").cast("long").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("term"))
+            .limit(n)
+        )
+
     def term_vectors(self, doc_ids, store: DataFrame,
                      text_col: str = "content") -> DataFrame:
         """Per-document term vectors — TermVectorComponent

@@ -36,6 +36,8 @@ PIPELINE_ENTRIES = [
     "shingle_bigrams",
     "edge_ngram_terms",
     "synonym_counts",
+    "percolate_matches",
+    "facet_date_range",
 ]
 
 TABLES = [
