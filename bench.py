@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "facet_date_range",
     "fuzzy_suggest",
     "percolate_matches",
+    "blockjoin_children",
 ]
 
 

@@ -4151,3 +4151,35 @@ FROM d ORDER BY doc_id
 
 QUERIES["percolate_matches"] = q_percolate
 ORACLES["percolate_matches"] = _PERCOLATE_SQL
+
+
+BJC_PARENTS = ("src3", "src11", "src17")
+
+
+def q_blockjoin_children(spark, sf_dir):
+    """ToChildBlockJoinQuery (lucene/join/.../ToChildBlockJoinQuery.java;
+    Solr {!child of=...}): a constant-score parent filter selects
+    parent blocks (source strata) and returns ALL their children, each
+    carrying the parent's score (1.0 for a filter parent query) — the
+    inverse traversal of blockjoin_parents. Relationally a pushed-down
+    IN filter on the child rows; at scale, a broadcast semi-join from
+    the matching parent keys."""
+    d = _documents(spark, sf_dir)
+    return (
+        d.filter(F.col("source").isin(*BJC_PARENTS))
+        .select(
+            "doc_id", "source",
+            F.lit(1.0).cast("double").alias("score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BJC_SQL = f"""
+SELECT doc_id, source, CAST(1.0 AS DOUBLE) AS score FROM documents
+WHERE source IN {BJC_PARENTS}
+ORDER BY doc_id
+"""
+
+QUERIES["blockjoin_children"] = q_blockjoin_children
+ORACLES["blockjoin_children"] = _BJC_SQL

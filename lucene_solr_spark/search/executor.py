@@ -1475,6 +1475,43 @@ class IndexSearcher:
         t = self.spark.read.parquet(tomb).select("doc_id")
         return df.join(F.broadcast(t), "doc_id", "left_anti")
 
+    def real_time_get(self, keys) -> DataFrame:
+        """Solr RealTimeGet (/get handler, solr/core/.../component/
+        RealTimeGetComponent.java): fetch the CURRENT version of
+        documents by uniqueKey, seeing updates committed AFTER this
+        searcher's snapshot was opened — the reference consults the
+        update log + the newest realtime searcher instead of the
+        client's possibly-stale searcher. Here the uniqueKey is the
+        (repo, path, commit) doc key; the lookup re-reads the
+        catalog's LATEST snapshot (docs rows + its tombstone set), so
+        an append/delete committed by an NRT micro-batch is visible
+        immediately without reopening this searcher's postings cache.
+
+        ``keys``: list of (repo, path, commit) tuples. Returns the
+        stored key columns + doc_id for every key that currently
+        exists — a broadcast-able point lookup, O(requested keys)."""
+        snap = self.catalog.latest_at_stage("commit", "merge", "delete")
+        if snap is None:
+            snap = self.snap
+        paths = snap.tables["docs"]
+        if not isinstance(paths, list):
+            paths = [paths]
+        docs = self.spark.read.parquet(*paths)
+        kdf = self.spark.createDataFrame(
+            [(str(r), str(p), str(c)) for r, p, c in keys],
+            "repo string, path string, commit string",
+        )
+        hit = docs.join(
+            F.broadcast(kdf), ["repo", "path", "commit"], "inner"
+        )
+        tomb = snap.tables.get("tombstones")
+        if tomb:
+            t = self.spark.read.parquet(tomb).select("doc_id")
+            hit = hit.join(F.broadcast(t), "doc_id", "left_anti")
+        return hit.select(
+            "doc_id", "repo", "path", "commit", "lang"
+        ).orderBy("doc_id")
+
     def search_dismax(self, query_text: str, k: Optional[int] = 10,
                       tie: float = 0.0, exclude: str = "") -> DataFrame:
         """DisjunctionMaxQuery over the analyzed terms of ``query_text``

@@ -317,3 +317,46 @@ def test_null_key_columns_no_docid_collision(spark, tmp_path):
     assert ids == list(range(40))
     # all docs reachable (match-all over live docs)
     assert s.match_all_docs().count() == 40
+
+
+def test_real_time_get_sees_post_open_commits(spark, tmp_path):
+    """RealTimeGet: a searcher opened BEFORE an append/delete commit
+    must still return the current version of a key (RealTimeGetComponent
+    reads the newest state, not the caller's snapshot)."""
+    index_dir = str(tmp_path / "rtgidx")
+    first = spark.createDataFrame(corpus_rows(80), schema=CORPUS_SCHEMA)
+    IndexWriter(spark, index_dir, docs_per_segment=64, n_batches=1).build(
+        first
+    )
+    searcher = IndexSearcher(spark, index_dir)
+
+    rows = [row(i) for i in range(80, 90)]
+    keys = [(r["repo"], r["path"], r["commit"]) for r in rows]
+    # not there yet
+    assert searcher.real_time_get(keys).count() == 0
+
+    # append commits AFTER the searcher opened; RTG must see the keys
+    # without reopening
+    append_documents(
+        spark, index_dir,
+        spark.createDataFrame(rows, schema=CORPUS_SCHEMA),
+    )
+    got = searcher.real_time_get(keys)
+    assert got.count() == 10
+    assert searcher.max_doc == 80  # pinned snapshot untouched
+
+    # delete one key in a later commit; RTG drops it
+    from lucene_solr_spark.indexing.build import delete_docs
+
+    victim = keys[0]
+    vid = [
+        int(r["doc_id"]) for r in got.collect()
+        if r["path"] == victim[1]
+    ][0]
+    delete_docs(
+        spark, index_dir,
+        spark.createDataFrame([(vid,)], "doc_id long"),
+    )
+    got2 = searcher.real_time_get(keys)
+    assert got2.count() == 9
+    assert victim[1] not in {r["path"] for r in got2.collect()}
