@@ -1168,7 +1168,18 @@ class IndexSearcher:
         (lucene/core/.../codecs/lucene42/Lucene42NormsFormat.java) —
         decodes the per-segment norms/doc-length blobs written at build
         time into a relational view. Distributed: one Arrow batch per
-        segment meta row, no collect."""
+        segment meta row, no collect.
+
+        The decoded view is persisted once per searcher (size-gated
+        like the postings cache): numeric ranges, sort-by-field, range
+        facets and the stats component all route through this surface,
+        and re-decoding the blobs per query is pure fixed overhead —
+        Lucene keeps norms on-heap per reader for the same reason
+        (Lucene42NormsFormat loads into memory). Above the gate the
+        un-persisted plan re-derives per query from the (columnar,
+        pruned) segments scan."""
+        if getattr(self, "_doc_stats_df", None) is not None:
+            return self._doc_stats_df
         from lucene_solr_spark.indexing.build import read_segments_any
 
         segs = read_segments_any(self.spark, self.snap.tables["segments"])
@@ -1191,9 +1202,16 @@ class IndexSearcher:
                         }
                     )
 
-        return meta.mapInPandas(
+        out = meta.mapInPandas(
             decode, schema="doc_id long, doc_len long, norm_byte int"
         )
+        # ~20 bytes/doc: gate matches the postings-cache philosophy —
+        # persist when it clearly fits, fall back to re-derivation when
+        # a 10^12-doc corpus would thrash executor storage memory
+        if self.max_doc <= 64 * 1024 * 1024:
+            out = out.persist()
+        self._doc_stats_df = out
+        return out
 
     def collection_stats(self) -> DataFrame:
         """One-row (max_doc, sum_ttf, avgdl) — CollectionStatistics
