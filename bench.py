@@ -111,6 +111,10 @@ QUERY_NAMES = [
     "fuzzy_suggest",
     "percolate_matches",
     "blockjoin_children",
+    # round 2e operators
+    "field_title_term",
+    "edismax_top10",
+    "edismax_pf_top10",
 ]
 
 

@@ -171,6 +171,67 @@ def get_searcher(spark: SparkSession, sf_dir: str):
     return searcher
 
 
+# Multi-field surface (SURVEY.md §2.11 / Solr qf): a second indexed
+# field derived deterministically from the corpus — "title" = the first
+# TITLE_NTOK whitespace tokens of text (both engine and oracle derive
+# it with the same split, so parity is exact). Each field is its own
+# engine index; docIDs agree across fields because assignment is a
+# deterministic dense rank over the shared document key (SURVEY §1.4),
+# mirroring Lucene's one-docID-space invariant (index/FieldInfos.java).
+TITLE_NTOK = 8
+
+
+def documents_as_title_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    title = F.array_join(
+        F.slice(F.split(F.col("text"), " ", -1), 1, TITLE_NTOK), " "
+    )
+    return docs.select(
+        F.lit("corpus").alias("repo"),
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.lit("head").alias("commit"),
+        F.col("lang"),
+        title.alias("content"),
+    )
+
+
+def get_title_searcher(spark: SparkSession, sf_dir: str):
+    """Build (once, resumable) the title-field index for sf_dir."""
+    from lucene_solr_spark.indexing.build import IndexWriter, merge_postings
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    key = ("title", os.path.realpath(sf_dir))
+    hit = _SEARCHERS.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    _ensure_pyfiles(spark)
+    index_dir = os.path.join(
+        tempfile.gettempdir(),
+        "lss_entry_index",
+        os.path.basename(os.path.normpath(sf_dir)) + "_title",
+    )
+    from lucene_solr_spark.catalog import Catalog
+    from lucene_solr_spark.constants import FORMAT_VERSION
+
+    old = Catalog(index_dir).latest()
+    if old is not None and int(
+        old.props.get("format_version", 0)
+    ) != FORMAT_VERSION:
+        import shutil
+
+        shutil.rmtree(index_dir, ignore_errors=True)
+    corpus = documents_as_title_corpus(spark, sf_dir)
+    writer = IndexWriter(
+        spark, index_dir, docs_per_segment=DOCS_PER_SEGMENT, n_batches=2
+    )
+    snap = writer.build(corpus, resume=True)
+    if snap.stage != "merge":
+        merge_postings(spark, index_dir, segs_per_group=SEGS_PER_GROUP)
+    searcher = IndexSearcher(spark, index_dir)
+    _SEARCHERS[key] = (spark, searcher)
+    return searcher
+
+
 # Distributed-search shards (q_dist_merge): two OVERLAPPING shards —
 # doc parity, plus docs < 50 indexed in BOTH — so the mergeIds dedup
 # path (first-shard-wins) is actually exercised, like a Solr cloud
@@ -465,6 +526,119 @@ ORDER BY score DESC, pf.doc_id ASC LIMIT {k}
 """
 
 
+# title-field CTE chain (multi-field surface): identical math to the
+# content prelude, over the derived title text (first TITLE_NTOK
+# whitespace tokens) — per-field statistics exactly as Lucene keeps
+# per-field postings/norms/stats (index/FieldInfos.java).
+def _title_ctes() -> str:
+    ntok = TITLE_NTOK
+    return f"""
+, ttoks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(list_slice(string_split(text, ' '), 1, {ntok})) AS t
+        FROM docs0)
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOP_SQL})
+),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY doc_id, term),
+tdlen AS (
+  SELECT d.doc_id, COALESCE(c.len, 0) AS doc_len
+  FROM docs0 d
+  LEFT JOIN (SELECT doc_id, count(*) AS len FROM ttoks GROUP BY doc_id) c
+    USING (doc_id)
+),
+tcoll AS (
+  SELECT count(*) AS max_doc,
+         CAST(CASE WHEN COALESCE(sum(doc_len), 0) <= 0 THEN 1.0e0
+                   ELSE sum(doc_len) / CAST(count(*) AS DOUBLE)
+              END AS FLOAT) AS avgdl
+  FROM tdlen
+),
+tnorms AS (
+  SELECT doc_id, doc_len,
+    CASE WHEN doc_len = 0 THEN 255
+         ELSE CAST((floor(log2(x)) + 127) * 4
+                   + floor((x / pow(2, floor(log2(x))) - 1) * 4)
+                   - 384 AS INT)
+    END AS nb
+  FROM (SELECT doc_id, doc_len,
+               CAST(1.0e0 / sqrt(CAST(doc_len AS DOUBLE)) AS FLOAT) AS x
+        FROM tdlen)
+),
+tcachev AS (
+  SELECT doc_id, nb,
+    CAST({K1_LIT}
+         * CAST(0.25e0 + CAST(CAST(0.75e0 * declen AS FLOAT)
+                            / (SELECT avgdl FROM tcoll) AS FLOAT)
+                AS FLOAT)
+         AS FLOAT) AS nrm
+  FROM (
+    SELECT doc_id, nb, CAST(1.0e0 / (f * f) AS FLOAT) AS declen
+    FROM (SELECT doc_id, nb,
+                 pow(2.0, floor(nb / 4) - 31) * (1 + (nb % 4) / 4.0e0) AS f
+          FROM tnorms) ff
+  ) n
+),
+ttstats AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+tweights AS (
+  SELECT term, df,
+    CAST(ln(1 + ((SELECT max_doc FROM tcoll) - df + 0.5e0)
+            / (df + 0.5e0)) AS FLOAT) AS idfv,
+    CAST(CAST(ln(1 + ((SELECT max_doc FROM tcoll) - df + 0.5e0)
+                  / (df + 0.5e0)) AS FLOAT)
+         * {K1P1_LIT} AS FLOAT) AS wv
+  FROM ttstats
+),
+tpersc AS (
+  SELECT ttf.doc_id, ttf.term,
+    CAST(CAST(w.wv * ttf.tf AS FLOAT) / CAST(ttf.tf + c.nrm AS FLOAT)
+         AS FLOAT) AS s
+  FROM ttf
+  JOIN tweights w ON ttf.term = w.term
+  JOIN tcachev c ON ttf.doc_id = c.doc_id
+)"""
+
+
+def _mf_leg_sql(alias: str, term: str, boost: float, title: bool) -> str:
+    """Per-(clause, field) all-match scores with the qf boost folded as
+    the engine does (executor.term_wv: wv = f32(f32(idf*f32(boost)) *
+    (k1+1)), BM25Similarity.java:289-293)."""
+    tf_t, w_t, c_t = (("ttf", "tweights", "tcachev") if title
+                      else ("tf", "weights", "cachev"))
+    b_lit = repr(float(F32(boost))) + "e0"
+    return f"""
+{alias} AS (
+  SELECT {tf_t}.doc_id,
+    CAST(CAST(CAST(CAST(w.idfv * {b_lit} AS FLOAT) * {K1P1_LIT} AS FLOAT)
+              * {tf_t}.tf AS FLOAT)
+         / CAST({tf_t}.tf + c.nrm AS FLOAT) AS FLOAT) AS s
+  FROM {tf_t}
+  JOIN {w_t} w ON {tf_t}.term = w.term
+  JOIN {c_t} c ON {tf_t}.doc_id = c.doc_id
+  WHERE {tf_t}.term = '{term}'
+)"""
+
+
+def _mf_dismax_clause_sql(alias: str, leg_a: str, leg_b: str,
+                          tie_lit: str) -> str:
+    """DisjunctionMaxScorer over two field legs: score = f32(max +
+    f32(f32(sum - max) * tie)) (DisjunctionMaxScorer.java:154-159)."""
+    return f"""
+{alias} AS (
+  SELECT doc_id,
+    CAST(mx + CAST(CAST(sm - mx AS FLOAT) * {tie_lit} AS FLOAT)
+         AS FLOAT) AS dm
+  FROM (
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      CASE WHEN a.s IS NULL THEN b.s WHEN b.s IS NULL THEN a.s
+           WHEN a.s >= b.s THEN a.s ELSE b.s END AS mx,
+      CASE WHEN a.s IS NULL THEN b.s WHEN b.s IS NULL THEN a.s
+           ELSE CAST(a.s + b.s AS FLOAT) END AS sm
+    FROM {leg_a} a FULL OUTER JOIN {leg_b} b ON a.doc_id = b.doc_id
+  )
+)"""
+
+
 # fixed reference query set over the testdata vocabulary
 Q_SINGLE = "merge"
 Q_AND = ("table", "window")
@@ -528,6 +702,56 @@ def q_dismax(spark, sf_dir):
     return _topk_double(
         s.search_dismax(" ".join(Q_DISMAX), k=TOP_K, tie=DISMAX_TIE)
     )
+
+
+Q_EDISMAX = ("table", "merge")      # per-clause dismax over fields
+EDISMAX_TIE = 0.1
+EDISMAX_QF = (("title", 2.0), ("content", 1.0))   # qf=title^2 content
+Q_EDISMAX_PF = "table hash"         # pf phrase (adjacent bigram)
+EDISMAX_PF_TIE = 0.5
+EDISMAX_PF_BOOST = 2.0
+
+
+def _mf_searcher(spark, sf_dir):
+    from lucene_solr_spark.search.multifield import MultiFieldSearcher
+
+    return MultiFieldSearcher({
+        "title": get_title_searcher(spark, sf_dir),
+        "content": get_searcher(spark, sf_dir),
+    })
+
+
+def q_field_title_term(spark, sf_dir):
+    """Field-scoped term query against the title-field index
+    (MultiFieldQueryParser field routing,
+    queryparser/classic/MultiFieldQueryParser.java): BM25 with the
+    TITLE field's own collection stats (per-field df/avgdl/norms —
+    Lucene statistics are per field, index/FieldInfos.java)."""
+    mfs = _mf_searcher(spark, sf_dir)
+    return _topk_double(mfs.search_field("title", Q_SINGLE, k=TOP_K))
+
+
+def q_edismax(spark, sf_dir):
+    """Solr (e)dismax main query (solr/core/.../search/DisMaxQParser.java,
+    ExtendedDismaxQParser.java): per whitespace clause a
+    DisjunctionMaxQuery over qf fields (per-field boost + analysis),
+    clauses summed as SHOULD (DisjunctionSumScorer double acc)."""
+    mfs = _mf_searcher(spark, sf_dir)
+    return _topk_double(mfs.edismax(
+        " ".join(Q_EDISMAX), qf=dict(EDISMAX_QF), tie=EDISMAX_TIE, k=TOP_K,
+    ))
+
+
+def q_edismax_pf(spark, sf_dir):
+    """dismax with pf phrase boost (DisMaxQParser.addPhraseQuery /
+    U.java getPhraseQuery): the whole input as an exact PhraseQuery on
+    the pf field, added as an optional clause — ReqOptSumScorer float
+    add (search/ReqOptSumScorer.java:55-62)."""
+    mfs = _mf_searcher(spark, sf_dir)
+    return _topk_double(mfs.edismax(
+        Q_EDISMAX_PF, qf={"title": 1.0, "content": 1.0},
+        tie=EDISMAX_PF_TIE, k=TOP_K, pf={"content": EDISMAX_PF_BOOST},
+    ))
 
 
 def q_numeric_range(spark, sf_dir):
@@ -2820,6 +3044,89 @@ SELECT doc_id,
             AS FLOAT) AS DOUBLE) AS score
 FROM c ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
 """
+    # ---- multi-field: title index + (e)dismax over fields ----
+    _tc = _title_ctes()
+    o["field_title_term"] = ORACLE_PRELUDE + _tc + f"""
+SELECT doc_id, CAST(s AS DOUBLE) AS score
+FROM tpersc WHERE term = '{Q_SINGLE}'
+ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+"""
+    _ed_tie = repr(float(F32(EDISMAX_TIE))) + "e0"
+    _w1, _w2 = Q_EDISMAX
+    (_, _bt), (_, _bc) = EDISMAX_QF
+    _ed_legs = ",".join([
+        _mf_leg_sql("l0t", _w1, _bt, title=True),
+        _mf_leg_sql("l0c", _w1, _bc, title=False),
+        _mf_leg_sql("l1t", _w2, _bt, title=True),
+        _mf_leg_sql("l1c", _w2, _bc, title=False),
+    ])
+    _ed_clauses = ",".join([
+        _mf_dismax_clause_sql("c0", "l0t", "l0c", _ed_tie),
+        _mf_dismax_clause_sql("c1", "l1t", "l1c", _ed_tie),
+    ])
+    o["edismax_top10"] = ORACLE_PRELUDE + _tc + "," + _ed_legs + "," + \
+        _ed_clauses + f"""
+SELECT doc_id, CAST(score AS DOUBLE) AS score
+FROM (
+  SELECT doc_id, CAST(SUM(CAST(dm AS DOUBLE)) AS FLOAT) AS score
+  FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
+  GROUP BY doc_id
+)
+ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+"""
+    _pf_tie = repr(float(F32(EDISMAX_PF_TIE))) + "e0"
+    _pf_b = repr(float(F32(EDISMAX_PF_BOOST))) + "e0"
+    _p1, _p2 = Q_EDISMAX_PF.split()
+    _pf_legs = ",".join([
+        _mf_leg_sql("l0t", _p1, 1.0, title=True),
+        _mf_leg_sql("l0c", _p1, 1.0, title=False),
+        _mf_leg_sql("l1t", _p2, 1.0, title=True),
+        _mf_leg_sql("l1c", _p2, 1.0, title=False),
+    ])
+    _pf_clauses = ",".join([
+        _mf_dismax_clause_sql("c0", "l0t", "l0c", _pf_tie),
+        _mf_dismax_clause_sql("c1", "l1t", "l1c", _pf_tie),
+    ])
+    o["edismax_pf_top10"] = ORACLE_PRELUDE + _tc + "," + _pf_legs + "," + \
+        _pf_clauses + f"""
+, tpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+),
+pfq AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM tpos p0 JOIN tpos p1
+    ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = '{_p1}' AND p1.term = '{_p2}'
+  GROUP BY p0.doc_id
+),
+pw AS (
+  SELECT CAST(CAST(CAST((SELECT idfv FROM weights WHERE term = '{_p1}')
+                        + (SELECT idfv FROM weights WHERE term = '{_p2}')
+                   AS FLOAT) * {_pf_b} AS FLOAT) * {K1P1_LIT} AS FLOAT) AS wv
+),
+phs AS (
+  SELECT pfq.doc_id,
+    CAST(CAST((SELECT wv FROM pw) * pfq.pf AS FLOAT)
+         / CAST(pfq.pf + c.nrm AS FLOAT) AS FLOAT) AS ps
+  FROM pfq JOIN cachev c ON pfq.doc_id = c.doc_id
+),
+mainq AS (
+  SELECT doc_id, CAST(SUM(CAST(dm AS DOUBLE)) AS FLOAT) AS ms
+  FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1)
+  GROUP BY doc_id
+)
+SELECT m.doc_id,
+  CAST(CAST(m.ms + COALESCE(p.ps, CAST(0 AS FLOAT)) AS FLOAT) AS DOUBLE)
+  AS score
+FROM mainq m LEFT JOIN phs p ON m.doc_id = p.doc_id
+ORDER BY score DESC, m.doc_id ASC LIMIT {TOP_K}
+"""
     o["numeric_range_docs"] = ORACLE_PRELUDE + f"""
 SELECT doc_id FROM dlen
 WHERE doc_len BETWEEN {Q_NUMRANGE[0]} AND {Q_NUMRANGE[1]}
@@ -3082,6 +3389,9 @@ QUERIES = {
     "highlight_top10": q_highlight,
     "mlt_similar": q_mlt,
     "dismax_top10": q_dismax,
+    "field_title_term": q_field_title_term,
+    "edismax_top10": q_edismax,
+    "edismax_pf_top10": q_edismax_pf,
     "numeric_range_docs": q_numeric_range,
     "date_math_range": q_date_math_range,
     "regexp_terms": q_regexp_terms,

@@ -1,0 +1,100 @@
+"""Multi-field search gates: per-field index docID consistency and
+(e)dismax combination semantics (solr DisMaxQParser / Lucene
+DisjunctionMaxQuery over fields).
+
+The bit-exact parity gate for edismax lives in the driver entries
+(edismax_top10 / edismax_pf_top10 / field_title_term vs their DuckDB
+oracles); these tests pin the structural invariants the combination
+relies on.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+F32 = np.float32
+
+
+@pytest.fixture(scope="module")
+def two_fields(spark, small_corpus, tmp_path_factory):
+    """Two per-field indexes over the SAME corpus keys: 'content' = the
+    full text, 'head' = the first 5 whitespace tokens."""
+    from lucene_solr_spark.corpusgen import CORPUS_SCHEMA
+    from lucene_solr_spark.indexing.build import IndexWriter, merge_postings
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    corpus = spark.createDataFrame(small_corpus, schema=CORPUS_SCHEMA)
+    head = corpus.withColumn(
+        "content",
+        F.array_join(F.slice(F.split(F.col("content"), " ", -1), 1, 5), " "),
+    )
+    searchers = {}
+    for name, df in [("content", corpus), ("head", head)]:
+        d = str(tmp_path_factory.mktemp(f"mf_{name}"))
+        IndexWriter(spark, d, docs_per_segment=64, n_batches=2).build(df)
+        merge_postings(spark, d, segs_per_group=4)
+        searchers[name] = IndexSearcher(spark, d)
+    return searchers
+
+
+def test_docids_consistent_across_fields(spark, two_fields):
+    """Deterministic dense-rank docID assignment => per-field indexes
+    share one docID space (Lucene's per-segment invariant)."""
+    from lucene_solr_spark.indexing.build import _as_list
+
+    def keys(s):
+        return spark.read.parquet(
+            *_as_list(s.snap.tables["docs"])
+        ).select("doc_id", "repo", "path", "commit")
+
+    a, b = keys(two_fields["content"]), keys(two_fields["head"])
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_edismax_single_field_tie0_equals_search(two_fields):
+    """qf one field, tie=0 degenerates to the plain per-field search."""
+    from lucene_solr_spark.search.multifield import MultiFieldSearcher
+
+    mfs = MultiFieldSearcher(two_fields)
+    got = mfs.edismax("seven hundred", qf={"content": 1.0}, tie=0.0,
+                      k=10).collect()
+    want = two_fields["content"].search("seven hundred", k=10).collect()
+    assert [(r.doc_id, F32(r.score)) for r in got] == \
+        [(r.doc_id, F32(r.score)) for r in want]
+
+
+def test_edismax_dismax_float_order(two_fields):
+    """Cross-field dismax reproduces DisjunctionMaxScorer float math:
+    per clause f32(max + f32(f32(sum-max)*tie)), clauses summed in
+    double, against a driver-side recomputation from the per-field
+    all-match legs."""
+    from lucene_solr_spark.search.multifield import MultiFieldSearcher
+
+    qf = {"head": 2.0, "content": 1.0}
+    tie = F32(0.3)
+    mfs = MultiFieldSearcher(two_fields)
+    words = ["seven", "hundred"]
+    # reference combine in numpy, from the same (gated) kernel legs
+    per_doc = {}
+    for w in words:
+        legs = []
+        for f_name, boost in qf.items():
+            rows = two_fields[f_name].search_boolean(
+                f"{w}^{boost!r}", k=None).collect()
+            legs.append({r.doc_id: F32(r.score) for r in rows})
+        docs = set().union(*[set(l) for l in legs])
+        for d in docs:
+            ss = [l[d] for l in legs if d in l]
+            mx = max(ss)
+            sm = F32(0.0)
+            for s in ss:
+                sm = F32(sm + s)
+            dm = F32(mx + F32(F32(sm - mx) * tie))
+            per_doc.setdefault(d, []).append(dm)
+    want = sorted(
+        ((d, F32(np.float64(sum(np.float64(x) for x in xs))))
+         for d, xs in per_doc.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    got = mfs.edismax(" ".join(words), qf=qf, tie=float(tie), k=10).collect()
+    assert [(r.doc_id, F32(r.score)) for r in got] == want
