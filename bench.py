@@ -115,6 +115,9 @@ QUERY_NAMES = [
     "field_title_term",
     "edismax_top10",
     "edismax_pf_top10",
+    "group_ngroups",
+    "stats_facet",
+    "dedup_clusters",
 ]
 
 
@@ -128,15 +131,22 @@ def main() -> None:
         sf = -1.0
     spark = get_spark("lss_bench", cpus=cpus)
 
-    # fresh build (no resume): wipe the cached index for this tier
+    # fresh build (no resume): wipe the cached index for this tier.
+    # min-of-2 fresh builds: the sandbox VM shows hypervisor co-tenant
+    # noise up to 2x on identical work (BASELINE.md rep history), so a
+    # single-shot cold build measures the neighbor, not the engine —
+    # same methodology as the min-of-2 query passes below.
     index_dir = os.path.join(
         "/tmp", "lss_entry_index", sf_name
     )
-    shutil.rmtree(index_dir, ignore_errors=True)
-    de._SEARCHERS.clear()
-    t0 = time.time()
-    searcher = de.get_searcher(spark, sf_dir)
-    build_sec = time.time() - t0
+    build_runs = []
+    for _ in range(2):
+        shutil.rmtree(index_dir, ignore_errors=True)
+        de._SEARCHERS.clear()
+        t0 = time.time()
+        searcher = de.get_searcher(spark, sf_dir)
+        build_runs.append(round(time.time() - t0, 3))
+    build_sec = min(build_runs)
     n_docs = searcher.max_doc
 
     # two passes, min per query: pass 1 includes JIT/codegen warmup and
@@ -165,6 +175,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "build_sec": round(build_sec, 3),
+                "build_runs": build_runs,
                 "build_docs_per_sec": round(n_docs / build_sec, 1),
                 "n_docs": n_docs,
                 "query_p95_sec": p95,

@@ -1465,6 +1465,53 @@ def q_grouping_top2(spark, sf_dir):
     )
 
 
+def q_group_ngroups(spark, sf_dir):
+    """Solr group.ngroups (GroupingSpecification.includeGroupCount;
+    lucene/grouping/.../term/TermAllGroupsCollector.java counts the
+    distinct group heads over ALL matches): total distinct groups for
+    the query — one hash agg over the all-match doc set."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_GROUPING, k=None)
+    return (
+        hits.join(s._docs.select("doc_id", "lang"), "doc_id")
+        .agg(F.count_distinct("lang").cast("long").alias("ngroups"))
+    )
+
+
+def q_stats_facet(spark, sf_dir):
+    """Solr StatsComponent with stats.facet (solr/core/.../component/
+    StatsComponent.java; StatsValuesFactory.createStatsValues:
+    count/min/max/sum/mean/stddev per facet value): doc_len stats per
+    lang over the query's matches. stddev is Solr's sample form
+    sqrt((sumOfSquares - sum*mean) / (count-1)) with the count<=1 -> 0
+    guard (AbstractStatsValues.getStatsValues)."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_FACET, k=None).select("doc_id")
+    d = (
+        hits.join(s._docs.select("doc_id", "lang"), "doc_id")
+        .join(s.doc_stats().select("doc_id", "doc_len"), "doc_id")
+    )
+    g = d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min("doc_len").cast("long").alias("min_len"),
+        F.max("doc_len").cast("long").alias("max_len"),
+        F.sum("doc_len").cast("long").alias("sum_len"),
+        F.sum(F.col("doc_len") * F.col("doc_len")).cast("long")
+        .alias("sumsq"),
+    )
+    mean = F.col("sum_len").cast("double") / F.col("cnt").cast("double")
+    var = (
+        (F.col("sumsq").cast("double") - F.col("sum_len").cast("double")
+         * mean) / (F.col("cnt").cast("double") - F.lit(1.0))
+    )
+    return g.select(
+        "lang", "cnt", "min_len", "max_len", "sum_len",
+        mean.alias("mean_len"),
+        F.when(F.col("cnt") <= 1, F.lit(0.0))
+        .otherwise(F.sqrt(var)).alias("stddev_len"),
+    ).orderBy("lang")
+
+
 RERANK_DOCS = 50      # ReRankQParserPlugin reRankDocs window
 RERANK_WEIGHT = 2.0   # reRankWeight default
 
@@ -2767,6 +2814,33 @@ FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}') m
 JOIN docs0 d USING (doc_id)
 GROUP BY d.lang ORDER BY d.lang
 """
+    o["group_ngroups"] = ORACLE_PRELUDE + f"""
+SELECT CAST(count(DISTINCT d.lang) AS BIGINT) AS ngroups
+FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_GROUPING}') m
+JOIN docs0 d USING (doc_id)
+"""
+    o["stats_facet"] = ORACLE_PRELUDE + f"""
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}'),
+g AS (
+  SELECT d.lang,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(min(d.doc_len) AS BIGINT) AS min_len,
+    CAST(max(d.doc_len) AS BIGINT) AS max_len,
+    CAST(sum(d.doc_len) AS BIGINT) AS sum_len,
+    CAST(sum(d.doc_len * d.doc_len) AS BIGINT) AS sumsq
+  FROM m JOIN dlen d USING (doc_id)
+  GROUP BY d.lang
+)
+SELECT lang, cnt, min_len, max_len, sum_len,
+  CAST(sum_len AS DOUBLE) / CAST(cnt AS DOUBLE) AS mean_len,
+  CASE WHEN cnt <= 1 THEN 0.0e0
+       ELSE sqrt((CAST(sumsq AS DOUBLE)
+                  - CAST(sum_len AS DOUBLE)
+                    * (CAST(sum_len AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                 / (CAST(cnt AS DOUBLE) - 1.0e0))
+  END AS stddev_len
+FROM g ORDER BY lang
+"""
     _fs, _fe, _fg = FACET_RANGE
     o["facet_range"] = ORACLE_PRELUDE + f"""
 , m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}'),
@@ -3390,6 +3464,8 @@ QUERIES = {
     "mlt_similar": q_mlt,
     "dismax_top10": q_dismax,
     "field_title_term": q_field_title_term,
+    "group_ngroups": q_group_ngroups,
+    "stats_facet": q_stats_facet,
     "edismax_top10": q_edismax,
     "edismax_pf_top10": q_edismax_pf,
     "numeric_range_docs": q_numeric_range,
@@ -3746,8 +3822,7 @@ def q_simhash_neardups(spark, sf_dir):
     )
 
 
-_MINHASH_SQL = f"""
-WITH toks0 AS (
+_MINHASH_CTES = f"""toks0 AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 sh AS (
@@ -3780,7 +3855,9 @@ inter AS (
   FROM cand JOIN sh x ON x.doc_id = ida
             JOIN sh y ON y.doc_id = idb AND y.shingle = x.shingle
   GROUP BY ida, idb
-)
+)"""
+
+_MINHASH_SQL = "WITH " + _MINHASH_CTES + """
 SELECT ida, idb,
        inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jacc
 FROM inter
@@ -3788,6 +3865,30 @@ JOIN sizes sa ON sa.doc_id = ida
 JOIN sizes sb ON sb.doc_id = idb
 WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
 ORDER BY ida, idb
+"""
+
+# connected components over the verified pair graph: recursive
+# transitive min-label closure (small graphs only — the engine side is
+# the iterative min-label propagation in graph.py)
+_DEDUP_CLUSTERS_SQL = "WITH RECURSIVE " + _MINHASH_CTES + """,
+pairs AS (
+  SELECT ida, idb
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = ida
+  JOIN sizes sb ON sb.doc_id = idb
+  WHERE inter / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+),
+nodes AS (SELECT ida AS doc_id FROM pairs UNION SELECT idb FROM pairs),
+edges AS (SELECT ida AS src, idb AS dst FROM pairs
+          UNION SELECT idb AS src, ida AS dst FROM pairs),
+reach AS (
+  SELECT doc_id, doc_id AS lab FROM nodes
+  UNION
+  SELECT e.src AS doc_id, r.lab
+  FROM reach r JOIN edges e ON e.dst = r.doc_id
+)
+SELECT doc_id, CAST(min(lab) AS BIGINT) AS cluster_id
+FROM reach GROUP BY doc_id ORDER BY doc_id
 """
 
 _SIMHASH_SQL = f"""
@@ -3827,7 +3928,21 @@ FROM cand WHERE bit_count(xor(fpa, fpb)) <= {SIMHASH_MAX_HAMMING}
 ORDER BY ida, idb
 """
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the
+    verified MinHash-LSH pair graph — the dedup pipeline's
+    group-then-keep-one step (pairs alone can't dedup: transitive
+    near-dups A~B~C must collapse to ONE representative). Iterative
+    min-label propagation (graph.py); cluster_id = min doc_id per
+    component."""
+    from lucene_solr_spark.graph import connected_components
+
+    pairs = q_minhash_lsh(spark, sf_dir).select("ida", "idb")
+    return connected_components(pairs).orderBy("doc_id")
+
+
 QUERIES["minhash_lsh_pairs"] = q_minhash_lsh
+QUERIES["dedup_clusters"] = q_dedup_clusters
 def q_media_features(spark, sf_dir):
     """Binary-column feature extraction (multimodal.extract_features):
     documents' text bytes stand in for media payloads (binary column,
@@ -3851,6 +3966,7 @@ QUERIES["langid_pred"] = q_langid
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 QUERIES["simhash_neardups"] = q_simhash_neardups
 ORACLES["minhash_lsh_pairs"] = _MINHASH_SQL
+ORACLES["dedup_clusters"] = _DEDUP_CLUSTERS_SQL
 ORACLES["simhash_neardups"] = _SIMHASH_SQL
 
 

@@ -1,0 +1,73 @@
+"""Distributed connected components over a pair graph.
+
+The dedup-cluster step a training-data pipeline runs AFTER near-dup
+pair mining (MinHash/SimHash/embedding pairs -> groups -> keep one
+representative per group). Algorithm: iterative min-label propagation
+("HashToMin" family, Rastogi et al., ICDE'13) expressed as DataFrame
+joins — each round every node takes the min label among itself and its
+neighbors; converges in O(component diameter) rounds. Near-dup
+components are overwhelmingly shallow (pairwise-similar clusters), so
+in practice 2-4 rounds; ``max_iter`` bounds pathological chains.
+
+Scale shape (100 TB): each round is one shuffle-join on dst + one
+groupBy(src) partial-agg + one outer join — all key-partitioned by
+doc_id, no driver-side state; the only driver action per round is the
+scalar convergence count. Labels persist round-over-round and the
+previous generation is unpersisted, so lineage stays O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, a: str = "ida", b: str = "idb",
+                         max_iter: int = 20) -> DataFrame:
+    """Min-label connected components of the undirected graph given as
+    a pair list. Returns (doc_id, cluster_id) for every node appearing
+    in ``pairs``, cluster_id = min node id in the component."""
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # localCheckpoint (eager) after every round: iterative self-joins
+    # otherwise grow the logical plan exponentially and stall Catalyst
+    # analysis after ~10 rounds — the checkpoint truncates lineage to
+    # the materialized rows (on a cluster, a reliable checkpoint dir /
+    # parquet round-trip gives the same truncation fault-tolerantly).
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+            .groupBy("src").agg(F.min("lab").alias("nlab"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"),
+                        F.coalesce(F.col("nlab"), F.col("lab")))
+                .alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("doc_id", F.col("lab").alias("cluster_id"))
