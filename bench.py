@@ -118,6 +118,7 @@ QUERY_NAMES = [
     "group_ngroups",
     "stats_facet",
     "dedup_clusters",
+    "fuzzy_query_top10",
 ]
 
 

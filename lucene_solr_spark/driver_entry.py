@@ -944,6 +944,15 @@ def q_fuzzy_terms(spark, sf_dir):
     return s.expand_terms(F.levenshtein(F.col("term"), F.lit(Q_FUZZY)) <= 2)
 
 
+def q_fuzzy_query(spark, sf_dir):
+    """Scored FuzzyQuery (SCORING_BOOLEAN rewrite): Damerau distance <= 2
+    with transpositions as one primitive edit (FuzzyQuery.java:52
+    defaultTranspositions=true); expanded terms scored as a BM25
+    disjunction (FuzzyTermsEnum -> BooleanQuery SHOULD)."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search_boolean(f"{Q_FUZZY}~", k=TOP_K))
+
+
 def q_term_range_terms(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     lo, hi = Q_RANGE
@@ -2143,6 +2152,21 @@ def _oracles() -> dict:
         f"SELECT term, df FROM tstats WHERE levenshtein(term, '{Q_FUZZY}') <= 2 "
         "ORDER BY term"
     )
+    # scored fuzzy: Damerau metric (DuckDB damerau_levenshtein == the
+    # engine's _damerau_distance, gated by test_damerau_matches_duckdb);
+    # disjunction sum over the expanded terms
+    o["fuzzy_query_top10"] = ORACLE_PRELUDE + f"""
+, fsum AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM persc
+  WHERE term IN (SELECT term FROM tstats
+                 WHERE abs(length(term) - {len(Q_FUZZY)}) <= 2
+                   AND damerau_levenshtein(term, '{Q_FUZZY}') <= 2)
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(score AS DOUBLE) AS score
+FROM fsum ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+"""
     o["term_range_terms"] = ORACLE_PRELUDE + (
         f"SELECT term, df FROM tstats WHERE term >= '{Q_RANGE[0]}' "
         f"AND term < '{Q_RANGE[1]}' ORDER BY term"
@@ -3466,6 +3490,7 @@ QUERIES = {
     "field_title_term": q_field_title_term,
     "group_ngroups": q_group_ngroups,
     "stats_facet": q_stats_facet,
+    "fuzzy_query_top10": q_fuzzy_query,
     "edismax_top10": q_edismax,
     "edismax_pf_top10": q_edismax_pf,
     "numeric_range_docs": q_numeric_range,

@@ -443,6 +443,44 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
+def _damerau_distance(a: str, b: str) -> int:
+    """Unrestricted Damerau-Levenshtein (Lowrance-Wagner): adjacent
+    transposition as ONE primitive edit — FuzzyQuery's
+    transpositions=true semantics (search/FuzzyQuery.java:52
+    defaultTranspositions=true; the Schulz-Mihov transposition
+    automaton behind LevenshteinAutomata). Matches DuckDB's
+    damerau_levenshtein exactly (gated by
+    tests/test_multiterm_datemath.py::test_damerau_matches_duckdb)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    inf = la + lb
+    h = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        h[i + 1][1] = i
+    for j in range(lb + 1):
+        h[1][j + 1] = j
+    da: dict = {}
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            h[i + 1][j + 1] = min(
+                h[i][j] + cost,            # substitute / match
+                h[i + 1][j] + 1,           # insert
+                h[i][j + 1] + 1,           # delete
+                h[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1),  # transpose
+            )
+        da[a[i - 1]] = i
+    return h[la + 1][lb + 1]
+
+
 class OracleBoolean:
     """search_boolean mirror for OracleIndex (BooleanScorer2 strategy:
     conjunction core in ascending-cost f32 order, optional disjunction
@@ -484,10 +522,12 @@ class OracleBoolean:
                      or (t <= c.hi if c.include_hi else t < c.hi))
             ]
         elif c.kind == "multi":
+            # transpositions=true default (FuzzyQuery.java:52): Damerau
+            # distance, so 'atbel' matches 'table' at 2 (lev would be 4)
             hits = [
                 t for t in vocab
                 if abs(len(t) - len(c.pattern)) <= 2
-                and _levenshtein(t, c.pattern) <= 2
+                and _damerau_distance(t, c.pattern) <= 2
             ]
         else:
             raise ValueError(c.kind)
@@ -495,7 +535,7 @@ class OracleBoolean:
         def boost(t):
             if c.kind != "multi":
                 return 1.0
-            d = _levenshtein(t, c.pattern)
+            d = _damerau_distance(t, c.pattern)
             if d == 0:
                 return 1.0
             return float(F32(1.0) - F32(d) / F32(min(len(t),

@@ -54,6 +54,7 @@ import pandas as pd
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from lucene_solr_spark.catalog import Catalog
 from lucene_solr_spark.constants import B, K1
@@ -598,16 +599,32 @@ class IndexSearcher:
                 cond = cond & (F.col("term") <= c.hi if c.include_hi
                                else F.col("term") < c.hi)
         elif c.kind == "multi":
-            # fuzzy: |len(term) - len(pattern)| <= 2 is a NECESSARY
-            # condition for edit distance <= 2 — a pushdown-able
-            # pre-filter standing in for the Levenshtein-automaton walk
-            # (FuzzyTermsEnum.java), so the expensive levenshtein only
-            # runs on the length-window slice of the term dict
+            # fuzzy, transpositions=true default (FuzzyQuery.java:52).
+            # Pushdown-able NECESSARY pre-filters stand in for the
+            # Levenshtein-automaton walk (FuzzyTermsEnum.java):
+            # |len diff| <= 2, and JVM levenshtein <= 4 (a transposition
+            # costs <= 2 plain edits, so damerau<=2 => lev<=4 (each primitive transposition inflates to at most 2 plain edits)). Only the
+            # tiny surviving slice crosses into the Arrow Damerau check.
             n = len(c.pattern)
-            cond = (
-                F.length("term").between(n - 2, n + 2)
-                & (F.levenshtein(F.col("term"), F.lit(c.pattern)) <= 2)
-            )
+            cond = F.length("term").between(n - 2, n + 2)
+            if getattr(c, "transpositions", True):
+                from lucene_solr_spark.oracle import _damerau_distance
+
+                pat = c.pattern
+
+                @pandas_udf("boolean")
+                def _osa_ok(terms: pd.Series) -> pd.Series:
+                    return terms.map(lambda t: _damerau_distance(t, pat) <= 2)
+
+                cond = (
+                    cond
+                    & (F.levenshtein(F.col("term"), F.lit(c.pattern)) <= 4)
+                    & _osa_ok(F.col("term"))
+                )
+            else:
+                cond = cond & (
+                    F.levenshtein(F.col("term"), F.lit(c.pattern)) <= 2
+                )
         else:
             raise ValueError(c.kind)
 
@@ -640,12 +657,14 @@ class IndexSearcher:
             return [(r["term"], int(r["df"]), 1.0) for r in rows]
         rows = q.collect()
         if c.kind == "multi":
-            from lucene_solr_spark.oracle import _levenshtein
+            from lucene_solr_spark.oracle import _levenshtein, _damerau_distance
 
+            dist = (_damerau_distance if getattr(c, "transpositions", True)
+                    else _levenshtein)
             scored = []
             for r in rows:
                 t = r["term"]
-                d = _levenshtein(t, c.pattern)
+                d = dist(t, c.pattern)
                 b = 1.0 if d == 0 else float(
                     F32(1.0) - F32(d) / F32(min(len(t), len(c.pattern)))
                 )

@@ -18,16 +18,15 @@ Supported surface (documented subset — no parentheses/boost/slop):
   term~                FuzzyQuery (edit distance <= 2, the classic `~`
                        default) -> SCORING_BOOLEAN rewrite: expanded
                        terms scored as a disjunction sub-scorer.
-                       DOCUMENTED DIVERGENCE: distance is plain
-                       Levenshtein (insert/delete/substitute), while
-                       the reference FuzzyQuery uses Damerau-
-                       Levenshtein (adjacent TRANSPOSITION counts as 1
-                       edit, not 2 — LevenshteinAutomata.java
-                       transpositions=true). 'abcd'~ therefore does NOT
-                       match 'bacd' at distance 1 here; both engine and
-                       oracle use the same metric, so the gates agree
-                       by construction. rewrite='top_terms_<n>' bounds
-                       oversize expansions; without it they raise
+                       Distance is Damerau (Levenshtein + adjacent
+                       transposition as ONE primitive edit), matching
+                       FuzzyQuery.defaultTranspositions=true
+                       (FuzzyQuery.java:52, LevenshteinAutomata
+                       transpositions): 'abcd'~ matches 'bacd' at
+                       distance 1. Clause(transpositions=False) gives
+                       the plain-Levenshtein automaton instead.
+                       rewrite='top_terms_<n>' bounds oversize
+                       expansions; without it they raise
                        TooManyClauses (scoring kinds only).
 
 The parser produces occur-tagged clause ASTs; stats resolution and
@@ -83,6 +82,9 @@ class Clause:
     # 'range' only: None/'content' = term range over the index; any
     # other name = numeric/field range (NumericRangeQuery surface)
     field: Optional[str] = None
+    # 'multi' (fuzzy) only: adjacent transposition = 1 primitive edit
+    # (FuzzyQuery.java:52 defaultTranspositions=true)
+    transpositions: bool = True
 
 
 class QueryParseError(ValueError):

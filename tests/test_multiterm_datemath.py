@@ -253,3 +253,51 @@ def test_date_math_parser():
     for bad in ["NOW/WEEK", "NOW+", "NOW*3DAYS", "TOMORROW", "NOW+3"]:
         with pytest.raises(DateMathParseError):
             parse_date_math(bad, now)
+
+
+def test_damerau_matches_duckdb():
+    """The engine's Damerau distance must equal DuckDB's
+    damerau_levenshtein on realistic vocab pairs — the fuzzy oracle
+    (fuzzy_query_top10) depends on this equivalence."""
+    import duckdb
+
+    from lucene_solr_spark.oracle import _levenshtein, _damerau_distance
+
+    con = duckdb.connect()
+    words = [
+        "table", "tabel", "atbel", "tables", "stable", "tbale", "cable",
+        "merge", "megre", "emrge", "margin", "vector", "vectro", "a",
+        "ab", "ba", "abc", "acb", "bca", "cab", "", "spark", "sprak",
+        "abcd", "bacd", "badc", "dcba",
+    ]
+    for a in words:
+        for b in words:
+            want = con.execute(
+                "SELECT damerau_levenshtein(?, ?)", [a, b]
+            ).fetchone()[0]
+            assert _damerau_distance(a, b) == want, (a, b)
+            # transpositions only ever REDUCE the distance
+            assert _damerau_distance(a, b) <= _levenshtein(a, b)
+
+
+def test_fuzzy_transpositions_rank_identical(spark, built):
+    """'<term>~' duels engine vs OracleBoolean with the Damerau metric on
+    both sides (transposed patterns included)."""
+    for q in ["seven~", "hunderd~", "esven~ +doc"]:
+        _dual(spark, built, q)
+
+
+def test_fuzzy_transposition_widens_match(spark, built):
+    """A double-transposition pattern ('esven' -> 'seven' via one
+    transposition + distance budget left) must match under the Damerau
+    default where plain Levenshtein(>2) would not."""
+    from lucene_solr_spark.oracle import _levenshtein, _damerau_distance
+
+    assert _damerau_distance("esven", "seven") == 1
+    assert _levenshtein("esven", "seven") == 2
+    assert _damerau_distance("atbel", "table") == 2
+    assert _levenshtein("atbel", "table") == 4
+    index_dir, _ = built
+    s = IndexSearcher(spark, index_dir)
+    got = s.search_boolean("esven~", k=10).collect()
+    assert len(got) > 0  # 'seven' (distance 1) is in the corpus vocab
