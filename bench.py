@@ -119,6 +119,8 @@ QUERY_NAMES = [
     "stats_facet",
     "dedup_clusters",
     "fuzzy_query_top10",
+    "spell_collate",
+    "sorted_index_top10",
 ]
 
 

@@ -953,6 +953,44 @@ def q_fuzzy_query(spark, sf_dir):
     return _topk_double(s.search_boolean(f"{Q_FUZZY}~", k=TOP_K))
 
 
+_SORTED_IDX: dict = {}
+
+
+def q_sorted_index_top10(spark, sf_dir):
+    """Index-time sorting + early termination (SortingMergePolicy +
+    EarlyTerminatingSortingCollector, lucene/misc/.../sorter/): top-10
+    by doc_len from the range-ordered sort projection — only the first
+    bucket dir(s) are ever read (I/O proportional to k, not corpus)."""
+    import tempfile as _tf
+
+    from lucene_solr_spark.search.sorted import SortedIndex
+
+    s = get_searcher(spark, sf_dir)
+    key = os.path.realpath(sf_dir)
+    hit = _SORTED_IDX.get(key)
+    if hit is None or hit[0] is not spark:
+        out = os.path.join(
+            _tf.gettempdir(), "lss_entry_index",
+            os.path.basename(os.path.normpath(sf_dir)) + "_sorted_doclen",
+        )
+        si = SortedIndex.build(s, "doc_len", out, buckets=16)
+        _SORTED_IDX[key] = (spark, si)
+        hit = _SORTED_IDX[key]
+    return hit[1].top(TOP_K, ascending=True).select("doc_id", "doc_len")
+
+
+Q_COLLATE = "tabel windoq"   # both misspelled -> "table window"
+
+
+def q_spell_collate(spark, sf_dir):
+    """SpellCheckComponent collation (SpellCheckCollator.java:49-120):
+    replace out-of-vocabulary query terms with their top suggestion and
+    verify the collation actually matches (extended-results hit
+    count)."""
+    s = get_searcher(spark, sf_dir)
+    return s.spell_collate(Q_COLLATE)
+
+
 def q_term_range_terms(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     lo, hi = Q_RANGE
@@ -3282,6 +3320,40 @@ WHERE length(term) BETWEEN {len(Q_FUZZY) - 2} AND {len(Q_FUZZY) + 2}
   AND term <> '{Q_FUZZY}' AND df >= 1
 ORDER BY score DESC, df DESC, term ASC LIMIT 5
 """
+    o["sorted_index_top10"] = ORACLE_PRELUDE + f"""
+SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len
+FROM dlen ORDER BY doc_len ASC, doc_id ASC LIMIT {TOP_K}
+"""
+
+    def _collate_pick(tok: str) -> str:
+        n = len(tok)
+        return f"""(
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM tstats WHERE term = '{tok}')
+              THEN '{tok}'
+              ELSE (SELECT term FROM (
+                SELECT term, df,
+                  1.0e0 - levenshtein(term, '{tok}')
+                          / CAST(least(length(term), {n}) AS DOUBLE)
+                    AS score
+                FROM tstats
+                WHERE length(term) BETWEEN {n - 2} AND {n + 2}
+                  AND levenshtein(term, '{tok}') <= 2
+                  AND term <> '{tok}' AND df >= 1
+                ORDER BY score DESC, df DESC, term ASC LIMIT 1))
+         END)"""
+
+    _c1, _c2 = Q_COLLATE.split()
+    o["spell_collate"] = ORACLE_PRELUDE + f"""
+, pick1 AS (SELECT {_collate_pick(_c1)} AS term),
+pick2 AS (SELECT {_collate_pick(_c2)} AS term)
+SELECT (SELECT term FROM pick1) || ' ' || (SELECT term FROM pick2)
+         AS collation,
+  CAST((SELECT count(*) FROM (
+    SELECT doc_id FROM tf WHERE term = (SELECT term FROM pick1)
+    INTERSECT
+    SELECT doc_id FROM tf WHERE term = (SELECT term FROM pick2)))
+    AS BIGINT) AS hits
+"""
     o["function_ord_lang"] = ORACLE_PRELUDE + """
 SELECT doc_id,
   CAST(dense_rank() OVER (ORDER BY lang ASC) AS INT) AS ord,
@@ -3491,6 +3563,8 @@ QUERIES = {
     "group_ngroups": q_group_ngroups,
     "stats_facet": q_stats_facet,
     "fuzzy_query_top10": q_fuzzy_query,
+    "spell_collate": q_spell_collate,
+    "sorted_index_top10": q_sorted_index_top10,
     "edismax_top10": q_edismax,
     "edismax_pf_top10": q_edismax_pf,
     "numeric_range_docs": q_numeric_range,

@@ -1368,6 +1368,30 @@ class IndexSearcher:
             .limit(n)
         )
 
+    def spell_collate(self, query_text: str) -> DataFrame:
+        """Solr SpellCheckComponent collation
+        (solr/core/.../spelling/SpellCheckCollator.java:49-120): every
+        query term absent from the index is replaced by its top
+        suggestion (suggest() ordering: score desc, df desc, term asc);
+        the collation is re-run to verify it yields hits
+        (collateExtendedResults hit count; conjunction semantics —
+        the collator's purpose is a query that actually matches).
+        Returns one row (collation string, hits long)."""
+        toks = self.analyzer.analyze(query_text)
+        dfs = self._lookup_dfs(sorted(set(toks)))
+        out = []
+        for t in toks:
+            if dfs.get(t, 0) > 0:
+                out.append(t)
+                continue
+            top = self.suggest(t, n=1).collect()
+            out.append(top[0]["term"] if top else t)
+        collation = " ".join(out)
+        hits = self.search(collation, k=None, mode="and").count() \
+            if out else 0
+        return self.spark.createDataFrame(
+            [(collation, int(hits))], "collation string, hits long")
+
     def complete(self, prefix: str, n: int = 5) -> DataFrame:
         """Analyzed-prefix completion — AnalyzingSuggester semantics
         (lucene/suggest/.../analyzing/AnalyzingSuggester.java: the
