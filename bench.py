@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "fuzzy_query_top10",
     "spell_collate",
     "sorted_index_top10",
+    "payload_term_top10",
 ]
 
 

@@ -979,6 +979,36 @@ def q_sorted_index_top10(spark, sf_dir):
     return hit[1].top(TOP_K, ascending=True).select("doc_id", "doc_len")
 
 
+PAYLOAD_MOD = 5   # deterministic payload = (token position % 5) + 1
+
+
+def q_payload_term(spark, sf_dir):
+    """PayloadTermQuery top-10 (search/payloads/PayloadTermQuery.java
+    + AveragePayloadFunction): BM25 span score x average payload of the
+    term's occurrences. Payloads come from DelimitedPayloadTokenFilter
+    parsing of a deterministically annotated corpus (token|((pos%5)+1)),
+    extracted in one distributed codegen pass (functions/payloads.py)."""
+    from lucene_solr_spark.functions.payloads import (payload_table,
+                                                      payload_term_query)
+
+    s = get_searcher(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ann = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i: F.concat(
+                    x, F.lit("|"),
+                    ((i % PAYLOAD_MOD) + 1).cast("string")),
+            ),
+            " ",
+        ).alias("ann"),
+    )
+    pt = payload_table(ann, text_col="ann")
+    return _topk_double(payload_term_query(s, pt, Q_SINGLE, k=TOP_K))
+
+
 Q_COLLATE = "tabel windoq"   # both misspelled -> "table window"
 
 
@@ -3320,6 +3350,27 @@ WHERE length(term) BETWEEN {len(Q_FUZZY) - 2} AND {len(Q_FUZZY) + 2}
   AND term <> '{Q_FUZZY}' AND df >= 1
 ORDER BY score DESC, df DESC, term ASC LIMIT 5
 """
+    o["payload_term_top10"] = ORACLE_PRELUDE + f"""
+, ptoks AS (
+  SELECT doc_id, t[i] AS term,
+         CAST((i - 1) % {PAYLOAD_MOD} + 1 AS FLOAT) AS payload
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, len(t) + 1)) AS i FROM docs0)
+  WHERE t[i] <> ''
+),
+pagg AS (
+  SELECT doc_id, count(*) AS cnt,
+         sum(CAST(payload AS DOUBLE)) AS psum
+  FROM ptoks WHERE term = '{Q_SINGLE}' GROUP BY doc_id
+)
+SELECT p.doc_id,
+  CAST(CAST(CAST(p.s AS DOUBLE)
+            * CAST(psum / CAST(cnt AS DOUBLE) AS FLOAT)
+       AS FLOAT) AS DOUBLE) AS score
+FROM persc p JOIN pagg pa ON p.doc_id = pa.doc_id
+WHERE p.term = '{Q_SINGLE}'
+ORDER BY score DESC, p.doc_id ASC LIMIT {TOP_K}
+"""
     o["sorted_index_top10"] = ORACLE_PRELUDE + f"""
 SELECT doc_id, CAST(doc_len AS BIGINT) AS doc_len
 FROM dlen ORDER BY doc_len ASC, doc_id ASC LIMIT {TOP_K}
@@ -3565,6 +3616,7 @@ QUERIES = {
     "fuzzy_query_top10": q_fuzzy_query,
     "spell_collate": q_spell_collate,
     "sorted_index_top10": q_sorted_index_top10,
+    "payload_term_top10": q_payload_term,
     "edismax_top10": q_edismax,
     "edismax_pf_top10": q_edismax_pf,
     "numeric_range_docs": q_numeric_range,
