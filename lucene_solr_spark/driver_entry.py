@@ -2080,22 +2080,41 @@ def q_embed_neardup_pairs(spark, sf_dir):
                   F.col("embedding").alias("va"))
     eb = e.select(F.col("vec_id").alias("idb"),
                   F.col("embedding").alias("vb"))
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    nrm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda x: x.cast("double") * x),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+
+    # exact cosine over the candidate pairs in ONE Arrow kernel:
+    # Catalyst higher-order functions evaluate the 64-element fold
+    # interpretively per row (~50us/pair — the old 5.6s hot spot at
+    # sf0.1); the numpy kernel does the same math vectorized over the
+    # batch. Accumulation stays SEQUENTIAL over dims (k-loop), exactly
+    # the left-to-right fold order of the oracle's list_sum — pairwise
+    # BLAS summation would drift in the last ulp and break the
+    # bitwise gate.
+    def cos_kernel(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            Bm = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            n, d = A.shape
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for k in range(d):
+                dot += A[:, k] * Bm[:, k]
+                na += A[:, k] * A[:, k]
+                nb += Bm[:, k] * Bm[:, k]
+            yield pd.DataFrame({
+                "ida": pdf["ida"].to_numpy(np.int64),
+                "idb": pdf["idb"].to_numpy(np.int64),
+                "cos": dot / (np.sqrt(na) * np.sqrt(nb)),
+            })
+
+    scored = (
+        cand.join(ea, "ida").join(eb, "idb")
+        .mapInPandas(cos_kernel, "ida long, idb long, cos double")
     )
     return (
-        cand.join(ea, "ida").join(eb, "idb")
-        .withColumn("cos", dot / (nrm("va") * nrm("vb")))
-        .filter(F.col("cos") >= EMBED_NEARDUP_TAU)
+        scored.filter(F.col("cos") >= EMBED_NEARDUP_TAU)
         .select("ida", "idb", "cos")
         .orderBy("ida", "idb")
     )

@@ -163,6 +163,29 @@ def main() -> None:
         ("Arrow-batched (mapInPandas)", "MapInPandas" in plan),
     ]))
 
+    plan = fmt(QUERIES["edismax_top10"](spark, sf))
+    sections.append(("edismax over per-field indexes", plan, [
+        ("no cartesian product", "CartesianProduct" not in plan),
+        ("per-field kernels in scan stages",
+         "FlatMapGroupsInPandas" in plan),
+        ("doc_id equi-join combine", "Join" in plan),
+    ]))
+
+    plan = fmt(QUERIES["embed_neardup_pairs"](spark, sf))
+    sections.append(("Embedding near-dup pairs (banded + Arrow cosine)",
+                     plan, [
+        ("no all-pairs cartesian", "CartesianProduct" not in plan),
+        ("cosine in one Arrow kernel, not per-row HOFs",
+         "MapInPandas" in plan),
+    ]))
+
+    plan = fmt(QUERIES["payload_term_top10"](spark, sf))
+    sections.append(("PayloadTermQuery (payload stream join)", plan, [
+        ("payload extraction stays in codegen (regex ops, no UDF)",
+         "BatchEvalPython" not in plan),
+        ("left join on doc_id", "Join" in plan),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
