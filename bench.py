@@ -122,6 +122,7 @@ QUERY_NAMES = [
     "spell_collate",
     "sorted_index_top10",
     "payload_term_top10",
+    "edismax_bf_top10",
 ]
 
 

@@ -754,6 +754,24 @@ def q_edismax_pf(spark, sf_dir):
     ))
 
 
+def q_edismax_bf(spark, sf_dir):
+    """edismax with an additive boost function (DisMaxQParser.
+    addBoostFunctions; FunctionQuery.AllScorer.score f32): main
+    disjunction over content plus bf = f32(5/(1+doc_len/100)) — the
+    classic recip-freshness shape — ADDED to matching docs."""
+    mfs = _mf_searcher(spark, sf_dir)
+    s = get_searcher(spark, sf_dir)
+    bf = s.doc_stats().select(
+        "doc_id",
+        (F.lit(5.0) / (F.lit(1.0)
+                       + F.col("doc_len").cast("double") / F.lit(100.0)))
+        .cast("float").alias("boost"),
+    )
+    return _topk_double(mfs.edismax(
+        " ".join(Q_EDISMAX), qf={"content": 1.0}, tie=0.0, k=TOP_K, bf=bf,
+    ))
+
+
 def q_numeric_range(spark, sf_dir):
     """NumericRangeQuery (search/NumericRangeQuery.java, inclusive
     bounds): doc_len in [lo, hi] as a pushdown BETWEEN over the
@@ -3369,6 +3387,23 @@ WHERE length(term) BETWEEN {len(Q_FUZZY) - 2} AND {len(Q_FUZZY) + 2}
   AND term <> '{Q_FUZZY}' AND df >= 1
 ORDER BY score DESC, df DESC, term ASC LIMIT 5
 """
+    o["edismax_bf_top10"] = ORACLE_PRELUDE + f"""
+, mainq AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS ms
+  FROM persc WHERE term IN ('{_w1}', '{_w2}')
+  GROUP BY doc_id
+),
+bfv AS (
+  SELECT doc_id,
+    CAST(5.0e0 / (1.0e0 + CAST(doc_len AS DOUBLE) / 100.0e0) AS FLOAT)
+      AS bf
+  FROM dlen
+)
+SELECT m.doc_id,
+  CAST(CAST(m.ms + b.bf AS FLOAT) AS DOUBLE) AS score
+FROM mainq m JOIN bfv b ON m.doc_id = b.doc_id
+ORDER BY score DESC, m.doc_id ASC LIMIT {TOP_K}
+"""
     o["payload_term_top10"] = ORACLE_PRELUDE + f"""
 , ptoks AS (
   SELECT doc_id, t[i] AS term,
@@ -3636,6 +3671,7 @@ QUERIES = {
     "spell_collate": q_spell_collate,
     "sorted_index_top10": q_sorted_index_top10,
     "payload_term_top10": q_payload_term,
+    "edismax_bf_top10": q_edismax_bf,
     "edismax_top10": q_edismax,
     "edismax_pf_top10": q_edismax_pf,
     "numeric_range_docs": q_numeric_range,

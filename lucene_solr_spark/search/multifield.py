@@ -99,12 +99,22 @@ class MultiFieldSearcher:
         k: Optional[int] = 10,
         pf: Optional[Dict[str, float]] = None,
         min_should_match: int = 0,
+        bf: Optional[DataFrame] = None,
+        bq: Optional[Dict[str, str]] = None,
     ) -> DataFrame:
         """(e)dismax main query: per whitespace clause, DisjunctionMax
         over ``qf`` fields with ``tie``; clauses summed (double acc);
         optional ``pf`` phrase boost added ReqOpt-style.  Returns
         (doc_id long, score float) ordered (score desc, doc_id asc),
-        limited to k (None = all)."""
+        limited to k (None = all).
+
+        ``bf`` — Solr's additive boost function
+        (DisMaxQParser.addBoostFunctions: each bf is a FunctionQuery
+        added as an optional clause; FunctionQuery.AllScorer.score()
+        = f32 value): a (doc_id, boost float) DataFrame; the value is
+        ADDED (f32) to matching docs' scores.  ``bq`` — boost query
+        (addBoostQuery): {field: query_string} run as an additional
+        optional clause whose score is added."""
         import numpy as np
 
         words = [w for w in query_text.split() if w]
@@ -177,5 +187,26 @@ class MultiFieldSearcher:
                                       F.lit(0.0).cast("float")))
                     .alias("score"),
                 )
+        if bq:
+            for f_name, q in bq.items():
+                leg = self.searchers[f_name].search_boolean(q, k=None) \
+                    .select("doc_id", F.col("score").alias("bqs"))
+                main = main.join(leg, "doc_id", "left").select(
+                    "doc_id",
+                    _f32(F.col("score")
+                         + F.coalesce(F.col("bqs"),
+                                      F.lit(0.0).cast("float")))
+                    .alias("score"),
+                )
+        if bf is not None:
+            leg = bf.select("doc_id", F.col("boost").cast("float")
+                            .alias("bfv"))
+            main = main.join(leg, "doc_id", "left").select(
+                "doc_id",
+                _f32(F.col("score")
+                     + F.coalesce(F.col("bfv"),
+                                  F.lit(0.0).cast("float")))
+                .alias("score"),
+            )
         out = main.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)

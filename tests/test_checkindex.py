@@ -3,7 +3,6 @@ corruption (stats drift, norm bit-flip) is detected and localized."""
 
 import glob
 import os
-import shutil
 
 import pyarrow.parquet as pq
 import pytest
@@ -11,9 +10,15 @@ import pytest
 
 @pytest.fixture()
 def copied_index(built, tmp_path):
+    # replicate (NOT copytree): snapshot manifests carry absolute table
+    # paths — a raw copy keeps pointing at the shared `built` index and
+    # the corruption injections below would mutate it for every later
+    # test. replicate() rewrites the manifest paths to the replica.
+    from lucene_solr_spark.replicator import replicate
+
     index_dir, _ = built
     dst = str(tmp_path / "idx_copy")
-    shutil.copytree(index_dir, dst)
+    replicate(index_dir, dst)
     return dst
 
 
