@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "sorted_index_top10",
     "payload_term_top10",
     "edismax_bf_top10",
+    "nested_bool_top10",
 ]
 
 

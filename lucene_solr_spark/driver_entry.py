@@ -754,6 +754,18 @@ def q_edismax_pf(spark, sf_dir):
     ))
 
 
+Q_NESTED = "+(table window) spark -(vector merge)"
+
+
+def q_nested_bool(spark, sf_dir):
+    """Nested BooleanQuery via grouping parens (classic QP grouping ->
+    BooleanQuery-in-BooleanQuery; QueryParserBase Clause production):
+    a MUST disjunction group + an optional term + a NOT group, combined
+    relationally with the BooleanScorer2 float semantics."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search_boolean(Q_NESTED, k=TOP_K))
+
+
 def q_edismax_bf(spark, sf_dir):
     """edismax with an additive boost function (DisMaxQParser.
     addBoostFunctions; FunctionQuery.AllScorer.score f32): main
@@ -3387,6 +3399,21 @@ WHERE length(term) BETWEEN {len(Q_FUZZY) - 2} AND {len(Q_FUZZY) + 2}
   AND term <> '{Q_FUZZY}' AND df >= 1
 ORDER BY score DESC, df DESC, term ASC LIMIT 5
 """
+    o["nested_bool_top10"] = ORACLE_PRELUDE + """
+, grp AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS g
+  FROM persc WHERE term IN ('table', 'window') GROUP BY doc_id
+),
+spk AS (SELECT doc_id, s FROM persc WHERE term = 'spark'),
+ex AS (SELECT DISTINCT doc_id
+       FROM persc WHERE term IN ('vector', 'merge'))
+SELECT g.doc_id,
+  CAST(CAST(g.g + COALESCE(spk.s, CAST(0 AS FLOAT)) AS FLOAT) AS DOUBLE)
+    AS score
+FROM grp g LEFT JOIN spk USING (doc_id)
+WHERE g.doc_id NOT IN (SELECT doc_id FROM ex)
+ORDER BY score DESC, g.doc_id ASC LIMIT 10
+"""
     o["edismax_bf_top10"] = ORACLE_PRELUDE + f"""
 , mainq AS (
   SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS ms
@@ -3672,6 +3699,7 @@ QUERIES = {
     "sorted_index_top10": q_sorted_index_top10,
     "payload_term_top10": q_payload_term,
     "edismax_bf_top10": q_edismax_bf,
+    "nested_bool_top10": q_nested_bool,
     "edismax_top10": q_edismax,
     "edismax_pf_top10": q_edismax_pf,
     "numeric_range_docs": q_numeric_range,

@@ -599,28 +599,27 @@ class OracleBoolean:
             idx.df(t) for t, _ in expanded
         )
 
-    def search(self, query_string: str, k: int = 10,
-               min_should_match: int = 0):
-        from lucene_solr_spark.functions.analysis import get_analyzer
-        from lucene_solr_spark.search.queryparser import parse_query
-
-        ast = parse_query(
-            query_string,
-            analyzer=get_analyzer(getattr(self.idx, "analyzer", "standard")),
-        )
-        if not ast:
-            return []
-        cache = self.idx._cache()
+    def _eval_level(self, ast, cache, min_should_match: int):
+        """One BooleanQuery level -> ({doc: f32 score}, cost estimate)
+        or None (null scorer). Parenthesized sub-booleans recurse —
+        cost(bool) = sum of non-NOT child costs, the Scorer.cost()
+        estimate the engine tree path mirrors."""
         musts, shoulds, nots = [], [], []
         for c in ast:
-            ev = self._clause_eval(c, cache)
+            if c.kind == "bool":
+                ev = self._eval_level(c.sub or [], cache, 0)
+                if ev is not None and not ev[0]:
+                    ev = None  # empty sub-boolean = null scorer
+            else:
+                ev = self._clause_eval(c, cache)
             if ev is None:
                 if c.occur == "must":
-                    return []
+                    return None
                 continue
             {"must": musts, "should": shoulds, "not": nots}[c.occur].append(ev)
         if not musts and not shoulds:
-            return []
+            return None
+        cost = sum(cst for _, cst in musts) + sum(cst for _, cst in shoulds)
         scores = {}
         if musts:
             order = sorted(range(len(musts)), key=lambda i: (musts[i][1], i))
@@ -649,5 +648,23 @@ class OracleBoolean:
         for sc, _ in nots:
             for d in sc:
                 scores.pop(d, None)
+        return scores, cost
+
+    def search(self, query_string: str, k: int = 10,
+               min_should_match: int = 0):
+        from lucene_solr_spark.functions.analysis import get_analyzer
+        from lucene_solr_spark.search.queryparser import parse_query
+
+        ast = parse_query(
+            query_string,
+            analyzer=get_analyzer(getattr(self.idx, "analyzer", "standard")),
+        )
+        if not ast:
+            return []
+        cache = self.idx._cache()
+        ev = self._eval_level(ast, cache, min_should_match)
+        if ev is None:
+            return []
+        scores, _ = ev
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return ranked[:k]

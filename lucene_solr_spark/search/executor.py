@@ -706,6 +706,18 @@ class IndexSearcher:
                if not (c.kind == "range" and c.field is not None)]
         if not ast:
             return empty_df
+        if any(c.kind == "bool" for c in ast):
+            # grouping parens -> nested BooleanQuery tree
+            return self._search_boolean_tree(
+                ast, k, min_should_match, rewrite, field_filters)
+        return self._execute_flat(ast, k, min_should_match, rewrite,
+                                  field_filters)
+
+    def _execute_flat(self, ast, k, min_should_match, rewrite,
+                      field_filters=()):
+        """One-level BooleanQuery execution (the cogrouped kernel path);
+        ``ast`` is a flat occur-tagged clause list."""
+        empty_df = self.spark.createDataFrame([], "doc_id long, score float")
         exact = set()
         for c in ast:
             exact.update(c.terms)
@@ -818,6 +830,127 @@ class IndexSearcher:
         kern_k = None if field_filters else k
         kernel = make_boolean_scorer(planned, self.cache, kern_k)
         out = self._run_kernel(posts, kernel, "doc_id long, score float")
+        for c in field_filters:
+            def _coerce(v):
+                if v is None:
+                    return None
+                try:
+                    return int(v)
+                except ValueError:
+                    try:
+                        return float(v)
+                    except ValueError:
+                        return v
+            rng = self.numeric_range_docs(
+                c.field, _coerce(c.lo), _coerce(c.hi),
+                include_lo=c.include_lo, include_hi=c.include_hi,
+            )
+            how = "left_anti" if c.occur == "not" else "leftsemi"
+            out = out.join(rng, "doc_id", how)
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out if k is None else out.limit(k)
+
+    def _tree_clause_cost(self, c, rewrite) -> int:
+        """Scorer cost ESTIMATE for conjunction ordering inside the
+        nested-boolean path — same df-based estimates the flat planner
+        uses (term: df; phrase: min clause df; multi-term: sum of
+        expanded dfs; bool: sum of non-NOT child costs), mirroring
+        Lucene's Scorer.cost() ordering in ConjunctionScorer."""
+        if c.kind == "bool":
+            return sum(self._tree_clause_cost(s, rewrite)
+                       for s in c.sub or [] if s.occur != "not")
+        if c.kind == "term":
+            return self._lookup_dfs(c.terms).get(c.terms[0], 0)
+        if c.kind == "phrase":
+            dfs = self._lookup_dfs(sorted(set(c.terms)))
+            if any(t not in dfs for t in c.terms):
+                return 0
+            return min(dfs[t] for t in c.terms)
+        rows = self._expand_rows(c, rewrite)
+        if isinstance(rows, tuple) and rows[0] == "docset":
+            agg = (self._term_stats.filter(rows[1])
+                   .agg(F.sum("df").alias("sumdf")).collect()[0])
+            return int(agg["sumdf"] or 0)
+        return int(sum(df for _, df, _ in rows or []))
+
+    def _eval_bool(self, clauses, mm, rewrite):
+        """Evaluate one BooleanQuery level of the nested tree to an
+        all-match (doc_id, score f32) DataFrame. Float semantics mirror
+        the flat kernel / BooleanScorer2 exactly: conjunction = f32
+        stepwise sum in ascending-cost order (ConjunctionScorer.java:
+        104-111), optionals = double accumulation cast f32
+        (DisjunctionSumScorer), ReqOpt = f32(req + opt) float add
+        (ReqOptSumScorer.java:55-62), MUST_NOT = anti-join
+        (ReqExclScorer); minShouldMatch applies to pure disjunctions
+        (MinShouldMatchSumScorer), as in the flat path."""
+        from dataclasses import replace as _replace
+
+        empty_df = self.spark.createDataFrame(
+            [], "doc_id long, score float")
+        evaled = []  # (occur, DF, cost, idx)
+        for i, c in enumerate(clauses):
+            if c.kind == "range" and c.field is not None:
+                raise ValueError(
+                    "field-range filters are top-level only (Solr fq); "
+                    "not supported inside grouping parens")
+            if c.kind == "bool":
+                d = self._eval_bool(c.sub or [], 0, rewrite)
+            else:
+                d = self._execute_flat(
+                    [_replace(c, occur="should")], None, 0, rewrite)
+            cost = self._tree_clause_cost(c, rewrite)
+            evaled.append((c.occur, d, cost, i))
+        musts = sorted([e for e in evaled if e[0] == "must"],
+                       key=lambda e: (e[2], e[3]))
+        shoulds = [e for e in evaled if e[0] == "should"]
+        nots = [e for e in evaled if e[0] == "not"]
+        if not musts and not shoulds:
+            return empty_df
+        req = None
+        for _, d, _, i in musts:
+            d = d.select("doc_id", F.col("score").alias(f"_s{i}"))
+            if req is None:
+                req = d.select("doc_id", F.col(f"_s{i}").alias("req"))
+            else:
+                req = req.join(d, "doc_id").select(
+                    "doc_id",
+                    (F.col("req") + F.col(f"_s{i}")).cast("float")
+                    .alias("req"))
+        opt = None
+        if shoulds:
+            u = shoulds[0][1].select("doc_id", "score")
+            for _, d, _, _ in shoulds[1:]:
+                u = u.unionByName(d.select("doc_id", "score"))
+            opt = u.groupBy("doc_id").agg(
+                F.sum(F.col("score").cast("double")).cast("float")
+                .alias("opt"),
+                F.count(F.lit(1)).alias("optcnt"))
+        if req is not None:
+            out = req
+            if opt is not None:
+                out = out.join(opt, "doc_id", "left").select(
+                    "doc_id",
+                    (F.col("req")
+                     + F.coalesce(F.col("opt"),
+                                  F.lit(0.0).cast("float")))
+                    .cast("float").alias("score"))
+            else:
+                out = out.select("doc_id", F.col("req").alias("score"))
+        else:
+            o = opt.filter(F.col("optcnt") >= max(int(mm), 1))
+            out = o.select("doc_id", F.col("opt").alias("score"))
+        for _, d, _, _ in nots:
+            out = out.join(d.select("doc_id"), "doc_id", "left_anti")
+        return out
+
+    def _search_boolean_tree(self, ast, k, min_should_match, rewrite,
+                             field_filters=()):
+        """Nested BooleanQuery (grouping parens): every clause —
+        including parenthesized sub-booleans — is evaluated to its
+        all-match score set via the gated kernels, then combined
+        relationally level by level (doc_id equi-joins / unions, no
+        driver-side iteration)."""
+        out = self._eval_bool(ast, min_should_match, rewrite)
         for c in field_filters:
             def _coerce(v):
                 if v is None:

@@ -45,7 +45,9 @@ _TOKEN = re.compile(
             "(?P<phrase>[^"]*)"(?:~(?P<pslop>\d+))?(?:\^(?P<pboost>\d+(?:\.\d+)?))?
           | (?:(?P<rfld>[A-Za-z_]\w*):)?(?P<rng>[\[\{][^\]\}]*[\]\}])
           | /(?P<regex>(?:[^/\\]|\\.)*)/
-          | (?P<word>[^\s"]+)
+          | (?P<lparen>\()
+          | (?P<rparen>\))
+          | (?P<word>[^\s"()]+)
         )
     )""",
     re.VERBOSE,
@@ -85,6 +87,10 @@ class Clause:
     # 'multi' (fuzzy) only: adjacent transposition = 1 primitive edit
     # (FuzzyQuery.java:52 defaultTranspositions=true)
     transpositions: bool = True
+    # 'bool' (parenthesized group): nested BooleanQuery sub-clauses
+    # (classic QP grouping, QueryParserBase.java Clause production;
+    # BooleanQuery-in-BooleanQuery nesting)
+    sub: Optional[List["Clause"]] = None
 
 
 class QueryParseError(ValueError):
@@ -111,6 +117,10 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
     analyze_with_positions = analyzer.analyze_with_positions
     clauses: List[Clause] = []
     pending: Optional[str] = None   # occur forced on the NEXT clause
+    # grouping parens: a stack of (outer clause list, group occur) —
+    # '(' pushes a fresh clause list, ')' pops and wraps it in a
+    # kind='bool' clause (classic QP grouping -> nested BooleanQuery)
+    stack: List[Tuple[List[Clause], str]] = []
     pos = 0
     while pos < len(q):
         m = _TOKEN.match(q, pos)
@@ -126,6 +136,21 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             occur0 = "not"
         elif pending is not None:
             occur0 = pending
+        if m.group("lparen") is not None:
+            stack.append((clauses, occur0))
+            clauses = []
+            pending = None
+            continue
+        if m.group("rparen") is not None:
+            if not stack:
+                raise QueryParseError("unbalanced ')'")
+            sub = clauses
+            clauses, gocc = stack.pop()
+            if sub:
+                clauses.append(
+                    Clause(occur=gocc, kind="bool", text="(...)", sub=sub))
+            pending = None
+            continue
         if rng is not None:
             # TermRangeQuery surface: [a TO b] inclusive, {a TO b}
             # exclusive, mixed brackets allowed, * = open end
@@ -201,12 +226,6 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
                        boost=float(pboost) if pboost else 1.0)
             )
             continue
-        if "(" in word or ")" in word:
-            # grouping parens are not in this subset (regex bodies may
-            # contain them — those are consumed by the /…/ branch above)
-            raise QueryParseError(
-                "parentheses are not supported in this subset"
-            )
         if ":" in word:
             fld, word = word.split(":", 1)
             if fld != "content":
@@ -251,4 +270,6 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
         for t in analyze(word):
             clauses.append(Clause(occur=occur, kind="term", text=t,
                                   terms=[t], boost=boost))
+    if stack:
+        raise QueryParseError("unbalanced '('")
     return clauses

@@ -301,3 +301,26 @@ def test_fuzzy_transposition_widens_match(spark, built):
     s = IndexSearcher(spark, index_dir)
     got = s.search_boolean("esven~", k=10).collect()
     assert len(got) > 0  # 'seven' (distance 1) is in the corpus vocab
+
+
+@pytest.mark.parametrize("qs", [
+    "+(common_util base_handler) scan_impl",      # MUST group + opt
+    "(common_util scan_impl) -(base_handler)",    # group + NOT group
+    "+(write_* scan_impl) +common_util",          # multi-term in group
+    "((common_util base_handler) scan_impl)",     # nested nesting
+    "common_util AND (scan_impl base_handler)",   # AND binding a group
+])
+def test_nested_boolean_rank_identical(spark, built, qs):
+    """Grouping parens -> nested BooleanQuery: engine DataFrame-combine
+    tree vs the oracle's recursive evaluation, bit-exact f32."""
+    got = _dual(spark, built, qs)
+    assert got, qs
+
+
+def test_unbalanced_parens_raise():
+    from lucene_solr_spark.search.queryparser import (QueryParseError,
+                                                      parse_query)
+
+    for bad in ["(a", "a)", "((a b) c"]:
+        with pytest.raises(QueryParseError):
+            parse_query(bad)
