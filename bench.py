@@ -124,6 +124,7 @@ QUERY_NAMES = [
     "payload_term_top10",
     "edismax_bf_top10",
     "nested_bool_top10",
+    "facet_prefix_terms",
 ]
 
 

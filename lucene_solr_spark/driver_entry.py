@@ -754,6 +754,22 @@ def q_edismax_pf(spark, sf_dir):
     ))
 
 
+FACET_PREFIX = "s"        # facet.prefix
+FACET_MINCOUNT = 2        # facet.mincount
+FACET_LIMIT = 10          # facet.limit
+
+
+def q_facet_prefix_terms(spark, sf_dir):
+    """SimpleFacets field-term faceting with facet.prefix / mincount /
+    limit / sort=count over the query's matches (SimpleFacets.java
+    getTermCounts): top indexed terms starting with the prefix, counted
+    over matching docs, count desc then term asc."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_FACET, k=None).select("doc_id")
+    return s.facet_terms(hits, prefix=FACET_PREFIX,
+                         mincount=FACET_MINCOUNT, limit=FACET_LIMIT)
+
+
 Q_NESTED = "+(table window) spark -(vector merge)"
 
 
@@ -3399,6 +3415,16 @@ WHERE length(term) BETWEEN {len(Q_FUZZY) - 2} AND {len(Q_FUZZY) + 2}
   AND term <> '{Q_FUZZY}' AND df >= 1
 ORDER BY score DESC, df DESC, term ASC LIMIT 5
 """
+    o["facet_prefix_terms"] = ORACLE_PRELUDE + f"""
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_FACET}'),
+fc AS (
+  SELECT t.term, CAST(count(*) AS BIGINT) AS n
+  FROM tf t JOIN m USING (doc_id)
+  WHERE t.term LIKE '{FACET_PREFIX}%'
+  GROUP BY t.term HAVING count(*) >= {FACET_MINCOUNT}
+)
+SELECT term, n FROM fc ORDER BY n DESC, term ASC LIMIT {FACET_LIMIT}
+"""
     o["nested_bool_top10"] = ORACLE_PRELUDE + """
 , grp AS (
   SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS g
@@ -3700,6 +3726,7 @@ QUERIES = {
     "payload_term_top10": q_payload_term,
     "edismax_bf_top10": q_edismax_bf,
     "nested_bool_top10": q_nested_bool,
+    "facet_prefix_terms": q_facet_prefix_terms,
     "edismax_top10": q_edismax,
     "edismax_pf_top10": q_edismax_pf,
     "numeric_range_docs": q_numeric_range,

@@ -72,6 +72,8 @@ def payload_table(docs: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).alias("tf"),
         F.sum(F.col("payload").cast("double")).alias("payload_sum"),
         F.count("payload").alias("payload_cnt"),
+        F.min("payload").alias("payload_min"),
+        F.max("payload").alias("payload_max"),
     )
 
 
@@ -84,7 +86,8 @@ def payload_term_query(searcher, payloads: DataFrame, term: str,
     the doc has no payloads). All combination steps f32."""
     span = searcher.search(term, k=None)  # (doc_id, score f32), gated
     pay = payloads.filter(F.col("term") == term).select(
-        "doc_id", "payload_sum", "payload_cnt")
+        "doc_id", "payload_sum", "payload_cnt", "payload_min",
+        "payload_max")
     if fn == "avg":
         # payload_sum is exact in double (f32 payloads widen
         # losslessly), so double division + f32 cast equals the
@@ -92,10 +95,10 @@ def payload_term_query(searcher, payloads: DataFrame, term: str,
         # double-rounding hazard
         folded = (F.col("payload_sum")
                   / F.col("payload_cnt").cast("double")).cast("float")
-    elif fn in ("min", "max"):
-        raise NotImplementedError(
-            "min/max need per-position folds: extend payload_table with "
-            "min/max aggregates (same one-pass shape)")
+    elif fn == "min":   # MinPayloadFunction.java
+        folded = F.col("payload_min").cast("float")
+    elif fn == "max":   # MaxPayloadFunction.java
+        folded = F.col("payload_max").cast("float")
     else:
         raise ValueError(fn)
     pscore = F.when(

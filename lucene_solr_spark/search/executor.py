@@ -1921,6 +1921,57 @@ class IndexSearcher:
             t = t.orderBy(F.asc("term"))
         return t.limit(limit)
 
+    def facet_terms(self, doc_ids: DataFrame, prefix: str = "",
+                    mincount: int = 1, limit: int = 10, offset: int = 0,
+                    sort: str = "count") -> DataFrame:
+        """Field-term faceting over a doc set with the SimpleFacets
+        parameter surface (solr/core/.../request/SimpleFacets.java
+        getTermCounts: facet.prefix :486-493 seeks the term enum to the
+        prefix; facet.mincount, facet.limit + facet.offset, facet.sort
+        count|index — count order ties break in index (term) order).
+
+        Plan shape: the prefix prunes the postings scan BEFORE decode
+        (pushdown on the sorted term column), the doc-set join bounds
+        counting to matching docs, and only the post-mincount counts
+        (facet-sized, small) enter the global order/offset window."""
+        cond = F.col("term").startswith(prefix) if prefix else F.lit(True)
+        posts = self._postings.filter(cond).select(
+            "term", "df", "doc_ids_enc", "tfs_enc", "skips_enc", "sdoc")
+
+        def decode(batches):
+            for pdf in batches:
+                terms_out, docs_out = [], []
+                for r in pdf.itertuples(index=False):
+                    if r.df == 1:
+                        d = np.array([r.sdoc], np.int64)
+                    else:
+                        d, _ = decode_postings(
+                            r.doc_ids_enc, r.tfs_enc, r.skips_enc)
+                    terms_out.append(np.repeat(r.term, len(d)))
+                    docs_out.append(d)
+                if docs_out:
+                    yield pd.DataFrame({
+                        "term": np.concatenate(terms_out),
+                        "doc_id": np.concatenate(docs_out)})
+
+        pairs = posts.mapInPandas(decode, "term string, doc_id long")
+        counts = (
+            pairs.join(doc_ids.select("doc_id"), "doc_id")
+            .groupBy("term").agg(F.count("*").alias("n"))
+            .filter(F.col("n") >= int(mincount))
+        )
+        order = ([F.desc("n"), F.asc("term")] if sort == "count"
+                 else [F.asc("term")])
+        from pyspark.sql import Window as W
+
+        w = W.orderBy(*order)
+        return (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter((F.col("_rn") > int(offset))
+                    & (F.col("_rn") <= int(offset) + int(limit)))
+            .select("term", "n")
+        )
+
     def field_value_docs(self, field: str, exists: bool = True) -> DataFrame:
         """FieldValueFilter (search/FieldValueFilter.java:142): docs
         where ``field`` has a value (or is missing, negate=True) —

@@ -62,3 +62,31 @@ def test_payload_table_and_query_fold(spark, built):
         psum, pcnt = pays[d]
         want = F32(span[d] * F32(np.float64(psum) / pcnt))
         assert sc.tobytes() == want.tobytes(), d
+
+
+def test_payload_min_max_folds(spark, built):
+    """Min/MaxPayloadFunction folds (payloads/MinPayloadFunction.java,
+    MaxPayloadFunction.java): per-doc min/max payload of the term's
+    occurrences scales the span score."""
+    from lucene_solr_spark.functions.payloads import (payload_table,
+                                                      payload_term_query)
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    index_dir, _ = built
+    s = IndexSearcher(spark, index_dir)
+    ann = spark.createDataFrame(
+        [(0, "seven|1 seven|9 other|5"), (1, "seven|4")],
+        "doc_id long, ann string")
+    pt = payload_table(ann, text_col="ann")
+    rows = {r.doc_id: (r.payload_min, r.payload_max)
+            for r in pt.filter(F.col("term") == "seven").collect()}
+    assert rows[0] == (1.0, 9.0) and rows[1] == (4.0, 4.0)
+    span = {r.doc_id: F32(r.score)
+            for r in s.search("seven", k=None).collect()}
+    for fn, pick in [("min", 0), ("max", 1)]:
+        got = {r.doc_id: F32(r.score) for r in payload_term_query(
+            s, pt, "seven", fn=fn, k=None).collect()}
+        for d in got:
+            if d in rows:
+                want = F32(span[d] * F32(rows[d][pick]))
+                assert got[d].tobytes() == want.tobytes()
