@@ -186,6 +186,21 @@ def main() -> None:
         ("left join on doc_id", "Join" in plan),
     ]))
 
+    plan = fmt(QUERIES["nested_bool_top10"](spark, sf))
+    sections.append(("Nested BooleanQuery (tree combine)", plan, [
+        ("no cartesian product", "CartesianProduct" not in plan),
+        ("leaf kernels in scan stages", "FlatMapGroupsInPandas" in plan),
+        ("relational combine (joins/union, no driver loop)",
+         "Join" in plan),
+    ]))
+
+    plan = fmt(QUERIES["facet_prefix_terms"](spark, sf))
+    sections.append(("facet.prefix term faceting", plan, [
+        ("prefix prunes before decode (filter under MapInPandas)",
+         "MapInPandas" in plan and "StartsWith" in plan),
+        ("doc-set join bounds counting", "Join" in plan),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
