@@ -1812,6 +1812,23 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_text_profile_sig(spark, sf_dir):
+    """Solr SignatureUpdateProcessorFactory with TextProfileSignature
+    (update/processor/TextProfileSignature.java — the Nutch fuzzy page
+    signature): per-doc MD5 of the quantized bag-of-words profile, the
+    index-time near-dup collapse key. Whole signature is one
+    whole-stage-codegen expression (run-length aggregate fold, no
+    explode/shuffle) — see lucene_solr_spark/signatures.py."""
+    from lucene_solr_spark.signatures import text_profile_signature
+    d = _documents(spark, sf_dir)
+    s = text_profile_signature("text")
+    return d.select(
+        "doc_id",
+        s["sig"].alias("sig"),
+        s["n_profile"].alias("n_profile"),
+    ).orderBy("doc_id")
+
+
 def q_doc_quality(spark, sf_dir):
     """Per-doc quality stats: token count, mean token length, stopword
     ratio — whole-stage-codegen column math, no UDF."""
@@ -3058,6 +3075,43 @@ SELECT doc_id, keeper, dup_count FROM (
   FROM h
 ) WHERE dup_count > 1 ORDER BY doc_id
 """
+    o["text_profile_sig"] = r"""
+WITH tok0 AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[\p{L}\p{N}]+')) AS tok
+  FROM documents
+),
+cnts AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok0 WHERE length(tok) > 2 GROUP BY 1, 2
+),
+q1 AS (
+  SELECT *, max(cnt) OVER (PARTITION BY doc_id) AS maxf FROM cnts
+),
+q2 AS (
+  SELECT *, CAST(floor(CAST(maxf AS FLOAT) * CAST(0.01 AS FLOAT) + 0.5)
+                 AS BIGINT) AS qr
+  FROM q1
+),
+q3 AS (
+  SELECT doc_id, tok,
+         CASE WHEN qr < 2 THEN CASE WHEN maxf > 1 THEN 2 ELSE 1 END
+              ELSE qr END AS quant,
+         cnt
+  FROM q2
+),
+prof AS (
+  SELECT doc_id,
+         string_agg(tok || ' ' || (cnt - cnt % quant), chr(10)
+                    ORDER BY (cnt - cnt % quant) DESC, tok ASC) AS profile,
+         count(*) AS n_profile
+  FROM q3 WHERE cnt - cnt % quant >= quant GROUP BY doc_id
+)
+SELECT d.doc_id, md5(coalesce(p.profile, '')) AS sig,
+       CAST(coalesce(p.n_profile, 0) AS INT) AS n_profile
+FROM documents d LEFT JOIN prof p USING (doc_id)
+ORDER BY doc_id
+"""
     o["ngram_jaccard_pairs"] = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -3743,6 +3797,7 @@ QUERIES = {
     "function_tf_boost": q_function_tf_boost,
     "dedup_exact": q_dedup_exact,
     "dedup_prefix64": q_dedup_prefix,
+    "text_profile_sig": q_text_profile_sig,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_quality": q_doc_quality,
     "repetition_quality": q_repetition_quality,
