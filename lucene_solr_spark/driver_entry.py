@@ -1177,6 +1177,19 @@ def q_span_or_near(spark, sf_dir):
     return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
 
 
+def q_complex_phrase(spark, sf_dir):
+    """ComplexPhraseQueryParser (queryparser/complexPhrase/
+    ComplexPhraseQueryParser.java): phrase with an embedded prefix —
+    '"s* value"' = spanNear([spanOr(prefix-expanded), value], 0,
+    inOrder). Expansion runs against the sorted term dict (predicate
+    pushdown), the positional join stays in the cached-scan kernel."""
+    s = get_searcher(spark, sf_dir)
+    return (
+        s.search_complex_phrase("s* value", slop=0, k=None)
+        .select("doc_id").orderBy("doc_id")
+    )
+
+
 def q_span_first(spark, sf_dir):
     """SpanFirstQuery (search/spans/SpanFirstQuery.java): top-10 for
     spanFirst(merge, 5), FULLY scored in the oracle — every accepted
@@ -2466,6 +2479,18 @@ LEFT JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'merge') m
 WHERE m.pos IS NULL
 ORDER BY doc_id
 """
+    # ComplexPhraseQueryParser "s* value": prefix position expands to
+    # a SpanOr over the index terms (stop-filtered like the term dict),
+    # then the same ordered-near gap rule as span_near_ordered
+    o["complex_phrase_docs"] = ORACLE_PRELUDE + _TPOS + f"""
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM tpos
+      WHERE term LIKE 's%' AND term NOT IN ({_STOP_SQL})) a
+JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'value') b
+  USING (doc_id)
+WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 0
+ORDER BY doc_id
+"""
     # Unordered near, unit subspans: |a - b| - 1 <= slop
     o["span_near_unordered"] = ORACLE_PRELUDE + _TPOS + """
 SELECT DISTINCT a.doc_id
@@ -3738,6 +3763,7 @@ QUERIES = {
     "sloppy_phrase": q_sloppy_phrase,
     "span_near_ordered": q_span_near_ordered,
     "span_or_near": q_span_or_near,
+    "complex_phrase_docs": q_complex_phrase,
     "span_first_top10": q_span_first,
     "span_not": q_span_not,
     "span_near_unordered": q_span_near_unordered,

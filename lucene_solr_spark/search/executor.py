@@ -561,6 +561,54 @@ class IndexSearcher:
         out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
 
+    def search_complex_phrase(self, phrase_text: str, slop: int = 0,
+                              k: Optional[int] = 10) -> DataFrame:
+        """ComplexPhraseQueryParser (lucene/queryparser/.../
+        complexPhrase/ComplexPhraseQueryParser.java): a phrase whose
+        positions may hold wildcards / prefixes / fuzzy terms, e.g.
+        ``"(mer*) data"``. Each multi-term position expands against the
+        term dictionary (ComplexPhraseQuery.rewrite :226-283 forces the
+        SCORING_BOOLEAN rewrite, then folds the visible terms into a
+        SpanOrQuery :346-348); the sequence runs as an in-order
+        SpanNearQuery(slop) (:283), scored by the span kernel.
+
+        TooManyClauses propagates from oversize expansions, matching
+        the embedded parser. An expansion with NO matching index terms
+        makes the whole SpanNear unsatisfiable -> empty result.
+        """
+        from lucene_solr_spark.search import spans as SP
+        from lucene_solr_spark.search.queryparser import (
+            TooManyClauses, parse_complex_phrase)
+
+        clauses = parse_complex_phrase(phrase_text, analyzer=self.analyzer)
+        span_clauses = []
+        for c in clauses:
+            if c.kind == "term":
+                span_clauses.append(SP.SpanTerm(c.text))
+                continue
+            rows = self._expand_rows(c, None)
+            if isinstance(rows, tuple):
+                # constant-score kinds hand back a doc-set past the cap
+                # — inside a phrase that is a TooManyClauses condition
+                # (the reference's embedded parser rewrite would throw)
+                raise TooManyClauses(
+                    f"phrase expansion of {c.text!r} exceeds "
+                    f"maxClauseCount={self.MAX_CLAUSE_COUNT}")
+            if not rows:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score float")
+            if len(rows) == 1:
+                span_clauses.append(SP.SpanTerm(rows[0][0]))
+            else:
+                span_clauses.append(SP.SpanOr(
+                    tuple(SP.SpanTerm(t) for t, _df, _b in rows)))
+        if not span_clauses:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        if len(span_clauses) == 1:
+            return self.search_spans(span_clauses[0], k=k)
+        return self.search_spans(
+            SP.SpanNear(tuple(span_clauses), slop=slop, in_order=True), k=k)
+
     MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
     # search_many merges per-group top-k on the driver below this many
     # estimated rows; above it the merge is a per-query executor window

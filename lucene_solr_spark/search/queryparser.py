@@ -273,3 +273,53 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
     if stack:
         raise QueryParseError("unbalanced '('")
     return clauses
+
+
+def parse_complex_phrase(phrase_text: str, analyzer=None) -> List[Clause]:
+    """ComplexPhraseQueryParser pass-2 clause extraction
+    (lucene/queryparser/.../complexPhrase/ComplexPhraseQueryParser.java
+    :226-283 ComplexPhraseQuery.rewrite): the quoted phrase body is
+    re-parsed position by position; each position yields either a plain
+    term (SpanTermQuery) or a multi-term clause (prefix / wildcard /
+    fuzzy — the reference forces SCORING_BOOLEAN rewrite at :88-99 so
+    the expansion is visible, then folds it into a SpanOrQuery at
+    :346-348). The caller arranges the positions in an in-order
+    SpanNearQuery with the phrase's slop (:283).
+
+    Documented divergences: boolean operators / negation inside the
+    phrase (:289-311 SpanNotQuery path) are not supported — only the
+    positional sequence form `"a b* c~"`; analyzer-dropped tokens
+    (stopwords) skip their position instead of leaving a hole (the
+    reference's behavior here is analyzer-dependent and historically
+    buggy — LUCENE-3821).
+    """
+    if analyzer is None:
+        from lucene_solr_spark.functions.analysis import get_analyzer
+
+        analyzer = get_analyzer("standard")
+    analyze = analyzer.analyze
+    out: List[Clause] = []
+    for word in phrase_text.split():
+        if word.endswith("*") and len(word) > 1 and "*" not in word[:-1] \
+                and "?" not in word:
+            stem = analyze(word[:-1])
+            if len(stem) != 1:
+                raise QueryParseError(f"bad prefix term in phrase: {word!r}")
+            out.append(Clause(occur="must", kind="prefix", text=word,
+                              pattern=stem[0]))
+            continue
+        if "*" in word or "?" in word:
+            pat = word.lower() if analyzer.lowercase else word
+            out.append(Clause(occur="must", kind="wildcard", text=word,
+                              pattern=pat))
+            continue
+        if word.endswith("~"):
+            stem = analyze(word[:-1])
+            if len(stem) != 1:
+                raise QueryParseError(f"bad fuzzy term in phrase: {word!r}")
+            out.append(Clause(occur="must", kind="multi", text=word,
+                              pattern=stem[0]))
+            continue
+        for t in analyze(word):
+            out.append(Clause(occur="must", kind="term", text=t, terms=[t]))
+    return out

@@ -148,3 +148,61 @@ def test_span_near_exact_matches_phrase_docset(spark, built):
                                         k=None).collect()
     }
     assert span_docs == phrase_docs
+
+
+class TestComplexPhrase:
+    """ComplexPhraseQueryParser surface (queryparser/complexPhrase/):
+    phrase positions holding prefix/wildcard/fuzzy terms rewrite to
+    SpanOr-inside-SpanNear; plain phrases must agree with the direct
+    span construction, and expansion edge cases must behave like the
+    embedded parser (TooManyClauses / unsatisfiable position)."""
+
+    def test_plain_equals_manual_span(self, spark, built):
+        index_dir, _ = built
+        s = IndexSearcher(spark, index_dir)
+        a, b = PHRASE_QUERY_SET[0].split()
+        got = s.search_complex_phrase(f"{a} {b}", slop=0, k=10).collect()
+        want = s.search_spans(
+            SpanNear((SpanTerm(a), SpanTerm(b)), 0, True), k=10).collect()
+        assert [(r["doc_id"], np.float32(r["score"]).tobytes())
+                for r in got] == \
+               [(r["doc_id"], np.float32(r["score"]).tobytes())
+                for r in want]
+
+    def test_prefix_equals_manual_spanor(self, spark, built):
+        index_dir, _ = built
+        s = IndexSearcher(spark, index_dir)
+        a, b = PHRASE_QUERY_SET[0].split()
+        stem = a[:3]
+        terms = [r["term"] for r in s.expand_terms(
+            __import__("pyspark.sql.functions", fromlist=["col"])
+            .col("term").startswith(stem)).collect()]
+        assert len(terms) > 1, "fixture stem must be multi-term"
+        got = s.search_complex_phrase(f"{stem}* {b}", slop=1,
+                                      k=None).collect()
+        want = s.search_spans(
+            SpanNear((SpanOr(tuple(SpanTerm(t) for t in terms)),
+                      SpanTerm(b)), 1, True), k=None).collect()
+        assert [(r["doc_id"], np.float32(r["score"]).tobytes())
+                for r in got] == \
+               [(r["doc_id"], np.float32(r["score"]).tobytes())
+                for r in want]
+
+    def test_unsatisfiable_position_empty(self, spark, built):
+        index_dir, _ = built
+        s = IndexSearcher(spark, index_dir)
+        a = PHRASE_QUERY_SET[0].split()[0]
+        assert s.search_complex_phrase(
+            f"zzzzqqqq* {a}", k=10).count() == 0
+
+    def test_fuzzy_position(self, spark, built):
+        """A fuzzy position must cover at least the exact term's docs
+        when paired with the same neighbor."""
+        index_dir, _ = built
+        s = IndexSearcher(spark, index_dir)
+        a, b = PHRASE_QUERY_SET[0].split()
+        exact = {r["doc_id"] for r in
+                 s.search_complex_phrase(f"{a} {b}", k=None).collect()}
+        fuzzy = {r["doc_id"] for r in
+                 s.search_complex_phrase(f"{a}~ {b}", k=None).collect()}
+        assert exact <= fuzzy
