@@ -1177,6 +1177,17 @@ def q_span_or_near(spark, sf_dir):
     return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
 
 
+def q_surround(spark, sf_dir):
+    """Surround query parser (queryparser/surround/): '2W(s*, value)'
+    = prefix expansion within ordered distance 2 (slop 1,
+    DistanceQuery.java:100). Doc set, like the other span entries."""
+    s = get_searcher(spark, sf_dir)
+    return (
+        s.search_surround("2W(s*, value)", k=None)
+        .select("doc_id").orderBy("doc_id")
+    )
+
+
 def q_complex_phrase(spark, sf_dir):
     """ComplexPhraseQueryParser (queryparser/complexPhrase/
     ComplexPhraseQueryParser.java): phrase with an embedded prefix —
@@ -2491,6 +2502,17 @@ JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'value') b
 WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 0
 ORDER BY doc_id
 """
+    # Surround 2W(s*, value): ordered distance 2 = slop 1 over the
+    # prefix-expanded SpanOr (DistanceQuery.java slop = opDistance - 1)
+    o["surround_docs"] = ORACLE_PRELUDE + _TPOS + f"""
+SELECT DISTINCT a.doc_id
+FROM (SELECT doc_id, pos FROM tpos
+      WHERE term LIKE 's%' AND term NOT IN ({_STOP_SQL})) a
+JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'value') b
+  USING (doc_id)
+WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 1
+ORDER BY doc_id
+"""
     # Unordered near, unit subspans: |a - b| - 1 <= slop
     o["span_near_unordered"] = ORACLE_PRELUDE + _TPOS + """
 SELECT DISTINCT a.doc_id
@@ -3764,6 +3786,7 @@ QUERIES = {
     "span_near_ordered": q_span_near_ordered,
     "span_or_near": q_span_or_near,
     "complex_phrase_docs": q_complex_phrase,
+    "surround_docs": q_surround,
     "span_first_top10": q_span_first,
     "span_not": q_span_not,
     "span_near_unordered": q_span_near_unordered,

@@ -104,6 +104,12 @@ def _wildcard_regex(pat: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+class _SrndUnsat(Exception):
+    """A surround prefix/trunc expansion matched no index terms — the
+    enclosing distance query is unsatisfiable (empty SpanOr from
+    surround/query/SpanNearClauseFactory.java)."""
+
+
 class IndexSearcher:
     # postings above this on-disk size are NOT persisted: rely on
     # parquet predicate pushdown + OS page cache (the Lucene mmap
@@ -608,6 +614,120 @@ class IndexSearcher:
             return self.search_spans(span_clauses[0], k=k)
         return self.search_spans(
             SP.SpanNear(tuple(span_clauses), slop=slop, in_order=True), k=k)
+
+    def _srnd_to_span(self, node):
+        """Surround AST -> span AST (query/SpanNearClauseFactory.java:
+        terms and prefix/trunc expansions become SpanTerm/SpanOr
+        clauses; DistanceQuery.java:100 slop = opDistance - 1). Raises
+        _SrndUnsat when an expansion matches nothing (the factory
+        yields an empty SpanOr -> unsatisfiable near)."""
+        from lucene_solr_spark.search import spans as SP
+        from lucene_solr_spark.search import surround as SR
+        from lucene_solr_spark.search.queryparser import (
+            Clause, QueryParseError, TooManyClauses)
+
+        if isinstance(node, SR.SrndTerm):
+            return SP.SpanTerm(node.text)
+        if isinstance(node, (SR.SrndPrefix, SR.SrndTrunc)):
+            if isinstance(node, SR.SrndPrefix):
+                c = Clause(occur="must", kind="prefix",
+                           text=node.stem + "*", pattern=node.stem)
+            else:
+                c = Clause(occur="must", kind="wildcard",
+                           text=node.pattern, pattern=node.pattern)
+            rows = self._expand_rows(c, None)
+            if isinstance(rows, tuple):
+                raise TooManyClauses(
+                    f"surround expansion of {c.text!r} exceeds "
+                    f"maxClauseCount={self.MAX_CLAUSE_COUNT}")
+            if not rows:
+                raise _SrndUnsat(c.text)
+            if len(rows) == 1:
+                return SP.SpanTerm(rows[0][0])
+            return SP.SpanOr(tuple(SP.SpanTerm(t) for t, _df, _b in rows))
+        if isinstance(node, SR.SrndDistance):
+            return SP.SpanNear(
+                tuple(self._srnd_to_span(s) for s in node.subs),
+                slop=node.distance - 1, in_order=node.ordered)
+        if isinstance(node, SR.SrndBool) and node.op == "or":
+            subs = []
+            for s in node.subs:
+                try:
+                    subs.append(self._srnd_to_span(s))
+                except _SrndUnsat:
+                    pass  # OR drops empty alternatives
+            if not subs:
+                raise _SrndUnsat(repr(node))
+            return subs[0] if len(subs) == 1 else SP.SpanOr(tuple(subs))
+        raise QueryParseError(
+            f"{getattr(node, 'op', type(node).__name__)} is not a "
+            "distance subquery (DistanceSubQuery.java)")
+
+    def search_surround(self, query: str,
+                        k: Optional[int] = 10) -> DataFrame:
+        """Surround query language (queryparser/surround/): W/N
+        proximity operators over spans, e.g. ``2W(pre*, value)`` or
+        ``merge N data``. Top-level AND/OR/NOT compose sub-results as
+        the rewritten BooleanQuery would: disjunction double-acc score
+        sum cast f32 once, conjunction keeps docs present in every sub,
+        NOT(a, b) anti-joins. Everything else runs through the span
+        kernel (see search_spans)."""
+        from lucene_solr_spark.search import surround as SR
+        from lucene_solr_spark.search.queryparser import QueryParseError
+
+        def run(node) -> DataFrame:
+            if isinstance(node, SR.SrndBool) and node.op == "not":
+                inc = run(node.subs[0])  # unsat include -> empty (raise)
+                try:
+                    exc = run(node.subs[1])
+                except _SrndUnsat:
+                    return inc  # nothing to exclude
+                return inc.join(exc.select("doc_id"), "doc_id",
+                                "left_anti")
+            if isinstance(node, SR.SrndBool) and node.op == "and":
+                subs = [run(s) for s in node.subs]
+                acc = None
+                for s in subs:
+                    s = s.select("doc_id",
+                                 F.col("score").cast("double").alias("sc"))
+                    acc = s if acc is None else (
+                        acc.join(s.withColumnRenamed("sc", "sc2"), "doc_id")
+                        .select("doc_id",
+                                (F.col("sc") + F.col("sc2")).alias("sc")))
+                return acc.select("doc_id",
+                                  F.col("sc").cast("float").alias("score"))
+            if isinstance(node, SR.SrndBool) and node.op == "or":
+                # top-level OR: try the pure-span form first (all subs
+                # span-able -> single kernel pass); fall back to the
+                # boolean sum when a sub is itself AND/NOT
+                try:
+                    span = self._srnd_to_span(node)
+                except QueryParseError:
+                    subs = []
+                    for s in node.subs:
+                        try:
+                            subs.append(run(s).select(
+                                "doc_id",
+                                F.col("score").cast("double").alias("sc")))
+                        except _SrndUnsat:
+                            pass  # OR drops empty alternatives
+                    if not subs:
+                        raise _SrndUnsat(repr(node))
+                    u = subs[0]
+                    for s in subs[1:]:
+                        u = u.unionByName(s)
+                    return (u.groupBy("doc_id")
+                            .agg(F.sum("sc").cast("float").alias("score")))
+                return self.search_spans(span, k=None)
+            return self.search_spans(self._srnd_to_span(node), k=None)
+
+        node = SR.parse_surround(query)
+        try:
+            out = run(node)
+        except _SrndUnsat:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        out = out.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out if k is None else out.limit(k)
 
     MAX_CLAUSE_COUNT = 1024  # BooleanQuery.maxClauseCount default
     # search_many merges per-group top-k on the driver below this many
