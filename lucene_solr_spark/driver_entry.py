@@ -1177,6 +1177,24 @@ def q_span_or_near(spark, sf_dir):
     return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
 
 
+def q_duplicate_filter(spark, sf_dir):
+    """DuplicateFilter (lucene/sandbox/.../queries/DuplicateFilter.java):
+    query hits intersected with the one-doc-per-field-value keeper set
+    (KM_USE_FIRST_OCCURRENCE over the WHOLE index, query-independent).
+    Keeper set = min(doc_id) per lang — one hash agg, then a semi-join;
+    no window sort, broadcastable at high key cardinality."""
+    from lucene_solr_spark.search.dupfilter import duplicate_filter
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search("merge", k=None)
+    return (
+        duplicate_filter(hits, s._docs.select("doc_id", "lang"),
+                         "lang", keep="first")
+        .select("doc_id", F.col("score").cast("double").alias("score"))
+        .orderBy("doc_id")
+    )
+
+
 def q_surround(spark, sf_dir):
     """Surround query parser (queryparser/surround/): '2W(s*, value)'
     = prefix expansion within ordered distance 2 (slop 1,
@@ -2502,6 +2520,16 @@ JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'value') b
 WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 0
 ORDER BY doc_id
 """
+    # DuplicateFilter: term-query hits ∩ first-occurrence keeper per
+    # lang (keeper set computed over all docs, not just hits)
+    o["duplicate_filter_docs"] = ORACLE_PRELUDE + """
+, hits AS (SELECT doc_id, s AS score FROM persc WHERE term = 'merge'),
+keep AS (SELECT min(doc_id) AS doc_id FROM docs0
+         WHERE lang IS NOT NULL GROUP BY lang)
+SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score
+FROM hits h JOIN keep k USING (doc_id)
+ORDER BY doc_id
+"""
     # Surround 2W(s*, value): ordered distance 2 = slop 1 over the
     # prefix-expanded SpanOr (DistanceQuery.java slop = opDistance - 1)
     o["surround_docs"] = ORACLE_PRELUDE + _TPOS + f"""
@@ -3787,6 +3815,7 @@ QUERIES = {
     "span_or_near": q_span_or_near,
     "complex_phrase_docs": q_complex_phrase,
     "surround_docs": q_surround,
+    "duplicate_filter_docs": q_duplicate_filter,
     "span_first_top10": q_span_first,
     "span_not": q_span_not,
     "span_near_unordered": q_span_near_unordered,
