@@ -1177,6 +1177,66 @@ def q_span_or_near(spark, sf_dir):
     return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
 
 
+def q_boosting_query(spark, sf_dir):
+    """BoostingQuery (lucene/queries/.../BoostingQuery.java): 'merge'
+    selects and scores; docs also containing 'data' are demoted by
+    x0.5 (context clause scores 0, overridden coord multiplies by the
+    demote factor when both clauses match)."""
+    s = get_searcher(spark, sf_dir)
+    return (
+        s.search_boosting(Q_SINGLE, "data", 0.5, k=TOP_K)
+        .select("doc_id", F.col("score").cast("double").alias("score"))
+    )
+
+
+def q_terms_filter(spark, sf_dir):
+    """TermsFilter (lucene/queries/.../TermsFilter.java): non-scoring
+    doc set holding ANY of an explicit term list — pushed-down isin
+    over the postings scan + distributed decode."""
+    s = get_searcher(spark, sf_dir)
+    return (s.terms_filter_docs(["merge", "window", "batch"])
+            .orderBy("doc_id"))
+
+
+def q_chained_filter_xor(spark, sf_dir):
+    """ChainedFilter XOR (lucene/queries/.../ChainedFilter.java:44-52):
+    docs matching exactly one of two term filters — the combinator
+    BooleanQuery cannot express. One union + count aggregate."""
+    from lucene_solr_spark.search.filters import chained_filter
+
+    s = get_searcher(spark, sf_dir)
+    a = s.terms_filter_docs(["merge"])
+    b = s.terms_filter_docs(["data"])
+    return chained_filter([a, b], "xor").orderBy("doc_id")
+
+
+def q_function_scale(spark, sf_dir):
+    """ScaleFloatFunction (lucene/queries/.../valuesource/
+    ScaleFloatFunction.java): scale(doc_len, 0, 100) — observed
+    [min,max] over the WHOLE index (the reference's createWeight
+    pre-pass = one distributed agg), then the float32 chain
+    (v - min) * scale + lo per matching doc."""
+    s = get_searcher(spark, sf_dir)
+    stats = s.doc_stats().agg(
+        F.min("doc_len").alias("mn"), F.max("doc_len").alias("mx")
+    ).collect()[0]
+    mn = np.float32(stats["mn"])
+    scale = np.float32((np.float32(100.0) - np.float32(0.0))
+                       / np.float32(np.float32(stats["mx"]) - mn))
+    m = s.match_docs(F.col("term") == Q_SINGLE)
+    v = (F.col("doc_len").cast("float") - F.lit(float(mn)).cast("float")
+         ).cast("float")
+    scaled = (v * F.lit(float(scale)).cast("float")).cast("float") \
+        + F.lit(0.0).cast("float")
+    return (
+        m.join(s.doc_stats(), "doc_id")
+        .select("doc_id", scaled.cast("float").cast("double")
+                .alias("scaled"))
+        .orderBy(F.desc("scaled"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
 def q_duplicate_filter(spark, sf_dir):
     """DuplicateFilter (lucene/sandbox/.../queries/DuplicateFilter.java):
     query hits intersected with the one-doc-per-field-value keeper set
@@ -2520,6 +2580,48 @@ JOIN (SELECT doc_id, pos FROM tpos WHERE term = 'value') b
 WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 0
 ORDER BY doc_id
 """
+    # BoostingQuery: match scores demoted x0.5 (f32) where the context
+    # term also matches; context-only docs excluded
+    o["boosting_query_top10"] = ORACLE_PRELUDE + """
+, m AS (SELECT doc_id, s FROM persc WHERE term = 'merge'),
+c AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT m.doc_id,
+  CAST(CASE WHEN c.doc_id IS NOT NULL
+            THEN CAST(m.s * CAST(0.5 AS FLOAT) AS FLOAT)
+            ELSE m.s END AS DOUBLE) AS score
+FROM m LEFT JOIN c USING (doc_id)
+ORDER BY score DESC, m.doc_id ASC LIMIT 10
+"""
+    # TermsFilter: docs holding ANY of the explicit term list
+    o["terms_filter_docs"] = ORACLE_PRELUDE + """
+SELECT DISTINCT doc_id FROM toks
+WHERE term IN ('merge', 'window', 'batch') ORDER BY doc_id
+"""
+    # ChainedFilter XOR: docs in exactly one of the two term filters
+    o["chained_filter_xor"] = ORACLE_PRELUDE + """
+, am AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge'),
+bm AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+SELECT doc_id FROM (
+  SELECT doc_id, count(*) AS c
+  FROM (SELECT doc_id FROM am UNION ALL SELECT doc_id FROM bm)
+  GROUP BY doc_id
+) WHERE c = 1 ORDER BY doc_id
+"""
+    # ScaleFloatFunction: f32 (v - min) * scale + lo with index-wide
+    # min/max from the pre-pass agg
+    o["function_scale_top10"] = ORACLE_PRELUDE + """
+, mm AS (SELECT CAST(min(doc_len) AS FLOAT) AS mn,
+                CAST(max(doc_len) AS FLOAT) AS mx FROM dlen),
+sc AS (SELECT mn,
+       CAST(CAST(100.0 AS FLOAT) / CAST(mx - mn AS FLOAT) AS FLOAT)
+         AS scale FROM mm),
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'merge')
+SELECT d.doc_id,
+  CAST(CAST(CAST(CAST(d.doc_len AS FLOAT) - s.mn AS FLOAT) * s.scale
+            AS FLOAT) + CAST(0.0 AS FLOAT) AS DOUBLE) AS scaled
+FROM m JOIN dlen d USING (doc_id), sc s
+ORDER BY scaled DESC, d.doc_id ASC LIMIT 10
+"""
     # DuplicateFilter: term-query hits ∩ first-occurrence keeper per
     # lang (keeper set computed over all docs, not just hits)
     o["duplicate_filter_docs"] = ORACLE_PRELUDE + """
@@ -3816,6 +3918,10 @@ QUERIES = {
     "complex_phrase_docs": q_complex_phrase,
     "surround_docs": q_surround,
     "duplicate_filter_docs": q_duplicate_filter,
+    "boosting_query_top10": q_boosting_query,
+    "terms_filter_docs": q_terms_filter,
+    "chained_filter_xor": q_chained_filter_xor,
+    "function_scale_top10": q_function_scale,
     "span_first_top10": q_span_first,
     "span_not": q_span_not,
     "span_near_unordered": q_span_near_unordered,

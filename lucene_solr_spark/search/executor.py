@@ -615,6 +615,41 @@ class IndexSearcher:
         return self.search_spans(
             SP.SpanNear(tuple(span_clauses), slop=slop, in_order=True), k=k)
 
+    def search_boosting(self, match_query: str, context_query: str,
+                        demote: float, k: Optional[int] = 10) -> DataFrame:
+        """BoostingQuery (lucene/queries/.../BoostingQuery.java): the
+        match query selects and scores; documents ALSO matching the
+        context query have their score multiplied by ``demote``
+        (context-only matches are ignored — the context clause carries
+        boost 0, and the overridden coord returns 1 for one clause /
+        ``demote`` for both, :54-75). All float32: score' =
+        f32(score * demote) when the doc is in the context doc set."""
+        hits = self.search_boolean(match_query, k=None)
+        ctx = (self.search_boolean(context_query, k=None)
+               .select("doc_id", F.lit(True).alias("_ctx")))
+        out = (
+            hits.join(ctx, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("_ctx").isNotNull(),
+                    (F.col("score").cast("float")
+                     * F.lit(float(np.float32(demote))).cast("float"))
+                    .cast("float"),
+                ).otherwise(F.col("score").cast("float")).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return out if k is None else out.limit(k)
+
+    def terms_filter_docs(self, terms) -> DataFrame:
+        """TermsFilter (lucene/queries/.../TermsFilter.java): the
+        non-scoring doc set holding ANY of an explicit term list —
+        the filter-cache analogue of an OR over TermQueries. Runs as
+        a pushed-down isin over the sorted postings scan + distributed
+        decode (same plan as the CONSTANT_SCORE multi-term path)."""
+        return self.match_docs(F.col("term").isin([t for t in terms]))
+
     def _srnd_to_span(self, node):
         """Surround AST -> span AST (query/SpanNearClauseFactory.java:
         terms and prefix/trunc expansions become SpanTerm/SpanOr
