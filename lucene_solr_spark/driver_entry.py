@@ -1180,6 +1180,20 @@ def q_span_or_near(spark, sf_dir):
 QUALITY_QUERIES = (("q1", "merge", "data"), ("q2", "table", "scan"),
                    ("q3", "window", "batch"))
 
+FLT_QUERY = "mergee tabel window"
+FLT_SOURCES = ("mergee", "tabel", "window")
+
+
+def q_fuzzy_like_this(spark, sf_dir):
+    """FuzzyLikeThisQuery, ignoreTF mode (lucene/sandbox/.../queries/
+    FuzzyLikeThisQuery.java): fuzzy variants of the (misspelled) query
+    terms, boost^2 x idf term selection, constant-score disjunction."""
+    s = get_searcher(spark, sf_dir)
+    return (
+        s.fuzzy_like_this(FLT_QUERY, min_sim=0.5, k=TOP_K)
+        .select("doc_id", F.col("score").cast("double").alias("score"))
+    )
+
 
 def q_quality_metrics(spark, sf_dir):
     """TREC-style relevance metrics (lucene/benchmark/.../quality/
@@ -2682,6 +2696,60 @@ m_{_qid} AS (
         ORACLE_PRELUDE + ", " + ",\n".join(_qm_ctes) + "\n"
         + " UNION ALL ".join(_qm_rows) + " ORDER BY query_id"
     )
+    # FuzzyLikeThisQuery ignoreTF: per-source fuzzy variant selection
+    # (sim > 0.5, boost = (sim-0.5)*2), boost^2 * idf scores, global
+    # top-50, constant-score disjunction sum
+    _flt_ctes = []
+    _flt_sel = []
+    for _i, _src in enumerate(FLT_SOURCES):
+        _flt_ctes.append(f"""
+fltf_{_i} AS (
+  SELECT term, df,
+    CAST((sim - CAST(0.5 AS FLOAT)) * CAST(2.0 AS FLOAT) AS FLOAT)
+      AS boost
+  FROM (
+    SELECT term, df,
+      CAST(CAST(1.0 AS FLOAT)
+           - CAST(CAST(levenshtein(term, '{_src}') AS FLOAT)
+                  / CAST(least({len(_src)}, length(term)) AS FLOAT)
+                  AS FLOAT) AS FLOAT) AS sim
+    FROM tstats
+  ) WHERE sim > CAST(0.5 AS FLOAT)
+),
+fltg_{_i} AS (
+  SELECT term, boost,
+    row_number() OVER (ORDER BY boost DESC, term ASC) AS rn,
+    (SELECT COALESCE(max(df), 0) FROM fltf_{_i}
+     WHERE term = '{_src}') AS src_df,
+    (SELECT sum(df) // count(*) FROM fltf_{_i}) AS avg_df
+  FROM fltf_{_i}
+),
+fltsc_{_i} AS (
+  SELECT term,
+    CAST(CAST(boost * boost AS FLOAT)
+         * CAST(ln(CAST((SELECT max_doc FROM coll) AS DOUBLE)
+                   / (CASE WHEN src_df > 0 THEN src_df
+                           ELSE avg_df END + 1.0)) + 1.0 AS FLOAT)
+         AS FLOAT) AS vscore
+  FROM fltg_{_i} WHERE rn <= 50
+)""")
+        _flt_sel.append(f"SELECT * FROM fltsc_{_i}")
+    o["fuzzy_like_this_top10"] = (
+        ORACLE_PRELUDE + ", " + ",\n".join(_flt_ctes) + f"""
+, fltall AS ({' UNION ALL '.join(_flt_sel)}),
+fltsel AS (
+  SELECT term, vscore FROM (
+    SELECT term, vscore,
+      row_number() OVER (ORDER BY vscore DESC, term ASC) AS rn
+    FROM fltall
+  ) WHERE rn <= 50
+)
+SELECT tf.doc_id,
+  CAST(CAST(SUM(CAST(v.vscore AS DOUBLE)) AS FLOAT) AS DOUBLE) AS score
+FROM tf JOIN fltsel v USING (term)
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC LIMIT {TOP_K}
+""")
     # BoostingQuery: match scores demoted x0.5 (f32) where the context
     # term also matches; context-only docs excluded
     o["boosting_query_top10"] = ORACLE_PRELUDE + """
@@ -4022,6 +4090,7 @@ QUERIES = {
     "duplicate_filter_docs": q_duplicate_filter,
     "boosting_query_top10": q_boosting_query,
     "quality_metrics": q_quality_metrics,
+    "fuzzy_like_this_top10": q_fuzzy_like_this,
     "terms_filter_docs": q_terms_filter,
     "chained_filter_xor": q_chained_filter_xor,
     "function_scale_top10": q_function_scale,

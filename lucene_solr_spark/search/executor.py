@@ -650,6 +650,117 @@ class IndexSearcher:
         decode (same plan as the CONSTANT_SCORE multi-term path)."""
         return self.match_docs(F.col("term").isin([t for t in terms]))
 
+    def fuzzy_like_this(self, query_text: str, min_sim: float = 0.5,
+                        prefix_len: int = 0, max_num_terms: int = 50,
+                        max_variants: int = 50,
+                        k: Optional[int] = 10) -> DataFrame:
+        """FuzzyLikeThisQuery in its ignoreTF mode (lucene/sandbox/.../
+        queries/FuzzyLikeThisQuery.java): fuzzy-MLT term selection.
+
+        Per analyzed source term (:207-257): enumerate index terms with
+        SlowFuzzy similarity = 1 - d/(prefixLen + min(textLen,
+        targetLen)) > min_sim (SlowFuzzyTermsEnum.java:115), boost =
+        (sim - min_sim) * 1/(1 - min_sim); keep the top
+        MAX_VARIANTS_PER_TERM=50 variants by (boost desc, term asc —
+        the ScoreTermQueue tie rule :352-357). Variant score =
+        f32(boost^2) * f32 idf, idf = log(numDocs/(df+1)) + 1
+        (DefaultSimilarity), df = source term's df or the int-division
+        average of variant dfs when the source is absent (:238-241).
+        The global queue keeps the top ``max_num_terms`` variants
+        (:261+ rewrite); with ignoreTF each selected variant
+        contributes its score as a constant to every matching doc
+        (ConstantScoreQuery clause, :303), doc score = double-acc sum
+        cast f32 once. Documented divergences: queryNorm omitted (a
+        per-query constant — ranking unchanged); numDocs = maxDoc
+        (equal in the absence of deletes).
+        """
+        from lucene_solr_spark.oracle import _levenshtein
+
+        sources = list(dict.fromkeys(self.analyzer.analyze(query_text)))
+        nd = int(self.max_doc)
+        ms = np.float32(min_sim)
+        scale = np.float32(np.float32(1.0) / (np.float32(1.0) - ms))
+        selected: List[Tuple[str, np.float32]] = []
+        for src in sources:
+            pl = int(prefix_len)
+            tl = len(src) - pl
+            # pushdown-able necessary bound: d < (1-ms)*(pl+min) and
+            # min(tl, cl) <= tl, so d <= floor((1-ms)*len(src))
+            cond = F.levenshtein(F.col("term"), F.lit(src)) <= int(
+                math.floor((1.0 - float(min_sim)) * len(src)))
+            if pl:
+                cond = F.col("term").startswith(src[:pl]) & cond
+            cand = self._term_stats.filter(cond).select("term", "df") \
+                .collect()
+            variants = []
+            total_df = 0
+            src_df = 0
+            for r in cand:
+                t, df = r["term"], int(r["df"])
+                if pl and not t.startswith(src[:pl]):
+                    continue
+                cl = len(t) - pl
+                d = _levenshtein(t[pl:], src[pl:])
+                sim = np.float32(
+                    np.float32(1.0)
+                    - np.float32(np.float32(d)
+                                 / np.float32(pl + min(tl, cl))))
+                if not (sim > ms):
+                    continue
+                if t == src:
+                    src_df = df
+                total_df += df
+                boost = np.float32((sim - ms) * scale)
+                variants.append((t, df, boost))
+            if not variants:
+                continue
+            avg_df = total_df // len(variants)
+            use_df = src_df if src_df > 0 else avg_df
+            idf = np.float32(math.log(nd / float(use_df + 1)) + 1.0)
+            variants.sort(key=lambda v: (-float(v[2]), v[0]))
+            for t, _df, boost in variants[:max_variants]:
+                selected.append(
+                    (t, np.float32(np.float32(boost * boost) * idf)))
+        if not selected:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        selected.sort(key=lambda v: (-float(v[1]), v[0]))
+        selected = selected[:max_num_terms]
+        vdf = self.spark.createDataFrame(
+            [(t, float(s)) for t, s in selected],
+            "term string, vscore double")
+        posts = self._postings.filter(
+            F.col("term").isin(sorted({t for t, _s in selected}))
+        ).select("term", "df", "doc_ids_enc", "tfs_enc", "skips_enc",
+                 "sdoc")
+
+        def decode(batches):
+            for pdf in batches:
+                terms_out, docs_out = [], []
+                for r in pdf.itertuples(index=False):
+                    if r.df == 1:
+                        d = np.array([r.sdoc], np.int64)
+                    else:
+                        d, _ = decode_postings(
+                            r.doc_ids_enc, r.tfs_enc, r.skips_enc)
+                    terms_out.append(
+                        np.repeat(np.array([r.term], object), len(d)))
+                    docs_out.append(d)
+                if docs_out:
+                    yield pd.DataFrame({
+                        "term": np.concatenate(terms_out),
+                        "doc_id": np.concatenate(docs_out),
+                    })
+
+        pairs = posts.mapInPandas(decode, schema="term string, doc_id long")
+        out = (
+            self._live(pairs)
+            .join(F.broadcast(vdf), "term")
+            .groupBy("doc_id")
+            .agg(F.sum("vscore").cast("float").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+        )
+        return out if k is None else out.limit(k)
+
     def _srnd_to_span(self, node):
         """Surround AST -> span AST (query/SpanNearClauseFactory.java:
         terms and prefix/trunc expansions become SpanTerm/SpanOr
