@@ -800,6 +800,22 @@ def q_edismax_bf(spark, sf_dir):
     ))
 
 
+Q_EDISMAX_MM = ("table", "merge", "data", "scan")
+EDISMAX_MM_SPEC = "2<-50%"   # n=4 > 2 -> -50% -> mm 2 (f32 chain)
+
+
+def q_edismax_mm(spark, sf_dir):
+    """edismax with the Solr mm spec grammar (SolrPluginUtils.
+    calculateMinShouldMatch): '2<-50%' over 4 optional dismax clauses
+    resolves to mm=2 through the reference's float32 percent
+    arithmetic; docs matching < 2 clauses are dropped before top-k."""
+    mfs = _mf_searcher(spark, sf_dir)
+    return _topk_double(mfs.edismax(
+        " ".join(Q_EDISMAX_MM), qf=dict(EDISMAX_QF), tie=EDISMAX_TIE,
+        min_should_match=EDISMAX_MM_SPEC, k=TOP_K,
+    ))
+
+
 def q_numeric_range(spark, sf_dir):
     """NumericRangeQuery (search/NumericRangeQuery.java, inclusive
     bounds): doc_len in [lo, hi] as a pushdown BETWEEN over the
@@ -3719,6 +3735,30 @@ ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
         _mf_dismax_clause_sql("c0", "l0t", "l0c", _pf_tie),
         _mf_dismax_clause_sql("c1", "l1t", "l1c", _pf_tie),
     ])
+    # edismax + mm spec "2<-50%" -> mm=2 of the 4 per-word dismax
+    # clauses (SolrPluginUtils.calculateMinShouldMatch f32 chain)
+    _mm_legs = []
+    _mm_clauses = []
+    for _i, _w in enumerate(Q_EDISMAX_MM):
+        _mm_legs.append(_mf_leg_sql(f"m{_i}t", _w, _bt, title=True))
+        _mm_legs.append(_mf_leg_sql(f"m{_i}c", _w, _bc, title=False))
+        _mm_clauses.append(
+            _mf_dismax_clause_sql(f"mc{_i}", f"m{_i}t", f"m{_i}c",
+                                  _ed_tie))
+    o["edismax_mm_top10"] = (
+        ORACLE_PRELUDE + _tc + "," + ",".join(_mm_legs) + ","
+        + ",".join(_mm_clauses) + f"""
+SELECT doc_id, CAST(score AS DOUBLE) AS score
+FROM (
+  SELECT doc_id, CAST(SUM(CAST(dm AS DOUBLE)) AS FLOAT) AS score,
+         count(*) AS cnt
+  FROM ({' UNION ALL '.join(f'SELECT * FROM mc{_i}'
+                            for _i in range(len(Q_EDISMAX_MM)))})
+  GROUP BY doc_id
+)
+WHERE cnt >= 2
+ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+""")
     o["edismax_pf_top10"] = ORACLE_PRELUDE + _tc + "," + _pf_legs + "," + \
         _pf_clauses + f"""
 , tpos AS (
@@ -4091,6 +4131,7 @@ QUERIES = {
     "boosting_query_top10": q_boosting_query,
     "quality_metrics": q_quality_metrics,
     "fuzzy_like_this_top10": q_fuzzy_like_this,
+    "edismax_mm_top10": q_edismax_mm,
     "terms_filter_docs": q_terms_filter,
     "chained_filter_xor": q_chained_filter_xor,
     "function_scale_top10": q_function_scale,

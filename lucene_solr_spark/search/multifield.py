@@ -98,7 +98,7 @@ class MultiFieldSearcher:
         tie: float = 0.0,
         k: Optional[int] = 10,
         pf: Optional[Dict[str, float]] = None,
-        min_should_match: int = 0,
+        min_should_match=0,
         bf: Optional[DataFrame] = None,
         bq: Optional[Dict[str, str]] = None,
     ) -> DataFrame:
@@ -118,6 +118,15 @@ class MultiFieldSearcher:
         import numpy as np
 
         words = [w for w in query_text.split() if w]
+        if isinstance(min_should_match, str):
+            # Solr mm spec ("2<-25%" ...): resolved against the
+            # optional clause count = the dismax per-word clauses
+            # (DisMaxQParser.java U.calculateMinShouldMatch call)
+            from lucene_solr_spark.search.mmspec import (
+                calculate_min_should_match)
+
+            min_should_match = calculate_min_should_match(
+                len(words), min_should_match)
         if not words:
             return self.spark.createDataFrame([], "doc_id long, score float")
         tie32 = float(np.float32(tie))

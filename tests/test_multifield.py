@@ -98,3 +98,37 @@ def test_edismax_dismax_float_order(two_fields):
     )[:10]
     got = mfs.edismax(" ".join(words), qf=qf, tie=float(tie), k=10).collect()
     assert [(r.doc_id, F32(r.score)) for r in got] == want
+
+
+class TestMMSpec:
+    """SolrPluginUtils.calculateMinShouldMatch grammar + f32 percent
+    arithmetic (the published Solr mm examples)."""
+
+    def test_simple_and_negative(self):
+        from lucene_solr_spark.search.mmspec import (
+            calculate_min_should_match as c)
+
+        assert c(5, "3") == 3
+        assert c(5, "-2") == 3
+        assert c(2, "3") == 2      # clamped to n
+        assert c(3, "-5") == 0     # clamped to 0
+
+    def test_percent_f32_chain(self):
+        from lucene_solr_spark.search.mmspec import (
+            calculate_min_should_match as c)
+
+        # (n*pct)*(1/100f) rounds to the exact value in f32 for these
+        assert c(4, "75%") == 3
+        assert c(4, "-25%") == 3
+        assert c(4, "-50%") == 2
+        assert c(10, "50%") == 5
+
+    def test_conditionals(self):
+        from lucene_solr_spark.search.mmspec import (
+            calculate_min_should_match as c)
+
+        spec = "2<-25% 9<-3"
+        assert c(2, spec) == 2     # n <= first bound: all required
+        assert c(4, spec) == 3     # -25% branch
+        assert c(10, spec) == 7    # -3 branch (applied after -25%)
+        assert c(10, "3<9") == 9
