@@ -2155,6 +2155,54 @@ def q_geodist_top10(spark, sf_dir):
     )
 
 
+BBOX_QUERY = (-20.0, 30.0, -15.0, 25.0)  # (minx, maxx, miny, maxy)
+
+
+def _doc_rects(spark, sf_dir):
+    """Deterministic per-doc envelopes (synthetic, doc_id-derived like
+    the geodist coords): minx in [-180, 160), width in [0.5, 19.5],
+    miny in [-90, 70), height in [0.5, 19.5] — planar doubles."""
+    d = _documents(spark, sf_dir).select("doc_id")
+    minx = (F.col("doc_id") * 7919 % 34000) / 100.0 - 180.0
+    w = (F.col("doc_id") * 104729 % 1900) / 100.0 + 0.5
+    miny = (F.col("doc_id") * 15485863 % 16000) / 100.0 - 90.0
+    h = (F.col("doc_id") * 32452843 % 1900) / 100.0 + 0.5
+    return d.select(
+        "doc_id", minx.alias("minx"), (minx + w).alias("maxx"),
+        miny.alias("miny"), (miny + h).alias("maxy"))
+
+
+def q_bbox_intersects(spark, sf_dir):
+    """BBoxStrategy Intersects + AreaSimilarity ranking
+    (lucene/spatial/bbox/): envelopes overlapping the query rect,
+    scored (ia/qArea)^2 * (ia/tArea)^0.5 (AreaSimilarity.java:84-150,
+    default powers), top-10. Pure scan-fused double math."""
+    from lucene_solr_spark.search.spatial_bbox import (
+        area_similarity, bbox_predicate)
+
+    r = _doc_rects(spark, sf_dir)
+    cols = [F.col(c) for c in ("minx", "maxx", "miny", "maxy")]
+    return (
+        r.filter(bbox_predicate("intersects", *cols, BBOX_QUERY))
+        .select("doc_id",
+                area_similarity(*cols, BBOX_QUERY).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def q_bbox_within(spark, sf_dir):
+    """BBoxStrategy IsWithin (SpatialOperation.java): envelopes fully
+    inside the query rect — constant-score doc set."""
+    from lucene_solr_spark.search.spatial_bbox import bbox_predicate
+
+    r = _doc_rects(spark, sf_dir)
+    cols = [F.col(c) for c in ("minx", "maxx", "miny", "maxy")]
+    return (r.filter(bbox_predicate("within", *cols, BBOX_QUERY))
+            .select("doc_id").orderBy("doc_id"))
+
+
 def q_ann_cosine_top10(spark, sf_dir):
     """Brute-force cosine top-10 vs the vec_id=0 query vector — the
     exactness baseline for ANN. Dot/norms via F.aggregate in double
@@ -2712,6 +2760,42 @@ m_{_qid} AS (
         ORACLE_PRELUDE + ", " + ",\n".join(_qm_ctes) + "\n"
         + " UNION ALL ".join(_qm_rows) + " ORDER BY query_id"
     )
+    # BBox spatial: synthetic doc envelopes, AreaSimilarity ranking
+    # ((ia/qA)^2 * sqrt(ia/tA)) and the IsWithin doc set
+    _rects = """
+WITH r0 AS (
+  SELECT doc_id,
+    (doc_id * 7919 % 34000) / 100.0 - 180.0 AS minx,
+    (doc_id * 104729 % 1900) / 100.0 + 0.5 AS w,
+    (doc_id * 15485863 % 16000) / 100.0 - 90.0 AS miny,
+    (doc_id * 32452843 % 1900) / 100.0 + 0.5 AS h
+  FROM documents
+),
+r AS (
+  SELECT doc_id, minx, minx + w AS maxx, miny, miny + h AS maxy FROM r0
+)
+"""
+    o["bbox_intersects_top10"] = _rects + """
+, sc AS (
+  SELECT doc_id,
+    least(30.0, maxx) - greatest(-20.0, minx) AS w,
+    least(25.0, maxy) - greatest(-15.0, miny) AS h,
+    (maxx - minx) * (maxy - miny) AS tarea
+  FROM r
+  WHERE NOT (minx > 30.0 OR maxx < -20.0 OR miny > 25.0 OR maxy < -15.0)
+)
+SELECT doc_id,
+  ((w * h) / 2000.0) * ((w * h) / 2000.0)
+    * sqrt((w * h) / tarea) AS score
+FROM sc
+WHERE w > 0 AND h > 0 AND tarea > 0
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+    o["bbox_within_docs"] = _rects + """
+SELECT doc_id FROM r
+WHERE minx >= -20.0 AND maxx <= 30.0 AND miny >= -15.0 AND maxy <= 25.0
+ORDER BY doc_id
+"""
     # FuzzyLikeThisQuery ignoreTF: per-source fuzzy variant selection
     # (sim > 0.5, boost = (sim-0.5)*2), boost^2 * idf scores, global
     # top-50, constant-score disjunction sum
@@ -4132,6 +4216,8 @@ QUERIES = {
     "quality_metrics": q_quality_metrics,
     "fuzzy_like_this_top10": q_fuzzy_like_this,
     "edismax_mm_top10": q_edismax_mm,
+    "bbox_intersects_top10": q_bbox_intersects,
+    "bbox_within_docs": q_bbox_within,
     "terms_filter_docs": q_terms_filter,
     "chained_filter_xor": q_chained_filter_xor,
     "function_scale_top10": q_function_scale,
