@@ -2155,6 +2155,33 @@ def q_geodist_top10(spark, sf_dir):
     )
 
 
+def q_update_chain(spark, sf_dir):
+    """Solr update-processor chain (update/processor/
+    UpdateRequestProcessorChain.java): clone -> truncate -> trim ->
+    uniq -> count -> concat -> field-length -> regexp-boost over the
+    document batch, all fused into one codegen projection."""
+    from lucene_solr_spark import update_chain as U
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id", "text", "lang",
+        F.slice(F.split(F.col("text"), " "), 1, 6).alias("tags"))
+    out = U.update_chain(d, [
+        U.clone_field("text", "snippet"),
+        U.truncate_fields(32, "snippet"),
+        U.trim_fields("snippet"),
+        U.uniq_values("tags"),
+        U.count_values("tags", dst="tag_count"),
+        U.concat_values("tags", ", ", dst="tag_concat"),
+        U.field_length("text", dst="text_len"),
+        U.regexp_boost("lang", "^(en|de)$", 2.0),
+    ])
+    return out.select(
+        "doc_id", "snippet", "tag_count", "tag_concat",
+        F.col("text_len").cast("long").alias("text_len"),
+        F.col("boost").cast("double").alias("boost"),
+    ).orderBy("doc_id")
+
+
 BBOX_QUERY = (-20.0, 30.0, -15.0, 25.0)  # (minx, maxx, miny, maxy)
 
 
@@ -2760,6 +2787,35 @@ m_{_qid} AS (
         ORACLE_PRELUDE + ", " + ",\n".join(_qm_ctes) + "\n"
         + " UNION ALL ".join(_qm_rows) + " ORDER BY query_id"
     )
+    # Update-processor chain: clone/truncate/trim/uniq/count/concat/
+    # length/regexp-boost over the document batch
+    o["update_chain_fields"] = """
+WITH base AS (
+  SELECT doc_id, text, lang,
+         (string_split(text, ' '))[1:6] AS tags
+  FROM documents
+),
+u AS (
+  SELECT doc_id, tok, min(i) AS first_pos FROM (
+    SELECT doc_id, tags[i] AS tok, i
+    FROM (SELECT doc_id, tags,
+                 unnest(range(1, len(tags) + 1)) AS i FROM base)
+  ) GROUP BY doc_id, tok
+),
+uq AS (
+  SELECT doc_id, list(tok ORDER BY first_pos) AS utags
+  FROM u GROUP BY doc_id
+)
+SELECT b.doc_id,
+  trim(substr(b.text, 1, 32)) AS snippet,
+  CAST(len(coalesce(q.utags, [])) AS INT) AS tag_count,
+  array_to_string(coalesce(q.utags, []), ', ') AS tag_concat,
+  CAST(length(b.text) AS BIGINT) AS text_len,
+  CAST(CASE WHEN regexp_matches(b.lang, '^(en|de)$')
+            THEN 1.0 * 2.0 ELSE 1.0 END AS DOUBLE) AS boost
+FROM base b LEFT JOIN uq q USING (doc_id)
+ORDER BY doc_id
+"""
     # BBox spatial: synthetic doc envelopes, AreaSimilarity ranking
     # ((ia/qA)^2 * sqrt(ia/tA)) and the IsWithin doc set
     _rects = """
@@ -4218,6 +4274,7 @@ QUERIES = {
     "edismax_mm_top10": q_edismax_mm,
     "bbox_intersects_top10": q_bbox_intersects,
     "bbox_within_docs": q_bbox_within,
+    "update_chain_fields": q_update_chain,
     "terms_filter_docs": q_terms_filter,
     "chained_filter_xor": q_chained_filter_xor,
     "function_scale_top10": q_function_scale,
