@@ -5139,12 +5139,92 @@ SELECT term, cnt FROM (
 ) ORDER BY term
 """
 
+def q_common_grams(spark, sf_dir):
+    """CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java):
+    '_'-joined bigrams for adjacent pairs touching a common word —
+    top-10 grams by doc frequency (the phrase-speed stop alternative)."""
+    t = _analyzer_terms(spark, sf_dir, "common_grams_ws")
+    g = t.filter(F.col("term").contains("_")).dropDuplicates(
+        ["doc_id", "term"])
+    return (
+        g.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(TOP_K)
+    )
+
+
+def q_length_filter_terms(spark, sf_dir):
+    """LengthFilter (miscellaneous/LengthFilter.java, [4,6]): top-10
+    surviving terms by doc frequency."""
+    t = _analyzer_terms(spark, sf_dir, "length_4_6")
+    u = t.dropDuplicates(["doc_id", "term"])
+    return (
+        u.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(TOP_K)
+    )
+
+
+def q_reversed_wildcard(spark, sf_dir):
+    """ReverseStringFilter / Solr ReversedWildcardFilterFactory
+    (analysis/reverse/ReverseStringFilter.java): the leading wildcard
+    '*ge' resolved as the PREFIX 'eg' over the reversed-token stream —
+    the pushdown-able plan the un-reversed term dict cannot give."""
+    t = _analyzer_terms(spark, sf_dir, "reversed")
+    return (t.filter(F.col("term").startswith("eg"))
+            .select("doc_id").distinct().orderBy("doc_id"))
+
+
+_COMMON_GRAMS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(l)),
+             i -> CASE WHEN l[i] IN ({{stop}}) OR l[i + 1] IN ({{stop}})
+                       THEN l[i] || '_' || l[i + 1] END)) AS term
+  FROM d
+),
+u AS (SELECT DISTINCT doc_id, term FROM b WHERE term IS NOT NULL)
+SELECT term, count(*) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT {TOP_K}
+"""
+
+_LENGTH_SQL = f"""
+WITH d AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+u AS (SELECT DISTINCT doc_id, term FROM d
+      WHERE length(term) BETWEEN 4 AND 6)
+SELECT term, count(*) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT {TOP_K}
+"""
+
+_REVERSED_SQL = """
+WITH d AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+)
+SELECT DISTINCT doc_id FROM d
+WHERE term <> '' AND term LIKE '%ge' ORDER BY doc_id
+"""
+
 QUERIES["shingle_bigrams"] = q_shingle_bigrams
 QUERIES["edge_ngram_terms"] = q_edge_ngram_terms
 QUERIES["synonym_counts"] = q_synonym_counts
+QUERIES["common_grams_terms"] = q_common_grams
+QUERIES["length_filter_terms"] = q_length_filter_terms
+QUERIES["reversed_wildcard_docs"] = q_reversed_wildcard
 ORACLES["shingle_bigrams"] = _SHINGLE_SQL
 ORACLES["edge_ngram_terms"] = _EDGE_SQL
 ORACLES["synonym_counts"] = _SYN_SQL
+ORACLES["common_grams_terms"] = _COMMON_GRAMS_SQL.replace(
+    "{stop}", _STOP_SQL)
+ORACLES["length_filter_terms"] = _LENGTH_SQL
+ORACLES["reversed_wildcard_docs"] = _REVERSED_SQL
 
 
 def q_wdf_subwords(spark, sf_dir):

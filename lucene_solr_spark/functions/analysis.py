@@ -649,6 +649,65 @@ def make_filtered_analyzer(name: str, base: str, post,
 
 
 make_filtered_analyzer("shingle", "standard", shingle_post(2, 2, True))
+def length_filter_post(min_len: int, max_len: int):
+    """LengthFilter (analysis/common/.../miscellaneous/
+    LengthFilter.java): keep tokens whose char length lies in
+    [min, max]; dropped tokens leave position holes (the
+    FilteringTokenFilter enablePositionIncrements=true behavior) —
+    positions of survivors are untouched."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(t, p) for t, p in tp if min_len <= len(t) <= max_len]
+
+    return post
+
+
+def reverse_post():
+    """ReverseStringFilter (analysis/reverse/ReverseStringFilter.java):
+    reverse every token in place — the index half of Solr's
+    ReversedWildcardFilterFactory leading-wildcard strategy (a query
+    ``*foo`` becomes the PREFIX ``oof*`` over the reversed field,
+    restoring term-dict pushdown)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(t[::-1], p) for t, p in tp]
+
+    return post
+
+
+COMMON_GRAMS_SEP = "_"  # CommonGramsFilter.SEPARATOR (:58)
+
+
+def common_grams_post(common_words, query_mode: bool = False):
+    """CommonGramsFilter (analysis/commongrams/CommonGramsFilter.java):
+    for each ADJACENT token pair (positions p, p+1) where either side
+    is a common word, emit "prev_cur" at the first token's position
+    alongside the unigrams — the phrase-speed alternative to stop
+    removal. query_mode mirrors CommonGramsQueryFilter: unigrams
+    covered by a gram are dropped (only grams + uncovered unigrams
+    remain), so phrase queries hit the gram postings."""
+    cw = frozenset(common_words)
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        grams: List[Tuple[str, int]] = []
+        covered = set()
+        for i in range(len(tp) - 1):
+            (t1, p1), (t2, p2) = tp[i], tp[i + 1]
+            if p2 == p1 + 1 and (t1 in cw or t2 in cw):
+                grams.append((t1 + COMMON_GRAMS_SEP + t2, p1))
+                covered.add(i)
+                covered.add(i + 1)
+        if query_mode:
+            out = [tp[i] for i in range(len(tp)) if i not in covered]
+        else:
+            out = list(tp)
+        out.extend(grams)
+        out.sort(key=lambda x: x[1])
+        return out
+
+    return post
+
+
 make_filtered_analyzer("shingle_ws", "whitespace", shingle_post(2, 2, True))
 make_filtered_analyzer("edge_ngram", "standard", edge_ngram_post(2, 4))
 # code-identifier chain: whitespace + WordDelimiterFilter with the
@@ -658,6 +717,14 @@ make_filtered_analyzer("edge_ngram", "standard", edge_ngram_post(2, 4))
 make_filtered_analyzer(
     "word_delimiter_code", "whitespace",
     word_delimiter_post(preserve_original=True),
+)
+make_filtered_analyzer("length_4_6", "whitespace", length_filter_post(4, 6))
+make_filtered_analyzer("reversed", "whitespace", reverse_post())
+# common-grams over the raw whitespace stream with the engine stop set
+# as the common-word list (the canonical Solr text_commongrams shape)
+make_filtered_analyzer(
+    "common_grams_ws", "whitespace",
+    common_grams_post(STOPWORDS),
 )
 
 

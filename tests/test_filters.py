@@ -265,3 +265,53 @@ def test_charfiltered_analyzer_registration():
     got = spec.analyze_with_positions("<p>Spark the engine</p>")
     # stopword hole at 'the' preserved after the strip
     assert got == [("spark", 0), ("engine", 2)]
+
+
+class TestRound2cFilters:
+    """LengthFilter / ReverseStringFilter / CommonGramsFilter vectors."""
+
+    def test_length_filter_holes(self):
+        from lucene_solr_spark.functions.analysis import length_filter_post
+
+        p = length_filter_post(3, 5)
+        tp = [("ab", 0), ("abc", 1), ("abcdef", 2), ("abcde", 3)]
+        assert p(tp) == [("abc", 1), ("abcde", 3)]  # positions kept
+
+    def test_reverse_filter(self):
+        from lucene_solr_spark.functions.analysis import reverse_post
+
+        assert reverse_post()([("abc", 0), ("x", 1)]) == \
+            [("cba", 0), ("x", 1)]
+
+    def test_common_grams_index_mode(self):
+        from lucene_solr_spark.functions.analysis import common_grams_post
+
+        p = common_grams_post({"the", "of"})
+        tp = [("the", 0), ("quick", 1), ("fox", 2), ("of", 3), ("war", 4)]
+        out = p(tp)
+        assert ("the_quick", 0) in out
+        assert ("fox_of", 2) in out and ("of_war", 3) in out
+        # unigrams all preserved in index mode
+        for t in tp:
+            assert t in out
+        # non-common adjacent pair emits no gram
+        assert all(g != "quick_fox" for g, _ in out)
+
+    def test_common_grams_query_mode_drops_covered(self):
+        from lucene_solr_spark.functions.analysis import common_grams_post
+
+        p = common_grams_post({"the"}, query_mode=True)
+        tp = [("the", 0), ("quick", 1), ("fox", 2)]
+        out = p(tp)
+        assert ("the_quick", 0) in out
+        assert ("fox", 2) in out          # uncovered unigram kept
+        assert ("the", 0) not in out      # covered unigrams dropped
+        assert ("quick", 1) not in out
+
+    def test_common_grams_respects_holes(self):
+        from lucene_solr_spark.functions.analysis import common_grams_post
+
+        p = common_grams_post({"the"})
+        # positions 0 and 2: a hole between them, no gram across it
+        out = p([("the", 0), ("fox", 2)])
+        assert all("_" not in t for t, _ in out)
