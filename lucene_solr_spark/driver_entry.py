@@ -1304,6 +1304,52 @@ def q_function_scale(spark, sf_dir):
     )
 
 
+FACET_INTERVALS = ((0, 100), (50, 250), (100, None))  # [lo, hi] incl/open
+
+
+def q_facet_intervals(spark, sf_dir):
+    """Solr interval facets (solr/core/.../request/IntervalFacets.java):
+    arbitrary — possibly OVERLAPPING — [lo, hi] intervals over doc_len
+    for the facet query's doc set, each counted independently. One
+    scan, k conditional-sum counters (map-side partial agg, no
+    per-interval pass)."""
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs(F.col("term") == Q_FACET).join(
+        s.doc_stats(), "doc_id")
+    aggs = []
+    for lo, hi in FACET_INTERVALS:
+        c = F.col("doc_len") >= lo
+        if hi is not None:
+            c = c & (F.col("doc_len") <= hi)
+        label = f"[{lo},{'*' if hi is None else hi}]"
+        aggs.append(F.sum(c.cast("long")).alias(label))
+    row = m.agg(*aggs)
+    # unpivot to (interval, n) rows
+    pairs = ", ".join(f"'{a}', `{a}`" for a in
+                      (f"[{lo},{'*' if hi is None else hi}]"
+                       for lo, hi in FACET_INTERVALS))
+    return (row.selectExpr(f"stack({len(FACET_INTERVALS)}, {pairs})"
+                           " as (interval, n)")
+            .orderBy("interval"))
+
+
+def q_facet_missing(spark, sf_dir):
+    """facet.missing (SimpleFacets.java getFacetTermEnumCounts missing
+    count / FacetParams.FACET_MISSING): term counts for a nullable
+    field plus the '(missing)' bucket — the field is the synthetic
+    nullable category (NULL when doc_id % 7 == 0, else lang)."""
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs(F.col("term") == Q_FACET)
+    cat = F.when(F.col("doc_id") % 7 == 0, F.lit(None)) \
+        .otherwise(F.col("lang"))
+    return (
+        m.join(s._docs.select("doc_id", "lang"), "doc_id")
+        .select(F.coalesce(cat, F.lit("(missing)")).alias("category"))
+        .groupBy("category").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("category"))
+    )
+
+
 def q_duplicate_filter(spark, sf_dir):
     """DuplicateFilter (lucene/sandbox/.../queries/DuplicateFilter.java):
     query hits intersected with the one-doc-per-field-value keeper set
@@ -2948,6 +2994,31 @@ SELECT d.doc_id,
 FROM m JOIN dlen d USING (doc_id), sc s
 ORDER BY scaled DESC, d.doc_id ASC LIMIT 10
 """
+    # Interval facets: overlapping [lo,hi] counters over doc_len for
+    # the facet query's doc set
+    _iv_rows = []
+    for _lo, _hi in FACET_INTERVALS:
+        _lbl = f"[{_lo},{'*' if _hi is None else _hi}]"
+        _cond = f"doc_len >= {_lo}"
+        if _hi is not None:
+            _cond += f" AND doc_len <= {_hi}"
+        _iv_rows.append(
+            f"SELECT '{_lbl}' AS interval, CAST(SUM(CASE WHEN {_cond} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n FROM md")
+    o["facet_intervals"] = ORACLE_PRELUDE + f"""
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{Q_FACET}'),
+md AS (SELECT d.doc_len FROM m JOIN dlen d USING (doc_id))
+{' UNION ALL '.join(_iv_rows)} ORDER BY interval
+"""
+    # facet.missing: synthetic nullable category (NULL when doc_id%7=0)
+    o["facet_missing"] = ORACLE_PRELUDE + f"""
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{Q_FACET}')
+SELECT coalesce(CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END,
+                '(missing)') AS category,
+       count(*) AS n
+FROM m JOIN docs0 USING (doc_id)
+GROUP BY 1 ORDER BY n DESC, category ASC
+"""
     # DuplicateFilter: term-query hits ∩ first-occurrence keeper per
     # lang (keeper set computed over all docs, not just hits)
     o["duplicate_filter_docs"] = ORACLE_PRELUDE + """
@@ -4275,6 +4346,8 @@ QUERIES = {
     "bbox_intersects_top10": q_bbox_intersects,
     "bbox_within_docs": q_bbox_within,
     "update_chain_fields": q_update_chain,
+    "facet_intervals": q_facet_intervals,
+    "facet_missing": q_facet_missing,
     "terms_filter_docs": q_terms_filter,
     "chained_filter_xor": q_chained_filter_xor,
     "function_scale_top10": q_function_scale,
