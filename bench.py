@@ -125,6 +125,19 @@ QUERY_NAMES = [
     "edismax_bf_top10",
     "nested_bool_top10",
     "facet_prefix_terms",
+    # round-2c surface
+    "text_profile_sig",
+    "complex_phrase_docs",
+    "surround_docs",
+    "boosting_query_top10",
+    "fuzzy_like_this_top10",
+    "quality_metrics",
+    "edismax_mm_top10",
+    "bbox_intersects_top10",
+    "update_chain_fields",
+    "common_grams_terms",
+    "phonetic_codes",
+    "facet_intervals",
 ]
 
 

@@ -5250,6 +5250,79 @@ def q_reversed_wildcard(spark, sf_dir):
             .select("doc_id").distinct().orderBy("doc_id"))
 
 
+def q_phonetic_codes(spark, sf_dir):
+    """PhoneticFilter + American Soundex (analysis/phonetic/
+    PhoneticFilter.java, commons-codec Soundex): the phonetic code of
+    every distinct corpus token — the match key a phonetic field
+    indexes. Arrow-batched kernel; exactness gated by a recursive-CTE
+    Soundex in the oracle."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.phonetic import soundex
+
+    @pandas_udf("string")
+    def sdx(terms: pd.Series) -> pd.Series:
+        return terms.map(soundex)
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return vocab.select("term", sdx("term").alias("code")) \
+        .orderBy("term")
+
+
+_SOUNDEX_MAP_SQL = """
+CASE WHEN {c} IN ('B','F','P','V') THEN '1'
+     WHEN {c} IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+     WHEN {c} IN ('D','T') THEN '3'
+     WHEN {c} = 'L' THEN '4'
+     WHEN {c} IN ('M','N') THEN '5'
+     WHEN {c} = 'R' THEN '6' ELSE '0' END
+"""
+
+_PHONETIC_SQL = f"""
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+letters AS (
+  SELECT term,
+         upper(regexp_replace(term, '[^A-Za-z]', '', 'g')) AS L
+  FROM vocab
+),
+walk AS (
+  SELECT term, L, 1 AS i,
+         substr(L, 1, 1) AS acc,
+         {_SOUNDEX_MAP_SQL.format(c="substr(L, 1, 1)")} AS prev
+  FROM letters WHERE length(L) > 0
+  UNION ALL
+  SELECT term, L, i + 1,
+    CASE WHEN length(acc) >= 4 THEN acc
+         WHEN code = '0' THEN acc
+         WHEN code = prev THEN acc
+         ELSE acc || code END,
+    CASE WHEN length(acc) >= 4 THEN prev
+         WHEN c IN ('H', 'W') THEN prev
+         WHEN code = '0' THEN '0'
+         ELSE code END
+  FROM (
+    SELECT term, L, i, acc, prev, substr(L, i + 1, 1) AS c,
+           {_SOUNDEX_MAP_SQL.format(c="substr(L, i + 1, 1)")} AS code
+    FROM walk WHERE i < length(L)
+  )
+),
+done AS (
+  SELECT term, rpad(acc, 4, '0') AS code
+  FROM walk w
+  WHERE i = length(L)
+)
+SELECT v.term, coalesce(d.code, '') AS code
+FROM vocab v LEFT JOIN done d USING (term)
+ORDER BY term
+"""
+
 _COMMON_GRAMS_SQL = f"""
 WITH d AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
@@ -5291,6 +5364,7 @@ QUERIES["synonym_counts"] = q_synonym_counts
 QUERIES["common_grams_terms"] = q_common_grams
 QUERIES["length_filter_terms"] = q_length_filter_terms
 QUERIES["reversed_wildcard_docs"] = q_reversed_wildcard
+QUERIES["phonetic_codes"] = q_phonetic_codes
 ORACLES["shingle_bigrams"] = _SHINGLE_SQL
 ORACLES["edge_ngram_terms"] = _EDGE_SQL
 ORACLES["synonym_counts"] = _SYN_SQL
@@ -5298,6 +5372,7 @@ ORACLES["common_grams_terms"] = _COMMON_GRAMS_SQL.replace(
     "{stop}", _STOP_SQL)
 ORACLES["length_filter_terms"] = _LENGTH_SQL
 ORACLES["reversed_wildcard_docs"] = _REVERSED_SQL
+ORACLES["phonetic_codes"] = _PHONETIC_SQL
 
 
 def q_wdf_subwords(spark, sf_dir):

@@ -79,3 +79,31 @@ def test_near_dup_same_signature(spark):
     sigs = [r["sig"] for r in
             df.select(s["sig"].alias("sig")).collect()]
     assert sigs[0] == sigs[1]
+
+
+def test_soundex_published_vectors():
+    """Commons-codec Soundex vectors (SoundexTest.java / NARA examples)
+    — incl. the HW-transparency (Ashcraft) and vowel-reset (Tymczak)
+    rules and the first-letter duplicate seed (Pfister)."""
+    from lucene_solr_spark.functions.phonetic import soundex
+
+    vectors = {
+        "Robert": "R163", "Rupert": "R163", "Ashcraft": "A261",
+        "Ashcroft": "A261", "Tymczak": "T522", "Pfister": "P236",
+        "Honeyman": "H555", "Washington": "W252", "Lee": "L000",
+        "Gutierrez": "G362", "Jackson": "J250", "VanDeusen": "V532",
+        "": "", "123": "",
+    }
+    for word, want in vectors.items():
+        assert soundex(word) == want, word
+
+
+def test_phonetic_post_inject_modes():
+    from lucene_solr_spark.functions.phonetic import phonetic_post
+
+    tp = [("robert", 0), ("lee", 1)]
+    inj = phonetic_post(inject=True)(tp)
+    assert ("robert", 0) in inj and ("R163", 0) in inj
+    assert ("lee", 1) in inj and ("L000", 1) in inj
+    rep = phonetic_post(inject=False)(tp)
+    assert rep == [("R163", 0), ("L000", 1)]
