@@ -384,6 +384,7 @@ def invert_segment(
     shas: List[str],
     keys: Optional[dict] = None,
     overlap_aware: bool = False,
+    codec: str = "for128",
 ) -> pd.DataFrame:
     """One contiguous-docID segment in (already tokenized), postings
     rows + one meta row out (column-wise frame). The in-RAM inversion analogue
@@ -489,7 +490,8 @@ def invert_segment(
             else:
                 docs_t = g_docs[glo:ghi]
                 d_enc, t_enc, s_enc = encode_postings(
-                    docs_t, g_tfs[glo:ghi], nb_lookup[docs_t - doc_base]
+                    docs_t, g_tfs[glo:ghi], nb_lookup[docs_t - doc_base],
+                    codec=codec,
                 )
                 o_doc.append(d_enc)
                 o_tf.append(t_enc)
@@ -566,7 +568,8 @@ _ARRAY_COLS = ("repos", "paths", "commits", "langs", "shas")
 
 
 def make_stream_builder(offsets: Dict[int, int], dps: int,
-                        analyzer: str = "standard"):
+                        analyzer: str = "standard",
+                        codec: str = "for128"):
     """mapInPandas factory: the whole IndexWriter hot path in ONE pass.
 
     Input: the range-partitioned, key-sorted corpus (columns DOC_KEY +
@@ -603,6 +606,7 @@ def make_stream_builder(offsets: Dict[int, int], dps: int,
                 pend["toks"], pend["poss"], pend["shas"],
                 keys={k: pend[k] for k in ("repo", "path", "commit", "lang")},
                 overlap_aware=get_analyzer(analyzer).emits_overlaps,
+                codec=codec,
             )
             for v in pend.values():
                 v.clear()
@@ -678,12 +682,18 @@ class IndexWriter:
         docs_per_segment: int = DEFAULT_DOCS_PER_SEGMENT,
         n_batches: int = 4,
         analyzer: str = "standard",
+        codec: str = "for128",
     ):
         self.spark = spark
         self.catalog = Catalog(index_dir)
         self.docs_per_segment = int(docs_per_segment)
         self.n_batches = int(n_batches)
         self.analyzer = get_analyzer(analyzer).name  # validate + pin
+        from lucene_solr_spark.indexing.codec import CODEC_FAMILIES
+        if codec not in CODEC_FAMILIES:
+            raise ValueError(
+                f"unknown codec {codec!r}; one of {CODEC_FAMILIES}")
+        self.codec = codec  # write-side family, pinned in snapshot props
 
     # -- stage 1: plan (bounds + counts -> dense-rank offsets) ------------
     def _plan_snapshot(self, corpus: DataFrame, resume: bool) -> Snapshot:
@@ -708,6 +718,7 @@ class IndexWriter:
                 "docs_per_segment": self.docs_per_segment,
                 "n_batches": self.n_batches,
                 "analyzer": self.analyzer,
+                "codec": self.codec,
                 "key_bounds": bounds,
                 "counts": {str(k): v for k, v in counts.items()},
             },
@@ -760,7 +771,8 @@ class IndexWriter:
         # it per batch job.
         if n_batches - len(done) > 1:
             keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
-        builder = make_stream_builder(offsets, dps, analyzer)
+        builder = make_stream_builder(offsets, dps, analyzer,
+                                      codec=props.get("codec", "for128"))
         for b in range(n_batches):
             lo = b * bpb
             if lo >= NB:
@@ -1150,7 +1162,8 @@ def append_documents(
     (
         keyed.mapInPandas(
             make_stream_builder(
-                offsets, dps, props.get("analyzer", "standard")
+                offsets, dps, props.get("analyzer", "standard"),
+                codec=props.get("codec", "for128"),
             ),
             schema=SEGMENT_OUT_SCHEMA,
         )

@@ -62,6 +62,8 @@ SKIP_DTYPE = np.dtype(
 )
 
 ALL_EQUAL = 0xFF
+VINT_BLOCK = 0xFE   # block-header marker for the 'vint_tail' family
+CODEC_FAMILIES = ("for128", "vint_tail")
 
 
 def _pack_block(values: np.ndarray) -> bytes:
@@ -96,9 +98,50 @@ def _pack_block(values: np.ndarray) -> bytes:
     return bytes([width]) + packed.tobytes()
 
 
+def _pack_block_vint(values: np.ndarray) -> bytes:
+    """VInt block (codec family 'vint_tail'): 0xFE marker + Lucene-style
+    base-128 varints, low 7 bits first, high bit = continuation
+    (store/DataOutput.java writeVInt). Used for partial tail blocks,
+    where the reference's Lucene41 format also writes VInts
+    (Lucene41PostingsFormat.java:221-237) — this closes the documented
+    FOR-packed-tail divergence as an opt-in family. Blocks stay
+    self-describing (the header byte selects the decoder), so FOR and
+    VInt blocks coexist in one stream and merges stay concat-only."""
+    out = bytearray([VINT_BLOCK])
+    for v in values.tolist():
+        v = int(v)
+        while v >= 0x80:
+            out.append((v & 0x7F) | 0x80)
+            v >>= 7
+        out.append(v)
+    return bytes(out)
+
+
+def _unpack_block_vint(buf: memoryview, off: int,
+                       count: int) -> Tuple[np.ndarray, int]:
+    values = np.empty(count, dtype=np.uint64)
+    i = off + 1
+    for k in range(count):
+        shift = 0
+        v = 0
+        while True:
+            b = buf[i]
+            i += 1
+            v |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        values[k] = v
+    return values, i - off
+
+
 def _unpack_block(buf: memoryview, off: int, count: int) -> Tuple[np.ndarray, int]:
-    """Inverse of _pack_block; returns (values uint64, bytes consumed)."""
+    """Inverse of _pack_block; returns (values uint64, bytes consumed).
+    Self-describing per block: the header byte selects FOR width,
+    ALL_EQUAL, or VINT_BLOCK decoding."""
     width = buf[off]
+    if width == VINT_BLOCK:
+        return _unpack_block_vint(buf, off, count)
     if width == ALL_EQUAL:
         val = np.frombuffer(buf, "<u8", count=1, offset=off + 1)[0]
         return np.full(count, val, dtype=np.uint64), 9
@@ -112,14 +155,23 @@ def _unpack_block(buf: memoryview, off: int, count: int) -> Tuple[np.ndarray, in
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, norm_bytes: np.ndarray
+    doc_ids: np.ndarray, tfs: np.ndarray, norm_bytes: np.ndarray,
+    codec: str = "for128",
 ) -> Tuple[bytes, bytes, bytes]:
     """Encode one term's postings (sorted unique doc_ids, parallel tfs,
     parallel norm bytes for block-max metadata).
 
+    ``codec`` selects the write-side family (CODEC_FAMILIES): 'for128'
+    FOR-packs every block including the tail; 'vint_tail' writes the
+    partial tail block as VInts, matching the reference's Lucene41 tail
+    (Lucene41PostingsFormat.java:221-237). Decoding needs no codec
+    selector — blocks are self-describing via the header byte.
+
     Returns (doc_ids_enc, tfs_enc, skips_enc). Caller handles the
     singleton df==1 case separately (no encoding at all).
     """
+    if codec not in CODEC_FAMILIES:
+        raise ValueError(f"unknown codec {codec!r}; one of {CODEC_FAMILIES}")
     n = len(doc_ids)
     assert n >= 1
     deltas = np.diff(doc_ids, prepend=np.int64(-1)).astype(np.uint64)
@@ -132,8 +184,11 @@ def encode_postings(
     doc_off = tf_off = 0
     for bi in range(n_blocks):
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
-        db = _pack_block(deltas[lo:hi])
-        tb = _pack_block(tfs64[lo:hi])
+        pack = (_pack_block_vint
+                if codec == "vint_tail" and hi - lo < BLOCK_SIZE
+                else _pack_block)
+        db = pack(deltas[lo:hi])
+        tb = pack(tfs64[lo:hi])
         skips[bi] = (
             doc_ids[hi - 1],
             -1 if lo == 0 else doc_ids[lo - 1],

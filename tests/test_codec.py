@@ -130,3 +130,51 @@ def test_decode_prox_parts_multi():
     assert got.tolist() == np.concatenate(all_deltas).tolist()
     one = decode_prox_parts(parts[1], None, 300)
     assert one.tolist() == all_deltas[1].tolist()
+
+
+class TestVIntTailCodec:
+    """'vint_tail' codec family (the Lucene41 VInt tail,
+    Lucene41PostingsFormat.java:221-237, as an opt-in family): blocks
+    are self-describing, so one decode path serves both families and
+    merges stay concat-only."""
+
+    @pytest.mark.parametrize("n", [1, 2, 127, 128, 129, 255, 256, 1000])
+    def test_roundtrip(self, n):
+        rng = np.random.Generator(np.random.PCG64(n + 77))
+        docs, tfs, nbs = _random_postings(rng, n, n * 37 + 10)
+        d, t, s = encode_postings(docs, tfs, nbs, codec="vint_tail")
+        got_docs, got_tfs = decode_postings(d, t, s)
+        assert (got_docs == docs).all() and (got_tfs == tfs).all()
+
+    def test_tail_block_is_vint_marked(self):
+        from lucene_solr_spark.indexing.codec import VINT_BLOCK
+
+        rng = np.random.Generator(np.random.PCG64(3))
+        docs, tfs, nbs = _random_postings(rng, BLOCK_SIZE + 5, 10_000)
+        d, t, s = encode_postings(docs, tfs, nbs, codec="vint_tail")
+        skips = decode_skips(s)
+        assert len(skips) == 2
+        # first (full) block FOR-packed, tail block VInt-marked
+        assert d[0] != VINT_BLOCK
+        assert d[int(skips[1]["doc_off"])] == VINT_BLOCK
+        assert t[int(skips[1]["tf_off"])] == VINT_BLOCK
+
+    def test_mixed_family_concat(self):
+        from lucene_solr_spark.indexing.codec import concat_postings
+
+        rng = np.random.Generator(np.random.PCG64(9))
+        docs, tfs, nbs = _random_postings(rng, 300, 100_000)
+        half = 150
+        p1 = encode_postings(docs[:half], tfs[:half], nbs[:half],
+                             codec="for128")
+        p2 = encode_postings(docs[half:], tfs[half:], nbs[half:],
+                             codec="vint_tail")
+        d, t, s = concat_postings([p1, p2])
+        got_docs, got_tfs = decode_postings(d, t, s)
+        assert (got_docs == docs).all() and (got_tfs == tfs).all()
+
+    def test_unknown_codec_rejected(self):
+        with pytest.raises(ValueError):
+            encode_postings(np.array([1], np.int64),
+                            np.array([1], np.int32),
+                            np.array([0], np.uint8), codec="nope")
