@@ -2228,6 +2228,28 @@ def q_update_chain(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+FUNC_QUERY_STR = "sum(recip(doc_len,1,5,1),product(0.5,sqrt(doc_len)))"
+
+
+def q_function_parser(spark, sf_dir):
+    """FunctionQParser string surface (solr/search/FunctionQParser.java
+    + ValueSourceParser.java): the nested function-query string is
+    parsed on the driver into ONE Catalyst Column (whole-stage
+    codegen), evaluated over docs matching the query, sorted desc."""
+    from lucene_solr_spark.functions.funcparser import parse_function_query
+
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs(F.col("term") == Q_SINGLE).join(
+        s.doc_stats(), "doc_id")
+    col = parse_function_query(
+        FUNC_QUERY_STR, fields={"doc_len": F.col("doc_len")})
+    return (
+        m.select("doc_id", col.cast("double").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
 BBOX_QUERY = (-20.0, 30.0, -15.0, 25.0)  # (minx, maxx, miny, maxy)
 
 
@@ -2993,6 +3015,15 @@ SELECT d.doc_id,
             AS FLOAT) + CAST(0.0 AS FLOAT) AS DOUBLE) AS scaled
 FROM m JOIN dlen d USING (doc_id), sc s
 ORDER BY scaled DESC, d.doc_id ASC LIMIT 10
+"""
+    # FunctionQParser string: 5/(doc_len+1) + 0.5*sqrt(doc_len), all
+    # exactly-rounded IEEE double ops
+    o["function_parser_top10"] = ORACLE_PRELUDE + f"""
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{Q_SINGLE}')
+SELECT d.doc_id,
+  5 / (1 * d.doc_len + 1) + 0.5 * sqrt(d.doc_len) AS score
+FROM m JOIN dlen d USING (doc_id)
+ORDER BY score DESC, d.doc_id ASC LIMIT {TOP_K}
 """
     # Interval facets: overlapping [lo,hi] counters over doc_len for
     # the facet query's doc set
@@ -4348,6 +4379,7 @@ QUERIES = {
     "update_chain_fields": q_update_chain,
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
+    "function_parser_top10": q_function_parser,
     "terms_filter_docs": q_terms_filter,
     "chained_filter_xor": q_chained_filter_xor,
     "function_scale_top10": q_function_scale,

@@ -1,0 +1,72 @@
+"""FunctionQParser gates (solr/search/FunctionQParser.java +
+ValueSourceParser.java): grammar, Solr argument orders, the log-is-
+base-10 rule, boolean functions, and error paths."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions.funcparser import parse_function_query
+from lucene_solr_spark.search.queryparser import QueryParseError
+
+
+def _eval(spark, expr, **fields):
+    df = spark.createDataFrame(
+        [tuple(fields.values())],
+        ", ".join(f"{k} double" for k in fields))
+    col = parse_function_query(
+        expr, fields={k: F.col(k) for k in fields})
+    return df.select(col.alias("v")).collect()[0]["v"]
+
+
+def test_arithmetic_and_nesting(spark):
+    v = _eval(spark, "sum(recip(x,1,5,1),product(0.5,sqrt(x)))", x=4.0)
+    assert v == 5 / 5 + 0.5 * 2.0
+
+
+def test_solr_arg_orders(spark):
+    assert _eval(spark, "linear(x,2,3)", x=10.0) == 23.0       # m*x+c
+    assert _eval(spark, "recip(x,1,2,3)", x=7.0) == 2 / 10     # a/(mx+b)
+    assert _eval(spark, "map(x,0,5,99)", x=3.0) == 99.0
+    assert _eval(spark, "map(x,0,5,99)", x=7.0) == 7.0         # no default
+    assert _eval(spark, "map(x,0,5,99,-1)", x=7.0) == -1.0
+    assert _eval(spark, "sub(x,1)", x=4.0) == 3.0
+    assert _eval(spark, "mod(x,3)", x=7.0) == 1.0
+
+
+def test_log_is_base10_ln_natural(spark):
+    assert _eval(spark, "log(x)", x=100.0) == 2.0
+    assert _eval(spark, "ln(x)", x=math.e) == pytest.approx(1.0)
+
+
+def test_constants_and_multiarg_minmax(spark):
+    assert _eval(spark, "product(pi,2)", x=0.0) == math.pi * 2
+    assert _eval(spark, "max(x,3,7)", x=5.0) == 7.0
+    assert _eval(spark, "min(x,3,7)", x=5.0) == 3.0
+
+
+def test_boolean_functions(spark):
+    assert _eval(spark, "if(exists(x),1,0)", x=1.0) == 1
+    assert _eval(spark, "if(and(true,not(false)),10,20)", x=0.0) == 10
+    assert _eval(spark, "if(xor(true,true),1,2)", x=0.0) == 2
+
+
+def test_field_syntax_and_errors(spark):
+    assert _eval(spark, "field(x)", x=42.0) == 42.0
+    with pytest.raises(QueryParseError):
+        _eval(spark, "nope(x)", x=1.0)
+    with pytest.raises(QueryParseError):
+        _eval(spark, "sum(x", x=1.0)
+    with pytest.raises(QueryParseError):
+        _eval(spark, "x y", x=1.0)
+    with pytest.raises(QueryParseError):
+        _eval(spark, "linear(x,2)", x=1.0)  # wrong arity
+
+
+def test_extra_context_functions(spark):
+    df = spark.createDataFrame([(2.0,)], "x double")
+    col = parse_function_query(
+        "product(boostv,x)", fields={"x": F.col("x")},
+        extra={"boostv": F.lit(10.0)})
+    assert df.select(col.alias("v")).collect()[0]["v"] == 20.0
