@@ -5282,6 +5282,26 @@ def q_reversed_wildcard(spark, sf_dir):
             .select("doc_id").distinct().orderBy("doc_id"))
 
 
+def q_strdist_edit(spark, sf_dir):
+    """strdist(term, 'merge', edit) (ValueSourceParser.java:361-385,
+    spell/LevensteinDistance.java): edit similarity 1f - lev/maxLen for
+    every distinct corpus token, float32 like the reference."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.strdist import levenstein_similarity
+
+    @pandas_udf("float")
+    def sim(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: float(levenstein_similarity(t, "merge")))
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return (vocab.select("term", sim("term").cast("double").alias("sim"))
+            .orderBy("term"))
+
+
 def q_phonetic_codes(spark, sf_dir):
     """PhoneticFilter + American Soundex (analysis/phonetic/
     PhoneticFilter.java, commons-codec Soundex): the phonetic code of
@@ -5303,6 +5323,20 @@ def q_phonetic_codes(spark, sf_dir):
     return vocab.select("term", sdx("term").alias("code")) \
         .orderBy("term")
 
+
+_STRDIST_SQL = """
+WITH vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+SELECT term,
+  CAST(CAST(CAST(1.0 AS FLOAT)
+       - CAST(levenshtein(term, 'merge') AS FLOAT)
+         / CAST(greatest(length(term), 5) AS FLOAT) AS FLOAT)
+       AS DOUBLE) AS sim
+FROM vocab ORDER BY term
+"""
 
 _SOUNDEX_MAP_SQL = """
 CASE WHEN {c} IN ('B','F','P','V') THEN '1'
@@ -5397,6 +5431,7 @@ QUERIES["common_grams_terms"] = q_common_grams
 QUERIES["length_filter_terms"] = q_length_filter_terms
 QUERIES["reversed_wildcard_docs"] = q_reversed_wildcard
 QUERIES["phonetic_codes"] = q_phonetic_codes
+QUERIES["strdist_edit"] = q_strdist_edit
 ORACLES["shingle_bigrams"] = _SHINGLE_SQL
 ORACLES["edge_ngram_terms"] = _EDGE_SQL
 ORACLES["synonym_counts"] = _SYN_SQL
@@ -5405,6 +5440,7 @@ ORACLES["common_grams_terms"] = _COMMON_GRAMS_SQL.replace(
 ORACLES["length_filter_terms"] = _LENGTH_SQL
 ORACLES["reversed_wildcard_docs"] = _REVERSED_SQL
 ORACLES["phonetic_codes"] = _PHONETIC_SQL
+ORACLES["strdist_edit"] = _STRDIST_SQL
 
 
 def q_wdf_subwords(spark, sf_dir):

@@ -1,0 +1,112 @@
+"""String-distance functions (Solr strdist(), ValueSourceParser.java
+:361-385, backends from lucene/suggest/src/java/org/apache/lucene/
+search/spell/): JaroWinklerDistance, LevensteinDistance, NGramDistance
+— SIMILARITIES in [0,1] (1 = identical), float32 like the reference.
+
+These are the spell-checker ranking metrics; the entry surface is a
+vectorized Arrow kernel over the vocabulary (strdist_edit entry), and
+the LevensteinDistance form is SQL-oracle-able
+(1f - lev/maxLen). The Lucene JaroWinkler deliberately DIVERGES from
+the textbook metric (and from DuckDB's jaro_winkler_similarity): the
+Winkler bonus is gated by a 0.7 threshold, the common prefix is NOT
+capped at 4, and the bonus factor is min(0.1, 1/maxLen)
+(JaroWinklerDistance.java:96-106) — reproduced verbatim here and
+gated by unit vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["jaro_winkler", "levenstein_similarity", "ngram_similarity"]
+
+F32 = np.float32
+
+
+def jaro_winkler(s1: str, s2: str, threshold: float = 0.7) -> np.float32:
+    """JaroWinklerDistance.getDistance (:95-106) with matches() (:37-92):
+    half-window match scan, transpositions/2, full common prefix."""
+    if len(s1) > len(s2):
+        mx, mn = s1, s2
+    else:
+        mx, mn = s2, s1
+    rng = max(len(mx) // 2 - 1, 0)
+    match_idx = [-1] * len(mn)
+    match_flags = [False] * len(mx)
+    matches = 0
+    for mi, c1 in enumerate(mn):
+        for xi in range(max(mi - rng, 0), min(mi + rng + 1, len(mx))):
+            if not match_flags[xi] and c1 == mx[xi]:
+                match_idx[mi] = xi
+                match_flags[xi] = True
+                matches += 1
+                break
+    if matches == 0:
+        return F32(0.0)
+    ms1 = [mn[i] for i in range(len(mn)) if match_idx[i] != -1]
+    ms2 = [mx[i] for i in range(len(mx)) if match_flags[i]]
+    transpositions = sum(1 for a, b in zip(ms1, ms2) if a != b) // 2
+    prefix = 0
+    for a, b in zip(s1, s2):
+        if a != b:
+            break
+        prefix += 1
+    # NOTE :53-58 iterates min-length; zip(s1, s2) bounds identically
+    m = F32(matches)
+    j = F32((m / F32(len(s1)) + m / F32(len(s2))
+             + (m - F32(transpositions)) / m) / F32(3))
+    if j < F32(threshold):
+        return j
+    bonus = F32(min(F32(0.1), F32(1.0) / F32(len(mx))))
+    return F32(j + bonus * F32(prefix) * (F32(1.0) - j))
+
+
+def levenstein_similarity(a: str, b: str) -> np.float32:
+    """LevensteinDistance.getDistance: 1f - lev / max(len) (:107)."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return F32(1.0) if n == m else F32(0.0)
+    prev = list(range(n + 1))
+    cur = [0] * (n + 1)
+    for j in range(1, m + 1):
+        cur[0] = j
+        bj = b[j - 1]
+        for i in range(1, n + 1):
+            cost = 0 if a[i - 1] == bj else 1
+            cur[i] = min(cur[i - 1] + 1, prev[i] + 1, prev[i - 1] + cost)
+        prev, cur = cur, prev
+    return F32(F32(1.0) - F32(prev[n]) / F32(max(n, m)))
+
+
+def ngram_similarity(source: str, target: str, n: int = 2) -> np.float32:
+    """NGramDistance.getDistance (:53-142): n-gram sliding-window edit
+    distance with \\0 prefix padding and prefix-match discounting."""
+    sl, tl = len(source), len(target)
+    if sl == 0 or tl == 0:
+        return F32(1.0) if sl == tl else F32(0.0)
+    if sl < n or tl < n:
+        cost = sum(1 for i in range(min(sl, tl))
+                   if source[i] == target[i])
+        return F32(F32(cost) / F32(max(sl, tl)))
+    sa = "\0" * (n - 1) + source
+    p = [F32(i) for i in range(sl + 1)]
+    d = [F32(0)] * (sl + 1)
+    for j in range(1, tl + 1):
+        if j < n:
+            t_j = "\0" * (n - j) + target[:j]
+        else:
+            t_j = target[j - n:j]
+        d[0] = F32(j)
+        for i in range(1, sl + 1):
+            cost = 0
+            tn = n
+            for ni in range(n):
+                if sa[i - 1 + ni] != t_j[ni]:
+                    cost += 1
+                elif sa[i - 1 + ni] == "\0":
+                    tn -= 1
+            ec = F32(F32(cost) / F32(tn))
+            d[i] = F32(min(F32(d[i - 1] + F32(1)), F32(p[i] + F32(1)),
+                           F32(p[i - 1] + ec)))
+        p, d = d, p
+    return F32(F32(1.0) - F32(p[sl] / F32(max(tl, sl))))

@@ -70,3 +70,52 @@ def test_extra_context_functions(spark):
         "product(boostv,x)", fields={"x": F.col("x")},
         extra={"boostv": F.lit(10.0)})
     assert df.select(col.alias("v")).collect()[0]["v"] == 20.0
+
+
+class TestStrDist:
+    """strdist backends (spell/JaroWinklerDistance.java,
+    LevensteinDistance.java, NGramDistance.java) — Lucene's own unit
+    vectors (TestJaroWinklerDistance / TestLevenshteinDistance /
+    TestNGramDistance values)."""
+
+    def test_jaro_winkler_vectors(self):
+        import numpy as np
+
+        from lucene_solr_spark.functions.strdist import jaro_winkler
+
+        # TestJaroWinklerDistance.java: al/al=1, martha/marhta≈0.961,
+        # jones/johnson≈0.832, abcvwxyz/cabvwxyz≈0.958,
+        # dwayne/duane≈0.84, dixon/dicksonx≈0.813, fvie/ten=0
+        assert jaro_winkler("al", "al") == np.float32(1.0)
+        assert abs(jaro_winkler("martha", "marhta") - 0.9611) < 1e-3
+        assert abs(jaro_winkler("jones", "johnson") - 0.8323) < 1e-3
+        assert abs(jaro_winkler("dwayne", "duane") - 0.84) < 1e-2
+        assert abs(jaro_winkler("dixon", "dicksonx") - 0.8133) < 1e-3
+        assert jaro_winkler("fvie", "ten") == np.float32(0.0)
+
+    def test_levenstein_vectors(self):
+        import numpy as np
+
+        from lucene_solr_spark.functions.strdist import (
+            levenstein_similarity as lev)
+
+        assert lev("al", "al") == np.float32(1.0)
+        # Java float chain: 1.0f - (float)2/6 (NOT the double value)
+        assert lev("martha", "marhta") == \
+            np.float32(1.0) - np.float32(2) / np.float32(6)
+        assert lev("", "") == np.float32(1.0)
+        assert lev("a", "") == np.float32(0.0)
+
+    def test_ngram_vectors(self):
+        import numpy as np
+
+        from lucene_solr_spark.functions.strdist import ngram_similarity
+
+        assert ngram_similarity("al", "al") == np.float32(1.0)
+        # short-string path: positional char matches / maxLen
+        assert ngram_similarity("a", "ab") == np.float32(0.5)
+        assert ngram_similarity("", "") == np.float32(1.0)
+        assert ngram_similarity("", "x") == np.float32(0.0)
+        # symmetric-ish sanity + range
+        v = ngram_similarity("martha", "marhta")
+        assert 0.0 < float(v) < 1.0
