@@ -2228,6 +2228,40 @@ def q_update_chain(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_dist_facet(spark, sf_dir):
+    """Distributed faceting with the FacetComponent two-phase
+    refinement protocol (handler/component/FacetComponent.java):
+    per-shard lang counts for the 'merge' doc set (disjoint shard
+    assignment: parity split, overlap docs owned by shard 0), phase-1
+    overrequest (limit*1.5+10), aggregator merge, per-shard refinement
+    of window terms missing from a phase-1 response, exact final
+    window."""
+    from lucene_solr_spark.search.distributed import (
+        distributed_facet_counts)
+
+    def mk(shard):
+        s = get_shard_searcher(spark, sf_dir, shard)
+        base = (s.match_docs(F.col("term") == Q_SINGLE)
+                .join(s._docs.select("doc_id", "path", "lang"), "doc_id"))
+        if shard == 1:
+            # the dist fixture overlaps low doc_ids into both shards;
+            # faceting requires disjoint ownership (FacetComponent sums
+            # counts) — shard 0 owns the overlap
+            base = base.filter(F.col("path").cast("long") >= DIST_OVERLAP)
+        counts = (base.groupBy(F.col("lang").alias("term"))
+                  .agg(F.count("*").alias("cnt")))
+
+        def topn(n, counts=counts):
+            return counts.orderBy(F.desc("cnt"), F.asc("term")).limit(n)
+
+        def refine(terms, counts=counts):
+            return counts.filter(F.col("term").isin(list(terms)))
+
+        return (topn, refine)
+
+    return distributed_facet_counts(spark, [mk(0), mk(1)], limit=3)
+
+
 FUNC_QUERY_STR = "sum(recip(doc_len,1,5,1),product(0.5,sqrt(doc_len)))"
 
 
@@ -3015,6 +3049,15 @@ SELECT d.doc_id,
             AS FLOAT) + CAST(0.0 AS FLOAT) AS DOUBLE) AS scaled
 FROM m JOIN dlen d USING (doc_id), sc s
 ORDER BY scaled DESC, d.doc_id ASC LIMIT 10
+"""
+    # Distributed facet refinement: disjoint shard ownership means the
+    # exact merged window == the global facet window
+    o["dist_facet_lang"] = ORACLE_PRELUDE + f"""
+, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = '{Q_SINGLE}')
+SELECT lang AS term, count(*) AS cnt
+FROM m JOIN docs0 USING (doc_id)
+GROUP BY lang
+ORDER BY cnt DESC, term ASC LIMIT 3
 """
     # FunctionQParser string: 5/(doc_len+1) + 0.5*sqrt(doc_len), all
     # exactly-rounded IEEE double ops
@@ -4380,6 +4423,7 @@ QUERIES = {
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,
+    "dist_facet_lang": q_dist_facet,
     "terms_filter_docs": q_terms_filter,
     "chained_filter_xor": q_chained_filter_xor,
     "function_scale_top10": q_function_scale,

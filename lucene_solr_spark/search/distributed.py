@@ -59,3 +59,68 @@ def merge_shard_topdocs(
         F.asc(c) for c in key_cols
     ]
     return dedup.orderBy(*order).limit(k)
+
+
+def distributed_facet_counts(
+    spark,
+    shard_fns,
+    limit: int,
+    offset: int = 0,
+    mincount: int = 1,
+):
+    """Distributed field faceting with the two-phase refinement
+    protocol (solr/handler/component/FacetComponent.java):
+
+      phase 1 — each shard returns its top ``initialLimit`` terms,
+        where for count-sorted facets initialLimit =
+        (offset + limit) * 1.5 + 10 with initialMincount 0
+        (FacetComponent.java "set the initial limit higher to increase
+        accuracy" overrequest rule);
+      merge — counts summed per term on the aggregator;
+      phase 2 (refinement) — for every candidate term inside the
+        requested window, any shard that did NOT report that term in
+        phase 1 receives a refinement request for its exact count
+        (:105-146 "overlap facet refinement requests"); refined counts
+        are added so the final window is EXACT;
+      final — count desc / term asc order, mincount and offset/limit
+        applied on the aggregator.
+
+    ``shard_fns``: per shard a pair (topn, refine) — ``topn(n)`` yields
+    a (term, cnt) DataFrame of the shard's top-n terms by (cnt desc,
+    term asc); ``refine(terms)`` yields exact (term, cnt) rows for the
+    requested terms. Facet responses are facet-sized (<= initialLimit
+    rows per shard), so the aggregator-side merge is driver-trivial by
+    design — identical to the reference's coordinator.
+
+    Returns a (term, cnt) DataFrame of the final window.
+    """
+    if limit <= 0:
+        raise ValueError("limit must be > 0 (the count-sorted path)")
+    initial = int((offset + limit) * 1.5) + 10
+    responses = []
+    exhausted = []
+    merged: dict = {}
+    for topn, _refine in shard_fns:
+        rows = {r["term"]: int(r["cnt"]) for r in topn(initial).collect()}
+        responses.append(rows)
+        # a shard that returned FEWER than initialLimit terms has no
+        # further terms (initialMincount is 0), so a missing term truly
+        # has count 0 there — no refinement request for that shard
+        # (the reference tracks this per-shard completeness before
+        # queueing refinements)
+        exhausted.append(len(rows) < initial)
+        for t, c in rows.items():
+            merged[t] = merged.get(t, 0) + c
+    candidates = sorted(merged.items(), key=lambda tc: (-tc[1], tc[0]))
+    window = [t for t, _c in candidates[: offset + limit]]
+    for i, (_topn, refine) in enumerate(shard_fns):
+        if exhausted[i]:
+            continue
+        missing = [t for t in window if t not in responses[i]]
+        if not missing:
+            continue
+        for r in refine(missing).collect():
+            merged[r["term"]] = merged[r["term"]] + int(r["cnt"])
+    final = sorted(merged.items(), key=lambda tc: (-tc[1], tc[0]))
+    out = [(t, c) for t, c in final if c >= mincount][offset: offset + limit]
+    return spark.createDataFrame(out, "term string, cnt long")

@@ -40,3 +40,67 @@ def test_merge_k_limit_single_shard(spark):
     s0 = _df(spark, [(i, float(10 - i)) for i in range(6)])
     out = merge_shard_topdocs([s0], ["doc_id"], k=4).collect()
     assert [r.doc_id for r in out] == [0, 1, 2, 3]
+
+
+class TestDistributedFacetRefinement:
+    """FacetComponent two-phase protocol: the refinement pass must fire
+    for window terms a shard did not report in phase 1, and the final
+    window must equal exact global counts when overrequest covers the
+    candidate space."""
+
+    @staticmethod
+    def _shard(spark, counts, refine_log=None):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(list(counts.items()),
+                                   "term string, cnt long")
+
+        def topn(n):
+            return df.orderBy(F.desc("cnt"), F.asc("term")).limit(n)
+
+        def refine(terms):
+            if refine_log is not None:
+                refine_log.append(sorted(terms))
+            return df.filter(F.col("term").isin(list(terms)))
+
+        return (topn, refine)
+
+    def test_refinement_fires_and_counts_exact(self, spark):
+        from lucene_solr_spark.search.distributed import (
+            distributed_facet_counts)
+
+        # shard A: many distinct terms so its phase-1 top-N (limit 1 ->
+        # initialLimit 11) misses 'zz'; shard B: 'zz' dominates.
+        a_counts = {f"t{i:02d}": 100 - i for i in range(12)}
+        a_counts["zz"] = 1          # rank 13 in A -> outside phase 1
+        b_counts = {"zz": 500}
+        log_a, log_b = [], []
+        shards = [self._shard(spark, a_counts, log_a),
+                  self._shard(spark, b_counts, log_b)]
+        out = {r["term"]: r["cnt"] for r in distributed_facet_counts(
+            spark, shards, limit=1).collect()}
+        # exact: zz = 500 (B) + 1 (A, via refinement)
+        assert out == {"zz": 501}
+        assert log_a == [["zz"]]    # A was refined for zz
+        assert log_b == []          # B reported zz in phase 1
+
+    def test_no_refinement_when_covered(self, spark):
+        from lucene_solr_spark.search.distributed import (
+            distributed_facet_counts)
+
+        log = []
+        shards = [self._shard(spark, {"a": 5, "b": 3}, log),
+                  self._shard(spark, {"a": 2, "c": 1}, log)]
+        out = [(r["term"], r["cnt"]) for r in distributed_facet_counts(
+            spark, shards, limit=3).collect()]
+        assert out == [("a", 7), ("b", 3), ("c", 1)]
+        assert log == []
+
+    def test_mincount_and_offset(self, spark):
+        from lucene_solr_spark.search.distributed import (
+            distributed_facet_counts)
+
+        shards = [self._shard(spark, {"a": 5, "b": 3, "c": 1})]
+        out = [(r["term"], r["cnt"]) for r in distributed_facet_counts(
+            spark, shards, limit=2, offset=1, mincount=2).collect()]
+        assert out == [("b", 3)]
