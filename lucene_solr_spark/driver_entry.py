@@ -2262,6 +2262,26 @@ def q_dist_facet(spark, sf_dir):
     return distributed_facet_counts(spark, [mk(0), mk(1)], limit=3)
 
 
+XML_QUERY = """
+<FilteredQuery>
+  <Query><UserQuery>merge data</UserQuery></Query>
+  <Filter><TermsFilter>window</TermsFilter></Filter>
+</FilteredQuery>
+"""
+
+
+def q_xml_query(spark, sf_dir):
+    """XML query parser (queryparser/xml/CoreParser.java): a
+    FilteredQuery element — scored UserQuery (classic-parser OR)
+    semi-joined to a TermsFilter doc set (FilteredQuery.java: the
+    filter never touches scores). Leaves run the same gated kernels as
+    the classic parser."""
+    from lucene_solr_spark.search.xmlparser import search_xml
+
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(search_xml(s, XML_QUERY, k=TOP_K))
+
+
 FUNC_QUERY_STR = "sum(recip(doc_len,1,5,1),product(0.5,sqrt(doc_len)))"
 
 
@@ -3049,6 +3069,17 @@ SELECT d.doc_id,
             AS FLOAT) + CAST(0.0 AS FLOAT) AS DOUBLE) AS scaled
 FROM m JOIN dlen d USING (doc_id), sc s
 ORDER BY scaled DESC, d.doc_id ASC LIMIT 10
+"""
+    # XML FilteredQuery: OR-scored UserQuery ∩ TermsFilter doc set
+    o["xml_query_top10"] = ORACLE_PRELUDE + f"""
+, orsum AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM persc WHERE term IN ('merge', 'data') GROUP BY doc_id
+),
+flt AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+SELECT doc_id, CAST(score AS DOUBLE) AS score
+FROM orsum JOIN flt USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
 """
     # Distributed facet refinement: disjoint shard ownership means the
     # exact merged window == the global facet window
@@ -4424,6 +4455,7 @@ QUERIES = {
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,
     "dist_facet_lang": q_dist_facet,
+    "xml_query_top10": q_xml_query,
     "terms_filter_docs": q_terms_filter,
     "chained_filter_xor": q_chained_filter_xor,
     "function_scale_top10": q_function_scale,

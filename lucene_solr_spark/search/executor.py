@@ -1006,6 +1006,21 @@ class IndexSearcher:
         from lucene_solr_spark.search.queryparser import parse_query
 
         ast = parse_query(query_string, analyzer=self.analyzer)
+        return self.search_clauses(ast, k=k,
+                                   min_should_match=min_should_match,
+                                   rewrite=rewrite)
+
+    def search_clauses(
+        self,
+        ast,
+        k: Optional[int] = 10,
+        min_should_match: int = 0,
+        rewrite: Optional[str] = None,
+    ) -> DataFrame:
+        """Execute an already-built Clause list (the post-parse half of
+        search_boolean) — the shared back-end for the classic string
+        parser and alternative front-ends (XML query parser,
+        programmatic BooleanQuery construction)."""
         empty_df = self.spark.createDataFrame([], "doc_id long, score float")
         if not ast:
             return empty_df
