@@ -526,6 +526,52 @@ ORDER BY score DESC, pf.doc_id ASC LIMIT {k}
 """
 
 
+def oracle_multi_phrase(slots, k=TOP_K) -> str:
+    """MultiPhraseQuery oracle (search/MultiPhraseQuery.java): each
+    phrase position admits a SET of alternative terms (union postings,
+    UnionDocsAndPositionsEnum :408-520); phraseFreq = offset-aligned
+    starts where every slot holds ANY of its alternatives; weight =
+    f32 idf chain over ALL terms in add order (slot order, then
+    within-slot order — MultiPhraseWeight :146-156 +
+    BM25Similarity.idfExplain array-order f32 sum)."""
+    (a0, _), rest = slots[0], slots[1:]
+    joins, conds = [], [f"p0.term IN ({_sql_terms(a0)})"]
+    for i, (alts, off) in enumerate(rest, start=1):
+        joins.append(
+            f"JOIN tpos p{i} ON p{i}.doc_id = p0.doc_id "
+            f"AND p{i}.pos = p0.pos + {off}"
+        )
+        conds.append(f"p{i}.term IN ({_sql_terms(alts)})")
+    all_terms = [t for alts, _ in slots for t in alts]
+    wexpr = f"(SELECT idfv FROM weights WHERE term = '{all_terms[0]}')"
+    for t in all_terms[1:]:
+        wexpr = (f"CAST({wexpr} + (SELECT idfv FROM weights "
+                 f"WHERE term = '{t}') AS FLOAT)")
+    return ORACLE_PRELUDE + f"""
+, tpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+),
+pf AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM tpos p0 {' '.join(joins)}
+  WHERE {' AND '.join(conds)}
+  GROUP BY p0.doc_id
+),
+pw AS (SELECT CAST({wexpr} * {K1P1_LIT} AS FLOAT) AS wv)
+SELECT pf.doc_id,
+  CAST(CAST(CAST((SELECT wv FROM pw) * pf.pf AS FLOAT)
+            / CAST(pf.pf + c.nrm AS FLOAT) AS FLOAT) AS DOUBLE) AS score
+FROM pf JOIN cachev c ON pf.doc_id = c.doc_id
+ORDER BY score DESC, pf.doc_id ASC LIMIT {k}
+"""
+
+
 # title-field CTE chain (multi-field surface): identical math to the
 # content prelude, over the derived title text (first TITLE_NTOK
 # whitespace tokens) — per-field statistics exactly as Lucene keeps
@@ -682,6 +728,10 @@ def _topk_double(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.col("score").cast("double").alias("score"))
 
 
+# MultiPhraseQuery: per-position alternative term arrays — the
+# "Microsoft app*" synonym/expansion-in-phrase shape
+# (search/MultiPhraseQuery.java)
+Q_MULTI_PHRASE = [(("fast", "slow"), 0), (("merge",), 1)]
 Q_DISMAX = ("table", "window")
 DISMAX_TIE = 0.1
 Q_NUMRANGE = (50, 150)            # doc_len in [50, 150]
@@ -1092,6 +1142,15 @@ def q_term_range_terms(spark, sf_dir):
 def q_phrase(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     return _topk_double(s.search_phrase(Q_PHRASE, k=TOP_K))
+
+
+def q_multi_phrase(spark, sf_dir):
+    """MultiPhraseQuery (lucene/core/.../search/MultiPhraseQuery.java):
+    slot 0 matches 'fast' OR 'slow' (UnionDocsAndPositionsEnum), slot 1
+    'merge'; weight = f32 idf sum over ALL three terms in add order
+    (MultiPhraseWeight :146-156); freq = aligned phrase starts."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.search_multi_phrase(Q_MULTI_PHRASE, k=TOP_K))
 
 
 def q_phrase_hole(spark, sf_dir):
@@ -2688,6 +2747,7 @@ FROM fsum ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
         f"AND term < '{Q_RANGE[1]}' ORDER BY term"
     )
     o["phrase_query"] = oracle_phrase([("table", 0), ("hash", 1)])
+    o["multi_phrase_top10"] = oracle_multi_phrase(Q_MULTI_PHRASE)
     # '+table +window stream': conjunction req (2-term f32 sum) + one
     # optional clause added per ReqOptSumScorer (float add; absent -> req)
     o["bool_req_opt"] = ORACLE_PRELUDE + """
@@ -4430,6 +4490,7 @@ QUERIES = {
     "fuzzy_terms": q_fuzzy_terms,
     "term_range_terms": q_term_range_terms,
     "phrase_query": q_phrase,
+    "multi_phrase_top10": q_multi_phrase,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,
     "phrase_hole": q_phrase_hole,

@@ -391,6 +391,81 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return ranked[:k]
 
+    def search_multi_phrase(self, slots, k: int = 10, slop: int = 0):
+        """MultiPhraseQuery oracle (search/MultiPhraseQuery.java):
+        ``slots`` = [(alternatives, offset)]. Weight = f32 idf sum over
+        ALL terms in add order (MultiPhraseWeight :146-156, absent
+        terms df=0); per doc each slot's positions are the UNION of its
+        members' positions; slop=0 pf = count of aligned starts
+        (set semantics — the ExactPhraseScorer last-slot duplicate
+        multiplicity only differs when posInc-0 synonym tokens exist,
+        which the standard-chain oracle corpus never produces; the
+        multiplicity rule itself is pinned by the kernel-level golden
+        vectors in tests/test_multiphrase.py); slop>0 runs the shared
+        greedy SloppyPhraseScorer traversal over the union arrays."""
+        norm_slots = [(tuple(a), int(off)) for a, off in slots]
+        all_terms = [t for a, _ in norm_slots for t in a]
+        w = F32(0.0)
+        for t in all_terms:
+            w = F32(w + idf(self.df(t), self.max_doc))
+        weight_value = F32(w * K1_PLUS_1)
+        cache = self._cache()
+        if len(norm_slots) == 1:
+            # rewrite(): BooleanQuery of SHOULD TermQueries, per-term
+            # weights, double accumulation (DisjunctionSumScorer)
+            acc: Dict[int, float] = {}
+            for t in dict.fromkeys(norm_slots[0][0]):
+                for d, s in self._term_scores(t, cache).items():
+                    acc[d] = acc.get(d, 0.0) + float(s)
+            ranked = sorted(((d, F32(s)) for d, s in acc.items()),
+                            key=lambda kv: (-float(kv[1]), kv[0]))
+            return ranked[:k]
+        # candidate docs: every slot's union non-empty
+        docsets = []
+        for alts, _ in norm_slots:
+            ds: set = set()
+            for t in alts:
+                ds |= set(self.positions.get(t, ()))
+            if not ds:
+                return []
+            docsets.append(ds)
+        docs = set.intersection(*docsets)
+        scores = {}
+        for d in docs:
+            union_pos = []
+            for alts, off in norm_slots:
+                merged: List[int] = []
+                for t in alts:
+                    merged.extend(self.positions.get(t, {}).get(d, ()))
+                merged.sort()
+                union_pos.append((merged, off))
+            if any(not m for m, _ in union_pos):
+                continue
+            if slop > 0:
+                from lucene_solr_spark.search.sloppy import (
+                    sloppy_phrase_freq,
+                )
+
+                freq = sloppy_phrase_freq(
+                    [np.asarray(m, dtype=np.int64) for m, _ in union_pos],
+                    [o for _, o in union_pos],
+                    [f"\x00slot{i}" for i in range(len(union_pos))],
+                    slop,
+                )
+            else:
+                starts = None
+                for m, off in union_pos:
+                    cand = {p - off for p in m}
+                    starts = cand if starts is None else (starts & cand)
+                    if not starts:
+                        break
+                freq = F32(len(starts)) if starts else F32(0.0)
+            if freq > 0:
+                norm = cache[self.norm_bytes[d]]
+                scores[d] = F32(weight_value * freq / (freq + norm))
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return ranked[:k]
+
     def search_spans(self, span, k: int = 10):
         """Span query oracle (search/spans/SpanScorer.java): evaluate
         the span tree's exact match enumeration (search/spans.py is

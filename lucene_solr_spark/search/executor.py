@@ -615,6 +615,117 @@ class IndexSearcher:
         return self.search_spans(
             SP.SpanNear(tuple(span_clauses), slop=slop, in_order=True), k=k)
 
+    def search_multi_phrase(self, slots, k: Optional[int] = 10,
+                            slop: int = 0) -> DataFrame:
+        """MultiPhraseQuery (lucene/core/src/java/org/apache/lucene/
+        search/MultiPhraseQuery.java): a phrase where each position
+        holds an ARRAY of alternative index terms (the "Microsoft
+        app*" shape — prefix/synonym expansion inside a phrase, scored
+        as a phrase, not as spans).
+
+        ``slots``: sequence of ``(alternatives, position)`` pairs, or
+        bare term lists (positions then run 0..n-1). Terms are index
+        terms VERBATIM (MultiPhraseQuery.add takes Terms; no
+        re-analysis), matching search_spans.
+
+        Reference semantics kept exactly:
+        - weight = f32 idf accumulation over ALL terms in add order
+          (slot order, then within-slot order), absent terms
+          contributing idf with df=0 — MultiPhraseWeight builds a
+          TermStatistics for every term (:146-156), and
+          BM25Similarity.idfExplain sums f32 in array order.
+        - one-slot query rewrites to BooleanQuery of SHOULD TermQueries
+          with PER-TERM weights (rewrite() :287-295) — delegated to the
+          standard OR kernel.
+        - per segment (our gid group), each slot's postings are the
+          UNION of its members' docs-and-positions
+          (UnionDocsAndPositionsEnum :408-520, positions merge-sorted
+          with duplicates KEPT); a slot with no member present in the
+          group yields no matches from that group (scorer() returns
+          null when the union docFreq is 0, :204-221).
+        - slop=0 counts phraseFreq with the ExactPhraseScorer gen/count
+          walk (ExactPhraseScorer.java:244-303) over slots sorted by
+          ascending per-segment coarse docFreq (= sum of member dfs,
+          :203-214; ties by position — PhraseQuery.PostingsAndFreq
+          compareTo). The walk dedups duplicate positions in every slot
+          EXCEPT the last (max-df) one, where each duplicate occurrence
+          re-satisfies ``counts[pos] == endMinus1`` and increments freq
+          again (:302-303) — the kernel reproduces that multiplicity
+          rule. (Duplicates only arise when the index holds posInc-0
+          synonym tokens.)
+        - slop>0 runs SloppyPhraseScorer over the union position lists.
+          Slot term sets must be pairwise disjoint: the reference's
+          hasMultiTermRpts repeat handling
+          (SloppyPhraseScorer.java:150-213) is a documented scope cut
+          (ValueError), like the module docstring in search/sloppy.py.
+        """
+        norm_slots: List[Tuple[Tuple[str, ...], int]] = []
+        for i, s in enumerate(slots):
+            if (isinstance(s, (tuple, list)) and len(s) == 2
+                    and isinstance(s[1], int)
+                    and not isinstance(s[0], str)):
+                alts, pos = s
+            else:
+                alts, pos = s, (norm_slots[-1][1] + 1 if norm_slots else 0)
+            if isinstance(alts, str):
+                alts = (alts,)
+            norm_slots.append((tuple(alts), int(pos)))
+        if not norm_slots:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+
+        all_terms_ordered = [t for alts, _ in norm_slots for t in alts]
+        uniq = list(dict.fromkeys(all_terms_ordered))
+        dfs = self._lookup_dfs(uniq)
+        # f32 idf accumulation in add order; absent terms df=0
+        w = np.float32(0.0)
+        for t in all_terms_ordered:
+            w = np.float32(w + idf(dfs.get(t, 0), self.max_doc))
+        present = [t for t in uniq if t in dfs]
+
+        if len(norm_slots) == 1:
+            # rewrite(): BooleanQuery of SHOULD TermQueries (per-term
+            # idf weights, DisjunctionSumScorer double accumulation)
+            if not present:
+                return self.spark.createDataFrame(
+                    [], "doc_id long, score float")
+            plan = QueryPlan(
+                terms=present,
+                dfs={t: dfs[t] for t in present},
+                weights={t: float(np.float32(idf(dfs[t], self.max_doc)))
+                         for t in present},
+                mode="or", mm=1, exclude_terms=[],
+                k=k if k is not None else 0, cache=self.cache,
+            )
+            if k is None:
+                plan.k = None  # type: ignore[assignment]
+            posts = self._postings.filter(F.col("term").isin(present))
+            kernel = make_group_scorer(plan, wand=False)
+            topk = self._run_kernel(posts, kernel,
+                                    "doc_id long, score float")
+            out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+            return out if k is None else out.limit(k)
+
+        if not present:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        if slop > 0:
+            seen: set = set()
+            for alts, _ in norm_slots:
+                aset = set(alts)
+                if seen & aset:
+                    raise ValueError(
+                        "multi-phrase slop>0 with repeating terms "
+                        "across slots (hasMultiTermRpts, "
+                        "SloppyPhraseScorer.java:150-213) is a "
+                        "documented scope cut")
+                seen |= aset
+        wv = np.float32(w * K1_PLUS_1)
+        posts = self._postings.filter(F.col("term").isin(present))
+        kernel = make_multi_phrase_scorer(
+            norm_slots, wv, self.cache, k, int(slop))
+        topk = self._run_kernel(posts, kernel, "doc_id long, score float")
+        out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out if k is None else out.limit(k)
+
     def search_boosting(self, match_query: str, context_query: str,
                         demote: float, k: Optional[int] = 10) -> DataFrame:
         """BoostingQuery (lucene/queries/.../BoostingQuery.java): the
@@ -3099,6 +3210,148 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
         # cogroup.applyInPandas dispatches on arity (3 args would mean
         # (key, left, right)) — keep the public kernel 2-arg and expose
         # the batch-sharing variant separately
+        return score_group(posts, segs)
+
+    kernel.with_shared = score_group  # type: ignore[attr-defined]
+    return kernel
+
+
+def make_multi_phrase_scorer(slots, wv, cache: np.ndarray,
+                             k: Optional[int], slop: int):
+    """Per-group kernel for MultiPhraseQuery (search/
+    MultiPhraseQuery.java). Each slot's postings are the union of its
+    member terms' docs-and-positions (UnionDocsAndPositionsEnum
+    :408-520; positions merge-sorted, duplicates kept). slop=0 =
+    ExactPhraseScorer walk with slots in ascending per-group coarse-df
+    order (sum of member dfs, :203-214): duplicate positions dedup in
+    every slot except the LAST, whose multiplicity re-increments freq
+    (ExactPhraseScorer.java:302-303). slop>0 = SloppyPhraseScorer over
+    the union position lists (disjoint slots only — caller enforces).
+
+    Vectorized like make_phrase_scorer: int64 keys
+    ``doc << shift | (pos - offset + offbase)`` per slot, chained
+    sorted intersection; last-slot multiplicity recovered with
+    searchsorted range counts."""
+    slot_terms = [tuple(alts) for alts, _ in slots]
+    slot_offs = [off for _, off in slots]
+    uniq_terms = list(dict.fromkeys(t for alts in slot_terms for t in alts))
+    offbase = max(slot_offs)
+
+    def empty_result():
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
+
+    def score_group(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        if len(posts) == 0 or len(segs) == 0:
+            return empty_result()
+        gbase, span, norms, deleted = _group_ctx(segs)
+
+        dec = _decode_phrase_postings(posts, uniq_terms, require_all=False)
+        if dec is None:
+            return empty_result()
+        decoded, max_pos = dec
+
+        shift = max(21, int(max_pos + offbase + 1).bit_length())
+        # union keys + per-group coarse df per slot
+        slot_keys: list = []
+        coarse_df: list = []
+        for alts, off in slots:
+            parts = []
+            cdf = 0
+            for t in alts:
+                d, tf, pos = decoded[t]
+                if len(d) == 0:
+                    continue
+                cdf += len(d)
+                parts.append((np.repeat(d, tf) << shift)
+                             + (pos - off + offbase))
+            if not parts:
+                return empty_result()  # slot absent in this group
+            kk = np.concatenate(parts)
+            kk.sort()
+            slot_keys.append(kk)
+            coarse_df.append(cdf)
+
+        if slop > 0:
+            from lucene_solr_spark.search.sloppy import sloppy_phrase_freq
+
+            mask = (np.int64(1) << shift) - 1
+            cands = None
+            for kk in slot_keys:
+                ds = np.unique(kk >> shift)
+                cands = ds if cands is None else np.intersect1d(
+                    cands, ds, assume_unique=True)
+                if len(cands) == 0:
+                    return empty_result()
+            slot_ids = [f"\x00slot{i}" for i in range(len(slots))]
+            docs_out, freqs_out = [], []
+            for doc in cands:
+                pos_arrays = []
+                for i, kk in enumerate(slot_keys):
+                    lo = np.searchsorted(kk, doc << shift, side="left")
+                    hi = np.searchsorted(kk, (doc + 1) << shift,
+                                         side="left")
+                    raw = (kk[lo:hi] & mask) - offbase + slot_offs[i]
+                    pos_arrays.append(raw)
+                fr = sloppy_phrase_freq(pos_arrays, slot_offs,
+                                        slot_ids, slop)
+                if fr > 0:
+                    docs_out.append(int(doc))
+                    freqs_out.append(np.float32(fr))
+            if not docs_out:
+                return empty_result()
+            return _finish(np.asarray(docs_out, np.int64),
+                           np.asarray(freqs_out, np.float32),
+                           gbase, norms, deleted)
+
+        # ascending coarse df; ties by position (PostingsAndFreq
+        # compareTo: docFreq, then position) then slot index
+        order = sorted(range(len(slots)),
+                       key=lambda i: (coarse_df[i], slot_offs[i], i))
+        last = order[-1]
+        inter = None
+        for i in order[:-1]:
+            kk = np.unique(slot_keys[i])
+            inter = kk if inter is None else np.intersect1d(
+                inter, kk, assume_unique=True)
+            if len(inter) == 0:
+                return empty_result()
+        lk = slot_keys[last]
+        lo = np.searchsorted(lk, inter, side="left")
+        hi = np.searchsorted(lk, inter, side="right")
+        mult = (hi - lo).astype(np.int64)
+        sel = mult > 0
+        if not sel.any():
+            return empty_result()
+        keys, mult = inter[sel], mult[sel]
+        docs_h = keys >> shift
+        udocs = np.unique(docs_h)
+        pf_per_doc = np.zeros(len(udocs), np.int64)
+        np.add.at(pf_per_doc, np.searchsorted(udocs, docs_h), mult)
+        return _finish(udocs, pf_per_doc.astype(np.float32),
+                       gbase, norms, deleted)
+
+    def _finish(udocs, pf, gbase, norms, deleted):
+        if deleted is not None and len(udocs):
+            keep = ~deleted[udocs - gbase]
+            udocs, pf = udocs[keep], pf[keep]
+        if len(udocs) == 0:
+            return empty_result()
+        nrm = cache[norms[udocs - gbase].astype(np.int64)]
+        scores = ((wv * pf) / (pf + nrm)).astype(np.float32)
+        cand_docs, cand_scores = udocs, scores
+        if k is not None and len(cand_docs) > k:
+            thresh = cand_scores[np.argpartition(-cand_scores, k - 1)[k - 1]]
+            sel = cand_scores >= thresh
+            cand_docs, cand_scores = cand_docs[sel], cand_scores[sel]
+        order = np.lexsort((cand_docs, -cand_scores.astype(np.float64)))
+        if k is not None:
+            order = order[:k]
+        return pd.DataFrame(
+            {"doc_id": cand_docs[order], "score": cand_scores[order]}
+        )
+
+    def kernel(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
         return score_group(posts, segs)
 
     kernel.with_shared = score_group  # type: ignore[attr-defined]
