@@ -138,6 +138,11 @@ QUERY_NAMES = [
     "common_grams_terms",
     "phonetic_codes",
     "facet_intervals",
+    # round-2f surface
+    "multi_phrase_top10",
+    "custom_score_top10",
+    "frange_docs",
+    "drill_sideways_counts",
 ]
 
 

@@ -1200,6 +1200,70 @@ def q_function_boost(spark, sf_dir):
     )
 
 
+def _doc_attrs_nchars(spark, sf_dir, s):
+    """Index-docID-keyed n_chars attributes (the FieldCache surface
+    FunctionQuery values read from)."""
+    docs = _documents(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("path"), "n_chars"
+    )
+    return s._docs.select("doc_id", "path").join(docs, "path").select(
+        "doc_id", "n_chars"
+    )
+
+
+def q_custom_score(spark, sf_dir):
+    """CustomScoreQuery, default provider (lucene/queries/.../
+    CustomScoreQuery.java + CustomScoreProvider.java:81-86): score =
+    subQueryScore f32-multiplied by each FunctionQuery value in order —
+    here ln(1+n_chars) then the constant 0.5 (ConstValueSource)."""
+    from lucene_solr_spark.functions.valuesource import custom_score_search
+
+    s = get_searcher(spark, sf_dir)
+    attrs = _doc_attrs_nchars(spark, sf_dir, s)
+    return custom_score_search(
+        s, Q_SINGLE,
+        [F.log(F.lit(1.0) + F.col("n_chars")), F.lit(0.5)],
+        attrs, k=TOP_K,
+    ).select("doc_id", F.col("score").cast("double").alias("score"))
+
+
+def q_frange(spark, sf_dir):
+    """Solr {!frange l=6.0 u=6.6 incu=false} over ln(1+n_chars)
+    (FunctionRangeQuery.java / ValueSourceRangeFilter.java): constant
+    score doc-set filter with f32 bound comparisons."""
+    from lucene_solr_spark.functions.valuesource import function_range
+
+    s = get_searcher(spark, sf_dir)
+    attrs = _doc_attrs_nchars(spark, sf_dir, s)
+    return function_range(
+        attrs, F.log(F.lit(1.0) + F.col("n_chars")),
+        lower=6.0, upper=6.6, include_upper=False,
+    )
+
+
+def q_drill_sideways(spark, sf_dir):
+    """DrillSideways (lucene/facet/.../search/DrillSideways.java):
+    base query = term 'merge'; drill-down lang='en' AND source='src3'.
+    lang counts relax only the lang filter (sideways), source counts
+    relax only the source filter — so the drilled dimension keeps its
+    alternative values visible."""
+    from lucene_solr_spark.search.drillsideways import drill_sideways
+
+    s = get_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        "lang", "source",
+    )
+    doc_dims = s._docs.select("doc_id", "path").join(docs, "path").select(
+        "doc_id", "lang", "source"
+    )
+    base = s.search(Q_SINGLE, k=None).select("doc_id")
+    return drill_sideways(
+        doc_dims, base,
+        {"lang": F.col("lang") == "en", "source": F.col("source") == "src3"},
+    ).select("dim", "value", F.col("cnt").cast("long").alias("cnt"))
+
+
 def q_sloppy_phrase(spark, sf_dir):
     """SloppyPhraseScorer (search/SloppyPhraseScorer.java via
     search/sloppy.py): matched doc set for '"merge data"~2'. The
@@ -2812,6 +2876,36 @@ SELECT p.doc_id,
 FROM persc p JOIN docs0 d USING (doc_id)
 WHERE p.term = '{Q_SINGLE}'
 ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
+    # CustomScoreQuery default provider: f32(f32(s * f32(ln(1+n))) *
+    # f32(0.5)) — one f32 rounding per valSrc multiply
+    # (CustomScoreProvider.java:81-86), qWeight 1
+    o["custom_score_top10"] = ORACLE_PRELUDE + f"""
+SELECT p.doc_id,
+  CAST(CAST(CAST(p.s * CAST(ln(1 + d.n_chars) AS FLOAT) AS FLOAT)
+            * CAST(0.5 AS FLOAT) AS FLOAT) AS DOUBLE) AS score
+FROM persc p JOIN docs0 d USING (doc_id)
+WHERE p.term = '{Q_SINGLE}'
+ORDER BY score DESC, p.doc_id ASC LIMIT 10
+"""
+    # {{!frange}}: f32 bound comparisons on f32(ln(1+n_chars))
+    o["frange_docs"] = ORACLE_PRELUDE + """
+SELECT doc_id FROM docs0
+WHERE CAST(ln(1 + n_chars) AS FLOAT) >= CAST(6.0 AS FLOAT)
+  AND CAST(ln(1 + n_chars) AS FLOAT) < CAST(6.6 AS FLOAT)
+ORDER BY doc_id
+"""
+    # DrillSideways: per drilled dim, counts over base + all OTHER dims
+    o["drill_sideways_counts"] = ORACLE_PRELUDE + f"""
+, base AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}'),
+m AS (SELECT d.doc_id, d.lang, d.source
+      FROM docs0 d JOIN base USING (doc_id))
+SELECT 'lang' AS dim, lang AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM m WHERE source = 'src3' GROUP BY lang
+UNION ALL
+SELECT 'source' AS dim, source AS value, CAST(count(*) AS BIGINT) AS cnt
+FROM m WHERE lang = 'en' GROUP BY source
+ORDER BY dim, value
 """
     # Sloppy phrase doc set: adjusted positions a = pos(merge),
     # b = pos(data) - 1; a doc matches iff min |a - b| <= slop (exact
@@ -4491,6 +4585,9 @@ QUERIES = {
     "term_range_terms": q_term_range_terms,
     "phrase_query": q_phrase,
     "multi_phrase_top10": q_multi_phrase,
+    "custom_score_top10": q_custom_score,
+    "frange_docs": q_frange,
+    "drill_sideways_counts": q_drill_sideways,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,
     "phrase_hole": q_phrase_hole,

@@ -32,7 +32,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["VALUE_SOURCES", "boosted_search", "scale_float"]
+__all__ = ["VALUE_SOURCES", "boosted_search", "scale_float",
+           "custom_score_search", "function_range"]
 
 
 def scale_float(col: Column, min_v: float, max_v: float,
@@ -186,3 +187,84 @@ def boosted_search(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def custom_score_search(
+    searcher,
+    query_text: str,
+    val_sources,
+    doc_attrs: DataFrame,
+    k: int = 10,
+    boost: float = 1.0,
+    **search_kw,
+) -> DataFrame:
+    """CustomScoreQuery with the DEFAULT CustomScoreProvider
+    (lucene/queries/src/java/org/apache/lucene/queries/
+    CustomScoreQuery.java + CustomScoreProvider.java:74-92): final
+    score = qWeight * customScore(subQueryScore, valSrcScores) where
+    the default provider multiplies the sub-query score by EVERY
+    FunctionQuery value in order (float32 per step, :81-86; one
+    valSrc: one f32 multiply, :108-110; zero valSrcs: sub score
+    unchanged) and qWeight = topLevelBoost * getBoost()
+    (CustomScoreQuery.java:233, queryNorm = 1 under BM25) applied LAST
+    (CustomScorer.score() :329-333).
+
+    ``val_sources``: Column or sequence of Columns over ``doc_attrs``
+    (each is one FunctionQuery; FunctionQuery.AllScorer.score() returns
+    the raw f32 value when its own boost is 1). Non-matching docs of
+    the sub query never score — CustomScorer iterates the sub scorer.
+    """
+    import numpy as np
+
+    if isinstance(val_sources, Column):
+        val_sources = [val_sources]
+    hits = searcher.search(query_text, k=None, **search_kw)
+    score = F.col("score").cast("float")
+    for v in val_sources:  # f32 product, one rounding per step (:81-86)
+        score = (score * v.cast("float")).cast("float")
+    qw = float(np.float32(boost))
+    if qw != 1.0:
+        score = (F.lit(qw).cast("float") * score).cast("float")
+    return (
+        hits.join(doc_attrs, "doc_id")
+        .withColumn("score", score)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def function_range(
+    doc_attrs: DataFrame,
+    value: Column,
+    lower=None,
+    upper=None,
+    include_lower: bool = True,
+    include_upper: bool = True,
+) -> DataFrame:
+    """Solr ``{!frange}`` — FunctionRangeQuery over a
+    ValueSourceRangeFilter (solr/core/src/java/org/apache/solr/search/
+    FunctionRangeQuery.java; solr/.../search/function/
+    ValueSourceRangeFilter.java; the match test is
+    ValueSourceScorer.matches via FunctionValues.getRangeScorer —
+    float32 comparisons against the parsed bounds). Constant-score doc
+    set: returns matching doc_ids (the PostFilter/fq shape; scores in
+    Solr are the query boost, carried by the caller if composed).
+
+    Open bounds (None) match Solr's optional l/u params. The value
+    column is cast to float BEFORE comparison, mirroring
+    FunctionValues.floatVal."""
+    import numpy as np
+
+    v = value.cast("float")
+    cond = None
+    if lower is not None:
+        lo = F.lit(float(np.float32(lower))).cast("float")
+        c = (v >= lo) if include_lower else (v > lo)
+        cond = c
+    if upper is not None:
+        hi = F.lit(float(np.float32(upper))).cast("float")
+        c = (v <= hi) if include_upper else (v < hi)
+        cond = c if cond is None else (cond & c)
+    out = doc_attrs if cond is None else doc_attrs.where(cond)
+    return out.select("doc_id").orderBy("doc_id")
