@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import re
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
@@ -409,10 +410,48 @@ class IndexSearcher:
                     "values": {t: dfs[t] for t in scoring}}
         raise ValueError(f"unknown similarity: {similarity}")
 
+    def enable_bloom(self, path: Optional[str] = None,
+                     rebuild: bool = False):
+        """Attach the Bloom term-existence sidecar
+        (BloomFilteringPostingsFormat.java:334-345 seekExact fail-fast;
+        indexing/bloom.py). Built once per snapshot with a single Arrow
+        scan over term_stats and persisted next to the snapshots;
+        afterwards ``_lookup_dfs`` answers definite-NO terms driver-side
+        — an absent-only term batch (the common fuzzy/spell shape)
+        skips the Spark probe job entirely. Returns the FuzzySet, or
+        None when the filter was retired as saturated
+        (DefaultBloomFilterFactory.isSaturated > 0.9)."""
+        from lucene_solr_spark.indexing.bloom import FuzzySet, build_bloom
+
+        if path is None:
+            path = os.path.join(self.catalog.index_dir, "bloom",
+                                f"snap{self.snap.snapshot_id}.fuzzy")
+        if not rebuild and os.path.exists(path):
+            self._bloom = FuzzySet.load(path)
+            return self._bloom
+        n_terms = self._term_stats.count()
+        fs = build_bloom(self._term_stats, n_terms)
+        if fs is not None:
+            fs.save(path)
+        self._bloom = fs
+        return fs
+
     def _lookup_dfs(self, terms) -> Dict[str, int]:
         """df per term with a driver-side cache; misses become ONE
-        pushed-down scan of the sorted term_stats table."""
+        pushed-down scan of the sorted term_stats table. With a bloom
+        sidecar attached (enable_bloom), definite-NO terms are resolved
+        in-memory first — the seekExact fail-fast of
+        BloomFilteringPostingsFormat.java:334-345."""
         missing = [t for t in terms if t not in self._df_cache]
+        bloom = getattr(self, "_bloom", None)
+        if missing and bloom is not None:
+            maybe = []
+            for t in missing:
+                if bloom.may_contain(t):
+                    maybe.append(t)
+                else:
+                    self._df_cache[t] = None  # guaranteed absent
+            missing = maybe
         if missing:
             rows = (
                 self._term_stats.filter(F.col("term").isin(missing))
