@@ -143,6 +143,7 @@ QUERY_NAMES = [
     "custom_score_top10",
     "frange_docs",
     "drill_sideways_counts",
+    "fvh_snippet",
 ]
 
 

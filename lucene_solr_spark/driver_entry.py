@@ -1241,6 +1241,64 @@ def q_frange(spark, sf_dir):
     )
 
 
+def q_fvh_fragments(spark, sf_dir):
+    """FastVectorHighlighter (lucene/highlighter/.../vectorhighlight/):
+    top-10 'merge' hits with score-ordered best fragments; the phrase
+    ('fast','merge') carries boost 2 so bigram hits outrank plain term
+    hits inside a fragment. Genuinely non-SQL-expressible (char-offset
+    fragment walk + boundary snapping) — correctness is pinned by the
+    hand-traced golden vectors in tests/test_fvh.py; the driver records
+    the rows-only check."""
+    from lucene_solr_spark.search.fvh import fast_vector_highlight
+
+    s = get_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("path"), "text"
+    )
+    store = s._docs.select("doc_id", "path").join(docs, "path").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = fast_vector_highlight(
+        s, store, Q_SINGLE,
+        [(Q_SINGLE,), (("fast", "merge"), 2.0)],
+        k=TOP_K, frag_char_size=80, max_num_fragments=1,
+    )
+    return out.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        F.element_at("fragments", 1).alias("snippet"),
+    )
+
+
+def q_fvh_snippet(spark, sf_dir):
+    """FastVectorHighlighter with an unbounded fragment (fragCharSize
+    larger than any doc): the single fragment starts at the
+    SimpleBoundaryScanner-snapped margin before the FIRST match
+    (BaseFragListBuilder spanStart = max(s0 - margin, 0), then
+    findStartOffset back-scan of <= 20 chars) and runs to end-of-text;
+    every 'merge' token occurrence is tagged. This specialization is
+    exactly SQL-expressible, so the full char-level pipeline gets a
+    DuckDB oracle (the realistic-fragCharSize variant fvh_fragments
+    stays rows-only; golden vectors in tests/test_fvh.py pin the
+    general walk)."""
+    from lucene_solr_spark.search.fvh import fast_vector_highlight
+
+    s = get_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("path"), "text"
+    )
+    store = s._docs.select("doc_id", "path").join(docs, "path").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    out = fast_vector_highlight(
+        s, store, Q_SINGLE, [(Q_SINGLE,)],
+        k=TOP_K, frag_char_size=100000, max_num_fragments=1,
+    )
+    return out.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        F.element_at("fragments", 1).alias("snippet"),
+    )
+
+
 def q_drill_sideways(spark, sf_dir):
     """DrillSideways (lucene/facet/.../search/DrillSideways.java):
     base query = term 'merge'; drill-down lang='en' AND source='src3'.
@@ -2894,6 +2952,50 @@ SELECT doc_id FROM docs0
 WHERE CAST(ln(1 + n_chars) AS FLOAT) >= CAST(6.0 AS FLOAT)
   AND CAST(ln(1 + n_chars) AS FLOAT) < CAST(6.6 AS FLOAT)
 ORDER BY doc_id
+"""
+    # FVH unbounded-fragment snippet: top-10 'merge' hits; fragment =
+    # text from the boundary-snapped margin start, every 'merge' token
+    # wrapped. Back-scan per SimpleBoundaryScanner.findStartOffset
+    # (<=20 chars, boundary set includes space; the sf text is
+    # single-spaced tokens, so space is the only boundary present).
+    # Tagging via the double-space expansion so adjacent occurrences
+    # don't share separators in the global replace.
+    o["fvh_snippet"] = ORACLE_PRELUDE + f"""
+, hits AS (
+  SELECT doc_id, s AS score FROM persc WHERE term = '{Q_SINGLE}'
+  ORDER BY CAST(s AS FLOAT) DESC, doc_id ASC LIMIT 10
+),
+snapped AS (
+  SELECT h.doc_id, h.score, d.text,
+         -- 0-based first-match char start and spanStart = max(s0-6, 0)
+         GREATEST(strpos(' ' || d.text || ' ', ' {Q_SINGLE} ') - 1 - 6,
+                  0) AS span_start
+  FROM hits h JOIN docs0 d USING (doc_id)
+),
+snapped2 AS (
+  SELECT doc_id, score, text, span_start,
+         substring(text, GREATEST(span_start - 19, 1),
+                   span_start - GREATEST(span_start - 20, 0)) AS pre
+  FROM snapped
+),
+off AS (
+  SELECT doc_id, score, text,
+    CASE
+      WHEN span_start < 1 THEN span_start
+      WHEN length(regexp_extract(pre, '[^ ]*$')) < length(pre)
+        THEN span_start - length(regexp_extract(pre, '[^ ]*$'))
+      WHEN GREATEST(span_start - 20, 0) = 0 THEN 0
+      ELSE span_start
+    END AS snap0
+  FROM snapped2
+)
+SELECT doc_id, CAST(score AS DOUBLE) AS score,
+  trim(replace(replace(
+      ' ' || replace(substring(text, snap0 + 1), ' ', '  ') || ' ',
+      ' {Q_SINGLE} ', ' <b>{Q_SINGLE}</b> '),
+    '  ', ' ')) AS snippet
+FROM off
+ORDER BY score DESC, doc_id ASC
 """
     # DrillSideways: per drilled dim, counts over base + all OTHER dims
     o["drill_sideways_counts"] = ORACLE_PRELUDE + f"""
@@ -4588,6 +4690,8 @@ QUERIES = {
     "custom_score_top10": q_custom_score,
     "frange_docs": q_frange,
     "drill_sideways_counts": q_drill_sideways,
+    "fvh_fragments": q_fvh_fragments,
+    "fvh_snippet": q_fvh_snippet,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,
     "phrase_hole": q_phrase_hole,
