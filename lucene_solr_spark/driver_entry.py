@@ -1299,6 +1299,86 @@ def q_fvh_snippet(spark, sf_dir):
     )
 
 
+def q_word_break(spark, sf_dir):
+    """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../
+    spell/WordBreakSpellChecker.java:93-133,258-312): break the
+    unindexed compound 'fastslowmerge' into indexed words, maxChanges=2
+    (so both 2-word and recursive 3-word splits), ordered fewest-words
+    then max-frequency desc (LengthThenMaxFreqComparator :446-458; the
+    joined-text tie-break is this port's documented determinism
+    addition). One batched term_stats probe resolves every candidate
+    substring."""
+    from lucene_solr_spark.search.wordbreak import WordBreakSpellChecker
+
+    s = get_searcher(spark, sf_dir)
+    wb = WordBreakSpellChecker(s._lookup_dfs, max_changes=2)
+    rows = []
+    for compound in ("fastslowmerge", "fasttable"):
+        out = wb.suggest_word_breaks(compound, max_suggestions=5)
+        rows.extend(
+            (compound, i, " ".join(w for w, _f in sugg), len(sugg),
+             max(f for _w, f in sugg))
+            for i, sugg in enumerate(out)
+        )
+    return spark.createDataFrame(
+        rows, "compound string, rank long, suggestion string, "
+              "num_words long, freq_max long")
+
+
+def _customer_contact(c):
+    """Deterministic PII-bearing contact string derived from the
+    customer table (no external data): every row carries an email,
+    every 3rd a US phone, every 4th an IPv4, every 10th an SSN."""
+    k = F.col("c_custkey")
+    return F.concat(
+        F.lit("contact "), F.col("c_name"),
+        F.lit(" <user"), k.cast("string"),
+        F.lit("@mail"), (k % 5).cast("string"), F.lit(".org>"),
+        F.when(k % 3 == 0, F.concat(
+            F.lit(" phone 415-555-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"))).otherwise(""),
+        F.when(k % 4 == 0, F.concat(
+            F.lit(" ip 10."), (k % 256).cast("string"),
+            F.lit(".0."), ((k * 7) % 256).cast("string"))).otherwise(""),
+        F.when(k % 10 == 0, F.concat(
+            F.lit(" ssn 123-45-"),
+            F.lpad((k % 10000).cast("string"), 4, "0"))).otherwise(""),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (training-data hygiene op, scrub.py): typed regex
+    scrub — email/SSN/phone/IPv4 in a fixed regexp_replace chain, all
+    whole-stage codegen — plus per-type regexp_count stats on the
+    original text."""
+    from lucene_solr_spark.scrub import pii_counts, redact_pii
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    contact = _customer_contact(cust)
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        redact_pii(contact).alias("redacted"),
+        *pii_counts(contact),
+    ).orderBy("c_custkey")
+
+
+def q_decontam(spark, sf_dir):
+    """Eval-set decontamination (training-data hygiene op, scrub.py):
+    training docs (doc_id % 50 != 0) sharing any 4-token shingle with
+    the held-out eval slice (doc_id % 50 == 0); per-doc distinct
+    shared-shingle counts."""
+    from lucene_solr_spark.scrub import decontaminate
+
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    out = decontaminate(train, ev, text_col="text", n=4)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_shared_grams").cast("long").alias("n_shared_grams"),
+    )
+
+
 def q_drill_sideways(spark, sf_dir):
     """DrillSideways (lucene/facet/.../search/DrillSideways.java):
     base query = term 'merge'; drill-down lang='en' AND source='src3'.
@@ -2997,6 +3077,46 @@ SELECT doc_id, CAST(score AS DOUBLE) AS score,
 FROM off
 ORDER BY score DESC, doc_id ASC
 """
+    # WordBreakSpellChecker: enumerate 1-split and 2-split compositions
+    # of the literal; every part must be an indexed term (df >= 1)
+    o["word_break_suggest"] = ORACLE_PRELUDE + """
+, tm AS (SELECT unnest(['fastslowmerge', 'fasttable']) AS t),
+ix AS (SELECT t, unnest(range(1, length(t))) AS i FROM tm),
+two AS (
+  SELECT t, substring(t, 1, i) AS w1, substring(t, i + 1) AS w2
+  FROM ix
+),
+two_ok AS (
+  SELECT t, w1 || ' ' || w2 AS suggestion, 2 AS num_words,
+         GREATEST(a.df, b.df) AS freq_max
+  FROM two JOIN tstats a ON a.term = two.w1
+           JOIN tstats b ON b.term = two.w2
+),
+three AS (
+  SELECT i.t, substring(i.t, 1, i.i) AS w1,
+         substring(i.t, i.i + 1, j.i - i.i) AS w2,
+         substring(i.t, j.i + 1) AS w3
+  FROM ix i JOIN ix j ON j.t = i.t AND j.i > i.i
+),
+three_ok AS (
+  SELECT t, w1 || ' ' || w2 || ' ' || w3 AS suggestion, 3 AS num_words,
+         GREATEST(a.df, b.df, c.df) AS freq_max
+  FROM three JOIN tstats a ON a.term = three.w1
+             JOIN tstats b ON b.term = three.w2
+             JOIN tstats c ON c.term = three.w3
+),
+ranked AS (
+  SELECT t, suggestion, num_words, freq_max,
+         row_number() OVER (PARTITION BY t
+                            ORDER BY num_words ASC, freq_max DESC,
+                            suggestion ASC) - 1 AS rank
+  FROM (SELECT * FROM two_ok UNION ALL SELECT * FROM three_ok)
+)
+SELECT t AS compound, CAST(rank AS BIGINT) AS rank, suggestion,
+       CAST(num_words AS BIGINT) AS num_words,
+       CAST(freq_max AS BIGINT) AS freq_max
+FROM ranked WHERE rank < 5 ORDER BY compound, rank
+"""
     # DrillSideways: per drilled dim, counts over base + all OTHER dims
     o["drill_sideways_counts"] = ORACLE_PRELUDE + f"""
 , base AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}'),
@@ -4692,6 +4812,7 @@ QUERIES = {
     "drill_sideways_counts": q_drill_sideways,
     "fvh_fragments": q_fvh_fragments,
     "fvh_snippet": q_fvh_snippet,
+    "word_break_suggest": q_word_break,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,
     "phrase_hole": q_phrase_hole,
@@ -6130,3 +6251,142 @@ ORDER BY doc_id
 
 QUERIES["blockjoin_children"] = q_blockjoin_children
 ORACLES["blockjoin_children"] = _BJC_SQL
+
+
+# --- round-2g additions: training-data hygiene + ASCII folding -------------
+
+_PII_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+    'contact ' || c_name || ' <user' || c_custkey || '@mail'
+      || (c_custkey % 5) || '.org>'
+    || CASE WHEN c_custkey % 3 = 0
+            THEN ' phone 415-555-'
+                 || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN c_custkey % 4 = 0
+            THEN ' ip 10.' || (c_custkey % 256) || '.0.'
+                 || ((c_custkey * 7) % 256)
+            ELSE '' END
+    || CASE WHEN c_custkey % 10 = 0
+            THEN ' ssn 123-45-'
+                 || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END AS contact
+  FROM customer
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(contact,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS redacted,
+  CAST(len(regexp_extract_all(contact,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_email,
+  CAST(len(regexp_extract_all(contact,
+    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+  CAST(len(regexp_extract_all(contact,
+    '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS BIGINT) AS n_phone,
+  CAST(len(regexp_extract_all(contact,
+    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4
+FROM c ORDER BY c_custkey
+"""
+
+QUERIES["pii_redact"] = q_pii_redact
+ORACLES["pii_redact"] = _PII_SQL
+
+
+_DECONTAM_SQL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+3], ' ') AS gram
+  FROM d, unnest(range(1, len(toks) - 2)) AS t(i)
+),
+tg AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams
+FROM tg JOIN eg USING (gram)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+QUERIES["decontam_grams"] = q_decontam
+ORACLES["decontam_grams"] = _DECONTAM_SQL
+
+
+def q_ascii_fold(spark, sf_dir):
+    """ASCIIFoldingFilter (lucene/analysis/common/src/java/org/apache/
+    lucene/analysis/miscellaneous/ASCIIFoldingFilter.java): fold
+    accented/ligature text to ASCII. Accents are injected
+    deterministically (translate aeiou -> accented forms, plus an
+    AE-ligature prefix) so the oracle knows the fold's inverse; the
+    full 1242-case fold table is vector-gated in
+    tests/test_asciifold.py. The fold runs as ONE Arrow-vectorized
+    pandas_udf (Series.str.translate) — no per-row Python."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.asciifold import fold_series
+
+    @pandas_udf("string")
+    def fold_udf(s):
+        return fold_series(s)
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    accented = F.concat(
+        F.lit("Æ "),
+        F.translate(F.col("c_name"), "aeiou",
+                    "áéíôü"),
+    )
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"),
+        accented.alias("accented"),
+        fold_udf(accented).alias("folded"),
+    ).orderBy("c_custkey")
+
+
+_ASCII_FOLD_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       'Æ ' || translate(c_name, 'aeiou',
+                              'áéíôü')
+         AS accented,
+       'AE ' || c_name AS folded
+FROM customer ORDER BY c_custkey
+"""
+
+QUERIES["ascii_fold_text"] = q_ascii_fold
+ORACLES["ascii_fold_text"] = _ASCII_FOLD_SQL
+
+
+def q_ngram_terms(spark, sf_dir):
+    """NGramTokenFilter (ngram/NGramTokenFilter.java, 4.4 semantics)
+    over the standard chain, grams 2..3: top-10 grams by doc
+    frequency — the index half of an infix/substring-match field
+    (substring queries become exact gram lookups)."""
+    t = _analyzer_terms(spark, sf_dir, "ngram_2_3")
+    u = t.dropDuplicates(["doc_id", "term"])
+    return (
+        u.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(TOP_K)
+    )
+
+
+_NGRAM_SQL = _CHAIN_TOKS_SQL + """
+, g AS (
+  SELECT doc_id,
+         unnest(flatten(list_transform(
+             range(1, length(term) - 2 + 2),
+             s -> list_transform(
+                 range(2, least(3, length(term) - s + 1) + 1),
+                 n -> term[s:s+n-1])))) AS gram
+  FROM toks WHERE length(term) >= 2
+),
+u AS (SELECT DISTINCT doc_id, gram AS term FROM g)
+SELECT term, count(*) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+"""
+
+QUERIES["ngram_terms"] = q_ngram_terms
+ORACLES["ngram_terms"] = _NGRAM_SQL

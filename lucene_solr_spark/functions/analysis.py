@@ -420,6 +420,28 @@ def edge_ngram_post(min_gram: int = 1, max_gram: int = 1):
     return post
 
 
+def ngram_post(min_gram: int = 1, max_gram: int = 2):
+    """NGramTokenFilter (analysis/common/.../ngram/NGramTokenFilter.java,
+    4.4 semantics per the class javadoc :34-46): per input token, ALL
+    n-grams of size min..max at the source token's position, ordered
+    by start offset within the token then increasing length ("abc" ->
+    a, ab, abc, b, bc, c for 1..3); tokens shorter than min_gram are
+    dropped (the wrapped LengthFilter, ctor :84)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        for t, p in tp:
+            n = len(t)
+            for start in range(n - min_gram + 1):
+                for size in range(min_gram, max_gram + 1):
+                    if start + size > n:
+                        break
+                    out.append((t[start:start + size], p))
+        return out
+
+    return post
+
+
 def word_delimiter_post(
     generate_word_parts: bool = True,
     generate_number_parts: bool = True,
@@ -710,6 +732,7 @@ def common_grams_post(common_words, query_mode: bool = False):
 
 make_filtered_analyzer("shingle_ws", "whitespace", shingle_post(2, 2, True))
 make_filtered_analyzer("edge_ngram", "standard", edge_ngram_post(2, 4))
+make_filtered_analyzer("ngram_2_3", "standard", ngram_post(2, 3))
 # code-identifier chain: whitespace + WordDelimiterFilter with the
 # Solr schema defaults for an index-side text_code field
 # (generate parts, all splits, possessive; original kept so exact
@@ -726,6 +749,13 @@ make_filtered_analyzer(
     "common_grams_ws", "whitespace",
     common_grams_post(STOPWORDS),
 )
+# ASCIIFoldingFilter chain (analysis/common/.../miscellaneous/
+# ASCIIFoldingFilter.java): standard chain + fold-to-ASCII post stage;
+# 1:1 token mapping, so no position overlaps
+from .asciifold import ascii_folding_stream  # noqa: E402
+
+make_filtered_analyzer("ascii_folding", "standard", ascii_folding_stream,
+                       emits_overlaps=False)
 
 
 def get_analyzer(name: str) -> AnalyzerSpec:
