@@ -6390,3 +6390,140 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
 
 QUERIES["ngram_terms"] = q_ngram_terms
 ORACLES["ngram_terms"] = _NGRAM_SQL
+
+
+# --- PhoneticFilterFactory encoder pack -------------------------------------
+
+def q_dmetaphone_codes(spark, sf_dir):
+    """DoubleMetaphoneFilter (analysis/phonetic/DoubleMetaphoneFilter
+    .java; encoder = the published Double Metaphone algorithm,
+    functions/dmetaphone.py): primary + alternate code of every
+    distinct corpus token. The algorithm's branch logic is not
+    SQL-expressible, so this entry has no DuckDB oracle — correctness
+    is pinned by the reference filter's own vectors plus a public
+    vector table in tests/test_dmetaphone.py; the driver records the
+    rows-only check."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.dmetaphone import double_metaphone
+
+    @pandas_udf("primary string, alternate string")
+    def dm(terms: pd.Series) -> pd.DataFrame:
+        rows = [double_metaphone(t, 4) for t in terms]
+        return pd.DataFrame(rows, columns=["primary", "alternate"])
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    out = vocab.select("term", dm("term").alias("c"))
+    return out.select(
+        "term", F.col("c.primary").alias("primary"),
+        F.coalesce(F.col("c.alternate"), F.lit("")).alias("alternate"),
+    ).orderBy("term")
+
+
+QUERIES["dmetaphone_codes"] = q_dmetaphone_codes
+
+
+def q_caverphone_codes(spark, sf_dir):
+    """PhoneticFilter with Caverphone 2.0 (PhoneticFilterFactory.java
+    encoder registry :48; functions/phonetic.py caverphone2): the
+    10-char code of every distinct corpus token. The oracle replays
+    the SAME rule cascade (generated from the shared rule table) as a
+    regexp_replace chain in DuckDB."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.phonetic import caverphone2
+
+    @pandas_udf("string")
+    def cv(terms: pd.Series) -> pd.Series:
+        return terms.map(caverphone2)
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return vocab.select("term", cv("term").alias("code")) \
+        .orderBy("term")
+
+
+def _caverphone_sql() -> str:
+    from lucene_solr_spark.functions.phonetic import _CAVER2_RULES
+    expr = "regexp_replace(lower(term), '[^a-z]', '', 'g')"
+    for pat, rep in _CAVER2_RULES:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+SELECT term, substring({expr} || repeat('1', 10), 1, 10) AS code
+FROM vocab ORDER BY term
+"""
+
+
+QUERIES["caverphone_codes"] = q_caverphone_codes
+ORACLES["caverphone_codes"] = _caverphone_sql()
+
+
+def q_refined_soundex_codes(spark, sf_dir):
+    """PhoneticFilter with RefinedSoundex (commons-codec
+    RefinedSoundex.java US_ENGLISH mapping; functions/phonetic.py):
+    uncapped code of every distinct corpus token, oracle-replayed as a
+    recursive-CTE walk with the same digit map."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.phonetic import refined_soundex
+
+    @pandas_udf("string")
+    def rs(terms: pd.Series) -> pd.Series:
+        return terms.map(refined_soundex)
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return vocab.select("term", rs("term").alias("code")) \
+        .orderBy("term")
+
+
+_REFINED_SQL = """
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+letters AS (
+  SELECT term, upper(regexp_replace(term, '[^A-Za-z]', '', 'g')) AS L
+  FROM vocab
+),
+walk AS (
+  SELECT term, L, 1 AS i,
+         substr(L, 1, 1)
+           || substr('01360240043788015936020505',
+                     ascii(substr(L, 1, 1)) - 64, 1) AS acc,
+         substr('01360240043788015936020505',
+                ascii(substr(L, 1, 1)) - 64, 1) AS last
+  FROM letters WHERE length(L) > 0
+  UNION ALL
+  SELECT term, L, i + 1,
+         acc || CASE WHEN code <> last THEN code ELSE '' END,
+         code
+  FROM (
+    SELECT term, L, i, acc, last,
+           substr('01360240043788015936020505',
+                  ascii(substr(L, i + 1, 1)) - 64, 1) AS code
+    FROM walk WHERE i < length(L)
+  )
+)
+SELECT v.term, COALESCE(w.acc, '') AS code
+FROM vocab v
+LEFT JOIN (SELECT term, acc FROM walk WHERE i = length(L)) w
+  USING (term)
+ORDER BY term
+"""
+
+QUERIES["refined_soundex_codes"] = q_refined_soundex_codes
+ORACLES["refined_soundex_codes"] = _REFINED_SQL
