@@ -6527,3 +6527,82 @@ ORDER BY term
 
 QUERIES["refined_soundex_codes"] = q_refined_soundex_codes
 ORACLES["refined_soundex_codes"] = _REFINED_SQL
+
+
+# --- RecursivePrefixTree geohash spatial strategy ---------------------------
+
+GEO_RPT_RADIUS = 25.0
+
+
+def q_geohash_rpt(spark, sf_dir):
+    """RecursivePrefixTreeStrategy + GeohashPrefixTree (lucene/spatial/
+    prefix/RecursivePrefixTreeStrategy.java, tree/GeohashPrefixTree
+    .java; search/geohash.py): circle Intersects filter. The
+    driver-side tree walk covers the query circle with mixed-length
+    geohash prefixes; fully-inside prefixes accept their docs without
+    the exact test (the reference's no-descent case), boundary leaves
+    get the exact planar refine. Data side = substr-IN scan predicates
+    over a vectorized-encoded geohash column (at 100 TB: a persisted
+    ingest column the table is partitioned by, so the cover IN-list
+    prunes files). Oracle = the exact circle filter, which the cover +
+    refine must equal exactly."""
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.search.geohash import (
+        PlanarCircle,
+        circle_cover,
+        encode_array,
+        level_for_distance,
+        prefix_filter_condition,
+    )
+
+    @pandas_udf("string")
+    def gh(lat: pd.Series, lon: pd.Series) -> pd.Series:
+        return pd.Series(
+            encode_array(lat.to_numpy(), lon.to_numpy(), 4))
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    lat = ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0)
+    lon = ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0)
+    dlat = lat - GEO_LAT0
+    dlon = (lon - GEO_LON0) * GEO_COSLAT0
+    dist = F.sqrt(dlat * dlat + dlon * dlon)
+    pts = d.select("doc_id", lat.alias("lat"), lon.alias("lon"),
+                   dist.alias("dist"))
+    pts = pts.withColumn("gh", gh("lat", "lon"))
+
+    circle = PlanarCircle(GEO_LAT0, GEO_LON0, GEO_RPT_RADIUS,
+                          GEO_COSLAT0)
+    detail = min(level_for_distance(GEO_RPT_RADIUS) + 1, 4)
+    cover = circle_cover(circle, detail)
+    cond = prefix_filter_condition(
+        F.col("gh"), cover, F.col("dist") <= GEO_RPT_RADIUS)
+    return (
+        pts.filter(cond)
+        .select("doc_id", "dist")
+        .orderBy(F.asc("dist"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+_GEOHASH_RPT_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0e0 - 90.0e0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0e0 - 180.0e0 AS lon
+  FROM documents
+), dd AS (
+  SELECT doc_id,
+         sqrt((lat - {GEO_LAT0!r}e0) * (lat - {GEO_LAT0!r}e0)
+              + ((lon - {GEO_LON0!r}e0) * {GEO_COSLAT0!r}e0)
+              * ((lon - {GEO_LON0!r}e0) * {GEO_COSLAT0!r}e0)) AS dist
+  FROM g
+)
+SELECT doc_id, dist FROM dd WHERE dist <= {GEO_RPT_RADIUS!r}e0
+ORDER BY dist ASC, doc_id ASC LIMIT {TOP_K}
+"""
+
+QUERIES["geohash_rpt_top10"] = q_geohash_rpt
+ORACLES["geohash_rpt_top10"] = _GEOHASH_RPT_SQL
