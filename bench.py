@@ -144,6 +144,18 @@ QUERY_NAMES = [
     "frange_docs",
     "drill_sideways_counts",
     "fvh_snippet",
+    # round-2g surface
+    "word_break_suggest",
+    "ascii_fold_text",
+    "ngram_terms",
+    "pii_redact",
+    "decontam_grams",
+    "caverphone_codes",
+    "refined_soundex_codes",
+    "dmetaphone_codes",
+    "geohash_rpt_top10",
+    "dih_import",
+    "solr_cell_html",
 ]
 
 

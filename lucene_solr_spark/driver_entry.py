@@ -6606,3 +6606,149 @@ ORDER BY dist ASC, doc_id ASC LIMIT {TOP_K}
 
 QUERIES["geohash_rpt_top10"] = q_geohash_rpt
 ORACLES["geohash_rpt_top10"] = _GEOHASH_RPT_SQL
+
+
+# --- DataImportHandler source -----------------------------------------------
+
+def q_dih_import(spark, sf_dir):
+    """DataImportHandler full-import (solr/contrib/dataimporthandler:
+    DataImporter/DocBuilder + Regex/Template/DateFormat transformers;
+    sources/dih.py): root entity = orders, child entity = lineitem
+    folded to a multivalued field + count, template / regex-extract /
+    regex-replace / date-format field mappings — the whole config
+    compiles to one DataFrame plan (scan + left join), no per-row
+    cursor loop."""
+    from lucene_solr_spark.sources.dih import (
+        ChildEntity,
+        DIHField,
+        RootEntity,
+        full_import,
+    )
+
+    root = RootEntity(
+        name="order",
+        path=os.path.join(sf_dir, "orders.parquet"),
+        pk="o_orderkey",
+        fields=[
+            DIHField("cust_status",
+                     template="${order.o_custkey}/${order.o_orderstatus}"),
+            DIHField("priority_code", src="o_orderpriority",
+                     regex=r"^(\d)-"),
+            DIHField("priority_name", src="o_orderpriority",
+                     regex=r"^\d-", replace_with=""),
+            DIHField("order_date", src="o_orderdate",
+                     date_format="yyyy-MM-dd"),
+        ],
+        children=[
+            ChildEntity(
+                name="lineitem",
+                path=os.path.join(sf_dir, "lineitem.parquet"),
+                parent_key="o_orderkey",
+                child_key="l_orderkey",
+                value_field=DIHField("line_no", src="l_linenumber",
+                                     cast="string"),
+            )
+        ],
+    )
+    out = full_import(spark, root)
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        "cust_status", "priority_code", "priority_name", "order_date",
+        F.coalesce(F.concat_ws(",", F.col("line_no")), F.lit(""))
+         .alias("lines_csv"),
+        F.col("lineitem_count").cast("long").alias("lineitem_count"),
+    ).orderBy("o_orderkey")
+
+
+_DIH_SQL = r"""
+WITH li AS (
+  SELECT l_orderkey,
+         string_agg(CAST(l_linenumber AS VARCHAR), ','
+                    ORDER BY CAST(l_linenumber AS VARCHAR)) AS lines_csv,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_custkey || '/' || o_orderstatus AS cust_status,
+       regexp_extract(o_orderpriority, '^(\d)-', 1) AS priority_code,
+       regexp_replace(o_orderpriority, '^\d-', '', 'g') AS priority_name,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       COALESCE(li.lines_csv, '') AS lines_csv,
+       CAST(COALESCE(li.cnt, 0) AS BIGINT) AS lineitem_count
+FROM orders LEFT JOIN li ON li.l_orderkey = orders.o_orderkey
+ORDER BY o_orderkey
+"""
+
+QUERIES["dih_import"] = q_dih_import
+ORACLES["dih_import"] = _DIH_SQL
+
+
+# --- Solr Cell (ExtractingRequestHandler) ------------------------------------
+
+def q_solr_cell(spark, sf_dir):
+    """Solr Cell extraction (solr/contrib/extraction:
+    ExtractingRequestHandler/SolrContentHandler; sources/extract.py):
+    synthesize a deterministic HTML wrapper per document (title, meta,
+    style/script blocks, comment, entity), then run the text/html
+    extractor -- content + title + meta with fmap rename, uprefix for
+    unmapped metadata, and a literal.* constant. The whole extraction
+    is Catalyst regexp chains (whole-stage codegen), no Python row
+    path."""
+    from lucene_solr_spark.sources.extract import extract
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    html = F.concat(
+        F.lit('<html><head><title> Doc '), F.col("doc_id").cast("string"),
+        F.lit(' </title><meta name="lang" content="'), F.col("lang"),
+        F.lit('"><style>p{color:red}</style></head><body><p>'),
+        F.col("text"),
+        F.lit(' &amp; tail</p><script>var x = 1 &lt; 2;</script>'
+              '<!-- note --></body></html>'))
+    raw = d.select("doc_id", html.alias("raw"))
+    out = extract(raw, "raw", "text/html",
+                  literals={"stream_source": "synthetic"},
+                  fmap={"title": "doc_title"},
+                  meta_fields=["lang"], uprefix="attr_")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "content", "doc_title", "attr_lang", "stream_source",
+    ).orderBy("doc_id")
+
+
+# DuckDB RE2 has no backreferences: strip script and style separately.
+_SOLR_CELL_SQL = r"""
+WITH raw AS (
+  SELECT doc_id,
+         '<html><head><title> Doc ' || doc_id
+         || ' </title><meta name="lang" content="' || lang
+         || '"><style>p{color:red}</style></head><body><p>' || text
+         || ' &amp; tail</p><script>var x = 1 &lt; 2;</script>'
+         || '<!-- note --></body></html>' AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id, html,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      html,
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<!--.*?-->', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g') AS no_tags
+  FROM raw
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(no_tags,
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '\s+', ' ', 'g')) AS content,
+  trim(regexp_replace(
+    regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+    '\s+', ' ', 'g')) AS doc_title,
+  regexp_extract(html,
+    '(?is)<meta\s+name="lang"\s+content="([^"]*)"', 1) AS attr_lang,
+  'synthetic' AS stream_source
+FROM stripped ORDER BY doc_id
+"""
+
+QUERIES["solr_cell_html"] = q_solr_cell
+ORACLES["solr_cell_html"] = _SOLR_CELL_SQL
