@@ -156,6 +156,7 @@ QUERY_NAMES = [
     "geohash_rpt_top10",
     "dih_import",
     "solr_cell_html",
+    "composite_route_counts",
 ]
 
 

@@ -6752,3 +6752,119 @@ FROM stripped ORDER BY doc_id
 
 QUERIES["solr_cell_html"] = q_solr_cell
 ORACLES["solr_cell_html"] = _SOLR_CELL_SQL
+
+
+# --- SolrCloud compositeId routing -------------------------------------------
+
+def _mm3_mmul(a, c):
+    return f"CAST((CAST({a} AS HUGEINT) * {c}) % 4294967296 AS BIGINT)"
+
+
+def _mm3_rot(e, r):
+    return (f"((({e}) * {1 << r}) % 4294967296 | "
+            f"(({e}) // {1 << (32 - r)}))")
+
+
+def _mm3_kmix(e):
+    return _mm3_mmul(_mm3_rot(_mm3_mmul(e, 3432918353), 15), 461845907)
+
+
+def _mm3_ctes(prev, cols):
+    """Generated-SQL murmur3_x86_32 (seed 0, ASCII inputs — the entry's
+    keys are source names + decimal ids; full-UTF-8 parity is gated in
+    tests/test_cloud_router.py against cloud.murmur3_x86_32): a CTE
+    chain whose only textual composition is the list_reduce block-mix
+    lambda, mirroring Hash.java:243-292 stage by stage.  Exposes
+    h_<alias> as the UNSIGNED uint32 hash."""
+    step = ("((" + _mm3_rot(f"xor(h, {_mm3_kmix('k')})", 13)
+            + " * 5 + 3864292196) % 4294967296)")
+    stages = [("mm_b", "SELECT *, " + ", ".join(
+        f"list_transform(string_split({e}, ''), c -> ord(c)) AS by_{a},"
+        f" length({e}) AS n_{a}" for a, e in cols) + f" FROM {prev}")]
+    stages.append(("mm_k", "SELECT *, " + ", ".join(
+        f"list_transform(range(1, n_{a} // 4 + 1), i -> "
+        f"by_{a}[4*i-3] + by_{a}[4*i-2]*256 + by_{a}[4*i-1]*65536 "
+        f"+ by_{a}[4*i]*16777216) AS bk_{a}" for a, _ in cols)
+        + " FROM mm_b"))
+    stages.append(("mm_h", "SELECT *, " + ", ".join(
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), bk_{a}), "
+        f"(h, k) -> {step}) AS hb_{a}, "
+        f"CASE WHEN n_{a} % 4 >= 1 THEN by_{a}[4*(n_{a}//4)+1] ELSE 0 "
+        f"END + (CASE WHEN n_{a} % 4 >= 2 THEN by_{a}[4*(n_{a}//4)+2] "
+        f"ELSE 0 END)*256 + (CASE WHEN n_{a} % 4 = 3 THEN "
+        f"by_{a}[4*(n_{a}//4)+3] ELSE 0 END)*65536 AS kt_{a}"
+        for a, _ in cols) + " FROM mm_k"))
+    stages.append(("mm_f0", "SELECT *, " + ", ".join(
+        f"xor(CASE WHEN n_{a} % 4 = 0 THEN hb_{a} ELSE "
+        f"xor(hb_{a}, {_mm3_kmix(f'kt_{a}')}) END, n_{a}) AS f0_{a}"
+        for a, _ in cols) + " FROM mm_h"))
+    stages.append(("mm_f2", "SELECT *, " + ", ".join(
+        _mm3_mmul(f"xor(f0_{a}, f0_{a} // 65536)", 2246822507)
+        + f" AS f2_{a}" for a, _ in cols) + " FROM mm_f0"))
+    stages.append(("mm_f4", "SELECT *, " + ", ".join(
+        _mm3_mmul(f"xor(f2_{a}, f2_{a} // 8192)", 3266489909)
+        + f" AS f4_{a}" for a, _ in cols) + " FROM mm_f2"))
+    stages.append(("mm_out", "SELECT *, " + ", ".join(
+        f"xor(f4_{a}, f4_{a} // 65536) AS h_{a}" for a, _ in cols)
+        + " FROM mm_f4"))
+    return ",\n".join(f"{n} AS ({q})" for n, q in stages)
+
+
+def q_composite_route(spark, sf_dir):
+    """SolrCloud compositeId routing (CompositeIdRouter.sliceHash +
+    DocRouter.partitionRange + hashToSlice; cloud.py): every document
+    keyed ``source!doc_id`` lands on one of 8 hash-ring slices — 16
+    high bits murmur3(source), 16 low bits murmur3(doc_id) — so
+    co-tenant docs share a shard.  Per-shard occupancy rollup; the
+    oracle recomputes the full murmur3 ring placement in generated
+    DuckDB SQL."""
+    from lucene_solr_spark.cloud import route
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    d = d.withColumn(
+        "ckey", F.concat(F.col("source"), F.lit("!"),
+                         F.col("doc_id").cast("string")))
+    r = route(d, "ckey", 8)
+    return (
+        r.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.min("doc_id").cast("long").alias("min_doc"),
+             F.max("doc_id").cast("long").alias("max_doc"),
+             F.count_distinct("source").cast("long").alias("n_sources"))
+        .orderBy("shard"))
+
+
+def _composite_route_sql():
+    from lucene_solr_spark.cloud import partition_ranges
+    ranges = partition_ranges(8)
+    shard_case = ("CASE " + " ".join(
+        f"WHEN hs <= {hi} THEN {i}" for i, (_, hi) in enumerate(ranges))
+        + " END")
+    return f"""
+WITH inp AS (
+  SELECT doc_id, source, CAST(doc_id AS VARCHAR) AS id_part
+  FROM documents
+),
+{_mm3_ctes("inp", [("p1", "source"), ("p2", "id_part")])},
+hashed AS (
+  SELECT doc_id, source,
+         (h_p1 & 4294901760) | (h_p2 & 65535) AS hu
+  FROM mm_out
+),
+sharded AS (
+  SELECT doc_id, source,
+         CASE WHEN hu >= 2147483648 THEN hu - 4294967296 ELSE hu END
+           AS hs
+  FROM hashed
+)
+SELECT CAST({shard_case} AS INTEGER) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM sharded GROUP BY 1 ORDER BY shard
+"""
+
+
+QUERIES["composite_route_counts"] = q_composite_route
+ORACLES["composite_route_counts"] = _composite_route_sql()
