@@ -157,6 +157,9 @@ QUERY_NAMES = [
     "dih_import",
     "solr_cell_html",
     "composite_route_counts",
+    "group_query",
+    "facet_taxonomy",
+    "external_file_boost",
 ]
 
 

@@ -6868,3 +6868,179 @@ FROM sharded GROUP BY 1 ORDER BY shard
 
 QUERIES["composite_route_counts"] = q_composite_route
 ORACLES["composite_route_counts"] = _composite_route_sql()
+
+
+# --- Solr group.query ---------------------------------------------------------
+
+_GROUP_QUERIES = ("table", "merge")
+
+
+def q_group_query(spark, sf_dir):
+    """Solr grouping by query (group.query=...; solr/core/.../search/
+    grouping/distributed/command/QueryCommand.java: each group.query
+    becomes one group whose members are the MAIN query's matches
+    intersected with the group query's docset, ranked by the main
+    query's sort): top-2 per group by (main score desc, doc_id asc).
+    The group filter is a semi-join against the group query's docset —
+    no rescoring."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_GROUPING, k=None)
+    parts = []
+    for gq in _GROUP_QUERIES:
+        gdocs = s.search(gq, k=None).select("doc_id")
+        parts.append(
+            hits.join(gdocs, "doc_id")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(2)
+            .select(F.lit(gq).alias("group_q"), "doc_id",
+                    F.col("score").cast("double").alias("score")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("group_q", F.desc("score"), "doc_id")
+
+
+def _group_query_sql():
+    groups = "\nUNION ALL\n".join(
+        f"""(SELECT '{gq}' AS group_q, doc_id, score FROM hits
+ WHERE doc_id IN (SELECT doc_id FROM tf WHERE term = '{gq}')
+ ORDER BY score DESC, doc_id ASC LIMIT 2)""" for gq in _GROUP_QUERIES)
+    return ORACLE_PRELUDE + f"""
+, hits AS (SELECT doc_id, s AS score FROM persc
+           WHERE term = '{Q_GROUPING}')
+SELECT group_q, doc_id, CAST(score AS DOUBLE) AS score FROM (
+{groups}
+) ORDER BY group_q, score DESC, doc_id ASC
+"""
+
+
+QUERIES["group_query"] = q_group_query
+ORACLES["group_query"] = _group_query_sql()
+
+
+# --- Taxonomy facets (lucene/facet) -------------------------------------------
+
+def q_facet_taxonomy(spark, sf_dir):
+    """Taxonomy facet counts (lucene/facet/.../taxonomy/
+    TaxonomyFacetCounts semantics on 4.x FacetsCollector runs: every
+    doc's category paths contribute once per distinct node INCLUDING
+    ancestors — OrdinalPolicy ALL_PARENTS with per-doc dedup): two
+    hierarchical paths per doc (source/lang and source/lenN), counts at
+    every tree node.  One explode -> array_distinct -> hash agg; at
+    100 TB this is a single partial-aggregated shuffle on the node key,
+    no taxonomy side-index needed."""
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    paths = F.array(
+        F.concat_ws("/", "source", "lang"),
+        F.concat_ws("/", "source",
+                    F.concat(F.lit("len"),
+                             (F.col("n_chars") % 3).cast("string"))))
+    anc = F.flatten(F.transform(
+        paths,
+        lambda p: F.transform(
+            F.sequence(F.lit(1), F.size(F.split(p, "/"))),
+            lambda i: F.array_join(F.slice(F.split(p, "/"), F.lit(1), i),
+                                   "/"))))
+    return (
+        d.select("doc_id", F.explode(F.array_distinct(anc)).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("depth",
+                    (F.size(F.split("node", "/"))).cast("int"))
+        .select("node", "depth", "cnt")
+        .orderBy("node"))
+
+
+_FACET_TAXONOMY_SQL = """
+WITH p AS (
+  SELECT doc_id, unnest([
+    source || '/' || lang,
+    source || '/len' || CAST(n_chars % 3 AS VARCHAR)]) AS path
+  FROM documents
+),
+anc AS (
+  SELECT DISTINCT doc_id, node FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(parts) + 1),
+                  i -> array_to_string(parts[1:i], '/'))) AS node
+    FROM (SELECT doc_id, string_split(path, '/') AS parts FROM p)
+  )
+)
+SELECT node, CAST(len(string_split(node, '/')) AS INTEGER) AS depth,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM anc GROUP BY node ORDER BY node
+"""
+
+QUERIES["facet_taxonomy"] = q_facet_taxonomy
+ORACLES["facet_taxonomy"] = _FACET_TAXONOMY_SQL
+
+
+# --- ExternalFileField boost ---------------------------------------------------
+
+_EFF_LINES = """src0=1.5
+src1=0.5
+src2=2.0
+src2=3.0
+src3=not_a_float
+src4
+src5=2.5e-1
+""".replace("\r", "")
+
+
+def q_external_file_boost(spark, sf_dir):
+    """ExternalFileField as a boost source (schema/ExternalFileField +
+    search/function/FileFloatSource.getFloats; sources/
+    external_file.py): sidecar key=float file parsed with the
+    reference's line rules (last '=' split, malformed-float skip,
+    last-wins override, def_val fill), broadcast-joined on the source
+    key; main-query score f32-multiplied by the external value
+    (FunctionQuery product), top-10."""
+    from lucene_solr_spark.sources.external_file import file_float_source
+
+    eff_path = os.path.join(tempfile.gettempdir(),
+                            "lss_external_eff.txt")
+    with open(eff_path, "w") as f:
+        f.write(_EFF_LINES)
+    s = get_searcher(spark, sf_dir)
+    _, apply_eff = file_float_source(spark, eff_path, "source",
+                                     def_val=1.0)
+    hits = s.search(Q_GROUPING, k=None)
+    joined = apply_eff(
+        hits.join(_documents(spark, sf_dir).select("doc_id", "source"),
+                  "doc_id"))
+    return (
+        joined.withColumn(
+            "boosted",
+            (F.col("score").cast("float")
+             * F.col("eff_value")).cast("float").cast("double"))
+        .select("doc_id", "source", "boosted")
+        .orderBy(F.desc("boosted"), "doc_id").limit(TOP_K))
+
+
+def _external_file_sql():
+    # same sidecar semantics applied line by line in Python at
+    # SQL-generation time: the CASE below IS the parsed file
+    from lucene_solr_spark.sources.external_file import (
+        parse_external_file)
+    import tempfile as _tf
+    import os as _os
+    p = _os.path.join(_tf.gettempdir(), "lss_external_eff_oracle.txt")
+    with open(p, "w") as f:
+        f.write(_EFF_LINES)
+    vals = parse_external_file(p)
+    case = ("CASE " + " ".join(
+        f"WHEN d.source = '{k}' THEN CAST({v} AS FLOAT)"
+        for k, v in sorted(vals.items()))
+        + " ELSE CAST(1.0 AS FLOAT) END")
+    return ORACLE_PRELUDE + f"""
+, hits AS (SELECT doc_id, s AS score FROM persc
+           WHERE term = '{Q_GROUPING}')
+SELECT h.doc_id, d.source,
+       CAST(CAST(CAST(h.score AS FLOAT) * {case} AS FLOAT) AS DOUBLE)
+         AS boosted
+FROM hits h JOIN docs0 d USING (doc_id)
+ORDER BY boosted DESC, h.doc_id ASC LIMIT {TOP_K}
+"""
+
+
+QUERIES["external_file_boost"] = q_external_file_boost
+ORACLES["external_file_boost"] = _external_file_sql()
