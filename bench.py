@@ -160,6 +160,7 @@ QUERY_NAMES = [
     "group_query",
     "facet_taxonomy",
     "external_file_boost",
+    "carrot_clusters",
 ]
 
 

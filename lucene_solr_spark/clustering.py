@@ -1,0 +1,192 @@
+"""Search-result clustering (solr/contrib/clustering/: Clustering
+Component.java, SearchClusteringEngine.java, carrot2/
+CarrotClusteringEngine.java).
+
+The reference contrib is the integration layer over the pluggable
+Carrot2 algorithms; the algorithm this module ships is Suffix Tree
+Clustering (STC) — the published Zamir & Etzioni SIGIR'98 algorithm
+Carrot2 bundles — re-expressed over DataFrames:
+
+1. base clusters: word n-grams (1..max_phrase_len) over the analyzed,
+   stop-filtered token stream with positional holes (a phrase never
+   spans a removed stopword), counted once per doc; keep phrases with
+   df >= min_base_docs; score s(B) = |B| * f(|P|) with the paper's
+   single-word penalty f(1)=0.5 and f(n)=n otherwise (capped at 6),
+2. keep the top max_base_clusters base clusters (score desc, phrase
+   asc — the deterministic stand-in for the paper's unordered top-k),
+3. merge: base clusters A,B connect when |A∩B|/|A| > 0.5 AND
+   |A∩B|/|B| > 0.5 (the paper's binary similarity); clusters are the
+   connected components,
+4. every cluster is labeled by its highest-scoring base phrase
+   (tie: label asc), scored by the sum of member base-cluster scores;
+   docs in no cluster land in the trailing 'Other Topics' group, like
+   CarrotClusteringEngine's carrot2 "Other Topics" output.
+
+Scale shape: token/phrase extraction and the pairwise-overlap counts
+are DataFrame aggregations (doc membership never leaves the
+executors); only base-cluster METADATA (<= max_base_clusters rows:
+phrase, df, pair overlaps) is collected for the tiny driver-side
+union-find — the same division of labor as the reference, which runs
+the Carrot2 algorithm on the head node over result snippets while the
+index stays distributed."""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# f(|P|): single-word penalty 0.5, linear 2..6, capped (Zamir-Etzioni)
+def _phrase_weight(n: int) -> float:
+    return 0.5 if n == 1 else float(min(n, 6))
+
+
+def _tokens_with_positions(df: DataFrame, text_col: str, id_col: str,
+                           analyzer_name: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    spec = get_analyzer(analyzer_name)
+
+    @pandas_udf("array<struct<term:string,pos:int>>")
+    def toks(texts: pd.Series) -> pd.Series:
+        awp = spec.analyze_with_positions
+        return texts.map(lambda t: [(w, int(p))
+                                    for w, p in awp(t or "")])
+
+    return (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(toks(F.col(text_col))).alias("t"))
+            .select("doc_id", F.col("t.term").alias("term"),
+                    F.col("t.pos").alias("pos")))
+
+
+def _phrases(toks: DataFrame, min_phrase_len: int,
+             max_phrase_len: int) -> DataFrame:
+    """(doc_id, phrase, n) once per doc: adjacent-position joins, so a
+    stopword hole breaks the phrase."""
+    parts = []
+    if min_phrase_len <= 1:
+        parts.append(toks.select("doc_id",
+                                 F.col("term").alias("phrase"),
+                                 F.lit(1).alias("n")))
+    cur = toks.select("doc_id", F.col("pos").alias("p0"),
+                      F.col("term").alias("phrase"))
+    for n in range(2, max_phrase_len + 1):
+        nxt = toks.select("doc_id", F.col("pos").alias("pn"),
+                          F.col("term").alias("tn"))
+        cur = (cur.join(nxt, ["doc_id"])
+               .filter(F.col("pn") == F.col("p0") + (n - 1))
+               .select("doc_id", "p0",
+                       F.concat_ws(" ", "phrase", "tn").alias("phrase")))
+        if n >= min_phrase_len:
+            parts.append(cur.select("doc_id", "phrase",
+                                    F.lit(n).alias("n")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.dropDuplicates(["doc_id", "phrase"])
+
+
+def stc_clusters(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id",
+                 analyzer: str = "standard",
+                 min_phrase_len: int = 1,
+                 max_phrase_len: int = 3,
+                 min_base_docs: int = 2,
+                 max_base_clusters: int = 30,
+                 merge_threshold: float = 0.5,
+                 other_label: str = "Other Topics") -> DataFrame:
+    """Cluster the documents of ``df`` (typically a query's hit set
+    joined to its snippet field, SearchClusteringEngine.cluster).
+    Returns (label, n_docs, score, docs_csv) ordered score desc,
+    label asc."""
+    spark = df.sparkSession
+    member_all = _phrases(
+        _tokens_with_positions(df, text_col, id_col, analyzer),
+        min_phrase_len, max_phrase_len)
+    base = (member_all.groupBy("phrase", "n")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") >= min_base_docs))
+    wmap = F.when(F.col("n") == 1, F.lit(0.5)) \
+            .otherwise(F.least(F.col("n"), F.lit(6)).cast("double"))
+    base = base.withColumn("score", F.col("df") * wmap)
+    top = (base.orderBy(F.desc("score"), F.asc("phrase"))
+           .limit(max_base_clusters)
+           .select("phrase", "df", "score").collect())
+    if not top:
+        docs = sorted(r["doc_id"]
+                      for r in df.select(id_col).distinct().collect())
+        return spark.createDataFrame(
+            [(other_label, len(docs),
+              0.0, ",".join(str(d) for d in docs))],
+            "label string, n_docs long, score double, docs_csv string")
+    info: Dict[str, dict] = {r["phrase"]: {"df": r["df"],
+                                           "score": r["score"]}
+                             for r in top}
+    sel = list(info)
+    member = member_all.filter(F.col("phrase").isin(sel)) \
+        .select("doc_id", "phrase")
+    a = member.alias("a")
+    b = member.alias("b")
+    pairs = (a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+             .filter(F.col("a.phrase") < F.col("b.phrase"))
+             .groupBy(F.col("a.phrase").alias("pa"),
+                      F.col("b.phrase").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("common"))
+             .collect())
+    # driver union-find over <= max_base_clusters nodes
+    parent = {p: p for p in sel}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        pa, pb, c = r["pa"], r["pb"], r["common"]
+        if (c / info[pa]["df"] > merge_threshold
+                and c / info[pb]["df"] > merge_threshold):
+            ra, rb = find(pa), find(pb)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp = {p: find(p) for p in sel}
+    # label/score per component
+    agg: Dict[str, dict] = {}
+    for p in sel:
+        c = comp[p]
+        e = agg.setdefault(c, {"score": 0.0, "best": None})
+        e["score"] += info[p]["score"]
+        key = (-info[p]["score"], p)
+        if e["best"] is None or key < e["best"]:
+            e["best"] = key
+    labels = {c: e["best"][1] for c, e in agg.items()}
+    cmap = spark.createDataFrame(
+        [(p, labels[comp[p]]) for p in sel], "phrase string, label string")
+    clustered = (member.join(F.broadcast(cmap), "phrase")
+                 .groupBy("label")
+                 .agg(F.count_distinct("doc_id").alias("n_docs"),
+                      F.concat_ws(",", F.sort_array(
+                          F.collect_set(F.col("doc_id").cast("long"))))
+                      .alias("docs_csv")))
+    scores = spark.createDataFrame(
+        [(labels[c], float(e["score"])) for c, e in agg.items()],
+        "label string, score double")
+    clustered = clustered.join(F.broadcast(scores), "label")
+    other = (df.select(F.col(id_col).alias("doc_id")).distinct()
+             .join(member.select("doc_id").distinct(), "doc_id",
+                   "left_anti")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.concat_ws(",", F.sort_array(
+                      F.collect_set(F.col("doc_id").cast("long"))))
+                  .alias("docs_csv"))
+             .select(F.lit(other_label).alias("label"),
+                     "n_docs", F.lit(0.0).alias("score"), "docs_csv")
+             .filter(F.col("n_docs") > 0))
+    out = clustered.select("label", "n_docs", "score", "docs_csv") \
+        .unionAll(other.select("label", "n_docs", "score", "docs_csv"))
+    return (out.withColumn("n_docs", F.col("n_docs").cast("long"))
+            .orderBy(F.desc("score"), F.asc("label")))

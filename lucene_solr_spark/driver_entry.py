@@ -7044,3 +7044,125 @@ ORDER BY boosted DESC, h.doc_id ASC LIMIT {TOP_K}
 
 QUERIES["external_file_boost"] = q_external_file_boost
 ORACLES["external_file_boost"] = _external_file_sql()
+
+
+# --- Carrot2-style search-result clustering (STC) -----------------------------
+
+_STC_MIN_BASE_DOCS = 3
+_STC_MAX_BASE = 25
+
+
+def q_carrot_clusters(spark, sf_dir):
+    """Search-result clustering (contrib/clustering ClusteringComponent
+    + CarrotClusteringEngine surface; clustering.py): STC (the
+    published Zamir-Etzioni algorithm Carrot2 bundles) over the hit set
+    of the main query — base clusters = frequent hole-aware phrases,
+    0.5-overlap merge via connected components, 'Other Topics' tail.
+    The oracle recomputes the whole pipeline in SQL with a recursive
+    transitive-closure CTE standing in for the union-find."""
+    from lucene_solr_spark.clustering import stc_clusters
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_GROUPING, k=None).select("doc_id")
+    d = hits.join(_documents(spark, sf_dir), "doc_id") \
+            .select("doc_id", "text")
+    return stc_clusters(d, min_phrase_len=2,
+                        min_base_docs=_STC_MIN_BASE_DOCS,
+                        max_base_clusters=_STC_MAX_BASE)
+
+
+_CARROT_SQL = f"""
+WITH RECURSIVE docset AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t = '{Q_GROUPING}'
+),
+tpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT d.doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY d.doc_id ORDER BY i) - 1
+             AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(string_split(text, ' ')) + 1))
+                   AS i
+          FROM documents WHERE doc_id IN (SELECT doc_id FROM docset)) d
+    WHERE t[i] <> '' AND length(t[i]) <= 255
+  ) WHERE term NOT IN ({_STOP_SQL})
+),
+member_all AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term AS phrase, 2 AS n
+  FROM tpos a JOIN tpos b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  UNION
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term, 3
+  FROM tpos a
+  JOIN tpos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN tpos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+),
+base AS (
+  SELECT phrase, n, count(*) AS df,
+         count(*) * (CASE WHEN n = 1 THEN 0.5
+                          ELSE CAST(LEAST(n, 6) AS DOUBLE) END) AS score
+  FROM member_all GROUP BY phrase, n
+  HAVING count(*) >= {_STC_MIN_BASE_DOCS}
+),
+top AS (SELECT * FROM base ORDER BY score DESC, phrase ASC
+        LIMIT {_STC_MAX_BASE}),
+member AS (SELECT m.doc_id, m.phrase
+           FROM member_all m JOIN top t USING (phrase)),
+pairs AS (
+  SELECT a.phrase AS pa, b.phrase AS pb, count(*) AS common
+  FROM member a JOIN member b
+    ON a.doc_id = b.doc_id AND a.phrase < b.phrase
+  GROUP BY 1, 2
+),
+sym AS (
+  SELECT pa AS a, pb AS b FROM pairs
+    JOIN top ta ON ta.phrase = pa JOIN top tb ON tb.phrase = pb
+    WHERE common * 2 > ta.df AND common * 2 > tb.df
+  UNION
+  SELECT pb, pa FROM pairs
+    JOIN top ta ON ta.phrase = pa JOIN top tb ON tb.phrase = pb
+    WHERE common * 2 > ta.df AND common * 2 > tb.df
+  UNION SELECT phrase, phrase FROM top
+),
+reach AS (
+  SELECT a, b FROM sym
+  UNION
+  SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+),
+comp AS (SELECT a AS phrase, min(b) AS root FROM reach GROUP BY a),
+lab AS (
+  SELECT c.root, t.phrase AS label
+  FROM comp c JOIN top t USING (phrase)
+  QUALIFY row_number() OVER (PARTITION BY c.root
+                             ORDER BY t.score DESC, t.phrase ASC) = 1
+),
+cscore AS (SELECT c.root, sum(t.score) AS score
+           FROM comp c JOIN top t USING (phrase) GROUP BY 1),
+clusters AS (
+  SELECT l.label, count(DISTINCT m.doc_id) AS n_docs, s.score,
+         array_to_string(list_sort(array_agg(DISTINCT m.doc_id)), ',')
+           AS docs_csv
+  FROM member m
+  JOIN comp c ON c.phrase = m.phrase
+  JOIN lab l ON l.root = c.root
+  JOIN cscore s ON s.root = c.root
+  GROUP BY l.label, s.score
+),
+other AS (
+  SELECT 'Other Topics' AS label, count(*) AS n_docs,
+         0.0 AS score,
+         array_to_string(list_sort(array_agg(doc_id)), ',') AS docs_csv
+  FROM (SELECT doc_id FROM docset
+        WHERE doc_id NOT IN (SELECT doc_id FROM member))
+  HAVING count(*) > 0
+)
+SELECT label, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(score AS DOUBLE) AS score, docs_csv
+FROM (SELECT * FROM clusters UNION ALL SELECT * FROM other)
+ORDER BY score DESC, label ASC
+"""
+
+QUERIES["carrot_clusters"] = q_carrot_clusters
+ORACLES["carrot_clusters"] = _CARROT_SQL
