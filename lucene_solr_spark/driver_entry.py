@@ -7166,3 +7166,87 @@ ORDER BY score DESC, label ASC
 
 QUERIES["carrot_clusters"] = q_carrot_clusters
 ORACLES["carrot_clusters"] = _CARROT_SQL
+
+
+# ---------------------------------------------------------------------------
+# HighFreqTerms tool (lucene/misc/.../HighFreqTerms.java) + Luke field
+# summary (solr/core/.../handler/admin/LukeRequestHandler.java)
+# ---------------------------------------------------------------------------
+
+HFT_N = 20
+
+
+def q_high_freq_terms(spark, sf_dir):
+    """HighFreqTerms -t: top-N terms selected by docFreq
+    (getHighFreqTerms, HighFreqTerms.java:112-150), output re-sorted by
+    totalTermFreq desc (sortByTotalTermFreq :162-175; stable on the df
+    order, so ties fall back to df desc then term asc)."""
+    s = get_searcher(spark, sf_dir)
+    out = s.high_freq_terms(HFT_N, include_tf=True)
+    return out.select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+
+
+_HFT_SQL = ORACLE_PRELUDE + f"""
+, sel AS (
+  SELECT term, df, cf FROM tstats
+  ORDER BY df DESC, term ASC LIMIT {HFT_N}
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(cf AS BIGINT) AS cf
+FROM sel ORDER BY cf DESC, df DESC, term ASC
+"""
+
+
+def q_luke_fields(spark, sf_dir):
+    """Luke per-field summary: docs-with-field (Terms.getDocCount,
+    LukeRequestHandler.java:373), distinct term count (:605), and the
+    df histogram (slot = bit length of df-1, :598-600) for the two
+    indexed fields (content + derived title)."""
+    from lucene_solr_spark.luke import field_summary
+
+    s = get_searcher(spark, sf_dir)
+    st = get_title_searcher(spark, sf_dir)
+    out = field_summary({"content": s, "title": st})
+    return out.select(
+        "field", "metric", F.col("value").cast("long").alias("value")
+    )
+
+
+_LUKE_SQL = ORACLE_PRELUDE + _title_ctes() + """
+, hist_c AS (
+  SELECT 'content' AS field,
+         printf('hist_%02d', CASE WHEN df <= 1 THEN 0
+                                  ELSE length(bin(df - 1)) END) AS metric,
+         count(*) AS value
+  FROM tstats GROUP BY 2
+),
+hist_t AS (
+  SELECT 'title' AS field,
+         printf('hist_%02d', CASE WHEN df <= 1 THEN 0
+                                  ELSE length(bin(df - 1)) END) AS metric,
+         count(*) AS value
+  FROM ttstats GROUP BY 2
+),
+scalars AS (
+  SELECT 'content' AS field, 'docs' AS metric,
+         (SELECT count(*) FROM dlen WHERE doc_len > 0) AS value
+  UNION ALL
+  SELECT 'content', 'distinct', (SELECT count(*) FROM tstats)
+  UNION ALL
+  SELECT 'title', 'docs', (SELECT count(*) FROM tdlen WHERE doc_len > 0)
+  UNION ALL
+  SELECT 'title', 'distinct', (SELECT count(*) FROM ttstats)
+)
+SELECT field, metric, CAST(value AS BIGINT) AS value
+FROM (SELECT * FROM scalars UNION ALL
+      SELECT * FROM hist_c UNION ALL SELECT * FROM hist_t)
+ORDER BY field, metric
+"""
+
+QUERIES["high_freq_terms"] = q_high_freq_terms
+ORACLES["high_freq_terms"] = _HFT_SQL
+QUERIES["luke_fields"] = q_luke_fields
+ORACLES["luke_fields"] = _LUKE_SQL

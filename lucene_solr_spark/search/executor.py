@@ -1856,6 +1856,33 @@ class IndexSearcher:
         """(term, df, cf) — TermStatistics for every term in the dict."""
         return self._term_stats.select("term", "df", "cf")
 
+    def high_freq_terms(self, n: int = 100,
+                        include_tf: bool = False) -> DataFrame:
+        """HighFreqTerms tool (lucene/misc/.../misc/HighFreqTerms.java):
+        the top-``n`` terms by document frequency (``getHighFreqTerms``,
+        :112-150, PQ ordered by docFreq). With ``include_tf`` the same
+        ``n`` df-selected terms are re-sorted by totalTermFreq
+        descending (``sortByTotalTermFreq``, :162-175 — selection stays
+        df-based; only the output order changes, exactly the -t flag).
+
+        Like the reference (TermsEnum.docFreq over the term dict), the
+        stats are dictionary-level: deleted docs still count. The
+        reference PQ breaks docFreq ties arbitrarily (heap order); we
+        pin term-ascending so output is deterministic, and the -t
+        re-sort is stable on the df order (Arrays.sort), giving
+        (cf desc, df desc, term asc). Both steps are pushdown top-k
+        over the sorted term_stats scan — no full-vocabulary collect."""
+        by_df = (
+            self._term_stats.select("term", "df", "cf")
+            .orderBy(F.col("df").desc(), F.col("term").asc())
+            .limit(int(n))
+        )
+        if not include_tf:
+            return by_df
+        return by_df.orderBy(
+            F.col("cf").desc(), F.col("df").desc(), F.col("term").asc()
+        )
+
     def expand_terms(self, condition) -> DataFrame:
         """Term-dictionary expansion for multi-term queries: apply a
         Column predicate over the term dict, return (term, df). The
