@@ -7250,3 +7250,165 @@ QUERIES["high_freq_terms"] = q_high_freq_terms
 ORACLES["high_freq_terms"] = _HFT_SQL
 QUERIES["luke_fields"] = q_luke_fields
 ORACLES["luke_fields"] = _LUKE_SQL
+
+
+# ---------------------------------------------------------------------------
+# facet associations (lucene/facet/.../associations): per-category
+# int-sum (exact, partial-agg) + float-sum (f32 docID-order fold)
+# ---------------------------------------------------------------------------
+
+def q_facet_assoc(spark, sf_dir):
+    """Sum{Int,Float}AssociationFacetsAggregator over a deterministic
+    matching-docs set (n_chars % 5 != 0): each matching doc carries two
+    category associations ('lang/<lang>' valued doc_id%97 and
+    'src/<source>' valued n_chars%89); the float association is
+    int/7.0 in f32, summed in docID order like the reference's
+    single FacetArrays accumulation."""
+    from lucene_solr_spark.facets import sum_associations
+
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    m = d.filter(F.col("n_chars") % 5 != 0)
+    mk = lambda cat, iv: m.select(  # noqa: E731
+        "doc_id", cat.alias("category"), iv.cast("long").alias("int_val"),
+        (iv.cast("double") / 7.0).cast("float").alias("float_val"))
+    assoc = mk(F.concat(F.lit("lang/"), F.col("lang")),
+               F.col("doc_id") % 97).unionByName(
+        mk(F.concat(F.lit("src/"), F.col("source")), F.col("n_chars") % 89))
+    out = sum_associations(assoc)
+    return out.select(
+        "category", F.col("sum_int").cast("long").alias("sum_int"),
+        F.col("sum_float").cast("double").alias("sum_float"),
+    ).orderBy("category")
+
+
+_FACET_ASSOC_SQL = """
+WITH m AS (SELECT doc_id, lang, source, n_chars FROM documents
+           WHERE n_chars % 5 <> 0),
+a AS (
+  SELECT doc_id, 'lang/' || lang AS category,
+         CAST(doc_id % 97 AS BIGINT) AS int_val,
+         CAST(CAST(doc_id % 97 AS DOUBLE) / 7.0e0 AS FLOAT) AS float_val
+  FROM m
+  UNION ALL
+  SELECT doc_id, 'src/' || source,
+         CAST(n_chars % 89 AS BIGINT),
+         CAST(CAST(n_chars % 89 AS DOUBLE) / 7.0e0 AS FLOAT)
+  FROM m
+)
+SELECT category, CAST(sum(int_val) AS BIGINT) AS sum_int,
+       CAST(CAST(list_reduce(
+           list_prepend(CAST(0.0 AS FLOAT),
+                        list(float_val ORDER BY doc_id)),
+           (x, y) -> CAST(CAST(x AS DOUBLE) + CAST(y AS DOUBLE) AS FLOAT)
+       ) AS FLOAT) AS DOUBLE) AS sum_float
+FROM a GROUP BY category ORDER BY category
+"""
+
+QUERIES["facet_assoc_sums"] = q_facet_assoc
+ORACLES["facet_assoc_sums"] = _FACET_ASSOC_SQL
+
+
+# ---------------------------------------------------------------------------
+# Solr atomic updates (DistributedUpdateProcessor.getUpdatedDocument):
+# set / add / inc op merge onto the stored doc + re-index via append
+# ---------------------------------------------------------------------------
+
+ATOMIC_MOD = 101
+_ATOMIC_DIRS: dict = {}
+
+
+def _atomic_index(spark, sf_dir):
+    """Replicate the sf index (manifest-rewriting replicator — never
+    copytree) and apply a deterministic atomic-update batch: every
+    doc_id % ATOMIC_MOD == 0 gets {lang: {set: xx}, content: {add:
+    atomupdated}}, plus one created-by-default doc (missing key,
+    versionOnUpdate<=0 branch)."""
+    key = os.path.realpath(sf_dir)
+    hit = _ATOMIC_DIRS.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    get_searcher(spark, sf_dir)  # ensure the base index exists
+    base_dir = os.path.join(
+        tempfile.gettempdir(), "lss_entry_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    dst = base_dir + "_atomic"
+    import shutil
+
+    from lucene_solr_spark.atomic import atomic_update_index
+    from lucene_solr_spark.replicator import replicate
+
+    shutil.rmtree(dst, ignore_errors=True)
+    replicate(base_dir, dst)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    core = docs.filter((F.col("doc_id") % ATOMIC_MOD) == 0).select(
+        F.lit("corpus").alias("repo"),
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.lit("head").alias("commit"),
+    )
+    ops = F.array(
+        F.struct(F.lit(0).alias("seq"), F.lit("lang").alias("field"),
+                 F.lit("set").alias("op"), F.lit("xx").alias("value")),
+        F.struct(F.lit(1).alias("seq"), F.lit("content").alias("field"),
+                 F.lit("add").alias("op"),
+                 F.lit("atomupdated").alias("value")),
+    )
+    upd = core.select(
+        "repo", "path", "commit", F.explode(ops).alias("o")
+    ).select("repo", "path", "commit", "o.seq", "o.field", "o.op",
+             "o.value")
+    created = spark.createDataFrame(
+        [("corpus", "zzzcreated", "head", 0, "lang", "set", "new"),
+         ("corpus", "zzzcreated", "head", 1, "content", "set",
+          "fresh atomupdated doc")],
+        "repo string, path string, commit string, seq int, "
+        "field string, op string, value string",
+    )
+    atomic_update_index(
+        spark, dst, documents_as_corpus(spark, sf_dir),
+        upd.unionByName(created),
+    )
+    _ATOMIC_DIRS[key] = (spark, dst)
+    return dst
+
+
+def q_atomic_update(spark, sf_dir):
+    """Post-atomic-update index state: per-lang live-doc counts (the
+    'set lang' is visible, replaced versions tombstoned) + docs
+    matching the 'add'-appended term, via the real postings of the
+    appended generation."""
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    d = _atomic_index(spark, sf_dir)
+    s = IndexSearcher(spark, d)
+    paths = s.snap.tables["docs"]
+    if not isinstance(paths, list):
+        paths = [paths]
+    live = s._live(s.spark.read.parquet(*paths).select("doc_id", "lang"))
+    tagged = s.match_docs(F.col("term") == "atomupdated").select(
+        "doc_id", F.lit(1).alias("t"))
+    return (
+        live.join(tagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.coalesce(F.sum("t"), F.lit(0)).cast("long")
+             .alias("n_tagged"))
+        .orderBy("lang")
+    )
+
+
+_ATOMIC_SQL = f"""
+WITH rows AS (
+  SELECT lang, 0 AS tagged FROM documents WHERE doc_id % {ATOMIC_MOD} <> 0
+  UNION ALL
+  SELECT 'xx', 1 FROM documents WHERE doc_id % {ATOMIC_MOD} = 0
+  UNION ALL
+  SELECT 'new', 1
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(tagged) AS BIGINT) AS n_tagged
+FROM rows GROUP BY lang ORDER BY lang
+"""
+
+QUERIES["atomic_update_langs"] = q_atomic_update
+ORACLES["atomic_update_langs"] = _ATOMIC_SQL
