@@ -7412,3 +7412,58 @@ FROM rows GROUP BY lang ORDER BY lang
 
 QUERIES["atomic_update_langs"] = q_atomic_update
 ORACLES["atomic_update_langs"] = _ATOMIC_SQL
+
+
+# ---------------------------------------------------------------------------
+# IndexWriter.addIndexes / IndexMergeTool: two half-corpus indexes
+# merged by docID rebase must equal the single full index bit-for-bit
+# ---------------------------------------------------------------------------
+
+def _addindexes_searcher(spark, sf_dir):
+    """Build half-corpus indexes A (doc_id < n/2) and B (rest), then
+    addIndexes B into A. Dense docIDs are rank-by-key, so A+B's docID
+    space equals the full single index's — every score and tie-break
+    must match the full-corpus oracle exactly."""
+    from lucene_solr_spark.indexing.addindexes import add_indexes
+    from lucene_solr_spark.indexing.build import IndexWriter, merge_postings
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    key = ("addidx", os.path.realpath(sf_dir))
+    hit = _SEARCHERS.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    _ensure_pyfiles(spark)
+    import shutil
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    half = n // 2
+    base = os.path.join(
+        tempfile.gettempdir(), "lss_entry_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    corpus = documents_as_corpus(spark, sf_dir)
+    crit = F.col("path") < F.format_string("%012d", F.lit(half))
+    dirs = {}
+    for name, part in (("a", corpus.filter(crit)),
+                       ("b", corpus.filter(~crit))):
+        d = base + f"_addidx_{name}"
+        shutil.rmtree(d, ignore_errors=True)
+        IndexWriter(
+            spark, d, docs_per_segment=DOCS_PER_SEGMENT, n_batches=2
+        ).build(part)
+        merge_postings(spark, d, segs_per_group=SEGS_PER_GROUP)
+        dirs[name] = d
+    add_indexes(spark, dirs["a"], [dirs["b"]])
+    searcher = IndexSearcher(spark, dirs["a"])
+    _SEARCHERS[key] = (spark, searcher)
+    return searcher
+
+
+def q_addindexes(spark, sf_dir):
+    s = _addindexes_searcher(spark, sf_dir)
+    return _topk_double(s.search("vector", k=TOP_K))
+
+
+QUERIES["addindexes_top10"] = q_addindexes
+ORACLES["addindexes_top10"] = oracle_topk_or(("vector",))
