@@ -7467,3 +7467,234 @@ def q_addindexes(spark, sf_dir):
 
 QUERIES["addindexes_top10"] = q_addindexes
 ORACLES["addindexes_top10"] = oracle_topk_or(("vector",))
+
+
+# ---------------------------------------------------------------------------
+# Round-2g analysis pack: PathHierarchyTokenizer, QueryAutoStopWordAnalyzer,
+# CJKBigramFilter, DictionaryCompoundWordTokenFilter
+# ---------------------------------------------------------------------------
+
+def q_path_hierarchy(spark, sf_dir):
+    """PathHierarchyTokenizer (analysis/path/PathHierarchyTokenizer.java:
+    cumulative '/'-prefixes at one position) over a synthesized per-doc
+    path 'source/lang/dN/fID.txt': top-10 prefixes by doc frequency —
+    the Solr descendent_path fieldType drill-down shape."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.pathhier import path_hierarchy_tokens
+
+    @pandas_udf("array<string>")
+    def toks(paths: pd.Series) -> pd.Series:
+        return paths.map(
+            lambda s: [t for t, _ in path_hierarchy_tokens(s)])
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            "/", F.col("source"), F.col("lang"),
+            F.concat(F.lit("d"), (F.col("doc_id") % 10).cast("string")),
+            F.concat(F.lit("f"), F.col("doc_id").cast("string"),
+                     F.lit(".txt")),
+        ).alias("path"),
+    )
+    t = d.select("doc_id", F.explode(toks("path")).alias("term"))
+    return (t.dropDuplicates(["doc_id", "term"])
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(TOP_K))
+
+
+_PATH_HIER_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         source || '/' || lang || '/d' || CAST(doc_id % 10 AS VARCHAR)
+           || '/f' || CAST(doc_id AS VARCHAR) || '.txt' AS path
+  FROM documents
+),
+parts AS (SELECT doc_id, string_split(path, '/') AS l FROM p),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, length(l) + 1),
+                               k -> array_to_string(l[1:k], '/'))) AS term
+  FROM parts
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+SELECT term, count(*) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT {TOP_K}
+"""
+
+
+def q_auto_stopwords(spark, sf_dir):
+    """QueryAutoStopWordAnalyzer stop-set derivation
+    (query/QueryAutoStopWordAnalyzer.java:119-134): terms whose df
+    exceeds maxPercentDocs(0.4 default) * numDocs — the TermsEnum walk
+    as one aggregation."""
+    from lucene_solr_spark.functions.autostop import auto_stop_words_df
+
+    d = _documents(spark, sf_dir)
+    n = d.count()
+    t = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    return (auto_stop_words_df(t, n)
+            .orderBy(F.desc("df"), F.asc("term")))
+
+
+_AUTO_STOP_SQL = """
+WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+u AS (SELECT DISTINCT doc_id, term FROM t WHERE term <> '')
+SELECT term, count(*) AS df FROM u
+GROUP BY term
+HAVING count(*) > 0.4 * (SELECT count(*) FROM documents)
+ORDER BY df DESC, term ASC
+"""
+
+
+def q_cjk_bigrams(spark, sf_dir):
+    """CJKBigramFilter (analysis/cjk/CJKBigramFilter.java) over
+    deterministic synthetic Han text (two runs split by an ASCII word;
+    the second run is length 1+doc_id%3, exercising the lone-char
+    <SINGLE> rule): top-10 emitted terms by doc frequency."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    spec = get_analyzer("cjk")
+
+    def han_text(doc_id: int) -> str:
+        r1 = "".join(chr(0x4E00 + (doc_id * 31 + i * 7) % 40)
+                     for i in range(12))
+        r2 = "".join(chr(0x4E00 + (doc_id * 13 + i * 11) % 40)
+                     for i in range(1 + doc_id % 3))
+        return r1 + " mix " + r2
+
+    @pandas_udf("array<string>")
+    def toks(ids: pd.Series) -> pd.Series:
+        analyze = spec.analyze
+        return ids.map(lambda d: analyze(han_text(int(d))))
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    t = d.select("doc_id", F.explode(toks("doc_id")).alias("term"))
+    return (t.dropDuplicates(["doc_id", "term"])
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(TOP_K))
+
+
+_CJK_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+    array_to_string(list_transform(range(0, 12),
+        i -> chr(CAST(19968 + (doc_id * 31 + i * 7) % 40 AS INT))),
+        '') AS r1,
+    array_to_string(list_transform(range(0, 1 + CAST(doc_id % 3 AS INT)),
+        i -> chr(CAST(19968 + (doc_id * 13 + i * 11) % 40 AS INT))),
+        '') AS r2
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(
+    list_concat(
+      list_concat(
+        list_transform(range(1, length(r1)), i -> substr(r1, CAST(i AS INT), 2)),
+        ['mix']),
+      CASE WHEN length(r2) = 1 THEN [r2]
+           ELSE list_transform(range(1, length(r2)),
+                               i -> substr(r2, CAST(i AS INT), 2)) END
+    )) AS term
+  FROM base
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, count(*) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT {TOP_K}
+"""
+
+
+def q_compound_subwords(spark, sf_dir):
+    """DictionaryCompoundWordTokenFilter
+    (analysis/compound/DictionaryCompoundWordTokenFilter.java) over
+    synthetic compounds (adjacent word pairs concatenated) with the
+    corpus vocabulary as the dictionary: top-10 emitted tokens
+    (original + subwords, occurrence-counted) — German-style
+    decompounding on the document table."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.compound import (
+        dictionary_compound_post,
+    )
+
+    d = _documents(spark, sf_dir)
+    vocab = [
+        r["term"] for r in (
+            d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+            .filter((F.length("term") >= 2) & (F.length("term") <= 15))
+            .distinct().collect()
+        )
+    ]
+    post = dictionary_compound_post(vocab)
+
+    @pandas_udf("array<string>")
+    def toks(texts: pd.Series) -> pd.Series:
+        def one(text: str):
+            ws = [w for w in (text or "").split(" ") if w]
+            pairs = [(ws[i] + ws[i + 1], i)
+                     for i in range(0, len(ws) - 1, 2)]
+            return [t for t, _ in post(pairs)]
+
+        return texts.map(one)
+
+    t = d.select("doc_id", F.explode(toks("text")).alias("term"))
+    return (t.groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term"))
+            .limit(TOP_K))
+
+
+_COMPOUND_SQL = f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS l
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(l) + 1, 2),
+               i -> CASE WHEN i + 1 <= length(l)
+                         THEN l[i] || l[i + 1] END)) AS p
+    FROM d) WHERE p IS NOT NULL
+),
+dict AS (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS w FROM documents)
+  WHERE length(w) BETWEEN 2 AND 15
+),
+subs AS (
+  SELECT pairs.doc_id, d.w AS term
+  FROM pairs, dict d,
+       LATERAL (SELECT unnest(range(1, length(pairs.p) - length(d.w) + 2))
+                AS i) starts
+  WHERE length(pairs.p) >= 5
+    AND substr(pairs.p, CAST(starts.i AS INT), length(d.w)) = d.w
+),
+allt AS (
+  SELECT doc_id, p AS term FROM pairs
+  UNION ALL SELECT doc_id, term FROM subs
+)
+SELECT term, count(*) AS cnt FROM allt
+GROUP BY term ORDER BY cnt DESC, term ASC LIMIT {TOP_K}
+"""
+
+QUERIES["path_hierarchy_terms"] = q_path_hierarchy
+QUERIES["query_auto_stopwords"] = q_auto_stopwords
+QUERIES["cjk_bigram_terms"] = q_cjk_bigrams
+QUERIES["compound_subwords"] = q_compound_subwords
+ORACLES["path_hierarchy_terms"] = _PATH_HIER_SQL
+ORACLES["query_auto_stopwords"] = _AUTO_STOP_SQL
+ORACLES["cjk_bigram_terms"] = _CJK_SQL
+ORACLES["compound_subwords"] = _COMPOUND_SQL

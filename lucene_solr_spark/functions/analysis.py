@@ -749,6 +749,14 @@ make_filtered_analyzer(
     "common_grams_ws", "whitespace",
     common_grams_post(STOPWORDS),
 )
+# CJKAnalyzer shape (analysis/cjk/CJKAnalyzer.java:81-89): standard
+# grammar + CJKBigramFilter with all writing systems enabled. Bigrams
+# replace the unigrams (outputUnigrams=false default), so no overlaps.
+from .cjk import cjk_bigram_post  # noqa: E402
+
+make_filtered_analyzer("cjk", "standard", cjk_bigram_post(),
+                       emits_overlaps=False)
+
 # ASCIIFoldingFilter chain (analysis/common/.../miscellaneous/
 # ASCIIFoldingFilter.java): standard chain + fold-to-ASCII post stage;
 # 1:1 token mapping, so no position overlaps

@@ -1,0 +1,104 @@
+"""CJKBigramFilter re-expression.
+
+Reference: ``analysis/cjk/CJKBigramFilter.java`` — buffers the chars
+of consecutive tokens whose type is an enabled CJK writing system
+(HAN / HIRAGANA / KATAKANA / HANGUL flags, :130-133) and emits
+overlapping character bigrams (type <DOUBLE>, :306); a buffered run of
+length 1 is emitted as a <SINGLE> unigram (:327); with
+``outputUnigrams`` every char is also emitted and each bigram shares
+its first char's position (posInc 0, :308-309). Tokens of other types
+pass through unchanged. Runs break when the incoming position
+increment is not 1 (:150-165 hasBufferedUnigram/flush logic).
+
+Our StandardTokenizer stand-in emits Han/Hiragana as single-char
+tokens and Katakana/Hangul as runs, exactly like the reference
+grammar (StandardTokenizerImpl.jflex:181-186), so type classification
+here is by script of the token's characters.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+HAN = 1
+HIRAGANA = 2
+KATAKANA = 4
+HANGUL = 8
+ALL = HAN | HIRAGANA | KATAKANA | HANGUL
+
+
+def _script(ch: str) -> int:
+    cp = ord(ch)
+    if 0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF:
+        return HAN
+    if 0x3040 <= cp <= 0x309F:
+        return HIRAGANA
+    if 0x30A0 <= cp <= 0x30FF or 0x31F0 <= cp <= 0x31FF:
+        return KATAKANA
+    if 0xAC00 <= cp <= 0xD7A3 or 0x1100 <= cp <= 0x11FF:
+        return HANGUL
+    return 0
+
+
+def token_script(tok: str) -> int:
+    """The writing system of a token, 0 if chars mix scripts / non-CJK."""
+    if not tok:
+        return 0
+    s = _script(tok[0])
+    if s and all(_script(c) == s for c in tok):
+        return s
+    return 0
+
+
+def cjk_bigram_post(flags: int = ALL, output_unigrams: bool = False):
+    """Stream post filter: [(token, pos)] -> [(token, pos)], positions
+    renumbered by reference posInc rules (pass-through tokens keep
+    their incoming increments, stop holes included)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        out_pos = -1
+        last_in = -1
+        run: List[str] = []          # buffered CJK chars
+        run_inc = 1                  # posInc carried by the run start
+
+        def flush():
+            nonlocal out_pos, run, run_inc
+            if not run:
+                return
+            if len(run) == 1:
+                out_pos += run_inc
+                out.append((run[0], out_pos))       # <SINGLE>
+            elif output_unigrams:
+                base = out_pos + run_inc
+                for i, c in enumerate(run):
+                    out.append((c, base + i))
+                for i in range(len(run) - 1):
+                    out.append((run[i] + run[i + 1], base + i))
+                out_pos = base + len(run) - 1
+                out.sort(key=lambda x: (x[1], len(x[0])))
+            else:
+                for i in range(len(run) - 1):
+                    out_pos += run_inc if i == 0 else 1
+                    out.append((run[i] + run[i + 1], out_pos))  # <DOUBLE>
+            run = []
+            run_inc = 1
+
+        for tok, pos in tp:
+            inc = pos - last_in
+            last_in = pos
+            sc = token_script(tok)
+            if sc and (flags & sc):
+                if run and inc != 1:
+                    flush()
+                if not run:
+                    run_inc = inc
+                run.extend(tok)
+            else:
+                flush()
+                out_pos += inc
+                out.append((tok, out_pos))
+        flush()
+        return out
+
+    return post
