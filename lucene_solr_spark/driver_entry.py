@@ -7698,3 +7698,122 @@ ORACLES["path_hierarchy_terms"] = _PATH_HIER_SQL
 ORACLES["query_auto_stopwords"] = _AUTO_STOP_SQL
 ORACLES["cjk_bigram_terms"] = _CJK_SQL
 ORACLES["compound_subwords"] = _COMPOUND_SQL
+
+
+# ---------------------------------------------------------------------------
+# ToParentBlockJoinQuery ScoreMode.{Total,Avg,Max} in one pass
+# ---------------------------------------------------------------------------
+
+def q_blockjoin_scoremodes(spark, sf_dir):
+    """ToParentBlockJoinQuery score modes (lucene/join/.../
+    ToParentBlockJoinQuery.java:315-357: float child-docID-order
+    accumulation; Avg = totalScore / childDocUpto, float division;
+    Max = f32 max; Total = the f32 running sum). Parents = source
+    strata over BM25-scored children of Q_SINGLE; all three modes from
+    ONE grouped pass (the reference walks the block once too)."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_SINGLE, k=None)
+    orig = s._docs.select(
+        "doc_id", F.col("path").cast("long").alias("orig_id"))
+    src = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "source")
+    per = hits.join(orig, "doc_id").join(src, "orig_id")
+    g = per.groupBy("source").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "score"))).alias("xs"),
+        F.count(F.lit(1)).cast("long").alias("n_children"),
+        F.max("score").alias("mx"),
+    )
+    total = F.aggregate(
+        "xs", F.lit(0.0).cast("float"),
+        lambda acc, x: (acc + x["score"]).cast("float"))
+    g = g.withColumn("tot", total)
+    return g.select(
+        "source",
+        F.col("mx").cast("double").alias("score_max"),
+        F.col("tot").cast("double").alias("score_total"),
+        (F.col("tot") / F.col("n_children"))
+        .cast("float").cast("double").alias("score_avg"),
+        "n_children",
+    ).orderBy("source")
+
+
+def _blockjoin_scoremodes_sql():
+    return ORACLE_PRELUDE + f"""
+, h AS (SELECT p.doc_id, p.s, d.source
+        FROM persc p JOIN docs0 d USING (doc_id)
+        WHERE term = '{Q_SINGLE}')
+, agg AS (
+  SELECT source, max(s) AS mx, count(*) AS n,
+         list_reduce(
+           list_prepend(CAST(0.0 AS FLOAT),
+                        list(CAST(s AS FLOAT) ORDER BY doc_id)),
+           (x, y) -> CAST(CAST(x AS DOUBLE) + CAST(y AS DOUBLE) AS FLOAT)
+         ) AS tot
+  FROM h GROUP BY source)
+SELECT source,
+       CAST(mx AS DOUBLE) AS score_max,
+       CAST(tot AS DOUBLE) AS score_total,
+       CAST(CAST(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS FLOAT)
+            AS DOUBLE) AS score_avg,
+       CAST(n AS BIGINT) AS n_children
+FROM agg ORDER BY source
+"""
+
+QUERIES["blockjoin_scoremodes"] = q_blockjoin_scoremodes
+ORACLES["blockjoin_scoremodes"] = _blockjoin_scoremodes_sql()
+
+
+# ---------------------------------------------------------------------------
+# PKIndexSplitter: split the entry index at the PK midpoint; search the
+# low half — scores must equal the full index restricted to that half
+# (stats keep counting deleted docs; PKIndexSplitter rewrites nothing)
+# ---------------------------------------------------------------------------
+
+_PK_SPLIT_DIRS: dict = {}
+
+
+def _pk_split_searcher(spark, sf_dir):
+    from lucene_solr_spark.indexing.splitter import pk_split
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    key = os.path.realpath(sf_dir)
+    hit = _PK_SPLIT_DIRS.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    get_searcher(spark, sf_dir)  # ensure the base index exists
+    base_dir = os.path.join(
+        tempfile.gettempdir(), "lss_entry_index",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    import shutil
+
+    n = _documents(spark, sf_dir).count()
+    mid = "%012d" % (n // 2)
+    lt, ge = base_dir + "_pk_lt", base_dir + "_pk_ge"
+    shutil.rmtree(lt, ignore_errors=True)
+    shutil.rmtree(ge, ignore_errors=True)
+    pk_split(spark, base_dir, lt, ge, F.col("path") < F.lit(mid))
+    s = IndexSearcher(spark, lt)
+    _PK_SPLIT_DIRS[key] = (spark, s)
+    return s
+
+
+def q_pk_split(spark, sf_dir):
+    """PKIndexSplitter (misc/index/PKIndexSplitter.java): low-half part
+    of a key-range split, searched for 'vector' — top-10 must equal the
+    full index's ranking restricted to keys below the split point."""
+    s = _pk_split_searcher(spark, sf_dir)
+    return _topk_double(s.search("vector", k=TOP_K))
+
+
+def _pk_split_sql():
+    return ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id, s FROM persc WHERE term = 'vector')
+SELECT doc_id, CAST(s AS DOUBLE) AS score FROM h
+WHERE doc_id < (SELECT count(*) // 2 FROM docs0)
+ORDER BY s DESC, doc_id ASC LIMIT {TOP_K}
+"""
+
+QUERIES["pk_split_top10"] = q_pk_split
+ORACLES["pk_split_top10"] = _pk_split_sql()
