@@ -7817,3 +7817,194 @@ ORDER BY s DESC, doc_id ASC LIMIT {TOP_K}
 
 QUERIES["pk_split_top10"] = q_pk_split
 ORACLES["pk_split_top10"] = _pk_split_sql()
+
+
+# ---------------------------------------------------------------------------
+# PostingsHighlighter: sentence passages, PassageScorer f32 chain,
+# DefaultPassageFormatter snippets (postingshighlight/*.java)
+# ---------------------------------------------------------------------------
+
+PH_TERMS = ("merge", "table")
+PH_SENT_WORDS = 12
+
+
+def q_postings_highlight(spark, sf_dir):
+    """PostingsHighlighter top-1 passage per matching doc over text
+    re-sentenced every 12 words ('. ' separators — the documented
+    BreakIterator subset): top-10 docs by passage score. Occurrence
+    walk + passage scoring run inside one Arrow batch per partition;
+    nothing but the doc's own text is consulted (the reference reads
+    offsets from postings — our row store IS the offset source)."""
+    from lucene_solr_spark.search.postings_highlighter import (
+        highlight_doc,
+    )
+
+    terms = set(PH_TERMS)
+
+    def build(text):
+        ws = [w for w in (text or "").split(" ") if w]
+        parts = []
+        occ = []
+        pos = 0
+        for i, w in enumerate(ws):
+            if i:
+                if i % PH_SENT_WORDS == 0:
+                    parts.append(". ")
+                    pos += 2
+                else:
+                    parts.append(" ")
+                    pos += 1
+            parts.append(w)
+            if w in terms:
+                occ.append((pos, pos + len(w), w))
+            pos += len(w)
+        return "".join(parts), occ
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content, occ = build(r.text)
+                ps = highlight_doc(content, occ, max_passages=1)
+                if ps:
+                    start, _end, score, snippet = ps[0]
+                    rows.append((int(r.doc_id), float(score),
+                                 int(start), snippet))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["doc_id", "score", "p_start",
+                                   "snippet"])
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    out = d.mapInPandas(
+        gen, schema="doc_id long, score double, p_start long, "
+                    "snippet string")
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
+
+
+_PH_SQL = f"""
+WITH w0 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+content AS (
+  SELECT doc_id,
+    array_to_string(
+      list_transform(range(0, CAST(ceil(length(ws) / {PH_SENT_WORDS}.0)
+                                   AS INT)),
+        k -> array_to_string(
+               ws[k * {PH_SENT_WORDS} + 1 : (k + 1) * {PH_SENT_WORDS}],
+               ' ')),
+      '. ') AS c
+  FROM w0
+),
+w AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest(range(0, length(ws))) AS i
+  FROM w0
+),
+wo AS (
+  SELECT doc_id, word, i,
+         CAST(i // {PH_SENT_WORDS} AS INT) AS s,
+         CAST(sum(length(word)) OVER (PARTITION BY doc_id ORDER BY i
+                  ROWS UNBOUNDED PRECEDING) - length(word)
+              + i + (i // {PH_SENT_WORDS}) AS BIGINT) AS start
+  FROM w
+),
+sent AS (
+  SELECT wo.doc_id, wo.s, min(wo.start) AS sstart
+  FROM wo WHERE wo.i % {PH_SENT_WORDS} = 0
+  GROUP BY wo.doc_id, wo.s
+),
+sent2 AS (
+  SELECT sent.doc_id, sent.s, sent.sstart,
+         COALESCE(lead(sent.sstart) OVER (PARTITION BY sent.doc_id
+                                          ORDER BY sent.s),
+                  (SELECT length(c) FROM content
+                   WHERE content.doc_id = sent.doc_id)) AS send
+  FROM sent
+),
+occ AS (
+  SELECT doc_id, word AS term, i, start,
+         start + length(word) AS oend, s
+  FROM wo WHERE word IN ('merge', 'table')
+),
+ttf AS (SELECT doc_id, term, count(*) AS f FROM occ
+        GROUP BY doc_id, term),
+wt AS (
+  SELECT t.doc_id, t.term,
+    CAST(CAST(CAST(1.2 AS FLOAT) + CAST(1 AS FLOAT) AS FLOAT)
+         * CAST(ln(1 + (CAST(CAST(1 AS FLOAT)
+                             + CAST(CAST(length(c.c) AS FLOAT)
+                                    / CAST(87 AS FLOAT) AS FLOAT)
+                             AS DOUBLE) + 0.5)
+                       / (t.f + 0.5)) AS FLOAT) AS FLOAT) AS w
+  FROM ttf t JOIN content c USING (doc_id)
+),
+runs AS (
+  SELECT doc_id, s, term, count(*) AS freq, min(start) AS fstart
+  FROM occ GROUP BY doc_id, s, term
+),
+contrib AS (
+  SELECT r.doc_id, r.s, r.fstart,
+    CAST(wt.w *
+      CAST(CAST(r.freq AS FLOAT)
+           / CAST(CAST(r.freq AS FLOAT)
+                  + CAST(CAST(1.2 AS FLOAT)
+                         * CAST(CAST(0.25 AS FLOAT)
+                                + CAST(CAST(0.75 AS FLOAT)
+                                       * CAST(CAST(s2.send - s2.sstart
+                                                   AS FLOAT)
+                                              / CAST(87 AS FLOAT)
+                                              AS FLOAT) AS FLOAT)
+                                AS FLOAT) AS FLOAT) AS FLOAT)
+           AS FLOAT) AS FLOAT) AS x
+  FROM runs r
+  JOIN wt ON wt.doc_id = r.doc_id AND wt.term = r.term
+  JOIN sent2 s2 ON s2.doc_id = r.doc_id AND s2.s = r.s
+),
+pscore AS (
+  SELECT c.doc_id, c.s, s2.sstart, s2.send,
+    CAST(list_reduce(
+      list_prepend(CAST(0.0 AS FLOAT), list(c.x ORDER BY c.fstart)),
+      (a, b) -> CAST(CAST(a AS DOUBLE) + CAST(b AS DOUBLE) AS FLOAT))
+      * CAST(CAST(1 AS FLOAT)
+             + CAST(CAST(1 AS FLOAT)
+                    / CAST(ln(87.0 + s2.sstart) AS FLOAT) AS FLOAT)
+             AS FLOAT) AS FLOAT) AS score
+  FROM contrib c
+  JOIN sent2 s2 ON s2.doc_id = c.doc_id AND s2.s = c.s
+  GROUP BY c.doc_id, c.s, s2.sstart, s2.send
+),
+best AS (
+  SELECT * FROM (
+    SELECT doc_id, s, sstart, send, score,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, sstart DESC) AS rn
+    FROM pscore) WHERE rn = 1
+),
+pieces AS (
+  SELECT o.doc_id, o.start, o.oend, o.term, b.sstart, b.send, b.score,
+         COALESCE(lag(o.oend) OVER (PARTITION BY o.doc_id
+                                    ORDER BY o.start), b.sstart)
+           AS prev_end
+  FROM occ o JOIN best b ON b.doc_id = o.doc_id AND b.s = o.s
+),
+snip AS (
+  SELECT p.doc_id, any_value(p.score) AS score,
+         any_value(p.sstart) AS p_start,
+         string_agg(
+           substr(c.c, p.prev_end + 1, p.start - p.prev_end)
+             || '<b>' || p.term || '</b>', '' ORDER BY p.start)
+           || substr(c.c, max(p.oend) + 1,
+                     any_value(p.send) - max(p.oend)) AS snippet
+  FROM pieces p JOIN content c USING (doc_id)
+  GROUP BY p.doc_id, c.c
+)
+SELECT doc_id, CAST(score AS DOUBLE) AS score,
+       CAST(p_start AS BIGINT) AS p_start, snippet
+FROM snip ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+"""
+
+QUERIES["postings_highlight"] = q_postings_highlight
+ORACLES["postings_highlight"] = _PH_SQL
