@@ -8008,3 +8008,173 @@ FROM snip ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
 
 QUERIES["postings_highlight"] = q_postings_highlight
 ORACLES["postings_highlight"] = _PH_SQL
+
+
+# ---------------------------------------------------------------------------
+# SignatureUpdateProcessor hash backends: Lookup3Signature (chained
+# lookup3ycs64) + MD5Signature over sigFields=(lang, source)
+# ---------------------------------------------------------------------------
+
+def q_signature_dedup(spark, sf_dir):
+    """Lookup3Signature / MD5Signature dedup groups
+    (solr/core/.../processor/Lookup3Signature.java — chained
+    lookup3ycs64 starting at 0, big-endian hex; MD5Signature.java —
+    md5 of the concatenated UTF-8 values) with sigFields=(lang,
+    source): one row per signature with member count and first docID.
+    The oracle recomputes lookup3 as a recursive-CTE uint32 state
+    machine — no shared code path with the engine's numpy/python port."""
+    import hashlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.lookup3 import lookup3_signature
+
+    @pandas_udf("string")
+    def l3(lang: pd.Series, source: pd.Series) -> pd.Series:
+        return pd.Series(
+            [lookup3_signature([a, b]) for a, b in zip(lang, source)])
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "source")
+    d = d.withColumn("sig", l3("lang", "source")).withColumn(
+        "md5sig", F.md5(F.concat(F.col("lang"), F.col("source"))))
+    return (d.groupBy("sig", "md5sig")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").cast("long").alias("min_doc"))
+            .orderBy("sig"))
+
+
+def _lookup3_walk_sql():
+    """Generated recursive-CTE lookup3ycs64 (Hash.java:186-240): event
+    tape per doc (I=re-init from chained hash, A/B/C=code-point adds,
+    M=one mix line, F=one final line, E=latch the 64-bit hash with
+    int-c sign extension), one uint32 step per recursion round."""
+    m = "4294967296"
+    sub = lambda x, z: f"(({x}) - ({z}) + {m}) % {m}"  # noqa: E731
+    mix_r = "CASE WHEN ev.val = 0 THEN 4 WHEN ev.val = 1 THEN 6 " \
+            "WHEN ev.val = 2 THEN 8 WHEN ev.val = 3 THEN 16 " \
+            "WHEN ev.val = 4 THEN 19 ELSE 4 END"
+    fin_r = "CASE WHEN ev.val = 0 THEN 14 WHEN ev.val = 1 THEN 11 " \
+            "WHEN ev.val = 2 THEN 25 WHEN ev.val = 3 THEN 16 " \
+            "WHEN ev.val = 4 THEN 4 WHEN ev.val = 5 THEN 14 " \
+            "ELSE 24 END"
+
+    # rotl with a dynamic r: z*2^r % m + z // 2^(32-r)
+    def rot_dyn(z, rexpr):
+        return (f"((({z}) * (POWER(2, {rexpr})::BIGINT)) % {m}"
+                f" + (({z}) // (POWER(2, 32 - ({rexpr}))::BIGINT)))")
+
+    def mix_line(x, y, z):
+        return {
+            "x": f"xor({sub(x, z)}, {rot_dyn(z, mix_r)})",
+            "z": f"(({z}) + ({y})) % {m}",
+        }
+
+    def fin_line(x, z):
+        return sub(f"xor({x}, {z})", rot_dyn(z, fin_r))
+
+    init_a = f"(3735928559 + w.hlo) % {m}"
+    init_c = f"(3735928559 + w.hlo + w.hhi) % {m}"
+    a_new = f"""CASE ev.kind
+      WHEN 'I' THEN {init_a}
+      WHEN 'A' THEN (w.a + ev.val) % {m}
+      WHEN 'M' THEN CASE ev.val % 3
+        WHEN 0 THEN {mix_line('w.a', 'w.b', 'w.c')['x']}
+        WHEN 1 THEN (w.a + w.c) % {m}
+        ELSE w.a END
+      WHEN 'F' THEN CASE ev.val % 3
+        WHEN 1 THEN {fin_line('w.a', 'w.c')} ELSE w.a END
+      ELSE w.a END"""
+    b_new = f"""CASE ev.kind
+      WHEN 'I' THEN {init_a}
+      WHEN 'B' THEN (w.b + ev.val) % {m}
+      WHEN 'M' THEN CASE ev.val % 3
+        WHEN 1 THEN {mix_line('w.b', 'w.c', 'w.a')['x']}
+        WHEN 2 THEN (w.b + w.a) % {m}
+        ELSE w.b END
+      WHEN 'F' THEN CASE ev.val % 3
+        WHEN 2 THEN {fin_line('w.b', 'w.a')} ELSE w.b END
+      ELSE w.b END"""
+    c_new = f"""CASE ev.kind
+      WHEN 'I' THEN {init_c}
+      WHEN 'C' THEN (w.c + ev.val) % {m}
+      WHEN 'M' THEN CASE ev.val % 3
+        WHEN 2 THEN {mix_line('w.c', 'w.a', 'w.b')['x']}
+        WHEN 0 THEN (w.c + w.b) % {m}
+        ELSE w.c END
+      WHEN 'F' THEN CASE ev.val % 3
+        WHEN 0 THEN {fin_line('w.c', 'w.b')} ELSE w.c END
+      ELSE w.c END"""
+    hlo_new = "CASE ev.kind WHEN 'E' THEN w.c ELSE w.hlo END"
+    hhi_new = (f"CASE ev.kind WHEN 'E' THEN "
+               f"(w.b - CASE WHEN w.c >= 2147483648 THEN 1 ELSE 0 END"
+               f" + {m}) % {m} ELSE w.hhi END")
+
+    # event tape for one field string f (nonempty):
+    #   trip t: A,B,C then M0..M5 for t < k = (n-1)//3; rest adds; F0..6
+    def tape(fcol):
+        cps = f"list_transform(string_split({fcol}, ''), ch -> " \
+              f"CAST(unicode(ch) AS BIGINT))"
+        return f"""(
+  [{{'kind': 'I', 'val': CAST(0 AS BIGINT)}}]
+  || flatten(list_transform(range(0, (length({fcol}) - 1) // 3), t -> [
+       {{'kind': 'A', 'val': ({cps})[3*t + 1]}},
+       {{'kind': 'B', 'val': ({cps})[3*t + 2]}},
+       {{'kind': 'C', 'val': ({cps})[3*t + 3]}},
+       {{'kind': 'M', 'val': CAST(0 AS BIGINT)}},
+       {{'kind': 'M', 'val': CAST(1 AS BIGINT)}},
+       {{'kind': 'M', 'val': CAST(2 AS BIGINT)}},
+       {{'kind': 'M', 'val': CAST(3 AS BIGINT)}},
+       {{'kind': 'M', 'val': CAST(4 AS BIGINT)}},
+       {{'kind': 'M', 'val': CAST(5 AS BIGINT)}}]))
+  || list_transform(
+       range(3 * ((length({fcol}) - 1) // 3), length({fcol})),
+       j -> {{'kind': CASE j - 3 * ((length({fcol}) - 1) // 3)
+                      WHEN 0 THEN 'A' WHEN 1 THEN 'B' ELSE 'C' END,
+             'val': ({cps})[j + 1]}})
+  || list_transform(range(0, 7),
+                    j -> {{'kind': 'F', 'val': CAST(j AS BIGINT)}})
+  || [{{'kind': 'E', 'val': CAST(0 AS BIGINT)}}]
+)"""
+
+    return f"""
+WITH RECURSIVE evs AS (
+  SELECT doc_id, lang, source,
+         {tape('lang')} || {tape('source')} AS events
+  FROM documents
+),
+walk AS (
+  SELECT doc_id, 0 AS i,
+         CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+         CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS hlo,
+         CAST(0 AS BIGINT) AS hhi
+  FROM evs
+  UNION ALL
+  SELECT w.doc_id, w.i + 1,
+         CAST({a_new} AS BIGINT), CAST({b_new} AS BIGINT),
+         CAST({c_new} AS BIGINT), CAST({hlo_new} AS BIGINT),
+         CAST({hhi_new} AS BIGINT)
+  FROM walk w
+  JOIN evs e ON e.doc_id = w.doc_id,
+  LATERAL (SELECT e.events[w.i + 1] AS evt) ev0,
+  LATERAL (SELECT ev0.evt.kind AS kind, ev0.evt.val AS val) ev
+  WHERE w.i < length(e.events)
+),
+done AS (
+  SELECT w.doc_id, w.hlo, w.hhi
+  FROM walk w JOIN evs e USING (doc_id)
+  WHERE w.i = length(e.events)
+),
+sigs AS (
+  SELECT d.doc_id,
+         lower(lpad(to_hex(dn.hhi), 8, '0')
+               || lpad(to_hex(dn.hlo), 8, '0')) AS sig,
+         md5(d.lang || d.source) AS md5sig
+  FROM documents d JOIN done dn USING (doc_id)
+)
+SELECT sig, md5sig, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc
+FROM sigs GROUP BY sig, md5sig ORDER BY sig
+"""
+
+QUERIES["signature_dedup"] = q_signature_dedup
+ORACLES["signature_dedup"] = _lookup3_walk_sql()
