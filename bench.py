@@ -161,6 +161,8 @@ QUERY_NAMES = [
     "facet_taxonomy",
     "external_file_boost",
     "carrot_clusters",
+    # round-2h surface
+    "langid_update",
 ]
 
 

@@ -2489,6 +2489,40 @@ def q_update_chain(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_langid_update(spark, sf_dir):
+    """Solr langid contrib (solr/contrib/langid/.../
+    LanguageIdentifierUpdateProcessor.java): detect over the text
+    field, whitelist (en,de,fr,es) so zh detections fall back to the
+    per-row `lang` fallback field (getFallbackLang :248-266), 0.6
+    certainty threshold, and field mapping text -> text_<lang> with
+    lcmap zh->cjk (getMappedField :358-368, original removed per
+    mapKeepOrig=false). Output proves where each row's text moved."""
+    from lucene_solr_spark import update_chain as U
+
+    d = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    out = U.update_chain(d, [
+        U.language_identify(
+            LANGID_PROFILES, ["text"],
+            lang_field="language", langs_field="langs",
+            threshold=0.6,
+            fallback_fields=["lang"],
+            whitelist=("en", "de", "fr", "es"),
+            map_enable=True, map_fl=["text"],
+            map_lcmap={"zh": "cjk"},
+        ),
+    ])
+    return out.select(
+        "doc_id", "language",
+        F.concat_ws(",", "langs").alias("langs_joined"),
+        F.col("text").isNotNull().alias("orig_kept"),
+        *[
+            F.coalesce(F.length(f"text_{sfx}"), F.lit(0))
+            .cast("long").alias(f"n_{sfx}")
+            for sfx in ("de", "en", "es", "fr", "cjk")
+        ],
+    ).orderBy("doc_id")
+
+
 def q_dist_facet(spark, sf_dir):
     """Distributed faceting with the FacetComponent two-phase
     refinement protocol (handler/component/FacetComponent.java):
@@ -3313,6 +3347,54 @@ SELECT b.doc_id,
             THEN 1.0 * 2.0 ELSE 1.0 END AS DOUBLE) AS boost
 FROM base b LEFT JOIN uq q USING (doc_id)
 ORDER BY doc_id
+"""
+    # Solr langid contrib: detect + whitelist + threshold + per-row
+    # fallback field + lcmap'd field mapping (oracle replays the
+    # stopword-profile detector and the resolve chain verbatim)
+    _lid_scores = ",\n  ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS s_{}".format(
+            ", ".join(f"'{w}'" for w in LANGID_PROFILES[lg]), lg
+        )
+        for lg in sorted(LANGID_PROFILES)
+    )
+    _lid_union = " UNION ALL ".join(
+        f"SELECT doc_id, '{lg}' AS lg, s_{lg} AS sc FROM b"
+        for lg in sorted(LANGID_PROFILES)
+    )
+    _lid_total = " + ".join(f"s_{lg}" for lg in sorted(LANGID_PROFILES))
+    _lid_ncols = ",\n  ".join(
+        "CAST(CASE WHEN language = '{lg}' THEN length(text) ELSE 0 END"
+        " AS BIGINT) AS n_{sfx}".format(lg=lg, sfx=sfx)
+        for lg, sfx in (("de", "de"), ("en", "en"), ("es", "es"),
+                        ("fr", "fr"), ("zh", "cjk"))
+    )
+    o["langid_update"] = f"""
+WITH t AS (SELECT doc_id, lang, text,
+                  string_split(text || ' ', ' ') AS toks
+           FROM documents),
+s AS (SELECT doc_id, lang, text,
+  {_lid_scores}
+FROM t),
+b AS (SELECT *, {_lid_total} AS total FROM s),
+u AS ({_lid_union}),
+best AS (
+  SELECT doc_id, lg, sc,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY sc DESC, lg ASC) AS rn
+  FROM u
+),
+r AS (
+  SELECT b.doc_id, b.text,
+    CASE WHEN be.sc = 0 THEN b.lang
+         WHEN be.lg NOT IN ('en', 'de', 'fr', 'es') THEN b.lang
+         WHEN CAST(be.sc AS DOUBLE) / b.total < 0.6 THEN b.lang
+         ELSE be.lg END AS language
+  FROM b JOIN best be ON b.doc_id = be.doc_id AND be.rn = 1
+)
+SELECT doc_id, language, language AS langs_joined,
+  FALSE AS orig_kept,
+  {_lid_ncols}
+FROM r ORDER BY doc_id
 """
     # BBox spatial: synthetic doc envelopes, AreaSimilarity ranking
     # ((ia/qA)^2 * sqrt(ia/tA)) and the IsWithin doc set
@@ -4834,6 +4916,7 @@ QUERIES = {
     "bbox_intersects_top10": q_bbox_intersects,
     "bbox_within_docs": q_bbox_within,
     "update_chain_fields": q_update_chain,
+    "langid_update": q_langid_update,
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,

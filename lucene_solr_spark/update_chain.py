@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "update_chain", "trim_fields", "truncate_fields", "field_length",
     "count_values", "concat_values", "uniq_values", "remove_blank",
-    "default_value", "clone_field", "regexp_boost",
+    "default_value", "clone_field", "regexp_boost", "language_identify",
 ]
 
 Processor = Callable[[DataFrame], DataFrame]
@@ -142,4 +142,242 @@ def regexp_boost(input_col: str, pattern: str, boost: float,
             F.when(F.col(input_col).rlike(pattern),
                    F.col(boost_col) * F.lit(float(boost)))
             .otherwise(F.col(boost_col)))
+    return p
+
+
+# ---------------------------------------------------------------------------
+# LanguageIdentifierUpdateProcessor (solr/contrib/langid/src/java/org/
+# apache/solr/update/processor/LanguageIdentifierUpdateProcessor.java)
+# ---------------------------------------------------------------------------
+
+def _langid_detect(profiles: dict, text_col):
+    """Pluggable detectLanguage() analogue (the abstract hook at
+    LanguageIdentifierUpdateProcessor.java:298): stopword-profile
+    scoring over whitespace tokens — one Catalyst array_max over
+    (score, tiebreak, lang) structs so every profile filter evaluates
+    exactly once per row. Returns struct(lg, s, total):
+
+      lg    — top-scoring language (score desc, lang asc tie-break,
+              the deterministic stand-in for langdetect's probability
+              order)
+      s     — its raw stopword-hit count
+      total — hits across ALL profiles; certainty = s/total plays
+              DetectedLanguage.getCertainty() (1.0 when only one
+              profile matches, like langdetect's normalized probs)
+
+    s == 0 <=> detectLanguage() returned the empty list (the
+    LangDetect impl returns emptyList for blank input,
+    LangDetectLanguageIdentifierUpdateProcessor.java:47-50)."""
+    toks = F.split(text_col, " ")
+    langs = sorted(profiles)
+
+    def _profile_pred(words):
+        # single-arg lambda: a 2-arg one would be read as (elem, idx)
+        return lambda t: t.isin(*words)
+
+    entries = [
+        F.struct(
+            F.size(
+                F.filter(toks, _profile_pred(profiles[lg]))
+            ).alias("s"),
+            F.lit(len(langs) - i).alias("tb"),
+            F.lit(lg).alias("lg"),
+        )
+        for i, lg in enumerate(langs)
+    ]
+    arr = F.array(*entries)
+    best = F.array_max(arr)
+    total = F.aggregate(
+        arr, F.lit(0), lambda acc, e: acc + e["s"])
+    return F.struct(
+        best["lg"].alias("lg"), best["s"].alias("s"),
+        total.alias("total"))
+
+
+def _langid_mapped_name(field: str, lang: str, lcmap: dict,
+                        map_pattern: str, map_replace: str) -> str:
+    """getMappedField (LanguageIdentifierUpdateProcessor.java:358-368):
+    lcmap rewrite of the code, then mapPattern/mapReplace on the field
+    name, then the {lang} placeholder."""
+    import re
+    lc = lcmap.get(lang, lang) if lcmap else lang
+    # Java replaceFirst with $1 backrefs -> Python \1
+    repl = map_replace.replace("$1", "\\1")
+    return re.sub(map_pattern, repl, field, count=1).replace(
+        "{lang}", lc)
+
+
+def language_identify(
+    profiles: dict,
+    input_fields,
+    lang_field: str = None,
+    langs_field: str = None,
+    threshold: float = 0.5,
+    fallback: str = None,
+    fallback_fields=(),
+    whitelist=(),
+    overwrite: bool = False,
+    map_enable: bool = False,
+    map_fl=None,
+    map_individual: bool = False,
+    map_individual_fl=None,
+    map_keep_orig: bool = False,
+    map_pattern: str = "(.*)",
+    map_replace: str = "$1_{lang}",
+    map_lcmap: dict = None,
+    map_langs=None,
+    schema_fields=None,
+) -> Processor:
+    """Solr langid contrib as one fused columnar projection.
+
+    Semantics mirrored from LanguageIdentifierUpdateProcessor.java
+    (process() :186-246, resolveLanguage :318-346, getFallbackLang
+    :248-268, concatFields :273-289, getMappedField :358-368) with the
+    stopword-profile detector standing in for the langdetect library
+    (the detector is the pluggable abstract hook, :298):
+
+    - detection text = concat of ``input_fields`` each followed by one
+      space (concatFields appends " " per present field);
+    - resolve order: empty detection -> fallback; whitelist miss ->
+      fallback; certainty < threshold -> fallback; null/empty resolved
+      code -> "" (:339-343);
+    - per-row fallback = first non-null ``fallback_fields`` value,
+      else ``fallback`` (:253-266);
+    - existing non-null ``lang_field`` + overwrite=False: the value is
+      sanity-checked (whitelist only — certainty fixed at 1.0 passes
+      any threshold, :306-310) instead of re-detected;
+    - mapping moves each ``map_fl`` field's value to the
+      pattern-derived per-language column (doc.setField; removal of
+      the original = per-row NULL unless map_keep_orig) using the doc
+      language, or a per-field detection for ``map_individual_fl``
+      fields when map_individual (fallback = doc language, :216-222);
+    - ``langs_field`` = all languages seen for the doc. The reference
+      collects them in a HashSet (iteration order undefined); we emit
+      a sorted distinct array — the one documented determinism fix;
+    - ``schema_fields`` given = enforceSchema: a mapped name outside
+      it raises at PLAN time (the reference throws per-document,
+      :230-233 — the set of names is static here, so the error is
+      hoisted).
+
+    Column-name constraint (columnar divergence, documented): mapped
+    output columns must be a static set, so rows whose resolved
+    language falls outside ``map_langs`` (default: profile keys +
+    literal fallback) keep their original field unmapped.
+
+    100 TB plan: the whole processor — detection, resolve chain,
+    mapping moves — is one whole-stage-codegen projection; no UDF, no
+    shuffle, no per-row Python."""
+    input_fields = list(input_fields)
+    fallback_fields = list(fallback_fields)
+    whitelist = list(whitelist)
+    map_fl = list(map_fl) if map_fl is not None else list(input_fields)
+    map_individual_fl = (list(map_individual_fl)
+                         if map_individual_fl is not None else list(map_fl))
+    all_map_fields = list(dict.fromkeys(map_fl + (
+        map_individual_fl if map_individual else [])))
+    if map_langs is None:
+        map_langs = sorted(set(profiles) | (
+            {fallback} if fallback else set()))
+
+    def p(df: DataFrame) -> DataFrame:
+        fb_parts = [F.col(f) for f in fallback_fields if f in df.columns]
+        fb_parts.append(F.lit(fallback if fallback is not None else ""))
+        fallback_col = F.coalesce(*fb_parts)
+
+        # concatFields: value + " " per present field
+        text = F.concat(*[
+            F.concat(F.coalesce(F.col(f), F.lit("")), F.lit(" "))
+            for f in input_fields
+        ]) if input_fields else F.lit("")
+
+        def resolve(det):
+            certainty = F.when(
+                det["total"] > 0,
+                det["s"].cast("double") / det["total"].cast("double")
+            ).otherwise(F.lit(0.0))
+            r = F.when(det["s"] == 0, fallback_col)
+            if whitelist:
+                r = r.when(~det["lg"].isin(*whitelist), fallback_col)
+            r = r.when(certainty < F.lit(float(threshold)), fallback_col)
+            r = r.otherwise(det["lg"])
+            return F.coalesce(r, F.lit(""))
+
+        def resolve_existing(code_col):
+            # certainty 1.0: threshold always passes; whitelist only
+            if whitelist:
+                r = F.when(~code_col.isin(*whitelist),
+                           fallback_col).otherwise(code_col)
+            else:
+                r = code_col
+            return F.coalesce(r, F.lit(""))
+
+        det = _langid_detect(profiles, text)
+        detected = resolve(det)
+        if lang_field and lang_field in df.columns and not overwrite:
+            doc_lang = F.when(
+                F.col(lang_field).isNotNull(),
+                resolve_existing(F.col(lang_field)),
+            ).otherwise(detected)
+        else:
+            doc_lang = detected
+        df = df.withColumn("__doc_lang", doc_lang)
+        doc_langs = [F.col("__doc_lang")]
+
+        if map_enable:
+            field_lang: dict = {}
+            for f in all_map_fields:
+                if f not in df.columns:
+                    continue
+                if map_individual and f in map_individual_fl:
+                    fdet = _langid_detect(
+                        profiles, F.coalesce(F.col(f), F.lit("")))
+                    fcert = F.when(
+                        fdet["total"] > 0,
+                        fdet["s"].cast("double") / fdet["total"]
+                        .cast("double")).otherwise(F.lit(0.0))
+                    fl = F.when(fdet["s"] == 0, F.col("__doc_lang"))
+                    if whitelist:
+                        fl = fl.when(~fdet["lg"].isin(*whitelist),
+                                     F.col("__doc_lang"))
+                    fl = fl.when(fcert < F.lit(float(threshold)),
+                                 F.col("__doc_lang"))
+                    fl = fl.otherwise(fdet["lg"])
+                    field_lang[f] = F.coalesce(fl, F.lit(""))
+                else:
+                    field_lang[f] = F.col("__doc_lang")
+            for f, flang in field_lang.items():
+                df = df.withColumn(f"__flang_{f}", flang)
+                doc_langs.append(F.col(f"__flang_{f}"))
+            for f in field_lang:
+                flang = F.col(f"__flang_{f}")
+                for lg in map_langs:
+                    name = _langid_mapped_name(
+                        f, lg, map_lcmap or {}, map_pattern, map_replace)
+                    if schema_fields is not None and \
+                            name not in schema_fields:
+                        raise ValueError(
+                            "Invalid output field mapping for "
+                            f"{f} field and language: {lg}")
+                    moved = F.when(
+                        (flang == lg) & F.col(f).isNotNull(), F.col(f))
+                    if name in df.columns:
+                        new = F.coalesce(moved, F.col(name))
+                    else:
+                        new = moved
+                    df = df.withColumn(name, new)
+                if not map_keep_orig:
+                    df = df.withColumn(
+                        f,
+                        F.when(flang.isin(*map_langs), F.lit(None))
+                        .otherwise(F.col(f)))
+
+        if lang_field:
+            df = df.withColumn(lang_field, F.col("__doc_lang"))
+        if langs_field:
+            df = df.withColumn(
+                langs_field,
+                F.sort_array(F.array_distinct(F.array(*doc_langs))))
+        drop = ["__doc_lang"] + [
+            c for c in df.columns if c.startswith("__flang_")]
+        return df.drop(*drop)
     return p
