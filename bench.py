@@ -163,6 +163,7 @@ QUERY_NAMES = [
     "carrot_clusters",
     # round-2h surface
     "langid_update",
+    "qparser_dispatch",
 ]
 
 

@@ -2523,6 +2523,41 @@ def q_langid_update(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_qparser_dispatch(spark, sf_dir):
+    """Solr QParser plugin registry + local-params grammar
+    (search/QParserPlugin.java standardPlugins, QParser.getParser,
+    QueryParsing.parseLocalParams): five dispatches through
+    ``{!type ...}`` strings — un-analyzed {!term}, constant-score
+    {!prefix}, {!frange} over a function query, {!lucene mm=} boolean,
+    and {!query v=$param} wrapping a {!switch} (param dereference +
+    nested re-dispatch). Doc-set parsers emit score 1.0 (the fq
+    shape); scored parsers keep kernel scores."""
+    from lucene_solr_spark.search.qparser_plugins import solr_query
+
+    s = get_searcher(spark, sf_dir)
+    prm = {
+        "nq": "{!switch case.p='{!prefix}" + Q_PREFIX + "' "
+              "default='" + Q_SINGLE + "'}p",
+    }
+
+    def tagged(tag, qstr):
+        df = solr_query(s, qstr, params=prm, k=TOP_K)
+        if "score" not in df.columns:
+            df = df.select("doc_id", F.lit(1.0).alias("score"))
+        return df.select(
+            F.lit(tag).alias("parser"), "doc_id",
+            F.col("score").cast("double").alias("score"))
+
+    out = tagged("term", "{!term f=content}" + Q_SINGLE)
+    out = out.unionByName(tagged("prefix", "{!prefix}" + Q_PREFIX))
+    out = out.unionByName(tagged("frange", "{!frange l=%d u=%d}doc_len"
+                                 % Q_NUMRANGE))
+    out = out.unionByName(
+        tagged("lucene_mm2", "{!lucene mm=2}" + " ".join(Q_OR)))
+    out = out.unionByName(tagged("nested_switch", "{!query v=$nq}"))
+    return out.orderBy("parser", F.desc("score"), F.asc("doc_id"))
+
+
 def q_dist_facet(spark, sf_dir):
     """Distributed faceting with the FacetComponent two-phase
     refinement protocol (handler/component/FacetComponent.java):
@@ -3347,6 +3382,32 @@ SELECT b.doc_id,
             THEN 1.0 * 2.0 ELSE 1.0 END AS DOUBLE) AS boost
 FROM base b LEFT JOIN uq q USING (doc_id)
 ORDER BY doc_id
+"""
+    # QParser plugin registry dispatch: each branch replays the
+    # dispatched kernel's gated oracle shape, tagged by parser name
+    o["qparser_dispatch"] = ORACLE_PRELUDE + f"""
+, orsum AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score,
+         count(*) AS cnt
+  FROM persc WHERE term IN ({_sql_terms(Q_OR)})
+  GROUP BY doc_id
+),
+pfx AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE '{Q_PREFIX}%')
+(SELECT 'term' AS parser, doc_id, CAST(s AS DOUBLE) AS score
+ FROM persc WHERE term = '{Q_SINGLE}'
+ ORDER BY s DESC, doc_id ASC LIMIT {TOP_K})
+UNION ALL
+SELECT 'prefix', doc_id, 1.0 FROM pfx
+UNION ALL
+SELECT 'frange', doc_id, 1.0 FROM dlen
+WHERE doc_len BETWEEN {Q_NUMRANGE[0]} AND {Q_NUMRANGE[1]}
+UNION ALL
+(SELECT 'lucene_mm2', doc_id, CAST(score AS DOUBLE)
+ FROM orsum WHERE cnt >= 2
+ ORDER BY score DESC, doc_id ASC LIMIT {TOP_K})
+UNION ALL
+SELECT 'nested_switch', doc_id, 1.0 FROM pfx
+ORDER BY parser, score DESC, doc_id ASC
 """
     # Solr langid contrib: detect + whitelist + threshold + per-row
     # fallback field + lcmap'd field mapping (oracle replays the
@@ -4917,6 +4978,7 @@ QUERIES = {
     "bbox_within_docs": q_bbox_within,
     "update_chain_fields": q_update_chain,
     "langid_update": q_langid_update,
+    "qparser_dispatch": q_qparser_dispatch,
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,

@@ -1,0 +1,120 @@
+"""QParser local-params grammar + plugin dispatch gates
+(solr/search/QueryParsing.parseLocalParams, QParser.getParser,
+QParserPlugin.standardPlugins)."""
+
+import pytest
+
+from lucene_solr_spark.search.qparser_plugins import (
+    get_parser, parse_local_params, solr_query)
+from lucene_solr_spark.search.queryparser import QueryParseError
+
+
+def test_no_local_params_passthrough():
+    lp, rest = parse_local_params("plain query")
+    assert lp is None and rest == "plain query"
+
+
+def test_bare_word_is_type():
+    lp, rest = parse_local_params("{!func}log(x)")
+    assert lp["type"] == "func"
+    assert lp["v"] == "log(x)"
+    assert rest == ""
+
+
+def test_kv_quoted_and_unquoted():
+    lp, _ = parse_local_params(
+        "{!prefix f=content sep='a b' d=\"x\\\"y\"}im")
+    assert lp["type"] == "prefix"
+    assert lp["f"] == "content"
+    assert lp["sep"] == "a b"
+    assert lp["d"] == 'x"y'
+    assert lp["v"] == "im"
+
+
+def test_v_param_overrides_rest():
+    # QParser.getParser:94-103 — explicit v wins, remainder ignored
+    lp, rest = parse_local_params("{!term f=lang v=py}ignored-not-v")
+    assert lp["v"] == "py"
+    assert rest == "ignored-not-v"
+
+
+def test_dollar_deref():
+    lp, _ = parse_local_params(
+        "{!query v=$qq}", params={"qq": "{!prefix}s"})
+    assert lp["v"] == "{!prefix}s"
+    # missing param -> None (SolrParams.get returns null)
+    lp2, _ = parse_local_params("{!term f=$missing}x", params={})
+    assert lp2["f"] is None
+
+
+def test_missing_close_brace_raises():
+    with pytest.raises(QueryParseError):
+        parse_local_params("{!term f=content")
+
+
+def test_get_parser_default_type():
+    ptype, lp, v = get_parser("hello world")
+    assert ptype == "lucene" and v == "hello world" and lp == {}
+    ptype2, _, v2 = get_parser("{!maxscore tie=0.1}a b")
+    assert ptype2 == "maxscore" and v2 == "a b"
+
+
+def _searcher(spark, built):
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    index_dir, _oracle = built
+    return IndexSearcher(spark, index_dir)
+
+
+def test_dispatch_term_equals_analyzed_search(spark, built):
+    s = _searcher(spark, built)
+    via = solr_query(s, "{!term f=content}common_util", k=5).collect()
+    direct = s.search("common_util", k=5).collect()
+    assert [(r.doc_id, r.score) for r in via] == \
+        [(r.doc_id, r.score) for r in direct]
+
+
+def test_dispatch_field_phrase(spark, built):
+    s = _searcher(spark, built)
+    via = solr_query(s, "{!field f=content}seven hundred", k=5).collect()
+    direct = s.search_phrase("seven hundred", k=5).collect()
+    assert [(r.doc_id, r.score) for r in via] == \
+        [(r.doc_id, r.score) for r in direct]
+
+
+def test_dispatch_metadata_term_docset(spark, built):
+    s = _searcher(spark, built)
+    rows = solr_query(s, "{!term f=lang}py").collect()
+    langs = {r.lang for r in
+             s._docs.join(
+                 solr_query(s, "{!term f=lang}py"), "doc_id"
+             ).select("lang").distinct().collect()}
+    assert rows and langs == {"py"}
+
+
+def test_dispatch_maxscore_matches_dismax(spark, built):
+    s = _searcher(spark, built)
+    via = solr_query(s, "{!maxscore tie=0.25}common_util seven",
+                     k=5).collect()
+    direct = s.search_dismax("common_util seven", k=5,
+                             tie=0.25).collect()
+    assert [(r.doc_id, r.score) for r in via] == \
+        [(r.doc_id, r.score) for r in direct]
+    with pytest.raises(QueryParseError, match="maxscore"):
+        solr_query(s, "{!maxscore}+required optional", k=5)
+
+
+def test_dispatch_switch_and_nested_query(spark, built):
+    s = _searcher(spark, built)
+    prm = {"nq": "{!switch case.a='{!prefix}comm' default=zz}a"}
+    via = solr_query(s, "{!query v=$nq}", params=prm).collect()
+    direct = solr_query(s, "{!prefix}comm").collect()
+    assert [r.doc_id for r in via] == [r.doc_id for r in direct]
+    with pytest.raises(QueryParseError, match="switch"):
+        solr_query(s, "{!switch case.a=x}b")
+
+
+def test_unknown_parser_raises(spark, built):
+    s = _searcher(spark, built)
+    with pytest.raises(QueryParseError, match="unknown query parser"):
+        solr_query(s, "{!nosuch}x")
