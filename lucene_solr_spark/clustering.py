@@ -43,51 +43,49 @@ def _phrase_weight(n: int) -> float:
     return 0.5 if n == 1 else float(min(n, 6))
 
 
-def _tokens_with_positions(df: DataFrame, text_col: str, id_col: str,
-                           analyzer_name: str) -> DataFrame:
+def _phrases(df: DataFrame, text_col: str, id_col: str,
+             analyzer_name: str, min_phrase_len: int,
+             max_phrase_len: int) -> DataFrame:
+    """(doc_id, phrase, n) once per doc. Phrases are runs of
+    CONSECUTIVE positions, so a stopword hole breaks the phrase.
+
+    The n-gram walk happens inside the tokenizer's Arrow UDF (a few
+    list ops per row) instead of n-1 chained per-doc position
+    self-joins — one pass over the corpus, no join, and the result is
+    reused by every downstream action via persist in stc_clusters."""
     from pyspark.sql.functions import pandas_udf
 
     from lucene_solr_spark.functions.analysis import get_analyzer
 
     spec = get_analyzer(analyzer_name)
+    lo, hi = int(min_phrase_len), int(max_phrase_len)
 
-    @pandas_udf("array<struct<term:string,pos:int>>")
-    def toks(texts: pd.Series) -> pd.Series:
+    @pandas_udf("array<struct<phrase:string,n:int>>")
+    def phr(texts: pd.Series) -> pd.Series:
         awp = spec.analyze_with_positions
-        return texts.map(lambda t: [(w, int(p))
-                                    for w, p in awp(t or "")])
+
+        def one(t):
+            tp = awp(t or "")
+            out = set()
+            for i, (w, p) in enumerate(tp):
+                if lo <= 1:
+                    out.add((w, 1))
+                cur = w
+                for n in range(2, hi + 1):
+                    j = i + n - 1
+                    if j >= len(tp) or tp[j][1] != p + n - 1:
+                        break
+                    cur = cur + " " + tp[j][0]
+                    if n >= lo:
+                        out.add((cur, n))
+            return list(out)
+
+        return texts.map(one)
 
     return (df.select(F.col(id_col).alias("doc_id"),
-                      F.explode(toks(F.col(text_col))).alias("t"))
-            .select("doc_id", F.col("t.term").alias("term"),
-                    F.col("t.pos").alias("pos")))
-
-
-def _phrases(toks: DataFrame, min_phrase_len: int,
-             max_phrase_len: int) -> DataFrame:
-    """(doc_id, phrase, n) once per doc: adjacent-position joins, so a
-    stopword hole breaks the phrase."""
-    parts = []
-    if min_phrase_len <= 1:
-        parts.append(toks.select("doc_id",
-                                 F.col("term").alias("phrase"),
-                                 F.lit(1).alias("n")))
-    cur = toks.select("doc_id", F.col("pos").alias("p0"),
-                      F.col("term").alias("phrase"))
-    for n in range(2, max_phrase_len + 1):
-        nxt = toks.select("doc_id", F.col("pos").alias("pn"),
-                          F.col("term").alias("tn"))
-        cur = (cur.join(nxt, ["doc_id"])
-               .filter(F.col("pn") == F.col("p0") + (n - 1))
-               .select("doc_id", "p0",
-                       F.concat_ws(" ", "phrase", "tn").alias("phrase")))
-        if n >= min_phrase_len:
-            parts.append(cur.select("doc_id", "phrase",
-                                    F.lit(n).alias("n")))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out.dropDuplicates(["doc_id", "phrase"])
+                      F.explode(phr(F.col(text_col))).alias("t"))
+            .select("doc_id", F.col("t.phrase").alias("phrase"),
+                    F.col("t.n").alias("n")))
 
 
 def stc_clusters(df: DataFrame, text_col: str = "text",
@@ -104,9 +102,8 @@ def stc_clusters(df: DataFrame, text_col: str = "text",
     Returns (label, n_docs, score, docs_csv) ordered score desc,
     label asc."""
     spark = df.sparkSession
-    member_all = _phrases(
-        _tokens_with_positions(df, text_col, id_col, analyzer),
-        min_phrase_len, max_phrase_len)
+    member_all = _phrases(df, text_col, id_col, analyzer,
+                          min_phrase_len, max_phrase_len).persist()
     base = (member_all.groupBy("phrase", "n")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") >= min_base_docs))
@@ -117,6 +114,7 @@ def stc_clusters(df: DataFrame, text_col: str = "text",
            .limit(max_base_clusters)
            .select("phrase", "df", "score").collect())
     if not top:
+        member_all.unpersist(blocking=False)
         docs = sorted(r["doc_id"]
                       for r in df.select(id_col).distinct().collect())
         return spark.createDataFrame(
@@ -188,5 +186,11 @@ def stc_clusters(df: DataFrame, text_col: str = "text",
              .filter(F.col("n_docs") > 0))
     out = clustered.select("label", "n_docs", "score", "docs_csv") \
         .unionAll(other.select("label", "n_docs", "score", "docs_csv"))
-    return (out.withColumn("n_docs", F.col("n_docs").cast("long"))
-            .orderBy(F.desc("score"), F.asc("label")))
+    # materialize eagerly (<= max_base_clusters + 1 tiny rows) so the
+    # persisted phrase table can be released before returning
+    rows = (out.withColumn("n_docs", F.col("n_docs").cast("long"))
+            .orderBy(F.desc("score"), F.asc("label")).collect())
+    member_all.unpersist(blocking=False)
+    return spark.createDataFrame(
+        rows, "label string, n_docs long, score double, docs_csv string"
+    ).orderBy(F.desc("score"), F.asc("label"))

@@ -91,16 +91,22 @@ def ord_source(searcher, field: str, reverse: bool = False) -> DataFrame:
     """OrdFieldSource / ReverseOrdFieldSource (lucene/queries/.../
     valuesource/OrdFieldSource.java, ReverseOrdFieldSource.java): the
     1-based ordinal of the doc's field value among the index-sorted
-    distinct values (rord = ordinal from the top). One dense_rank
-    window over the docs surface — a single shuffle, reused by every
-    consumer via join."""
+    distinct values (rord = ordinal from the top).
+
+    Scale shape: dense_rank is computed over the DISTINCT value table
+    only (cardinality = vocabulary of the field, the reference's
+    SortedDocValues ordinal dictionary), then broadcast-joined back to
+    the fact side — a global window over the full docs table would
+    single-partition-sort the corpus at 100 TB for the same answer."""
     from pyspark.sql import Window
 
     order = F.desc(field) if reverse else F.asc(field)
-    w = Window.orderBy(order)
-    return searcher._docs.select(
-        "doc_id", F.dense_rank().over(w).alias("ord")
-    )
+    vals = searcher._docs.select(field).distinct()
+    ordmap = vals.withColumn(
+        "ord", F.dense_rank().over(Window.orderBy(order)))
+    return searcher._docs.select("doc_id", field).join(
+        F.broadcast(ordmap), field
+    ).select("doc_id", "ord")
 
 
 def query_value_source(searcher, query_text: str,
