@@ -164,6 +164,8 @@ QUERY_NAMES = [
     # round-2h surface
     "langid_update",
     "qparser_dispatch",
+    "group_func_top2",
+    "fst_complete",
 ]
 
 

@@ -967,6 +967,16 @@ def q_suggest_complete(spark, sf_dir):
     return s.complete("s", n=5)
 
 
+def q_fst_complete(spark, sf_dir):
+    """FSTCompletionLookup (suggest/fst/FSTCompletionLookup.java):
+    completions ranked by equal-count weight BUCKET (10 buckets over
+    the weight-sorted dict, ties share their run's bucket) then term
+    asc, exact match first — the bucketed-discretization alternative
+    to AnalyzingSuggester's exact-weight order."""
+    s = get_searcher(spark, sf_dir)
+    return s.complete_bucketed("s", n=5, buckets=10)
+
+
 def q_term_vector_doc(spark, sf_dir):
     """TermVectorComponent (solr/core/.../component/
     TermVectorComponent.java): per-doc (term, tf, df) vectors for two
@@ -2489,6 +2499,33 @@ def q_update_chain(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_group_func(spark, sf_dir):
+    """Solr group.func (QueryComponent.java:213 setFunctions ->
+    Grouping.addFunctionCommand): groups keyed by a FUNCTION QUERY's
+    per-doc value instead of a field — here mod(doc_len,3) parsed by
+    the FunctionQParser surface — top-2 per group by the main query's
+    sort (score desc, doc_id asc), like the field-grouping collector
+    pair."""
+    from lucene_solr_spark.functions.funcparser import (
+        parse_function_query)
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_GROUPING, k=None)
+    gval = parse_function_query(
+        "mod(doc_len,3)", fields={"doc_len": F.col("doc_len")})
+    w = Window.partitionBy("gval").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    return (
+        hits.join(s.doc_stats().select("doc_id", "doc_len"), "doc_id")
+        .withColumn("gval", gval.cast("long"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select("gval", "rnk", "doc_id",
+                F.col("score").cast("double").alias("score"))
+        .orderBy("gval", "rnk")
+    )
+
+
 def q_langid_update(spark, sf_dir):
     """Solr langid contrib (solr/contrib/langid/.../
     LanguageIdentifierUpdateProcessor.java): detect over the text
@@ -3382,6 +3419,17 @@ SELECT b.doc_id,
             THEN 1.0 * 2.0 ELSE 1.0 END AS DOUBLE) AS boost
 FROM base b LEFT JOIN uq q USING (doc_id)
 ORDER BY doc_id
+"""
+    # group.func: function-valued group key, top-2 per group
+    o["group_func_top2"] = ORACLE_PRELUDE + f"""
+, hits AS (SELECT doc_id, s AS score FROM persc
+           WHERE term = '{Q_GROUPING}')
+SELECT gval, rnk, doc_id, CAST(score AS DOUBLE) AS score FROM (
+  SELECT CAST(d.doc_len % 3 AS BIGINT) AS gval, h.doc_id, h.score,
+         row_number() OVER (PARTITION BY d.doc_len % 3
+                            ORDER BY h.score DESC, h.doc_id ASC) AS rnk
+  FROM hits h JOIN dlen d USING (doc_id)
+) WHERE rnk <= 2 ORDER BY gval, rnk
 """
     # QParser plugin registry dispatch: each branch replays the
     # dispatched kernel's gated oracle shape, tagged by parser name
@@ -4667,6 +4715,22 @@ SELECT term, CAST(cf AS BIGINT) AS weight
 FROM tstats WHERE term LIKE 's%'
 ORDER BY weight DESC, term ASC LIMIT 5
 """
+    o["fst_complete"] = ORACLE_PRELUDE + """
+, tot AS (SELECT count(*) AS n FROM tstats),
+runs AS (SELECT cf, count(*) AS c FROM tstats GROUP BY cf),
+rm AS (
+  SELECT cf, COALESCE(SUM(c) OVER (ORDER BY cf
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run0
+  FROM runs
+)
+SELECT term,
+       CAST(floor(rm.run0 * 10.0 / tot.n) AS INT) AS bucket,
+       CAST(t.cf AS BIGINT) AS weight
+FROM tstats t JOIN rm USING (cf), tot
+WHERE term LIKE 's%'
+ORDER BY (CASE WHEN term = 's' THEN 1 ELSE 0 END) DESC,
+         bucket DESC, term ASC LIMIT 5
+"""
     o["term_vector_doc"] = ORACLE_PRELUDE + """
 SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
        CAST(ts.df AS BIGINT) AS df
@@ -4979,6 +5043,8 @@ QUERIES = {
     "update_chain_fields": q_update_chain,
     "langid_update": q_langid_update,
     "qparser_dispatch": q_qparser_dispatch,
+    "group_func_top2": q_group_func,
+    "fst_complete": q_fst_complete,
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,

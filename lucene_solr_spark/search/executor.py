@@ -53,7 +53,7 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
@@ -2053,6 +2053,56 @@ class IndexSearcher:
             .orderBy(F.desc("weight"), F.asc("term"))
             .limit(n)
         )
+
+    def complete_bucketed(self, prefix: str, n: int = 5,
+                          buckets: int = 10,
+                          exact_first: bool = True) -> DataFrame:
+        """FSTCompletionLookup semantics (lucene/suggest/.../fst/
+        FSTCompletionLookup.java:176-209 + FSTCompletion): weights are
+        DISCRETIZED into ``buckets`` equal-COUNT buckets over the
+        weight-sorted entry sequence — bucket = floor(line * buckets /
+        n_entries) with equal weights sharing the bucket of their first
+        line (:195-202) — and lookup orders by bucket desc then term
+        asc (class javadoc: "alphabetical within the bucket"), the
+        exact match promoted first when ``exact_first``
+        (FSTCompletion.checkExistingAndReorder).
+
+        Scale shape: with the dict sorted by (weight, term), a weight
+        run's first line = the count of strictly-smaller weights — so
+        the bucket needs only a cumulative count over the DISTINCT
+        weight values (a tiny window) broadcast-joined back; no global
+        row window over the vocabulary."""
+        toks = self.analyzer.analyze(prefix)
+        if not toks:
+            return self.spark.createDataFrame(
+                [], "term string, bucket int, weight long")
+        pre = toks[-1]
+        total = self._term_stats.count()
+        counts = self._term_stats.groupBy("cf").count()
+        w_cum = Window.orderBy(F.asc("cf")).rowsBetween(
+            Window.unboundedPreceding, -1)
+        runmap = counts.withColumn(
+            "run0",
+            F.coalesce(F.sum("count").over(w_cum), F.lit(0)))
+        ranked = (
+            self._term_stats.select("term", "cf")
+            .join(F.broadcast(runmap.select("cf", "run0")), "cf")
+            .withColumn(
+                "bucket",
+                (F.col("run0") * buckets / F.lit(total)).cast("int"))
+            .select("term", "bucket",
+                    F.col("cf").cast("long").alias("weight"))
+        )
+        cand = ranked.filter(F.col("term").startswith(pre))
+        order = [F.desc("bucket"), F.asc("term")]
+        if exact_first:
+            cand = cand.withColumn(
+                "ex", (F.col("term") == pre).cast("int"))
+            order = [F.desc("ex")] + order
+            return (cand.orderBy(*order).limit(n)
+                    .select("term", "bucket", "weight"))
+        return cand.orderBy(*order).limit(n) \
+            .select("term", "bucket", "weight")
 
     def suggest_fuzzy(
         self,

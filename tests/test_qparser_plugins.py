@@ -118,3 +118,22 @@ def test_unknown_parser_raises(spark, built):
     s = _searcher(spark, built)
     with pytest.raises(QueryParseError, match="unknown query parser"):
         solr_query(s, "{!nosuch}x")
+
+
+def test_fst_bucketed_completion(spark, built):
+    # FSTCompletionLookup: equal-count buckets over the weight-sorted
+    # dict; ties share their run's first-line bucket; exact first
+    s = _searcher(spark, built)
+    out = s.complete_bucketed("comm", n=10, buckets=10)
+    rows = out.collect()
+    assert rows
+    # bucket must be a deterministic function of weight: same weight
+    # -> same bucket across the candidate set
+    ranked = s.complete_bucketed("a", n=500, buckets=10).collect()
+    by_w = {}
+    for r in ranked:
+        by_w.setdefault(r.weight, set()).add(r.bucket)
+    assert all(len(v) == 1 for v in by_w.values())
+    # order: bucket desc then term asc (after the exact-first slot)
+    seq = [(r.bucket, r.term) for r in rows]
+    assert seq == sorted(seq, key=lambda t: (-t[0], t[1]))
