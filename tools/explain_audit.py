@@ -201,6 +201,31 @@ def main() -> None:
         ("doc-set join bounds counting", "Join" in plan),
     ]))
 
+    plan = fmt(QUERIES["langid_update"](spark, sf))
+    sections.append(("langid update processor (detect+resolve+map)", plan, [
+        ("pure codegen projection (no Python UDF)",
+         "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan),
+        ("single documents scan (detector + mapping fused)",
+         plan.count("Scan parquet  (") == 1),
+    ]))
+
+    from lucene_solr_spark.functions.valuesource import ord_source
+    plan = fmt(ord_source(s, "lang"))
+    sections.append(("ord/rord ValueSource (ordinal dictionary)", plan, [
+        ("ordinal map broadcast back to docs (no global sort of facts)",
+         "BroadcastExchange" in plan),
+        ("dense_rank only over the distinct-value table",
+         plan.count("Window (") == 1),
+    ]))
+
+    plan = fmt(s.complete_bucketed("s", n=5))
+    sections.append(("FSTCompletion bucketed lookup", plan, [
+        ("bucket map broadcast back to the dict",
+         "BroadcastExchange" in plan),
+        ("cumulative count only over distinct weights",
+         plan.count("Window (") == 1),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
