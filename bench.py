@@ -166,6 +166,7 @@ QUERY_NAMES = [
     "qparser_dispatch",
     "group_func_top2",
     "fst_complete",
+    "csv_loader",
 ]
 
 

@@ -2499,6 +2499,35 @@ def q_update_chain(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_csv_loader(spark, sf_dir):
+    """Solr CSV update loader (handler/loader/CSVLoaderBase.java):
+    quoted-field line parse (from_csv), skip= field, split->trim->map
+    adder order (f.excerpt.split with ' ' separator, f.lang.map
+    en:english de:deutsch), literal.batch constant — over CSV lines
+    synthesized deterministically from the documents table."""
+    from lucene_solr_spark.sources.csvloader import csv_loader
+
+    d = _documents(spark, sf_dir)
+    excerpt = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 6))
+    lines = d.select(
+        "doc_id",
+        F.concat_ws(
+            ",", "lang", "source", F.col("n_chars").cast("string"),
+            F.concat(F.lit('"'), excerpt, F.lit('"'))).alias("line"))
+    out = csv_loader(
+        lines, ["lang", "source", "n_chars", "excerpt"],
+        id_cols=["doc_id"], skip=["source"],
+        split=["excerpt"], split_sep={"excerpt": " "},
+        maps={"lang": [("en", "english"), ("de", "deutsch")]},
+        literals={"batch": "b1"})
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size("excerpt").cast("long").alias("n_words"),
+        F.element_at("excerpt", 1).alias("first_word"),
+        "batch").orderBy("doc_id")
+
+
 def q_group_func(spark, sf_dir):
     """Solr group.func (QueryComponent.java:213 setFunctions ->
     Grouping.addFunctionCommand): groups keyed by a FUNCTION QUERY's
@@ -3419,6 +3448,34 @@ SELECT b.doc_id,
             THEN 1.0 * 2.0 ELSE 1.0 END AS DOUBLE) AS boost
 FROM base b LEFT JOIN uq q USING (doc_id)
 ORDER BY doc_id
+"""
+    # CSV loader: line parse + skip/split/map/literal adder semantics
+    o["csv_loader"] = """
+WITH base AS (
+  SELECT doc_id, lang, source, n_chars,
+         array_to_string((string_split(text, ' '))[1:6], ' ')
+           AS excerpt
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         lang || ',' || source || ',' || CAST(n_chars AS VARCHAR)
+           || ',"' || excerpt || '"' AS line
+  FROM base
+),
+p AS (SELECT doc_id, string_split(line, ',') AS parts FROM l),
+w AS (SELECT doc_id, parts,
+             string_split(trim(parts[4], '"'), ' ') AS words
+      FROM p)
+SELECT doc_id,
+  CASE WHEN parts[1] = 'en' THEN 'english'
+       WHEN parts[1] = 'de' THEN 'deutsch'
+       ELSE parts[1] END AS lang,
+  CAST(parts[3] AS BIGINT) AS n_chars,
+  CAST(len(list_filter(words, x -> len(x) > 0)) AS BIGINT) AS n_words,
+  list_filter(words, x -> len(x) > 0)[1] AS first_word,
+  'b1' AS batch
+FROM w ORDER BY doc_id
 """
     # group.func: function-valued group key, top-2 per group
     o["group_func_top2"] = ORACLE_PRELUDE + f"""
@@ -5045,6 +5102,7 @@ QUERIES = {
     "qparser_dispatch": q_qparser_dispatch,
     "group_func_top2": q_group_func,
     "fst_complete": q_fst_complete,
+    "csv_loader": q_csv_loader,
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,
