@@ -167,6 +167,7 @@ QUERY_NAMES = [
     "group_func_top2",
     "fst_complete",
     "csv_loader",
+    "payload_near_top10",
 ]
 
 

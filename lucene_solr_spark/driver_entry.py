@@ -2499,6 +2499,34 @@ def q_update_chain(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_payload_near(spark, sf_dir):
+    """PayloadNearQuery top-10 (search/payloads/PayloadNearQuery.java
+    + AveragePayloadFunction): SpanNear(table, hash, slop=0, ordered)
+    over the delimited-payload field; per match freq += f32(1/3)
+    (sloppyFreq(end-start=2)) stepwise, payload average over both
+    matched positions; score = f32(BM25(freq) * payloadAvg)."""
+    from lucene_solr_spark.functions.payloads import (
+        payload_near_query, payload_positions)
+
+    s = get_searcher(spark, sf_dir)
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ann = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i: F.concat(
+                    x, F.lit("|"),
+                    ((i % PAYLOAD_MOD) + 1).cast("string")),
+            ),
+            " ",
+        ).alias("ann"),
+    )
+    pos = payload_positions(ann, text_col="ann")
+    ta, tb = Q_PHRASE.split()
+    return _topk_double(payload_near_query(s, pos, ta, tb, k=TOP_K))
+
+
 def q_csv_loader(spark, sf_dir):
     """Solr CSV update loader (handler/loader/CSVLoaderBase.java):
     quoted-field line parse (from_csv), skip= field, split->trim->map
@@ -3448,6 +3476,52 @@ SELECT b.doc_id,
             THEN 1.0 * 2.0 ELSE 1.0 END AS DOUBLE) AS boost
 FROM base b LEFT JOIN uq q USING (doc_id)
 ORDER BY doc_id
+"""
+    # PayloadNearQuery: adjacent-pair matches in whitespace-position
+    # space, stepwise-f32 freq fold (list_reduce), payload average
+    _THIRD = repr(float(F32(F32(1.0) / F32(3.0)))) + "e0"
+    _pna, _pnb = Q_PHRASE.split()
+    o["payload_near_top10"] = ORACLE_PRELUDE + f"""
+, ptokp AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term,
+         CAST((i - 1) % {PAYLOAD_MOD} + 1 AS FLOAT) AS payload
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, len(t) + 1)) AS i FROM docs0)
+  WHERE t[i] <> ''
+),
+pa AS (SELECT doc_id, pos, payload FROM ptokp WHERE term = '{_pna}'),
+pb AS (SELECT doc_id, pos, payload FROM ptokp WHERE term = '{_pnb}'),
+pm AS (SELECT pa.doc_id, pa.payload + pb.payload AS pp
+       FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+                      AND pb.pos = pa.pos + 1),
+pagg AS (SELECT doc_id, count(*) AS k,
+                sum(CAST(pp AS DOUBLE)) AS psum
+         FROM pm GROUP BY doc_id),
+pfreq AS (
+  SELECT k, list_reduce(
+      list_transform(range(1, CAST(k AS INT) + 1),
+                     x -> CAST({_THIRD} AS FLOAT)),
+      (x, y) -> CAST(x + y AS FLOAT)) AS freq
+  FROM (SELECT DISTINCT k FROM pagg)
+),
+pw AS (
+  SELECT CAST(CAST(
+      CAST(ln(1 + ((SELECT max_doc FROM coll) - ta.df + 0.5e0)
+                  / (ta.df + 0.5e0)) AS FLOAT)
+    + CAST(ln(1 + ((SELECT max_doc FROM coll) - tb.df + 0.5e0)
+                  / (tb.df + 0.5e0)) AS FLOAT)
+    AS FLOAT) * CAST({K1P1_LIT} AS FLOAT) AS FLOAT) AS wv
+  FROM (SELECT df FROM tstats WHERE term = '{_pna}') ta,
+       (SELECT df FROM tstats WHERE term = '{_pnb}') tb
+)
+SELECT g.doc_id,
+  CAST(CAST(
+    CAST(CAST((SELECT wv FROM pw) * f.freq AS FLOAT)
+         / CAST(f.freq + c.nrm AS FLOAT) AS FLOAT)
+    * CAST(g.psum / CAST(2 * g.k AS DOUBLE) AS FLOAT)
+  AS FLOAT) AS DOUBLE) AS score
+FROM pagg g JOIN pfreq f USING (k) JOIN cachev c USING (doc_id)
+ORDER BY score DESC, g.doc_id ASC LIMIT {TOP_K}
 """
     # CSV loader: line parse + skip/split/map/literal adder semantics
     o["csv_loader"] = """
@@ -5103,6 +5177,7 @@ QUERIES = {
     "group_func_top2": q_group_func,
     "fst_complete": q_fst_complete,
     "csv_loader": q_csv_loader,
+    "payload_near_top10": q_payload_near,
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,

@@ -114,3 +114,101 @@ def payload_term_query(searcher, payloads: DataFrame, term: str,
     out = joined.select("doc_id", score.alias("score")) \
         .orderBy(F.desc("score"), F.asc("doc_id"))
     return out if k is None else out.limit(k)
+
+
+def payload_positions(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", delimiter: str = "|"
+                      ) -> DataFrame:
+    """Position-level payload stream (doc_id, pos, term, payload):
+    the un-aggregated .pay-file analogue ``payload_table`` folds.
+    ``pos`` is the whitespace token index — the position space the
+    delimited-payload field defines."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    return toks.select(
+        "doc_id", "pos",
+        delimited_payload(F.col("tok"), delimiter).alias("tp"),
+    ).select("doc_id", "pos", F.col("tp.term").alias("term"),
+             F.col("tp.payload").alias("payload"))
+
+
+def payload_near_query(searcher, positions: DataFrame, term_a: str,
+                       term_b: str, k: Optional[int] = 10,
+                       max_matches: int = 4096) -> DataFrame:
+    """PayloadNearQuery, adjacent-ordered 2-clause shape
+    (search/payloads/PayloadNearQuery.java): SpanNear(a, b, slop=0,
+    ordered) where every match contributes
+
+      - freq += sloppyFreq(matchLength = end-start = 2) = f32(1/3)
+        (PayloadNearQuery.java setFreqCurrentDoc; BM25Similarity.java:
+        68-71, computeSlopFactor :246-247), accumulated STEPWISE in
+        float32 — reproduced by a driver-built k->freq fold table
+        broadcast-joined on the per-doc match count (with slop=0 the
+        greedy NearSpansOrdered enumeration equals the adjacent-pair
+        set, so the count is well-defined relationally);
+      - both positions' payloads into AveragePayloadFunction
+        (payloadScore/payloadsSeen, AveragePayloadFunction.java:30-37;
+        payload factor = the decoded float payload, the PayloadHelper
+        convention payload_term_query also uses).
+
+    score = f32(spanScore * payloadAvg) with spanScore the standard
+    BM25 chain over the fractional freq (weight = f32 idf-sum of both
+    clause terms, phrase-style).
+
+    Scale shape: two pushed-down position scans, one equi-join on
+    (doc_id, adjacent pos), one hash agg, two broadcast joins (fold
+    table, norm bytes). General n-clause/slop>0 shapes remain on the
+    spans kernel (search_spans) — this is the payload-scored fast
+    path."""
+    import numpy as np
+
+    from lucene_solr_spark.functions.bm25 import F32, K1_PLUS_1, idf
+
+    a = positions.filter(F.col("term") == term_a).select(
+        "doc_id", F.col("pos").alias("pa"),
+        F.col("payload").alias("pay_a"))
+    b = positions.filter(F.col("term") == term_b).select(
+        "doc_id", F.col("pos").alias("pb"),
+        F.col("payload").alias("pay_b"))
+    m = a.join(b, "doc_id").filter(F.col("pb") == F.col("pa") + 1)
+    agg = m.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum((F.col("pay_a") + F.col("pay_b")).cast("double"))
+        .alias("psum"),
+        (2 * F.count("pay_a")).alias("cnt"),
+    )
+
+    # k -> stepwise-f32 freq fold (k copies of f32(1/3))
+    inc = F32(F32(1.0) / F32(3.0))
+    acc = F32(0.0)
+    folds = []
+    for i in range(1, max_matches + 1):
+        acc = F32(acc + inc)
+        folds.append((i, float(acc)))
+    spark = positions.sparkSession
+    fmap = spark.createDataFrame(folds, "k long, freq float")
+
+    dfs = searcher._lookup_dfs(sorted({term_a, term_b}))
+    n = searcher.max_doc
+    w = F32(F32(idf(dfs.get(term_a, 0), n))
+            + F32(idf(dfs.get(term_b, 0), n)))
+    wv = float(F32(w * K1_PLUS_1))
+    cache_arr = F.array(*[F.lit(float(v)) for v in searcher.cache])
+    stats = searcher.doc_stats().select(
+        "doc_id",
+        F.element_at(cache_arr, F.col("norm_byte").cast("int") + 1)
+        .cast("float").alias("nrm"))
+
+    joined = (agg.join(F.broadcast(fmap), "k")
+              .join(stats, "doc_id"))
+    span_score = (
+        (F.lit(wv).cast("float") * F.col("freq")).cast("float")
+        / (F.col("freq") + F.col("nrm")).cast("float")
+    ).cast("float")
+    pay = (F.col("psum") / F.col("cnt").cast("double")).cast("float")
+    out = joined.select(
+        "doc_id", (span_score * pay).cast("float").alias("score")
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+    return out if k is None else out.limit(k)
