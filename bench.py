@@ -168,6 +168,7 @@ QUERY_NAMES = [
     "fst_complete",
     "csv_loader",
     "payload_near_top10",
+    "schema_copyfield",
 ]
 
 

@@ -2499,6 +2499,35 @@ def q_update_chain(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_schema_copyfield(spark, sf_dir):
+    """IndexSchema copyField + dynamic fields (solr/core/.../schema/
+    IndexSchema.java, CopyField.java): title and content copy into the
+    catch-all 'all' field (content limited to maxChars=64), and the
+    dynamic glob rule *_s -> attr_* substitutes the matched remainder
+    (lang_s -> attr_lang). Destinations are ordered value lists."""
+    from lucene_solr_spark.schema import IndexSchema
+
+    sch = IndexSchema(
+        fields={"title": "text", "content": "text", "all": "text"},
+        dynamic_fields={"*_s": "string", "attr_*": "string"},
+        copy_fields=[("title", "all"), ("content", "all", 64),
+                     ("*_s", "attr_*")],
+    )
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4))
+        .alias("title"),
+        F.col("text").alias("content"),
+        F.col("lang").alias("lang_s"))
+    out = sch.apply_copy_fields(d)
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "all").alias("all_text"),
+        F.size("all").alias("n_all"),
+        F.element_at("attr_lang", 1).alias("attr_lang"),
+    ).orderBy("doc_id")
+
+
 def q_payload_near(spark, sf_dir):
     """PayloadNearQuery top-10 (search/payloads/PayloadNearQuery.java
     + AveragePayloadFunction): SpanNear(table, hash, slop=0, ordered)
@@ -3476,6 +3505,20 @@ SELECT b.doc_id,
             THEN 1.0 * 2.0 ELSE 1.0 END AS DOUBLE) AS boost
 FROM base b LEFT JOIN uq q USING (doc_id)
 ORDER BY doc_id
+"""
+    # IndexSchema copyField/dynamic-field application
+    o["schema_copyfield"] = """
+WITH base AS (
+  SELECT doc_id,
+         array_to_string((string_split(text, ' '))[1:4], ' ') AS title,
+         text AS content, lang
+  FROM documents
+)
+SELECT doc_id,
+  title || ' ' || substr(content, 1, 64) AS all_text,
+  CAST(2 AS INT) AS n_all,
+  lang AS attr_lang
+FROM base ORDER BY doc_id
 """
     # PayloadNearQuery: adjacent-pair matches in whitespace-position
     # space, stepwise-f32 freq fold (list_reduce), payload average
@@ -5178,6 +5221,7 @@ QUERIES = {
     "fst_complete": q_fst_complete,
     "csv_loader": q_csv_loader,
     "payload_near_top10": q_payload_near,
+    "schema_copyfield": q_schema_copyfield,
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,
