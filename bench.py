@@ -169,6 +169,7 @@ QUERY_NAMES = [
     "csv_loader",
     "payload_near_top10",
     "schema_copyfield",
+    "function_ms_dist",
 ]
 
 

@@ -2499,6 +2499,34 @@ def q_update_chain(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_function_ms_dist(spark, sf_dir):
+    """ms()/dist()/sqedist() value sources (solr/search/
+    ValueSourceParser.java "ms"; function/distance Minkowski family):
+    millis-since-anchor, Manhattan dist(1,...) (integer power keeps
+    pow() out of libm-divergence territory — the p=2 path is gated in
+    tests), squared-euclidean — all one codegen projection over the
+    events table."""
+    from lucene_solr_spark.functions.funcparser import (
+        parse_function_query)
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    fields = {
+        "ts": F.col("ts"),
+        "anchor": F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        "value": F.col("value"),
+        "uid": F.col("user_id").cast("double"),
+    }
+    ms_col = parse_function_query("ms(ts,anchor)", fields)
+    d1 = parse_function_query("dist(1,value,uid,0,0)", fields)
+    sqe = parse_function_query("sqedist(value,uid,1,2)", fields)
+    return ev.select(
+        "event_id",
+        ms_col.cast("long").alias("ms_anchor"),
+        d1.cast("double").alias("dist1"),
+        sqe.cast("double").alias("sqe"),
+    ).orderBy("event_id")
+
+
 def q_schema_copyfield(spark, sf_dir):
     """IndexSchema copyField + dynamic fields (solr/core/.../schema/
     IndexSchema.java, CopyField.java): title and content copy into the
@@ -3505,6 +3533,18 @@ SELECT b.doc_id,
             THEN 1.0 * 2.0 ELSE 1.0 END AS DOUBLE) AS boost
 FROM base b LEFT JOIN uq q USING (doc_id)
 ORDER BY doc_id
+"""
+    # ms()/dist()/sqedist() value sources over events
+    o["function_ms_dist"] = """
+SELECT event_id,
+  epoch_ms(ts) - epoch_ms(TIMESTAMP '2024-01-01 00:00:00')
+    AS ms_anchor,
+  pow(abs(value - 0) + abs(CAST(user_id AS DOUBLE) - 0), 1.0)
+    AS dist1,
+  (value - 1) * (value - 1)
+    + (CAST(user_id AS DOUBLE) - 2) * (CAST(user_id AS DOUBLE) - 2)
+    AS sqe
+FROM events ORDER BY event_id
 """
     # IndexSchema copyField/dynamic-field application
     o["schema_copyfield"] = """
@@ -5222,6 +5262,7 @@ QUERIES = {
     "csv_loader": q_csv_loader,
     "payload_near_top10": q_payload_near,
     "schema_copyfield": q_schema_copyfield,
+    "function_ms_dist": q_function_ms_dist,
     "facet_intervals": q_facet_intervals,
     "facet_missing": q_facet_missing,
     "function_parser_top10": q_function_parser,

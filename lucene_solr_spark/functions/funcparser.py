@@ -57,9 +57,43 @@ def _nary(f):
     return g
 
 
+def _split_vectors(cols):
+    """dist/sqedist argument convention (ValueSourceParser
+    DistanceFunction parsing): the value sources split evenly into the
+    two points."""
+    if len(cols) < 2 or len(cols) % 2:
+        raise QueryParseError("dist needs an even number of sources")
+    n = len(cols) // 2
+    return list(zip(cols[:n], cols[n:]))
+
+
+def _ms(*args):
+    """ms() value source (ValueSourceParser.java "ms"): ms(a) = epoch
+    millis of a; ms(a,b) = a - b in millis. The 0-arg request-time
+    form needs a NOW binding — pass one via ``extra`` (the driver
+    contract pins repeatable plans, so there is no implicit clock)."""
+    if len(args) == 1:
+        return F.unix_millis(args[0].cast("timestamp"))
+    if len(args) == 2:
+        return (F.unix_millis(args[0].cast("timestamp"))
+                - F.unix_millis(args[1].cast("timestamp")))
+    raise QueryParseError("ms() takes 1 or 2 date args here")
+
+
 _FUNCS: Dict[str, Callable] = {
     "sum": _nary(lambda a, b: a + b),
     "sub": lambda a, b: a - b,
+    "ms": _ms,
+    # Minkowski distance family (ValueSourceParser "dist"/"sqedist",
+    # function/distance/*.java): power as the first source
+    "dist": lambda p, *cols: F.pow(
+        sum((F.abs(a - b) ** p
+             for a, b in _split_vectors(cols)),
+            F.lit(0.0)),
+        F.lit(1.0) / p),
+    "sqedist": lambda *cols: sum(
+        ((a - b) * (a - b) for a, b in _split_vectors(cols)),
+        F.lit(0.0)),
     "product": _nary(lambda a, b: a * b),
     "mul": _nary(lambda a, b: a * b),
     "div": lambda a, b: a / b,

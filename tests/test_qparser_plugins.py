@@ -137,3 +137,26 @@ def test_fst_bucketed_completion(spark, built):
     # order: bucket desc then term asc (after the exact-first slot)
     seq = [(r.bucket, r.term) for r in rows]
     assert seq == sorted(seq, key=lambda t: (-t[0], t[1]))
+
+
+def test_dist_sqedist_ms_functions(spark):
+    import math
+
+    from pyspark.sql import functions as F
+    from lucene_solr_spark.functions.funcparser import (
+        parse_function_query)
+
+    d = spark.createDataFrame([(3.0, 4.0)], "x double, y double")
+    fields = {"x": F.col("x"), "y": F.col("y")}
+    r = d.select(
+        parse_function_query("dist(2,x,y,0,0)", fields).alias("d2"),
+        parse_function_query("dist(1,x,y,0,0)", fields).alias("d1"),
+        parse_function_query("sqedist(x,y,0,0)", fields).alias("sq"),
+    ).collect()[0]
+    assert abs(r["d2"] - 5.0) < 1e-12     # euclidean 3-4-5
+    assert r["d1"] == 7.0                 # manhattan
+    assert r["sq"] == 25.0
+    import pytest
+    from lucene_solr_spark.search.queryparser import QueryParseError
+    with pytest.raises(QueryParseError):
+        parse_function_query("dist(2,x,y,0)", fields)  # odd sources
