@@ -2613,6 +2613,113 @@ def q_csv_loader(spark, sf_dir):
         "batch").orderBy("doc_id")
 
 
+def q_json_loader(spark, sf_dir):
+    """Solr JSON update loader (handler/loader/JsonLoader.java): one
+    update command per row — wrapped add with extended field values
+    and REPEATED doc keys (merge order reversed, parseDoc :413-426),
+    bare-doc add, and all four delete forms (string/array/id-map/
+    query-map, :181-293) — over payloads synthesized deterministically
+    from the documents table. The oracle re-parses the same wire
+    strings with DuckDB's JSON functions."""
+    from lucene_solr_spark.sources.jsonloader import json_update_loader
+
+    d = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 13
+    did = F.concat(F.lit("D"), F.col("doc_id").cast("string"))
+    did1 = F.concat(F.lit("D"), (F.col("doc_id") + 1).cast("string"))
+    add_payload = F.concat(
+        F.lit('{"add":{"doc":{"id":"'), did,
+        F.lit('","lang":"'), F.col("lang"),
+        F.lit('","tag":"'), F.col("lang"),
+        F.lit('","tag":"'), F.col("source"),
+        F.lit('","wc":{"boost":1.5,"value":'),
+        F.col("n_chars").cast("string"),
+        F.lit('}},"boost":'), (F.col("doc_id") % 3 + 1).cast("string"),
+        F.lit(',"overwrite":'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("false")),
+        F.lit(',"commitWithin":'), (F.col("doc_id") % 7).cast("string"),
+        F.lit("}}"))
+    bare_payload = F.concat(
+        F.lit('{"id":"'), did, F.lit('","lang":"'), F.col("lang"),
+        F.lit('","wc":'), F.col("n_chars").cast("string"), F.lit("}"))
+    payload = (
+        F.when(m == 0, F.concat(F.lit('{"delete":["'), did,
+                                F.lit('","'), did1, F.lit('"]}')))
+        .when(m == 1, F.concat(F.lit('{"delete":{"query":"lang:'),
+                               F.col("lang"), F.lit('"}}')))
+        .when(m == 2, F.concat(F.lit('{"delete":"'), did, F.lit('"}')))
+        .when(m == 3, bare_payload)
+        .otherwise(add_payload))
+    pay = d.select(F.col("doc_id").alias("rid"),
+                   payload.alias("payload"))
+    out = json_update_loader(
+        pay, {"id": "string", "lang": "string", "wc": "long",
+              "tag": "string"},
+        id_cols=["rid"], repeated_keys=["tag"])
+    return out.select(
+        "rid", "cmd", "id", "lang", "wc",
+        F.col("wc_boost").cast("double").alias("wc_boost"),
+        F.concat_ws("|", "tag").alias("tags"),
+        F.col("doc_boost").cast("double").alias("doc_boost"),
+        "overwrite",
+        F.col("commit_within").cast("long").alias("commit_within"),
+        "delete_id", "delete_query").orderBy("rid", "delete_id")
+
+
+def q_xml_loader(spark, sf_dir):
+    """Solr XML update loader (handler/loader/XMLLoader.java): classic
+    ``<add>``/``<doc>``/``<field>`` command documents — doc boost
+    attr, per-field boost, ``null="true"`` fields, repeated field
+    names in DOCUMENT order (addField :426, vs JsonLoader's reversed
+    merge), entity unescape, and ``<delete>`` with ``<id>``/
+    ``<query>`` children — over payloads synthesized deterministically
+    from the documents table; DuckDB regexp re-parse as oracle."""
+    from lucene_solr_spark.sources.xmlloader import xml_update_loader
+
+    d = _documents(spark, sf_dir)
+    m = F.col("doc_id") % 11
+    did = F.concat(F.lit("D"), F.col("doc_id").cast("string"))
+    did1 = F.concat(F.lit("D"), (F.col("doc_id") + 1).cast("string"))
+    add_payload = F.concat(
+        F.lit('<add overwrite="'),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("false")),
+        F.lit('" commitWithin="'), (F.col("doc_id") % 9).cast("string"),
+        F.lit('"><doc boost="'), (F.col("doc_id") % 4 + 1).cast("string"),
+        F.lit('"><field name="id">'), did,
+        F.lit('</field><field name="lang" boost="1.5">'), F.col("lang"),
+        F.lit('</field><field name="tag">'), F.col("lang"),
+        F.lit('</field><field name="tag">'), F.col("source"),
+        F.lit('</field><field name="nul" null="true">'), F.col("source"),
+        F.lit('</field><field name="wc">'),
+        F.col("n_chars").cast("string"),
+        F.lit("</field></doc></add>"))
+    payload = (
+        F.when(m == 0, F.concat(F.lit("<delete><id>"), did,
+                                F.lit("</id><id>"), did1,
+                                F.lit("</id></delete>")))
+        .when(m == 1, F.concat(F.lit("<delete><query>lang:"),
+                               F.col("lang"),
+                               F.lit("</query></delete>")))
+        .when(m == 2, F.lit('<commit waitSearcher="true"/>'))
+        .otherwise(add_payload))
+    pay = d.select(F.col("doc_id").alias("rid"),
+                   payload.alias("payload"))
+    out = xml_update_loader(
+        pay, {"id": "string", "lang": "string", "tag": "string",
+              "nul": "string", "wc": "long"},
+        id_cols=["rid"], multivalued=["tag"])
+    return out.select(
+        "rid", "cmd", "id", "lang",
+        F.col("lang_boost").cast("double").alias("lang_boost"),
+        F.concat_ws("|", "tag").alias("tags"), "nul", "wc",
+        F.col("doc_boost").cast("double").alias("doc_boost"),
+        "overwrite",
+        F.col("commit_within").cast("long").alias("commit_within"),
+        "delete_id", "delete_query").orderBy("rid", "delete_id")
+
+
 def q_group_func(spark, sf_dir):
     """Solr group.func (QueryComponent.java:213 setFunctions ->
     Grouping.addFunctionCommand): groups keyed by a FUNCTION QUERY's
@@ -3633,6 +3740,137 @@ SELECT doc_id,
   list_filter(words, x -> len(x) > 0)[1] AS first_word,
   'b1' AS batch
 FROM w ORDER BY doc_id
+"""
+    # JSON update loader: DuckDB re-parses the same synthesized wire
+    # payloads (json_extract for scalars/extended values, regexp for
+    # the repeated-key merge quirk, json_transform for delete arrays)
+    o["json_loader"] = """
+WITH pay AS (
+  SELECT doc_id AS rid, lang, source, n_chars,
+    CASE WHEN doc_id % 13 = 0 THEN
+           '{"delete":["D' || doc_id || '","D' || (doc_id+1) || '"]}'
+         WHEN doc_id % 13 = 1 THEN
+           '{"delete":{"query":"lang:' || lang || '"}}'
+         WHEN doc_id % 13 = 2 THEN '{"delete":"D' || doc_id || '"}'
+         WHEN doc_id % 13 = 3 THEN
+           '{"id":"D' || doc_id || '","lang":"' || lang
+             || '","wc":' || n_chars || '}'
+         ELSE '{"add":{"doc":{"id":"D' || doc_id || '","lang":"'
+             || lang || '","tag":"' || lang || '","tag":"' || source
+             || '","wc":{"boost":1.5,"value":' || n_chars
+             || '}},"boost":' || (doc_id % 3 + 1) || ',"overwrite":'
+             || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+             || ',"commitWithin":' || (doc_id % 7) || '}}'
+    END AS payload
+  FROM documents
+),
+parsed AS (
+  SELECT rid, payload,
+    CASE WHEN json_extract(payload,'$.add') IS NOT NULL THEN 'add'
+         WHEN json_extract(payload,'$.delete') IS NOT NULL
+           THEN 'delete'
+         WHEN json_extract(payload,'$.commit') IS NOT NULL
+           THEN 'commit'
+         ELSE 'add' END AS cmd,
+    COALESCE(json_extract(payload,'$.add.doc'),
+             CAST(payload AS JSON)) AS doc,
+    json_extract(payload,'$.delete') AS draw
+  FROM pay
+),
+flds AS (
+  SELECT rid, cmd,
+    json_extract_string(doc,'$.id') AS id,
+    json_extract_string(doc,'$.lang') AS lang,
+    CAST(COALESCE(json_extract(doc,'$.wc.value'),
+                  json_extract(doc,'$.wc')) AS BIGINT) AS wc,
+    COALESCE(CAST(json_extract(doc,'$.wc.boost') AS DOUBLE), 1.0)
+      AS wc_boost,
+    COALESCE(array_to_string(list_reverse(
+      regexp_extract_all(payload, '"tag":"([^"]*)"', 1)), '|'), '')
+      AS tags,
+    COALESCE(CAST(json_extract(payload,'$.add.boost') AS DOUBLE), 1.0)
+      AS doc_boost,
+    COALESCE(CAST(json_extract(payload,'$.add.overwrite') AS BOOLEAN),
+             true) AS overwrite,
+    CAST(COALESCE(CAST(json_extract(payload,'$.add.commitWithin')
+                       AS INTEGER), -1) AS BIGINT) AS commit_within,
+    json_extract_string(payload,'$.delete.query') AS delete_query,
+    CASE WHEN json_type(draw) = 'ARRAY'
+           THEN json_transform(draw,'["VARCHAR"]')
+         WHEN json_type(draw) = 'OBJECT'
+              AND json_extract(draw,'$.id') IS NOT NULL
+           THEN [json_extract_string(draw,'$.id')]
+         WHEN json_type(draw) = 'OBJECT' THEN CAST([] AS VARCHAR[])
+         WHEN draw IS NOT NULL
+           THEN [json_extract_string(payload,'$.delete')]
+         ELSE CAST([] AS VARCHAR[]) END AS dids
+  FROM parsed
+)
+SELECT rid, cmd, id, lang, wc, wc_boost, tags, doc_boost, overwrite,
+       commit_within,
+       unnest(CASE WHEN len(dids) > 0 THEN dids ELSE [NULL] END)
+         AS delete_id,
+       delete_query
+FROM flds ORDER BY rid, delete_id
+"""
+    # XML update loader: DuckDB regexp re-parse of the same wire
+    o["xml_loader"] = """
+WITH pay AS (
+  SELECT doc_id AS rid, lang, source, n_chars, doc_id % 11 AS m,
+    CASE WHEN doc_id % 11 = 0 THEN
+           '<delete><id>D' || doc_id || '</id><id>D' || (doc_id+1)
+             || '</id></delete>'
+         WHEN doc_id % 11 = 1 THEN
+           '<delete><query>lang:' || lang || '</query></delete>'
+         WHEN doc_id % 11 = 2 THEN '<commit waitSearcher="true"/>'
+         ELSE '<add overwrite="'
+           || CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END
+           || '" commitWithin="' || (doc_id % 9) || '"><doc boost="'
+           || (doc_id % 4 + 1) || '"><field name="id">D' || doc_id
+           || '</field><field name="lang" boost="1.5">' || lang
+           || '</field><field name="tag">' || lang
+           || '</field><field name="tag">' || source
+           || '</field><field name="nul" null="true">' || source
+           || '</field><field name="wc">' || n_chars
+           || '</field></doc></add>'
+    END AS payload
+  FROM documents
+),
+parsed AS (
+  SELECT rid, payload,
+    regexp_extract(payload,
+      '^\\s*<(add|delete|commit|optimize|rollback)', 1) AS cmd,
+    NULLIF(regexp_extract(payload,
+      '<field name="id">([^<]*)</field>', 1), '') AS id,
+    NULLIF(regexp_extract(payload,
+      '<field name="lang"[^>]*>([^<]*)</field>', 1), '') AS lang,
+    COALESCE(CAST(NULLIF(regexp_extract(payload,
+      '<field name="lang" boost="([^"]*)"', 1), '') AS DOUBLE), 1.0)
+      AS lang_boost,
+    COALESCE(array_to_string(regexp_extract_all(payload,
+      '<field name="tag">([^<]*)</field>', 1), '|'), '') AS tags,
+    CAST(NULL AS VARCHAR) AS nul,
+    CAST(NULLIF(regexp_extract(payload,
+      '<field name="wc">([^<]*)</field>', 1), '') AS BIGINT) AS wc,
+    COALESCE(CAST(NULLIF(regexp_extract(payload,
+      '<doc boost="([^"]*)"', 1), '') AS DOUBLE), 1.0) AS doc_boost,
+    COALESCE(CAST(NULLIF(regexp_extract(payload,
+      '<add[^>]* overwrite="([^"]*)"', 1), '') AS BOOLEAN), true)
+      AS overwrite,
+    CAST(COALESCE(CAST(NULLIF(regexp_extract(payload,
+      'commitWithin="([^"]*)"', 1), '') AS INTEGER), -1) AS BIGINT)
+      AS commit_within,
+    NULLIF(regexp_extract(payload, '<query>([^<]*)</query>', 1), '')
+      AS delete_query,
+    regexp_extract_all(payload, '<id>([^<]*)</id>', 1) AS dids
+  FROM pay
+)
+SELECT rid, cmd, id, lang, lang_boost, tags, nul, wc, doc_boost,
+       overwrite, commit_within,
+       unnest(CASE WHEN len(dids) > 0 THEN dids ELSE [NULL] END)
+         AS delete_id,
+       delete_query
+FROM parsed ORDER BY rid, delete_id
 """
     # group.func: function-valued group key, top-2 per group
     o["group_func_top2"] = ORACLE_PRELUDE + f"""
@@ -5260,6 +5498,8 @@ QUERIES = {
     "group_func_top2": q_group_func,
     "fst_complete": q_fst_complete,
     "csv_loader": q_csv_loader,
+    "json_loader": q_json_loader,
+    "xml_loader": q_xml_loader,
     "payload_near_top10": q_payload_near,
     "schema_copyfield": q_schema_copyfield,
     "function_ms_dist": q_function_ms_dist,

@@ -38,6 +38,8 @@ PIPELINE_ENTRIES = [
     "synonym_counts",
     "percolate_matches",
     "facet_date_range",
+    "json_loader",
+    "xml_loader",
 ]
 
 TABLES = [
