@@ -8083,6 +8083,52 @@ QUERIES["atomic_update_langs"] = q_atomic_update
 ORACLES["atomic_update_langs"] = _ATOMIC_SQL
 
 
+def q_realtime_get(spark, sf_dir):
+    """RealTimeGetComponent (solr/core/.../handler/component/
+    RealTimeGetComponent.java:96-180): point lookup by uniqueKey
+    returning the CURRENT stored document — the update-log-then-index
+    read path mapped onto the live-docs row store, so post-atomic-
+    update versions and the created-by-default doc are visible from
+    the appended generation while tombstoned old versions are not."""
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    d = _atomic_index(spark, sf_dir)
+    s = IndexSearcher(spark, d)
+    paths = s.snap.tables["docs"]
+    if not isinstance(paths, list):
+        paths = [paths]
+    docs = s._live(s.spark.read.parquet(*paths))
+    n = F.col("path").try_cast("long")
+    want = ((F.col("path") == "zzzcreated")
+            | (n % ATOMIC_MOD == 0) | (n % 103 == 1))
+    return (docs.filter(want)
+            .select("path", "lang", "content_sha256")
+            .orderBy("path"))
+
+
+_RTG_SQL = f"""
+WITH cur AS (
+  SELECT printf('%012d', doc_id) AS path,
+         CASE WHEN doc_id % {ATOMIC_MOD} = 0 THEN 'xx' ELSE lang END
+           AS lang,
+         CASE WHEN doc_id % {ATOMIC_MOD} = 0
+              THEN sha256(text || ' atomupdated')
+              ELSE sha256(text) END AS content_sha256,
+         doc_id
+  FROM documents
+  UNION ALL
+  SELECT 'zzzcreated', 'new', sha256('fresh atomupdated doc'), NULL
+)
+SELECT path, lang, content_sha256 FROM cur
+WHERE path = 'zzzcreated' OR doc_id % {ATOMIC_MOD} = 0
+   OR doc_id % 103 = 1
+ORDER BY path
+"""
+
+QUERIES["realtime_get"] = q_realtime_get
+ORACLES["realtime_get"] = _RTG_SQL
+
+
 # ---------------------------------------------------------------------------
 # IndexWriter.addIndexes / IndexMergeTool: two half-corpus indexes
 # merged by docID rebase must equal the single full index bit-for-bit
