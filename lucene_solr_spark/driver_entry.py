@@ -977,6 +977,48 @@ def q_fst_complete(spark, sf_dir):
     return s.complete_bucketed("s", n=5, buckets=10)
 
 
+def q_wfst_complete(spark, sf_dir):
+    """WFSTCompletionLookup (suggest/fst/WFSTCompletionLookup.java):
+    exact-weight completion — weight desc (cost asc shortest paths),
+    term asc ties, exact match first — vs fst_complete's bucketed
+    discretization of the same dict."""
+    s = get_searcher(spark, sf_dir)
+    return s.complete_wfst("s", n=5)
+
+
+_REPLICAS = {}
+
+
+def q_replication_top10(spark, sf_dir):
+    """Index replication (lucene/replicator: IndexRevision immutable
+    file set, IndexReplicationHandler publish-segments-last,
+    ReplicationClient incremental pull): replicate the committed
+    snapshot to a fresh directory and run the flagship term query ON
+    THE REPLICA — scores must be bit-identical to the source index's
+    gated term_query oracle, proving the copied revision is complete
+    and the manifest rewrite is loss-free."""
+    from lucene_solr_spark.replicator import replicate
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    get_searcher(spark, sf_dir)  # ensure the source index exists
+    key = os.path.realpath(sf_dir)
+    hit = _REPLICAS.get(key)
+    if hit is not None and hit[0] is spark:
+        s = hit[1]
+    else:
+        src = os.path.join(
+            tempfile.gettempdir(), "lss_entry_index",
+            os.path.basename(os.path.normpath(sf_dir)))
+        dst = src + "_replica"
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        replicate(src, dst)
+        s = IndexSearcher(spark, dst)
+        _REPLICAS[key] = (spark, s)
+    return _topk_double(s.search(Q_SINGLE, k=TOP_K))
+
+
 def q_term_vector_doc(spark, sf_dir):
     """TermVectorComponent (solr/core/.../component/
     TermVectorComponent.java): per-doc (term, tf, df) vectors for two
@@ -3240,6 +3282,8 @@ def _oracles() -> dict:
         "SELECT term, df, cf FROM tstats ORDER BY term"
     )
     o["term_query"] = oracle_topk_or([Q_SINGLE])
+    # replica must score bit-identically to the source index
+    o["replication_top10"] = oracle_topk_or([Q_SINGLE])
     o["bool_and"] = oracle_topk_and2(*Q_AND)
     o["bool_or"] = oracle_topk_or(Q_OR)
     o["bool_mm2"] = oracle_topk_or(Q_OR, mm=2)
@@ -5183,6 +5227,12 @@ WHERE term LIKE 's%'
 ORDER BY (CASE WHEN term = 's' THEN 1 ELSE 0 END) DESC,
          bucket DESC, term ASC LIMIT 5
 """
+    o["wfst_complete"] = ORACLE_PRELUDE + """
+SELECT term, CAST(cf AS BIGINT) AS weight
+FROM tstats WHERE term LIKE 's%'
+ORDER BY (CASE WHEN term = 's' THEN 1 ELSE 0 END) DESC,
+         weight DESC, term ASC LIMIT 5
+"""
     o["term_vector_doc"] = ORACLE_PRELUDE + """
 SELECT tf.doc_id, tf.term, CAST(tf.tf AS BIGINT) AS tf,
        CAST(ts.df AS BIGINT) AS df
@@ -5497,6 +5547,8 @@ QUERIES = {
     "qparser_dispatch": q_qparser_dispatch,
     "group_func_top2": q_group_func,
     "fst_complete": q_fst_complete,
+    "wfst_complete": q_wfst_complete,
+    "replication_top10": q_replication_top10,
     "csv_loader": q_csv_loader,
     "json_loader": q_json_loader,
     "xml_loader": q_xml_loader,
@@ -6569,6 +6621,254 @@ ORACLES["length_filter_terms"] = _LENGTH_SQL
 ORACLES["reversed_wildcard_docs"] = _REVERSED_SQL
 ORACLES["phonetic_codes"] = _PHONETIC_SQL
 ORACLES["strdist_edit"] = _STRDIST_SQL
+
+
+def _df_top(t, k=None):
+    """distinct (doc,term) -> (term, df) ordered df desc, term asc."""
+    u = t.dropDuplicates(["doc_id", "term"])
+    out = (u.groupBy("term")
+           .agg(F.count(F.lit(1)).cast("long").alias("df"))
+           .orderBy(F.desc("df"), F.asc("term")))
+    return out.limit(k) if k else out
+
+
+def q_pattern_tokenizer_terms(spark, sf_dir):
+    """PatternTokenizer (analysis/pattern/PatternTokenizer.java):
+    split mode (group=-1, tokens between matches of '[ aeiou]+',
+    empties dropped) and group mode (group 1 of every \\b(s[a-z]+)
+    match) — top-10 terms by df per mode."""
+    s = _df_top(_analyzer_terms(spark, sf_dir, "pattern_split"), TOP_K)
+    g = _df_top(_analyzer_terms(spark, sf_dir, "pattern_group_s"),
+                TOP_K)
+    return (s.select(F.lit("split").alias("mode"), "term", "df")
+            .unionAll(g.select(F.lit("group").alias("mode"),
+                               "term", "df"))
+            .orderBy("mode", F.desc("df"), "term"))
+
+
+def q_pattern_replace_terms(spark, sf_dir):
+    """PatternReplaceFilter (analysis/pattern/PatternReplaceFilter.
+    java): vowels -> '*' per token, replaceAll vs replaceFirst
+    (:74-76) — top-10 rewritten terms by df per mode."""
+    a = _df_top(_analyzer_terms(spark, sf_dir,
+                                "pattern_replace_vowel_all"), TOP_K)
+    f = _df_top(_analyzer_terms(spark, sf_dir,
+                                "pattern_replace_vowel_first"), TOP_K)
+    return (a.select(F.lit("all").alias("mode"), "term", "df")
+            .unionAll(f.select(F.lit("first").alias("mode"),
+                               "term", "df"))
+            .orderBy("mode", F.desc("df"), "term"))
+
+
+def q_keep_word_terms(spark, sf_dir):
+    """KeepWordFilter (miscellaneous/KeepWordFilter.java): inverse
+    stop filter over {hash,scan,merge,sort,join} — surviving df."""
+    return _df_top(
+        _analyzer_terms(spark, sf_dir, "keep_word_ops")
+    ).orderBy("term")
+
+
+def q_capitalization_terms(spark, sf_dir):
+    """CapitalizationFilter (miscellaneous/CapitalizationFilter.java,
+    default params): Upper-first + lower-rest per token — top-10."""
+    return _df_top(
+        _analyzer_terms(spark, sf_dir, "capitalization_ws"), TOP_K)
+
+
+def q_hyphen_roundtrip(spark, sf_dir):
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.
+    java): text is hyphen-broken deterministically (every 3+3-letter
+    run becomes 'abc- def'), then the filter re-joins consecutive
+    hyphen-ended tokens — the ROUND TRIP must reproduce the original
+    whitespace term stream exactly, which is what the oracle computes
+    without ever seeing the hyphenated form."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    spec = get_analyzer("hyphen_join_ws")
+
+    @pandas_udf("array<string>")
+    def toks(texts: pd.Series) -> pd.Series:
+        analyze = spec.analyze
+        return texts.map(lambda t: analyze(t or ""))
+
+    d = _documents(spark, sf_dir)
+    hy = F.regexp_replace("text", "([a-z]{3})([a-z]{3})", "$1- $2")
+    t = d.select("doc_id",
+                 F.explode(toks(hy)).alias("term"))
+    return _df_top(t, TOP_K)
+
+
+def q_trim_keyword(spark, sf_dir):
+    """TrimFilter over the KeywordAnalyzer chain (miscellaneous/
+    TrimFilter.java): the whole padded field is one token; trim
+    restores the original length."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    spec = get_analyzer("keyword_trim")
+
+    @pandas_udf("array<string>")
+    def toks(texts: pd.Series) -> pd.Series:
+        analyze = spec.analyze
+        return texts.map(lambda t: analyze(t or ""))
+
+    d = _documents(spark, sf_dir)
+    padded = F.concat(F.lit("  \t"), F.col("text"), F.lit(" \n "))
+    return (d.select("doc_id", F.explode(toks(padded)).alias("term"))
+            .select("doc_id",
+                    F.length("term").cast("long").alias("trimmed_len"))
+            .orderBy("doc_id"))
+
+
+_PATTERN_TOK_SQL = f"""
+WITH s AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '[ aeiou]+'))
+    AS term FROM documents
+),
+su AS (SELECT DISTINCT doc_id, term FROM s WHERE term <> ''),
+sc AS (SELECT 'split' AS mode, term, CAST(count(*) AS BIGINT) AS df
+       FROM su GROUP BY term ORDER BY df DESC, term LIMIT {TOP_K}),
+g AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\b(s[a-z]+)', 1))
+    AS term FROM documents
+),
+gu AS (SELECT DISTINCT doc_id, term FROM g WHERE term <> ''),
+gc AS (SELECT 'group' AS mode, term, CAST(count(*) AS BIGINT) AS df
+       FROM gu GROUP BY term ORDER BY df DESC, term LIMIT {TOP_K})
+SELECT * FROM sc UNION ALL SELECT * FROM gc
+ORDER BY mode, df DESC, term
+"""
+
+_PATTERN_REPL_SQL = f"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+a AS (SELECT DISTINCT doc_id,
+             regexp_replace(tok, '[aeiou]', '*', 'g') AS term
+      FROM w WHERE tok <> ''),
+ac AS (SELECT 'all' AS mode, term, CAST(count(*) AS BIGINT) AS df
+       FROM a GROUP BY term ORDER BY df DESC, term LIMIT {TOP_K}),
+f AS (SELECT DISTINCT doc_id,
+             regexp_replace(tok, '[aeiou]', '*') AS term
+      FROM w WHERE tok <> ''),
+fc AS (SELECT 'first' AS mode, term, CAST(count(*) AS BIGINT) AS df
+       FROM f GROUP BY term ORDER BY df DESC, term LIMIT {TOP_K})
+SELECT * FROM ac UNION ALL SELECT * FROM fc
+ORDER BY mode, df DESC, term
+"""
+
+_KEEP_WORD_SQL = """
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM w
+WHERE term IN ('hash', 'scan', 'merge', 'sort', 'join')
+GROUP BY term ORDER BY term
+"""
+
+_CAPITALIZATION_SQL = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         upper(substr(tok, 1, 1)) || lower(substr(tok, 2)) AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  WHERE tok <> ''
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM w
+GROUP BY term ORDER BY df DESC, term LIMIT {TOP_K}
+"""
+
+# the round-trip invariant: hyphen-join(hyphen-break(text)) == text's
+# original whitespace term stream
+_HYPHEN_SQL = f"""
+WITH w AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM w
+WHERE term <> ''
+GROUP BY term ORDER BY df DESC, term LIMIT {TOP_K}
+"""
+
+_TRIM_SQL = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS trimmed_len
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["pattern_tokenizer_terms"] = q_pattern_tokenizer_terms
+QUERIES["pattern_replace_terms"] = q_pattern_replace_terms
+QUERIES["keep_word_terms"] = q_keep_word_terms
+QUERIES["capitalization_terms"] = q_capitalization_terms
+QUERIES["hyphen_roundtrip"] = q_hyphen_roundtrip
+QUERIES["trim_keyword_len"] = q_trim_keyword
+ORACLES["pattern_tokenizer_terms"] = _PATTERN_TOK_SQL
+ORACLES["pattern_replace_terms"] = _PATTERN_REPL_SQL
+ORACLES["keep_word_terms"] = _KEEP_WORD_SQL
+ORACLES["capitalization_terms"] = _CAPITALIZATION_SQL
+ORACLES["hyphen_roundtrip"] = _HYPHEN_SQL
+ORACLES["trim_keyword_len"] = _TRIM_SQL
+
+
+def q_classic_types(spark, sf_dir):
+    """ClassicAnalyzer (analysis/standard/ClassicTokenizerImpl.jflex +
+    ClassicFilter.java): typed tokens over synthesized text carrying
+    every grammar production — ACRONYM dot-strip, COMPANY, EMAIL,
+    HOST (which also wins 'v1.N.2' over NUM by jflex rule order on
+    equal length), NUM (hyphen serials), APOSTROPHE 's-strip,
+    stopword drop — per-type token and distinct-term counts. The
+    oracle CONSTRUCTS the expected classified stream directly."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.classic import classic_analyze
+
+    @pandas_udf("array<struct<term:string,type:string>>")
+    def toks(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: [{"term": a, "type": b}
+                       for a, b in classic_analyze(t or "")])
+
+    d = _documents(spark, sf_dir)
+    ctext = F.concat(
+        F.col("lang"), F.lit(" U.S.A. "), F.col("source"),
+        F.lit("@mail.example.com x"), F.col("doc_id").cast("string"),
+        F.lit(" "), F.col("source"),
+        F.lit(".apache.org AT&T O'Reilly's v1."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(".2 the 1-800-"), F.col("doc_id").cast("string"))
+    t = d.select(F.explode(toks(ctext)).alias("tt")).select(
+        F.col("tt.term").alias("term"), F.col("tt.type").alias("type"))
+    return (t.groupBy("type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.count_distinct("term").cast("long").alias("nd"))
+            .orderBy("type"))
+
+
+_CLASSIC_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang AS term, '<ALPHANUM>' AS type FROM documents
+  UNION ALL SELECT doc_id, 'usa', '<ACRONYM>' FROM documents
+  UNION ALL SELECT doc_id, source || '@mail.example.com', '<EMAIL>'
+    FROM documents
+  UNION ALL SELECT doc_id, 'x' || doc_id, '<ALPHANUM>' FROM documents
+  UNION ALL SELECT doc_id, source || '.apache.org', '<HOST>'
+    FROM documents
+  UNION ALL SELECT doc_id, 'at&t', '<COMPANY>' FROM documents
+  UNION ALL SELECT doc_id, 'o''reilly', '<APOSTROPHE>' FROM documents
+  UNION ALL SELECT doc_id, 'v1.' || (doc_id % 10) || '.2', '<HOST>'
+    FROM documents
+  UNION ALL SELECT doc_id, '1-800-' || doc_id, '<NUM>' FROM documents
+)
+SELECT type, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT term) AS BIGINT) AS nd
+FROM toks GROUP BY type ORDER BY type
+"""
+
+QUERIES["classic_types"] = q_classic_types
+ORACLES["classic_types"] = _CLASSIC_SQL
 
 
 def q_wdf_subwords(spark, sf_dir):

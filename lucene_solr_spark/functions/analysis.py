@@ -825,3 +825,180 @@ def tokenize_series_positions(texts: Iterable[str]):
         toks_out.append(toks)
         pos_out.append(poss)
     return toks_out, pos_out
+
+
+# ---------------------------------------------------------------------------
+# Pattern pack (analysis/pattern/* + miscellaneous/*): PatternTokenizer,
+# PatternReplaceFilter, KeepWordFilter, TrimFilter, CapitalizationFilter,
+# HyphenatedWordsFilter — the remaining general-purpose token surface.
+# ---------------------------------------------------------------------------
+
+def pattern_tokenizer(pattern: str, group: int = -1):
+    """PatternTokenizer (analysis/pattern/PatternTokenizer.java):
+    group=-1 splits on the pattern (String.split semantics, zero-length
+    tokens dropped, :37-41,52); group>=0 emits that capture group of
+    every non-overlapping match (:42-49), zero-length tokens dropped."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    if group < 0:
+        def scan(text: str) -> List[str]:
+            return [t for t in rx.split(text) if t]
+    else:
+        def scan(text: str) -> List[str]:
+            return [m.group(group) for m in rx.finditer(text)
+                    if m.group(group)]
+    return scan
+
+
+def pattern_replace_post(pattern: str, replacement: str,
+                         replace_all: bool = True):
+    """PatternReplaceFilter (analysis/pattern/PatternReplaceFilter.java):
+    regex replace inside each token — replaceAll vs replaceFirst
+    (:74-76); empty result tokens are KEPT (:33-35). Replacement is a
+    plain string here (no $n backrefs), sidestepping the Java-vs-Python
+    backreference syntax split."""
+    import re as _re
+
+    rx = _re.compile(pattern)
+    n = 0 if replace_all else 1
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(rx.sub(replacement, t, count=n), p) for t, p in tp]
+
+    return post
+
+
+def keep_word_post(words):
+    """KeepWordFilter (miscellaneous/KeepWordFilter.java): the inverse
+    of StopFilter — only listed words survive; FilteringTokenFilter
+    keeps position holes for dropped tokens."""
+    kw = frozenset(words)
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(t, p) for t, p in tp if t in kw]
+
+    return post
+
+
+def trim_post():
+    """TrimFilter (miscellaneous/TrimFilter.java): strip leading and
+    trailing whitespace in place; a whitespace-only token becomes the
+    empty token and is KEPT (:50-53 returns true)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(t.strip(), p) for t, p in tp]
+
+    return post
+
+
+def capitalization_post(only_first_word: bool = True, keep=None,
+                        force_first_letter: bool = True,
+                        ok_prefix=(), min_word_length: int = 0,
+                        max_word_count: int = None,
+                        max_token_length: int = None):
+    """CapitalizationFilter (miscellaneous/CapitalizationFilter.java)
+    with the reference defaults: words inside a token split on
+    chars <= ' ' or '.' (:104-119); word 0 gets Upper-first +
+    lower-rest, later words all-lowercase when onlyFirstWord
+    (:133-139); keep-list words pass through (first letter still
+    forced upper when forceFirstLetter, :141-146); words shorter than
+    minWordLength untouched (:148-150); okPrefix words untouched
+    (:152-168); tokens with more than maxWordCount words or length
+    >= maxTokenLength left as-is (:100,121-123)."""
+    keep = frozenset(keep or ())
+    ok_prefix = tuple(ok_prefix)
+
+    def cap_word(w: str, word_count: int) -> str:
+        if only_first_word and word_count > 0:
+            return w.lower()
+        if w in keep:
+            if word_count == 0 and force_first_letter:
+                return w[0].upper() + w[1:]
+            return w
+        if len(w) < min_word_length:
+            return w
+        for pfx in ok_prefix:
+            if w.startswith(pfx):
+                return w
+        return w[0].upper() + w[1:].lower()
+
+    def cap_token(t: str) -> str:
+        if max_token_length is not None and len(t) >= max_token_length:
+            return t
+        words = []
+        cur = []
+        for c in t:
+            if c <= " " or c == ".":
+                if cur:
+                    words.append("".join(cur))
+                    cur = []
+                words.append(c)  # separator, re-emitted verbatim
+            else:
+                cur.append(c)
+        if cur:
+            words.append("".join(cur))
+        wc = 0
+        out = []
+        for w in words:
+            if len(w) == 1 and (w <= " " or w == "."):
+                out.append(w)
+            else:
+                out.append(cap_word(w, wc))
+                wc += 1
+        if max_word_count is not None and wc > max_word_count:
+            return t
+        return "".join(out)
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(cap_token(t), p) for t, p in tp]
+
+    return post
+
+
+def hyphenated_words_post():
+    """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java):
+    consecutive tokens ending in '-' accumulate (hyphen stripped) and
+    join with the next plain token into one token at the FIRST part's
+    position (:85-99); a stream ending mid-accumulation re-appends the
+    hyphen (:104-110 backwards-compat rule)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        buf = None
+        first_pos = 0
+        for t, p in tp:
+            if t and t[-1] == "-":
+                if buf is None:
+                    buf, first_pos = "", p
+                buf += t[:-1]
+            elif buf is not None:
+                out.append((buf + t, first_pos))
+                buf = None
+            else:
+                out.append((t, p))
+        if buf is not None:
+            out.append((buf + "-", first_pos))
+        return out
+
+    return post
+
+
+# pattern-split: tokens are the maximal runs BETWEEN spaces-and-vowels
+register_analyzer(AnalyzerSpec(
+    "pattern_split", pattern_tokenizer("[ aeiou]+"), False))
+# pattern-group: capture group 1 of every \b(s[a-z]+) match
+register_analyzer(AnalyzerSpec(
+    "pattern_group_s", pattern_tokenizer(r"\b(s[a-z]+)", 1), False))
+make_filtered_analyzer("pattern_replace_vowel_all", "whitespace",
+                       pattern_replace_post("[aeiou]", "*", True))
+make_filtered_analyzer("pattern_replace_vowel_first", "whitespace",
+                       pattern_replace_post("[aeiou]", "*", False))
+make_filtered_analyzer(
+    "keep_word_ops", "whitespace",
+    keep_word_post({"hash", "scan", "merge", "sort", "join"}))
+make_filtered_analyzer("capitalization_ws", "whitespace",
+                       capitalization_post())
+make_filtered_analyzer("hyphen_join_ws", "whitespace",
+                       hyphenated_words_post())
+make_filtered_analyzer("keyword_trim", "keyword", trim_post())

@@ -2104,6 +2104,34 @@ class IndexSearcher:
         return cand.orderBy(*order).limit(n) \
             .select("term", "bucket", "weight")
 
+    def complete_wfst(self, prefix: str, n: int = 5,
+                      exact_first: bool = True) -> DataFrame:
+        """WFSTCompletionLookup (lucene/suggest/.../fst/
+        WFSTCompletionLookup.java): EXACT-weight completion — cost =
+        Integer.MAX_VALUE - weight, Util.shortestPaths by cost asc
+        (:186) == weight desc with FST arc order (term asc) breaking
+        ties; the exact prefix match promoted first when exactFirst
+        (:174-184). The un-discretized sibling of complete_bucketed;
+        weight here = cf like the bucketed surface.
+
+        Scale shape: one pushdown-able prefix range filter on the
+        sorted term dict + a top-n; no window, no join."""
+        toks = self.analyzer.analyze(prefix)
+        if not toks:
+            return self.spark.createDataFrame(
+                [], "term string, weight long")
+        pre = toks[-1]
+        cand = (self._term_stats
+                .filter(F.col("term").startswith(pre))
+                .select("term", F.col("cf").cast("long")
+                        .alias("weight")))
+        order = [F.desc("weight"), F.asc("term")]
+        if exact_first:
+            cand = cand.withColumn(
+                "ex", (F.col("term") == pre).cast("int"))
+            order = [F.desc("ex")] + order
+        return cand.orderBy(*order).limit(n).select("term", "weight")
+
     def suggest_fuzzy(
         self,
         prefix: str,

@@ -39,14 +39,30 @@ def run(cpus: int, docs: int) -> dict:
     return json.loads(line)
 
 
+def best_of(cpus: int, docs: int, reps: int) -> dict:
+    """Max throughput over reps — co-tenant VM noise only ever SLOWS a
+    run, so the max is the least-noisy estimate of the machine's true
+    rate (same reasoning as `hyperfine --min`)."""
+    runs = [run(cpus, docs) for _ in range(reps)]
+    best = max(runs, key=lambda r: r["build_docs_per_sec"])
+    best["queries_per_sec"] = max(r["queries_per_sec"] for r in runs)
+    best["reps"] = reps
+    best["build_docs_per_sec_all"] = [
+        r["build_docs_per_sec"] for r in runs]
+    best["queries_per_sec_all"] = [r["queries_per_sec"] for r in runs]
+    return best
+
+
 def main() -> None:
     docs = int(os.environ.get("LSS_SCALE_DOCS", "327680"))
-    hi = run(N_HI, docs)   # first: generates the shared corpus if absent
-    lo = run(N_LO, docs)
+    reps = int(os.environ.get("LSS_SCALE_REPS", "1"))
+    hi = best_of(N_HI, docs, reps)  # first run generates shared corpus
+    lo = best_of(N_LO, docs, reps)
     build_eff = hi["build_docs_per_sec"] / (4 * lo["build_docs_per_sec"])
     query_eff = hi["queries_per_sec"] / (4 * lo["queries_per_sec"])
     result = {
         "n_docs": docs,
+        "reps_per_level": reps,
         f"local{N_LO}": lo,
         f"local{N_HI}": hi,
         "build_scaling_efficiency": round(build_eff, 3),
