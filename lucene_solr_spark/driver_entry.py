@@ -9193,3 +9193,422 @@ FROM sigs GROUP BY sig, md5sig ORDER BY sig
 
 QUERIES["signature_dedup"] = q_signature_dedup
 ORACLES["signature_dedup"] = _lookup3_walk_sql()
+
+
+def q_metaphone_codes(spark, sf_dir):
+    """PhoneticFilter with Metaphone (PhoneticFilterFactory.java
+    registry :48; functions/phonetic.py metaphone): the 4-char
+    commons-codec Metaphone code of every distinct corpus token. The
+    oracle replays the whole per-letter switch — initial-pair
+    transforms, duplicate skip, DGE triple consume, silent GH/GN,
+    TH->'0' — as a recursive-CTE walk in DuckDB."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.phonetic import metaphone
+
+    @pandas_udf("string")
+    def mp(terms: pd.Series) -> pd.Series:
+        return terms.map(metaphone)
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return vocab.select("term", mp("term").alias("code")) \
+        .orderBy("term")
+
+
+_METAPHONE_SQL = """
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+base AS (SELECT term, upper(term) AS W FROM vocab),
+loc AS (
+  SELECT term, W,
+    CASE
+      WHEN length(W) <= 1 THEN W
+      WHEN substr(W,1,2) IN ('AE','GN','KN','PN','WR') THEN substr(W,2)
+      WHEN substr(W,1,1) = 'X' THEN 'S' || substr(W,2)
+      WHEN substr(W,1,2) = 'WH' THEN 'W' || substr(W,3)
+      ELSE W END AS L
+  FROM base
+),
+walk AS (
+  SELECT term, L, 1 AS n, '' AS code FROM loc WHERE length(W) > 1
+  UNION ALL
+  SELECT term, L, n + adv, code || em FROM (
+    SELECT term, L, n, code,
+      CASE
+        WHEN s <> 'C' AND s = p THEN ''
+        WHEN s IN ('A','E','I','O','U')
+          THEN (CASE WHEN n = 1 THEN s ELSE '' END)
+        WHEN s = 'B'
+          THEN (CASE WHEN p = 'M' AND n = wl THEN '' ELSE 'B' END)
+        WHEN s = 'C' THEN (CASE
+            WHEN p = 'S' AND n < wl AND x1 IN ('E','I','Y') THEN ''
+            WHEN r3 = 'CIA' THEN 'X'
+            WHEN n < wl AND x1 IN ('E','I','Y') THEN 'S'
+            WHEN p = 'S' AND x1 = 'H' THEN 'K'
+            WHEN x1 = 'H' THEN (CASE
+                WHEN n = 1 AND wl >= 3
+                     AND substr(L,3,1) IN ('A','E','I','O','U')
+                THEN 'K' ELSE 'X' END)
+            ELSE 'K' END)
+        WHEN s = 'D' THEN (CASE
+            WHEN n + 1 <> wl AND x1 = 'G' AND x2 IN ('E','I','Y')
+            THEN 'J' ELSE 'T' END)
+        WHEN s = 'G' THEN (CASE
+            WHEN n + 1 = wl AND x1 = 'H' THEN ''
+            WHEN n + 1 < wl AND x1 = 'H'
+                 AND x2 NOT IN ('A','E','I','O','U') THEN ''
+            WHEN n > 1 AND (r2 = 'GN' OR r4 = 'GNED') THEN ''
+            WHEN x1 IN ('E','I','Y') AND p <> 'G' AND n <> wl THEN 'J'
+            ELSE 'K' END)
+        WHEN s = 'H' THEN (CASE
+            WHEN n = wl THEN ''
+            WHEN n > 1 AND p IN ('C','S','P','T','G') THEN ''
+            WHEN x1 IN ('A','E','I','O','U') THEN 'H'
+            ELSE '' END)
+        WHEN s IN ('F','J','L','M','N','R') THEN s
+        WHEN s = 'K' THEN (CASE WHEN n > 1 AND p = 'C' THEN ''
+                                ELSE 'K' END)
+        WHEN s = 'P' THEN (CASE WHEN x1 = 'H' THEN 'F' ELSE 'P' END)
+        WHEN s = 'Q' THEN 'K'
+        WHEN s = 'S' THEN (CASE WHEN r2 = 'SH' OR r3 IN ('SIO','SIA')
+                                THEN 'X' ELSE 'S' END)
+        WHEN s = 'T' THEN (CASE
+            WHEN r3 IN ('TIA','TIO') THEN 'X'
+            WHEN r3 = 'TCH' THEN ''
+            WHEN r2 = 'TH' THEN '0'
+            ELSE 'T' END)
+        WHEN s = 'V' THEN 'F'
+        WHEN s IN ('W','Y') THEN (CASE
+            WHEN n <> wl AND x1 IN ('A','E','I','O','U') THEN s
+            ELSE '' END)
+        WHEN s = 'X' THEN 'KS'
+        WHEN s = 'Z' THEN 'S'
+        ELSE '' END AS em,
+      CASE WHEN s = 'D' AND s <> p AND n + 1 <> wl AND x1 = 'G'
+                AND x2 IN ('E','I','Y')
+           THEN 3 ELSE 1 END AS adv
+    FROM (
+      SELECT term, L, n, code,
+        substr(L, n, 1) AS s,
+        CASE WHEN n > 1 THEN substr(L, n - 1, 1) ELSE '' END AS p,
+        substr(L, n + 1, 1) AS x1,
+        substr(L, n + 2, 1) AS x2,
+        substr(L, n, 2) AS r2, substr(L, n, 3) AS r3,
+        substr(L, n, 4) AS r4,
+        length(L) AS wl
+      FROM walk WHERE n <= length(L) AND length(code) < 4
+    )
+  )
+),
+fin AS (
+  SELECT term, substr(code, 1, 4) AS code,
+         row_number() OVER (PARTITION BY term ORDER BY n DESC) AS rn
+  FROM walk
+)
+SELECT term, code FROM fin WHERE rn = 1
+UNION ALL
+SELECT term, W AS code FROM loc WHERE length(W) <= 1
+ORDER BY term
+"""
+
+
+def q_cologne_codes(spark, sf_dir):
+    """PhoneticFilter with ColognePhonetic (PhoneticFilterFactory.java
+    registry :49; functions/phonetic.py cologne_phonetic): Koelner
+    Phonetik digit codes of every distinct corpus token; the oracle
+    replays the context-sensitive digit map + adjacent-duplicate
+    collapse + non-leading-zero strip as a recursive-CTE walk."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.phonetic import cologne_phonetic
+
+    @pandas_udf("string")
+    def cg(terms: pd.Series) -> pd.Series:
+        return terms.map(cologne_phonetic)
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return vocab.select("term", cg("term").alias("code")) \
+        .orderBy("term")
+
+
+_COLOGNE_SQL = """
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+base AS (
+  SELECT term, regexp_replace(upper(term), '[^A-Z]', '', 'g') AS L
+  FROM vocab
+),
+walk AS (
+  SELECT term, L, 1 AS n, '' AS acc FROM base WHERE length(L) > 0
+  UNION ALL
+  SELECT term, L, n + 1,
+         acc || (CASE WHEN d = '' THEN ''
+                      WHEN substr(d, 1, 1) = right(acc, 1)
+                      THEN substr(d, 2)
+                      ELSE d END)
+  FROM (
+    SELECT term, L, n, acc,
+      CASE
+        WHEN s IN ('A','E','I','J','O','U','Y') THEN '0'
+        WHEN s = 'B' THEN '1'
+        WHEN s = 'P' THEN (CASE WHEN x1 = 'H' THEN '3' ELSE '1' END)
+        WHEN s IN ('D','T') THEN (CASE WHEN x1 IN ('C','S','Z')
+                                       THEN '8' ELSE '2' END)
+        WHEN s IN ('F','V','W') THEN '3'
+        WHEN s IN ('G','K','Q') THEN '4'
+        WHEN s = 'C' THEN (CASE
+            WHEN n = 1 THEN (CASE
+                WHEN x1 IN ('A','H','K','L','O','Q','R','U','X')
+                THEN '4' ELSE '8' END)
+            WHEN p IN ('S','Z') THEN '8'
+            WHEN x1 IN ('A','H','K','O','Q','U','X') THEN '4'
+            ELSE '8' END)
+        WHEN s = 'X' THEN (CASE WHEN p IN ('C','K','Q') THEN '8'
+                                ELSE '48' END)
+        WHEN s = 'L' THEN '5'
+        WHEN s IN ('M','N') THEN '6'
+        WHEN s = 'R' THEN '7'
+        WHEN s IN ('S','Z') THEN '8'
+        ELSE '' END AS d
+    FROM (
+      SELECT term, L, n, acc, substr(L, n, 1) AS s,
+             CASE WHEN n > 1 THEN substr(L, n - 1, 1) ELSE '' END AS p,
+             substr(L, n + 1, 1) AS x1
+      FROM walk WHERE n <= length(L)
+    )
+  )
+),
+fin AS (
+  SELECT term, acc,
+         row_number() OVER (PARTITION BY term ORDER BY n DESC) AS rn
+  FROM walk
+)
+SELECT v.term,
+  COALESCE(CASE WHEN substr(f.acc, 1, 1) = '0'
+                THEN '0' || replace(substr(f.acc, 2), '0', '')
+                ELSE replace(f.acc, '0', '') END, '') AS code
+FROM vocab v
+LEFT JOIN (SELECT term, acc FROM fin WHERE rn = 1) f USING (term)
+ORDER BY term
+"""
+
+QUERIES["metaphone_codes"] = q_metaphone_codes
+QUERIES["cologne_codes"] = q_cologne_codes
+ORACLES["metaphone_codes"] = _METAPHONE_SQL
+ORACLES["cologne_codes"] = _COLOGNE_SQL
+
+
+def q_stem_control_terms(spark, sf_dir):
+    """Stemming-control chain (miscellaneous/StemmerOverrideFilter.java
+    dictionary stems, SetKeywordMarkerFilter.java protected words,
+    KeywordRepeatFilter.java original+stem at one position,
+    PorterStemFilter.java keyword-aware stemming,
+    RemoveDuplicatesTokenFilter.java same-position dedup): per-term df
+    over the whitespace chain with overrides {customer->client,
+    window->pane}, keywords {merge, query}, repeat=true. The oracle
+    replays the closed corpus vocabulary through a generated Porter
+    stem map (porter gates live in tests/test_porter.py) with the
+    same override/keyword/repeat fan-out; an unexpected token maps to
+    '??' so vocabulary drift fails loudly instead of passing."""
+    t = _analyzer_terms(spark, sf_dir, "stem_control_ws")
+    return _df_top(t).orderBy("term")
+
+
+def _stem_control_sql() -> str:
+    from lucene_solr_spark.functions.porter import porter_stem
+
+    vocab = ["a", "agg", "batch", "big", "column", "customer", "data",
+             "dup", "fast", "filter", "group", "hash", "join", "key",
+             "line", "merge", "order", "part", "query", "row", "scan",
+             "slow", "small", "sort", "spark", "stream", "table",
+             "the", "value", "vector", "window"]
+    overrides = {"customer": "client", "window": "pane"}
+    keywords = {"merge", "query"}
+    arms = []
+    for w in vocab:
+        if w in overrides:
+            outs = [overrides[w]]
+        elif w in keywords:
+            outs = [w]
+        else:
+            s = porter_stem(w)
+            outs = [w, s] if s != w else [w]
+        lst = ", ".join(f"'{o}'" for o in outs)
+        arms.append(f"WHEN '{w}' THEN [{lst}]")
+    case = "CASE t " + " ".join(arms) + " ELSE ['??'] END"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({case}) AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY term
+"""
+
+
+def q_limit_tokens(spark, sf_dir):
+    """LimitTokenCountFilter(5) and LimitTokenPositionFilter(3)
+    (miscellaneous/LimitTokenCountFilter.java consumeAllTokens=false,
+    LimitTokenPositionFilter.java): per-doc surviving token counts
+    under each limiter over the whitespace chain."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    c5 = get_analyzer("limit_count_5_ws")
+    p3 = get_analyzer("limit_pos_3_ws")
+
+    @pandas_udf("long")
+    def nc5(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(c5.analyze(t or "")))
+
+    @pandas_udf("long")
+    def np3(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(p3.analyze(t or "")))
+
+    d = _documents(spark, sf_dir)
+    return (d.select("doc_id", nc5("text").alias("n_limit_count"),
+                     np3("text").alias("n_limit_pos"))
+            .orderBy("doc_id"))
+
+
+_LIMIT_TOKENS_SQL = """
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS nt
+  FROM documents
+)
+SELECT doc_id, CAST(least(nt, 5) AS BIGINT) AS n_limit_count,
+       CAST(least(nt, 3) AS BIGINT) AS n_limit_pos
+FROM n ORDER BY doc_id
+"""
+
+QUERIES["stem_control_terms"] = q_stem_control_terms
+QUERIES["limit_tokens"] = q_limit_tokens
+ORACLES["stem_control_terms"] = _stem_control_sql()
+ORACLES["limit_tokens"] = _LIMIT_TOKENS_SQL
+
+
+def q_span_payload_check(spark, sf_dir):
+    """SpanPayloadCheckQuery (search/payloads/SpanPayloadCheckQuery.
+    java): the adjacent-ordered span (Q_PHRASE) filtered to matches
+    whose payload sequence is exactly (2, 3). Payloads are annotated
+    as (pos*(doc_id + pos)) % 5 + 1 — quadratic in pos, so adjacent
+    payloads are decorrelated and the expected sequence is NOT implied
+    by adjacency (unlike the pos%5 scheme payload_term uses); the
+    oracle replays the same annotation arithmetic relationally."""
+    from lucene_solr_spark.functions.payloads import (
+        payload_positions, span_payload_check)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    ann = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda x, i: F.concat(
+                    x, F.lit("|"),
+                    ((i * (F.col("doc_id") + i)) % 5 + 1)
+                    .cast("string")),
+            ),
+            " ",
+        ).alias("ann"),
+    )
+    pos = payload_positions(ann, text_col="ann")
+    ta, tb = Q_PHRASE.split()
+    return span_payload_check(pos, [(ta, 2), (tb, 3)])
+
+
+def _span_payload_check_sql() -> str:
+    ta, tb = Q_PHRASE.split()
+    return f"""
+WITH p AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term,
+         (i - 1) * (doc_id + i - 1) % 5 + 1 AS payload
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, len(t) + 1)) AS i FROM documents)
+  WHERE t[i] <> ''
+),
+a AS (SELECT doc_id, pos FROM p
+      WHERE term = '{ta}' AND payload = 2),
+b AS (SELECT doc_id, pos FROM p
+      WHERE term = '{tb}' AND payload = 3)
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS matches
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+QUERIES["span_payload_check_docs"] = q_span_payload_check
+ORACLES["span_payload_check_docs"] = _span_payload_check_sql()
+
+
+def q_multi_sim(spark, sf_dir):
+    """MultiSimilarity (similarities/MultiSimilarity.java): per-doc
+    score = stepwise-f32 SUM of the sub-similarities' scores
+    (MultiSimScorer.score :49-55), here BM25 + classic TFIDF over the
+    single-term query; norms come from sims[0] (computeNorm :33-35) —
+    both kernels read the shared byte315 norm, matching that contract.
+    Already dual-exec gated across 5 sub combos in
+    tests/test_engine_vs_oracle.py; this is the driver-gate surface."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search(Q_SINGLE, k=TOP_K, similarity="multi:bm25+classic"))
+
+
+def _multi_sim_sql() -> str:
+    fdec = """
+, fdec AS (
+  SELECT doc_id,
+    CAST(pow(2.0, floor(nb / 4) - 31) * (1 + (nb % 4) / 4.0e0) AS FLOAT)
+      AS f
+  FROM norms
+)
+"""
+    return ORACLE_PRELUDE + fdec + f"""
+, mcw AS (
+  SELECT term,
+    CAST(ln((SELECT max_doc FROM coll) / (df + 1.0e0)) + 1.0e0 AS FLOAT)
+      AS idfv
+  FROM tstats WHERE term = '{Q_SINGLE}'
+),
+mcval AS (
+  SELECT term,
+    CAST(CAST(idfv * CAST(1.0e0 / sqrt(CAST(CAST(idfv * idfv AS FLOAT)
+                                            AS DOUBLE)) AS FLOAT)
+              AS FLOAT) * idfv AS FLOAT) AS val
+  FROM mcw
+),
+mcls AS (
+  SELECT tf.doc_id,
+    CAST(CAST(CAST(sqrt(CAST(tf.tf AS DOUBLE)) AS FLOAT) * v.val
+              AS FLOAT) * fd.f AS FLOAT) AS s
+  FROM tf
+  JOIN mcval v ON tf.term = v.term
+  JOIN fdec fd ON tf.doc_id = fd.doc_id
+),
+mbm AS (
+  SELECT doc_id, s FROM persc WHERE term = '{Q_SINGLE}'
+)
+SELECT b.doc_id, CAST(CAST(b.s + c.s AS FLOAT) AS DOUBLE) AS score
+FROM mbm b JOIN mcls c ON b.doc_id = c.doc_id
+ORDER BY score DESC, b.doc_id ASC LIMIT 10
+"""
+
+QUERIES["multi_sim_top10"] = q_multi_sim
+ORACLES["multi_sim_top10"] = _multi_sim_sql()

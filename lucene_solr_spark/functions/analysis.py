@@ -1002,3 +1002,82 @@ make_filtered_analyzer("capitalization_ws", "whitespace",
 make_filtered_analyzer("hyphen_join_ws", "whitespace",
                        hyphenated_words_post())
 make_filtered_analyzer("keyword_trim", "keyword", trim_post())
+
+
+# ---------------------------------------------------------------------------
+# Stemming-control pack (miscellaneous/SetKeywordMarkerFilter.java,
+# StemmerOverrideFilter.java, KeywordRepeatFilter.java,
+# RemoveDuplicatesTokenFilter.java) and stream limits
+# (LimitTokenCountFilter.java, LimitTokenPositionFilter.java)
+# ---------------------------------------------------------------------------
+
+def stem_control_post(stem, keywords=(), overrides=None,
+                      repeat: bool = False):
+    """The canonical stemming-control chain composed into one stream
+    filter, in reference slot order: StemmerOverrideFilter (dictionary
+    stem + keyword flag, StemmerOverrideFilter.java:58-66) ->
+    SetKeywordMarkerFilter (flag only) -> KeywordRepeatFilter (emit the
+    keyword-marked original plus a stemmable copy at the SAME position,
+    KeywordRepeatFilter.java:45-60) -> stemmer (skips keyword-flagged
+    tokens, e.g. PorterStemFilter.java:51) ->
+    RemoveDuplicatesTokenFilter (drop a token equal to a previous one
+    at the same position, RemoveDuplicatesTokenFilter.java:49-65).
+    The keyword flag lives only inside this composition, so the
+    (term, position) stream contract is unchanged."""
+    kw = frozenset(keywords)
+    ov = dict(overrides or {})
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        for t, p in tp:
+            if t in ov:
+                out.append((ov[t], p))
+            elif t in kw:
+                out.append((t, p))
+            else:
+                s = stem(t)
+                if repeat and s != t:
+                    out.append((t, p))
+                    out.append((s, p))
+                else:
+                    out.append((s, p))
+        return out
+
+    return post
+
+
+def limit_token_count_post(max_tokens: int):
+    """LimitTokenCountFilter (consumeAllTokens=false default): the
+    stream ends after max_tokens emitted tokens."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return tp[:max_tokens]
+
+    return post
+
+
+def limit_token_position_post(max_position: int):
+    """LimitTokenPositionFilter: only tokens whose 1-based accumulated
+    position is <= max_position survive (positions here are 0-based,
+    so keep pos < max_position)."""
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(t, p) for t, p in tp if p < max_position]
+
+    return post
+
+
+from lucene_solr_spark.functions.porter import porter_stem as _porter  # noqa: E402
+
+make_filtered_analyzer(
+    "stem_control_ws", "whitespace",
+    stem_control_post(_porter, keywords={"merge", "query"},
+                      overrides={"customer": "client",
+                                 "window": "pane"},
+                      repeat=True))
+make_filtered_analyzer("limit_count_5_ws", "whitespace",
+                       limit_token_count_post(5),
+                       emits_overlaps=False)
+make_filtered_analyzer("limit_pos_3_ws", "whitespace",
+                       limit_token_position_post(3),
+                       emits_overlaps=False)

@@ -212,3 +212,35 @@ def payload_near_query(searcher, positions: DataFrame, term_a: str,
         "doc_id", (span_score * pay).cast("float").alias("score")
     ).orderBy(F.desc("score"), F.asc("doc_id"))
     return out if k is None else out.limit(k)
+
+
+def span_payload_check(positions: DataFrame, steps) -> DataFrame:
+    """SpanPayloadCheckQuery (search/payloads/SpanPayloadCheckQuery.java
+    + SpanPositionCheckQuery.java): accept only the spans of the
+    wrapped SpanQuery whose collected payloads EQUAL the expected
+    sequence, position by position (acceptPosition ==
+    checkCollectedPayloads, :79-95). ``steps`` is a list of
+    (term, expected_payload) — the adjacent-ordered SpanNear shape
+    (slop=0) the near kernel uses; a single step is the SpanTermQuery
+    form. Returns (doc_id, matches) for docs with >=1 accepted span —
+    the filter surface; payload SCORING chains are gated separately by
+    payload_term_query / payload_near_query.
+
+    Scale shape: one pushed-down scan per step (term + payload
+    equality both reach the position-stream scan), (len-1) equi-joins
+    on (doc_id, adjacent pos), one count agg; no UDF."""
+    first_term, first_pay = steps[0]
+    m = positions.filter(
+        (F.col("term") == first_term)
+        & (F.col("payload") == F.lit(float(first_pay)))
+    ).select("doc_id", F.col("pos").alias("p0"))
+    for i, (t, pay) in enumerate(steps[1:], start=1):
+        nxt = positions.filter(
+            (F.col("term") == t)
+            & (F.col("payload") == F.lit(float(pay)))
+        ).select("doc_id", F.col("pos").alias(f"p{i}"))
+        m = m.join(nxt, "doc_id").filter(
+            F.col(f"p{i}") == F.col(f"p{i-1}") + 1)
+    return (m.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("matches"))
+            .orderBy("doc_id"))

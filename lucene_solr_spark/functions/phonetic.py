@@ -220,3 +220,202 @@ def double_metaphone_post(max_len: int = 4, inject: bool = True):
         return out
 
     return post
+
+
+# commons-codec Metaphone (Lawrence Philips 1990, as implemented by
+# org.apache.commons.codec.language.Metaphone — PhoneticFilterFactory's
+# "Metaphone" registry entry). The quirks below are the commons
+# implementation's, kept verbatim (e.g. initial "CH" maps to K only
+# when the THIRD char is a vowel — so "CHRISTOPHER" starts with X).
+
+_FRONTV = frozenset("EIY")
+_VARSON = frozenset("CSPTG")
+_VOWELS = frozenset("AEIOU")
+# frozensets, not strings: "" in "EIY" is True (empty substring), and
+# context chars at word edges are "" — set membership is the safe test
+
+
+def metaphone(word: str, max_code_len: int = 4) -> str:
+    """Metaphone code, faithful to commons-codec Metaphone.metaphone():
+    1-char input returns its uppercase form; initial AE/GN/KN/PN/WR
+    drop the first letter, initial X becomes S, initial WH becomes W;
+    then the per-letter switch with duplicate-skip (except C), the
+    DGE/DGI/DGY triple consume, silent GH/GN/GNED, TCH, terminal MB,
+    and the TH -> '0' interdental marker; capped at max_code_len."""
+    if not word:
+        return ""
+    if len(word) == 1:
+        return word.upper()
+    w = word.upper()
+    c0, c1 = w[0], w[1]
+    if c0 in "KGP" and c1 == "N":
+        local = w[1:]
+    elif c0 == "A" and c1 == "E":
+        local = w[1:]
+    elif c0 == "W" and c1 == "R":
+        local = w[1:]
+    elif c0 == "W" and c1 == "H":
+        local = "W" + w[2:]
+    elif c0 == "X":
+        local = "S" + w[1:]
+    else:
+        local = w
+    wdsz = len(local)
+    code: List[str] = []
+    n = 0
+    while len(code) < max_code_len and n < wdsz:
+        s = local[n]
+        prev = local[n - 1] if n > 0 else ""
+        nxt = local[n + 1] if n + 1 < wdsz else ""
+        nxt2 = local[n + 2] if n + 2 < wdsz else ""
+        if s != "C" and s == prev:
+            n += 1
+            continue
+        if s in _VOWELS:
+            if n == 0:
+                code.append(s)
+        elif s == "B":
+            if not (prev == "M" and n == wdsz - 1):
+                code.append("B")
+        elif s == "C":
+            if prev == "S" and n < wdsz - 1 and nxt in _FRONTV:
+                pass  # SCE/SCI/SCY: C silent
+            elif local[n:n + 3] == "CIA":
+                code.append("X")
+            elif n < wdsz - 1 and nxt in _FRONTV:
+                code.append("S")
+            elif prev == "S" and nxt == "H":
+                code.append("K")
+            elif nxt == "H":
+                if n == 0 and wdsz >= 3 and local[2] in _VOWELS:
+                    code.append("K")
+                else:
+                    code.append("X")
+            else:
+                code.append("K")
+        elif s == "D":
+            if n + 1 != wdsz - 1 and nxt == "G" and nxt2 in _FRONTV:
+                code.append("J")
+                n += 2  # consume the G and the front vowel too
+            else:
+                code.append("T")
+        elif s == "G":
+            if n + 1 == wdsz - 1 and nxt == "H":
+                pass
+            elif n + 1 < wdsz - 1 and nxt == "H" and nxt2 not in _VOWELS:
+                pass
+            elif n > 0 and (local[n:n + 2] == "GN"
+                            or local[n:n + 4] == "GNED"):
+                pass
+            elif nxt in _FRONTV and prev != "G" and n != wdsz - 1:
+                code.append("J")
+            else:
+                code.append("K")
+        elif s == "H":
+            if n == wdsz - 1:
+                pass
+            elif n > 0 and prev in _VARSON:
+                pass
+            elif nxt in _VOWELS:
+                code.append("H")
+        elif s in "FJLMNR":
+            code.append(s)
+        elif s == "K":
+            if n == 0 or prev != "C":
+                code.append("K")
+        elif s == "P":
+            code.append("F" if nxt == "H" else "P")
+        elif s == "Q":
+            code.append("K")
+        elif s == "S":
+            if (local[n:n + 2] == "SH" or local[n:n + 3] == "SIO"
+                    or local[n:n + 3] == "SIA"):
+                code.append("X")
+            else:
+                code.append("S")
+        elif s == "T":
+            if local[n:n + 3] in ("TIA", "TIO"):
+                code.append("X")
+            elif local[n:n + 3] == "TCH":
+                pass
+            elif local[n:n + 2] == "TH":
+                code.append("0")
+            else:
+                code.append("T")
+        elif s == "V":
+            code.append("F")
+        elif s in "WY":
+            if n != wdsz - 1 and nxt in _VOWELS:
+                code.append(s)
+        elif s == "X":
+            code.append("K")
+            code.append("S")
+        elif s == "Z":
+            code.append("S")
+        n += 1
+    return "".join(code)[:max_code_len]
+
+
+# Koelner Phonetik (Hans Joachim Postel 1969) as implemented by
+# commons-codec ColognePhonetic — PhoneticFilterFactory's
+# "ColognePhonetic" registry entry. Batch form: map every letter to its
+# digit string with 1-letter context, collapse adjacent equal digits,
+# then drop every non-leading '0'.
+
+_COLOGNE_INITIAL_C = frozenset("AHKLOQRUX")   # C at word start followed by these -> 4
+_COLOGNE_INNER_C = frozenset("AHKOQUX")       # C elsewhere followed by these -> 4
+
+
+def _cologne_digit(s: str, prev: str, nxt: str, first: bool) -> str:
+    if s in "AEIJOUY":
+        return "0"
+    if s == "B":
+        return "1"
+    if s == "P":
+        return "3" if nxt == "H" else "1"
+    if s in "DT":
+        return "8" if nxt in ("C", "S", "Z") else "2"
+    if s in "FVW":
+        return "3"
+    if s in "GKQ":
+        return "4"
+    if s == "C":
+        if first:
+            return "4" if nxt in _COLOGNE_INITIAL_C else "8"
+        if prev in ("S", "Z"):
+            return "8"
+        return "4" if nxt in _COLOGNE_INNER_C else "8"
+    if s == "X":
+        return "8" if prev in ("C", "K", "Q") else "48"
+    if s == "L":
+        return "5"
+    if s in "MN":
+        return "6"
+    if s == "R":
+        return "7"
+    if s in "SZ":
+        return "8"
+    return ""  # H: transparent, no digit
+
+
+def cologne_phonetic(word: str) -> str:
+    """ColognePhonetic code: umlauts fold to their base vowel, other
+    non-letters are dropped BEFORE the walk (so context letters are
+    the cleaned neighbors, matching the commons preprocess)."""
+    w = (word.upper().replace("Ä", "A").replace("Ö", "O")
+         .replace("Ü", "U").replace("ß", "S"))
+    letters = [c for c in w if "A" <= c <= "Z"]
+    raw: List[str] = []
+    for i, c in enumerate(letters):
+        prev = letters[i - 1] if i > 0 else ""
+        nxt = letters[i + 1] if i + 1 < len(letters) else ""
+        d = _cologne_digit(c, prev, nxt, i == 0)
+        for ch in d:
+            if not raw or raw[-1] != ch:
+                raw.append(ch)
+            else:
+                # adjacent duplicate collapses, but stays the context
+                raw[-1] = ch
+    if not raw:
+        return ""
+    return raw[0] + "".join(c for c in raw[1:] if c != "0")
