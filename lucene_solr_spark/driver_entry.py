@@ -9612,3 +9612,80 @@ ORDER BY score DESC, b.doc_id ASC LIMIT 10
 
 QUERIES["multi_sim_top10"] = q_multi_sim
 ORACLES["multi_sim_top10"] = _multi_sim_sql()
+
+
+def q_perfield_sim(spark, sf_dir):
+    """PerFieldSimilarityWrapper (similarities/
+    PerFieldSimilarityWrapper.java): get(field) picks the SimScorer
+    per field — here title scores with classic TFIDF while content
+    keeps BM25, composed by a one-clause dismax (tie=0.2) so both
+    field chains contribute through the DisjunctionMaxScorer f32 fold
+    (max + (sum-max)*tie). Each leg is the field searcher's own gated
+    scoring kernel over that field's stats and norms."""
+    from lucene_solr_spark.search.multifield import MultiFieldSearcher
+
+    mfs = MultiFieldSearcher(
+        {"title": get_title_searcher(spark, sf_dir),
+         "content": get_searcher(spark, sf_dir)},
+        similarities={"title": "classic"})
+    return _topk_double(mfs.edismax(
+        Q_SINGLE, qf={"title": 1.0, "content": 1.0}, tie=0.2,
+        k=TOP_K))
+
+
+def _perfield_sim_sql() -> str:
+    import numpy as np
+    tie_lit = repr(float(np.float32(0.2)))
+    return ORACLE_PRELUDE + _title_ctes() + f"""
+, pfcw AS (
+  SELECT term,
+    CAST(ln((SELECT max_doc FROM tcoll) / (df + 1.0e0)) + 1.0e0
+         AS FLOAT) AS idfv
+  FROM ttstats WHERE term = '{Q_SINGLE}'
+),
+pfcval AS (
+  SELECT term,
+    CAST(CAST(idfv * CAST(1.0e0 / sqrt(CAST(CAST(idfv * idfv AS FLOAT)
+                                            AS DOUBLE)) AS FLOAT)
+              AS FLOAT) * idfv AS FLOAT) AS val
+  FROM pfcw
+),
+pffdec AS (
+  SELECT doc_id,
+    CAST(pow(2.0, floor(nb / 4) - 31) * (1 + (nb % 4) / 4.0e0)
+         AS FLOAT) AS f
+  FROM tnorms
+),
+pftitle AS (
+  SELECT tt.doc_id,
+    CAST(CAST(CAST(sqrt(CAST(tt.tf AS DOUBLE)) AS FLOAT) * v.val
+              AS FLOAT) * fd.f AS FLOAT) AS s
+  FROM ttf tt
+  JOIN pfcval v ON tt.term = v.term
+  JOIN pffdec fd ON tt.doc_id = fd.doc_id
+),
+pfbody AS (
+  SELECT doc_id, s FROM persc WHERE term = '{Q_SINGLE}'
+),
+pfj AS (
+  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, a.s AS s0, b.s AS s1
+  FROM pftitle a FULL OUTER JOIN pfbody b ON a.doc_id = b.doc_id
+),
+pfd AS (
+  SELECT doc_id,
+    CASE WHEN s0 IS NULL THEN s1 ELSE
+         CASE WHEN s1 IS NULL THEN s0 ELSE greatest(s0, s1) END
+    END AS mx,
+    CAST(COALESCE(s0, CAST(0 AS FLOAT)) + COALESCE(s1, CAST(0 AS FLOAT))
+         AS FLOAT) AS acc
+  FROM pfj
+)
+SELECT doc_id,
+  CAST(CAST(mx + CAST(CAST(acc - mx AS FLOAT) * CAST({tie_lit} AS FLOAT)
+                      AS FLOAT) AS FLOAT) AS DOUBLE) AS score
+FROM pfd
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+QUERIES["perfield_sim_top10"] = q_perfield_sim
+ORACLES["perfield_sim_top10"] = _perfield_sim_sql()

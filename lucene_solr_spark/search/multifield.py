@@ -60,10 +60,18 @@ class MultiFieldSearcher:
     insertion order = clause order (DisjunctionMaxQuery sub-scorer
     order, hence f32 accumulation order)."""
 
-    def __init__(self, searchers: Dict[str, "IndexSearcher"]):
+    def __init__(self, searchers: Dict[str, "IndexSearcher"],
+                 similarities: Optional[Dict[str, str]] = None):
         if not searchers:
             raise ValueError("at least one field searcher required")
         self.searchers = dict(searchers)
+        # PerFieldSimilarityWrapper (similarities/
+        # PerFieldSimilarityWrapper.java): get(field) selects the
+        # SimScorer per field; fields absent from the map use the
+        # default (BM25). Non-default legs run through the search()
+        # similarity seam, which supports single-term unboosted
+        # clauses — wider shapes raise rather than silently mis-score.
+        self.similarities = dict(similarities or {})
         self.spark = next(iter(searchers.values())).spark
 
     # -- field-routed single-field query (MultiFieldQueryParser's
@@ -83,6 +91,14 @@ class MultiFieldSearcher:
         toks = s.analyzer.analyze(word)
         if not toks:
             return None
+        sim = self.similarities.get(field)
+        if sim is not None and sim != "bm25":
+            if phrase or len(toks) != 1 or boost != 1.0:
+                raise NotImplementedError(
+                    "per-field similarity legs support single-term "
+                    "unboosted clauses (PerFieldSimilarityWrapper "
+                    "composition scope)")
+            return s.search(toks[0], k=None, similarity=sim)
         if phrase:
             q = '"' + " ".join(toks) + '"'
         else:
