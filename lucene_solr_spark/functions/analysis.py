@@ -120,12 +120,16 @@ _SPLIT_TABLE = {
     i: " " for i in range(128) if chr(i) not in set(_WORDCHARS + _MIDCHARS)
 }
 _DEL_WORDCHARS = {ord(c): None for c in _WORDCHARS}
+# mid-punct presence test: post-split chunks contain only word+mid chars,
+# so a single compiled-regex search is equivalent to (and ~3x faster
+# than) the old per-chunk translate(_DEL_WORDCHARS) delete-test
+_HAS_MID = _stdre.compile(r"[.,:;']").search
 
 
 def _findall_ascii(text: str) -> List[str]:
     out: List[str] = []
     for p in text.translate(_SPLIT_TABLE).split():
-        if p.translate(_DEL_WORDCHARS):
+        if _HAS_MID(p):
             out.extend(_ASCII_FINDALL(p))  # has mid-punctuation
         elif p.strip("_"):
             out.append(p)  # pure word chars with >=1 alnum: one token
@@ -151,8 +155,16 @@ def tokenize(text: str) -> List[str]:
 def analyze(text: str) -> List[str]:
     """Full chain: tokenize -> lowercase -> stop-filter. Returned list
     length == norm field length (emitted-token count)."""
+    if text.isascii():
+        # ASCII lower() is 1:1 and the ASCII grammar is case-symmetric,
+        # so lowercasing the whole doc in one C pass yields boundaries,
+        # lengths and tokens identical to per-token lower()
+        return [
+            t for t in _findall_ascii(text.lower())
+            if len(t) <= MAX_TOKEN_LENGTH and t not in STOPWORDS
+        ]
     out = []
-    for t in findall_tokens(text):
+    for t in TOKEN_PATTERN.findall(text):
         if len(t) > MAX_TOKEN_LENGTH:
             continue  # skipped, still advances position; length unaffected
         t = t.lower()
@@ -166,9 +178,15 @@ def analyze_with_positions(text: str) -> List[Tuple[str, int]]:
     (StopFilter.java:124-127) and over-long tokens advancing position
     (StandardTokenizer.java:156-167). Used by the phrase-capable tier
     and by analyzer golden-vector tests."""
+    if text.isascii():
+        return [
+            (t, pos)
+            for pos, t in enumerate(_findall_ascii(text.lower()))
+            if len(t) <= MAX_TOKEN_LENGTH and t not in STOPWORDS
+        ]
     out = []
     pos = -1
-    for t in findall_tokens(text):
+    for t in TOKEN_PATTERN.findall(text):
         pos += 1  # every recognized token advances position by 1
         if len(t) > MAX_TOKEN_LENGTH:
             continue

@@ -78,17 +78,19 @@ def _pack_block(values: np.ndarray) -> bytes:
         v = int(values[0])
         width = max(v.bit_length(), 1)
         return bytes([width]) + v.to_bytes((width + 7) // 8, "little")
-    if (values == values[0]).all():
-        return bytes([ALL_EQUAL]) + values[0].astype("<u8").tobytes()
-    vmax = int(values.max())
-    width = max(vmax.bit_length(), 1)
+    # one array->list conversion up front; list.count / max() are
+    # C-speed and beat numpy reductions at block sizes <=128
+    vals = values.tolist()
+    if vals.count(vals[0]) == n:
+        return bytes([ALL_EQUAL]) + int(vals[0]).to_bytes(8, "little")
+    width = max(max(vals).bit_length(), 1)
     if n * width <= 1024:
         # LSB-first concatenation via one big Python int — identical
         # bit layout to packbits(..., bitorder="little")
         big = 0
         shift = 0
-        for v in values.tolist():
-            big |= int(v) << shift
+        for v in vals:
+            big |= v << shift
             shift += width
         return bytes([width]) + big.to_bytes((shift + 7) // 8, "little")
     # (n, width) bit matrix, bit j of value i at [i, j] (LSB first)

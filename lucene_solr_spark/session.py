@@ -64,6 +64,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("LSS_DRIVER_MEM", "24g"))
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.ui.enabled", "false")
+        # UI off by default (saves driver memory/port churn in tests);
+        # LSS_UI=1 turns it on so profiling runs can read the REST
+        # stage-metrics API (tools/profile_stages.py)
+        .config("spark.ui.enabled", os.environ.get("LSS_UI", "false"))
     )
     return builder.getOrCreate()
