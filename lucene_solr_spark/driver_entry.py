@@ -9689,3 +9689,54 @@ ORDER BY score DESC, doc_id ASC LIMIT 10
 
 QUERIES["perfield_sim_top10"] = q_perfield_sim
 ORACLES["perfield_sim_top10"] = _perfield_sim_sql()
+
+
+# ---------------------------------------------------------------------------
+# CheckIndex: distributed index-integrity audit
+# ---------------------------------------------------------------------------
+
+def q_check_index(spark, sf_dir):
+    """CheckIndex (index/CheckIndex.java testTerms ~:560-980) surfaced
+    as a gated query: run the full distributed audit (codec decode,
+    term-stats recount, collection stats, norms recompute, doc-key
+    uniqueness, per-doc length recount — checkindex.py) and report its
+    total violation count ALONGSIDE the index's corpus-level totals
+    (docs / postings / tokens / distinct terms). The oracle recomputes
+    those totals from the raw source corpus in DuckDB, so a green row
+    certifies BOTH internal consistency (violations == 0) and that the
+    inverted index accounts for exactly the source corpus' token
+    stream end to end."""
+    from lucene_solr_spark.checkindex import check_index
+
+    s = get_searcher(spark, sf_dir)
+    rep = check_index(s.spark, s.catalog.index_dir)
+    violations = int(sum(rep["checks"].values()))
+    totals = s._postings.agg(
+        F.sum("df").alias("n_postings"),
+        F.sum("cf").alias("total_cf"),
+        F.countDistinct("term").alias("distinct_terms"),
+    ).collect()[0]
+    row = {
+        "n_docs": int(s.max_doc),
+        "n_postings": int(totals["n_postings"]),
+        "total_cf": int(totals["total_cf"]),
+        "distinct_terms": int(totals["distinct_terms"]),
+        "violations": violations,
+    }
+    return spark.createDataFrame(
+        [row],
+        schema=("n_docs long, n_postings long, total_cf long, "
+                "distinct_terms long, violations long"),
+    ).select("n_docs", "n_postings", "total_cf", "distinct_terms",
+             "violations")
+
+
+QUERIES["check_index"] = q_check_index
+ORACLES["check_index"] = ORACLE_PRELUDE + """
+SELECT CAST((SELECT count(*) FROM docs0) AS BIGINT) AS n_docs,
+       CAST((SELECT count(*) FROM tf) AS BIGINT) AS n_postings,
+       CAST((SELECT count(*) FROM toks) AS BIGINT) AS total_cf,
+       CAST((SELECT count(DISTINCT term) FROM toks) AS BIGINT)
+         AS distinct_terms,
+       CAST(0 AS BIGINT) AS violations
+"""

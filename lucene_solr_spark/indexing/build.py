@@ -452,17 +452,46 @@ def invert_segment(
     total_tokens = int(lens.sum())
     if total_tokens:
         # flat (term, doc, position) triples -> sort term-major (UTF-8
-        # order via factorize(sort=True)), then doc, then position: the
-        # in-RAM inversion + prox stream in one vectorized pass
-        flat_terms = np.array(
-            [t for lst in token_lists for t in lst], dtype=object
-        )
+        # order), then doc, then position: the in-RAM inversion + prox
+        # stream in one vectorized pass. Terms are dict-encoded per doc
+        # into an int32 stream (insertion ids remapped to sorted rank)
+        # instead of materializing one giant object array for
+        # pd.factorize — the flat stream is then pure fixed-width
+        # numeric, which matters at high core counts where the object
+        # array's pointer-chasing saturates the memory bus. Python str
+        # sort order == codepoint order == UTF-8 byte order, so
+        # sorted(vocab) matches factorize(sort=True)'s term order.
+        vocab: Dict[str, int] = {}
+        setd = vocab.setdefault
+        flat_codes = np.empty(total_tokens, np.int32)
+        off = 0
+        for lst in token_lists:
+            if lst:
+                flat_codes[off:off + len(lst)] = np.fromiter(
+                    (setd(t, len(vocab)) for t in lst), np.int32, len(lst)
+                )
+                off += len(lst)
+        uniq_list = sorted(vocab)
+        rank = np.empty(len(vocab), np.int32)
+        rank[np.fromiter((vocab[t] for t in uniq_list), np.int32,
+                         len(uniq_list))] = np.arange(
+            len(uniq_list), dtype=np.int32)
+        uniq_terms = np.array(uniq_list, dtype=object)
+        codes = rank[flat_codes]
         flat_docs = np.repeat(doc_ids, lens)
         flat_pos = np.fromiter(
             (p for lst in pos_lists for p in lst), np.int64, total_tokens
         )
-        codes, uniq_terms = pd.factorize(flat_terms, sort=True)
-        order = np.lexsort((flat_pos, flat_docs, codes))
+        # the flat stream is doc-major and position-nondecreasing within
+        # each doc by construction, so ONE stable int sort on the term
+        # code replaces the 3-key lexsort; the rare post-filter chain
+        # that emits positions out of stream order falls back
+        if total_tokens < 2 or bool(np.all(
+            (np.diff(flat_pos) >= 0) | (np.diff(flat_docs) != 0)
+        )):
+            order = np.argsort(codes, kind="stable")
+        else:
+            order = np.lexsort((flat_pos, flat_docs, codes))
         c = codes[order]
         d = flat_docs[order]
         p = flat_pos[order]
