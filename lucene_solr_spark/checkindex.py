@@ -204,12 +204,18 @@ def check_index(spark: SparkSession, index_dir: str,
     dup_keys = (live.groupBy("repo", "path", "commit").count()
                 .filter("count > 1"))
     checks["live_key_unique"] = dup_keys.count()
-    id_range = docs.agg(F.min("doc_id").alias("lo"),
-                        F.max("doc_id").alias("hi")).collect()[0]
-    dense = (n_docs == 0
-             or (int(id_range["lo"]) == 0
-                 and int(id_range["hi"]) == n_docs - 1))
-    checks["doc_id_dense"] = 0 if dense else 1
+    if (snap.props or {}).get("exorcised_ranges"):
+        # exorcise physically removes whole docID ranges (CheckIndex
+        # -fix); the declared holes make density unverifiable, like
+        # Lucene skipping checks the commit says don't apply
+        checks["doc_id_dense"] = 0
+    else:
+        id_range = docs.agg(F.min("doc_id").alias("lo"),
+                            F.max("doc_id").alias("hi")).collect()[0]
+        dense = (n_docs == 0
+                 or (int(id_range["lo"]) == 0
+                     and int(id_range["hi"]) == n_docs - 1))
+        checks["doc_id_dense"] = 0 if dense else 1
 
     # 6. per-doc length recount from postings (one shuffle), analyzer-
     # gated: posInc-0 injecting chains store discountOverlaps lengths
@@ -226,9 +232,15 @@ def check_index(spark: SparkSession, index_dir: str,
                         ds.append(np.array([int(r.sdoc)], dtype=np.int64))
                         ts_.append(np.array([int(r.stf)], dtype=np.int64))
                         continue
-                    d, t = decode_postings(
-                        bytes(r.doc_ids_enc), bytes(r.tfs_enc),
-                        bytes(r.skips_enc))
+                    try:
+                        d, t = decode_postings(
+                            bytes(r.doc_ids_enc), bytes(r.tfs_enc),
+                            bytes(r.skips_enc))
+                    except Exception:
+                        # undecodable row: already reported by the
+                        # codec check; its docs surface here as length
+                        # mismatches instead of killing the audit job
+                        continue
                     ds.append(d.astype(np.int64))
                     ts_.append(t.astype(np.int64))
                 if ds:
@@ -268,3 +280,281 @@ def check_index(spark: SparkSession, index_dir: str,
     if raise_on_failure and not ok:
         raise CheckIndexFailure(str(result))
     return result
+
+
+# ---------------------------------------------------------------------------
+# exorcise: CheckIndex -fix
+# ---------------------------------------------------------------------------
+
+def find_undecodable_segments(spark: SparkSession, index_dir: str) -> list:
+    """Attribution pass for exorcise: seg_ids of posting rows that fail
+    to decode or whose decoded stream contradicts df/cf/order, expanded
+    to the full scoring group when the index has been merged (a merged
+    row aggregates its group's original segments, so the quarantine
+    unit is the group; CheckIndex likewise drops whole segments, not
+    documents)."""
+    from lucene_solr_spark.catalog import Catalog
+    from lucene_solr_spark.indexing.build import (read_postings_any,
+                                                  read_segments_any)
+
+    snap = Catalog(index_dir).latest()
+    posts = read_postings_any(spark, snap.tables["postings"])
+
+    def bad_segids(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lucene_solr_spark.indexing.codec import decode_postings
+        for pdf in batches:
+            bad = set()
+            for r in pdf.itertuples(index=False):
+                if r.sdoc is not None and not pd.isna(r.sdoc):
+                    if int(r.df) != 1 or int(r.cf) != int(r.stf):
+                        bad.add(int(r.seg_id))
+                    continue
+                try:
+                    docs, tfs = decode_postings(
+                        bytes(r.doc_ids_enc), bytes(r.tfs_enc),
+                        bytes(r.skips_enc))
+                    ok = (len(docs) == int(r.df)
+                          and int(tfs.sum()) == int(r.cf)
+                          and (len(docs) < 2
+                               or bool((np.diff(docs) > 0).all())))
+                except Exception:
+                    ok = False
+                if not ok:
+                    bad.add(int(r.seg_id))
+            yield pd.DataFrame({"seg_id": sorted(bad)})
+
+    flagged = {int(r["seg_id"]) for r in
+               posts.mapInPandas(bad_segids, schema="seg_id long")
+               .distinct().collect()}
+    if not flagged:
+        return []
+    # a merged row aggregates every segment of its scoring group, so
+    # attribution widens to the group — but ONLY if the index has ever
+    # been merged (walk the snapshot chain); fresh rows are 1:1 with
+    # segments and quarantine stays surgical
+    cat = Catalog(index_dir)
+    merged = False
+    s = snap
+    while s is not None:
+        if s.stage == "merge":
+            merged = True
+            break
+        s = cat.load(s.parent) if s.parent is not None else None
+    if not merged:
+        return sorted(flagged)
+    gfac = int(snap.props.get("group_factor", 1))
+    segs = read_segments_any(spark, snap.tables["segments"])
+    gids = {s // gfac for s in flagged}
+    return sorted(
+        int(r["seg_id"]) for r in segs.select("seg_id").collect()
+        if int(r["seg_id"]) // gfac in gids
+    )
+
+
+def exorcise(spark: SparkSession, index_dir: str,
+             bad_seg_ids=None) -> "Snapshot":
+    """CheckIndex -fix (CheckIndex.java main/exorcise path: rewrite the
+    commit WITHOUT the unrecoverable segments, losing their documents).
+
+    Quarantines the given segments (default: auto-attribution via
+    find_undecodable_segments) and commits a repaired generation:
+
+      - postings rewritten WITHOUT the quarantined doc ranges — rows
+        fully inside the ranges drop; rows straddling them are decoded,
+        filtered and re-encoded executor-side (positions re-deltaed;
+        block-max norm bytes carry the row's previous max, a valid =
+        conservative WAND upper bound); untouched rows pass through
+        byte-identical,
+      - segment metas (and with them norms / doc-length sidecars) of
+        quarantined segments drop,
+      - docs table rows in the ranges drop; tombstones referencing them
+        are folded away,
+      - term_stats / collection_stats are RECOMPUTED from the surviving
+        postings — unlike tombstone deletes (maxDoc semantics), exorcise
+        physically removes the segments' stats, matching Lucene where
+        the dropped SegmentInfo's stats vanish from segments_N.
+
+    Everything stays distributed: the rewrite is one mapInPandas pass
+    over postings, stats are one groupBy; the only driver-side data is
+    the (small) quarantine range list, which is also recorded in the
+    snapshot props as lineage."""
+    from lucene_solr_spark.catalog import Catalog
+    from lucene_solr_spark.indexing.build import (_as_list,
+                                                  read_postings_any,
+                                                  read_segments_any)
+
+    cat = Catalog(index_dir)
+    snap = cat.latest_at_stage("commit", "merge", "delete")
+    if snap is None:
+        raise CheckIndexFailure(f"no committed index at {index_dir}")
+    if bad_seg_ids is None:
+        bad_seg_ids = find_undecodable_segments(spark, index_dir)
+    bad_seg_ids = sorted(int(s) for s in bad_seg_ids)
+    if not bad_seg_ids:
+        return snap
+
+    segs = read_segments_any(spark, snap.tables["segments"])
+    meta_rows = segs.select("seg_id", "doc_base", "doc_count").collect()
+    bad_set = set(bad_seg_ids)
+    ranges = sorted(
+        (int(r["doc_base"]), int(r["doc_base"]) + int(r["doc_count"]))
+        for r in meta_rows if int(r["seg_id"]) in bad_set
+    )
+    if len(ranges) != len(bad_seg_ids):
+        missing = bad_set - {int(r["seg_id"]) for r in meta_rows}
+        raise CheckIndexFailure(f"unknown seg_ids: {sorted(missing)}")
+
+    posts = read_postings_any(spark, snap.tables["postings"])
+    rewritten = posts.mapInPandas(
+        _make_exorcise_rewriter(ranges), schema=_EXO_SCHEMA
+    )
+    gen = snap.snapshot_id + 1
+    posts_path = cat.path("exorcised", f"gen-{gen}", "postings")
+    (
+        rewritten.repartitionByRange(
+            spark.sparkContext.defaultParallelism, "term", "seg_id")
+        .sortWithinPartitions("term", "seg_id")
+        .write.mode("overwrite").parquet(posts_path)
+    )
+    posts_new = spark.read.parquet(posts_path)
+
+    # surviving segment metas (combined-dir layout so read_segments_any
+    # keeps working on the new path)
+    segs_path = cat.path("exorcised", f"gen-{gen}", "segments")
+    (
+        segs.filter(~F.col("seg_id").isin(bad_seg_ids))
+        .withColumn("is_meta", F.lit(True))
+        .write.mode("overwrite").partitionBy("is_meta").parquet(segs_path)
+    )
+
+    # docs table minus the quarantined ranges
+    in_bad = None
+    for lo, hi in ranges:
+        c = (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        in_bad = c if in_bad is None else (in_bad | c)
+    docs = spark.read.parquet(*_as_list(snap.tables["docs"]))
+    docs_path = cat.path("exorcised", f"gen-{gen}", "docs")
+    docs.filter(~in_bad).write.mode("overwrite").parquet(docs_path)
+
+    tables = dict(snap.tables)
+    tables["postings"] = posts_path
+    tables["segments"] = segs_path
+    tables["docs"] = docs_path
+    tomb = snap.tables.get("tombstones")
+    if tomb:
+        tomb_path = cat.path("exorcised", f"gen-{gen}", "tombstones")
+        (spark.read.parquet(tomb).filter(~in_bad)
+         .write.mode("overwrite").parquet(tomb_path))
+        tables["tombstones"] = tomb_path
+
+    # stats recomputed from what survived
+    ts_path = cat.path("exorcised", f"gen-{gen}", "term_stats")
+    (
+        posts_new.groupBy("term")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+        .repartitionByRange(
+            spark.sparkContext.defaultParallelism, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(ts_path)
+    )
+    tables["term_stats"] = ts_path
+    agg = (read_segments_any(spark, segs_path)
+           .agg(F.sum("doc_count").alias("n"),
+                F.sum("sum_len").alias("ttf")).collect()[0])
+    import json as _json
+    import os as _os
+    coll_path = cat.path("exorcised", f"gen-{gen}", "collection.json")
+    _os.makedirs(_os.path.dirname(coll_path), exist_ok=True)
+    with open(coll_path, "w") as f:
+        _json.dump({"max_doc": int(agg["n"] or 0),
+                    "sum_total_term_freq": int(agg["ttf"] or 0)}, f)
+    tables["collection_stats"] = coll_path
+
+    props = dict(snap.props)
+    props["exorcised_seg_ids"] = (
+        list(props.get("exorcised_seg_ids", [])) + bad_seg_ids)
+    props["exorcised_ranges"] = (
+        list(props.get("exorcised_ranges", []))
+        + [[lo, hi] for lo, hi in ranges])
+    return cat.commit("commit", tables=tables, props=props,
+                      lineage=snap.lineage)
+
+
+_EXO_SCHEMA = (
+    "term string, seg_id long, df long, cf long, doc_ids_enc binary, "
+    "tfs_enc binary, skips_enc binary, pos_enc binary, pos_cnts binary, "
+    "sdoc long, stf long"
+)
+
+
+def _make_exorcise_rewriter(ranges):
+    rlist = [(int(lo), int(hi)) for lo, hi in ranges]
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lucene_solr_spark.indexing.codec import (
+            decode_postings, decode_prox_parts, decode_skips,
+            deltas_from_positions, encode_postings, encode_prox,
+            positions_from_deltas)
+
+        def bad_mask(doc_ids: np.ndarray) -> np.ndarray:
+            m = np.zeros(len(doc_ids), bool)
+            for lo, hi in rlist:
+                m |= (doc_ids >= lo) & (doc_ids < hi)
+            return m
+
+        cols = ["term", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc",
+                "skips_enc", "pos_enc", "pos_cnts", "sdoc", "stf"]
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.sdoc is not None and not pd.isna(r.sdoc):
+                    d = int(r.sdoc)
+                    if any(lo <= d < hi for lo, hi in rlist):
+                        continue
+                    out.append(tuple(getattr(r, c) for c in cols))
+                    continue
+                try:
+                    docs, tfs = decode_postings(
+                        bytes(r.doc_ids_enc), bytes(r.tfs_enc),
+                        bytes(r.skips_enc))
+                except Exception:
+                    # undecodable row = the corruption being exorcised;
+                    # the whole row's data is lost (CheckIndex -fix
+                    # loses the segment's documents the same way)
+                    continue
+                drop = bad_mask(docs)
+                if not drop.any():
+                    out.append(tuple(getattr(r, c) for c in cols))
+                    continue
+                keep = ~drop
+                if not keep.any():
+                    continue
+                docs_k = docs[keep]
+                tfs_k = tfs[keep]
+                pos_enc_new = None
+                if r.pos_enc is not None:
+                    cnts = (None if r.pos_cnts is None
+                            else np.frombuffer(r.pos_cnts, "<i8"))
+                    deltas = decode_prox_parts(
+                        bytes(r.pos_enc), cnts, int(tfs.sum()))
+                    flat_pos = positions_from_deltas(deltas, tfs)
+                    keep_flat = np.repeat(keep, tfs)
+                    new_deltas = deltas_from_positions(
+                        flat_pos[keep_flat], tfs_k)
+                    pos_enc_new = encode_prox(new_deltas.astype(np.uint64))
+                if len(docs_k) == 1:
+                    out.append((r.term, int(r.seg_id), 1, int(tfs_k[0]),
+                                None, None, None, pos_enc_new, None,
+                                int(docs_k[0]), int(tfs_k[0])))
+                    continue
+                # conservative block-max norm byte: the row's previous
+                # max stays a valid upper bound after dropping docs
+                max_nb = int(decode_skips(bytes(r.skips_enc))["max_nb"].max())
+                nb = np.full(len(docs_k), max_nb, np.uint8)
+                d_enc, t_enc, s_enc = encode_postings(docs_k, tfs_k, nb)
+                out.append((r.term, int(r.seg_id), int(len(docs_k)),
+                            int(tfs_k.sum()), d_enc, t_enc, s_enc,
+                            pos_enc_new, None, None, None))
+            yield pd.DataFrame(out, columns=cols)
+
+    return rewrite
