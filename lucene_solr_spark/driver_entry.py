@@ -9740,3 +9740,48 @@ SELECT CAST((SELECT count(*) FROM docs0) AS BIGINT) AS n_docs,
          AS distinct_terms,
        CAST(0 AS BIGINT) AS violations
 """
+
+
+# ---------------------------------------------------------------------------
+# Solr facet parameter semantics: facet.mincount / offset / limit / sort
+# ---------------------------------------------------------------------------
+
+def q_facet_params(spark, sf_dir):
+    """SimpleFacets parameter pipeline (solr/core/.../request/
+    SimpleFacets.java getTermCounts: mincount filter, then sort — count
+    desc with index-order tie-break — then facet.offset skip, then
+    facet.limit) over the `source` field of docs matching the facet
+    query. The field rides the docs row store (path = original doc_id),
+    so the whole pipeline is one aggregation over a semi-joined scan —
+    the final sort touches only the (tiny) per-value count table."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_FACET, k=None)
+    docs_src = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select(F.col("doc_id").alias("orig_id"), "source")
+    )
+    with_src = (
+        hits.join(s._docs.select("doc_id", "path"), "doc_id")
+        .withColumn("orig_id", F.col("path").cast("long"))
+        .join(docs_src, "orig_id")
+    )
+    return (
+        with_src.groupBy("source").agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)                       # facet.mincount=2
+        .orderBy(F.col("n").desc(), F.col("source").asc())  # sort=count
+        .offset(3)                                      # facet.offset=3
+        .limit(5)                                       # facet.limit=5
+        .select("source", F.col("n").cast("long").alias("n"))
+    )
+
+
+QUERIES["facet_params"] = q_facet_params
+ORACLES["facet_params"] = ORACLE_PRELUDE + f"""
+SELECT source, n FROM (
+  SELECT d.source AS source, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT DISTINCT doc_id FROM tf WHERE term = '{{qf}}') m
+  JOIN docs0 d USING (doc_id)
+  GROUP BY d.source
+  HAVING count(*) >= 2
+) ORDER BY n DESC, source ASC OFFSET 3 LIMIT 5
+""".replace("{qf}", str(Q_FACET))
