@@ -9785,3 +9785,75 @@ SELECT source, n FROM (
   HAVING count(*) >= 2
 ) ORDER BY n DESC, source ASC OFFSET 3 LIMIT 5
 """.replace("{qf}", str(Q_FACET))
+
+
+# ---------------------------------------------------------------------------
+# Distributed spellcheck merge (SpellCheckComponent.finishStage)
+# ---------------------------------------------------------------------------
+
+def q_dist_spellcheck(spark, sf_dir):
+    """SpellCheckComponent distributed merge (SpellCheckComponent.java
+    :295-412 finishStage/collectShardSuggestions + SolrSpellChecker
+    .mergeSuggestions :84-140): 4 docID-range shards, per-shard top-5
+    suggestion lists in SuggestWordQueue order, token kept only when
+    every shard reports it misspelled, listed-alternative frequencies
+    summed across shards, merged candidates rescored by Levenstein
+    similarity with the 0.5 accuracy floor."""
+    s = get_searcher(spark, sf_dir)
+    return s.suggest_distributed(Q_DIST_SPELL, n=5, shards=4)
+
+
+Q_DIST_SPELL = "mast"    # 3-candidate neighborhood (fast 0.75; hash/part
+                         # tie at 0.5 broken by merged freq) — exercises
+                         # the SuggestWordQueue order end to end
+
+
+def _dist_spellcheck_sql() -> str:
+    orig = Q_DIST_SPELL
+    ln = len(orig)
+    s_n, numsug = 4, 5
+    return ORACLE_PRELUDE + f""",
+spn AS (SELECT CAST(ceil(count(*) / {s_n}.0) AS BIGINT) AS v FROM docs0),
+sdf AS (
+  SELECT term, doc_id // (SELECT v FROM spn) AS shard, count(*) AS df
+  FROM tf
+  WHERE (length(term) BETWEEN {ln - 2} AND {ln + 2}
+         AND levenshtein(term, '{orig}') <= 2)
+     OR term = '{orig}'
+  GROUP BY 1, 2
+),
+orig_sh AS (SELECT DISTINCT shard FROM sdf WHERE term = '{orig}'),
+cand AS (
+  SELECT * FROM sdf
+  WHERE term <> '{orig}'
+    AND shard NOT IN (SELECT shard FROM orig_sh)
+),
+rep AS (SELECT count(DISTINCT shard) AS c FROM cand),
+scored AS (
+  SELECT term, shard, df,
+         1.0 - levenshtein(term, '{orig}')
+             / CAST(least(length(term), {ln}) AS DOUBLE) AS score
+  FROM cand
+),
+listed AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY shard ORDER BY score DESC, df DESC, term DESC) AS rk
+    FROM scored) WHERE rk <= {numsug}
+),
+merged AS (
+  SELECT term, CAST(sum(df) AS BIGINT) AS freq FROM listed GROUP BY term
+)
+SELECT term, freq,
+       CAST(1.0 - levenshtein(term, '{orig}')
+            / CAST(least(length(term), {ln}) AS DOUBLE) AS DOUBLE) AS score
+FROM merged, rep
+WHERE rep.c >= {s_n}
+  AND 1.0 - levenshtein(term, '{orig}')
+      / CAST(least(length(term), {ln}) AS DOUBLE) >= 0.5
+ORDER BY score DESC, freq DESC, term DESC LIMIT 5
+"""
+
+
+QUERIES["dist_spellcheck"] = q_dist_spellcheck
+ORACLES["dist_spellcheck"] = _dist_spellcheck_sql()

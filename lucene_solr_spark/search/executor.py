@@ -2007,6 +2007,102 @@ class IndexSearcher:
             .limit(n)
         )
 
+    def suggest_distributed(self, term: str, n: int = 5,
+                            shards: int = 4,
+                            max_edits: int = 2) -> DataFrame:
+        """Distributed spellcheck merge — SpellCheckComponent.finishStage
+        + SolrSpellChecker.mergeSuggestions (solr/core/.../handler/
+        component/SpellCheckComponent.java:295-412, SpellCheckMergeData;
+        solr/core/.../spelling/SolrSpellChecker.java:84-140):
+
+        shards = contiguous docID ranges of ceil(maxDoc/shards) docs
+        (each segment falls wholly in one range). Per shard, the local
+        spellchecker reports the token iff it is locally unknown
+        (df_shard == 0) and has >= 1 candidate; its response lists the
+        top numSug=max(n,5) alternatives by SuggestWordQueue order
+        (score desc, local freq desc, term desc —
+        SuggestWordScoreComparator ties). The merge:
+          - drops the token unless ALL shards reported it misspelled
+            (mergeSuggestions :104-107),
+          - unions the listed alternatives, freq = SUM of the listing
+            shards' frequencies (collectShardSuggestions :398-410 —
+            per-shard truncation therefore affects the sums, exactly
+            like the reference),
+          - rescores with Levenstein similarity against the original,
+            drops < 0.5 accuracy, returns top n by (score desc, freq
+            desc, term desc).
+        Per-shard stats come from ONE decode pass over just the
+        candidate posting rows (term-dict pushdown first), so the cost
+        is O(candidates), not O(index)."""
+        numsug = max(n, 5)
+        span = -(-self.max_doc // shards)
+        ln = len(term)
+        cond = (
+            F.length("term").between(ln - max_edits, ln + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        )
+        rows = self._postings.filter(
+            cond | (F.col("term") == term)
+        ).select("term", "doc_ids_enc", "tfs_enc", "skips_enc", "sdoc")
+
+        def explode_shards(batches):
+            import numpy as np
+            import pandas as pd
+            from lucene_solr_spark.indexing.codec import decode_postings
+            for pdf in batches:
+                ts, sh, dfc = [], [], []
+                for r in pdf.itertuples(index=False):
+                    if r.sdoc is not None and not pd.isna(r.sdoc):
+                        docs = np.array([int(r.sdoc)], np.int64)
+                    else:
+                        docs, _ = decode_postings(
+                            bytes(r.doc_ids_enc), bytes(r.tfs_enc),
+                            bytes(r.skips_enc))
+                    s, c = np.unique(docs // span, return_counts=True)
+                    ts.extend([r.term] * len(s))
+                    sh.extend(s.tolist())
+                    dfc.extend(c.tolist())
+                yield pd.DataFrame({"term": ts, "shard": sh, "df": dfc})
+
+        sdf = (
+            rows.mapInPandas(
+                explode_shards, schema="term string, shard long, df long")
+            .groupBy("term", "shard").agg(F.sum("df").alias("df"))
+        )
+        orig_shards = sdf.filter(F.col("term") == term).select("shard")
+        cand = sdf.filter(F.col("term") != term)
+        # a shard reports iff the token is locally unknown AND it has
+        # candidates; every shard of the (dense) docID space must report
+        reporting = (
+            cand.join(orig_shards, "shard", "left_anti")
+            .select("shard").distinct()
+        )
+        if reporting.count() < shards:
+            return self.spark.createDataFrame(
+                [], "term string, freq long, score double")
+        w = Window.partitionBy("shard").orderBy(
+            F.desc("score"), F.desc("df"), F.desc("term"))
+        dist = F.levenshtein(F.col("term"), F.lit(term))
+        score = (
+            F.lit(1.0)
+            - dist / F.least(F.length("term"), F.lit(ln)).cast("double")
+        )
+        listed = (
+            cand.join(orig_shards, "shard", "left_anti")
+            .withColumn("score", score)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= numsug)
+        )
+        merged = listed.groupBy("term").agg(F.sum("df").alias("freq"))
+        return (
+            merged.withColumn("score", score)
+            .filter(F.col("score") >= 0.5)
+            .orderBy(F.desc("score"), F.desc("freq"), F.desc("term"))
+            .limit(n)
+            .select("term", F.col("freq").cast("long").alias("freq"),
+                    F.col("score").cast("double").alias("score"))
+        )
+
     def spell_collate(self, query_text: str) -> DataFrame:
         """Solr SpellCheckComponent collation
         (solr/core/.../spelling/SpellCheckCollator.java:49-120): every
