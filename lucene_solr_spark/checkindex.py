@@ -558,3 +558,92 @@ def _make_exorcise_rewriter(ranges):
             yield pd.DataFrame(out, columns=cols)
 
     return rewrite
+
+
+# ---------------------------------------------------------------------------
+# upgrade_codec: IndexUpgrader
+# ---------------------------------------------------------------------------
+
+def upgrade_codec(spark: SparkSession, index_dir: str,
+                  codec: str = "vint_tail") -> "Snapshot":
+    """IndexUpgrader analogue (lucene/core/src/java/org/apache/lucene/
+    index/IndexUpgrader.java: forceMerge-driven rewrite of every
+    segment under the current codec). Ours rewrites every encoded
+    posting row into the target block family in ONE mapInPandas pass —
+    decode with the self-describing reader, re-encode with the target
+    writer — and commits a new generation with the codec prop repinned
+    so every future flush/append writes the same family. Decoded
+    content is bit-identical by construction (the codec families share
+    the logical model), so scores, ranks, positions and stats are
+    unchanged; only the block bytes differ. Skip metadata (incl.
+    block-max) is rebuilt from the decoded stream with per-block true
+    maxima (tf) and the row's previous norm-byte maximum (same
+    conservative bound as exorcise)."""
+    from lucene_solr_spark.catalog import Catalog
+    from lucene_solr_spark.indexing.codec import CODEC_FAMILIES
+    from lucene_solr_spark.indexing.build import read_postings_any
+
+    if codec not in CODEC_FAMILIES:
+        raise ValueError(f"unknown codec {codec!r}")
+    cat = Catalog(index_dir)
+    snap = cat.latest_at_stage("commit", "merge", "delete")
+    if snap is None:
+        raise CheckIndexFailure(f"no committed index at {index_dir}")
+
+    def rewrite(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lucene_solr_spark.indexing.codec import (
+            decode_postings, decode_prox_parts, decode_skips,
+            deltas_from_positions, encode_postings, encode_prox)
+        cols = ["term", "seg_id", "df", "cf", "doc_ids_enc", "tfs_enc",
+                "skips_enc", "pos_enc", "pos_cnts", "sdoc", "stf"]
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.sdoc is not None and not pd.isna(r.sdoc):
+                    out.append(tuple(getattr(r, c) for c in cols))
+                    continue
+                docs, tfs = decode_postings(
+                    bytes(r.doc_ids_enc), bytes(r.tfs_enc),
+                    bytes(r.skips_enc))
+                max_nb = int(decode_skips(
+                    bytes(r.skips_enc))["max_nb"].max())
+                nb = np.full(len(docs), max_nb, np.uint8)
+                d_enc, t_enc, s_enc = encode_postings(
+                    docs, tfs, nb, codec=codec)
+                pos_enc_new, cnts_new = r.pos_enc, r.pos_cnts
+                if r.pos_enc is not None:
+                    cnts = (None if r.pos_cnts is None
+                            else np.frombuffer(r.pos_cnts, "<i8"))
+                    deltas = decode_prox_parts(
+                        bytes(r.pos_enc), cnts, int(tfs.sum()))
+                    # re-chunk as one fresh part (positions themselves
+                    # are unchanged; prox blocks always FOR-pack)
+                    from lucene_solr_spark.indexing.codec import (
+                        positions_from_deltas)
+                    flat = positions_from_deltas(deltas, tfs)
+                    pos_enc_new = encode_prox(
+                        deltas_from_positions(flat, tfs).astype(np.uint64))
+                    cnts_new = None
+                out.append((r.term, int(r.seg_id), int(r.df), int(r.cf),
+                            d_enc, t_enc, s_enc, pos_enc_new, cnts_new,
+                            None, None))
+            yield pd.DataFrame(out, columns=cols)
+
+    posts = read_postings_any(spark, snap.tables["postings"])
+    gen = snap.snapshot_id + 1
+    out_path = cat.path("upgraded", f"gen-{gen}")
+    (
+        posts.mapInPandas(rewrite, schema=_EXO_SCHEMA)
+        .repartitionByRange(
+            spark.sparkContext.defaultParallelism, "term", "seg_id")
+        .sortWithinPartitions("term", "seg_id")
+        .write.mode("overwrite").parquet(out_path)
+    )
+    tables = dict(snap.tables)
+    tables["postings"] = out_path
+    return cat.commit(
+        "commit", tables=tables,
+        props={**snap.props, "codec": codec,
+               "upgraded_from": snap.props.get("codec", "for128")},
+        lineage=snap.lineage,
+    )
