@@ -27,3 +27,18 @@ def test_reversed_and_duplicate_edges(spark):
     got = _cc(spark, [(2, 1), (1, 2), (2, 3), (3, 1), (7, 7)])
     assert got[1] == got[2] == got[3] == 1
     assert got[7] == 7
+
+
+def test_small_graph_fast_path_matches_distributed(spark):
+    import random
+
+    from lucene_solr_spark.graph import connected_components
+
+    rng = random.Random(11)
+    pairs = [(rng.randint(0, 200), rng.randint(0, 200)) for _ in range(180)]
+    df = spark.createDataFrame(pairs, "ida long, idb long")
+    fast = sorted(tuple(r) for r in connected_components(df).collect())
+    dist = sorted(
+        tuple(r)
+        for r in connected_components(df, small_graph_edges=0).collect())
+    assert fast == dist
