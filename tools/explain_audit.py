@@ -226,6 +226,15 @@ def main() -> None:
          plan.count("Window (") == 1),
     ]))
 
+    plan = fmt(s.suggest_distributed("mergeidz", n=5, shards=4))
+    sections.append(("Distributed spellcheck merge", plan, [
+        ("candidate pushdown on the postings scan (length window + "
+         "levenshtein filter before any decode)",
+         "levenshtein" in plan.lower() or "LEVENSHTEIN" in plan),
+        ("per-shard truncation is one window over the tiny candidate "
+         "table", plan.count("Window (") >= 1),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
