@@ -170,6 +170,9 @@ QUERY_NAMES = [
     "payload_near_top10",
     "schema_copyfield",
     "function_ms_dist",
+    # round 2i: event-time streaming extensions (batch twins)
+    "event_window_counts",
+    "event_sessions",
 ]
 
 

@@ -9857,3 +9857,71 @@ ORDER BY score DESC, freq DESC, term DESC LIMIT 5
 
 QUERIES["dist_spellcheck"] = q_dist_spellcheck
 ORACLES["dist_spellcheck"] = _dist_spellcheck_sql()
+
+
+# ---------------------------------------------------------------------------
+# Event-time streaming extensions, batch twins (streaming/windows.py).
+# The reference has no event-time semantics (SURVEY §2.10) — these gate
+# the BATCH plans whose streaming twins (watermarked tumbling windows,
+# applyInPandasWithState sessionizer) are duel-tested in
+# tests/test_streaming_windows.py.
+
+def q_event_window_counts(spark, sf_dir):
+    """Tumbling 15-min event-time windows over events.ts: count + exact
+    integer-cents value sum per (window, event_type) — one partial-agg
+    shuffle; identical aggregation spec to the watermarked stream."""
+    from lucene_solr_spark.streaming.windows import windowed_counts_batch
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        windowed_counts_batch(ev)
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q_event_sessions(spark, sf_dir):
+    """Per-user session windows (30-min inactivity gap), gaps-and-
+    islands batch plan — lag + running sum + grouped agg over ONE
+    shuffle by user_id; the streaming twin holds one open session per
+    user in applyInPandasWithState state."""
+    from lucene_solr_spark.streaming.windows import sessionize_batch
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        sessionize_batch(ev)
+        .orderBy("user_id", "session_start")
+    )
+
+
+QUERIES["event_window_counts"] = q_event_window_counts
+ORACLES["event_window_counts"] = """
+SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+QUERIES["event_sessions"] = q_event_sessions
+ORACLES["event_sessions"] = """
+WITH f AS (
+  SELECT user_id, ts, event_id, value,
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+              > 30*60*1000000 THEN 1
+         ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), n AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+  FROM f
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM n GROUP BY user_id, sess_no
+ORDER BY user_id, session_start
+"""
