@@ -235,6 +235,22 @@ def main() -> None:
          "table", plan.count("Window (") >= 1),
     ]))
 
+    plan = fmt(QUERIES["event_window_counts"](spark, sf))
+    sections.append(("Event-time tumbling windows (batch twin)", plan, [
+        ("pure codegen bucket + agg (no Python UDF)",
+         "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan),
+        ("one partial-agg shuffle (partial HashAggregate below the "
+         "Exchange)", plan.count("HashAggregate") >= 2),
+    ]))
+
+    plan = fmt(QUERIES["event_sessions"](spark, sf))
+    sections.append(("Sessionization gaps-and-islands (batch twin)", plan, [
+        ("single shuffle by user_id reused by both window passes + agg",
+         plan.count("- Exchange") <= 2),  # user_id hash + orderBy range
+        ("no Python UDF in the batch plan",
+         "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
