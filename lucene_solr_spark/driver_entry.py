@@ -896,11 +896,19 @@ def q_date_math_range(spark, sf_dir):
 
 def q_regexp_terms(spark, sf_dir):
     """RegexpQuery surface (search/RegexpQuery.java / AutomatonQuery):
-    whole-term regex over the sorted term dictionary."""
+    whole-term regex over the sorted term dictionary, with the
+    CompiledAutomaton-commonPrefix analogue: a required literal prefix
+    of the pattern is conjoined as a pushdown-able startswith so the
+    sorted term-dict scan skips row groups instead of rlike-ing the
+    whole vocabulary."""
+    from lucene_solr_spark.search.executor import _regex_literal_prefix
+
     s = get_searcher(spark, sf_dir)
-    return s.expand_terms(
-        F.col("term").rlike(f"^(?:{Q_REGEXP})$")
-    ).orderBy("term")
+    cond = F.col("term").rlike(f"^(?:{Q_REGEXP})$")
+    pre = _regex_literal_prefix(Q_REGEXP)
+    if pre:
+        cond = F.col("term").startswith(pre) & cond
+    return s.expand_terms(cond).orderBy("term")
 
 
 def q_filtered_range(spark, sf_dir):

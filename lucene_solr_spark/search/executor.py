@@ -105,6 +105,50 @@ def _wildcard_regex(pat: str) -> str:
     return "^" + "".join(out) + "$"
 
 
+def _wildcard_prefix(pat: str) -> str:
+    """Literal prefix of a wildcard pattern (chars before the first
+    ``*``/``?``) — the seek prefix CompiledAutomaton derives for the
+    term-dict walk (WildcardQuery's automaton has a common prefix;
+    PrefixTermsEnum-style seek). Used as a NECESSARY pre-filter that
+    parquet can push down (StringStartsWith), unlike rlike."""
+    out = []
+    for ch in pat:
+        if ch in "*?":
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+_REGEX_META = set("\\.[]{}()*+?|^$")
+
+
+def _regex_literal_prefix(pattern: str) -> str:
+    """Conservative longest REQUIRED literal prefix of a regex — the
+    relational stand-in for CompiledAutomaton.commonPrefix (the seek
+    target of RegexpQuery's terms-enum walk; sandbox RegexCapabilities
+    .prefix() is the same idea). Returns "" whenever in doubt:
+
+      * any top-level alternation disables the prefix ("ab|cd");
+      * scan stops at the first metacharacter;
+      * if that metacharacter is a quantifier that can make the
+        preceding literal optional (``*``, ``?``, ``{``), the literal
+        is dropped too ("mer?ge" -> "me").
+
+    The returned prefix is implied by the pattern, so conjoining
+    startswith(prefix) to the rlike cannot change results — it only
+    lets the scan skip term-dict row groups."""
+    if "|" in pattern:
+        return ""
+    out = []
+    for ch in pattern:
+        if ch in _REGEX_META:
+            if ch in "*?{" and out:
+                out.pop()
+            break
+        out.append(ch)
+    return "".join(out)
+
+
 class _SrndUnsat(Exception):
     """A surround prefix/trunc expansion matched no index terms — the
     enclosing distance query is unsatisfiable (empty SpanOr from
@@ -1050,10 +1094,17 @@ class IndexSearcher:
             cond = F.col("term").startswith(c.pattern)
         elif c.kind == "wildcard":
             cond = F.col("term").rlike(_wildcard_regex(c.pattern))
+            pre = _wildcard_prefix(c.pattern)
+            if pre:
+                # necessary condition, pushdown-able (rlike is not)
+                cond = F.col("term").startswith(pre) & cond
         elif c.kind == "regexp":
             # RegexpQuery: pattern must match the WHOLE term
             # (AutomatonQuery semantics)
             cond = F.col("term").rlike(f"^(?:{c.pattern})$")
+            pre = _regex_literal_prefix(c.pattern)
+            if pre:
+                cond = F.col("term").startswith(pre) & cond
         elif c.kind == "range":
             cond = F.lit(True)
             if c.lo is not None:

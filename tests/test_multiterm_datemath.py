@@ -324,3 +324,112 @@ def test_unbalanced_parens_raise():
     for bad in ["(a", "a)", "((a b) c"]:
         with pytest.raises(QueryParseError):
             parse_query(bad)
+
+
+# ---------------------------------------------------------------------------
+# CompiledAutomaton-commonPrefix analogue: literal-prefix pushdown for
+# wildcard/regexp expansion (executor._wildcard_prefix /
+# _regex_literal_prefix). The prefix must be IMPLIED by the pattern —
+# conjoining it can never change results, only let parquet skip.
+# ---------------------------------------------------------------------------
+
+def test_regex_literal_prefix_is_necessary():
+    import re as _re
+
+    from lucene_solr_spark.search.executor import (
+        _regex_literal_prefix, _wildcard_prefix, _wildcard_regex,
+    )
+
+    vocab = [
+        "merge", "merges", "merged", "mergesort", "me", "mer", "m",
+        "aerge", "xmerge", "merg", "mmerge", "table", "tab", "t",
+        "data", "scan", "write_lock", "write", "wri",
+    ]
+    patterns = [
+        "merge.*", "mer?ge", "m{2}erge", "merge[sd]", "merges?",
+        "ab|cd", "(me)rge", "m.rge", "merge", "w.*e", "\\d+",
+        "me+rge", "tab.?",
+    ]
+    for pat in patterns:
+        pre = _regex_literal_prefix(pat)
+        rx = _re.compile(f"^(?:{pat})$")
+        for t in vocab:
+            if rx.match(t):
+                assert t.startswith(pre), (pat, pre, t)
+
+    for pat in ["mer*", "me?ge", "*rge", "merge", "wr?te_*"]:
+        pre = _wildcard_prefix(pat)
+        rx = _re.compile(_wildcard_regex(pat))
+        for t in vocab:
+            if rx.match(t):
+                assert t.startswith(pre), (pat, pre, t)
+
+
+def test_regex_literal_prefix_hypothesis():
+    """Randomized necessity check over a pattern grammar that exercises
+    quantifiers, classes and alternation."""
+    import re as _re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lucene_solr_spark.search.executor import _regex_literal_prefix
+
+    atom = st.sampled_from(
+        ["a", "b", "c", "d", ".", "a*", "b?", "c+", "[ab]", "d{2}",
+         "(ab)", "a|b"])
+    pattern = st.lists(atom, min_size=1, max_size=6).map("".join)
+    word = st.text(alphabet="abcd", min_size=0, max_size=8)
+
+    @given(pattern, word)
+    @settings(max_examples=300, deadline=None)
+    def check(pat, t):
+        try:
+            rx = _re.compile(f"^(?:{pat})$")
+        except _re.error:
+            return
+        pre = _regex_literal_prefix(pat)
+        if rx.match(t):
+            assert t.startswith(pre), (pat, pre, t)
+
+    check()
+
+
+def test_wildcard_prefix_pushdown_in_plan(spark, built):
+    """The wildcard expansion plan must carry a StringStartsWith parquet
+    pushdown (the seek), and results must be identical to the bare
+    anchored-regex scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.executor import _wildcard_regex
+
+    index_dir, oracle = built
+    s = IndexSearcher(spark, index_dir)
+    rows = s._expand_rows(
+        type("C", (), {"kind": "wildcard", "pattern": "write_*"})(), None)
+    bare = s.expand_terms(
+        F.col("term").rlike(_wildcard_regex("write_*"))).collect()
+    assert sorted(t for t, _, _ in rows) == sorted(r.term for r in bare)
+    assert len(rows) > 0
+
+    # plan evidence on an uncached parquet term dict (the searcher's
+    # own term_stats scan is cache-served here, hiding the source):
+    # startswith reaches the source as a pushed filter, rlike cannot
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/terms.parquet"
+        spark.createDataFrame(
+            [("write_lock", 1), ("alpha", 2)], "term string, df long"
+        ).write.parquet(p)
+        q = spark.read.parquet(p).filter(
+            F.col("term").startswith("write_")
+            & F.col("term").rlike(_wildcard_regex("write_*")))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        assert "StringStartsWith(term,write_)" in plan, plan
