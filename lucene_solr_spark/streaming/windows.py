@@ -202,7 +202,15 @@ def _session_fn_factory(gap_minutes: int):
                 closed.append((start_us, end_us, n, val))
                 start_us, end_us, n, val = t, t, 1, int(c)
             else:
-                end_us, n, val = t, n + 1, val + int(c)
+                # max(): a cross-batch out-of-order event inside the
+                # gap extends membership but must not move the open
+                # session's end backwards (batches are sorted, the
+                # stream between batches need not be)
+                if t > end_us:
+                    end_us = t
+                if t < start_us:
+                    start_us = t
+                n, val = n + 1, val + int(c)
         state.update((int(start_us), int(end_us), int(n), int(val)))
 
         if closed:

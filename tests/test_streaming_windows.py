@@ -245,3 +245,36 @@ def test_sessionize_stream_state_survives_batches(spark, tmp_path):
     assert (r["n_events"], r["value_cents"]) == (3, 300)
     assert r["session_start"] == t0
     assert r["session_end"] == t0 + pd.Timedelta(minutes=20)
+
+
+def test_sessionize_stream_out_of_order_within_gap(spark, tmp_path):
+    """A cross-batch event slightly OLDER than the open session's end
+    (but within the gap) must extend membership without moving the
+    session end backwards or splitting the session."""
+    import pandas as pd
+
+    d = str(tmp_path / "ooo")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-01-01 10:00:00")
+    mk = lambda eid, mins: {
+        "event_id": eid, "ts": t0 + pd.Timedelta(minutes=mins),
+        "user_id": 9, "event_type": "view", "value": 1.0}
+    b1 = pd.DataFrame([mk(0, 0), mk(1, 25)])
+    # batch 2 leads with an event BEFORE the open end (minute 15),
+    # then closes the session via a >30-min gap
+    b2 = pd.DataFrame([mk(2, 15), mk(3, 120)])
+    now = time.time() - 3600
+    tz = _session_tz(spark)
+    for i, chunk in enumerate((b1, b2)):
+        p = os.path.join(d, f"part-{i:03d}.parquet")
+        _write_pdf(chunk, p, tz)
+        os.utime(p, (now + i * 60, now + i * 60))
+
+    run_stream_to_memory(
+        sessionize_stream(spark, d, EVENT_SCHEMA), "ooo_sink")
+    got = spark.table("ooo_sink").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_events"] == 3
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + pd.Timedelta(minutes=25)
