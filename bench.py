@@ -173,6 +173,7 @@ QUERY_NAMES = [
     # round 2i: event-time streaming extensions (batch twins)
     "event_window_counts",
     "event_sessions",
+    "field_analysis",
 ]
 
 

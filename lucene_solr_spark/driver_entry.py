@@ -9933,3 +9933,48 @@ SELECT user_id,
 FROM n GROUP BY user_id, sess_no
 ORDER BY user_id, session_start
 """
+
+
+def q_field_analysis(spark, sf_dir):
+    """Solr FieldAnalysisRequestHandler analogue (handler/
+    FieldAnalysisRequestHandler.java + AnalysisRequestHandlerBase
+    .analyzeValue): per-stage token streams — tokenizer -> lowercase ->
+    stop, holes preserved — for a corpus sample through the StopAnalyzer
+    chain; one Arrow pass, rows (doc_id, stage_ord, stage, pos, term)."""
+    from lucene_solr_spark.functions.analysis import analysis_stages_df
+
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < 5)
+    return analysis_stages_df(d, analyzer="stop").orderBy(
+        "doc_id", "stage_ord", "pos", "term")
+
+
+def _field_analysis_sql():
+    from lucene_solr_spark.constants import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    # StopAnalyzer chain on this ASCII corpus: LetterTokenizer ==
+    # maximal [a-zA-Z]+ runs (the engine's unicode letter-run scanner
+    # degenerates to this on ASCII input)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '[a-zA-Z]+'), 1)
+           - 1 AS pos
+  FROM documents WHERE doc_id < 5
+)
+SELECT * FROM (
+  SELECT doc_id, 0 AS stage_ord, 'tokenizer' AS stage, pos, term
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 1, 'lowercase', pos, lower(term) FROM toks
+  UNION ALL
+  SELECT doc_id, 2, 'stop', pos, lower(term) FROM toks
+  WHERE lower(term) NOT IN ({stops})
+)
+ORDER BY doc_id, stage_ord, pos, term
+"""
+
+
+QUERIES["field_analysis"] = q_field_analysis
+ORACLES["field_analysis"] = _field_analysis_sql()

@@ -1099,3 +1099,85 @@ make_filtered_analyzer("limit_count_5_ws", "whitespace",
 make_filtered_analyzer("limit_pos_3_ws", "whitespace",
                        limit_token_position_post(3),
                        emits_overlaps=False)
+
+
+# -- analysis introspection (Solr /analysis handlers) -----------------------
+
+def analyze_stages(spec: AnalyzerSpec, text: str):
+    """FieldAnalysisRequestHandler.analyzeValue analogue
+    (solr/core/.../handler/FieldAnalysisRequestHandler.java +
+    AnalysisRequestHandlerBase.analyzeValue): run the chain one stage
+    at a time and report the token stream AFTER each stage as
+    (stage_ord, stage_name, position, term) — the Admin-UI analyzer
+    debugger surface. Stages present depend on the spec (charfilter,
+    tokenizer incl. the max-length skip, lowercase, stop, stem, post);
+    the LAST stage always equals ``spec.analyze_with_positions(text)``
+    (asserted in tests — introspection cannot drift from execution)."""
+    out = []
+    stage = 0
+    if spec.pre is not None:
+        text = spec.pre(text)
+        # charfilter output is a string, not tokens; surface it as a
+        # single pseudo-token at position 0 like the handler's
+        # CharFilter stage text dump
+        out.append((stage, "charfilter", 0, text))
+        stage += 1
+
+    scanner = spec.scanner
+    if scanner is None:  # the optimized standard spec
+        toks = findall_tokens(text)
+    else:
+        toks = list(scanner(text))
+    cur = [(t, p) for p, t in enumerate(toks)
+           if len(t) <= spec.max_len]  # over-long skip keeps the hole
+    out.extend((stage, "tokenizer", p, t) for t, p in cur)
+    stage += 1
+
+    if spec.lowercase:
+        cur = [(t.lower(), p) for t, p in cur]
+        out.extend((stage, "lowercase", p, t) for t, p in cur)
+        stage += 1
+
+    if spec.stopwords:
+        cur = [(t, p) for t, p in cur if t not in spec.stopwords]
+        out.extend((stage, "stop", p, t) for t, p in cur)
+        stage += 1
+
+    if spec.stem is not None:
+        cur = [(spec.stem(t), p) for t, p in cur]
+        out.extend((stage, "stem", p, t) for t, p in cur)
+        stage += 1
+
+    if spec.post is not None:
+        cur = spec.post(cur)
+        out.extend((stage, "post", p, t) for t, p in cur)
+        stage += 1
+
+    return out
+
+
+def analysis_stages_df(docs, analyzer: str = "stop",
+                       text_col: str = "text"):
+    """Distributed per-stage analysis over a document table: one Arrow
+    pass (mapInPandas), rows (doc_id, stage_ord, stage, pos, term).
+    The Spark-side shape of the /analysis/field handler over a corpus
+    sample instead of a single posted value."""
+    import pandas as pd
+
+    spec = get_analyzer(analyzer)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                for so, st, p, t in analyze_stages(spec, text or ""):
+                    rows.append((doc_id, so, st, p, t))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "stage_ord", "stage",
+                               "pos", "term"])
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        run,
+        schema="doc_id long, stage_ord int, stage string, "
+               "pos int, term string",
+    )

@@ -97,3 +97,52 @@ def test_ascii_fast_path_equivalence():
     assert findall_tokens("héllo wörld") == TOKEN_PATTERN.findall(
         "héllo wörld"
     )
+
+
+# ---------------------------------------------------------------------------
+# analysis introspection (FieldAnalysisRequestHandler analogue): the
+# final reported stage must ALWAYS equal analyze_with_positions — the
+# debugger view cannot drift from what the index build executes.
+# ---------------------------------------------------------------------------
+
+def test_analyze_stages_final_equals_execution():
+    from lucene_solr_spark.functions.analysis import (
+        analyze_stages, get_analyzer,
+    )
+
+    texts = [
+        "The Quick a brown FOX",
+        "",
+        "x" * 300 + " tail",          # over-long token leaves a hole
+        "3.5 O'Neil can't the-end",
+        "MiXeD CaSe AND such that",
+        "naïve café déjà-vu",          # non-ASCII path
+    ]
+    for name in ("standard", "whitespace", "simple", "stop", "keyword",
+                 "english"):
+        spec = get_analyzer(name)
+        for text in texts:
+            st = analyze_stages(spec, text)
+            want = spec.analyze_with_positions(text)
+            if not st:
+                assert want == []
+                continue
+            last = max(s for s, _, _, _ in st)
+            got = [(t, p) for s, _, p, t in st if s == last]
+            assert got == want, (name, text, got, want)
+
+
+def test_analyze_stages_order_and_holes():
+    from lucene_solr_spark.functions.analysis import (
+        analyze_stages, get_analyzer,
+    )
+
+    st = analyze_stages(get_analyzer("stop"), "The Quick a brown FOX")
+    names = []
+    for _, n, _, _ in st:
+        if n not in names:
+            names.append(n)
+    assert names == ["tokenizer", "lowercase", "stop"]
+    stop_stage = [(p, t) for s, n, p, t in st if n == "stop"]
+    # 'the'(0) and 'a'(2) dropped, positions 1,3,4 survive as holes
+    assert stop_stage == [(1, "quick"), (3, "brown"), (4, "fox")]
