@@ -174,6 +174,7 @@ QUERY_NAMES = [
     "event_window_counts",
     "event_sessions",
     "field_analysis",
+    "joinutil_scored",
 ]
 
 

@@ -9978,3 +9978,44 @@ ORDER BY doc_id, stage_ord, pos, term
 
 QUERIES["field_analysis"] = q_field_analysis
 ORACLES["field_analysis"] = _field_analysis_sql()
+
+
+def q_joinutil_scored(spark, sf_dir):
+    """JoinUtil.createJoinQuery ScoreMode.Avg (lucene/join/JoinUtil
+    .java:70-90 + TermsWithScoreCollector SV/Avg + 
+    TermsIncludingScoreQuery): BM25 scores of the from-query fold per
+    from=lang value (docID-order f32 sum, final f32 divide), every live
+    doc joins its to=lang value's folded score. Top-20 by (score desc,
+    docID asc)."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.join_query_scored(Q_JOIN, "lang", "lang",
+                            score_mode="avg", k=20))
+
+
+def _joinutil_scored_sql():
+    return ORACLE_PRELUDE + f"""
+, fromhits AS (
+  SELECT p.doc_id, CAST(CAST(p.s AS DOUBLE) AS FLOAT) AS score, d.lang
+  FROM persc p JOIN docs0 d USING (doc_id)
+  WHERE p.term = '{Q_JOIN}'
+),
+pterm AS (
+  SELECT lang,
+    CAST(list_reduce(
+        list_prepend(CAST(0.0 AS FLOAT), list(score ORDER BY doc_id)),
+        (x, y) -> CAST(CAST(x AS DOUBLE) + CAST(y AS DOUBLE) AS FLOAT)
+    ) AS FLOAT) AS total,
+    count(*) AS cnt
+  FROM fromhits GROUP BY lang
+)
+SELECT d.doc_id,
+       CAST(CAST(CAST(CAST(p.total AS DOUBLE) / p.cnt AS FLOAT)
+            AS FLOAT) AS DOUBLE) AS score
+FROM docs0 d JOIN pterm p USING (lang)
+ORDER BY score DESC, d.doc_id ASC LIMIT 20
+"""
+
+
+QUERIES["joinutil_scored"] = q_joinutil_scored
+ORACLES["joinutil_scored"] = _joinutil_scored_sql()

@@ -2499,6 +2499,60 @@ class IndexSearcher:
             ).select("doc_id")
         )
 
+    def join_query_scored(
+        self,
+        from_query: str,
+        from_field: str,
+        to_field: str,
+        score_mode: str = "avg",
+        mode: str = "or",
+        k: Optional[int] = None,
+    ) -> DataFrame:
+        """JoinUtil.createJoinQuery with a scoring ScoreMode
+        (lucene/join/.../JoinUtil.java:70-90 Total/Max/Avg branch):
+        from-query hits fold their scores PER from_field VALUE with the
+        reference collector's float order
+        (TermsWithScoreCollector.java:100-127 — f32 running sum in
+        docID order for Total, running max for Max; :160-176 — Avg is
+        the Total fold with a final f32 divide by count), then every
+        live doc whose ``to_field`` carries a collected value scores
+        that value's folded score (TermsIncludingScoreQuery score()).
+
+        Spark-first: the fold is one groupBy(from_value) with an
+        array_sort+aggregate lambda (docID-ordered f32 chain, all
+        JVM-side); the to-side is an equi-join that Catalyst broadcasts
+        when the collected-values table is small."""
+        if score_mode not in ("total", "max", "avg"):
+            raise ValueError(f"unsupported ScoreMode {score_mode!r} "
+                             "(JoinUtil supports total/max/avg/none)")
+        hits = self.search(from_query, k=None, mode=mode)
+        vals = (
+            hits.join(self._docs.select("doc_id", from_field), "doc_id")
+            .select(F.col(from_field).alias("_v"), "doc_id", "score")
+        )
+        pairs = F.array_sort(
+            F.collect_list(F.struct(F.col("doc_id"), F.col("score")))
+        )
+        fold = F.aggregate(
+            pairs,
+            F.lit(0.0).cast("float"),
+            lambda acc, x: (
+                acc.cast("double") + x["score"].cast("double")
+            ).cast("float"),
+        )
+        if score_mode == "max":
+            agg = F.max("score")
+        elif score_mode == "total":
+            agg = fold
+        else:  # avg: f32 total fold, final f32 divide by hit count
+            agg = (fold.cast("double") / F.count("*")).cast("float")
+        per = vals.groupBy("_v").agg(agg.cast("float").alias("jscore"))
+        out = self._live(
+            self._docs.join(per, self._docs[to_field] == per["_v"])
+            .select("doc_id", F.col("jscore").alias("score"))
+        ).orderBy(F.desc("score"), F.asc("doc_id"))
+        return out if k is None else out.limit(k)
+
     def highlight(
         self,
         query_text: str,

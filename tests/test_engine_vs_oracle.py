@@ -533,3 +533,46 @@ def test_randomized_query_duel(spark, built):
         assert [s.tobytes() for _, s in got] == [
             np.float32(s).tobytes() for _, s in want
         ], ctx
+
+
+def test_joinutil_score_modes(spark, built):
+    """JoinUtil ScoreMode Total/Max/Avg: per-from-value folds must
+    equal an independent pandas recomputation (f32 docID-order chain,
+    TermsWithScoreCollector.java:100-127,160-176) applied to the
+    engine's own from-query scores, and every returned to-doc must
+    carry its to_field value's folded score."""
+    import numpy as np
+
+    index_dir, oracle = built
+    s = IndexSearcher(spark, index_dir)
+    q = "common_util"
+
+    hits = s.search(q, k=None).toPandas()
+    docs = s._docs.select("doc_id", "lang").toPandas()
+    joined = hits.merge(docs, on="doc_id").sort_values("doc_id")
+
+    want = {}
+    for lang, grp in joined.groupby("lang"):
+        acc = np.float32(0.0)
+        mx = np.float32(-np.inf)
+        for sc in grp["score"].to_numpy():
+            acc = np.float32(np.float64(acc) + np.float64(sc))
+            mx = max(mx, np.float32(sc))
+        want[lang] = {
+            "total": float(acc),
+            "max": float(mx),
+            "avg": float(np.float32(np.float64(acc) / len(grp))),
+        }
+
+    for mode in ("total", "max", "avg"):
+        out = s.join_query_scored(q, "lang", "lang",
+                                  score_mode=mode).toPandas()
+        got = out.merge(docs, on="doc_id")
+        assert len(got) > 0
+        for lang, grp in got.groupby("lang"):
+            assert set(np.float32(grp["score"])) == {
+                np.float32(want[lang][mode])}, (mode, lang)
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        s.join_query_scored(q, "lang", "lang", score_mode="none_x")
