@@ -1194,6 +1194,7 @@ class IndexSearcher:
         k: Optional[int] = 10,
         min_should_match: int = 0,
         rewrite: Optional[str] = None,
+        analyzing: bool = False,
     ) -> DataFrame:
         """Parse a classic query string (queryparser.parse_query subset)
         and execute the mixed boolean (make_boolean_scorer). Multi-term
@@ -1203,10 +1204,13 @@ class IndexSearcher:
         the TopTermsRewrite selection instead (TopTermsRewrite.java).
         Oversize expansions raise TooManyClauses
         (BooleanQuery.maxClauseCount,
-        search/BooleanQuery.java:50-66)."""
+        search/BooleanQuery.java:50-66). ``analyzing=True`` parses in
+        AnalyzingQueryParser mode (wildcard chunks go through the
+        index's analysis chain — queryparser/analyzing/)."""
         from lucene_solr_spark.search.queryparser import parse_query
 
-        ast = parse_query(query_string, analyzer=self.analyzer)
+        ast = parse_query(query_string, analyzer=self.analyzer,
+                          analyzing=analyzing)
         return self.search_clauses(ast, k=k,
                                    min_should_match=min_should_match,
                                    rewrite=rewrite)

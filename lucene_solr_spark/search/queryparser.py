@@ -104,11 +104,60 @@ class TooManyClauses(QueryParseError):
     rewrite for large expansions)."""
 
 
-def parse_query(q: str, analyzer=None) -> List[Clause]:
+_WILDCARD_SPLIT = re.compile(r"(\\.)|([?*]+)")
+
+
+def analyzing_wildcard_pattern(word: str, analyzer) -> str:
+    """AnalyzingQueryParser.getWildcardQuery chunk analysis
+    (lucene/queryparser/.../analyzing/AnalyzingQueryParser.java:70-104
+    + analyzeSingleChunk :163-196): split the term at wildcard runs
+    (``[?*]+``; escaped chars are gobbled so ``\\*`` stays literal),
+    pass each literal chunk through the FULL analysis chain — the
+    chunk must come out as exactly one token, else ParseException —
+    and reassemble with the wildcards in place. This is what makes
+    ``RUNNing*`` match ``run``-stemmed terms under a stemming chain,
+    where classic QP only lowercases."""
+    sb = []
+    last = 0
+    for m in _WILDCARD_SPLIT.finditer(word):
+        if m.group(1) is not None:
+            continue  # escaped char: stays inside the chunk
+        if m.start() > last:
+            sb.append(
+                _analyze_single_chunk(analyzer, word, word[last:m.start()])
+            )
+        sb.append(m.group(2))
+        last = m.end()
+    if last < len(word):
+        sb.append(_analyze_single_chunk(analyzer, word, word[last:]))
+    return "".join(sb)
+
+
+def _analyze_single_chunk(analyzer, whole: str, chunk: str) -> str:
+    """analyzeSingleChunk: the chain must produce exactly one token
+    for the chunk (AnalyzingQueryParser.java:178-195 throws on zero —
+    e.g. a stopword chunk — and on more than one)."""
+    toks = analyzer.analyze(chunk)
+    if len(toks) != 1:
+        raise QueryParseError(
+            f"analyzer produced {len(toks)} tokens for wildcard chunk "
+            f"{chunk!r} of {whole!r} (need exactly 1)"
+        )
+    return toks[0]
+
+
+def parse_query(q: str, analyzer=None, analyzing: bool = False
+                ) -> List[Clause]:
     """Parse ``q`` into occur-tagged clauses, re-analyzing every field
     term through ``analyzer`` (an AnalyzerSpec; defaults to the
     standard chain) — QueryParserBase re-analysis contract: query terms
-    MUST go through the same chain the index was built with."""
+    MUST go through the same chain the index was built with.
+
+    ``analyzing=True`` = AnalyzingQueryParser mode (queryparser/
+    analyzing/AnalyzingQueryParser.java): wildcard literal chunks also
+    pass through the full chain. (Prefix stems, fuzzy terms and range
+    bounds are chain-analyzed in BOTH modes here — this parser's
+    documented strictness over classic's lowercase-only expansion.)"""
     if analyzer is None:
         from lucene_solr_spark.functions.analysis import get_analyzer
 
@@ -250,10 +299,15 @@ def parse_query(q: str, analyzer=None) -> List[Clause]:
             continue
         if "*" in word or "?" in word:
             # WildcardQuery (search/WildcardQuery.java): * = any run,
-            # ? = one char. Pattern is lowercased when the chain
-            # lowercases (QueryParserBase lowercaseExpandedTerms) but
-            # otherwise NOT analyzed.
-            pat = word.lower() if analyzer.lowercase else word
+            # ? = one char. Classic mode: pattern is lowercased when
+            # the chain lowercases (QueryParserBase
+            # lowercaseExpandedTerms) but otherwise NOT analyzed.
+            # Analyzing mode (AnalyzingQueryParser): every literal
+            # chunk between wildcard runs goes through the full chain.
+            if analyzing:
+                pat = analyzing_wildcard_pattern(word, analyzer)
+            else:
+                pat = word.lower() if analyzer.lowercase else word
             clauses.append(
                 Clause(occur=occur, kind="wildcard", text=word, pattern=pat)
             )

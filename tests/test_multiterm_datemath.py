@@ -433,3 +433,48 @@ def test_wildcard_prefix_pushdown_in_plan(spark, built):
             q.explain("formatted")
         plan = buf.getvalue()
         assert "StringStartsWith(term,write_)" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# AnalyzingQueryParser (queryparser/analyzing/AnalyzingQueryParser.java)
+# ---------------------------------------------------------------------------
+
+def test_analyzing_wildcard_chunk_analysis():
+    from lucene_solr_spark.functions.analysis import get_analyzer
+    from lucene_solr_spark.search.queryparser import (
+        QueryParseError, analyzing_wildcard_pattern, parse_query,
+    )
+
+    eng = get_analyzer("english")   # lowercase + stop + Porter stem
+    # each literal chunk stems independently; wildcards survive
+    assert analyzing_wildcard_pattern("RUNNing*", eng) == "run*"
+    assert analyzing_wildcard_pattern("Jump?running", eng) == "jump?run"
+    assert analyzing_wildcard_pattern("*Jumping", eng) == "*jump"
+    # a stopword chunk yields zero tokens -> ParseException analogue
+    import pytest as _pt
+    with _pt.raises(QueryParseError):
+        analyzing_wildcard_pattern("the*", eng)
+
+    std = get_analyzer("standard")
+    # chains without stem/stop: analyzing mode == classic lowercase
+    # (trailing-single-* terms parse as PREFIX clauses — stem only)
+    for w, kind, want in (("MeRge*", "prefix", "merge"),
+                          ("ta?le", "wildcard", "ta?le"),
+                          ("VEC*tor?", "wildcard", "vec*tor?")):
+        a = parse_query(w, analyzer=std, analyzing=True)
+        c = parse_query(w, analyzer=std)
+        assert a[0].kind == c[0].kind == kind
+        assert a[0].pattern == c[0].pattern == want
+
+
+def test_analyzing_boolean_path(spark, built):
+    """search_boolean(analyzing=True) equals the classic path on the
+    standard-chain fixture index (lowercase-only chain ⇒ identical
+    patterns) — the parser-mode plumbing reaches the executor."""
+    index_dir, oracle = built
+    s = IndexSearcher(spark, index_dir)
+    a = s.search_boolean("WRITE_* common_util", k=10, analyzing=True)
+    c = s.search_boolean("WRITE_* common_util", k=10)
+    ra = [(r.doc_id, r.score) for r in a.collect()]
+    rc = [(r.doc_id, r.score) for r in c.collect()]
+    assert ra == rc and len(ra) > 0
