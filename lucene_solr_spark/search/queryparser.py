@@ -104,6 +104,33 @@ class TooManyClauses(QueryParseError):
     rewrite for large expansions)."""
 
 
+# -- ExtendableQueryParser (lucene/queryparser/.../ext/) --------------------
+# Extensions.splitExtensionField (ext/Extensions.java:121-131): a field
+# token may carry '<indexField>:<extensionKey>'; the registered
+# ParserExtension builds the clause for (field, term) itself
+# (ParserExtension.parse(ExtensionQuery)). Registry keyed like
+# Extensions.add(key, extension).
+
+_PARSER_EXTENSIONS: dict = {}
+
+
+def register_parser_extension(key: str, fn) -> None:
+    """Extensions.add analogue: ``fn(field, term) -> Clause`` is called
+    when a query uses ``<field>:<key>:<term>`` (or ``<key>:<term>`` on
+    the default field)."""
+    _PARSER_EXTENSIONS[key] = fn
+
+
+def _raw_extension(field: str, term: str) -> "Clause":
+    """Built-in 'raw' extension: the term bypasses the analysis chain
+    entirely (the ext-module use case — a clause type classic cannot
+    express; semantics of Solr's {!raw} on the lucene parser side)."""
+    return Clause(occur="should", kind="term", text=term, terms=[term])
+
+
+register_parser_extension("raw", _raw_extension)
+
+
 _WILDCARD_SPLIT = re.compile(r"(\\.)|([?*]+)")
 
 
@@ -277,6 +304,22 @@ def parse_query(q: str, analyzer=None, analyzing: bool = False
             continue
         if ":" in word:
             fld, word = word.split(":", 1)
+            # ExtendableQueryParser dispatch (ext/ExtendableQueryParser
+            # .java getFieldQuery + Extensions.splitExtensionField):
+            # '<field>:<key>:<term>' routes to the registered
+            # extension; '<key>:<term>' binds it to the default field
+            ext_key = data = None
+            if ":" in word:
+                maybe_key, rest = word.split(":", 1)
+                if fld == "content" and maybe_key in _PARSER_EXTENSIONS:
+                    ext_key, data = maybe_key, rest
+            if ext_key is None and fld in _PARSER_EXTENSIONS:
+                ext_key, data, fld = fld, word, "content"
+            if ext_key is not None:
+                c = _PARSER_EXTENSIONS[ext_key]("content", data)
+                c.occur = occur
+                clauses.append(c)
+                continue
             if fld != "content":
                 raise QueryParseError(f"unknown field: {fld!r}")
         boost = 1.0

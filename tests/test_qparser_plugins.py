@@ -160,3 +160,58 @@ def test_dist_sqedist_ms_functions(spark):
     from lucene_solr_spark.search.queryparser import QueryParseError
     with pytest.raises(QueryParseError):
         parse_function_query("dist(2,x,y,0)", fields)  # odd sources
+
+
+# ---------------------------------------------------------------------------
+# ExtendableQueryParser (lucene/queryparser/ext/): extension registry
+# keyed per Extensions.add; '<field>:<key>:<term>' and '<key>:<term>'
+# dispatch (Extensions.splitExtensionField), clause built by the
+# extension itself (ParserExtension.parse).
+# ---------------------------------------------------------------------------
+
+def test_ext_parser_dispatch():
+    from lucene_solr_spark.search.queryparser import (
+        Clause, QueryParseError, parse_query, register_parser_extension,
+    )
+
+    # built-in 'raw': bypasses the chain — 'The' stays 'The' (classic
+    # would stop-drop it)
+    got = parse_query("content:raw:The")
+    assert len(got) == 1 and got[0].kind == "term"
+    assert got[0].terms == ["The"]
+    # default-field form
+    got = parse_query("raw:The")
+    assert got[0].terms == ["The"]
+    # occur modifier applies to the extension clause
+    got = parse_query("-raw:The merge")
+    assert got[0].occur == "not" and got[0].terms == ["The"]
+    # custom extension
+    def echo2(field, term):
+        return Clause(occur="should", kind="term", text=term,
+                      terms=[term + term])
+    register_parser_extension("echo2", echo2)
+    got = parse_query("content:echo2:ab")
+    assert got[0].terms == ["abab"]
+    # unknown field without a registered key still raises
+    import pytest as _pt
+    with _pt.raises(QueryParseError):
+        parse_query("nosuchfield:foo")
+    # unregistered key after a valid field is a plain term payload
+    got = parse_query("content:plain")
+    assert got and got[0].kind == "term"
+
+
+def test_ext_parser_raw_search(spark, built):
+    """raw: extension end-to-end through search_boolean: the exact
+    lowercase form scores identically to the classic parse; the cased
+    form bypasses the chain, misses the lowercased index, and returns
+    nothing."""
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    index_dir, oracle = built
+    s = IndexSearcher(spark, index_dir)
+    raw = s.search_boolean("raw:common_util", k=10).collect()
+    classic = s.search_boolean("common_util", k=10).collect()
+    assert [(r.doc_id, r.score) for r in raw] == \
+        [(r.doc_id, r.score) for r in classic] and raw
+    assert s.search_boolean("raw:Common_Util", k=10).count() == 0
