@@ -175,6 +175,7 @@ QUERY_NAMES = [
     "event_sessions",
     "field_analysis",
     "joinutil_scored",
+    "url_classify",
 ]
 
 

@@ -10019,3 +10019,51 @@ ORDER BY score DESC, d.doc_id ASC LIMIT 20
 
 QUERIES["joinutil_scored"] = q_joinutil_scored
 ORACLES["joinutil_scored"] = _joinutil_scored_sql()
+
+
+def q_url_classify(spark, sf_dir):
+    """URLClassifyProcessor (update/processor/URLClassifyProcessor
+    .java): length/levels/toplevel/landingpage/domain/canonical over
+    deterministic synthetic urls (5 shapes per doc_id%5: root, landing
+    index, deep page, query, welcome) — one codegen projection."""
+    from lucene_solr_spark.update_chain import update_chain, url_classify
+
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < 50)
+    m = F.col("doc_id") % 5
+    url = F.concat(
+        F.lit("http://"), F.col("source"), F.lit(".example.com"),
+        F.when(m == 0, "/").when(m == 1, "/a/index.html")
+        .when(m == 2, "/a/b/page.html").when(m == 3, "/?q=1")
+        .otherwise("/docs/welcome.php"))
+    u = d.select("doc_id", url.alias("url"))
+    out = update_chain(u, [url_classify()])
+    return out.select(
+        "doc_id", "url", "url_length", "url_levels", "url_toplevel",
+        "url_landingpage", "url_domain", "url_canonical",
+    ).orderBy("doc_id")
+
+
+ORACLES["url_classify"] = """
+WITH u AS (
+  SELECT doc_id, source, doc_id % 5 AS m,
+    'http://' || source || '.example.com' ||
+    CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/a/index.html'
+         WHEN 2 THEN '/a/b/page.html' WHEN 3 THEN '/?q=1'
+         ELSE '/docs/welcome.php' END AS url
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, url,
+  CAST(length(url) AS INT) AS url_length,
+  CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3
+       WHEN 3 THEN 0 ELSE 1 END AS INT) AS url_levels,
+  CAST(CASE WHEN m = 0 THEN 1 ELSE 0 END AS INT) AS url_toplevel,
+  CAST(CASE WHEN m IN (0, 1, 4) THEN 1 ELSE 0 END AS INT)
+    AS url_landingpage,
+  source || '.example.com' AS url_domain,
+  CASE m
+    WHEN 1 THEN 'http://' || source || '.example.com/a/'
+    WHEN 4 THEN 'http://' || source || '.example.com/docs/'
+    ELSE url END AS url_canonical
+FROM u ORDER BY doc_id
+"""
+QUERIES["url_classify"] = q_url_classify

@@ -381,3 +381,164 @@ def language_identify(
             c for c in df.columns if c.startswith("__flang_")]
         return df.drop(*drop)
     return p
+
+
+# ---------------------------------------------------------------------------
+# FieldValueSubset family + misc processors (round 2i)
+# ---------------------------------------------------------------------------
+
+def first_value(src: str) -> Processor:
+    """FirstFieldValueUpdateProcessorFactory: keep only the first of a
+    multivalued field's values (FieldValueSubsetUpdateProcessorFactory
+    .pickSubset specialization)."""
+    def p(df):
+        return df.withColumn(src, F.element_at(F.col(src), 1))
+    return p
+
+
+def last_value(src: str) -> Processor:
+    """LastFieldValueUpdateProcessorFactory: keep only the last value."""
+    def p(df):
+        return df.withColumn(src, F.element_at(F.col(src), -1))
+    return p
+
+
+def min_value(src: str) -> Processor:
+    """MinFieldValueUpdateProcessorFactory: keep the minimum value."""
+    def p(df):
+        return df.withColumn(src, F.array_min(F.col(src)))
+    return p
+
+
+def max_value(src: str) -> Processor:
+    """MaxFieldValueUpdateProcessorFactory: keep the maximum value."""
+    def p(df):
+        return df.withColumn(src, F.array_max(F.col(src)))
+    return p
+
+
+def ignore_field(*cols: str) -> Processor:
+    """IgnoreFieldUpdateProcessorFactory: drop the fields entirely."""
+    def p(df):
+        return df.drop(*cols)
+    return p
+
+
+def html_strip_field(*cols: str) -> Processor:
+    """HTMLStripFieldUpdateProcessorFactory: remove markup, keeping
+    text content (HTMLStripCharFilter over the stored value; the
+    codegen tag/comment/entity strip mirrors sources/extract.py)."""
+    def p(df):
+        for c in cols:
+            x = F.regexp_replace(F.col(c), r"<!--.*?-->", " ")
+            x = F.regexp_replace(x, r"<[^>]*>", " ")
+            x = F.regexp_replace(x, r"&nbsp;", " ")
+            x = F.regexp_replace(x, r"&amp;", "&")
+            x = F.regexp_replace(x, r"&lt;", "<")
+            x = F.regexp_replace(x, r"&gt;", ">")
+            x = F.trim(F.regexp_replace(x, r"\s+", " "))
+            df = df.withColumn(c, x)
+        return df
+    return p
+
+
+def regex_replace_field(col: str, pattern: str, replacement: str
+                        ) -> Processor:
+    """RegexReplaceProcessorFactory: Matcher.replaceAll on the value."""
+    def p(df):
+        return df.withColumn(
+            col, F.regexp_replace(F.col(col), pattern, replacement))
+    return p
+
+
+def timestamp_field(col: str, when) -> Processor:
+    """TimestampUpdateProcessorFactory: stamp documents missing the
+    field. The reference stamps NOW per batch; here the instant is an
+    explicit parameter — replay-deterministic (an NRT re-run of the
+    same micro-batch yields the same rows, the idempotence
+    streaming/nrt.py relies on)."""
+    def p(df):
+        if col in df.columns:
+            return df.withColumn(
+                col, F.coalesce(F.col(col),
+                                F.lit(when).cast("timestamp")))
+        return df.withColumn(col, F.lit(when).cast("timestamp"))
+    return p
+
+
+def uuid_field(col: str, from_cols=None) -> Processor:
+    """UUIDUpdateProcessorFactory: fill the field with a UUID. With
+    ``from_cols`` the UUID is v5-style — sha1 of the key columns laid
+    out as a UUID — deterministic across replays/retries (the scale-
+    safe choice; Solr's random UUIDs break micro-batch replay
+    idempotence). Without, a random UUID per row like the reference."""
+    def p(df):
+        if from_cols:
+            h = F.sha1(F.concat_ws("\x1f", *[F.col(c).cast("string")
+                                             for c in from_cols]))
+            u = F.concat_ws(
+                "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                F.concat(F.lit("5"), F.substring(h, 14, 3)),
+                F.substring(h, 17, 4), F.substring(h, 21, 12))
+            return df.withColumn(col, u)
+        return df.withColumn(col, F.expr("uuid()"))
+    return p
+
+
+# URLClassifyProcessor.java:67-83 landing-page suffixes, in match order
+URL_LANDING_SUFFIXES = (
+    "/", "index.html", "index.htm", "index.phtml", "index.shtml",
+    "index.xml", "index.php", "index.asp", "index.aspx",
+    "welcome.html", "welcome.htm", "welcome.phtml", "welcome.shtml",
+    "welcome.xml", "welcome.php", "welcome.asp", "welcome.aspx",
+)
+
+
+def url_classify(url_col: str = "url") -> Processor:
+    """URLClassifyProcessor (solr/core/.../update/processor/
+    URLClassifyProcessor.java:109-234): per-url length, path levels,
+    top-level flag, landing-page flag, domain and canonical url — all
+    as one codegen projection (parse_url + regexp), no UDF.
+
+    Rule fidelity: suffix match on the LOWERCASED path in declaration
+    order (:213-222); levels counts '/' in the path with the landing
+    suffix replaceFirst-ed away then trailing '/'+ stripped (:169-178);
+    toplevel = empty path AND no query (:186-189); landingpage = no
+    query AND a suffix matched (:197-203); canonical replaces the
+    trailing '/<suffix>' with '/' (:143-151). The suffix is used as an
+    UNESCAPED regex in replaceFirst exactly like the reference (dots
+    match any char — bug-compatible). URL normalization (URI.normalize
+    dot-segment removal) is assumed done upstream."""
+    def p(df):
+        url = F.col(url_col)
+        path = F.lower(F.parse_url(url, F.lit("PATH")))
+        query = F.parse_url(url, F.lit("QUERY"))
+        suffix = F.lit("")
+        for s in reversed(URL_LANDING_SUFFIXES):
+            suffix = F.when(path.endswith(s), F.lit(s)).otherwise(suffix)
+        # replaceFirst(suffix+"$","") then strip trailing slashes
+        path_wo = F.when(
+            suffix == "", path
+        ).otherwise(F.regexp_replace(path, F.concat(suffix, F.lit("$")),
+                                     F.lit("")))
+        path_wo = F.regexp_replace(path_wo, "/+$", "")
+        levels = (F.length(path_wo)
+                  - F.length(F.regexp_replace(path_wo, "/", "")))
+        toplevel = F.when(
+            (F.length(path_wo) == 0) & query.isNull(), F.lit(1)
+        ).otherwise(F.lit(0))
+        landing = F.when(
+            query.isNull() & (suffix != ""), F.lit(1)).otherwise(F.lit(0))
+        canonical = F.when(
+            suffix == "", url
+        ).otherwise(F.regexp_replace(
+            url, F.concat(F.lit("/"), suffix, F.lit("$")), F.lit("/")))
+        return (
+            df.withColumn("url_length", F.length(url))
+            .withColumn("url_levels", levels)
+            .withColumn("url_toplevel", toplevel)
+            .withColumn("url_landingpage", landing)
+            .withColumn("url_domain", F.parse_url(url, F.lit("HOST")))
+            .withColumn("url_canonical", canonical)
+        )
+    return p

@@ -79,3 +79,63 @@ def test_regexp_boost_multiplies(spark):
     assert rows[1] == 6.0   # both patterns matched: 1*2*3
     assert rows[2] == 3.0   # second only
     assert rows[0] == 1.0   # NULL field: no match
+
+
+def test_field_value_subset_and_misc(spark):
+    from lucene_solr_spark.update_chain import (
+        first_value, html_strip_field, ignore_field, last_value,
+        max_value, min_value, regex_replace_field, timestamp_field,
+        update_chain, uuid_field,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [3, 1, 2], "<p>Hi &amp; <b>bye</b></p>", "abcabc")],
+        "id int, vals array<int>, html string, txt string")
+    out = update_chain(df, [first_value("vals")]).first()
+    assert out["vals"] == 3
+    assert update_chain(df, [last_value("vals")]).first()["vals"] == 2
+    assert update_chain(df, [min_value("vals")]).first()["vals"] == 1
+    assert update_chain(df, [max_value("vals")]).first()["vals"] == 3
+    assert "html" not in update_chain(df, [ignore_field("html")]).columns
+    assert update_chain(df, [html_strip_field("html")]).first()["html"] \
+        == "Hi & bye"
+    assert update_chain(
+        df, [regex_replace_field("txt", "abc", "x")]).first()["txt"] == "xx"
+    ts = update_chain(
+        df, [timestamp_field("created", "2024-02-01 00:00:00")]).first()
+    assert str(ts["created"]) == "2024-02-01 00:00:00"
+    # deterministic uuid: same input -> same uuid, valid v5-ish shape
+    u1 = update_chain(df, [uuid_field("uid", ["id", "txt"])]).first()["uid"]
+    u2 = update_chain(df, [uuid_field("uid", ["id", "txt"])]).first()["uid"]
+    assert u1 == u2 and len(u1) == 36 and u1[14] == "5"
+
+
+def test_url_classify_rules(spark):
+    from lucene_solr_spark.update_chain import update_chain, url_classify
+
+    rows = [
+        (1, "http://example.com/"),                   # top + landing
+        (2, "http://example.com/a/index.html"),       # landing, 1 level
+        (3, "http://example.com/a/b/page.html"),      # deep, 2 levels
+        (4, "http://example.com/?q=1"),               # query kills both
+        (5, "http://example.com/a/welcome.php"),      # landing
+        (6, "http://example.com"),                    # empty path: top
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    got = {r["id"]: r for r in
+           update_chain(df, [url_classify()]).collect()}
+    # (levels, toplevel, landingpage)
+    # levels counts every '/' left after suffix removal + trailing
+    # strip — including the leading one (URLClassifyProcessor.java:
+    # 169-178: "/a/b/page.html" -> 3, "/a/index.html" -> "/a" -> 1)
+    want = {1: (0, 1, 1), 2: (1, 0, 1), 3: (3, 0, 0),
+            4: (0, 0, 0), 5: (1, 0, 1), 6: (0, 1, 0)}
+    for i, (lv, tp, lp) in want.items():
+        r = got[i]
+        assert (r["url_levels"], r["url_toplevel"],
+                r["url_landingpage"]) == (lv, tp, lp), (i, r)
+    assert got[2]["url_canonical"] == "http://example.com/a/"
+    assert got[1]["url_canonical"] == "http://example.com/"
+    assert got[3]["url_canonical"] == rows[2][1]
+    assert got[1]["url_domain"] == "example.com"
+    assert got[2]["url_length"] == len(rows[1][1])
