@@ -176,6 +176,7 @@ QUERY_NAMES = [
     "field_analysis",
     "joinutil_scored",
     "url_classify",
+    "analyzing_suggest",
 ]
 
 

@@ -10067,3 +10067,59 @@ SELECT doc_id, url,
 FROM u ORDER BY doc_id
 """
 QUERIES["url_classify"] = q_url_classify
+
+
+def q_analyzing_suggest(spark, sf_dir):
+    """AnalyzingSuggester (suggest/analyzing/AnalyzingSuggester.java):
+    dictionary = whitespace bigram shingles weighted by occurrence
+    count; lookup key = STANDARD-chain analyzed form (stopwords drop
+    out, SEP_LABEL-joined), so surfaces like 'the merge' complete from
+    the query 'merge'; exactFirst + weight desc + surface asc."""
+    from lucene_solr_spark.search.suggesters import analyzing_suggest
+
+    t = _analyzer_terms(spark, sf_dir, "shingle_ws")
+    dic = (
+        t.filter(F.col("term").contains(" "))
+        .groupBy(F.col("term").alias("surface"))
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    out = analyzing_suggest(dic, Q_SINGLE, n=TOP_K)
+    return out.orderBy(F.desc("weight"), F.asc("surface"))
+
+
+def _analyzing_suggest_sql():
+    from lucene_solr_spark.constants import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    return f"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(1, length(l)),
+                               i -> l[i] || ' ' || l[i + 1])) AS surface
+  FROM d
+),
+dic AS (SELECT surface, CAST(count(*) AS BIGINT) AS weight
+        FROM b GROUP BY surface),
+keyed AS (
+  SELECT surface, weight,
+         array_to_string(list_filter(string_split(surface, ' '),
+                                     t -> t NOT IN ({stops})),
+                         chr(31)) AS k
+  FROM dic
+),
+cand AS (
+  SELECT surface, weight,
+         CASE WHEN k = '{Q_SINGLE}' THEN 1 ELSE 0 END AS ex
+  FROM keyed
+  WHERE length(k) > 0 AND starts_with(k, '{Q_SINGLE}')
+)
+SELECT surface, weight FROM cand
+ORDER BY ex DESC, weight DESC, surface ASC LIMIT {TOP_K}
+"""
+
+
+QUERIES["analyzing_suggest"] = q_analyzing_suggest
+ORACLES["analyzing_suggest"] = _analyzing_suggest_sql()

@@ -215,3 +215,26 @@ def test_ext_parser_raw_search(spark, built):
     assert [(r.doc_id, r.score) for r in raw] == \
         [(r.doc_id, r.score) for r in classic] and raw
     assert s.search_boolean("raw:Common_Util", k=10).count() == 0
+
+
+def test_analyzing_suggester_semantics(spark):
+    """AnalyzingSuggester: lookup on the ANALYZED form, surface form
+    returned; stopword-only surfaces unreachable; exactFirst outranks
+    higher weights; weight desc + surface asc ties."""
+    from lucene_solr_spark.search.suggesters import analyzing_suggest
+
+    dic = spark.createDataFrame(
+        [("the merge", 3), ("merge batch", 9), ("merge apply", 9),
+         ("merged rows", 50), ("a the", 99), ("scan table", 7)],
+        "surface string, weight long")
+    got = [(r.surface, r.weight) for r in
+           analyzing_suggest(dic, "merge", n=4).collect()]
+    # 'the merge' analyzes to exactly 'merge' -> exactFirst wins over
+    # weight-50 'merged rows'; 'a the' (all stopwords) is unreachable
+    assert got == [("the merge", 3), ("merged rows", 50),
+                   ("merge apply", 9), ("merge batch", 9)]
+    # exact_first off: pure weight order
+    got2 = [r.surface for r in
+            analyzing_suggest(dic, "merge", n=2,
+                              exact_first=False).collect()]
+    assert got2 == ["merged rows", "merge apply"]
