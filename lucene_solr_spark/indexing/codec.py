@@ -63,7 +63,8 @@ SKIP_DTYPE = np.dtype(
 
 ALL_EQUAL = 0xFF
 VINT_BLOCK = 0xFE   # block-header marker for the 'vint_tail' family
-CODEC_FAMILIES = ("for128", "vint_tail")
+TEXT_BLOCK = 0xFD   # block-header marker for the 'simpletext' family
+CODEC_FAMILIES = ("for128", "vint_tail", "simpletext")
 
 
 def _pack_block(values: np.ndarray) -> bytes:
@@ -119,6 +120,30 @@ def _pack_block_vint(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _pack_block_text(values: np.ndarray) -> bytes:
+    """SimpleText block (codec family 'simpletext'): 0xFD marker +
+    ASCII space-separated decimals + newline — the debugging codec
+    (lucene/codecs/.../simpletext/SimpleTextPostingsFormat.java: "FOR
+    RECREATIONAL USE ONLY", values written as readable text). Keeps
+    this engine's block invariants (self-describing header, concat-
+    only merge) so simpletext blocks coexist with FOR/VInt blocks in
+    one stream and IndexUpgrader can migrate between families."""
+    body = " ".join(str(int(v)) for v in values.tolist())
+    return bytes([TEXT_BLOCK]) + body.encode("ascii") + b"\n"
+
+
+def _unpack_block_text(buf: memoryview, off: int,
+                       count: int) -> Tuple[np.ndarray, int]:
+    end = off + 1
+    n = len(buf)
+    while end < n and buf[end] != 0x0A:
+        end += 1
+    body = bytes(buf[off + 1:end]).decode("ascii")
+    values = np.array([int(x) for x in body.split(" ")], dtype=np.uint64)
+    assert len(values) == count
+    return values, end - off + 1
+
+
 def _unpack_block_vint(buf: memoryview, off: int,
                        count: int) -> Tuple[np.ndarray, int]:
     values = np.empty(count, dtype=np.uint64)
@@ -142,6 +167,8 @@ def _unpack_block(buf: memoryview, off: int, count: int) -> Tuple[np.ndarray, in
     Self-describing per block: the header byte selects FOR width,
     ALL_EQUAL, or VINT_BLOCK decoding."""
     width = buf[off]
+    if width == TEXT_BLOCK:
+        return _unpack_block_text(buf, off, count)
     if width == VINT_BLOCK:
         return _unpack_block_vint(buf, off, count)
     if width == ALL_EQUAL:
@@ -186,9 +213,12 @@ def encode_postings(
     doc_off = tf_off = 0
     for bi in range(n_blocks):
         lo, hi = bi * BLOCK_SIZE, min((bi + 1) * BLOCK_SIZE, n)
-        pack = (_pack_block_vint
-                if codec == "vint_tail" and hi - lo < BLOCK_SIZE
-                else _pack_block)
+        if codec == "simpletext":
+            pack = _pack_block_text
+        elif codec == "vint_tail" and hi - lo < BLOCK_SIZE:
+            pack = _pack_block_vint
+        else:
+            pack = _pack_block
         db = pack(deltas[lo:hi])
         tb = pack(tfs64[lo:hi])
         skips[bi] = (
