@@ -177,6 +177,7 @@ QUERY_NAMES = [
     "joinutil_scored",
     "url_classify",
     "analyzing_suggest",
+    "doc_analysis",
 ]
 
 

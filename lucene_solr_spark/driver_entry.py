@@ -10123,3 +10123,48 @@ ORDER BY ex DESC, weight DESC, surface ASC LIMIT {TOP_K}
 
 QUERIES["analyzing_suggest"] = q_analyzing_suggest
 ORACLES["analyzing_suggest"] = _analyzing_suggest_sql()
+
+
+def q_doc_analysis(spark, sf_dir):
+    """DocumentAnalysisRequestHandler (handler/
+    DocumentAnalysisRequestHandler.java): per-stage token streams for
+    a document sample with the match flag — the query analyzed through
+    the same chain yields the termsToMatch set; each stage token
+    carries match = membership of its emitted text."""
+    from lucene_solr_spark.functions.analysis import analysis_stages_df
+
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < 3)
+    return analysis_stages_df(
+        d, analyzer="stop", match_query=Q_SINGLE
+    ).orderBy("doc_id", "stage_ord", "pos", "term")
+
+
+def _doc_analysis_sql():
+    from lucene_solr_spark.constants import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    # Q_SINGLE analyzed through the stop chain is itself (lowercase
+    # non-stopword single token)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[a-zA-Z]+')) AS term,
+         generate_subscripts(regexp_extract_all(text, '[a-zA-Z]+'), 1)
+           - 1 AS pos
+  FROM documents WHERE doc_id < 3
+)
+SELECT *, (term = '{Q_SINGLE}') AS match FROM (
+  SELECT doc_id, 0 AS stage_ord, 'tokenizer' AS stage, pos, term
+  FROM toks
+  UNION ALL
+  SELECT doc_id, 1, 'lowercase', pos, lower(term) FROM toks
+  UNION ALL
+  SELECT doc_id, 2, 'stop', pos, lower(term) FROM toks
+  WHERE lower(term) NOT IN ({stops})
+)
+ORDER BY doc_id, stage_ord, pos, term
+"""
+
+
+QUERIES["doc_analysis"] = q_doc_analysis
+ORACLES["doc_analysis"] = _doc_analysis_sql()

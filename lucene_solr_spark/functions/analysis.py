@@ -1157,27 +1157,41 @@ def analyze_stages(spec: AnalyzerSpec, text: str):
 
 
 def analysis_stages_df(docs, analyzer: str = "stop",
-                       text_col: str = "text"):
+                       text_col: str = "text",
+                       match_query: str = None):
     """Distributed per-stage analysis over a document table: one Arrow
     pass (mapInPandas), rows (doc_id, stage_ord, stage, pos, term).
     The Spark-side shape of the /analysis/field handler over a corpus
-    sample instead of a single posted value."""
+    sample instead of a single posted value.
+
+    ``match_query`` switches to DocumentAnalysisRequestHandler
+    semantics (solr/core/.../handler/DocumentAnalysisRequestHandler
+    .java + AnalysisRequestHandlerBase termsToMatch): the query is
+    analyzed through the SAME chain, its final tokens form the match
+    set, and every stage token carries ``match`` = membership of its
+    emitted text in that set (the Admin-UI highlight flag)."""
     import pandas as pd
 
     spec = get_analyzer(analyzer)
+    qset = frozenset(spec.analyze(match_query)) \
+        if match_query is not None else None
 
     def run(batches):
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 for so, st, p, t in analyze_stages(spec, text or ""):
-                    rows.append((doc_id, so, st, p, t))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "stage_ord", "stage",
-                               "pos", "term"])
+                    if qset is None:
+                        rows.append((doc_id, so, st, p, t))
+                    else:
+                        rows.append((doc_id, so, st, p, t, t in qset))
+            cols = ["doc_id", "stage_ord", "stage", "pos", "term"]
+            if qset is not None:
+                cols.append("match")
+            yield pd.DataFrame(rows, columns=cols)
 
-    return docs.select("doc_id", text_col).mapInPandas(
-        run,
-        schema="doc_id long, stage_ord int, stage string, "
-               "pos int, term string",
-    )
+    schema = ("doc_id long, stage_ord int, stage string, "
+              "pos int, term string")
+    if qset is not None:
+        schema += ", match boolean"
+    return docs.select("doc_id", text_col).mapInPandas(run, schema=schema)
