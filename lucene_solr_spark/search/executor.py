@@ -1428,7 +1428,16 @@ class IndexSearcher:
                     "field-range filters are top-level only (Solr fq); "
                     "not supported inside grouping parens")
             if c.kind == "bool":
-                d = self._eval_bool(c.sub or [], 0, rewrite)
+                sub = c.sub or []
+                if sub and all(s.kind != "bool" for s in sub):
+                    # leaf GROUP: the flat mixed-boolean kernel computes
+                    # the identical float chain (ConjunctionScorer f32
+                    # sum / DisjunctionSum double-acc / ReqOpt) in ONE
+                    # cogroup pass — no per-leaf kernel + relational
+                    # re-combine (same results, dual-exec gated)
+                    d = self._execute_flat(sub, None, 0, rewrite)
+                else:
+                    d = self._eval_bool(sub, 0, rewrite)
             else:
                 d = self._execute_flat(
                     [_replace(c, occur="should")], None, 0, rewrite)
@@ -1484,6 +1493,17 @@ class IndexSearcher:
         all-match score set via the gated kernels, then combined
         relationally level by level (doc_id equi-joins / unions, no
         driver-side iteration)."""
+        # pre-warm the df cache with EVERY plain term in the tree in
+        # ONE pushed-down term_stats probe — without this each leaf's
+        # _execute_flat would issue its own driver action (N sequential
+        # Spark jobs of pure scheduling floor for an N-leaf tree)
+        def _tree_terms(cs):
+            for c in cs:
+                if c.kind == "bool":
+                    yield from _tree_terms(c.sub or [])
+                else:
+                    yield from c.terms
+        self._lookup_dfs(sorted(set(_tree_terms(ast))))
         out = self._eval_bool(ast, min_should_match, rewrite)
         for c in field_filters:
             def _coerce(v):
