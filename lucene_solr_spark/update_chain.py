@@ -168,18 +168,25 @@ def _langid_detect(profiles: dict, text_col):
     s == 0 <=> detectLanguage() returned the empty list (the
     LangDetect impl returns emptyList for blank input,
     LangDetectLanguageIdentifierUpdateProcessor.java:47-50)."""
-    toks = F.split(text_col, " ")
+    import re as _re
+
     langs = sorted(profiles)
 
-    def _profile_pred(words):
-        # single-arg lambda: a 2-arg one would be read as (elem, idx)
-        return lambda t: t.isin(*words)
+    def _profile_count(words):
+        # ONE native regexp scan per profile instead of a per-token
+        # higher-order filter (HOF lambdas evaluate interpreted, not
+        # codegen — ~5x slower on long texts). Space-delimited token
+        # match: the left anchor consumes at most the separating
+        # space, the right anchor is a lookahead, so adjacent hits
+        # ("the the") all count. Identical counts to
+        # size(filter(split(text,' '), isin(words))) on space-joined
+        # token streams.
+        alt = "|".join(_re.escape(w) for w in sorted(words))
+        return F.regexp_count(text_col, F.lit(f"(?:^| )(?:{alt})(?= |$)"))
 
     entries = [
         F.struct(
-            F.size(
-                F.filter(toks, _profile_pred(profiles[lg]))
-            ).alias("s"),
+            _profile_count(profiles[lg]).alias("s"),
             F.lit(len(langs) - i).alias("tb"),
             F.lit(lg).alias("lg"),
         )
