@@ -178,6 +178,7 @@ QUERY_NAMES = [
     "url_classify",
     "analyzing_suggest",
     "doc_analysis",
+    "sort_missing_last",
 ]
 
 

@@ -10168,3 +10168,39 @@ ORDER BY doc_id, stage_ord, pos, term
 
 QUERIES["doc_analysis"] = q_doc_analysis
 ORACLES["doc_analysis"] = _doc_analysis_sql()
+
+
+def q_sort_missing_last(spark, sf_dir):
+    """sortMissingLast (Solr schema; MissingStringLastComparatorSource
+    + Sorting.java:34-55): docs matching the anchor term ordered ASC by
+    a sparse field (doc_len where doc_len % 7 != 0, else missing) with
+    missing docs LAST despite ascending order; docID tie."""
+    from lucene_solr_spark.search.sorted import sort_field_order
+
+    s = get_searcher(spark, sf_dir)
+    m = s.match_docs(F.col("term") == Q_SINGLE)
+    v = F.when(F.col("doc_len") % 7 != 0, F.col("doc_len"))
+    return (
+        m.join(s.doc_stats(), "doc_id")
+        .select("doc_id", v.cast("long").alias("v"))
+        .orderBy(sort_field_order("v", reverse=False,
+                                  missing_last=True),
+                 F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+ORACLES["sort_missing_last"] = ORACLE_PRELUDE + f"""
+, m AS (
+  SELECT DISTINCT tf.doc_id FROM tf WHERE tf.term = '{Q_SINGLE}'
+),
+vals AS (
+  SELECT m.doc_id,
+         CASE WHEN d.doc_len % 7 <> 0 THEN CAST(d.doc_len AS BIGINT)
+              END AS v
+  FROM m JOIN dlen d USING (doc_id)
+)
+SELECT doc_id, v FROM vals
+ORDER BY v ASC NULLS LAST, doc_id ASC LIMIT 50
+"""
+QUERIES["sort_missing_last"] = q_sort_missing_last

@@ -95,3 +95,28 @@ class SortedIndex:
             if have >= k:
                 return i
         return len(dirs)
+
+
+def sort_field_order(col, reverse: bool = False,
+                     missing_last=None):
+    """SortField missing-value policy (Solr schema sortMissingLast/
+    sortMissingFirst; solr/core/.../search/
+    MissingStringLastComparatorSource.java + Sorting.getStringSortField
+    — Sorting.java:34-55): returns the Catalyst sort order for one
+    field.
+
+      missing_last=True   missing docs sort LAST whether asc or desc
+      missing_last=False  missing docs sort FIRST whether asc or desc
+      missing_last=None   Lucene default: missing behaves as the
+                          field type's null ordering (low value —
+                          first on asc, last on desc)
+    """
+    from pyspark.sql import functions as F
+
+    if missing_last is None:
+        return F.desc(col) if reverse else F.asc(col)
+    if missing_last:
+        return F.desc_nulls_last(col) if reverse \
+            else F.asc_nulls_last(col)
+    return F.desc_nulls_first(col) if reverse \
+        else F.asc_nulls_first(col)
