@@ -179,6 +179,7 @@ QUERY_NAMES = [
     "analyzing_suggest",
     "doc_analysis",
     "sort_missing_last",
+    "return_fields",
 ]
 
 

@@ -10204,3 +10204,40 @@ SELECT doc_id, v FROM vals
 ORDER BY v ASC NULLS LAST, doc_id ASC LIMIT 50
 """
 QUERIES["sort_missing_last"] = q_sort_missing_last
+
+
+def q_return_fields(spark, sf_dir):
+    """SolrReturnFields fl compiler (search/SolrReturnFields.java):
+    top-10 hits hydrated with stored fields, projected per
+    fl='doc_id,score,lg:lang,nc:n_chars' — rename aliases + the score
+    pseudo-field in one select."""
+    from lucene_solr_spark.search.returnfields import solr_return_fields
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_SINGLE, k=TOP_K)
+    hydrated = hits.join(
+        _documents(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "doc_id")
+    out = solr_return_fields(hydrated, "doc_id,score,lg:lang,nc:n_chars")
+    return out.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        "lg", F.col("nc").cast("long").alias("nc"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+ORACLES["return_fields"] = ORACLE_PRELUDE + f"""
+, orsum AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM persc WHERE term IN ('{Q_SINGLE}')
+  GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, score FROM orsum
+  ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+)
+SELECT t.doc_id, CAST(t.score AS DOUBLE) AS score,
+       d.lang AS lg, CAST(d.n_chars AS BIGINT) AS nc
+FROM top t JOIN docs0 d USING (doc_id)
+ORDER BY score DESC, t.doc_id ASC
+"""
+QUERIES["return_fields"] = q_return_fields

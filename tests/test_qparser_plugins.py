@@ -238,3 +238,41 @@ def test_analyzing_suggester_semantics(spark):
             analyzing_suggest(dic, "merge", n=2,
                               exact_first=False).collect()]
     assert got2 == ["merged rows", "merge apply"]
+
+
+def test_return_fields_fl(spark):
+    """SolrReturnFields fl compiler: fields, alias:rename, copy when
+    also bare-requested, glob, score pseudo-field, function entries,
+    all-fields, empty-fl."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.search.returnfields import solr_return_fields
+
+    df = spark.createDataFrame(
+        [(1, "r1", "py", 10, 0.5)],
+        "doc_id long, repo string, lang string, doc_len long, score float")
+
+    out = solr_return_fields(df, "doc_id,who:repo,score")
+    assert out.columns == ["doc_id", "who", "score"]
+    r = out.first()
+    assert (r["who"], float(r["score"])) == ("r1", 0.5)
+
+    # copy: source requested bare AND renamed -> both come back
+    out = solr_return_fields(df, "repo who:repo")
+    assert out.columns == ["repo", "who"]
+
+    # glob + star + empty
+    assert solr_return_fields(df, "doc_*").columns == ["doc_id", "doc_len"]
+    assert solr_return_fields(df, "*").columns == \
+        ["doc_id", "repo", "lang", "doc_len"]
+    assert solr_return_fields(df, None).columns == \
+        ["doc_id", "repo", "lang", "doc_len"]
+
+    # function entry with alias; commas inside parens don't split
+    out = solr_return_fields(df, "doc_id,dl2:product(doc_len,2)")
+    assert out.columns == ["doc_id", "dl2"]
+    assert out.first()["dl2"] == 20.0
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        solr_return_fields(df, "doc_id,++bad")
