@@ -180,6 +180,7 @@ QUERY_NAMES = [
     "doc_analysis",
     "sort_missing_last",
     "return_fields",
+    "group_sort_within",
 ]
 
 

@@ -10241,3 +10241,48 @@ FROM top t JOIN docs0 d USING (doc_id)
 ORDER BY score DESC, t.doc_id ASC
 """
 QUERIES["return_fields"] = q_return_fields
+
+
+def q_group_sort_within(spark, sf_dir):
+    """Solr group.sort (GroupingSpecification sortWithinGroup;
+    lucene/grouping/.../AbstractSecondPassGroupingCollector.java:
+    groups selected and ORDERED by the main sort — best score — while
+    docs WITHIN each group re-sort by a different spec): groups ranked
+    by their max score (desc, lang asc tie), top-2 docs per group by
+    (n_chars asc, docID asc). Two windows over ONE lang shuffle."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_GROUPING, k=None)
+    j = hits.join(
+        _documents(spark, sf_dir).select("doc_id", "lang", "n_chars"),
+        "doc_id")
+    wg = Window.partitionBy("lang")
+    win = Window.partitionBy("lang").orderBy(
+        F.asc("n_chars"), F.asc("doc_id"))
+    return (
+        j.withColumn("ghead", F.max("score").over(wg))
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            F.col("ghead").cast("double").alias("group_head_score"),
+            "lang", "rnk", "doc_id",
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .orderBy(F.desc("group_head_score"), F.asc("lang"), F.asc("rnk"))
+    )
+
+
+ORACLES["group_sort_within"] = ORACLE_PRELUDE + f"""
+, hits AS (SELECT doc_id, s AS score FROM persc
+           WHERE term = '{Q_GROUPING}')
+SELECT CAST(ghead AS DOUBLE) AS group_head_score, lang, rnk, doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars
+FROM (
+  SELECT d.lang, h.doc_id, d.n_chars,
+         max(h.score) OVER (PARTITION BY d.lang) AS ghead,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY d.n_chars ASC, h.doc_id ASC) AS rnk
+  FROM hits h JOIN docs0 d USING (doc_id)
+) WHERE rnk <= 2
+ORDER BY group_head_score DESC, lang ASC, rnk ASC
+"""
+QUERIES["group_sort_within"] = q_group_sort_within
