@@ -315,6 +315,24 @@ register_analyzer(_StandardSpec())
 # WhitespaceAnalyzer (analysis/core/WhitespaceAnalyzer.java): maximal
 # non-whitespace runs, no lowercase, no stopwords
 register_analyzer(AnalyzerSpec("whitespace", str.split, False))
+
+
+def _ngram_tokenizer_scanner(n: int):
+    """NGramTokenizer (analysis/common/.../ngram/NGramTokenizer.java):
+    character n-grams of each whitespace run at CONSECUTIVE positions
+    (one position per gram — unlike NGramTokenFilter, which stacks all
+    grams at the source token's position). This consecutive-position
+    stream is what NGramPhraseQuery's every-n-th-term pruning assumes."""
+    def scan(text: str):
+        out = []
+        for w in text.split():
+            out.extend(w[i:i + n] for i in range(max(len(w) - n + 1, 0)))
+        return out
+    return scan
+
+
+register_analyzer(
+    AnalyzerSpec("ngram_tok2", _ngram_tokenizer_scanner(2), False))
 # SimpleAnalyzer (analysis/core/SimpleAnalyzer.java): letter runs + lower
 register_analyzer(AnalyzerSpec("simple", _LETTER_RUNS, True))
 # StopAnalyzer (analysis/core/StopAnalyzer.java): simple + 33 stopwords

@@ -601,6 +601,15 @@ class IndexSearcher:
             return self.spark.createDataFrame([], "doc_id long, score float")
         p0 = tp[0][1]
         offsets = [(t, p - p0) for t, p in tp]
+        return self._phrase_from_offsets(offsets, k, slop)
+
+    def _phrase_from_offsets(self, offsets, k, slop: int = 0
+                             ) -> DataFrame:
+        """Shared phrase execution over explicit (term, offset) pairs —
+        the PhraseQuery weight/scorer half, reused by search_phrase and
+        the NGramPhraseQuery rewrite path."""
+        from lucene_solr_spark.functions.bm25 import idf
+
         uniq = list(dict.fromkeys(t for t, _ in offsets))
         dfs = self._lookup_dfs(uniq)
         if any(t not in dfs for t in uniq):
@@ -619,6 +628,24 @@ class IndexSearcher:
         topk = self._run_kernel(posts, kernel, "doc_id long, score float")
         out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
+
+    def search_ngram_phrase(self, gram_terms, n: int,
+                            k: Optional[int] = 10) -> DataFrame:
+        """NGramPhraseQuery (search/NGramPhraseQuery.java:46-77): a
+        phrase over consecutive n-gram terms keeps only every n-th
+        term plus the last one — on a true n-gram field the dropped
+        grams are implied by their neighbors, so the match set is
+        unchanged while the kernel ships len/n of the posting lists.
+        Pruning applies only under the reference's guards (n >= 2,
+        >= 3 terms, strictly consecutive positions); the rewritten
+        query IS a fresh PhraseQuery, so its weight sums idf over the
+        KEPT terms only (rewrite replaces the query, :66-76)."""
+        offsets = [(t, i) for i, t in enumerate(gram_terms)]
+        if n >= 2 and len(gram_terms) >= 3:
+            last = len(gram_terms) - 1
+            offsets = [(t, i) for t, i in offsets
+                       if i % n == 0 or i >= last]
+        return self._phrase_from_offsets(offsets, k)
 
     def search_spans(self, span, k: Optional[int] = 10) -> DataFrame:
         """Span query top-k (lucene/core/.../search/spans/): pass a

@@ -257,3 +257,47 @@ class TestEngineVsOracle:
         out = searcher.search_multi_phrase(
             [(("qqqqzz",), 0), (("data",), 1)], k=10)
         assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# NGramPhraseQuery (core search/NGramPhraseQuery.java:46-77)
+# ---------------------------------------------------------------------------
+
+def test_ngram_phrase_rewrite_matches_full_phrase(spark, tmp_path):
+    """On a consecutive-position character-bigram field, the pruned
+    phrase (every n-th gram + the last) matches exactly the docs the
+    full gram phrase matches, while shipping fewer posting lists."""
+    from lucene_solr_spark.corpusgen import CORPUS_SCHEMA
+    from lucene_solr_spark.indexing.build import IndexWriter
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    words = ["abcdef", "abcxef", "xbcdef", "abcde", "zzzzzz", "abzdef"]
+    rows = [(f"r{i}", f"p{i}", f"c{i}", "py", w)
+            for i, w in enumerate(words)]
+    corpus = spark.createDataFrame(rows, schema=CORPUS_SCHEMA)
+    d = str(tmp_path / "ngram_idx")
+    IndexWriter(spark, d, docs_per_segment=4, n_batches=1,
+                analyzer="ngram_tok2").build(corpus)
+    s = IndexSearcher(spark, d)
+
+    grams = [w for w in ("ab", "bc", "cd", "de", "ef")]  # "abcdef"
+    full = s._phrase_from_offsets(
+        [(g, i) for i, g in enumerate(grams)], k=None).collect()
+    pruned = s.search_ngram_phrase(grams, 2, k=None).collect()
+    assert sorted(r.doc_id for r in full) == \
+        sorted(r.doc_id for r in pruned)
+    # only the exact "abcdef" docs match
+    assert len(full) == 1
+
+    # guards: short phrase / n < 2 -> identical scores (no pruning)
+    short = ["ab", "bc"]
+    a = s.search_ngram_phrase(short, 2, k=None).collect()
+    b = s._phrase_from_offsets(
+        [(g, i) for i, g in enumerate(short)], k=None).collect()
+    assert [(r.doc_id, r.score) for r in a] == \
+        [(r.doc_id, r.score) for r in b]
+    c = s.search_ngram_phrase(grams, 1, k=None).collect()
+    dfull = s._phrase_from_offsets(
+        [(g, i) for i, g in enumerate(grams)], k=None).collect()
+    assert [(r.doc_id, r.score) for r in c] == \
+        [(r.doc_id, r.score) for r in dfull]
