@@ -181,6 +181,7 @@ QUERY_NAMES = [
     "sort_missing_last",
     "return_fields",
     "group_sort_within",
+    "spell_ngram",
 ]
 
 

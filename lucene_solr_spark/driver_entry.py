@@ -10286,3 +10286,41 @@ FROM (
 ORDER BY group_head_score DESC, lang ASC, rnk ASC
 """
 QUERIES["group_sort_within"] = q_group_sort_within
+
+
+def q_spell_ngram(spark, sf_dir):
+    """Classic n-gram SpellChecker (suggest/spell/SpellChecker.java:
+    319-419): gram-candidate retrieval (sizes per word length,
+    boosted start/end grams) + LevensteinDistance rescore under the
+    0.5 accuracy floor, SuggestWordQueue order."""
+    s = get_searcher(spark, sf_dir)
+    return s.spell_ngram(Q_FUZZY, num_sug=5).select(
+        "term", "df", F.col("score").cast("double").alias("score"))
+
+
+def _spell_ngram_sql():
+    word = Q_FUZZY
+    ln = len(word)
+    lo, hi = (3, 4) if ln > 5 else ((2, 3) if ln == 5 else (1, 2))
+    conds, prefs = [], []
+    for ng in range(lo, hi + 1):
+        grams = [word[i:i + ng] for i in range(ln - ng + 1)]
+        if not grams:
+            continue
+        conds.extend(f"contains(term, '{g}')" for g in set(grams))
+    match = " OR ".join(conds)
+    return ORACLE_PRELUDE + f"""
+SELECT term, CAST(df AS BIGINT) AS df,
+       CAST(1.0 - levenshtein(term, '{word}')
+            / CAST(least(length(term), {ln}) AS DOUBLE) AS DOUBLE)
+         AS score
+FROM tstats
+WHERE ({match}) AND term <> '{word}'
+  AND 1.0 - levenshtein(term, '{word}')
+      / CAST(least(length(term), {ln}) AS DOUBLE) >= 0.5
+ORDER BY score DESC, df DESC, term ASC LIMIT 5
+"""
+
+
+QUERIES["spell_ngram"] = q_spell_ngram
+ORACLES["spell_ngram"] = _spell_ngram_sql()

@@ -2109,6 +2109,77 @@ class IndexSearcher:
             .limit(n)
         )
 
+    @staticmethod
+    def _spell_gram_bounds(length: int):
+        """SpellChecker.getMin/getMax (suggest/.../spell/
+        SpellChecker.java:555-575): gram sizes by word length."""
+        if length > 5:
+            return 3, 4
+        if length == 5:
+            return 2, 3
+        return 1, 2
+
+    def spell_ngram(self, word: str, num_sug: int = 5,
+                    accuracy: float = 0.5) -> DataFrame:
+        """Classic n-gram SpellChecker (suggest/.../spell/
+        SpellChecker.java:319-419) — the IndexBasedSpellChecker
+        retrieval, distinct from DirectSpellChecker's edit-automaton
+        walk: candidates come from shared character grams (gram{n}
+        fields; sizes per word length :555-575), with the first gram
+        boosted bStart=2.0 (start{n}) and the last bEnd=1.0 (end{n})
+        (:355-364); survivors rescore with LevensteinDistance
+        similarity (1 - dist/min(len)) under the accuracy floor, and
+        order (score desc, df desc, term asc) per SuggestWordQueue.
+        SUGGEST_WHEN_NOT_IN_INDEX: a word already in the dictionary
+        returns itself (:337-339).
+
+        Relational mapping: a dictionary term matches gram{n}:g iff it
+        CONTAINS g (its gram set is its substrings), start/end are
+        prefix/suffix tests — one vocabulary scan with a boosted
+        hit-count retrieval score. Documented delta: the reference
+        cuts candidates at 10*numSug by the spell index's classic
+        score BEFORE rescoring; here every gram-sharing candidate is
+        rescored (the cutoff population can differ only when
+        candidates exceed 10*numSug — the scale-correct choice, no
+        lossy heuristic truncation)."""
+        ln = len(word)
+        in_dict = self._lookup_dfs([word]).get(word)
+        if in_dict:
+            return self.spark.createDataFrame(
+                [(word, int(in_dict), 1.0)],
+                "term string, df long, score double")
+        lo, hi = self._spell_gram_bounds(ln)
+        match = F.lit(False)
+        retrieval = F.lit(0.0)
+        for ng in range(lo, hi + 1):
+            grams = [word[i:i + ng] for i in range(ln - ng + 1)]
+            if not grams:
+                continue
+            for g in set(grams):
+                hit = F.col("term").contains(g)
+                match = match | hit
+                retrieval = retrieval + F.when(hit, 1.0).otherwise(0.0)
+            retrieval = (
+                retrieval
+                + F.when(F.col("term").startswith(grams[0]), 2.0)
+                .otherwise(0.0)
+                + F.when(F.col("term").endswith(grams[-1]), 1.0)
+                .otherwise(0.0)
+            )
+        dist = F.levenshtein(F.col("term"), F.lit(word))
+        score = (
+            F.lit(1.0)
+            - dist / F.least(F.length("term"), F.lit(ln)).cast("double")
+        )
+        return (
+            self._term_stats.filter(match & (F.col("term") != word))
+            .select("term", F.col("df").cast("long").alias("df"),
+                    score.alias("score"))
+            .filter(F.col("score") >= accuracy)
+            .orderBy(F.desc("score"), F.desc("df"), F.asc("term"))
+            .limit(num_sug)
+        )
+
     def suggest_distributed(self, term: str, n: int = 5,
                             shards: int = 4,
                             max_edits: int = 2) -> DataFrame:

@@ -138,3 +138,35 @@ class TestEngineRoundTrip:
         assert combos and combos[0][0][0] == "mergeidx"
         assert combos[0][0][1] == oracle.df("mergeidx")
         assert combos[0][1] == [0, 1]
+
+
+def test_spell_ngram_classic(spark, built):
+    """Classic n-gram SpellChecker (suggest/spell/SpellChecker.java):
+    gram-candidate retrieval + Levenstein-similarity rescore; in-dict
+    words return themselves (SUGGEST_WHEN_NOT_IN_INDEX :337-339);
+    suggestions are real dictionary terms above the accuracy floor."""
+    from lucene_solr_spark.search.executor import IndexSearcher
+
+    index_dir, oracle = built
+    s = IndexSearcher(spark, index_dir)
+
+    # in-dictionary word: returns itself with its df
+    got = s.spell_ngram("common_util", num_sug=5).collect()
+    assert len(got) == 1 and got[0]["term"] == "common_util"
+    assert got[0]["score"] == 1.0
+
+    # misspelling: candidates share grams, rescored by 1 - d/min(len)
+    got = s.spell_ngram("common_utik", num_sug=5).collect()
+    assert got and got[0]["term"] == "common_util"
+    vocab = set(oracle.postings)
+    for r in got:
+        assert r["term"] in vocab
+        assert r["score"] >= 0.5
+    # order: score desc then df desc then term asc
+    keys = [(-r["score"], -r["df"], r["term"]) for r in got]
+    assert keys == sorted(keys)
+
+    # gram-size bounds per word length (SpellChecker.java:555-575)
+    assert IndexSearcher._spell_gram_bounds(4) == (1, 2)
+    assert IndexSearcher._spell_gram_bounds(5) == (2, 3)
+    assert IndexSearcher._spell_gram_bounds(9) == (3, 4)
