@@ -182,6 +182,7 @@ QUERY_NAMES = [
     "return_fields",
     "group_sort_within",
     "spell_ngram",
+    "stats_full",
 ]
 
 

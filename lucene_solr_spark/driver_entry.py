@@ -10324,3 +10324,62 @@ ORDER BY score DESC, df DESC, term ASC LIMIT 5
 
 QUERIES["spell_ngram"] = q_spell_ngram
 ORACLES["spell_ngram"] = _spell_ngram_sql()
+
+
+def q_stats_full(spark, sf_dir):
+    """Full Solr StatsValues (component/StatsValuesFactory.java
+    NumericStatsValues): count, missing, min, max, sum, sumOfSquares,
+    mean, and the reference's stddev formula
+    sqrt((count*sumsq - sum^2) / (count*(count-1))) (:305-311) over a
+    sparse field of the result set (n_chars where doc_id % 9 != 0,
+    else missing) — one hash aggregation."""
+    d = _documents(spark, sf_dir)
+    v = F.when(F.col("doc_id") % 9 != 0,
+               F.col("n_chars").cast("double"))
+    a = d.select(v.alias("v")).agg(
+        F.count("v").cast("long").alias("count"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+        .cast("long").alias("missing"),
+        F.min("v").alias("min"),
+        F.max("v").alias("max"),
+        F.sum("v").alias("sum"),
+        F.sum(F.col("v") * F.col("v")).alias("sumsq"),
+    )
+    return a.select(
+        "count", "missing",
+        F.col("min").cast("double").alias("min"),
+        F.col("max").cast("double").alias("max"),
+        F.col("sum").cast("double").alias("sum"),
+        F.col("sumsq").cast("double").alias("sumsq"),
+        (F.col("sum") / F.col("count")).cast("double").alias("mean"),
+        F.when(
+            F.col("count") <= 1, F.lit(0.0)
+        ).otherwise(F.sqrt(
+            (F.col("count") * F.col("sumsq") - F.col("sum") * F.col("sum"))
+            / (F.col("count") * (F.col("count") - 1))
+        )).cast("double").alias("stddev"),
+    )
+
+
+ORACLES["stats_full"] = """
+WITH v AS (
+  SELECT CASE WHEN doc_id % 9 <> 0 THEN CAST(n_chars AS DOUBLE) END AS v
+  FROM documents
+),
+a AS (
+  SELECT CAST(count(v) AS BIGINT) AS count,
+         CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS missing,
+         CAST(min(v) AS DOUBLE) AS min, CAST(max(v) AS DOUBLE) AS max,
+         CAST(sum(v) AS DOUBLE) AS sum,
+         CAST(sum(v * v) AS DOUBLE) AS sumsq
+  FROM v
+)
+SELECT count, missing, min, max, sum, sumsq,
+       CAST(sum / count AS DOUBLE) AS mean,
+       CAST(CASE WHEN count <= 1 THEN 0.0
+            ELSE sqrt((count * sumsq - sum * sum)
+                      / (count * (count - 1))) END AS DOUBLE) AS stddev
+FROM a
+"""
+QUERIES["stats_full"] = q_stats_full
