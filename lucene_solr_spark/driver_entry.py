@@ -1359,6 +1359,69 @@ def q_fvh_snippet(spark, sf_dir):
     )
 
 
+def _classic_hl_store(spark, sf_dir, s):
+    docs = _documents(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("path"), "text"
+    )
+    return s._docs.select("doc_id", "path").join(docs, "path").select(
+        "doc_id", F.col("text").alias("content")
+    )
+
+
+def q_classic_highlight(spark, sf_dir):
+    """Classic Highlighter (lucene/highlighter/.../highlight/
+    Highlighter.java + QueryTermScorer + SimpleFragmenter +
+    SimpleHTMLFormatter — the DEFAULT Solr highlighter) with an
+    unbounded fragment: the single fragment is the whole stored text
+    with every weighted query token wrapped in <B>/</B> and fragment
+    score = sum of the distinct weighted terms present
+    (QueryTermScorer.java:120-152). This specialization is exactly
+    SQL-expressible so the char-level markup walk gets a DuckDB
+    oracle; the realistic fragment_size variant classic_hl_frags
+    stays rows-only with golden vectors in
+    tests/test_classic_highlighter.py pinning the general walk."""
+    from lucene_solr_spark.search.classic_highlighter import (
+        classic_highlight,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    store = _classic_hl_store(spark, sf_dir, s)
+    out = classic_highlight(
+        s, store, Q_SINGLE, {Q_SINGLE: 1.0, "table": 1.0},
+        k=TOP_K, fragment_size=100000, max_num_fragments=1,
+    )
+    return out.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        F.element_at("fragments", 1).alias("snippet"),
+        F.element_at("frag_scores", 1).cast("double").alias("fscore"),
+    )
+
+
+def q_classic_highlight_frags(spark, sf_dir):
+    """Classic Highlighter, realistic configuration: SimpleFragmenter
+    fragment_size=60, top-2 fragments, mergeContiguousFragments=True
+    (Highlighter.java:367-436). Genuinely non-SQL-expressible
+    (markup-coordinate fragment walk + iterative contiguous merge) —
+    correctness is pinned by hand-traced golden vectors in
+    tests/test_classic_highlighter.py; the driver records the
+    rows-only check."""
+    from lucene_solr_spark.search.classic_highlighter import (
+        classic_highlight,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    store = _classic_hl_store(spark, sf_dir, s)
+    out = classic_highlight(
+        s, store, Q_SINGLE, {Q_SINGLE: 1.0, "table": 1.0},
+        k=TOP_K, fragment_size=60, max_num_fragments=2,
+    )
+    return out.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        F.concat_ws(" ... ", "fragments").alias("snippet"),
+        F.element_at("frag_scores", 1).cast("double").alias("fscore"),
+    )
+
+
 def q_word_break(spark, sf_dir):
     """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../
     spell/WordBreakSpellChecker.java:93-133,258-312): break the
@@ -3456,6 +3519,29 @@ SELECT doc_id, CAST(score AS DOUBLE) AS score,
 FROM off
 ORDER BY score DESC, doc_id ASC
 """
+    # Classic Highlighter, unbounded fragment: the whole text with
+    # every weighted query token wrapped (SimpleHTMLFormatter default
+    # <B>/</B> tags), fragment score = number of DISTINCT weighted
+    # terms present (QueryTermScorer unique-terms sum, weights 1.0).
+    # Tagging via the same double-space expansion as fvh_snippet.
+    o["classic_highlight"] = ORACLE_PRELUDE + f"""
+, hits AS (
+  SELECT doc_id, s AS score FROM persc WHERE term = '{Q_SINGLE}'
+  ORDER BY CAST(s AS FLOAT) DESC, doc_id ASC LIMIT 10
+)
+SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score,
+  trim(replace(replace(replace(
+      ' ' || replace(d.text, ' ', '  ') || ' ',
+      ' {Q_SINGLE} ', ' <B>{Q_SINGLE}</B> '),
+      ' table ', ' <B>table</B> '),
+    '  ', ' ')) AS snippet,
+  CAST((CASE WHEN ' ' || d.text || ' ' LIKE '% {Q_SINGLE} %'
+        THEN 1 ELSE 0 END)
+     + (CASE WHEN ' ' || d.text || ' ' LIKE '% table %'
+        THEN 1 ELSE 0 END) AS DOUBLE) AS fscore
+FROM hits h JOIN docs0 d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+"""
     # WordBreakSpellChecker: enumerate 1-split and 2-split compositions
     # of the literal; every part must be an indexed term (df >= 1)
     o["word_break_suggest"] = ORACLE_PRELUDE + """
@@ -5529,6 +5615,8 @@ QUERIES = {
     "drill_sideways_counts": q_drill_sideways,
     "fvh_fragments": q_fvh_fragments,
     "fvh_snippet": q_fvh_snippet,
+    "classic_highlight": q_classic_highlight,
+    "classic_hl_frags": q_classic_highlight_frags,
     "word_break_suggest": q_word_break,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,

@@ -1,0 +1,311 @@
+"""Classic Highlighter re-expression (lucene/highlighter/src/java/
+org/apache/lucene/search/highlight/ — the DEFAULT Solr highlighter,
+distinct from the Postings and FastVector highlighters already in
+postings_highlighter.py / fvh.py).
+
+Reference walk, kept rule-for-rule:
+
+1. Token stream: the analyzer chain over the stored text
+   (Highlighter.getBestFragment(Analyzer,...) re-analyzes — there are
+   no term vectors here either; the engine's stored-fields surface is
+   the corpus table). Stop-filtered tokens never reach the stream, so
+   their characters flow through as interstitial text, exactly like
+   the reference. Tokens whose startOffset passes
+   maxDocCharsToAnalyze (default 50*1024, Highlighter.java:38) stop
+   the walk; a token whose offsets exceed the text raises
+   InvalidTokenOffsetsException (Highlighter.java:224-231).
+2. TokenGroup (TokenGroup.java:30-83): tokens overlapping in char
+   offsets accumulate into one group (isDistinct():
+   ``startOffset >= group.endOffset``); the group's match span is the
+   min/max span of its POSITIVE-scoring tokens (addToken :49-76), and
+   the whole span is wrapped when total score > 0
+   (SimpleHTMLFormatter.java:46-58, default tags <B>/</B>).
+3. Fragmenter: SimpleFragmenter.isNewFragment()
+   (SimpleFragmenter.java:61-67) — new fragment when the CURRENT
+   token's endOffset reaches fragmentSize * numFrags; the check runs
+   only when a group is flushed (Highlighter.java:245-254), and the
+   flushed group's markup lands in the PREVIOUS fragment while the
+   current token's score accrues to the new one, as in the reference.
+4. Scorer: QueryTermScorer (QueryTermScorer.java:120-152) — fragment
+   score = sum of the weights of the DISTINCT query terms present in
+   the fragment (uniqueTermsInFragment resets per fragment); a
+   duplicated weighted term keeps the highest weight (:80-93).
+   Sums run in float32 like the Java float accumulator.
+5. Selection: FragmentQueue of size maxNumFragments
+   (Highlighter.java:517-531 — lessThan: score, tie broken by LOWER
+   fragNum winning), popped into descending order; then
+   mergeContiguousFragments (Highlighter.java:367-436) collapses
+   selected fragments adjacent in the markup text (follows():
+   textStartPos == other.textEndPos) keeping max score; only
+   fragments with score > 0 are returned (Highlighter.java:162-168).
+
+Execution shape: like the other two highlighters, this runs on the
+TOP-K HITS ONLY — one Arrow mapInPandas over k joined rows — so
+corpus scale is irrelevant to the operator; the expensive part stays
+the search that produced the hits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_FRAGMENT_SIZE = 100        # SimpleFragmenter.java:28
+DEFAULT_MAX_CHARS = 50 * 1024      # Highlighter.java:38
+PRE_TAG = "<B>"                    # SimpleHTMLFormatter defaults
+POST_TAG = "</B>"
+
+
+class InvalidTokenOffsetsError(ValueError):
+    """InvalidTokenOffsetsException (Highlighter.java:224-231)."""
+
+
+def token_stream(text: str, analyzer) -> List[Tuple[str, int, int]]:
+    """(analyzed_term, start_offset, end_offset) for every token that
+    survives the chain (255-cap drop, lowercase, stop filter) — the
+    same re-derivation as fvh._term_stack, positions not needed."""
+    from lucene_solr_spark.functions.analysis import (
+        MAX_TOKEN_LENGTH,
+        TOKEN_PATTERN,
+    )
+
+    stopwords = getattr(analyzer, "stopwords", frozenset())
+    lowercase = getattr(analyzer, "lowercase", True)
+    out = []
+    for m in TOKEN_PATTERN.finditer(text):
+        tok = m.group(0)
+        if len(tok) > MAX_TOKEN_LENGTH:
+            continue
+        t = tok.lower() if lowercase else tok
+        if t in stopwords:
+            continue
+        out.append((t, m.start(), m.end()))
+    return out
+
+
+class _TokenGroup:
+    """TokenGroup.java state for one group of overlapping tokens."""
+
+    __slots__ = ("num", "start", "end", "match_start", "match_end", "tot")
+
+    def __init__(self):
+        self.num = 0
+        self.start = self.end = 0
+        self.match_start = self.match_end = 0
+        self.tot = np.float32(0.0)
+
+    def add(self, s: int, e: int, score: float):
+        # TokenGroup.addToken (TokenGroup.java:49-76)
+        if self.num == 0:
+            self.start = self.match_start = s
+            self.end = self.match_end = e
+            self.tot = np.float32(self.tot + np.float32(score))
+        else:
+            self.start = min(self.start, s)
+            self.end = max(self.end, e)
+            if score > 0:
+                if self.tot == 0:
+                    self.match_start, self.match_end = s, e
+                else:
+                    self.match_start = min(self.match_start, s)
+                    self.match_end = max(self.match_end, e)
+                self.tot = np.float32(self.tot + np.float32(score))
+        self.num += 1
+
+    def distinct(self, s: int) -> bool:
+        return s >= self.end       # TokenGroup.isDistinct (:78-80)
+
+
+class TextFragment:
+    """TextFragment.java — positions are in MARKUP-text coordinates."""
+
+    __slots__ = ("start", "end", "score", "num")
+
+    def __init__(self, start: int, num: int):
+        self.start = start
+        self.end = start
+        self.score = np.float32(0.0)
+        self.num = num
+
+    def follows(self, other: "TextFragment") -> bool:
+        return self.start == other.end          # TextFragment.java:63-66
+
+    def merge(self, frag2: "TextFragment"):
+        self.end = frag2.end                    # TextFragment.java:52-56
+        self.score = max(self.score, frag2.score)
+
+
+def get_best_text_fragments(
+    text: str,
+    weights: Dict[str, float],
+    analyzer,
+    fragment_size: int = DEFAULT_FRAGMENT_SIZE,
+    max_num_fragments: int = 1,
+    merge_contiguous: bool = True,
+    pre: str = PRE_TAG,
+    post: str = POST_TAG,
+    max_chars: int = DEFAULT_MAX_CHARS,
+) -> List[Tuple[str, float, int]]:
+    """Highlighter.getBestTextFragments for ONE doc (pure function —
+    unit-testable and reused by the Spark kernel). ``weights`` maps
+    analyzed term -> WeightedTerm weight (QueryTermScorer). Returns
+    [(fragment_markup, score, frag_num)] in queue order."""
+    parts: List[str] = []
+    out_len = 0
+
+    def append(piece: str):
+        nonlocal out_len
+        parts.append(piece)
+        out_len += len(piece)
+
+    frags: List[TextFragment] = []
+    cur = TextFragment(0, 0)
+    frags.append(cur)
+    # QueryTermScorer.startFragment state
+    seen: set = set()
+    total = np.float32(0.0)
+    num_frags = 1           # SimpleFragmenter.currentNumFrags
+    last_end = 0
+    group: Optional[_TokenGroup] = None
+
+    def flush(g: _TokenGroup):
+        nonlocal last_end
+        token_txt = text[g.match_start:g.match_end]
+        marked = (pre + token_txt + post) if g.tot > 0 else token_txt
+        if g.match_start > last_end:
+            append(text[last_end:g.match_start])
+        append(marked)
+        last_end = max(g.match_end, last_end)
+
+    for term, s, e in token_stream(text, analyzer):
+        if s >= max_chars:
+            break
+        if e > len(text) or s > len(text):
+            raise InvalidTokenOffsetsError(
+                f"Token {term} exceeds length of provided text "
+                f"sized {len(text)}")
+        if group is not None and group.num > 0 and group.distinct(s):
+            flush(group)
+            group = None
+            # SimpleFragmenter.isNewFragment on the CURRENT token
+            if e >= fragment_size * num_frags:
+                num_frags += 1
+                cur.score = total
+                cur.end = out_len
+                cur = TextFragment(out_len, len(frags))
+                frags.append(cur)
+                seen = set()
+                total = np.float32(0.0)
+        # QueryTermScorer.getTokenScore (:120-136)
+        w = weights.get(term)
+        score = 0.0
+        if w is not None:
+            if term not in seen:
+                total = np.float32(total + np.float32(w))
+                seen.add(term)
+            score = float(w)
+        if group is None:
+            group = _TokenGroup()
+        group.add(s, e, score)
+
+    cur.score = total
+    if group is not None and group.num > 0:
+        flush(group)
+    # trailing text beyond the last token (Highlighter.java:280-291)
+    if last_end < len(text) and len(text) <= max_chars:
+        append(text[last_end:])
+    cur.end = out_len
+    markup = "".join(parts)
+
+    # FragmentQueue: top maxNumFragments by (score desc, fragNum asc)
+    selected = sorted(frags, key=lambda f: (-f.score, f.num))
+    selected = selected[:max_num_fragments]
+
+    if merge_contiguous and len(selected) > 1:
+        # literal port of the mergeContiguousFragments double loop
+        # (Highlighter.java:367-436) so slot-survival order matches
+        arr: List[Optional[TextFragment]] = list(selected)
+        merging = True
+        while merging:
+            merging = False
+            for i in range(len(arr)):
+                if arr[i] is None:
+                    continue
+                for x in range(len(arr)):
+                    if arr[x] is None:
+                        continue
+                    if arr[i] is None:
+                        break
+                    frag1 = frag2 = None
+                    if arr[i].follows(arr[x]):
+                        frag1, f1n = arr[x], x
+                        frag2, f2n = arr[i], i
+                    elif arr[x].follows(arr[i]):
+                        frag1, f1n = arr[i], i
+                        frag2, f2n = arr[x], x
+                    if frag1 is not None:
+                        if frag1.score > frag2.score:
+                            best, worst = f1n, f2n
+                        else:
+                            best, worst = f2n, f1n
+                        frag1.merge(frag2)
+                        arr[worst] = None
+                        arr[best] = frag1
+                        merging = True
+        selected = [f for f in arr if f is not None]
+
+    return [(markup[f.start:f.end], float(f.score), f.num)
+            for f in selected if f.score > 0]
+
+
+def classic_highlight(
+    searcher,
+    store: DataFrame,
+    query_text: str,
+    weights: Dict[str, float],
+    text_col: str = "content",
+    k: int = 10,
+    fragment_size: int = DEFAULT_FRAGMENT_SIZE,
+    max_num_fragments: int = 1,
+    merge_contiguous: bool = True,
+    pre: str = PRE_TAG,
+    post: str = POST_TAG,
+    **search_kw,
+) -> DataFrame:
+    """Top-k hits of ``query_text`` with classic-Highlighter fragments
+    over their stored text. Returns (doc_id, score,
+    fragments array<string>, frag_scores array<float>)."""
+    import pandas as pd
+
+    hits = searcher.search(query_text, k=k, **search_kw)
+    joined = hits.join(store.select("doc_id", text_col), "doc_id")
+    analyzer = searcher.analyzer
+    w = {str(t): float(v) for t, v in weights.items()}
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frag_txt, frag_sc = [], []
+            for t in pdf[text_col]:
+                res = get_best_text_fragments(
+                    t, w, analyzer, fragment_size=fragment_size,
+                    max_num_fragments=max_num_fragments,
+                    merge_contiguous=merge_contiguous, pre=pre, post=post)
+                frag_txt.append([r[0] for r in res])
+                frag_sc.append([r[1] for r in res])
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "score": pdf["score"],
+                "fragments": frag_txt,
+                "frag_scores": frag_sc,
+            })
+
+    out = joined.mapInPandas(
+        kernel,
+        schema=("doc_id long, score float, fragments array<string>, "
+                "frag_scores array<float>"))
+    return out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -1,0 +1,157 @@
+"""Classic Highlighter gates (lucene/highlighter/.../highlight/
+Highlighter.java + QueryTermScorer + SimpleFragmenter +
+SimpleHTMLFormatter): hand-traced golden fragments for the pure
+per-doc walk — SimpleFragmenter boundaries on the CURRENT token's
+endOffset, QueryTermScorer unique-term fragment sums, FragmentQueue
+score-desc/fragNum-asc order, mergeContiguousFragments collapse with
+max score, interstitial/trailing text handling, stop-token
+passthrough, maxDocCharsToAnalyze cutoff."""
+
+import pytest
+
+from lucene_solr_spark.functions.analysis import get_analyzer
+from lucene_solr_spark.search.classic_highlighter import (
+    InvalidTokenOffsetsError,
+    get_best_text_fragments,
+    token_stream,
+)
+
+STD = get_analyzer("standard")
+
+# tokens: alpha(0,5) beta(6,10) [the: stop hole] gamma(15,20) alpha(21,26)
+TEXT = "alpha beta the gamma alpha"
+W = {"alpha": 1.0, "gamma": 2.0}
+
+
+class TestTokenStream:
+    def test_stop_tokens_absent(self):
+        assert token_stream(TEXT, STD) == [
+            ("alpha", 0, 5), ("beta", 6, 10),
+            ("gamma", 15, 20), ("alpha", 21, 26),
+        ]
+
+
+class TestFragmentWalk:
+    """Hand trace with fragment_size=12 over TEXT:
+    - frag0 boundary fires on gamma (endOffset 20 >= 12*1) AFTER the
+      'beta' group flushes -> frag0 text '<B>alpha</B> beta', score
+      1.0 (alpha); gamma's score accrues to frag1.
+    - frag1 boundary fires on the second alpha (26 >= 24) -> frag1
+      text ' the <B>gamma</B>', score 2.0.
+    - frag2 text ' <B>alpha</B>', score 1.0 (unique-terms set resets
+      per fragment so alpha counts again)."""
+
+    def test_all_fragments_no_merge(self):
+        frags = get_best_text_fragments(
+            TEXT, W, STD, fragment_size=12, max_num_fragments=3,
+            merge_contiguous=False)
+        assert frags == [
+            (" the <B>gamma</B>", 2.0, 1),
+            ("<B>alpha</B> beta", 1.0, 0),
+            (" <B>alpha</B>", 1.0, 2),
+        ]
+
+    def test_queue_tie_lower_fragnum_wins(self):
+        # top-2 of scores (1.0, 2.0, 1.0): tie between frag0 and
+        # frag2 broken by LOWER fragNum (Highlighter.java:525-530)
+        frags = get_best_text_fragments(
+            TEXT, W, STD, fragment_size=12, max_num_fragments=2,
+            merge_contiguous=False)
+        assert [f[2] for f in frags] == [1, 0]
+
+    def test_merge_contiguous_max_score(self):
+        # frag1 follows frag0 in markup coords -> selected pair merges
+        # into one span with max(1.0, 2.0) (TextFragment.merge)
+        frags = get_best_text_fragments(
+            TEXT, W, STD, fragment_size=12, max_num_fragments=2,
+            merge_contiguous=True)
+        assert frags == [("<B>alpha</B> beta the <B>gamma</B>", 2.0, 0)]
+
+    def test_unbounded_fragment_whole_text(self):
+        # fragment_size beyond the text: one fragment = the whole
+        # markup; score = distinct weighted terms present (1+2)
+        frags = get_best_text_fragments(
+            TEXT, W, STD, fragment_size=10000, max_num_fragments=1)
+        assert frags == [
+            ("<B>alpha</B> beta the <B>gamma</B> <B>alpha</B>", 3.0, 0)]
+
+    def test_duplicate_term_counts_once_per_fragment(self):
+        frags = get_best_text_fragments(
+            "alpha alpha alpha", {"alpha": 1.0}, STD,
+            fragment_size=10000, max_num_fragments=1)
+        assert frags == [
+            ("<B>alpha</B> <B>alpha</B> <B>alpha</B>", 1.0, 0)]
+
+    def test_zero_score_fragments_dropped(self):
+        assert get_best_text_fragments(
+            "beta delta", W, STD, fragment_size=10000,
+            max_num_fragments=2) == []
+
+    def test_stop_word_weight_never_matches(self):
+        # 'the' is stop-filtered before the scorer sees it
+        assert get_best_text_fragments(
+            "alpha the beta", {"the": 5.0}, STD,
+            fragment_size=10000, max_num_fragments=1) == []
+
+    def test_trailing_and_interstitial_preserved(self):
+        frags = get_best_text_fragments(
+            "xx gamma  yy", W, STD, fragment_size=10000,
+            max_num_fragments=1)
+        # leading 'xx ', double interior space, trailing ' yy' intact
+        assert frags == [("xx <B>gamma</B>  yy", 2.0, 0)]
+
+    def test_max_chars_cutoff(self):
+        # second gamma starts past max_chars: not analyzed, and the
+        # trailing text is NOT appended when len(text) > max_chars
+        # (Highlighter.java:280-291)
+        text = "gamma " + "x" * 20 + " gamma"
+        frags = get_best_text_fragments(
+            text, W, STD, fragment_size=10000, max_num_fragments=1,
+            max_chars=10)
+        # the x-run still starts before the cutoff so it is analyzed;
+        # the second gamma (start 27 >= 10) is not, and the trailing
+        # ' gamma' is dropped because len(text) > max_chars
+        assert frags == [("<B>gamma</B> " + "x" * 20, 2.0, 0)]
+
+    def test_invalid_offsets_raise(self):
+        class Fake:
+            stopwords = frozenset()
+            lowercase = True
+
+        import lucene_solr_spark.search.classic_highlighter as ch
+        orig = ch.token_stream
+        ch.token_stream = lambda t, a: [("zz", 0, len(t) + 5)]
+        try:
+            with pytest.raises(InvalidTokenOffsetsError):
+                get_best_text_fragments("abc", {"zz": 1.0}, Fake())
+        finally:
+            ch.token_stream = orig
+
+
+class TestSparkRoundTrip:
+    def test_classic_over_fixture(self, spark, built, small_corpus):
+        from lucene_solr_spark.search.executor import IndexSearcher
+        from lucene_solr_spark.search.classic_highlighter import (
+            classic_highlight,
+        )
+
+        index_dir, oracle = built
+        s = IndexSearcher(spark, index_dir)
+        docs_sorted = sorted(
+            small_corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
+        store = spark.createDataFrame(
+            [(i, r["content"]) for i, r in enumerate(docs_sorted)],
+            "doc_id long, content string")
+        out = classic_highlight(
+            s, store, "hundred", {"hundred": 1.0},
+            text_col="content", k=5, fragment_size=10**6,
+            max_num_fragments=1).collect()
+        assert out
+        for r in out:
+            assert r["fragments"] and "<B>hundred</B>" in r["fragments"][0]
+            assert r["frag_scores"][0] == 1.0
+            # whole-text fragment: tags stripped returns the original
+            stored = dict((i, d["content"])
+                          for i, d in enumerate(docs_sorted))
+            plain = r["fragments"][0].replace("<B>", "").replace("</B>", "")
+            assert plain == stored[r["doc_id"]]
