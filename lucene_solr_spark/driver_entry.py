@@ -1422,6 +1422,36 @@ def q_classic_highlight_frags(spark, sf_dir):
     )
 
 
+def q_query_scorer_hl(spark, sf_dir):
+    """QueryScorer — the position-sensitive classic-highlighter scorer
+    (highlight/QueryScorer.java + WeightedSpanTermExtractor.java,
+    Solr's hl.usePhraseHighlighter): over the phrase top-10, ONLY the
+    adjacent 'table hash' occurrences are tagged (standalone 'table' /
+    'hash' tokens stay plain — spans extracted per doc like the
+    reference's per-doc MemoryIndex) while the plain term clause
+    'merge' tags everywhere; fragment score = unique-term sum of the
+    terms that actually scored. Unbounded fragment keeps the walk
+    SQL-expressible for the DuckDB oracle."""
+    from lucene_solr_spark.search.classic_highlighter import (
+        classic_highlight,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    store = _classic_hl_store(spark, sf_dir, s)
+    out = classic_highlight(
+        s, store, Q_PHRASE,
+        clauses=[("phrase", ("table", "hash"), 1.0),
+                 ("term", "merge", 1.0)],
+        hits=s.search_phrase(Q_PHRASE, k=TOP_K),
+        fragment_size=100000, max_num_fragments=1,
+    )
+    return out.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        F.element_at("fragments", 1).alias("snippet"),
+        F.element_at("frag_scores", 1).cast("double").alias("fscore"),
+    )
+
+
 def q_word_break(spark, sf_dir):
     """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../
     spell/WordBreakSpellChecker.java:93-133,258-312): break the
@@ -3542,6 +3572,51 @@ SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score,
 FROM hits h JOIN docs0 d USING (doc_id)
 ORDER BY score DESC, doc_id ASC
 """
+    # QueryScorer phrase-aware highlight: phrase top-10 (same BM25
+    # chain as the phrase_query oracle); snippet tags ONLY adjacent
+    # 'table hash' pairs (double-space expansion so the pair pattern
+    # can't bleed across separators) plus every 'merge' token; fscore
+    # = unique scoring terms (phrase hits always have the pair -> 2)
+    # + merge presence.
+    o["query_scorer_hl"] = ORACLE_PRELUDE + f"""
+, tpos AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+),
+pf AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM tpos p0 JOIN tpos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'table' AND p1.term = 'hash'
+  GROUP BY p0.doc_id
+),
+pw AS (
+  SELECT CAST(CAST((SELECT idfv FROM weights WHERE term = 'table')
+                   + (SELECT idfv FROM weights WHERE term = 'hash')
+              AS FLOAT) * {K1P1_LIT} AS FLOAT) AS wv
+),
+hits AS (
+  SELECT pf.doc_id,
+    CAST(CAST((SELECT wv FROM pw) * pf.pf AS FLOAT)
+         / CAST(pf.pf + c.nrm AS FLOAT) AS FLOAT) AS score
+  FROM pf JOIN cachev c ON pf.doc_id = c.doc_id
+  ORDER BY score DESC, pf.doc_id ASC LIMIT 10
+)
+SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score,
+  trim(replace(replace(replace(
+      ' ' || replace(d.text, ' ', '  ') || ' ',
+      ' table  hash ', ' <B>table</B>  <B>hash</B> '),
+      ' merge ', ' <B>merge</B> '),
+    '  ', ' ')) AS snippet,
+  CAST(2 + (CASE WHEN ' ' || d.text || ' ' LIKE '% merge %'
+            THEN 1 ELSE 0 END) AS DOUBLE) AS fscore
+FROM hits h JOIN docs0 d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+"""
     # WordBreakSpellChecker: enumerate 1-split and 2-split compositions
     # of the literal; every part must be an indexed term (df >= 1)
     o["word_break_suggest"] = ORACLE_PRELUDE + """
@@ -5617,6 +5692,7 @@ QUERIES = {
     "fvh_snippet": q_fvh_snippet,
     "classic_highlight": q_classic_highlight,
     "classic_hl_frags": q_classic_highlight_frags,
+    "query_scorer_hl": q_query_scorer_hl,
     "word_break_suggest": q_word_break,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,

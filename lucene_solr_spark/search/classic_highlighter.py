@@ -63,10 +63,12 @@ class InvalidTokenOffsetsError(ValueError):
     """InvalidTokenOffsetsException (Highlighter.java:224-231)."""
 
 
-def token_stream(text: str, analyzer) -> List[Tuple[str, int, int]]:
-    """(analyzed_term, start_offset, end_offset) for every token that
-    survives the chain (255-cap drop, lowercase, stop filter) — the
-    same re-derivation as fvh._term_stack, positions not needed."""
+def token_stream(text: str, analyzer) -> List[Tuple[str, int, int, int]]:
+    """(analyzed_term, position, start_offset, end_offset) for every
+    token that survives the chain (255-cap drop, lowercase, stop
+    filter) — the same re-derivation as fvh._term_stack; positions
+    advance through stop holes exactly like the chain's position
+    increments (QueryScorer.getTokenScore:148 accumulates them)."""
     from lucene_solr_spark.functions.analysis import (
         MAX_TOKEN_LENGTH,
         TOKEN_PATTERN,
@@ -75,15 +77,80 @@ def token_stream(text: str, analyzer) -> List[Tuple[str, int, int]]:
     stopwords = getattr(analyzer, "stopwords", frozenset())
     lowercase = getattr(analyzer, "lowercase", True)
     out = []
+    pos = -1
     for m in TOKEN_PATTERN.finditer(text):
         tok = m.group(0)
+        pos += 1
         if len(tok) > MAX_TOKEN_LENGTH:
             continue
         t = tok.lower() if lowercase else tok
         if t in stopwords:
             continue
-        out.append((t, m.start(), m.end()))
+        out.append((t, pos, m.start(), m.end()))
     return out
+
+
+class WeightedSpanTerm:
+    """WeightedSpanTerm.java: weight + optional position sensitivity
+    with inclusive [start, end] position spans (checkPosition
+    :50-66)."""
+
+    __slots__ = ("weight", "position_sensitive", "spans")
+
+    def __init__(self, weight: float, position_sensitive: bool = False):
+        self.weight = float(weight)
+        self.position_sensitive = position_sensitive
+        self.spans: List[Tuple[int, int]] = []
+
+    def check_position(self, pos: int) -> bool:
+        return any(s <= pos <= e for s, e in self.spans)
+
+
+def extract_weighted_span_terms(
+    clauses, stack: List[Tuple[str, int, int, int]],
+) -> Dict[str, WeightedSpanTerm]:
+    """WeightedSpanTermExtractor.extract
+    (WeightedSpanTermExtractor.java:93-253) over ONE doc's token
+    stack — the reference runs the converted SpanNearQuery against a
+    per-doc MemoryIndex (:330-353); here the phrase occurrences are
+    matched directly on the position-annotated stack.
+
+    ``clauses``: sequence of ("term", term, weight) |
+    ("phrase", (t0, t1, ...), weight). Processed in clause order with
+    the reference merge rules: a term clause PUTs unconditionally
+    (extractWeightedTerms :330-341 overwrites); a phrase clause's
+    terms get positionSensitive entries whose spans are the matched
+    occurrences (spans.start(), spans.end()-1 inclusive — :290-293),
+    or only add spans when the term already exists (:302-318). Exact
+    phrases only (slop=0 -> in-order adjacent positions; PhraseQuery
+    slop conversion at :109-135 — sloppy highlighting is the FVH
+    path's slop matcher)."""
+    by_pos = {p: t for t, p, _, _ in stack}
+    terms: Dict[str, WeightedSpanTerm] = {}
+    for kind, val, weight in clauses:
+        if kind == "term":
+            terms[val] = WeightedSpanTerm(weight)
+            continue
+        if kind != "phrase":
+            raise ValueError(f"unknown clause kind {kind!r}")
+        seq = tuple(val)
+        spans = []
+        for t, p, _, _ in stack:
+            if t != seq[0]:
+                continue
+            if all(by_pos.get(p + i) == seq[i] for i in range(1, len(seq))):
+                spans.append((p, p + len(seq) - 1))
+        if not spans:
+            continue        # no spans found -> term not added (:297-300)
+        for t in set(seq):
+            wst = terms.get(t)
+            if wst is None:
+                wst = WeightedSpanTerm(weight, position_sensitive=True)
+                wst.spans.extend(spans)
+                terms[t] = wst
+            else:
+                wst.spans.extend(spans)
+    return terms
 
 
 class _TokenGroup:
@@ -151,8 +218,10 @@ def get_best_text_fragments(
 ) -> List[Tuple[str, float, int]]:
     """Highlighter.getBestTextFragments for ONE doc (pure function —
     unit-testable and reused by the Spark kernel). ``weights`` maps
-    analyzed term -> WeightedTerm weight (QueryTermScorer). Returns
-    [(fragment_markup, score, frag_num)] in queue order."""
+    analyzed term -> float weight (QueryTermScorer) or
+    ``WeightedSpanTerm`` (QueryScorer — position-sensitive terms
+    score only inside a matched span, QueryScorer.java:147-172).
+    Returns [(fragment_markup, score, frag_num)] in queue order."""
     parts: List[str] = []
     out_len = 0
 
@@ -180,7 +249,7 @@ def get_best_text_fragments(
         append(marked)
         last_end = max(g.match_end, last_end)
 
-    for term, s, e in token_stream(text, analyzer):
+    for term, pos, s, e in token_stream(text, analyzer):
         if s >= max_chars:
             break
         if e > len(text) or s > len(text):
@@ -199,9 +268,15 @@ def get_best_text_fragments(
                 frags.append(cur)
                 seen = set()
                 total = np.float32(0.0)
-        # QueryTermScorer.getTokenScore (:120-136)
+        # QueryTermScorer.getTokenScore (:120-136) / QueryScorer
+        # position check (:147-172)
         w = weights.get(term)
         score = 0.0
+        if isinstance(w, WeightedSpanTerm):
+            if w.position_sensitive and not w.check_position(pos):
+                w = None
+            else:
+                w = w.weight
         if w is not None:
             if term not in seen:
                 total = np.float32(total + np.float32(w))
@@ -265,7 +340,7 @@ def classic_highlight(
     searcher,
     store: DataFrame,
     query_text: str,
-    weights: Dict[str, float],
+    weights: Optional[Dict[str, float]] = None,
     text_col: str = "content",
     k: int = 10,
     fragment_size: int = DEFAULT_FRAGMENT_SIZE,
@@ -273,17 +348,30 @@ def classic_highlight(
     merge_contiguous: bool = True,
     pre: str = PRE_TAG,
     post: str = POST_TAG,
+    clauses=None,
+    hits: Optional[DataFrame] = None,
     **search_kw,
 ) -> DataFrame:
     """Top-k hits of ``query_text`` with classic-Highlighter fragments
-    over their stored text. Returns (doc_id, score,
-    fragments array<string>, frag_scores array<float>)."""
+    over their stored text. Scorer selection mirrors the reference:
+    pass ``weights`` (term -> weight) for QueryTermScorer, or
+    ``clauses`` ([("term", t, w) | ("phrase", (t0, t1, ...), w)]) for
+    the position-sensitive QueryScorer (hl.usePhraseHighlighter) —
+    span extraction runs PER DOC like the reference's per-doc
+    MemoryIndex (WeightedSpanTermExtractor.java:330-353). Returns
+    (doc_id, score, fragments array<string>,
+    frag_scores array<float>)."""
     import pandas as pd
 
-    hits = searcher.search(query_text, k=k, **search_kw)
+    if (weights is None) == (clauses is None):
+        raise ValueError("pass exactly one of weights= or clauses=")
+
+    if hits is None:
+        hits = searcher.search(query_text, k=k, **search_kw)
     joined = hits.join(store.select("doc_id", text_col), "doc_id")
     analyzer = searcher.analyzer
-    w = {str(t): float(v) for t, v in weights.items()}
+    w = ({str(t): float(v) for t, v in weights.items()}
+         if weights is not None else None)
 
     def kernel(batches):
         for pdf in batches:
@@ -291,8 +379,13 @@ def classic_highlight(
                 continue
             frag_txt, frag_sc = [], []
             for t in pdf[text_col]:
+                if w is not None:
+                    doc_w = w
+                else:
+                    doc_w = extract_weighted_span_terms(
+                        clauses, token_stream(t, analyzer))
                 res = get_best_text_fragments(
-                    t, w, analyzer, fragment_size=fragment_size,
+                    t, doc_w, analyzer, fragment_size=fragment_size,
                     max_num_fragments=max_num_fragments,
                     merge_contiguous=merge_contiguous, pre=pre, post=post)
                 frag_txt.append([r[0] for r in res])

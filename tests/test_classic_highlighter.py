@@ -24,10 +24,11 @@ W = {"alpha": 1.0, "gamma": 2.0}
 
 
 class TestTokenStream:
-    def test_stop_tokens_absent(self):
+    def test_stop_tokens_absent_positions_advance(self):
+        # 'the' is position 2: absent from the stream, hole preserved
         assert token_stream(TEXT, STD) == [
-            ("alpha", 0, 5), ("beta", 6, 10),
-            ("gamma", 15, 20), ("alpha", 21, 26),
+            ("alpha", 0, 0, 5), ("beta", 1, 6, 10),
+            ("gamma", 3, 15, 20), ("alpha", 4, 21, 26),
         ]
 
 
@@ -120,12 +121,69 @@ class TestFragmentWalk:
 
         import lucene_solr_spark.search.classic_highlighter as ch
         orig = ch.token_stream
-        ch.token_stream = lambda t, a: [("zz", 0, len(t) + 5)]
+        ch.token_stream = lambda t, a: [("zz", 0, 0, len(t) + 5)]
         try:
             with pytest.raises(InvalidTokenOffsetsError):
                 get_best_text_fragments("abc", {"zz": 1.0}, Fake())
         finally:
             ch.token_stream = orig
+
+
+class TestQueryScorer:
+    """QueryScorer / WeightedSpanTermExtractor (position-sensitive
+    phrase highlighting — hl.usePhraseHighlighter)."""
+
+    def _extract(self, text, clauses):
+        from lucene_solr_spark.search.classic_highlighter import (
+            extract_weighted_span_terms,
+        )
+        return extract_weighted_span_terms(
+            clauses, token_stream(text, STD))
+
+    def test_phrase_spans_only_adjacent(self):
+        text = "table hash x table y hash table hash"
+        w = self._extract(text, [("phrase", ("table", "hash"), 1.0)])
+        assert w["table"].position_sensitive
+        assert sorted(w["table"].spans) == [(0, 1), (6, 7)]
+        frags = get_best_text_fragments(
+            text, w, STD, fragment_size=10000, max_num_fragments=1)
+        assert frags == [(
+            "<B>table</B> <B>hash</B> x table y hash "
+            "<B>table</B> <B>hash</B>", 2.0, 0)]
+
+    def test_stop_hole_breaks_phrase(self):
+        # 'the' advances position so 'table hash' is NOT adjacent
+        w = self._extract("table the hash",
+                          [("phrase", ("table", "hash"), 1.0)])
+        assert w == {}
+        assert get_best_text_fragments(
+            "table the hash", w, STD, fragment_size=10000,
+            max_num_fragments=1) == []
+
+    def test_term_clause_overwrites_sensitive_entry(self):
+        # extractWeightedTerms PUTs unconditionally
+        # (WeightedSpanTermExtractor.java:330-341): a later term
+        # clause makes 'aa' position-INsensitive
+        text = "aa bb cc aa"
+        w = self._extract(text, [("phrase", ("aa", "bb"), 2.0),
+                                 ("term", "aa", 1.0)])
+        assert not w["aa"].position_sensitive and w["aa"].weight == 1.0
+        assert w["bb"].position_sensitive and w["bb"].weight == 2.0
+        frags = get_best_text_fragments(
+            text, w, STD, fragment_size=10000, max_num_fragments=1)
+        # both aa occurrences now tag; unique-term sum = 1.0 + 2.0
+        assert frags == [("<B>aa</B> <B>bb</B> cc <B>aa</B>", 3.0, 0)]
+
+    def test_in_span_second_occurrence_highlights(self):
+        # checkPosition is an inclusive range test, not an exact
+        # occurrence list: 'fast fast merge' with phrase (fast, merge)
+        # spans (1, 2) — the first 'fast' (pos 0) stays untagged
+        text = "fast fast merge"
+        w = self._extract(text, [("phrase", ("fast", "merge"), 1.0)])
+        assert w["fast"].spans == [(1, 2)]
+        frags = get_best_text_fragments(
+            text, w, STD, fragment_size=10000, max_num_fragments=1)
+        assert frags == [("fast <B>fast</B> <B>merge</B>", 2.0, 0)]
 
 
 class TestSparkRoundTrip:
