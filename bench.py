@@ -144,6 +144,8 @@ QUERY_NAMES = [
     "frange_docs",
     "drill_sideways_counts",
     "fvh_snippet",
+    "classic_highlight",
+    "query_scorer_hl",
     # round-2g surface
     "word_break_suggest",
     "ascii_fold_text",

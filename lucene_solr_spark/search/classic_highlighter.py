@@ -186,6 +186,98 @@ class _TokenGroup:
         return s >= self.end       # TokenGroup.isDistinct (:78-80)
 
 
+class SimpleFragmenterState:
+    """SimpleFragmenter.java:61-67 — boundary when the current token's
+    endOffset reaches fragmentSize * numFrags (absolute multiples)."""
+
+    def __init__(self, size: int, weights, text_size: int):
+        self.size = size
+        self.n = 1
+
+    def is_new(self, term: str, pos_inc: int, end: int) -> bool:
+        new = end >= self.size * self.n
+        if new:
+            self.n += 1
+        return new
+
+
+class NullFragmenterState:
+    """NullFragmenter.java — the whole text is one fragment."""
+
+    def __init__(self, size, weights, text_size):
+        pass
+
+    def is_new(self, term, pos_inc, end) -> bool:
+        return False
+
+
+class GapFragmenterState:
+    """Solr LuceneGapFragmenter (solr/highlight/GapFragmenter.java:
+    62-104, hl.fragmenter=gap — Solr's DEFAULT): boundary when
+    endOffset passes the LAST boundary's endOffset + fragsize
+    (relative, unlike SimpleFragmenter's absolute multiples), or on a
+    position increment > 50 (multi-valued-field gap)."""
+
+    INCREMENT_THRESHOLD = 50       # GapFragmenter.java:67
+
+    def __init__(self, size: int, weights, text_size: int):
+        self.size = size
+        self.frag_offset = 0
+
+    def is_new(self, term, pos_inc: int, end: int) -> bool:
+        new = (end >= self.frag_offset + self.size
+               or pos_inc > self.INCREMENT_THRESHOLD)
+        if new:
+            self.frag_offset = end
+        return new
+
+
+class SpanFragmenterState:
+    """SimpleSpanFragmenter.java:60-95 — literal port, including the
+    reference's position accounting: isNewFragment() runs only at
+    group-flush events (Highlighter.java:245), so the fragmenter's
+    ``position`` never accumulates the FIRST token's increment and
+    trails the scorer's position by one on plain streams; the
+    protected window is therefore the span shifted one token right,
+    exactly as the Java behaves. Requires QueryScorer weights
+    (WeightedSpanTerm values); plain-float weights never arm the
+    wait."""
+
+    def __init__(self, size: int, weights, text_size: int):
+        self.size = size
+        self.weights = weights
+        self.text_size = text_size
+        self.n = 1
+        self.position = -1
+        self.wait = -1
+
+    def is_new(self, term: str, pos_inc: int, end: int) -> bool:
+        self.position += pos_inc
+        if self.wait == self.position:
+            self.wait = -1
+        elif self.wait != -1:
+            return False
+        wst = self.weights.get(term)
+        if isinstance(wst, WeightedSpanTerm):
+            for s, e in wst.spans:
+                if s == self.position:
+                    self.wait = e + 1
+                    break
+        new = (end >= self.size * self.n
+               and (self.text_size - end) >= (self.size >> 1))
+        if new:
+            self.n += 1
+        return new
+
+
+FRAGMENTERS = {
+    "simple": SimpleFragmenterState,
+    "null": NullFragmenterState,
+    "gap": GapFragmenterState,
+    "span": SpanFragmenterState,
+}
+
+
 class TextFragment:
     """TextFragment.java — positions are in MARKUP-text coordinates."""
 
@@ -215,6 +307,7 @@ def get_best_text_fragments(
     pre: str = PRE_TAG,
     post: str = POST_TAG,
     max_chars: int = DEFAULT_MAX_CHARS,
+    fragmenter: str = "simple",
 ) -> List[Tuple[str, float, int]]:
     """Highlighter.getBestTextFragments for ONE doc (pure function —
     unit-testable and reused by the Spark kernel). ``weights`` maps
@@ -236,8 +329,9 @@ def get_best_text_fragments(
     # QueryTermScorer.startFragment state
     seen: set = set()
     total = np.float32(0.0)
-    num_frags = 1           # SimpleFragmenter.currentNumFrags
+    frag_state = FRAGMENTERS[fragmenter](fragment_size, weights, len(text))
     last_end = 0
+    prev_pos = -1
     group: Optional[_TokenGroup] = None
 
     def flush(g: _TokenGroup):
@@ -259,9 +353,8 @@ def get_best_text_fragments(
         if group is not None and group.num > 0 and group.distinct(s):
             flush(group)
             group = None
-            # SimpleFragmenter.isNewFragment on the CURRENT token
-            if e >= fragment_size * num_frags:
-                num_frags += 1
+            # Fragmenter.isNewFragment on the CURRENT token's attrs
+            if frag_state.is_new(term, pos - prev_pos, e):
                 cur.score = total
                 cur.end = out_len
                 cur = TextFragment(out_len, len(frags))
@@ -285,6 +378,7 @@ def get_best_text_fragments(
         if group is None:
             group = _TokenGroup()
         group.add(s, e, score)
+        prev_pos = pos
 
     cur.score = total
     if group is not None and group.num > 0:
@@ -350,6 +444,7 @@ def classic_highlight(
     post: str = POST_TAG,
     clauses=None,
     hits: Optional[DataFrame] = None,
+    fragmenter: str = "simple",
     **search_kw,
 ) -> DataFrame:
     """Top-k hits of ``query_text`` with classic-Highlighter fragments
@@ -387,7 +482,8 @@ def classic_highlight(
                 res = get_best_text_fragments(
                     t, doc_w, analyzer, fragment_size=fragment_size,
                     max_num_fragments=max_num_fragments,
-                    merge_contiguous=merge_contiguous, pre=pre, post=post)
+                    merge_contiguous=merge_contiguous, pre=pre, post=post,
+                    fragmenter=fragmenter)
                 frag_txt.append([r[0] for r in res])
                 frag_sc.append([r[1] for r in res])
             yield pd.DataFrame({

@@ -186,6 +186,72 @@ class TestQueryScorer:
         assert frags == [("fast <B>fast</B> <B>merge</B>", 2.0, 0)]
 
 
+class TestFragmenters:
+    """Pluggable fragmenters: Solr GapFragmenter (relative sizing +
+    increment-gap rule), NullFragmenter, SimpleSpanFragmenter (literal
+    port incl. the flush-event position accounting)."""
+
+    SIX = "aa bb cc dd ee ff"   # offsets (0,2)(3,5)(6,8)(9,11)(12,14)(15,17)
+
+    def test_gap_relative_vs_simple_absolute(self):
+        w = {"aa": 1.0, "dd": 1.0, "ff": 1.0}
+        # gap: boundary at cc (8 >= 0+7, fragOffset=8) then ff (17 >= 15)
+        gap = get_best_text_fragments(
+            self.SIX, w, STD, fragment_size=7, max_num_fragments=3,
+            merge_contiguous=False, fragmenter="gap")
+        assert sorted(f[0] for f in gap) == [
+            " <B>ff</B>", " cc <B>dd</B> ee", "<B>aa</B> bb"]
+        # simple: absolute multiples -> boundaries at cc (8>=7) and
+        # ee (14>=14)
+        simple = get_best_text_fragments(
+            self.SIX, w, STD, fragment_size=7, max_num_fragments=3,
+            merge_contiguous=False, fragmenter="simple")
+        assert sorted(f[0] for f in simple) == [
+            " cc <B>dd</B>", " ee <B>ff</B>", "<B>aa</B> bb"]
+
+    def test_gap_position_increment_threshold(self):
+        # 51 stopword holes -> position increment 52 > 50 forces a
+        # boundary even though fragment_size is huge
+        text = "alpha " + "the " * 51 + "beta gamma"
+        frags = get_best_text_fragments(
+            text, {"alpha": 1.0, "beta": 1.0}, STD, fragment_size=10000,
+            max_num_fragments=2, merge_contiguous=False, fragmenter="gap")
+        assert [f[0] for f in frags] == [
+            "<B>alpha</B>",
+            " " + "the " * 51 + "<B>beta</B> gamma",
+        ] or [f[0] for f in frags] == [
+            " " + "the " * 51 + "<B>beta</B> gamma",
+            "<B>alpha</B>",
+        ]
+
+    def test_null_fragmenter_whole_text(self):
+        frags = get_best_text_fragments(
+            self.SIX, {"aa": 1.0}, STD, fragment_size=3,
+            max_num_fragments=5, fragmenter="null")
+        assert frags == [("<B>aa</B> bb cc dd ee ff", 1.0, 0)]
+
+    def test_span_fragmenter_protects_past_span(self):
+        from lucene_solr_spark.search.classic_highlighter import (
+            extract_weighted_span_terms,
+        )
+        w = extract_weighted_span_terms(
+            [("phrase", ("cc", "dd"), 1.0)], token_stream(self.SIX, STD))
+        assert w["cc"].spans == [(2, 3)]
+        # simple at size 7 splits at cc AND ee
+        simple = get_best_text_fragments(
+            self.SIX, w, STD, fragment_size=7, max_num_fragments=2,
+            merge_contiguous=False, fragmenter="simple")
+        assert simple == [(" <B>cc</B> <B>dd</B>", 2.0, 1)]
+        # span fragmenter: the wait armed at dd (fragmenter position 2
+        # == span start, one flush behind the scorer) suppresses the
+        # ee boundary; the ff boundary dies on the half-size tail
+        # guard -> one fragment from cc to the end
+        span = get_best_text_fragments(
+            self.SIX, w, STD, fragment_size=7, max_num_fragments=2,
+            merge_contiguous=False, fragmenter="span")
+        assert span == [(" <B>cc</B> <B>dd</B> ee ff", 2.0, 1)]
+
+
 class TestSparkRoundTrip:
     def test_classic_over_fixture(self, spark, built, small_corpus):
         from lucene_solr_spark.search.executor import IndexSearcher
