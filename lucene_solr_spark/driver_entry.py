@@ -3152,6 +3152,20 @@ def q_mlt(spark, sf_dir):
     )
 
 
+MLT_LIKE_TEXT = "merge table scan vector window stream"
+MLT_QUERY_PCT = 0.5      # -> minimumNumberShouldMatch = int(5 * 0.5) = 2
+
+
+def q_mlt_query(spark, sf_dir):
+    """MoreLikeThisQuery (queries/mlt/MoreLikeThisQuery.java:42-78):
+    like-TEXT term selection (reference defaults maxQueryTerms=5,
+    minTermFrequency=1, MLT minDocFreq=5) -> OR query whose
+    minimumNumberShouldMatch = int(n_clauses * percentTermsToMatch)."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.more_like_this_query(
+        MLT_LIKE_TEXT, percent_terms_to_match=MLT_QUERY_PCT, k=TOP_K))
+
+
 ANN_DIM = 64          # embeddings.embedding dimensionality (testdata)
 # 16 bands x 8 bits: measured Pareto point for the tau=0.4 regime on
 # this corpus — candidate pairs 7.1% of n^2 vs 23% for the old
@@ -5218,6 +5232,30 @@ WHERE term IN (SELECT term FROM mterms) AND doc_id <> {MLT_DOC}
 GROUP BY doc_id
 ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
 """
+    # MoreLikeThisQuery: like-text tokens (all tf=1), df>=5 gate,
+    # ranked by f32 tf*idf (tie: term asc), top 5; disjunction sum
+    # with the mm=2 floor (double accumulator -> f32, like bool_mm2)
+    _mltq_toks = ",".join(f"'{t}'" for t in MLT_LIKE_TEXT.split())
+    _mltq_mm = int(len(MLT_LIKE_TEXT.split()[:5]) * MLT_QUERY_PCT)
+    o["mlt_query_top10"] = ORACLE_PRELUDE + f"""
+, mqterms AS (
+  SELECT term FROM (
+    SELECT lt.term,
+      CAST(1 * CAST(ln((SELECT max_doc FROM coll) / (ts.df + 1.0e0))
+                    + 1.0e0 AS FLOAT) AS FLOAT) AS mscore
+    FROM (SELECT unnest([{_mltq_toks}]) AS term) lt
+    JOIN tstats ts USING (term)
+    WHERE ts.df >= 5
+  ) ORDER BY mscore DESC, term ASC LIMIT 5
+)
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE)
+  AS score
+FROM persc
+WHERE term IN (SELECT term FROM mqterms)
+GROUP BY doc_id
+HAVING count(*) >= {_mltq_mm}
+ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+"""
     _dm1, _dm2 = Q_DISMAX
     _tie_lit = repr(float(F32(DISMAX_TIE))) + "e0"
     o["dismax_top10"] = ORACLE_PRELUDE + f"""
@@ -5767,6 +5805,7 @@ QUERIES = {
     "join_lang_docs": q_join_lang,
     "highlight_top10": q_highlight,
     "mlt_similar": q_mlt,
+    "mlt_query_top10": q_mlt_query,
     "dismax_top10": q_dismax,
     "field_title_term": q_field_title_term,
     "group_ngroups": q_group_ngroups,

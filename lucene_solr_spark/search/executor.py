@@ -2767,7 +2767,27 @@ class IndexSearcher:
         )
         if not row:
             return self.spark.createDataFrame([], "doc_id long, score float")
-        toks = self.analyzer.analyze(row[0][0] or "")
+        terms = self._mlt_terms(row[0][0] or "", min_tf, min_df, max_terms)
+        if not terms:
+            return self.spark.createDataFrame([], "doc_id long, score float")
+        hits = self.search(" ".join(terms), k=None, mode="or")
+        return (
+            hits.filter(F.col("doc_id") != doc_id)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def _mlt_terms(self, text: str, min_tf: int, min_df: int,
+                   max_terms: int) -> List[str]:
+        """MoreLikeThis.retrieveTerms/createQueue term selection over
+        one text: tf >= minTermFreq, index df >= minDocFreq, ranked by
+        f32(tf * f32(ln(maxDoc/(df+1)) + 1)) (DefaultSimilarity idf)
+        desc, top maxQueryTerms; (score desc, term asc) tie-break —
+        the documented deterministic pin for the reference's
+        insertion-ordered PQ."""
+        import math as _math
+
+        toks = self.analyzer.analyze(text or "")
         tf: Dict[str, int] = {}
         for t in toks:
             tf[t] = tf.get(t, 0) + 1
@@ -2781,15 +2801,33 @@ class IndexSearcher:
             idf_t = F32(_math.log(self.max_doc / (df_t + 1.0)) + 1.0)
             scored.append((float(F32(tf[t] * idf_t)), t))
         scored.sort(key=lambda st: (-st[0], st[1]))
-        terms = [t for _, t in scored[:max_terms]]
+        return [t for _, t in scored[:max_terms]]
+
+    def more_like_this_query(
+        self,
+        like_text: str,
+        percent_terms_to_match: float = 0.3,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 5,
+        max_query_terms: int = 5,
+        k: int = 10,
+    ) -> DataFrame:
+        """MoreLikeThisQuery (lucene/queries/.../mlt/
+        MoreLikeThisQuery.java:42-78): the like-TEXT variant usable
+        from query parsers — rewrite() runs the MoreLikeThis term
+        selection over the given text (reference defaults
+        minTermFrequency=1, maxQueryTerms=5, MoreLikeThis's
+        minDocFreq=5 when unset) and sets the resulting OR query's
+        minimumNumberShouldMatch = int(n_clauses *
+        percentTermsToMatch) (:77). No source-doc exclusion — there
+        is no source doc."""
+        terms = self._mlt_terms(
+            like_text, min_term_freq, min_doc_freq, max_query_terms)
         if not terms:
             return self.spark.createDataFrame([], "doc_id long, score float")
-        hits = self.search(" ".join(terms), k=None, mode="or")
-        return (
-            hits.filter(F.col("doc_id") != doc_id)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        mm = int(len(terms) * percent_terms_to_match)
+        return self.search(
+            " ".join(terms), k=k, mode="or", min_should_match=mm)
 
     def match_all_docs(self) -> DataFrame:
         """MatchAllDocsQuery (search/MatchAllDocsQuery.java): every live
