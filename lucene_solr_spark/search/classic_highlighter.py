@@ -186,6 +186,102 @@ class _TokenGroup:
         return s >= self.end       # TokenGroup.isDistinct (:78-80)
 
 
+def _hex_to_int(h: str) -> int:
+    """GradientFormatter.hexToInt (GradientFormatter.java:209-230):
+    two's-complement hex parse, <= 16 chars."""
+    if len(h) > 16:
+        raise ValueError("hex string too long")
+    v = 0
+    for ch in h:
+        d = int(ch, 16)
+        v = ((v << 4) | d) & 0xFFFFFFFF
+    if v >= 0x80000000:
+        v -= 0x100000000
+    return v
+
+
+_HEX_DIGITS = "0123456789ABCDEF"
+
+
+def _int_to_hex(i: int) -> str:
+    return _HEX_DIGITS[(i & 0xF0) >> 4] + _HEX_DIGITS[i & 0x0F]
+
+
+class GradientFormatter:
+    """GradientFormatter.java: score-graded <font> markup. Color
+    channels interpolate from min(cMin, cMax) upward by
+    |cMin - cMax| * min(score, maxScore)/maxScore — the reference's
+    direction-insensitive getColorVal (:173-183) kept verbatim.
+    Groups with total score exactly 0 pass through unformatted
+    (:120-129 — note the == 0 gate, not <= 0)."""
+
+    _open, _close = "<font ", "</font>"
+
+    def __init__(self, max_score: float, min_fg: Optional[str] = None,
+                 max_fg: Optional[str] = None, min_bg: Optional[str] = None,
+                 max_bg: Optional[str] = None):
+        self.max_score = float(max_score)
+        self.fg = self._parse_pair(min_fg, max_fg, "ForegroundColor")
+        self.bg = self._parse_pair(min_bg, max_bg, "BackgroundColor")
+
+    @staticmethod
+    def _parse_pair(lo, hi, what):
+        if lo is None or hi is None:
+            return None
+        for c in (lo, hi):
+            if len(c) != 7:
+                raise ValueError(
+                    f"min{what} is not 7 bytes long eg a hex RGB value "
+                    "such as #FFFFFF")
+        return tuple(
+            (_hex_to_int(lo[i:i + 2]), _hex_to_int(hi[i:i + 2]))
+            for i in (1, 3, 5))
+
+    def _color(self, pair, score: float) -> str:
+        out = "#"
+        for cmin, cmax in pair:
+            if cmin == cmax:
+                out += _int_to_hex(cmin)
+                continue
+            scale = abs(cmin - cmax)
+            rel = min(self.max_score, score) / self.max_score
+            out += _int_to_hex(min(cmin, cmax) + int(scale * rel))
+        return out
+
+    def __call__(self, token_text: str, total: float) -> str:
+        if total == 0:
+            return token_text
+        sb = self._open
+        if self.fg is not None:
+            sb += self._fg_part(total)
+        if self.bg is not None:
+            sb += self._bg_part(total)
+        return sb + ">" + token_text + self._close
+
+    def _fg_part(self, score):
+        return f'color="{self._color(self.fg, score)}" '
+
+    def _bg_part(self, score):
+        return f'bgcolor="{self._color(self.bg, score)}" '
+
+
+class SpanGradientFormatter(GradientFormatter):
+    """SpanGradientFormatter.java: same gradient math, CSS <span>
+    markup (:39-66)."""
+
+    _open, _close = '<span style="', "</span>"
+
+    def __call__(self, token_text: str, total: float) -> str:
+        if total == 0:
+            return token_text
+        sb = self._open
+        if self.fg is not None:
+            sb += f"color: {self._color(self.fg, total)}; "
+        if self.bg is not None:
+            sb += f"background: {self._color(self.bg, total)}; "
+        return sb + '">' + token_text + self._close
+
+
 class SimpleFragmenterState:
     """SimpleFragmenter.java:61-67 — boundary when the current token's
     endOffset reaches fragmentSize * numFrags (absolute multiples)."""
@@ -308,6 +404,7 @@ def get_best_text_fragments(
     post: str = POST_TAG,
     max_chars: int = DEFAULT_MAX_CHARS,
     fragmenter: str = "simple",
+    formatter=None,
 ) -> List[Tuple[str, float, int]]:
     """Highlighter.getBestTextFragments for ONE doc (pure function —
     unit-testable and reused by the Spark kernel). ``weights`` maps
@@ -337,7 +434,10 @@ def get_best_text_fragments(
     def flush(g: _TokenGroup):
         nonlocal last_end
         token_txt = text[g.match_start:g.match_end]
-        marked = (pre + token_txt + post) if g.tot > 0 else token_txt
+        if formatter is not None:
+            marked = formatter(token_txt, float(g.tot))
+        else:   # SimpleHTMLFormatter (<= 0 gate, :46-49)
+            marked = (pre + token_txt + post) if g.tot > 0 else token_txt
         if g.match_start > last_end:
             append(text[last_end:g.match_start])
         append(marked)

@@ -252,6 +252,53 @@ class TestFragmenters:
         assert span == [(" <B>cc</B> <B>dd</B> ee ff", 2.0, 1)]
 
 
+class TestGradientFormatters:
+    def test_hex_parse_and_color_interpolation(self):
+        from lucene_solr_spark.search.classic_highlighter import (
+            GradientFormatter,
+        )
+        f = GradientFormatter(2.0, min_fg="#FFFFFF", max_fg="#000000")
+        # getColorVal: min(cMin,cMax) + int(|cMin-cMax| * rel) — the
+        # direction-insensitive reference rule: white->black at half
+        # score gives 0 + int(255*0.5) = 127 = 0x7F
+        assert f("abc", 1.0) == '<font color="#7F7F7F" >abc</font>'
+        # score above maxScore clamps to the max color END of the
+        # scale computed from the min side: 0 + 255 = 255
+        assert f("abc", 5.0) == '<font color="#FFFFFF" >abc</font>'
+        # zero-score groups pass through (== 0 gate)
+        assert f("abc", 0.0) == "abc"
+
+    def test_bg_and_span_variant(self):
+        from lucene_solr_spark.search.classic_highlighter import (
+            GradientFormatter,
+            SpanGradientFormatter,
+        )
+        f = GradientFormatter(1.0, min_bg="#000000", max_bg="#FF0000")
+        assert f("x", 1.0) == '<font bgcolor="#FF0000" >x</font>'
+        s = SpanGradientFormatter(
+            1.0, min_fg="#000000", max_fg="#0000FF")
+        assert s("x", 1.0) == '<span style="color: #0000FF; ">x</span>'
+
+    def test_formatter_in_fragment_walk(self):
+        from lucene_solr_spark.search.classic_highlighter import (
+            GradientFormatter,
+        )
+        f = GradientFormatter(2.0, min_fg="#FFFFFF", max_fg="#000000")
+        frags = get_best_text_fragments(
+            "xx gamma yy", W, STD, fragment_size=10000,
+            max_num_fragments=1, formatter=f)
+        # gamma weight 2.0 -> full-scale color
+        assert frags == [
+            ('xx <font color="#FFFFFF" >gamma</font> yy', 2.0, 0)]
+
+    def test_bad_hex_length_raises(self):
+        from lucene_solr_spark.search.classic_highlighter import (
+            GradientFormatter,
+        )
+        with pytest.raises(ValueError):
+            GradientFormatter(1.0, min_fg="#FFF", max_fg="#000000")
+
+
 class TestSparkRoundTrip:
     def test_classic_over_fixture(self, spark, built, small_corpus):
         from lucene_solr_spark.search.executor import IndexSearcher
