@@ -2348,6 +2348,51 @@ def q_blockjoin_parents(spark, sf_dir):
     )
 
 
+BJ_GROUPS = 5           # numParentHits
+BJ_DOCS_PER_GROUP = 2   # maxDocsPerGroup
+
+
+def q_blockjoin_topgroups(spark, sf_dir):
+    """ToParentBlockJoinCollector.getTopGroups (lucene/join/.../
+    ToParentBlockJoinCollector.java:376-443): top numParentHits parent
+    groups (ranked by max child score — ScoreMode.Max parent order),
+    each carrying its top maxDocsPerGroup child hits in
+    withinGroupSort order (score desc, docID asc). Flattened to one
+    row per (group, child rank) — the relational TopGroups/GroupDocs.
+    Plan: one agg shuffle for parent selection (broadcast back), one
+    ranked window per parent partition — no all-child global sort."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_SINGLE, k=None)
+    orig = s._docs.select(
+        "doc_id", F.col("path").cast("long").alias("orig_id")
+    )
+    src = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "source"
+    )
+    ch = hits.join(orig, "doc_id").join(src, "orig_id")
+    parents = (
+        ch.groupBy("source")
+        .agg(F.max("score").alias("gscore"))
+        .orderBy(F.desc("gscore"), F.asc("source"))
+        .limit(BJ_GROUPS)
+    )
+    wg = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("orig_id"))
+    return (
+        ch.join(F.broadcast(parents), "source")
+        .withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= BJ_DOCS_PER_GROUP)
+        .select(
+            "source",
+            F.col("gscore").cast("double").alias("group_score"),
+            F.col("orig_id").alias("child_id"),
+            F.col("score").cast("double").alias("child_score"),
+            "rnk",
+        )
+        .orderBy(F.desc("group_score"), F.asc("source"), F.asc("rnk"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus/pipeline operators (documents + embeddings, no index)
 # ---------------------------------------------------------------------------
@@ -5121,6 +5166,28 @@ FROM h JOIN docs0 d USING (doc_id)
 GROUP BY d.source
 ORDER BY score DESC, source ASC LIMIT {TOP_K}
 """
+    # ToParentBlockJoinCollector.getTopGroups: top-5 parent groups by
+    # max child score, top-2 children each (score desc, docID asc)
+    o["blockjoin_topgroups"] = ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id, s FROM persc WHERE term = '{Q_SINGLE}'),
+ch AS (SELECT d.source, h.doc_id, h.s
+       FROM h JOIN docs0 d USING (doc_id)),
+par AS (
+  SELECT source, max(s) AS gscore FROM ch GROUP BY source
+  ORDER BY gscore DESC, source ASC LIMIT {BJ_GROUPS}
+),
+rk AS (
+  SELECT ch.source, par.gscore, ch.doc_id, ch.s,
+         row_number() OVER (PARTITION BY ch.source
+                            ORDER BY ch.s DESC, ch.doc_id ASC) AS rnk
+  FROM ch JOIN par USING (source)
+)
+SELECT source, CAST(gscore AS DOUBLE) AS group_score,
+       doc_id AS child_id, CAST(s AS DOUBLE) AS child_score,
+       CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {BJ_DOCS_PER_GROUP}
+ORDER BY group_score DESC, source ASC, rnk ASC
+"""
     # Gopher repetition filters: n-gram counts re-derived relationally
     # (unnest + GROUP BY) — the oracle checks the fold's arithmetic,
     # not its plan; double math ordered exactly as the engine's
@@ -5780,6 +5847,7 @@ QUERIES = {
     "collapse_top10": q_collapse_top10,
     "rerank_top10": q_rerank_top10,
     "blockjoin_parents": q_blockjoin_parents,
+    "blockjoin_topgroups": q_blockjoin_topgroups,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
