@@ -832,6 +832,21 @@ def q_nested_bool(spark, sf_dir):
     return _topk_double(s.search_boolean(Q_NESTED, k=TOP_K))
 
 
+PREC_QUERY = "table AND window OR merge"
+
+
+def q_precedence(spark, sf_dir):
+    """PrecedenceQueryParser (queryparser/flexible/precedence/): AND
+    binds tighter than OR — 'table AND window OR merge' parses to
+    (+table +window) OR (merge), unlike classic's flat '+table +window
+    merge' (which would REQUIRE both left terms). Executed through the
+    nested-boolean machinery: conjunction f32 sum inside the group,
+    disjunction double-acc over group|term."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(
+        s.search_boolean(PREC_QUERY, k=TOP_K, precedence=True))
+
+
 def q_edismax_bf(spark, sf_dir):
     """edismax with an additive boost function (DisMaxQParser.
     addBoostFunctions; FunctionQuery.AllScorer.score f32): main
@@ -5556,6 +5571,25 @@ FROM grp g LEFT JOIN spk USING (doc_id)
 WHERE g.doc_id NOT IN (SELECT doc_id FROM ex)
 ORDER BY score DESC, g.doc_id ASC LIMIT 10
 """
+    # PrecedenceQueryParser: (+table +window) OR merge — conjunction
+    # f32 chain inside the AND group, disjunction double-acc outside
+    o["precedence_top10"] = ORACLE_PRELUDE + """
+, grp AS (
+  SELECT a.doc_id, CAST(a.s + b.s AS FLOAT) AS g
+  FROM (SELECT doc_id, s FROM persc WHERE term = 'table') a
+  JOIN (SELECT doc_id, s FROM persc WHERE term = 'window') b USING (doc_id)
+),
+mrg AS (SELECT doc_id, s FROM persc WHERE term = 'merge'),
+u AS (
+  SELECT COALESCE(g.doc_id, m.doc_id) AS doc_id, g.g, m.s
+  FROM grp g FULL OUTER JOIN mrg m ON g.doc_id = m.doc_id
+)
+SELECT doc_id,
+  CAST(CAST(COALESCE(CAST(g AS DOUBLE), 0e0)
+            + COALESCE(CAST(s AS DOUBLE), 0e0) AS FLOAT) AS DOUBLE)
+    AS score
+FROM u ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
     o["edismax_bf_top10"] = ORACLE_PRELUDE + f"""
 , mainq AS (
   SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS ms
@@ -5884,6 +5918,7 @@ QUERIES = {
     "payload_term_top10": q_payload_term,
     "edismax_bf_top10": q_edismax_bf,
     "nested_bool_top10": q_nested_bool,
+    "precedence_top10": q_precedence,
     "facet_prefix_terms": q_facet_prefix_terms,
     "edismax_top10": q_edismax,
     "edismax_pf_top10": q_edismax_pf,

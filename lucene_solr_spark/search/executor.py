@@ -1222,6 +1222,7 @@ class IndexSearcher:
         min_should_match: int = 0,
         rewrite: Optional[str] = None,
         analyzing: bool = False,
+        precedence: bool = False,
     ) -> DataFrame:
         """Parse a classic query string (queryparser.parse_query subset)
         and execute the mixed boolean (make_boolean_scorer). Multi-term
@@ -1233,9 +1234,17 @@ class IndexSearcher:
         (BooleanQuery.maxClauseCount,
         search/BooleanQuery.java:50-66). ``analyzing=True`` parses in
         AnalyzingQueryParser mode (wildcard chunks go through the
-        index's analysis chain — queryparser/analyzing/)."""
-        from lucene_solr_spark.search.queryparser import parse_query
+        index's analysis chain — queryparser/analyzing/).
+        ``precedence=True`` parses with PrecedenceQueryParser grammar
+        (queryparser/flexible/precedence/): AND binds tighter than OR
+        — explicit-AND runs become nested MUST groups."""
+        from lucene_solr_spark.search.queryparser import (
+            insert_precedence_groups,
+            parse_query,
+        )
 
+        if precedence:
+            query_string = insert_precedence_groups(query_string)
         ast = parse_query(query_string, analyzer=self.analyzer,
                           analyzing=analyzing)
         return self.search_clauses(ast, k=k,

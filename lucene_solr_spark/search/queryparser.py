@@ -372,6 +372,98 @@ def parse_query(q: str, analyzer=None, analyzing: bool = False
     return clauses
 
 
+def insert_precedence_groups(q: str) -> str:
+    """PrecedenceQueryParser (queryparser/flexible/precedence/
+    PrecedenceQueryParser.java + BooleanModifiersQueryNodeProcessor):
+    AND binds tighter than OR, so 'a AND b OR c' means
+    (+a +b) OR (c) instead of classic's flat '+a +b c'. Implemented as
+    a grammar pass: every maximal explicit-AND run is wrapped in a
+    grouping paren and the classic parser then builds the nested
+    BooleanQuery — juxtaposed bare clauses keep the classic
+    default-OR behavior, NOT binds to its following operand, existing
+    parens recurse (each level gets its own precedence grouping)."""
+    items = _prec_items(q)
+    return _prec_render(items)
+
+
+def _prec_items(q: str):
+    """Recursive token items: ('u', raw_text) units, ('g', mod, sub)
+    paren groups, ('op', word) for AND/OR/NOT keyword forms."""
+    stack: List[Tuple[list, Optional[str]]] = []
+    items: list = []
+    pos = 0
+    while pos < len(q):
+        m = _TOKEN.match(q, pos)
+        if not m or m.end() == pos:
+            break
+        pos = m.end()
+        if m.group("lparen") is not None:
+            stack.append((items, m.group("mod")))
+            items = []
+            continue
+        if m.group("rparen") is not None:
+            if not stack:
+                raise QueryParseError("unbalanced ')'")
+            sub = items
+            items, gmod = stack.pop()
+            items.append(("g", gmod, sub))
+            continue
+        word = m.group("word")
+        if (word in _KEYWORDS and m.group("mod") is None
+                and m.group("phrase") is None):
+            items.append(("op", word))
+            continue
+        items.append(("u", m.group(0).strip()))
+    if stack:
+        raise QueryParseError("unbalanced '('")
+    return items
+
+
+def _prec_render(items) -> str:
+    seq: list = []
+    pending_not: List[str] = []
+    for it in items:
+        if it[0] == "op":
+            w = it[1]
+            if w in ("AND", "&&"):
+                seq.append("AND")
+            elif w in ("OR", "||"):
+                seq.append("OR")
+            else:
+                pending_not.append("NOT")
+            continue
+        if it[0] == "u":
+            s = it[1]
+        else:
+            s = (it[1] or "") + "(" + _prec_render(it[2]) + ")"
+        if pending_not:
+            s = " ".join(pending_not) + " " + s
+            pending_not = []
+        seq.append(("operand", s))
+    if pending_not:      # dangling NOT: keep classic's pending token
+        seq.append(("operand", " ".join(pending_not)))
+    runs: List[List[str]] = []
+    run: List[str] = []
+    join_next = False
+    for el in seq:
+        if el == "AND":
+            join_next = True
+        elif el == "OR":
+            join_next = False
+        else:
+            if run and join_next:
+                run.append(el[1])
+            else:
+                if run:
+                    runs.append(run)
+                run = [el[1]]
+            join_next = False
+    if run:
+        runs.append(run)
+    return " ".join(
+        "(" + " AND ".join(r) + ")" if len(r) > 1 else r[0] for r in runs)
+
+
 def parse_complex_phrase(phrase_text: str, analyzer=None) -> List[Clause]:
     """ComplexPhraseQueryParser pass-2 clause extraction
     (lucene/queryparser/.../complexPhrase/ComplexPhraseQueryParser.java
