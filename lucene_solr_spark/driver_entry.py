@@ -2408,6 +2408,67 @@ def q_blockjoin_topgroups(spark, sf_dir):
     )
 
 
+def _grouped_hits(spark, sf_dir, query):
+    """Query hits joined to their grouping fields (lang, source) via
+    the stored-field mapping — shared by the grouping-collector
+    entries."""
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(query, k=None)
+    orig = s._docs.select(
+        "doc_id", F.col("path").cast("long").alias("orig_id")
+    )
+    src = _documents(spark, sf_dir).select(
+        F.col("doc_id").alias("orig_id"), "lang", "source"
+    )
+    return hits.join(orig, "doc_id").join(src, "orig_id")
+
+
+def q_group_heads(spark, sf_dir):
+    """TermAllGroupHeadsCollector (grouping/term/
+    TermAllGroupHeadsCollector.java): the single most-relevant doc of
+    EVERY group (no top-N group cut — the reference returns the
+    bitset of group heads), head = best by (score desc, docID asc).
+    One ranked window per group partition."""
+    ch = _grouped_hits(spark, sf_dir, Q_GROUPING)
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("score"), F.asc("orig_id"))
+    return (
+        ch.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("lang", F.col("orig_id").alias("head_id"),
+                F.col("score").cast("double").alias("head_score"))
+        .orderBy("lang")
+    )
+
+
+def q_group_distinct_values(spark, sf_dir):
+    """TermDistinctValuesCollector (grouping/term/
+    TermDistinctValuesCollector.java): per group, the DISTINCT values
+    of the count field among matching docs (Solr group.truncate /
+    distinct-value counting second pass). One partial-agg shuffle."""
+    ch = _grouped_hits(spark, sf_dir, Q_GROUPING)
+    return (
+        ch.groupBy("lang")
+        .agg(F.countDistinct("source").alias("distinct_sources"))
+        .orderBy("lang")
+    )
+
+
+def q_group_facet_counts(spark, sf_dir):
+    """TermGroupFacetCollector (grouping/term/
+    TermGroupFacetCollector.java; Solr group.facet=true): facet counts
+    where each GROUP counts once per facet value — count(DISTINCT
+    group) per facet value over the matching docs, count desc then
+    value asc (the grouped-faceting order)."""
+    ch = _grouped_hits(spark, sf_dir, Q_GROUPING)
+    return (
+        ch.groupBy("source")
+        .agg(F.countDistinct("lang").alias("group_count"))
+        .orderBy(F.desc("group_count"), F.asc("source"))
+        .limit(TOP_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus/pipeline operators (documents + embeddings, no index)
 # ---------------------------------------------------------------------------
@@ -5181,6 +5242,33 @@ FROM h JOIN docs0 d USING (doc_id)
 GROUP BY d.source
 ORDER BY score DESC, source ASC LIMIT {TOP_K}
 """
+    # grouping collectors: heads / distinct values / grouped facets
+    # over the 'vector' hit set (persc term probe = the scored docs)
+    o["group_heads"] = ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id, s FROM persc WHERE term = '{Q_GROUPING}'),
+rk AS (
+  SELECT d.lang, h.doc_id, h.s,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY h.s DESC, h.doc_id ASC) AS rnk
+  FROM h JOIN docs0 d USING (doc_id)
+)
+SELECT lang, doc_id AS head_id, CAST(s AS DOUBLE) AS head_score
+FROM rk WHERE rnk = 1 ORDER BY lang
+"""
+    o["group_distinct_values"] = ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id FROM persc WHERE term = '{Q_GROUPING}')
+SELECT d.lang, CAST(count(DISTINCT d.source) AS BIGINT)
+  AS distinct_sources
+FROM h JOIN docs0 d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+    o["group_facet_counts"] = ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id FROM persc WHERE term = '{Q_GROUPING}')
+SELECT d.source, CAST(count(DISTINCT d.lang) AS BIGINT) AS group_count
+FROM h JOIN docs0 d USING (doc_id)
+GROUP BY d.source
+ORDER BY group_count DESC, d.source ASC LIMIT {TOP_K}
+"""
     # ToParentBlockJoinCollector.getTopGroups: top-5 parent groups by
     # max child score, top-2 children each (score desc, docID asc)
     o["blockjoin_topgroups"] = ORACLE_PRELUDE + f"""
@@ -5882,6 +5970,9 @@ QUERIES = {
     "rerank_top10": q_rerank_top10,
     "blockjoin_parents": q_blockjoin_parents,
     "blockjoin_topgroups": q_blockjoin_topgroups,
+    "group_heads": q_group_heads,
+    "group_distinct_values": q_group_distinct_values,
+    "group_facet_counts": q_group_facet_counts,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
