@@ -2469,6 +2469,51 @@ def q_group_facet_counts(spark, sf_dir):
     )
 
 
+FS_SAMPLE_PRIME = 104729   # deterministic sample key multiplier
+FS_SAMPLE_MOD = 1000
+FS_SAMPLE_PERMIL = 300     # 30% sample (sf-tier sized; prod ~1%)
+FS_K = 5
+FS_OVERSAMPLE = 2          # SamplingParams.oversampleFactor
+
+
+def q_facet_sampled(spark, sf_dir):
+    """Sampled faceting with exact top-k correction (lucene/facet/
+    sampling/: Sampler.getSampleSet + SamplingAccumulator +
+    TakmiSampleFixer.recount, SamplingParams.oversampleFactor): count
+    facets over a SAMPLE of the matching docs, keep the top
+    oversampleFactor*k candidate values, then recount ONLY those
+    exactly against the full hit set (the Takmi intersection recount)
+    and emit the top k by exact count.
+
+    The reference's skip-step random walk (RandomSampler.java:45-66)
+    is inherently sequential; the deterministic replacement is an
+    arithmetic hash predicate ((docID * prime) % 1000 < permil) that
+    pushes into the scan — same statistical role, order-free.
+
+    100 TB story: full faceting on a high-cardinality field is a full
+    shuffle over every matching row; this caps the big agg at
+    sample_ratio of the rows plus one semi-joined recount of <= 2k
+    candidate values (broadcast back), with the top-k counts still
+    EXACT."""
+    ch = _grouped_hits(spark, sf_dir, Q_FACET)
+    sample = ch.filter(
+        (F.col("orig_id") * FS_SAMPLE_PRIME) % FS_SAMPLE_MOD
+        < FS_SAMPLE_PERMIL)
+    cand = (
+        sample.groupBy("source").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("source"))
+        .limit(FS_K * FS_OVERSAMPLE)
+        .select("source")
+    )
+    return (
+        ch.join(F.broadcast(cand), "source")
+        .groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("source"))
+        .limit(FS_K)
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus/pipeline operators (documents + embeddings, no index)
 # ---------------------------------------------------------------------------
@@ -5269,6 +5314,24 @@ FROM h JOIN docs0 d USING (doc_id)
 GROUP BY d.source
 ORDER BY group_count DESC, d.source ASC LIMIT {TOP_K}
 """
+    # Sampled faceting + Takmi exact recount: sample predicate and
+    # candidate cut replicated arithmetically, final counts exact
+    o["facet_sampled"] = ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id FROM persc WHERE term = '{Q_FACET}'),
+j AS (SELECT d.source, h.doc_id FROM h JOIN docs0 d USING (doc_id)),
+samp AS (SELECT * FROM j
+         WHERE (doc_id * {FS_SAMPLE_PRIME}) % {FS_SAMPLE_MOD}
+               < {FS_SAMPLE_PERMIL}),
+cand AS (
+  SELECT source FROM (
+    SELECT source, count(*) AS c FROM samp GROUP BY source
+    ORDER BY c DESC, source ASC LIMIT {FS_K * FS_OVERSAMPLE})
+)
+SELECT j.source, CAST(count(*) AS BIGINT) AS cnt
+FROM j JOIN cand USING (source)
+GROUP BY j.source
+ORDER BY cnt DESC, j.source ASC LIMIT {FS_K}
+"""
     # ToParentBlockJoinCollector.getTopGroups: top-5 parent groups by
     # max child score, top-2 children each (score desc, docID asc)
     o["blockjoin_topgroups"] = ORACLE_PRELUDE + f"""
@@ -5973,6 +6036,7 @@ QUERIES = {
     "group_heads": q_group_heads,
     "group_distinct_values": q_group_distinct_values,
     "group_facet_counts": q_group_facet_counts,
+    "facet_sampled": q_facet_sampled,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
