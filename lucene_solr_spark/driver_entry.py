@@ -10027,6 +10027,50 @@ QUERIES["span_payload_check_docs"] = q_span_payload_check
 ORACLES["span_payload_check_docs"] = _span_payload_check_sql()
 
 
+FMS_PREFIX = "tab"   # masked-field step: tokens whose 3-prefix matches
+FMS_NEXT = "hash"    # content-field step immediately after
+
+
+def q_field_masking_span(spark, sf_dir):
+    """FieldMaskingSpanQuery (search/spans/FieldMaskingSpanQuery.java):
+    SpanNear over position-aligned PARALLEL fields — the masked step
+    runs on a derived 'pre3' field (each token's 3-char prefix, same
+    position space), the second step on content: a token prefixed
+    'tab' immediately followed by 'hash' (matches 'table hash' plus
+    any other tab* hash bigram). The mask is what lets the near join
+    compare positions across the two fields."""
+    from lucene_solr_spark.search.spans import field_masking_span_near
+
+    docs = _documents(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    pre3 = toks.select(
+        "doc_id", "pos", F.substring("term", 1, 3).alias("term"))
+    return field_masking_span_near(
+        {"content": toks, "pre3": pre3},
+        [("pre3", FMS_PREFIX), ("content", FMS_NEXT)],
+    )
+
+
+QUERIES["field_masking_span_docs"] = q_field_masking_span
+ORACLES["field_masking_span_docs"] = f"""
+WITH p AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, len(t) + 1)) AS i FROM documents)
+  WHERE t[i] <> ''
+),
+a AS (SELECT doc_id, pos FROM p
+      WHERE substring(term, 1, 3) = '{FMS_PREFIX}'),
+b AS (SELECT doc_id, pos FROM p WHERE term = '{FMS_NEXT}')
+SELECT a.doc_id, CAST(count(*) AS BIGINT) AS matches
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY a.doc_id ORDER BY a.doc_id
+"""
+
+
 def q_multi_sim(spark, sf_dir):
     """MultiSimilarity (similarities/MultiSimilarity.java): per-doc
     score = stepwise-f32 SUM of the sub-similarities' scores

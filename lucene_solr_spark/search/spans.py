@@ -416,3 +416,34 @@ def span_freq(node, pos_of) -> np.float32:
     while it.next():
         freq = F32(freq + F32(1.0) / F32((it.end - it.start) + 1))
     return freq
+
+
+def field_masking_span_near(streams, steps):
+    """FieldMaskingSpanQuery (search/spans/FieldMaskingSpanQuery.java:
+    the maskedQuery's spans are reported AS IF they came from the
+    masking field, letting SpanNear compose position-aligned PARALLEL
+    fields — the reference's teacherid/first/last example; getField()
+    lies, the positions are the wrapped field's own). Relational form:
+    each step scans ITS OWN field's position stream, the adjacency
+    join runs in the shared position space.
+
+    ``streams``: {field: DataFrame(doc_id, pos, term)};
+    ``steps``: [(field, term)] — the ordered slop=0 SpanNear shape.
+    Returns (doc_id, matches) like span_payload_check.
+
+    Scale shape: one pushed-down (term-filtered) scan per step,
+    (len-1) adjacency equi-joins keyed (doc_id, pos), one count agg —
+    no UDF, no cross-field shuffle beyond the join keys."""
+    from pyspark.sql import functions as F
+
+    fld0, t0 = steps[0]
+    m = streams[fld0].filter(F.col("term") == t0).select(
+        "doc_id", F.col("pos").alias("p0"))
+    for i, (fld, t) in enumerate(steps[1:], start=1):
+        nxt = streams[fld].filter(F.col("term") == t).select(
+            "doc_id", F.col("pos").alias(f"p{i}"))
+        m = m.join(nxt, "doc_id").filter(
+            F.col(f"p{i}") == F.col(f"p{i-1}") + 1)
+    return (m.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("matches"))
+            .orderBy("doc_id"))
