@@ -2469,6 +2469,26 @@ def q_group_facet_counts(spark, sf_dir):
     )
 
 
+def q_blockjoin_sortfield(spark, sf_dir):
+    """ToParentBlockJoinSortField / ToParentBlockJoinFieldComparator
+    .Highest (lucene/join/.../ToParentBlockJoinSortField.java,
+    ToParentBlockJoinFieldComparator.java): parent hits ordered by a
+    CHILD field — each parent's comparator slot holds the HIGHEST
+    child doc_len among its matching children (Lowest is the min
+    twin), descending, parent-key tie-break. One agg shuffle keyed by
+    parent; the child field never leaves the executor unaggregated."""
+    s = get_searcher(spark, sf_dir)
+    ch = _grouped_hits(spark, sf_dir, Q_SINGLE)
+    dl = s.doc_stats().select("doc_id", "doc_len")
+    return (
+        ch.join(dl, "doc_id")
+        .groupBy("source")
+        .agg(F.max("doc_len").cast("long").alias("max_child_len"))
+        .orderBy(F.desc("max_child_len"), F.asc("source"))
+        .limit(TOP_K)
+    )
+
+
 FS_SAMPLE_PRIME = 104729   # deterministic sample key multiplier
 FS_SAMPLE_MOD = 1000
 FS_SAMPLE_PERMIL = 300     # 30% sample (sf-tier sized; prod ~1%)
@@ -5314,6 +5334,16 @@ FROM h JOIN docs0 d USING (doc_id)
 GROUP BY d.source
 ORDER BY group_count DESC, d.source ASC LIMIT {TOP_K}
 """
+    # ToParentBlockJoinSortField.Highest: parents by max child doc_len
+    o["blockjoin_sortfield"] = ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id FROM persc WHERE term = '{Q_SINGLE}')
+SELECT d.source,
+       CAST(max(dl.doc_len) AS BIGINT) AS max_child_len
+FROM h JOIN docs0 d USING (doc_id)
+JOIN dlen dl USING (doc_id)
+GROUP BY d.source
+ORDER BY max_child_len DESC, d.source ASC LIMIT {TOP_K}
+"""
     # Sampled faceting + Takmi exact recount: sample predicate and
     # candidate cut replicated arithmetically, final counts exact
     o["facet_sampled"] = ORACLE_PRELUDE + f"""
@@ -6037,6 +6067,7 @@ QUERIES = {
     "group_distinct_values": q_group_distinct_values,
     "group_facet_counts": q_group_facet_counts,
     "facet_sampled": q_facet_sampled,
+    "blockjoin_sortfield": q_blockjoin_sortfield,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
@@ -6951,6 +6982,32 @@ def q_strdist_edit(spark, sf_dir):
             .orderBy("term"))
 
 
+def q_strdist_lucene(spark, sf_dir):
+    """LuceneLevenshteinDistance (suggest/.../spell/
+    LuceneLevenshteinDistance.java — the DirectSpellChecker
+    merge-time comparator): OSA distance with primitive adjacent
+    transpositions scaled 1f - d/min(m,n), for every distinct corpus
+    token vs 'merge'; DuckDB damerau_levenshtein == the same OSA
+    recurrence (pinned by test_damerau_matches_duckdb)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.strdist import (
+        lucene_levenshtein_similarity,
+    )
+
+    @pandas_udf("float")
+    def sim(terms: pd.Series) -> pd.Series:
+        return terms.map(
+            lambda t: float(lucene_levenshtein_similarity(t, "merge")))
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return (vocab.select("term", sim("term").cast("double").alias("sim"))
+            .orderBy("term"))
+
+
 def q_phonetic_codes(spark, sf_dir):
     """PhoneticFilter + American Soundex (analysis/phonetic/
     PhoneticFilter.java, commons-codec Soundex): the phonetic code of
@@ -7081,6 +7138,20 @@ QUERIES["length_filter_terms"] = q_length_filter_terms
 QUERIES["reversed_wildcard_docs"] = q_reversed_wildcard
 QUERIES["phonetic_codes"] = q_phonetic_codes
 QUERIES["strdist_edit"] = q_strdist_edit
+QUERIES["strdist_lucene"] = q_strdist_lucene
+ORACLES["strdist_lucene"] = """
+WITH vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+SELECT term,
+  CAST(CAST(CAST(1.0 AS FLOAT)
+       - CAST(damerau_levenshtein(term, 'merge') AS FLOAT)
+         / CAST(least(length(term), 5) AS FLOAT) AS FLOAT)
+       AS DOUBLE) AS sim
+FROM vocab ORDER BY term
+"""
 ORACLES["shingle_bigrams"] = _SHINGLE_SQL
 ORACLES["edge_ngram_terms"] = _EDGE_SQL
 ORACLES["synonym_counts"] = _SYN_SQL

@@ -110,3 +110,33 @@ def ngram_similarity(source: str, target: str, n: int = 2) -> np.float32:
                            F32(p[i - 1] + ec)))
         p, d = d, p
     return F32(F32(1.0) - F32(p[sl] / F32(max(tl, sl))))
+
+
+def lucene_levenshtein_similarity(target: str, other: str) -> np.float32:
+    """LuceneLevenshteinDistance (lucene/suggest/.../spell/
+    LuceneLevenshteinDistance.java): codepoint OSA edit distance with
+    adjacent transpositions as PRIMITIVE edits (d[i-2][j-2] + cost,
+    :100-103 — "applied in parallel": 'ab' vs 'bca' = 3), scaled
+    1f - d / min(m, n) (:107) — min, unlike LevensteinDistance's max.
+    Empty-vs-nonempty returns max(n, m) RAW (the reference's :70-77
+    quirk — a count, not a similarity); empty-vs-empty returns 0.
+    Used for merging DirectSpellChecker results across shards."""
+    n, m = len(target), len(other)
+    if n == 0 or m == 0:
+        return np.float32(0.0) if n == m else np.float32(max(n, m))
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for j in range(1, m + 1):
+        tj = other[j - 1]
+        for i in range(1, n + 1):
+            cost = 0 if target[i - 1] == tj else 1
+            d[i][j] = min(d[i - 1][j] + 1, d[i][j - 1] + 1,
+                          d[i - 1][j - 1] + cost)
+            if (i > 1 and j > 1 and target[i - 1] == other[j - 2]
+                    and target[i - 2] == other[j - 1]):
+                d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
+    return np.float32(
+        np.float32(1.0) - np.float32(d[n][m]) / np.float32(min(m, n)))

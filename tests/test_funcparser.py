@@ -106,6 +106,24 @@ class TestStrDist:
         assert lev("", "") == np.float32(1.0)
         assert lev("a", "") == np.float32(0.0)
 
+    def test_lucene_levenshtein_vectors(self):
+        import numpy as np
+
+        from lucene_solr_spark.functions.strdist import (
+            lucene_levenshtein_similarity as llev)
+
+        # LuceneLevenshteinDistance.java: parallel edits — 'ab' vs
+        # 'bca' distance 3 (class javadoc) -> 1 - 3/2; transposition
+        # is ONE primitive edit; scale by MIN length (not max)
+        assert llev("ab", "bca") == np.float32(-0.5)
+        assert llev("ab", "ba") == np.float32(0.5)
+        assert llev("kitten", "sitten") == \
+            np.float32(1.0) - np.float32(1) / np.float32(6)
+        # the :70-77 quirk: empty vs nonempty returns max(n, m) RAW
+        assert llev("", "abc") == np.float32(3.0)
+        assert llev("", "") == np.float32(0.0)
+        assert llev("merge", "merge") == np.float32(1.0)
+
     def test_ngram_vectors(self):
         import numpy as np
 
