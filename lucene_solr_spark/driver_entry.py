@@ -2489,6 +2489,51 @@ def q_blockjoin_sortfield(spark, sf_dir):
     )
 
 
+HFD_THRESH = 0.05
+
+
+def q_highfreq_dict(spark, sf_dir):
+    """HighFrequencyDictionary (spell/HighFrequencyDictionary.java:
+    76-81): the spellcheck dictionary restricted to terms in >= thresh
+    fraction of docs — minNumDocs = (int)(thresh * (float)numDocs),
+    f32 multiply then truncate. One pushdown df predicate over the
+    sorted term_stats scan."""
+    from lucene_solr_spark.sources.dictionaries import (
+        high_frequency_dictionary,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    out = high_frequency_dictionary(
+        s._term_stats, s.max_doc, HFD_THRESH)
+    return out.select("term", F.col("df").cast("long").alias("df"))
+
+
+def q_file_dict_parse(spark, sf_dir):
+    """FileDictionary line parse (suggest/FileDictionary.java:82-95):
+    TAB-separated word[\\tweight] lines exercising all three branches
+    — bare word (weight 1), integer weight, and double weight (the
+    (long) truncation fallback). Lines derived deterministically from
+    doc_ids; the oracle re-derives the expected values
+    arithmetically."""
+    from lucene_solr_spark.sources.dictionaries import file_dictionary
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    lines = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("w"), F.col("doc_id")))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("w"), F.col("doc_id"), F.lit("\t"),
+                       (F.col("doc_id") * 7 % 50).cast("string")))
+        .otherwise(
+            F.concat(F.lit("w"), F.col("doc_id"), F.lit("\t"),
+                     (F.col("doc_id") % 10).cast("string"),
+                     F.lit(".9")))
+        .alias("line"),
+    )
+    return (file_dictionary(lines).orderBy("term"))
+
+
 FS_SAMPLE_PRIME = 104729   # deterministic sample key multiplier
 FS_SAMPLE_MOD = 1000
 FS_SAMPLE_PERMIL = 300     # 30% sample (sf-tier sized; prod ~1%)
@@ -5334,6 +5379,23 @@ FROM h JOIN docs0 d USING (doc_id)
 GROUP BY d.source
 ORDER BY group_count DESC, d.source ASC LIMIT {TOP_K}
 """
+    # HighFrequencyDictionary: df >= trunc(f32(thresh)*f32(numDocs));
+    # 0.05*maxDoc is exactly representable at the sf tiers so double
+    # floor == the f32 truncation here
+    o["highfreq_dict_terms"] = ORACLE_PRELUDE + f"""
+SELECT term, CAST(df AS BIGINT) AS df FROM tstats
+WHERE df >= CAST(floor({HFD_THRESH} * (SELECT max_doc FROM coll))
+                 AS INT)
+ORDER BY term
+"""
+    # FileDictionary parse: expected values re-derived arithmetically
+    o["file_dict_parse"] = """
+SELECT 'w' || CAST(doc_id AS VARCHAR) AS term,
+  CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+            WHEN doc_id % 3 = 1 THEN doc_id * 7 % 50
+            ELSE doc_id % 10 END AS BIGINT) AS weight
+FROM documents ORDER BY term
+"""
     # ToParentBlockJoinSortField.Highest: parents by max child doc_len
     o["blockjoin_sortfield"] = ORACLE_PRELUDE + f"""
 , h AS (SELECT doc_id FROM persc WHERE term = '{Q_SINGLE}')
@@ -6068,6 +6130,8 @@ QUERIES = {
     "group_facet_counts": q_group_facet_counts,
     "facet_sampled": q_facet_sampled,
     "blockjoin_sortfield": q_blockjoin_sortfield,
+    "highfreq_dict_terms": q_highfreq_dict,
+    "file_dict_parse": q_file_dict_parse,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,
