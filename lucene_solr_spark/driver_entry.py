@@ -1467,6 +1467,35 @@ def q_query_scorer_hl(spark, sf_dir):
     )
 
 
+def q_fvh_weighted(spark, sf_dir):
+    """WeightedFragListBuilder / WeightedFieldFragList (vectorhighlight/
+    WeightedFieldFragList.java:46-74 — Solr's DEFAULT
+    hl.fragListBuilder): fragment boost = f32 sum of
+    idfWeight * phraseBoost over the fragment's DISTINCT terms, bent
+    by length/sqrt(length) over ALL TermInfos; term weight =
+    f32(ln(numDocs/(df+1)) + 1) (FieldTermStack.java:115-116).
+    Unbounded fragment -> wscore = f32(f32(idf) * tf/sqrt(tf)),
+    SQL-expressible for the oracle."""
+    import math as _math
+
+    from lucene_solr_spark.search.fvh import fast_vector_highlight
+
+    s = get_searcher(spark, sf_dir)
+    store = _classic_hl_store(spark, sf_dir, s)
+    df_m = s._lookup_dfs([Q_SINGLE]).get(Q_SINGLE, 0)
+    idf_w = float(np.float32(
+        _math.log(s.max_doc / (df_m + 1.0)) + 1.0))
+    out = fast_vector_highlight(
+        s, store, Q_SINGLE, [(Q_SINGLE,)],
+        k=TOP_K, frag_char_size=100000, max_num_fragments=1,
+        frag_list="weighted", term_weights={Q_SINGLE: idf_w},
+    )
+    return out.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        F.element_at("frag_scores", 1).cast("double").alias("wscore"),
+    )
+
+
 def q_word_break(spark, sf_dir):
     """WordBreakSpellChecker.suggestWordBreaks (lucene/suggest/.../
     spell/WordBreakSpellChecker.java:93-133,258-312): break the
@@ -2532,6 +2561,46 @@ def q_file_dict_parse(spark, sf_dir):
         .alias("line"),
     )
     return (file_dictionary(lines).orderBy("term"))
+
+
+DS_TEST_RATIO = 0.2
+DS_CV_RATIO = 0.1
+DS_PRIME = 104729
+DS_MOD = 100003
+
+
+def q_dataset_split(spark, sf_dir):
+    """DatasetSplitter (lucene/classification/.../utils/
+    DatasetSplitter.java:68-125): partition the corpus into
+    train/test/cross-validation sets with testRatio / cvRatio caps —
+    the reference admits docs while writer.maxDoc() < size * ratio
+    (:116-118), i.e. caps at ceil(size*ratio). Its Random document
+    order is replaced by a deterministic arithmetic permutation
+    ((docID * prime) % bigprime rank) so the split is reproducible
+    and the oracle can re-derive it; per-(split, class) counts are
+    the gated output. Scale: one global rank (distributed sort) +
+    one partial-agg shuffle; no driver data movement beyond the
+    size scalar."""
+    import math
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang")
+    n = d.count()
+    cap_test = math.ceil(n * DS_TEST_RATIO)
+    cap_cv = math.ceil(n * DS_CV_RATIO)
+    key = (F.col("doc_id") * DS_PRIME) % DS_MOD
+    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+    ranked = d.withColumn("rnk", F.row_number().over(w) - 1)
+    split = (
+        F.when(F.col("rnk") < cap_test, "test")
+        .when(F.col("rnk") < cap_test + cap_cv, "cv")
+        .otherwise("train")
+    )
+    return (
+        ranked.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split", "lang")
+    )
 
 
 FS_SAMPLE_PRIME = 104729   # deterministic sample key multiplier
@@ -3816,6 +3885,26 @@ SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score,
         THEN 1 ELSE 0 END) AS DOUBLE) AS fscore
 FROM hits h JOIN docs0 d USING (doc_id)
 ORDER BY score DESC, doc_id ASC
+"""
+    # WeightedFieldFragList: unbounded fragment -> one distinct term,
+    # length = tf -> wscore = f32(f64(f32(idf)) * tf/sqrt(tf))
+    o["fvh_weighted_score"] = ORACLE_PRELUDE + f"""
+, hits AS (
+  SELECT doc_id, s FROM persc WHERE term = '{Q_SINGLE}'
+  ORDER BY s DESC, doc_id ASC LIMIT 10
+),
+idfw AS (
+  SELECT CAST(ln((SELECT max_doc FROM coll) / (df + 1.0e0)) + 1.0e0
+              AS FLOAT) AS w
+  FROM tstats WHERE term = '{Q_SINGLE}'
+),
+cnt AS (SELECT doc_id, tf FROM tf WHERE term = '{Q_SINGLE}')
+SELECT h.doc_id, CAST(h.s AS DOUBLE) AS score,
+  CAST(CAST(CAST((SELECT w FROM idfw) AS DOUBLE)
+            * (c.tf * (1.0e0 / sqrt(c.tf))) AS FLOAT) AS DOUBLE)
+    AS wscore
+FROM hits h JOIN cnt c USING (doc_id)
+ORDER BY score DESC, h.doc_id ASC
 """
     # QueryScorer phrase-aware highlight: phrase top-10 (same BM25
     # chain as the phrase_query oracle); snippet tags ONLY adjacent
@@ -5396,6 +5485,25 @@ SELECT 'w' || CAST(doc_id AS VARCHAR) AS term,
             ELSE doc_id % 10 END AS BIGINT) AS weight
 FROM documents ORDER BY term
 """
+    # DatasetSplitter: deterministic permutation rank + ceil caps
+    o["dataset_split_counts"] = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (ORDER BY (doc_id * {DS_PRIME}) % {DS_MOD},
+                            doc_id) - 1 AS rnk
+  FROM documents
+),
+caps AS (
+  SELECT CAST(ceil(count(*) * {DS_TEST_RATIO}) AS BIGINT) AS ct,
+         CAST(ceil(count(*) * {DS_CV_RATIO}) AS BIGINT) AS cc
+  FROM documents
+)
+SELECT CASE WHEN rnk < (SELECT ct FROM caps) THEN 'test'
+            WHEN rnk < (SELECT ct FROM caps) + (SELECT cc FROM caps)
+            THEN 'cv' ELSE 'train' END AS split,
+       lang, CAST(count(*) AS BIGINT) AS n
+FROM ranked GROUP BY 1, 2 ORDER BY split, lang
+"""
     # ToParentBlockJoinSortField.Highest: parents by max child doc_len
     o["blockjoin_sortfield"] = ORACLE_PRELUDE + f"""
 , h AS (SELECT doc_id FROM persc WHERE term = '{Q_SINGLE}')
@@ -6075,6 +6183,7 @@ QUERIES = {
     "classic_highlight": q_classic_highlight,
     "classic_hl_frags": q_classic_highlight_frags,
     "query_scorer_hl": q_query_scorer_hl,
+    "fvh_weighted_score": q_fvh_weighted,
     "word_break_suggest": q_word_break,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,
@@ -6132,6 +6241,7 @@ QUERIES = {
     "blockjoin_sortfield": q_blockjoin_sortfield,
     "highfreq_dict_terms": q_highfreq_dict,
     "file_dict_parse": q_file_dict_parse,
+    "dataset_split_counts": q_dataset_split,
     "classic_single": q_classic_single,
     "sweetspot_single": q_sweetspot_single,
     "classic_or": q_classic_or,

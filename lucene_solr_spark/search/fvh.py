@@ -154,7 +154,7 @@ def _field_phrase_list(stack, trie: _PhraseTrie, slop: int):
                 # absorbs the TermInfos; its highlight offsets stay
                 return
         phrases.append([start, end, node.boost, node.seqnum,
-                        merged_toffs(cand)])
+                        merged_toffs(cand), [c[0] for c in cand]])
 
     i = 0
     n = len(stack)
@@ -188,8 +188,19 @@ def _field_phrase_list(stack, trie: _PhraseTrie, slop: int):
     return phrases
 
 
-def _frag_list(phrases, frag_char_size: int, margin: int):
-    """BaseFragListBuilder.createFieldFragList (:49-99)."""
+def _frag_list(phrases, frag_char_size: int, margin: int,
+               weighted: bool = False, term_weights=None):
+    """BaseFragListBuilder.createFieldFragList (:49-99).
+
+    ``weighted=True`` scores fragments per WeightedFieldFragList.add
+    (WeightedFieldFragList.java:46-74 — Solr's default
+    hl.fragListBuilder=weighted): totalBoost = f32 sum of
+    termWeight * phraseBoost over the fragment's DISTINCT term texts,
+    then *= length * (1/sqrt(length)) with length counting EVERY
+    TermInfo; term weight = f32(ln(numDocs/(df+1)) + 1)
+    (FieldTermStack.java:115-116) supplied via ``term_weights``
+    (default 1.0). ``weighted=False`` is SimpleFieldFragList (sum of
+    phrase boosts)."""
     min_size = max(1, margin * MIN_FRAG_CHAR_SIZE_FACTOR)
     if frag_char_size < min_size:
         raise ValueError(
@@ -221,9 +232,29 @@ def _frag_list(phrases, frag_char_size: int, margin: int):
             else:
                 break
         start_offset = span_end
-        total = 0.0
-        for w in wpil:
-            total += w[2]
+        if weighted:
+            import numpy as np
+
+            tw = term_weights or {}
+            acc = np.float32(0.0)
+            distinct = set()
+            length = 0
+            for w in wpil:
+                for t in w[5]:
+                    if t not in distinct:
+                        distinct.add(t)
+                        acc = np.float32(
+                            acc + np.float32(
+                                np.float32(tw.get(t, 1.0))
+                                * np.float32(w[2])))
+                    length += 1
+            total = float(np.float32(
+                float(acc) * (length * (1.0 / np.sqrt(length)))
+            )) if length else 0.0
+        else:
+            total = 0.0
+            for w in wpil:
+                total += w[2]
         frags.append((span_start, span_end, total, wpil))
     return frags
 
@@ -279,19 +310,28 @@ def _make_fragment(text: str, frag, pre: str, post: str) -> str:
 def highlight_doc(text: str, phrases, analyzer, frag_char_size: int = 100,
                   max_num_fragments: int = 1, pre: str = "<b>",
                   post: str = "</b>", slop: int = 0,
-                  margin: int = MARGIN_DEFAULT) -> List[str]:
+                  margin: int = MARGIN_DEFAULT,
+                  frag_list: str = "simple", term_weights=None,
+                  return_scores: bool = False):
     """FastVectorHighlighter.getBestFragments for ONE doc (pure
-    function — unit-testable and reused by the Spark kernel)."""
+    function — unit-testable and reused by the Spark kernel).
+    ``frag_list='weighted'`` scores fragments per
+    WeightedFieldFragList (Solr hl.fragListBuilder default)."""
     trie = _build_trie(phrases)
     stack = _term_stack(text, analyzer)
     wpl = _field_phrase_list(stack, trie, slop)
     if not wpl:
         return []
-    frags = _frag_list(wpl, frag_char_size, margin)
+    frags = _frag_list(wpl, frag_char_size, margin,
+                       weighted=frag_list == "weighted",
+                       term_weights=term_weights)
     # ScoreOrderFragmentsBuilder.ScoreComparator (:69-82)
     frags.sort(key=lambda f: (-f[2], f[0]))
-    return [_make_fragment(text, f, pre, post)
-            for f in frags[:max_num_fragments]]
+    out = frags[:max_num_fragments]
+    if return_scores:
+        return [(_make_fragment(text, f, pre, post), float(f[2]))
+                for f in out]
+    return [_make_fragment(text, f, pre, post) for f in out]
 
 
 def fast_vector_highlight(
@@ -306,12 +346,15 @@ def fast_vector_highlight(
     pre: str = "<b>",
     post: str = "</b>",
     slop: int = 0,
+    frag_list: str = "simple",
+    term_weights=None,
     **search_kw,
 ) -> DataFrame:
     """Top-k hits of ``query_text`` with FVH fragments over their
     stored text. ``phrases``: [(terms tuple, boost)] — the flattened
     FieldQuery (term queries are 1-tuples, phrase queries n-tuples).
-    Returns (doc_id, score, fragments array<string>)."""
+    Returns (doc_id, score, fragments array<string>,
+    frag_scores array<float>)."""
     import pandas as pd
 
     hits = searcher.search(query_text, k=k, **search_kw)
@@ -329,19 +372,26 @@ def fast_vector_highlight(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            frags = [
-                highlight_doc(t, norm_phrases, analyzer,
-                              frag_char_size=frag_char_size,
-                              max_num_fragments=max_num_fragments,
-                              pre=pre, post=post, slop=slop)
-                for t in pdf[text_col]
-            ]
+            frags, fscores = [], []
+            for t in pdf[text_col]:
+                res = highlight_doc(
+                    t, norm_phrases, analyzer,
+                    frag_char_size=frag_char_size,
+                    max_num_fragments=max_num_fragments,
+                    pre=pre, post=post, slop=slop,
+                    frag_list=frag_list, term_weights=term_weights,
+                    return_scores=True)
+                frags.append([r[0] for r in res])
+                fscores.append([r[1] for r in res])
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "score": pdf["score"],
                 "fragments": frags,
+                "frag_scores": fscores,
             })
 
     out = joined.mapInPandas(
-        kernel, schema="doc_id long, score float, fragments array<string>")
+        kernel,
+        schema=("doc_id long, score float, fragments array<string>, "
+                "frag_scores array<float>"))
     return out.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -32,12 +32,12 @@ class TestPhraseList:
     def test_single_term_match(self):
         wpl = self._wpl("aa bb cc", [("bb",)])
         assert len(wpl) == 1
-        start, end, boost, seq, offs = wpl[0]
+        start, end, boost, seq, offs = wpl[0][:5]
         assert (start, end) == (3, 5) and offs == [(3, 5)]
 
     def test_adjacent_phrase_merges_toffs(self):
         wpl = self._wpl("aa bb cc dd", [(("bb", "cc"), 2.0)])
-        start, end, boost, seq, offs = wpl[0]
+        start, end, boost, seq, offs = wpl[0][:5]
         # consecutive positions -> ONE merged highlight span (:183-189)
         assert (start, end) == (3, 8) and offs == [(3, 8)]
         assert boost == 2.0
