@@ -2915,6 +2915,130 @@ def q_geodist_top10(spark, sf_dir):
     )
 
 
+EARTH_MEAN_DIAMETER_KM = 6371.0087714 * 2   # spatial4j DistanceUtils
+GEOH_RADIUS_KM = 4000.0
+
+
+def q_geodist_haversine(spark, sf_dir):
+    """Solr geodist() proper — HaversineConstFunction.distance
+    (solr/.../search/function/distance/HaversineConstFunction.java:
+    209-221): h = sin²(Δlat/2) + cos(lat0)·cos(lat)·sin²(Δlon/2),
+    dist = EARTH_MEAN_DIAMETER · atan2(√h, √(1−h)) in km
+    (EARTH_MEAN_RADIUS_KM = 6371.0087714, :185). Complements the
+    planar geodist_top10 twin (the documented bit-stable variant) —
+    here the REAL spherical formula runs as whole-stage-codegen
+    doubles; the emitted distance is rounded to 1e-6 km (~1 mm) so
+    libm-vs-JVM transcendental ULP noise cannot break the cross-engine
+    gate (documented pin; filter/sort operate on the unrounded
+    value)."""
+    d = _documents(spark, sf_dir).select("doc_id")
+    lat = ((F.col("doc_id") * 7919 % 18000) / 100.0 - 90.0)
+    lon = ((F.col("doc_id") * 104729 % 36000) / 100.0 - 180.0)
+    lat_r = F.radians(lat)
+    lon_r = F.radians(lon)
+    lat0_r = F.radians(F.lit(GEO_LAT0))
+    lon0_r = F.radians(F.lit(GEO_LON0))
+    hx = F.sin((lat0_r - lat_r) * 0.5)
+    hy = F.sin((lon0_r - lon_r) * 0.5)
+    h = hx * hx + F.cos(lat0_r) * F.cos(lat_r) * hy * hy
+    dist = F.lit(EARTH_MEAN_DIAMETER_KM) * F.atan2(
+        F.sqrt(h), F.sqrt(F.lit(1.0) - h))
+    return (
+        d.select("doc_id", dist.alias("dist"))
+        .filter(F.col("dist") <= GEOH_RADIUS_KM)
+        .orderBy(F.asc("dist"), F.asc("doc_id"))
+        .limit(TOP_K)
+        .select("doc_id", F.round("dist", 6).alias("dist_km"))
+    )
+
+
+def _java_string_hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * 31 + ord(ch)) & 0xFFFFFFFF
+    return h - 0x100000000 if h >= 0x80000000 else h
+
+
+RSF_FIELD = "rand_1234"
+RSF_VERSION = 1   # deterministic stand-in for top.getVersion() (pinned)
+RSF_SEED = _java_string_hash(RSF_FIELD) + 0 + RSF_VERSION
+_U32 = 0xFFFFFFFF
+
+
+def _wang_hash32(col):
+    """Thomas Wang hash32shift exactly as RandomSortField.hash
+    (solr/schema/RandomSortField.java:68-79), computed in the uint32
+    domain over longs (every Java int op masked): returns
+    key >>> 1 in [0, 2^31)."""
+    k = F.pmod(col, F.lit(0x100000000))
+    k = (k.bitwiseXOR(F.lit(_U32))
+         + F.shiftleft(k, 15).bitwiseAND(F.lit(_U32))) \
+        .bitwiseAND(F.lit(_U32))
+    k = k.bitwiseXOR(F.shiftright(k, 12))
+    k = (k + F.shiftleft(k, 2).bitwiseAND(F.lit(_U32))) \
+        .bitwiseAND(F.lit(_U32))
+    k = k.bitwiseXOR(F.shiftright(k, 4))
+    k = (k * 2057).bitwiseAND(F.lit(_U32))
+    k = k.bitwiseXOR(F.shiftright(k, 16))
+    return F.shiftright(k, 1)
+
+
+def q_random_sort(spark, sf_dir):
+    """RandomSortField (solr/schema/RandomSortField.java): stable
+    pseudo-random sort — value = wang_hash32(docID + seed) with
+    seed = fieldName.hashCode() + docBase + indexVersion (:88; version
+    pinned here so the oracle can re-derive it; the reference's point
+    is exactly this determinism: same sort field name -> same order,
+    new field name or new index version -> new order). Whole-stage
+    codegen longs, one TopK."""
+    d = _documents(spark, sf_dir).select("doc_id")
+    return (
+        d.select("doc_id",
+                 _wang_hash32(F.col("doc_id") + F.lit(RSF_SEED))
+                 .alias("rhash"))
+        .orderBy(F.desc("rhash"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+CUR_RATES = {("USD", "EUR"): 0.9, ("USD", "JPY"): 110.0}
+CUR_RANGE = (10000, 50000)   # [100.00, 500.00] USD in minor units
+
+
+def q_currency_range(spark, sf_dir):
+    """CurrencyField range query (solr/schema/CurrencyField.java:
+    328-411 RangeQuery + CurrencyValue.convertAmount :980-1009 +
+    FileExchangeRateProvider.getExchangeRate :684-706): every doc's
+    (amount, code) converts into the query currency's minor units —
+    same-code passthrough, direct or INVERSE rate, sequential
+    fraction-digit multiplies, (long) truncation — then the inclusive
+    range filter applies. Synthetic money column: code cycles
+    USD/EUR/JPY, amount = doc_id*37 % 100000 minor units. One codegen
+    CASE, no UDF/join."""
+    from lucene_solr_spark.functions.currency import (
+        ExchangeRateProvider,
+        convert_amount_col,
+    )
+
+    d = _documents(spark, sf_dir).select("doc_id")
+    code = (
+        F.when(F.col("doc_id") % 3 == 0, "USD")
+        .when(F.col("doc_id") % 3 == 1, "EUR")
+        .otherwise("JPY")
+    )
+    amount = (F.col("doc_id") * 37 % 100000).cast("long")
+    usd = convert_amount_col(
+        amount, code, "USD", ExchangeRateProvider(CUR_RATES),
+        ["USD", "EUR", "JPY"])
+    return (
+        d.select("doc_id", code.alias("code"), amount.alias("amount"),
+                 usd.alias("usd_cents"))
+        .filter((F.col("usd_cents") >= CUR_RANGE[0])
+                & (F.col("usd_cents") <= CUR_RANGE[1]))
+        .orderBy("doc_id")
+    )
+
+
 def q_update_chain(spark, sf_dir):
     """Solr update-processor chain (update/processor/
     UpdateRequestProcessorChain.java): clone -> truncate -> trim ->
@@ -5594,6 +5718,75 @@ FROM documents GROUP BY source ORDER BY source
     # geodist: e0 literals force DOUBLE in DuckDB (bare 100.0 would
     # parse as DECIMAL and change the division), matching Spark's
     # double arithmetic bit-for-bit
+    # CurrencyField: same-code passthrough, inverse rates, sequential
+    # digit multiplies, trunc-toward-zero — all left-assoc like Java
+    o["currency_range"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'USD'
+              WHEN doc_id % 3 = 1 THEN 'EUR' ELSE 'JPY' END AS code,
+         CAST(doc_id * 37 % 100000 AS BIGINT) AS amount
+  FROM documents
+),
+c AS (
+  SELECT doc_id, code, amount,
+    CASE code
+      WHEN 'USD' THEN amount
+      WHEN 'EUR' THEN CAST(trunc(CAST(amount AS DOUBLE)
+                                 * (1.0e0 / 0.9e0)) AS BIGINT)
+      ELSE CAST(trunc(((CAST(amount AS DOUBLE) * (1.0e0 / 110.0e0))
+                       * 10.0e0) * 10.0e0) AS BIGINT)
+    END AS usd_cents
+  FROM m
+)
+SELECT doc_id, code, amount, usd_cents FROM c
+WHERE usd_cents BETWEEN {CUR_RANGE[0]} AND {CUR_RANGE[1]}
+ORDER BY doc_id
+"""
+    # RandomSortField: Wang hash32shift in the uint32/BIGINT domain
+    o["random_sort_top10"] = f"""
+WITH k0 AS (
+  SELECT doc_id,
+         ((doc_id + {RSF_SEED}) % 4294967296 + 4294967296) % 4294967296
+           AS k
+  FROM documents
+),
+k1 AS (SELECT doc_id,
+       (xor(k, 4294967295) + ((k << 15) & 4294967295)) & 4294967295
+         AS k FROM k0),
+k2 AS (SELECT doc_id, xor(k, k >> 12) AS k FROM k1),
+k3 AS (SELECT doc_id, (k + ((k << 2) & 4294967295)) & 4294967295 AS k
+       FROM k2),
+k4 AS (SELECT doc_id, xor(k, k >> 4) AS k FROM k3),
+k5 AS (SELECT doc_id, (k * 2057) & 4294967295 AS k FROM k4),
+k6 AS (SELECT doc_id, xor(k, k >> 16) AS k FROM k5)
+SELECT doc_id, CAST(k >> 1 AS BIGINT) AS rhash
+FROM k6 ORDER BY rhash DESC, doc_id ASC LIMIT {TOP_K}
+"""
+    # haversine geodist: same double chain, output rounded to 1e-6 km
+    o["geodist_haversine"] = f"""
+WITH g AS (
+  SELECT doc_id,
+         (doc_id * 7919 % 18000) / 100.0e0 - 90.0e0 AS lat,
+         (doc_id * 104729 % 36000) / 100.0e0 - 180.0e0 AS lon
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         sin((radians({GEO_LAT0!r}e0) - radians(lat)) * 0.5e0) AS hx,
+         sin((radians({GEO_LON0!r}e0) - radians(lon)) * 0.5e0) AS hy,
+         cos(radians({GEO_LAT0!r}e0)) * cos(radians(lat)) AS cc
+  FROM g
+), dd AS (
+  SELECT doc_id,
+    {EARTH_MEAN_DIAMETER_KM!r} * atan2(
+      sqrt(hx * hx + cc * hy * hy),
+      sqrt(1.0e0 - (hx * hx + cc * hy * hy))) AS dist
+  FROM hs
+)
+SELECT doc_id, round(dist, 6) AS dist_km
+FROM dd WHERE dist <= {GEOH_RADIUS_KM!r}
+ORDER BY dist ASC, doc_id ASC LIMIT {TOP_K}
+"""
     o["geodist_top10"] = f"""
 WITH g AS (
   SELECT doc_id,
@@ -6303,6 +6496,9 @@ QUERIES = {
     "sample_stratified": q_sample_stratified,
     "bpe_token_counts": q_bpe_token_counts,
     "geodist_top10": q_geodist_top10,
+    "geodist_haversine": q_geodist_haversine,
+    "random_sort_top10": q_random_sort,
+    "currency_range": q_currency_range,
     "source_token_counts": q_source_token_counts,
     "ann_cosine_top10": q_ann_cosine_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
