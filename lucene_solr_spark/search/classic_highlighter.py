@@ -286,7 +286,7 @@ class SimpleFragmenterState:
     """SimpleFragmenter.java:61-67 — boundary when the current token's
     endOffset reaches fragmentSize * numFrags (absolute multiples)."""
 
-    def __init__(self, size: int, weights, text_size: int):
+    def __init__(self, size: int, weights, text: str):
         self.size = size
         self.n = 1
 
@@ -300,7 +300,7 @@ class SimpleFragmenterState:
 class NullFragmenterState:
     """NullFragmenter.java — the whole text is one fragment."""
 
-    def __init__(self, size, weights, text_size):
+    def __init__(self, size, weights, text):
         pass
 
     def is_new(self, term, pos_inc, end) -> bool:
@@ -316,7 +316,7 @@ class GapFragmenterState:
 
     INCREMENT_THRESHOLD = 50       # GapFragmenter.java:67
 
-    def __init__(self, size: int, weights, text_size: int):
+    def __init__(self, size: int, weights, text: str):
         self.size = size
         self.frag_offset = 0
 
@@ -339,10 +339,10 @@ class SpanFragmenterState:
     (WeightedSpanTerm values); plain-float weights never arm the
     wait."""
 
-    def __init__(self, size: int, weights, text_size: int):
+    def __init__(self, size: int, weights, text: str):
         self.size = size
         self.weights = weights
-        self.text_size = text_size
+        self.text_size = len(text)
         self.n = 1
         self.position = -1
         self.wait = -1
@@ -366,11 +366,99 @@ class SpanFragmenterState:
         return new
 
 
+class RegexFragmenterState:
+    """Solr LuceneRegexFragmenter (solr/highlight/RegexFragmenter.java:
+    112-290, hl.fragmenter=regex): fragments try to END at "hotspot"
+    boundaries — the start/end offsets of regex matches over the raw
+    text (default pattern ``[-\\w ,\\n"']{20,200}``, pre-scanned up to
+    maxAnalyzedChars) — bending the target size by +/- slop. Ported
+    rule-for-rule, keeping the f32 bound arithmetic
+    ((int)((1.0f - slop) * target), :236 and :254) and the
+    binarySearch quirk (:259-261 — a miss maps to insertionPoint + 1,
+    SKIPPING one hotspot). The reference's hotspot walk can index one
+    past the array when every remaining hotspot is below minOffset
+    (:271-275); that path falls back to currentOffset + target here
+    (documented guard, same as its no-more-hotspots case). Large
+    position increments (> incrementGapThreshold) force a boundary
+    like GapFragmenter."""
+
+    DEFAULT_PATTERN = "[-\\w ,\\n\"']{20,200}"
+    DEFAULT_INCREMENT_GAP = 50     # RegexFragmenter.java:197
+    DEFAULT_SLOP = 0.6
+    DEFAULT_MAX_ANALYZED_CHARS = 10000
+
+    def __init__(self, size: int, weights, text: str,
+                 increment_gap: int = DEFAULT_INCREMENT_GAP,
+                 slop: float = DEFAULT_SLOP,
+                 max_analyzed_chars: int = DEFAULT_MAX_ANALYZED_CHARS,
+                 pattern: Optional[str] = None):
+        import re as _re
+
+        self.target = size
+        self.inc_gap = increment_gap
+        self.slop = slop
+        hs = []
+        cur = 0
+        for m in _re.finditer(pattern or self.DEFAULT_PATTERN, text):
+            if cur >= max_analyzed_chars:
+                break
+            hs.append(m.start())
+            hs.append(m.end())
+            cur = m.end()
+        hs.sort()
+        self.hotspots = hs
+        self.cur = 0
+        self.tgt = 0     # field-default initial value (:137)
+        self.n = 1
+
+    def is_new(self, term, pos_inc: int, end: int) -> bool:
+        from bisect import bisect_left
+
+        min_len = int(np.float32(
+            np.float32(1.0) - np.float32(self.slop)) * self.target)
+        if pos_inc > self.inc_gap:
+            new = True
+        elif end - self.cur < min_len:
+            new = False
+        elif self.tgt > 0:
+            new = end > self.tgt
+        else:
+            min_off = self.cur + min_len
+            max_off = int(np.float32(self.cur) + np.float32(
+                np.float32(np.float32(1.0) + np.float32(self.slop))
+                * self.target))
+            hs = self.hotspots
+            ins = bisect_left(hs, end)
+            if ins < len(hs) and hs[ins] == end:
+                i = ins
+            else:
+                i = ins + 1          # Java -(-(ins+1)) quirk
+            if i >= len(hs) or hs[i] > max_off:
+                self.tgt = self.cur + self.target
+            else:
+                goal = hs[i]
+                while goal < min_off:
+                    i += 1
+                    if i >= len(hs):
+                        goal = None  # OOB guard (see docstring)
+                        break
+                    goal = hs[i]
+                self.tgt = (goal if goal is not None and goal <= max_off
+                            else self.cur + self.target)
+            new = end > self.tgt
+        if new:
+            self.n += 1
+            self.cur = end
+            self.tgt = -1
+        return new
+
+
 FRAGMENTERS = {
     "simple": SimpleFragmenterState,
     "null": NullFragmenterState,
     "gap": GapFragmenterState,
     "span": SpanFragmenterState,
+    "regex": RegexFragmenterState,
 }
 
 
@@ -426,7 +514,9 @@ def get_best_text_fragments(
     # QueryTermScorer.startFragment state
     seen: set = set()
     total = np.float32(0.0)
-    frag_state = FRAGMENTERS[fragmenter](fragment_size, weights, len(text))
+    frag_cls = (FRAGMENTERS[fragmenter] if isinstance(fragmenter, str)
+                else fragmenter)     # callable factory (e.g. partial)
+    frag_state = frag_cls(fragment_size, weights, text)
     last_end = 0
     prev_pos = -1
     group: Optional[_TokenGroup] = None

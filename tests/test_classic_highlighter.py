@@ -252,6 +252,44 @@ class TestFragmenters:
         assert span == [(" <B>cc</B> <B>dd</B> ee ff", 2.0, 1)]
 
 
+class TestRegexFragmenter:
+    """Solr LuceneRegexFragmenter hand traces: hotspot snapping within
+    the slop window, the sub-minFragLen suppression, and the
+    increment-gap rule."""
+
+    def _frag(self, text, w, **kw):
+        from functools import partial
+
+        from lucene_solr_spark.search.classic_highlighter import (
+            RegexFragmenterState,
+        )
+        factory = partial(RegexFragmenterState, pattern="[a-z]+",
+                          slop=0.5)
+        return get_best_text_fragments(
+            text, w, STD, fragment_size=10, max_num_fragments=4,
+            merge_contiguous=False, fragmenter=factory, **kw)
+
+    def test_hotspot_snap_trace(self):
+        # tokens aaa(0,3) bbb(4,7) ccc(8,11) ddd(12,15) eee(16,19)
+        # fff(20,23); target 10, slop 0.5 -> minLen 5, window +15.
+        # At bbb: hotspot 7 within window -> target 7; boundary fires
+        # at ccc (11 > 7). Then cur=11: ddd suppressed (4 < minLen 5),
+        # at eee hotspot 19 snaps the target; boundary at fff.
+        text = "aaa bbb ccc ddd eee fff"
+        frags = self._frag(text, {"aaa": 1.0, "ddd": 1.0, "fff": 1.0})
+        assert [(f[0], f[2]) for f in frags] == [
+            ("<B>aaa</B> bbb", 0),
+            (" ccc <B>ddd</B> eee", 1),
+            (" <B>fff</B>", 2),
+        ]
+
+    def test_increment_gap_forces_boundary(self):
+        text = "alpha " + "the " * 51 + "beta"
+        frags = self._frag(text, {"alpha": 1.0, "beta": 1.0})
+        assert sorted(f[0] for f in frags) == [
+            " " + "the " * 51 + "<B>beta</B>", "<B>alpha</B>"]
+
+
 class TestGradientFormatters:
     def test_hex_parse_and_color_interpolation(self):
         from lucene_solr_spark.search.classic_highlighter import (
