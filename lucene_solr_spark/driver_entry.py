@@ -3039,6 +3039,38 @@ def q_currency_range(spark, sf_dir):
     )
 
 
+def q_spell_convert(spark, sf_dir):
+    """SpellingQueryConverter (solr/spelling/SpellingQueryConverter
+    .java:96-176): raw-query token extraction without a parse — per
+    doc the query string 'lang:<lang> <w1> AND NOT <w2>' converts to
+    spell-checkable tokens: the field PREFIX is skipped by the
+    NMTOKEN: lookahead but its value ('en'...) is kept, AND NOT
+    collapses to NOT, <w1> gets TERM_PRECEDES_NEW_BOOLEAN_OPERATOR,
+    and every token is OR-ed with TERM_IN_BOOLEAN_QUERY; stop words
+    vanish in the analyze step. Arrow-batched kernel; the oracle
+    re-derives tokens/offsets/flags arithmetically."""
+    from lucene_solr_spark.search.spellconvert import convert
+
+    d = _documents(spark, sf_dir).select("doc_id", "lang", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, lang, text in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["text"]):
+                toks = (text or "").split(" ")
+                q = f"lang:{lang} {toks[0]} AND NOT " + (
+                    toks[1] if len(toks) > 1 else "")
+                for term, start, flags in convert(q):
+                    rows.append((int(doc_id), term, start, flags))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "term", "start", "flags"])
+
+    out = d.mapInPandas(
+        kernel, schema="doc_id long, term string, start int, flags int")
+    return out.orderBy("doc_id", "start", "term")
+
+
 def q_update_chain(spark, sf_dir):
     """Solr update-processor chain (update/processor/
     UpdateRequestProcessorChain.java): clone -> truncate -> trim ->
@@ -5718,6 +5750,33 @@ FROM documents GROUP BY source ORDER BY source
     # geodist: e0 literals force DOUBLE in DuckDB (bare 100.0 would
     # parse as DECIMAL and change the division), matching Spark's
     # double arithmetic bit-for-bit
+    # SpellingQueryConverter: tokens/offsets/flags re-derived
+    # arithmetically (query = 'lang:<lang> <w1> AND NOT <w2>')
+    o["spell_convert_tokens"] = f"""
+WITH b AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, lang, tk[1] AS w1,
+         CASE WHEN len(tk) > 1 THEN tk[2] ELSE NULL END AS w2
+  FROM b
+),
+rows AS (
+  SELECT doc_id, lang AS term, 5 AS start, 131072 AS flags FROM base
+  UNION ALL
+  SELECT doc_id, w1, 5 + length(lang) + 1, 196608 FROM base
+  UNION ALL
+  SELECT doc_id, w2,
+         5 + length(lang) + 1 + length(w1) + 9, 131072
+  FROM base WHERE w2 IS NOT NULL
+)
+SELECT doc_id, term, CAST(start AS INT) AS start,
+       CAST(flags AS INT) AS flags
+FROM rows
+WHERE term IS NOT NULL AND term <> '' AND length(term) <= 255
+  AND term NOT IN ({_STOP_SQL})
+ORDER BY doc_id, start, term
+"""
     # CurrencyField: same-code passthrough, inverse rates, sequential
     # digit multiplies, trunc-toward-zero — all left-assoc like Java
     o["currency_range"] = f"""
@@ -6499,6 +6558,7 @@ QUERIES = {
     "geodist_haversine": q_geodist_haversine,
     "random_sort_top10": q_random_sort,
     "currency_range": q_currency_range,
+    "spell_convert_tokens": q_spell_convert,
     "source_token_counts": q_source_token_counts,
     "ann_cosine_top10": q_ann_cosine_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
