@@ -3071,6 +3071,50 @@ def q_spell_convert(spark, sf_dir):
     return out.orderBy("doc_id", "start", "term")
 
 
+def q_preanalyzed(spark, sf_dir):
+    """PreAnalyzedField / JsonPreAnalyzedParser (solr/schema/
+    JsonPreAnalyzedParser.java:91-207): per doc a JSON v1 pre-analyzed
+    value is built from the first three text tokens — token0 with
+    DEFAULT offsets (start = prevEnd+1, so the first default start is
+    1: the reference's separator quirk), token1 with explicit s/e,
+    token2 with posIncr=2 — and parsed back into the
+    (term, pos, start, end) stream the inverter consumes, analysis
+    chain bypassed. Arrow-batched kernel; oracle re-derives the
+    attribute arithmetic."""
+    import json as _json
+
+    from lucene_solr_spark.sources.preanalyzed import parse_preanalyzed
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t][:3]
+                jtoks = []
+                if len(toks) > 0:
+                    jtoks.append({"t": toks[0]})
+                if len(toks) > 1:
+                    jtoks.append({"t": toks[1], "s": 100,
+                                  "e": 100 + len(toks[1])})
+                if len(toks) > 2:
+                    jtoks.append({"t": toks[2], "i": 2})
+                val = _json.dumps({"v": "1", "str": text,
+                                   "tokens": jtoks})
+                _stored, stream = parse_preanalyzed(val)
+                for term, pos, s, e, _p, _y in stream:
+                    rows.append((int(doc_id), term, pos, s, e))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "term", "pos", "start", "end"])
+
+    out = d.mapInPandas(
+        kernel,
+        schema="doc_id long, term string, pos int, start int, end int")
+    return out.orderBy("doc_id", "pos")
+
+
 def q_update_chain(spark, sf_dir):
     """Solr update-processor chain (update/processor/
     UpdateRequestProcessorChain.java): clone -> truncate -> trim ->
@@ -5750,6 +5794,34 @@ FROM documents GROUP BY source ORDER BY source
     # geodist: e0 literals force DOUBLE in DuckDB (bare 100.0 would
     # parse as DECIMAL and change the division), matching Spark's
     # double arithmetic bit-for-bit
+    # PreAnalyzedField: default-offset quirk (first default start=1),
+    # explicit s/e passthrough, posIncr accumulation
+    o["preanalyzed_stream"] = """
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, tk[1] AS w1,
+         CASE WHEN len(tk) > 1 THEN tk[2] ELSE NULL END AS w2,
+         CASE WHEN len(tk) > 2 THEN tk[3] ELSE NULL END AS w3
+  FROM b
+),
+rows AS (
+  SELECT doc_id, w1 AS term, 0 AS pos, 1 AS start,
+         1 + length(w1) AS "end"
+  FROM base WHERE w1 IS NOT NULL AND w1 <> ''
+  UNION ALL
+  SELECT doc_id, w2, 1, 100, 100 + length(w2)
+  FROM base WHERE w2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, w3, 3, 100 + length(w2) + 1,
+         100 + length(w2) + 1 + length(w3)
+  FROM base WHERE w3 IS NOT NULL
+)
+SELECT doc_id, term, CAST(pos AS INT) AS pos,
+       CAST(start AS INT) AS start, CAST("end" AS INT) AS "end"
+FROM rows ORDER BY doc_id, pos
+"""
     # SpellingQueryConverter: tokens/offsets/flags re-derived
     # arithmetically (query = 'lang:<lang> <w1> AND NOT <w2>')
     o["spell_convert_tokens"] = f"""
@@ -6559,6 +6631,7 @@ QUERIES = {
     "random_sort_top10": q_random_sort,
     "currency_range": q_currency_range,
     "spell_convert_tokens": q_spell_convert,
+    "preanalyzed_stream": q_preanalyzed,
     "source_token_counts": q_source_token_counts,
     "ann_cosine_top10": q_ann_cosine_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
