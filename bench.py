@@ -146,6 +146,11 @@ QUERY_NAMES = [
     "fvh_snippet",
     "classic_highlight",
     "query_scorer_hl",
+    "facet_sampled",
+    "geodist_haversine",
+    "mlt_query_top10",
+    "precedence_top10",
+    "blockjoin_topgroups",
     # round-2g surface
     "word_break_suggest",
     "ascii_fold_text",
