@@ -3656,6 +3656,18 @@ MLT_LIKE_TEXT = "merge table scan vector window stream"
 MLT_QUERY_PCT = 0.5      # -> minimumNumberShouldMatch = int(5 * 0.5) = 2
 
 
+def q_mlt_boosted(spark, sf_dir):
+    """MoreLikeThis.setBoost(true) (queries/mlt/MoreLikeThis.java:
+    595-625 createQuery): each selected term's TermQuery carries
+    boost = f32(f32(boostFactor * myScore) / bestScore) — relevance-
+    proportional weighting of the MLT disjunction; weight chain
+    f32(f32(idf * boost) * (k1+1)) like the gated term^n syntax."""
+    s = get_searcher(spark, sf_dir)
+    return _topk_double(s.more_like_this_query(
+        MLT_LIKE_TEXT, percent_terms_to_match=MLT_QUERY_PCT, k=TOP_K,
+        boost=True))
+
+
 def q_mlt_query(spark, sf_dir):
     """MoreLikeThisQuery (queries/mlt/MoreLikeThisQuery.java:42-78):
     like-TEXT term selection (reference defaults maxQueryTerms=5,
@@ -6013,6 +6025,44 @@ GROUP BY doc_id
 HAVING count(*) >= {_mltq_mm}
 ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
 """
+    # MLT boost mode: per-term boost f32(mscore/best), weight chain
+    # f32(f32(idf*boost)*(k1+1)), per-doc f32 BM25, mm floor,
+    # disjunction double-acc
+    o["mlt_boosted_top10"] = ORACLE_PRELUDE + f"""
+, mq AS (
+  SELECT term, mscore FROM (
+    SELECT lt.term,
+      CAST(1 * CAST(ln((SELECT max_doc FROM coll) / (ts.df + 1.0e0))
+                    + 1.0e0 AS FLOAT) AS FLOAT) AS mscore
+    FROM (SELECT unnest([{_mltq_toks}]) AS term) lt
+    JOIN tstats ts USING (term)
+    WHERE ts.df >= 5
+  ) ORDER BY mscore DESC, term ASC LIMIT 5
+),
+mb AS (
+  SELECT term,
+    CAST(CAST(mscore AS FLOAT) / CAST((SELECT max(mscore) FROM mq)
+                                      AS FLOAT) AS FLOAT) AS boost
+  FROM mq
+),
+bw AS (
+  SELECT mb.term,
+    CAST(CAST(w.idfv * mb.boost AS FLOAT) * {{K1P1}} AS FLOAT) AS wv
+  FROM mb JOIN weights w ON w.term = mb.term
+),
+bsc AS (
+  SELECT tf.doc_id, tf.term,
+    CAST(CAST(b.wv * tf.tf AS FLOAT) / CAST(tf.tf + c.nrm AS FLOAT)
+         AS FLOAT) AS s
+  FROM tf JOIN bw b ON tf.term = b.term
+  JOIN cachev c ON tf.doc_id = c.doc_id
+)
+SELECT doc_id, CAST(CAST(sum(CAST(s AS DOUBLE)) AS FLOAT) AS DOUBLE)
+  AS score
+FROM bsc GROUP BY doc_id
+HAVING count(*) >= {_mltq_mm}
+ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+""".replace("{K1P1}", K1P1_LIT)
     _dm1, _dm2 = Q_DISMAX
     _tie_lit = repr(float(F32(DISMAX_TIE))) + "e0"
     o["dismax_top10"] = ORACLE_PRELUDE + f"""
@@ -6592,6 +6642,7 @@ QUERIES = {
     "highlight_top10": q_highlight,
     "mlt_similar": q_mlt,
     "mlt_query_top10": q_mlt_query,
+    "mlt_boosted_top10": q_mlt_boosted,
     "dismax_top10": q_dismax,
     "field_title_term": q_field_title_term,
     "group_ngroups": q_group_ngroups,

@@ -2786,14 +2786,16 @@ class IndexSearcher:
             .limit(k)
         )
 
-    def _mlt_terms(self, text: str, min_tf: int, min_df: int,
-                   max_terms: int) -> List[str]:
+    def _mlt_terms_scored(self, text: str, min_tf: int, min_df: int,
+                          max_terms: int) -> List[Tuple[float, str]]:
         """MoreLikeThis.retrieveTerms/createQueue term selection over
         one text: tf >= minTermFreq, index df >= minDocFreq, ranked by
         f32(tf * f32(ln(maxDoc/(df+1)) + 1)) (DefaultSimilarity idf)
         desc, top maxQueryTerms; (score desc, term asc) tie-break —
         the documented deterministic pin for the reference's
-        insertion-ordered PQ."""
+        insertion-ordered PQ. Returns [(score, term)] best-first (the
+        FreqQ pop order createQuery consumes, MoreLikeThis.java:
+        595-625)."""
         import math as _math
 
         toks = self.analyzer.analyze(text or "")
@@ -2810,7 +2812,12 @@ class IndexSearcher:
             idf_t = F32(_math.log(self.max_doc / (df_t + 1.0)) + 1.0)
             scored.append((float(F32(tf[t] * idf_t)), t))
         scored.sort(key=lambda st: (-st[0], st[1]))
-        return [t for _, t in scored[:max_terms]]
+        return scored[:max_terms]
+
+    def _mlt_terms(self, text: str, min_tf: int, min_df: int,
+                   max_terms: int) -> List[str]:
+        return [t for _, t in self._mlt_terms_scored(
+            text, min_tf, min_df, max_terms)]
 
     def more_like_this_query(
         self,
@@ -2820,6 +2827,8 @@ class IndexSearcher:
         min_doc_freq: int = 5,
         max_query_terms: int = 5,
         k: int = 10,
+        boost: bool = False,
+        boost_factor: float = 1.0,
     ) -> DataFrame:
         """MoreLikeThisQuery (lucene/queries/.../mlt/
         MoreLikeThisQuery.java:42-78): the like-TEXT variant usable
@@ -2829,14 +2838,31 @@ class IndexSearcher:
         minDocFreq=5 when unset) and sets the resulting OR query's
         minimumNumberShouldMatch = int(n_clauses *
         percentTermsToMatch) (:77). No source-doc exclusion — there
-        is no source doc."""
-        terms = self._mlt_terms(
+        is no source doc.
+
+        ``boost=True`` = MoreLikeThis.setBoost: each term query gets
+        boost = f32(f32(boostFactor * myScore) / bestScore) where
+        bestScore is the top-ranked term's selection score
+        (MoreLikeThis.createQuery :605-612)."""
+        scored = self._mlt_terms_scored(
             like_text, min_term_freq, min_doc_freq, max_query_terms)
-        if not terms:
+        if not scored:
             return self.spark.createDataFrame([], "doc_id long, score float")
-        mm = int(len(terms) * percent_terms_to_match)
-        return self.search(
-            " ".join(terms), k=k, mode="or", min_should_match=mm)
+        mm = int(len(scored) * percent_terms_to_match)
+        if not boost:
+            return self.search(
+                " ".join(t for _, t in scored), k=k, mode="or",
+                min_should_match=mm)
+        from lucene_solr_spark.search.queryparser import Clause
+
+        best = F32(scored[0][0])
+        ast = [
+            Clause(occur="should", kind="term", text=t, terms=[t],
+                   boost=float(F32(F32(F32(boost_factor) * F32(s))
+                                   / best)))
+            for s, t in scored
+        ]
+        return self.search_clauses(ast, k=k, min_should_match=mm)
 
     def match_all_docs(self) -> DataFrame:
         """MatchAllDocsQuery (search/MatchAllDocsQuery.java): every live
