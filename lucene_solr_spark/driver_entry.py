@@ -3656,6 +3656,29 @@ MLT_LIKE_TEXT = "merge table scan vector window stream"
 MLT_QUERY_PCT = 0.5      # -> minimumNumberShouldMatch = int(5 * 0.5) = 2
 
 
+def q_joindf(spark, sf_dir):
+    """joindf(field, qfield) — JoinDocFreqValueSource (queries/
+    function/valuesource/JoinDocFreqValueSource.java): per doc, take
+    the doc's FIELD VALUE and return that value's docFreq in another
+    field. Here: each doc's first text token looked up in the content
+    term dictionary (df = 0 when absent, :66-73 docFreq of a missing
+    term). One broadcast-able equi-join against the sorted term
+    stats — no per-doc term-dict probe."""
+    s = get_searcher(spark, sf_dir)
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.col("text"), " ").getItem(0).alias("val"),
+    )
+    ts = s._term_stats.select(F.col("term").alias("val"), "df")
+    return (
+        d.join(F.broadcast(ts), "val", "left")
+        .select("doc_id",
+                F.coalesce(F.col("df"), F.lit(0))
+                .cast("long").alias("joindf"))
+        .orderBy("doc_id")
+    )
+
+
 def q_mlt_boosted(spark, sf_dir):
     """MoreLikeThis.setBoost(true) (queries/mlt/MoreLikeThis.java:
     595-625 createQuery): each selected term's TermQuery carries
@@ -6025,6 +6048,14 @@ GROUP BY doc_id
 HAVING count(*) >= {_mltq_mm}
 ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
 """
+    # joindf: first text token's df in the content field (0 if absent)
+    o["joindf_values"] = ORACLE_PRELUDE + """
+SELECT d.doc_id,
+  CAST(COALESCE(ts.df, 0) AS BIGINT) AS joindf
+FROM (SELECT doc_id, string_split(text, ' ')[1] AS val FROM docs0) d
+LEFT JOIN tstats ts ON ts.term = d.val
+ORDER BY d.doc_id
+"""
     # MLT boost mode: per-term boost f32(mscore/best), weight chain
     # f32(f32(idf*boost)*(k1+1)), per-doc f32 BM25, mm floor,
     # disjunction double-acc
@@ -6643,6 +6674,7 @@ QUERIES = {
     "mlt_similar": q_mlt,
     "mlt_query_top10": q_mlt_query,
     "mlt_boosted_top10": q_mlt_boosted,
+    "joindf_values": q_joindf,
     "dismax_top10": q_dismax,
     "field_title_term": q_field_title_term,
     "group_ngroups": q_group_ngroups,
