@@ -247,3 +247,41 @@ def prefix_filter_condition(gh_col, cover: Dict[str, List[str]],
     if cond_bd is None:
         return cond_in
     return cond_in | cond_bd
+
+
+def decode(gh: str) -> Tuple[float, float]:
+    """GeohashUtils.decode (spatial4j): the CELL CENTER of a geohash —
+    the midpoint of its bbox (the encoder's inverse up to cell
+    size)."""
+    lat_min, lat_max, lon_min, lon_max = decode_bbox(gh)
+    return (lat_min + lat_max) / 2.0, (lon_min + lon_max) / 2.0
+
+
+EARTH_MEAN_RADIUS_KM = 6371.0087714   # spatial4j DistanceUtils
+
+
+def haversine_km(lat1: float, lon1: float, lat2: float, lon2: float,
+                 radius: float = EARTH_MEAN_RADIUS_KM) -> float:
+    """Haversine great-circle distance (HaversineConstFunction.java:
+    209-221 hsin chain)."""
+    import math
+
+    la1, lo1 = math.radians(lat1), math.radians(lon1)
+    la2, lo2 = math.radians(lat2), math.radians(lon2)
+    hx = math.sin((la1 - la2) * 0.5)
+    hy = math.sin((lo1 - lo2) * 0.5)
+    h = hx * hx + math.cos(la1) * math.cos(la2) * hy * hy
+    return 2.0 * radius * math.atan2(math.sqrt(h), math.sqrt(1.0 - h))
+
+
+def ghhsin(gh1: str, gh2: str,
+           radius: float = EARTH_MEAN_RADIUS_KM) -> float:
+    """ghhsin(geohash, geohash, radius) — GeohashHaversineFunction
+    (solr/.../search/function/distance/GeohashHaversineFunction.java:
+    85-98): haversine between the DECODED CELL CENTERS; a null/empty
+    hash yields Double.MAX_VALUE (:94-95)."""
+    if not gh1 or not gh2:
+        return 1.7976931348623157e308
+    lat1, lon1 = decode(gh1)
+    lat2, lon2 = decode(gh2)
+    return haversine_km(lat1, lon1, lat2, lon2, radius)

@@ -101,3 +101,43 @@ class TestCircleCover:
         lens = {len(p) for p in cover["inside"]}
         assert len(lens) > 1  # the recursive walk emits short prefixes
         assert all(len(p) == 3 for p in cover["boundary"])
+
+
+class TestDecodeGhhsin:
+    """GeohashUtils.decode cell centers + GeohashHaversineFunction."""
+
+    def test_decode_public_vector(self):
+        from lucene_solr_spark.search.geohash import decode
+
+        # the canonical public geohash example
+        assert decode("ezs42") == (42.60498046875, -5.60302734375)
+
+    def test_roundtrip_within_cell(self):
+        from lucene_solr_spark.search.geohash import (
+            cell_size,
+            decode,
+            encode,
+        )
+
+        for lat, lon, p in [(48.8566, 2.3522, 7), (-33.86, 151.21, 6),
+                            (0.0, 0.0, 5), (89.9, -179.9, 8)]:
+            clat, clon = decode(encode(lat, lon, p))
+            dlat, dlon = cell_size(p)
+            assert abs(clat - lat) <= dlat / 2 + 1e-9
+            assert abs(clon - lon) <= dlon / 2 + 1e-9
+
+    def test_ghhsin(self):
+        from lucene_solr_spark.search.geohash import (
+            decode,
+            ghhsin,
+            haversine_km,
+        )
+
+        assert ghhsin("ezs42", "ezs42") == 0.0
+        a, b = "u4pruydqqvj", "ezs42"
+        la1, lo1 = decode(a)
+        la2, lo2 = decode(b)
+        assert ghhsin(a, b) == haversine_km(la1, lo1, la2, lo2)
+        # symmetric; null hash -> Double.MAX_VALUE (:94-95)
+        assert ghhsin(b, a) == ghhsin(a, b)
+        assert ghhsin("", b) == 1.7976931348623157e308
