@@ -7568,6 +7568,27 @@ def q_strdist_edit(spark, sf_dir):
             .orderBy("term"))
 
 
+def q_minimal_stem(spark, sf_dir):
+    """EnglishMinimalStemFilter (analysis/en/EnglishMinimalStemmer
+    .java:28-46, the Harman S-stemmer): plural-only stem of every
+    distinct corpus token — the light-stemmer-family representative
+    on the pluggable stemming seam; the oracle replays the rule table
+    as one SQL CASE."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.porter import english_minimal_stem
+
+    @pandas_udf("string")
+    def st(terms: pd.Series) -> pd.Series:
+        return terms.map(english_minimal_stem)
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return vocab.select("term", st("term").alias("stem")).orderBy("term")
+
+
 def q_strdist_lucene(spark, sf_dir):
     """LuceneLevenshteinDistance (suggest/.../spell/
     LuceneLevenshteinDistance.java — the DirectSpellChecker
@@ -7725,6 +7746,27 @@ QUERIES["reversed_wildcard_docs"] = q_reversed_wildcard
 QUERIES["phonetic_codes"] = q_phonetic_codes
 QUERIES["strdist_edit"] = q_strdist_edit
 QUERIES["strdist_lucene"] = q_strdist_lucene
+QUERIES["minimal_stem_terms"] = q_minimal_stem
+ORACLES["minimal_stem_terms"] = """
+WITH vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+SELECT term,
+  CASE
+    WHEN length(term) < 3 OR substr(term, -1, 1) <> 's' THEN term
+    WHEN substr(term, -2, 1) IN ('u', 's') THEN term
+    WHEN substr(term, -2, 1) = 'e' AND length(term) > 3
+         AND substr(term, -3, 1) = 'i'
+         AND substr(term, -4, 1) NOT IN ('a', 'e')
+      THEN substr(term, 1, length(term) - 3) || 'y'
+    WHEN substr(term, -2, 1) = 'e'
+         AND substr(term, -3, 1) IN ('i', 'a', 'o', 'e') THEN term
+    ELSE substr(term, 1, length(term) - 1)
+  END AS stem
+FROM vocab ORDER BY term
+"""
 ORACLES["strdist_lucene"] = """
 WITH vocab AS (
   SELECT DISTINCT t AS term

@@ -185,3 +185,25 @@ def porter_stem(w: str) -> str:
         word = word[:-1]
 
     return word
+
+
+def english_minimal_stem(w: str) -> str:
+    """EnglishMinimalStemmer (lucene/analysis/common/.../en/
+    EnglishMinimalStemmer.java:28-46 — the Harman S-stemmer behind
+    EnglishMinimalStemFilter): plural-only stripping. Rules verbatim:
+    keep words < 3 chars or not ending in 's'; keep -us/-ss; '-ies'
+    with a non-a/e letter before the i becomes '-y'; keep -ies/-aes/
+    -oes/-ees otherwise; else drop the final 's'."""
+    n = len(w)
+    if n < 3 or w[-1] != "s":
+        return w
+    c = w[-2]
+    if c in ("u", "s"):
+        return w
+    if c == "e":
+        if n > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "e"):
+            return w
+        return w[:-1]
+    return w[:-1]
