@@ -251,6 +251,53 @@ def main() -> None:
          "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan),
     ]))
 
+    plan = fmt(QUERIES["facet_sampled"](spark, sf))
+    sections.append(("Sampled faceting + Takmi exact recount", plan, [
+        ("candidate set broadcast back (no facet-keyed shuffle of the "
+         "full hit set beyond the recount agg)", "Broadcast" in plan),
+        ("sample predicate is plain codegen arithmetic (pushable)",
+         "BatchEvalPython" not in plan),
+    ]))
+
+    plan = fmt(QUERIES["group_facet_counts"](spark, sf))
+    sections.append(("Grouped faceting (count DISTINCT groups)", plan, [
+        ("partial agg below the shuffle",
+         plan.count("HashAggregate") >= 2),
+    ]))
+
+    plan = fmt(QUERIES["blockjoin_topgroups"](spark, sf))
+    sections.append(("Block-join getTopGroups", plan, [
+        ("parent selection broadcast back", "Broadcast" in plan),
+        ("per-parent ranked window, no global child sort",
+         "Window" in plan),
+    ]))
+
+    plan = fmt(QUERIES["classic_highlight"](spark, sf))
+    sections.append(("Classic highlighter (top-k then Arrow markup)",
+                     plan, [
+        ("markup kernel is Arrow-batched over the hit join only",
+         "MapInPandas" in plan),
+    ]))
+
+    plan = fmt(QUERIES["random_sort_top10"](spark, sf))
+    sections.append(("RandomSortField (Wang hash TopK)", plan, [
+        ("whole-stage-codegen hash, no Python UDF",
+         "BatchEvalPython" not in plan
+         and "ArrowEvalPython" not in plan),
+        ("TopK, not a global sort", "TakeOrderedAndProject" in plan),
+    ]))
+
+    plan = fmt(QUERIES["currency_range"](spark, sf))
+    sections.append(("CurrencyField range (one codegen CASE)", plan, [
+        ("no join, no UDF — conversion fused into the scan stage",
+         "Join" not in plan and "BatchEvalPython" not in plan),
+    ]))
+
+    plan = fmt(QUERIES["joindf_values"](spark, sf))
+    sections.append(("joindf ValueSource (broadcast dict join)", plan, [
+        ("term-dict side broadcast", "BroadcastHashJoin" in plan),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
