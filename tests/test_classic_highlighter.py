@@ -337,6 +337,69 @@ class TestGradientFormatters:
             GradientFormatter(1.0, min_fg="#FFF", max_fg="#000000")
 
 
+class TestProperties:
+    """Hypothesis invariants over the fragment walk."""
+
+    WORDS = ["alpha", "beta", "gamma", "the", "to", "zz", "table",
+             "hash", "a"]
+
+    def test_unbounded_markup_strips_to_original(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(st.sampled_from(self.WORDS), min_size=1,
+                        max_size=12),
+               st.sets(st.sampled_from(self.WORDS), max_size=3))
+        def prop(tokens, weighted):
+            text = " ".join(tokens)
+            w = {t: 1.0 for t in weighted}
+            frags = get_best_text_fragments(
+                text, w, STD, fragment_size=10**6, max_num_fragments=1)
+            if not frags:
+                # no non-stop weighted token present
+                assert not any(
+                    t in w and t not in ("the", "to", "a")
+                    for t in tokens)
+                return
+            plain = frags[0][0].replace("<B>", "").replace("</B>", "")
+            assert plain == text
+            # every weighted non-stop occurrence is tagged, nothing else
+            import re
+            tagged = re.findall(r"<B>([^<]*)</B>", frags[0][0])
+            expect = [t for t in tokens
+                      if t in w and t not in ("the", "to", "a")]
+            assert tagged == expect
+
+        prop()
+
+    def test_fragments_partition_markup(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(st.sampled_from(self.WORDS), min_size=1,
+                        max_size=15),
+               st.integers(min_value=3, max_value=40))
+        def prop(tokens, size):
+            # weight EVERY word so no fragment is score-0-dropped
+            text = " ".join(tokens)
+            w = {t: 1.0 for t in self.WORDS}
+            frags = get_best_text_fragments(
+                text, w, STD, fragment_size=size,
+                max_num_fragments=100, merge_contiguous=False)
+            if not frags:
+                assert all(t in ("the", "to", "a") for t in tokens)
+                return
+            # fragNum order reassembles the full markup text exactly
+            joined = "".join(
+                f[0] for f in sorted(frags, key=lambda f: f[2]))
+            plain = joined.replace("<B>", "").replace("</B>", "")
+            assert plain == text
+
+        prop()
+
+
 class TestSparkRoundTrip:
     def test_classic_over_fixture(self, spark, built, small_corpus):
         from lucene_solr_spark.search.executor import IndexSearcher
