@@ -379,15 +379,18 @@ persc AS (
 """
 
 
-def _dist_shard_ctes(i: int) -> str:
-    """Shard-scoped BM25 CTE chain for the dist_merge_top10 oracle:
-    the ORACLE_PRELUDE pipeline (tokenize -> doc_len -> byte315 norm ->
-    norm cache -> idf weight -> per-doc score) re-derived over ONE
-    shard's documents so every statistic is shard-local, mirroring
-    get_shard_searcher's independent index."""
+def _dist_shard_ctes(i: int, term: str | None = None) -> str:
+    """Shard-scoped BM25 CTE chain for the distributed oracles
+    (dist_merge_top10, dist_group_top2): the ORACLE_PRELUDE pipeline
+    (tokenize -> doc_len -> byte315 norm -> norm cache -> idf weight ->
+    per-doc score) re-derived over ONE shard's documents so every
+    statistic is shard-local, mirroring get_shard_searcher's
+    independent index. Emits ``sc{i}`` (doc_id, lang, score — every
+    matching doc) and ``top{i}`` (ungrouped shard top-10)."""
+    term = Q_SINGLE if term is None else term
     pred = f"(doc_id % 2 = {i} OR doc_id < {DIST_OVERLAP})"
     return f"""
-, d{i} AS (SELECT doc_id, text FROM docs0 WHERE {pred})
+, d{i} AS (SELECT doc_id, text, lang FROM docs0 WHERE {pred})
 , t{i} AS (
   SELECT doc_id, t AS term
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d{i})
@@ -432,19 +435,22 @@ def _dist_shard_ctes(i: int) -> str:
   ) n
 )
 , tfq{i} AS (SELECT doc_id, count(*) AS tf FROM t{i}
-             WHERE term = '{Q_SINGLE}' GROUP BY doc_id)
+             WHERE term = '{term}' GROUP BY doc_id)
 , wq{i} AS (
   SELECT CAST(CAST(ln(1 + ((SELECT max_doc FROM co{i}) - df + 0.5e0)
                    / (df + 0.5e0)) AS FLOAT)
               * {K1P1_LIT} AS FLOAT) AS wv
   FROM (SELECT count(*) AS df FROM tfq{i})
 )
-, top{i} AS (
-  SELECT doc_id,
+, sc{i} AS (
+  SELECT tf.doc_id, d.lang,
     CAST(CAST((SELECT wv FROM wq{i}) * tf AS FLOAT)
-         / CAST(tf + c.nrm AS FLOAT) AS FLOAT) AS score,
-    {i} AS shard_idx
-  FROM tfq{i} JOIN cv{i} c USING (doc_id)
+         / CAST(tf + c.nrm AS FLOAT) AS FLOAT) AS score
+  FROM tfq{i} tf JOIN cv{i} c USING (doc_id) JOIN d{i} d USING (doc_id)
+)
+, top{i} AS (
+  SELECT doc_id, score, {i} AS shard_idx
+  FROM sc{i}
   ORDER BY score DESC, doc_id ASC LIMIT 10
 )"""
 
@@ -1926,6 +1932,105 @@ def q_dist_merge(spark, sf_dir):
         "doc_id",
         F.col("score").cast("double").alias("score"),
         "shard_idx",
+    )
+
+
+def q_dist_group(spark, sf_dir):
+    """Distributed grouping — Solr's two-phase grouped shard protocol
+    (solr/core/.../search/grouping/distributed/: SearchGroupsFieldCommand
+    + SearchGroupShardResponseProcessor, then TopGroupsFieldCommand +
+    TopGroupsShardResponseProcessor) over the same two overlapping
+    parity shards as dist_merge_top10, each an independent index with
+    shard-local stats.
+
+    Phase 1: each shard runs the first-pass grouping collector for
+    'vector' grouped by lang and returns its top offset+topN = 2
+    groups, each carrying the group head's sort values (score desc);
+    SearchGroup.merge (SearchGroup.java:332) keeps each group's best
+    head with min-shard tie-break and cuts to the global top-2 groups.
+
+    Phase 2: each shard returns, for the agreed group list, its top-2
+    docs per group plus the group's shard-local hit count;
+    TopGroups.merge (TopGroups.java:100) orders each group's union by
+    (score desc, shard index asc, within-shard position asc), cuts to
+    2 docs per group, and SUMS the per-shard hit counts — overlap docs
+    are counted once per shard, the reference's documented upper-bound
+    behavior (TopGroups.java:88-95), and no uniqueKey dedup happens in
+    the grouped merge (unlike mergeIds).
+
+    Output: one row per (group, rank) with the ORIGINAL document id
+    recovered from the stored path field, ordered by the merged group
+    order then rank."""
+    from lucene_solr_spark.search.distributed import (
+        merge_search_groups,
+        merge_top_groups,
+    )
+
+    n_groups, docs_per_group = 2, 2
+    shard_hits = []
+    firsts = []
+    for shard in (0, 1):
+        s = get_shard_searcher(spark, sf_dir, shard)
+        hits = (
+            s.search(Q_GROUPING, k=None)
+            .join(s._docs.select("doc_id", "path", "lang"), "doc_id")
+            .select(
+                "doc_id",
+                F.col("path").cast("long").alias("orig_id"),
+                "lang",
+                "score",
+            )
+        )
+        shard_hits.append(hits)
+        w = Window.partitionBy("lang").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        heads = (
+            hits.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(n_groups)
+            .select("lang", F.col("score").alias("head_score"))
+        )
+        firsts.append(heads)
+    groups = merge_search_groups(firsts, "lang", n_groups).select(
+        "lang", "head_score", F.col("shard_idx").alias("head_shard")
+    )
+    docs2, hits2 = [], []
+    for shard in (0, 1):
+        in_groups = shard_hits[shard].join(
+            F.broadcast(groups.select("lang")), "lang", "leftsemi"
+        )
+        w2 = Window.partitionBy("lang").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+        docs2.append(
+            in_groups.withColumn("shard_rank", F.row_number().over(w2))
+            .filter(F.col("shard_rank") <= docs_per_group)
+            .select("lang", "orig_id", "score", "shard_rank")
+        )
+        hits2.append(
+            in_groups.groupBy("lang").agg(F.count("*").alias("hits"))
+        )
+    merged = merge_top_groups(
+        docs2, hits2, "lang", docs_per_group
+    )
+    return (
+        merged.join(F.broadcast(groups), "lang")
+        .orderBy(
+            F.desc("head_score"),
+            F.asc("head_shard"),
+            F.asc("lang"),
+            F.asc("rnk"),
+        )
+        .select(
+            "lang",
+            "rnk",
+            F.col("orig_id").alias("doc_id"),
+            F.col("score").cast("double").alias("score"),
+            "shard_idx",
+            "group_hits",
+        )
     )
 
 
@@ -4971,6 +5076,79 @@ SELECT doc_id, CAST(score AS DOUBLE) AS score, shard_idx FROM (
 ORDER BY score DESC, shard_idx ASC, doc_id ASC LIMIT 10
 """
     )
+    # Distributed grouping: SearchGroup.merge (best head per group,
+    # min-shard tie-break, top-2 groups) + TopGroups.merge (per-group
+    # docs by score desc / shard asc / within-shard position asc,
+    # group_hits = per-shard hit-count SUM, no uniqueKey dedup)
+    o["dist_group_top2"] = (
+        ORACLE_PRELUDE
+        + _dist_shard_ctes(0, Q_GROUPING)
+        + _dist_shard_ctes(1, Q_GROUPING)
+        + """
+, h0 AS (
+  SELECT lang, score AS head_score, doc_id AS head_doc
+  FROM (SELECT lang, score, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id ASC) AS rk
+        FROM sc0) WHERE rk = 1
+  ORDER BY head_score DESC, head_doc ASC LIMIT 2
+)
+, h1 AS (
+  SELECT lang, score AS head_score, doc_id AS head_doc
+  FROM (SELECT lang, score, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id ASC) AS rk
+        FROM sc1) WHERE rk = 1
+  ORDER BY head_score DESC, head_doc ASC LIMIT 2
+)
+, mg AS (
+  SELECT lang FROM (
+    SELECT lang, head_score, shard_idx,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY head_score DESC, shard_idx ASC
+                             ) AS rk
+    FROM (SELECT lang, head_score, 0 AS shard_idx FROM h0
+          UNION ALL
+          SELECT lang, head_score, 1 AS shard_idx FROM h1)
+  ) WHERE rk = 1
+  ORDER BY head_score DESC, shard_idx ASC, lang ASC LIMIT 2
+)
+, p0 AS (
+  SELECT lang, doc_id, score, 0 AS shard_idx, rk AS shard_rank
+  FROM (SELECT lang, doc_id, score,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id ASC) AS rk
+        FROM sc0 WHERE lang IN (SELECT lang FROM mg))
+  WHERE rk <= 2
+)
+, p1 AS (
+  SELECT lang, doc_id, score, 1 AS shard_idx, rk AS shard_rank
+  FROM (SELECT lang, doc_id, score,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id ASC) AS rk
+        FROM sc1 WHERE lang IN (SELECT lang FROM mg))
+  WHERE rk <= 2
+)
+, gh AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS group_hits FROM (
+    SELECT lang FROM sc0 WHERE lang IN (SELECT lang FROM mg)
+    UNION ALL
+    SELECT lang FROM sc1 WHERE lang IN (SELECT lang FROM mg)
+  ) GROUP BY lang
+)
+SELECT u.lang, rnk, doc_id, CAST(score AS DOUBLE) AS score, shard_idx,
+       group_hits
+FROM (
+  SELECT lang, doc_id, score, shard_idx,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY score DESC, shard_idx ASC,
+                                     shard_rank ASC) AS rnk
+  FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+) u JOIN gh USING (lang)
+WHERE rnk <= 2
+ORDER BY lang, rnk
+"""
+    )
     # QueryElevationComponent: pinned ids first in config order (score
     # 0 when not matching), excluded id removed, rest in BM25 order
     o["elevation_top10"] = ORACLE_PRELUDE + f"""
@@ -6635,6 +6813,7 @@ QUERIES = {
     "span_not": q_span_not,
     "span_near_unordered": q_span_near_unordered,
     "dist_merge_top10": q_dist_merge,
+    "dist_group_top2": q_dist_group,
     "collapse_top10": q_collapse_top10,
     "rerank_top10": q_rerank_top10,
     "blockjoin_parents": q_blockjoin_parents,

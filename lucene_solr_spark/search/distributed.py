@@ -124,3 +124,94 @@ def distributed_facet_counts(
     final = sorted(merged.items(), key=lambda tc: (-tc[1], tc[0]))
     out = [(t, c) for t, c in final if c >= mincount][offset: offset + limit]
     return spark.createDataFrame(out, "term string, cnt long")
+
+
+def merge_search_groups(
+    shard_groups: List[DataFrame],
+    group_col: str,
+    top_n: int,
+    score_col: str = "head_score",
+) -> DataFrame:
+    """``SearchGroup.merge`` (lucene/grouping/src/java/org/apache/
+    lucene/search/grouping/SearchGroup.java:332): merge the per-shard
+    FIRST-pass group lists (each shard's top ``offset+topN`` groups,
+    each carrying the group head's sort values) into the global top-N
+    group list.
+
+    The reference's k-way queue walk reduces relationally to: union
+    the shard lists, keep each group's best sort values (best group
+    sort position; on an exact sort-value tie the LOWEST shard index
+    wins — SearchGroup.java:242-245 ``minShardIndex``), then order
+    groups by those values with min-shard tie-break and take the top
+    N. ``group_col`` asc is appended as a final determinism tie-break
+    on exact float score ties (the reference leaves that order to
+    queue insertion; documented divergence, unreachable for distinct
+    real-valued heads).
+
+    Group sort here is the Solr default (head score desc). Inputs are
+    n_shards * (offset+topN) rows — aggregator-trivial by design, the
+    per-shard first-pass underneath stays fully distributed.
+    """
+    tagged = [
+        df.withColumn("shard_idx", F.lit(i))
+        for i, df in enumerate(shard_groups)
+    ]
+    u = reduce(DataFrame.unionByName, tagged)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc("shard_idx")
+    )
+    best = (
+        u.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    return (
+        best.orderBy(
+            F.desc(score_col), F.asc("shard_idx"), F.asc(group_col)
+        )
+        .limit(top_n)
+    )
+
+
+def merge_top_groups(
+    shard_docs: List[DataFrame],
+    shard_group_hits: List[DataFrame],
+    group_col: str,
+    docs_per_group: int,
+    score_col: str = "score",
+) -> DataFrame:
+    """``TopGroups.merge`` (lucene/grouping/.../TopGroups.java:100):
+    merge the per-shard SECOND-pass results for an agreed group list.
+
+    Per group: the shards' doc lists are merged with ``TopDocs.merge``
+    semantics — order by doc sort (score desc), tie-break shard index
+    asc then within-shard hit position asc (TopDocs.java merge queue)
+    — and cut to ``docs_per_group``; the group's ``totalHits`` is the
+    SUM of the shards' per-group hit counts (TopGroups.java:166). A
+    document present on several shards (overlapping shards) is NOT
+    deduplicated and is counted once per shard — the reference merge
+    has no uniqueKey pass and documents totalGroupCount as an upper
+    bound for exactly this reason (TopGroups.java:88-95).
+
+    ``shard_docs[i]`` must carry ``group_col``, ``score_col`` and
+    ``shard_rank`` (1-based within-shard position in that group's
+    list); ``shard_group_hits[i]`` carries (group_col, hits).
+    """
+    tagged = [
+        df.withColumn("shard_idx", F.lit(i))
+        for i, df in enumerate(shard_docs)
+    ]
+    u = reduce(DataFrame.unionByName, tagged)
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(score_col), F.asc("shard_idx"), F.asc("shard_rank")
+    )
+    top = (
+        u.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= docs_per_group)
+    )
+    hits = (
+        reduce(DataFrame.unionByName, shard_group_hits)
+        .groupBy(group_col)
+        .agg(F.sum("hits").cast("long").alias("group_hits"))
+    )
+    return top.join(F.broadcast(hits), group_col)

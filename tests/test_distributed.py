@@ -104,3 +104,73 @@ class TestDistributedFacetRefinement:
         out = [(r["term"], r["cnt"]) for r in distributed_facet_counts(
             spark, shards, limit=2, offset=1, mincount=2).collect()]
         assert out == [("b", 3)]
+
+
+class TestDistributedGrouping:
+    """Two-phase grouped distributed merge: SearchGroup.merge
+    (lucene/grouping/.../SearchGroup.java:332) + TopGroups.merge
+    (TopGroups.java:100)."""
+
+    def _groups(self, spark, rows):
+        return spark.createDataFrame(rows, "lang string, head_score float")
+
+    def test_search_groups_best_head_min_shard_tie(self, spark):
+        from lucene_solr_spark.search.distributed import merge_search_groups
+
+        # lang 'a' heads: shard0 1.0, shard1 3.0 -> best 3.0 (shard1);
+        # lang 'b' EXACT tie 2.0 on both shards -> minShardIndex wins
+        # (SearchGroup.java:242-245), so shard0's row is kept.
+        s0 = self._groups(spark, [("a", 1.0), ("b", 2.0)])
+        s1 = self._groups(spark, [("a", 3.0), ("b", 2.0)])
+        out = merge_search_groups([s0, s1], "lang", top_n=2).collect()
+        assert [(r.lang, r.head_score, r.shard_idx) for r in out] == [
+            ("a", 3.0, 1), ("b", 2.0, 0)
+        ]
+
+    def test_search_groups_top_n_cut(self, spark):
+        from lucene_solr_spark.search.distributed import merge_search_groups
+
+        s0 = self._groups(spark, [("a", 5.0), ("b", 4.0)])
+        s1 = self._groups(spark, [("c", 4.5)])
+        out = merge_search_groups([s0, s1], "lang", top_n=2).collect()
+        assert [r.lang for r in out] == ["a", "c"]
+
+    def test_top_groups_merge_no_dedup_and_hit_sum(self, spark):
+        from lucene_solr_spark.search.distributed import merge_top_groups
+
+        docs = "lang string, doc_id long, score float, shard_rank int"
+        # doc 7 present on BOTH shards with shard-local scores: the
+        # grouped merge has NO uniqueKey dedup (TopGroups.java merge
+        # walks TopDocs only), so both rows compete.
+        d0 = spark.createDataFrame([("a", 7, 2.0, 1), ("a", 3, 1.0, 2)], docs)
+        d1 = spark.createDataFrame([("a", 7, 3.0, 1), ("a", 4, 2.5, 2)], docs)
+        h0 = spark.createDataFrame([("a", 5)], "lang string, hits long")
+        h1 = spark.createDataFrame([("a", 4)], "lang string, hits long")
+        out = (
+            merge_top_groups([d0, d1], [h0, h1], "lang", docs_per_group=3)
+            .orderBy("rnk")
+            .collect()
+        )
+        assert [(r.doc_id, r.shard_idx) for r in out] == [
+            (7, 1), (4, 1), (7, 0)
+        ]
+        assert all(r.group_hits == 9 for r in out)
+
+    def test_top_groups_shard_then_rank_tiebreak(self, spark):
+        from lucene_solr_spark.search.distributed import merge_top_groups
+
+        docs = "lang string, doc_id long, score float, shard_rank int"
+        # three EXACT score ties: TopDocs.merge order is shard index
+        # asc then within-shard position asc.
+        d0 = spark.createDataFrame([("a", 10, 1.0, 1), ("a", 11, 1.0, 2)], docs)
+        d1 = spark.createDataFrame([("a", 12, 1.0, 1)], docs)
+        h0 = spark.createDataFrame([("a", 2)], "lang string, hits long")
+        h1 = spark.createDataFrame([("a", 1)], "lang string, hits long")
+        out = (
+            merge_top_groups([d0, d1], [h0, h1], "lang", docs_per_group=3)
+            .orderBy("rnk")
+            .collect()
+        )
+        assert [(r.doc_id, r.shard_idx) for r in out] == [
+            (10, 0), (11, 0), (12, 1)
+        ]
