@@ -3796,6 +3796,15 @@ def q_mlt_boosted(spark, sf_dir):
         boost=True))
 
 
+def q_mlt_interesting(spark, sf_dir):
+    """MoreLikeThisHandler interestingTerms=details (solr/core/.../
+    handler/MoreLikeThisHandler.java:187-200, InterestingTerm :254):
+    the boosted MLT query's term clauses in clause order with their
+    per-term setBoost boosts — the terms behind mlt_boosted_top10."""
+    s = get_searcher(spark, sf_dir)
+    return s.mlt_interesting_terms(MLT_LIKE_TEXT, boost=True)
+
+
 def q_mlt_query(spark, sf_dir):
     """MoreLikeThisQuery (queries/mlt/MoreLikeThisQuery.java:42-78):
     like-TEXT term selection (reference defaults maxQueryTerms=5,
@@ -6272,6 +6281,26 @@ FROM bsc GROUP BY doc_id
 HAVING count(*) >= {_mltq_mm}
 ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
 """.replace("{K1P1}", K1P1_LIT)
+    # interestingTerms=details: selection order (mscore desc, term
+    # asc) = clause order; boost = f32(mscore / bestScore)
+    o["mlt_interesting_terms"] = ORACLE_PRELUDE + f"""
+, mq AS (
+  SELECT term, mscore FROM (
+    SELECT lt.term,
+      CAST(1 * CAST(ln((SELECT max_doc FROM coll) / (ts.df + 1.0e0))
+                    + 1.0e0 AS FLOAT) AS FLOAT) AS mscore
+    FROM (SELECT unnest([{_mltq_toks}]) AS term) lt
+    JOIN tstats ts USING (term)
+    WHERE ts.df >= 5
+  ) ORDER BY mscore DESC, term ASC LIMIT 5
+)
+SELECT row_number() OVER (ORDER BY mscore DESC, term ASC) AS rnk,
+       term,
+       CAST(CAST(CAST(mscore AS FLOAT)
+                 / CAST((SELECT max(mscore) FROM mq) AS FLOAT)
+            AS FLOAT) AS DOUBLE) AS boost
+FROM mq ORDER BY rnk
+"""
     _dm1, _dm2 = Q_DISMAX
     _tie_lit = repr(float(F32(DISMAX_TIE))) + "e0"
     o["dismax_top10"] = ORACLE_PRELUDE + f"""
@@ -6853,6 +6882,7 @@ QUERIES = {
     "mlt_similar": q_mlt,
     "mlt_query_top10": q_mlt_query,
     "mlt_boosted_top10": q_mlt_boosted,
+    "mlt_interesting_terms": q_mlt_interesting,
     "joindf_values": q_joindf,
     "dismax_top10": q_dismax,
     "field_title_term": q_field_title_term,

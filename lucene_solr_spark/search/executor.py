@@ -2864,6 +2864,39 @@ class IndexSearcher:
         ]
         return self.search_clauses(ast, k=k, min_should_match=mm)
 
+    def mlt_interesting_terms(
+        self,
+        like_text: str,
+        min_term_freq: int = 1,
+        min_doc_freq: int = 5,
+        max_query_terms: int = 5,
+        boost: bool = False,
+        boost_factor: float = 1.0,
+    ) -> DataFrame:
+        """MoreLikeThisHandler interestingTerms (solr/core/.../handler/
+        MoreLikeThisHandler.java:254-269 InterestingTerm,
+        fillInterestingTermsFromMLTQuery :431-443): the MLT query's
+        term clauses in clause order (= the selection-queue pop order
+        createQuery consumes), each with its TermQuery boost — 1.0
+        unless setBoost, in which case the per-term
+        f32(f32(boostFactor * myScore) / bestScore) chain
+        (MoreLikeThis.java:605-612). This is the DETAILS term style;
+        LIST is the same rows minus the boost column."""
+        scored = self._mlt_terms_scored(
+            like_text, min_term_freq, min_doc_freq, max_query_terms)
+        rows = []
+        if scored:
+            best = F32(scored[0][0])
+            for i, (s, t) in enumerate(scored, 1):
+                b = (
+                    float(F32(F32(F32(boost_factor) * F32(s)) / best))
+                    if boost else 1.0
+                )
+                rows.append((i, t, b))
+        return self.spark.createDataFrame(
+            rows, "rnk int, term string, boost double"
+        )
+
     def match_all_docs(self) -> DataFrame:
         """MatchAllDocsQuery (search/MatchAllDocsQuery.java): every live
         doc, constant score 1.0 — the docs-table scan with the
