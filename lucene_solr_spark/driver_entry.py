@@ -3220,6 +3220,49 @@ def q_preanalyzed(spark, sf_dir):
     return out.orderBy("doc_id", "pos")
 
 
+def q_simple_preanalyzed(spark, sf_dir):
+    """SimplePreAnalyzedParser (solr/schema/SimplePreAnalyzedParser
+    .java:216-411): per doc a plain-text v1 value is built from the
+    first three text tokens — token0 with DEFAULT offsets (the simple
+    format's character cursor starts at 0, NOT the JSON format's
+    prevEnd+1 separator quirk), token1 with explicit s/e, token2 with
+    i=2 whose default offsets keep counting the cursor (term chars +
+    separating spaces; attribute chars are free, and explicit s/e does
+    NOT move the cursor) — and parsed back into the (term, pos, start,
+    end) stream.  Arrow-batched kernel; oracle re-derives the cursor
+    arithmetic."""
+    from lucene_solr_spark.sources.preanalyzed import (
+        _simple_escape, parse_simple_preanalyzed)
+
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t][:3]
+                if not toks:
+                    continue
+                parts = [_simple_escape(toks[0])]
+                if len(toks) > 1:
+                    parts.append("%s,s=100,e=%d" % (
+                        _simple_escape(toks[1]), 100 + len(toks[1])))
+                if len(toks) > 2:
+                    parts.append("%s,i=2" % _simple_escape(toks[2]))
+                _stored, stream = parse_simple_preanalyzed(
+                    "1 " + " ".join(parts))
+                for term, pos, s, e, _p, _y in stream:
+                    rows.append((int(doc_id), term, pos, s, e))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "term", "pos", "start", "end"])
+
+    out = d.mapInPandas(
+        kernel,
+        schema="doc_id long, term string, pos int, start int, end int")
+    return out.orderBy("doc_id", "pos")
+
+
 def q_update_chain(spark, sf_dir):
     """Solr update-processor chain (update/processor/
     UpdateRequestProcessorChain.java): clone -> truncate -> trim ->
@@ -6044,6 +6087,35 @@ SELECT doc_id, term, CAST(pos AS INT) AS pos,
        CAST(start AS INT) AS start, CAST("end" AS INT) AS "end"
 FROM rows ORDER BY doc_id, pos
 """
+    # simple format: cursor arithmetic — w1 (0,len1); w2 explicit
+    # 100..100+len2; w3 default start = len1+1+len2+1 (cursor counts
+    # term chars + spaces only, explicit s/e does not move it)
+    o["simple_preanalyzed_stream"] = """
+WITH b AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+),
+base AS (
+  SELECT doc_id, tk[1] AS w1,
+         CASE WHEN len(tk) > 1 THEN tk[2] ELSE NULL END AS w2,
+         CASE WHEN len(tk) > 2 THEN tk[3] ELSE NULL END AS w3
+  FROM b
+),
+rows AS (
+  SELECT doc_id, w1 AS term, 0 AS pos, 0 AS start,
+         length(w1) AS "end"
+  FROM base WHERE w1 IS NOT NULL AND w1 <> ''
+  UNION ALL
+  SELECT doc_id, w2, 1, 100, 100 + length(w2)
+  FROM base WHERE w2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, w3, 3, length(w1) + length(w2) + 2,
+         length(w1) + length(w2) + 2 + length(w3)
+  FROM base WHERE w3 IS NOT NULL
+)
+SELECT doc_id, term, CAST(pos AS INT) AS pos,
+       CAST(start AS INT) AS start, CAST("end" AS INT) AS "end"
+FROM rows ORDER BY doc_id, pos
+"""
     # SpellingQueryConverter: tokens/offsets/flags re-derived
     # arithmetically (query = 'lang:<lang> <w1> AND NOT <w2>')
     o["spell_convert_tokens"] = f"""
@@ -6924,6 +6996,7 @@ QUERIES = {
     "currency_range": q_currency_range,
     "spell_convert_tokens": q_spell_convert,
     "preanalyzed_stream": q_preanalyzed,
+    "simple_preanalyzed_stream": q_simple_preanalyzed,
     "source_token_counts": q_source_token_counts,
     "ann_cosine_top10": q_ann_cosine_top10,
     "ann_lsh_top10": q_ann_lsh_top10,
