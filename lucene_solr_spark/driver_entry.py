@@ -958,6 +958,55 @@ def q_function_ord(spark, sf_dir):
     return o.join(r, "doc_id").orderBy("doc_id")
 
 
+def q_funcq_index_stats(spark, sf_dir):
+    """The index-stats ValueSource pack wired through FunctionQParser
+    (solr/search/ValueSourceParser.java registrations; lucene/queries/
+    .../valuesource/{TermFreq,TF,IDF,DocFreq,TotalTermFreq,
+    SumTotalTermFreq,Norm,MaxDoc,NumDocs}ValueSource.java +
+    ScaleFloatFunction.java): per live doc for the term 'merge' —
+    termfreq (raw), tf = f32 sqrt(freq) (ClassicSimilarity.tf),
+    idf = f32(ln(maxDoc/(df+1))+1) (ClassicSimilarity.idf, constant),
+    docfreq/ttf/sttf/maxdoc/numdocs constants, norm = byte315ToFloat
+    (decodeNormValue), scale(termfreq(text,merge),0,1) with the
+    reference's min/max pre-pass + f32 chain, and the composed
+    f32(f32(tf*idf)+norm). Everything parsed from function-query
+    strings through parse_function_query + FunctionContext."""
+    from lucene_solr_spark.functions.funcparser import (
+        parse_function_query)
+    from lucene_solr_spark.functions.valuesource import FunctionContext
+
+    s = get_searcher(spark, sf_dir)
+    ctx = FunctionContext(s)
+    t = Q_SINGLE
+
+    def P(expr):
+        return parse_function_query(expr, {}, ctx.extra)
+
+    tfv = P(f"tf(text,{t})")
+    idfv = P(f"idf(text,{t})")
+    normv = P("top(norm(text))")
+    cols = {
+        "termfreq": P(f"termfreq(text,{t})"),
+        "tfv": tfv.cast("double"),
+        "idfv": idfv.cast("double"),
+        "docfreq": P(f"docfreq(text,{t})"),
+        "ttf": P(f"ttf(text,{t})"),
+        "sttf": P("sttf(text)"),
+        "maxdoc": P("maxdoc()"),
+        "numdocs": P("numdocs()"),
+        "normv": normv.cast("double"),
+        "scaled": P(f"scale(termfreq(text,{t}),0,1)").cast("double"),
+        # ProductFloatFunction / SumFloatFunction f32 chain
+        "composed": ((tfv * idfv).cast("float") + normv)
+        .cast("float").cast("double"),
+    }
+    base = s.match_all_docs().select("doc_id")
+    df = ctx.apply(base)
+    return df.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]
+    ).orderBy("doc_id")
+
+
 def q_function_tf_boost(spark, sf_dir):
     """FunctionQuery composition with an index-stats ValueSource
     (TermFreqValueSource): score = bm25('merge') * (1 + tf('table')),
@@ -6712,6 +6761,63 @@ LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'table') t
 WHERE p.term = '{Q_SINGLE}'
 ORDER BY score DESC, p.doc_id ASC LIMIT {TOP_K}
 """
+    # index-stats ValueSource pack: tf/idf ClassicSimilarity f32 math,
+    # byte315 norm decode, ScaleFloatFunction min/max pre-pass chain
+    o["funcq_index_stats"] = ORACLE_PRELUDE + f"""
+, fdecv AS (
+  SELECT doc_id,
+    CAST(pow(2.0, floor(nb / 4) - 31) * (1 + (nb % 4) / 4.0e0) AS FLOAT)
+      AS f
+  FROM norms
+),
+tstat1 AS (
+  SELECT COALESCE((SELECT df FROM tstats WHERE term = '{Q_SINGLE}'), 0)
+           AS df,
+         COALESCE((SELECT cf FROM tstats WHERE term = '{Q_SINGLE}'), 0)
+           AS cf
+),
+perdoc AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(t.tf, 0) AS BIGINT) AS termfreq,
+         CAST(sqrt(CAST(COALESCE(t.tf, 0) AS DOUBLE)) AS FLOAT) AS tfv,
+         fd.f AS normv
+  FROM dlen d
+  LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = '{Q_SINGLE}') t
+    USING (doc_id)
+  JOIN fdecv fd USING (doc_id)
+),
+mm AS (
+  SELECT CAST(min(CAST(termfreq AS FLOAT)) AS FLOAT) AS mn,
+         CAST(max(CAST(termfreq AS FLOAT)) AS FLOAT) AS mx
+  FROM perdoc
+),
+idfc AS (
+  SELECT CAST(ln((SELECT max_doc FROM coll)
+               / (df + 1.0e0)) + 1.0e0 AS FLOAT) AS idfv
+  FROM tstat1
+)
+SELECT p.doc_id,
+  p.termfreq,
+  CAST(p.tfv AS DOUBLE) AS tfv,
+  CAST((SELECT idfv FROM idfc) AS DOUBLE) AS idfv,
+  CAST((SELECT df FROM tstat1) AS BIGINT) AS docfreq,
+  CAST((SELECT cf FROM tstat1) AS BIGINT) AS ttf,
+  CAST((SELECT sum_ttf FROM coll) AS BIGINT) AS sttf,
+  CAST((SELECT max_doc FROM coll) AS BIGINT) AS maxdoc,
+  CAST((SELECT max_doc FROM coll) AS BIGINT) AS numdocs,
+  CAST(p.normv AS DOUBLE) AS normv,
+  CAST(CAST(CAST(CAST(p.termfreq AS FLOAT) - (SELECT mn FROM mm)
+                 AS FLOAT)
+            * (CASE WHEN (SELECT CAST(mx - mn AS FLOAT) FROM mm) = 0
+                    THEN CAST(0 AS FLOAT)
+                    ELSE CAST(CAST(1 AS FLOAT)
+                              / (SELECT CAST(mx - mn AS FLOAT) FROM mm)
+                         AS FLOAT) END)
+            AS FLOAT) + CAST(0 AS FLOAT) AS DOUBLE) AS scaled,
+  CAST(CAST(CAST(p.tfv * (SELECT idfv FROM idfc) AS FLOAT) + p.normv
+       AS FLOAT) AS DOUBLE) AS composed
+FROM perdoc p ORDER BY p.doc_id
+"""
     o["filtered_range_query"] = ORACLE_PRELUDE + f"""
 SELECT p.doc_id, CAST(p.s AS DOUBLE) AS score
 FROM persc p JOIN dlen d USING (doc_id)
@@ -6982,6 +7088,7 @@ QUERIES = {
     "sort_by_function": q_sort_by_function,
     "field_exists_docs": q_field_exists_docs,
     "function_tf_boost": q_function_tf_boost,
+    "funcq_index_stats": q_funcq_index_stats,
     "dedup_exact": q_dedup_exact,
     "dedup_prefix64": q_dedup_prefix,
     "text_profile_sig": q_text_profile_sig,

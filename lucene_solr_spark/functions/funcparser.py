@@ -41,9 +41,14 @@ __all__ = ["parse_function_query"]
 
 _TOKEN = re.compile(r"""\s*(?:
       (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+    | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
     | (?P<name>[A-Za-z_][A-Za-z0-9_.]*)
     | (?P<punct>[(),])
 )""", re.VERBOSE)
+
+
+def _unquote(t: str) -> str:
+    return re.sub(r"\\(.)", r"\1", t[1:-1])
 
 
 def _nary(f):
@@ -147,7 +152,7 @@ def parse_function_query(
                 raise QueryParseError(f"bad function query at: {s[pos:]!r}")
             break
         pos = m.end()
-        for kind in ("num", "name", "punct"):
+        for kind in ("num", "str", "name", "punct"):
             v = m.group(kind)
             if v is not None:
                 toks.append(v)
@@ -167,11 +172,34 @@ def parse_function_query(
         if k == "num":
             return F.lit(int(t)) if re.fullmatch(r"[+-]?\d+", t) \
                 else F.lit(float(t))
+        if k == "str":
+            return F.lit(_unquote(t))
         if k == "punct":
             raise QueryParseError(f"unexpected {t!r}")
         name = t
         if peek() == "(":
             i += 1
+            # raw-arg functions (FunctionQParser parseArg/parseTerm
+            # callers like termfreq/docfreq/idf/literal): arguments are
+            # bare words or quoted strings passed through UNRESOLVED —
+            # a field or term name, not a value source
+            fn = extra.get(name) if extra else None
+            if fn is not None and getattr(fn, "raw_args", False):
+                raw: List[str] = []
+                while peek() != ")":
+                    if i >= len(toks):
+                        raise QueryParseError(
+                            f"missing ')' in {name}(...)")
+                    tt, kk = toks[i], kinds[i]
+                    i += 1
+                    if kk == "punct":
+                        if tt != ",":
+                            raise QueryParseError(
+                                f"unexpected {tt!r} in {name}(...)")
+                        continue
+                    raw.append(_unquote(tt) if kk == "str" else tt)
+                i += 1
+                return fn(*raw)
             args: List[Column] = []
             if peek() != ")":
                 args.append(parse_expr())

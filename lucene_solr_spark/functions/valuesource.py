@@ -274,3 +274,175 @@ def function_range(
         cond = c if cond is None else (cond & c)
     out = doc_attrs if cond is None else doc_attrs.where(cond)
     return out.select("doc_id").orderBy("doc_id")
+
+
+class FunctionContext:
+    """FunctionQParser index-context bindings (solr/search/
+    ValueSourceParser.java registrations that need searcher state):
+    termfreq/tf/docfreq/totaltermfreq(ttf)/idf/norm/maxdoc/numdocs/
+    sumtotaltermfreq(sttf)/scale/literal/vector/top wired into
+    parse_function_query via ``extra``.
+
+    Per-doc sources (termfreq, tf, norm, scale outputs) become columns
+    joined onto the base doc frame lazily: each call registers a
+    (frame, column, default) join and returns the Column; ``apply``
+    materializes them. Constant sources (docfreq, idf, maxdoc, ...)
+    resolve to literals at parse time — exactly the reference split
+    between ConstIntDocValues and per-doc FunctionValues.
+
+    Reference math kept:
+    - tf(f,t)   = f32(sqrt(freq)) — TFValueSource.java:145-150 via
+      ClassicSimilarity.tf (DefaultSimilarity.java)
+    - idf(f,t)  = f32(ln(maxDoc/(df+1)) + 1) — IDFValueSource.java:40-47
+      via ClassicSimilarity.idf; df of an absent term is 0
+    - norm(f)   = SmallFloat.byte315ToFloat(norm_byte)
+      (NormValueSource.java:55-62, decodeNormValue)
+    - scale(x,lo,hi) — ScaleFloatFunction.java: min/max pre-pass over
+      the doc frame skipping Inf/NaN (exponent-all-ones rule :55-60),
+      empty -> min=max=0, span==0 -> scale=0, then the f32 chain
+      (v - minSource) * scale + lo with scale = f32((hi-lo)/span).
+      The reference pre-pass walks 0..maxDoc INCLUDING deleted docs;
+      ours scans the base frame the caller passes (live docs when the
+      caller passes live docs) — at 100 TB a full-corpus two-pass
+      either way, one extra agg job + broadcast of one row.
+    """
+
+    def __init__(self, searcher, field: str = "text"):
+        import math as _math
+
+        import numpy as _np
+
+        self.searcher = searcher
+        self.field = field
+        self._joins = []    # (DataFrame[doc_id, name], name, default)
+        self._scales = []   # (Column, lo Column, hi Column, out name)
+        self._n = 0
+        self._numdocs = None
+        s = searcher
+
+        def _chk(f):
+            if f != self.field:
+                from lucene_solr_spark.search.queryparser import (
+                    QueryParseError)
+                raise QueryParseError(
+                    f"unknown field {f!r} (index field: {self.field!r})")
+
+        def _df_of(term):
+            return s._lookup_dfs([term]).get(term, 0)
+
+        def _cf_of(term):
+            return s._lookup_cfs([term]).get(term, 0)
+
+        def _termfreq_col(term):
+            name = f"_vs_tf{self._n}"
+            self._n += 1
+            self._joins.append(
+                (s.term_freqs(term).withColumnRenamed("tf", name),
+                 name, 0))
+            return F.col(name)
+
+        def termfreq(f, t):
+            _chk(f)
+            return _termfreq_col(t).cast("long")
+
+        def tf(f, t):
+            _chk(f)
+            return F.sqrt(_termfreq_col(t).cast("double")).cast("float")
+
+        def idf(f, t):
+            _chk(f)
+            v = _np.float32(
+                _math.log(s.max_doc / float(_df_of(t) + 1)) + 1.0)
+            return F.lit(float(v)).cast("float")
+
+        def docfreq(f, t):
+            _chk(f)
+            return F.lit(int(_df_of(t))).cast("long")
+
+        def ttf(f, t):
+            _chk(f)
+            return F.lit(int(_cf_of(t))).cast("long")
+
+        def sttf(f):
+            _chk(f)
+            return F.lit(int(s.sum_ttf)).cast("long")
+
+        def norm(f):
+            _chk(f)
+            name = f"_vs_nb{self._n}"
+            self._n += 1
+            self._joins.append(
+                (s.doc_stats().select(
+                    "doc_id", F.col("norm_byte").alias(name)),
+                 name, 0))
+            nb = F.col(name)
+            # SmallFloat.byte315ToFloat: 0 -> 0f, else the 3-mantissa-
+            # bit float rebuilt arithmetically (exact: the mantissa
+            # fits double)
+            return F.when(nb == 0, F.lit(0.0)).otherwise(
+                F.pow(F.lit(2.0), F.floor(nb / 4) - 31)
+                * (1 + (nb % 4) / F.lit(4.0))
+            ).cast("float")
+
+        def maxdoc():
+            return F.lit(int(s.max_doc)).cast("long")
+
+        def numdocs():
+            if self._numdocs is None:
+                self._numdocs = int(s.match_all_docs().count())
+            return F.lit(self._numdocs).cast("long")
+
+        def scale(x, lo, hi):
+            name = f"_vs_scale{self._n}"
+            self._n += 1
+            self._scales.append(
+                (x, lo.cast("float"), hi.cast("float"), name))
+            return F.col(name)
+
+        def literal(v):
+            return F.lit(v)
+
+        def vector(*cols):
+            return F.array(*cols)
+
+        def top(x):
+            return x   # top(vs) is a no-op (ValueSourceParser:134-141)
+
+        # these take field/term names (FunctionQParser parseArg /
+        # parseTerm), not value-source expressions
+        for fn in (termfreq, tf, idf, docfreq, ttf, sttf, norm, literal):
+            fn.raw_args = True
+        self.extra = {
+            "termfreq": termfreq, "tf": tf, "idf": idf,
+            "docfreq": docfreq, "totaltermfreq": ttf, "ttf": ttf,
+            "sumtotaltermfreq": sttf, "sttf": sttf, "norm": norm,
+            "maxdoc": maxdoc, "numdocs": numdocs, "scale": scale,
+            "literal": literal, "vector": vector, "top": top,
+        }
+
+    def apply(self, base: DataFrame) -> DataFrame:
+        """Materialize the registered per-doc sources onto ``base``
+        (must carry doc_id): left joins with defaults, then the scale
+        pre-pass aggs (one broadcast row each)."""
+        df = base
+        for frame, name, default in self._joins:
+            df = df.join(frame, "doc_id", "left").withColumn(
+                name, F.coalesce(F.col(name), F.lit(default)))
+        for x, lo, hi, name in self._scales:
+            v = x.cast("float")
+            finite = ~(F.isnan(v) | (F.abs(v) == float("inf")))
+            agg = df.select(
+                F.min(F.when(finite, v)).alias("_vs_mn"),
+                F.max(F.when(finite, v)).alias("_vs_mx"))
+            df = df.crossJoin(F.broadcast(agg))
+            mn = F.coalesce(F.col("_vs_mn"), F.lit(0.0)).cast("float")
+            mx = F.coalesce(F.col("_vs_mx"), F.lit(0.0)).cast("float")
+            span = (mx - mn).cast("float")
+            sc = F.when(span == 0, F.lit(0.0).cast("float")).otherwise(
+                ((hi - lo).cast("float") / span).cast("float"))
+            df = df.withColumn(
+                name,
+                (((v - mn).cast("float") * sc).cast("float") + lo)
+                .cast("float")
+            ).drop("_vs_mn", "_vs_mx")
+        return df
