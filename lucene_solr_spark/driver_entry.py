@@ -8370,6 +8370,140 @@ ORACLES["hyphen_roundtrip"] = _HYPHEN_SQL
 ORACLES["trim_keyword_len"] = _TRIM_SQL
 
 
+def _chain_terms_of(df, analyzer_name):
+    """(doc_id, text) -> exploded (doc_id, term) through a named chain
+    (the derived-text sibling of _analyzer_terms)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    spec = get_analyzer(analyzer_name)
+
+    @pandas_udf("array<string>")
+    def toks(texts: pd.Series) -> pd.Series:
+        analyze = spec.analyze
+        return texts.map(lambda t: analyze(t or ""))
+
+    return df.select("doc_id", F.explode(toks("text")).alias("term"))
+
+
+def q_elision_possessive(spark, sf_dir):
+    """ElisionFilter -> EnglishPossessiveFilter chain
+    (analysis/common/.../util/ElisionFilter.java:41-63,
+    en/EnglishPossessiveFilter.java:40-55) over a derived
+    apostrophe-bearing field: every whitespace token gains an 'l''
+    article prefix when length%2==0 and an '''s' possessive suffix
+    when length%3==0 (the corpus itself has no apostrophes), then the
+    real chain strips both back off inside the Arrow UDF — elision
+    cuts at the FIRST apostrophe only when the prefix is a French
+    article, possessive strips exactly a trailing apostrophe+s.
+    Output: top-10 surviving terms by document frequency."""
+    from lucene_solr_spark.functions.analysis import (
+        elision_post,
+        english_possessive_post,
+        make_filtered_analyzer,
+    )
+
+    el, poss = elision_post(), english_possessive_post()
+    make_filtered_analyzer("elision_poss_ws", "whitespace",
+                           lambda tp: poss(el(tp)))
+    d = _documents(spark, sf_dir)
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    drv = F.transform(
+        toks,
+        lambda t: F.concat(
+            F.when(F.length(t) % 2 == 0,
+                   F.concat(F.lit("l'"), t)).otherwise(t),
+            F.when(F.length(t) % 3 == 0,
+                   F.lit("'s")).otherwise(F.lit(""))),
+    )
+    d2 = d.select("doc_id", F.array_join(drv, " ").alias("text"))
+    return _df_top(_chain_terms_of(d2, "elision_poss_ws"), TOP_K)
+
+
+_ELISION_ARTICLES_SQL = ", ".join(
+    f"'{a}'" for a in ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+                       "jusqu", "quoiqu", "lorsqu", "puisqu"))
+
+_ELISION_POSS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+drv AS (
+  SELECT doc_id,
+    (CASE WHEN length(t) % 2 = 0 THEN 'l''' || t ELSE t END)
+    || (CASE WHEN length(t) % 3 = 0 THEN '''s' ELSE '' END) AS t
+  FROM toks
+),
+el AS (
+  SELECT doc_id,
+    CASE WHEN strpos(t, '''') > 0
+          AND lower(substr(t, 1, strpos(t, '''') - 1))
+              IN ({_ELISION_ARTICLES_SQL})
+         THEN substr(t, strpos(t, '''') + 1) ELSE t END AS t
+  FROM drv
+),
+poss AS (
+  SELECT doc_id,
+    CASE WHEN length(t) >= 2 AND substr(t, length(t) - 1, 1) = ''''
+          AND lower(substr(t, length(t), 1)) = 's'
+         THEN substr(t, 1, length(t) - 2) ELSE t END AS term
+  FROM el
+),
+u AS (SELECT DISTINCT doc_id, term FROM poss)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT {TOP_K}
+"""
+
+
+def q_pattern_capture_terms(spark, sf_dir):
+    """PatternCaptureGroupTokenFilter (analysis/common/.../pattern/
+    PatternCaptureGroupTokenFilter.java) with pattern '^(.)(.*)$',
+    preserve_original=true, over the whitespace chain: every token
+    emits itself plus its first char and its tail at posInc 0
+    (the full-token group-1 capture of 1-char tokens and the empty
+    group-2 capture are skipped per :97-110). Output: top-10 emitted
+    terms by document frequency."""
+    from lucene_solr_spark.functions.analysis import (
+        make_filtered_analyzer,
+        pattern_capture_post,
+    )
+
+    make_filtered_analyzer(
+        "capture_first_rest", "whitespace",
+        pattern_capture_post([r"^(.)(.*)$"], preserve_original=True))
+    t = _analyzer_terms(spark, sf_dir, "capture_first_rest")
+    return _df_top(t, TOP_K)
+
+
+_PATTERN_CAPTURE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+em AS (
+  SELECT doc_id, t AS term FROM toks
+  UNION ALL
+  SELECT doc_id, substr(t, 1, 1) FROM toks WHERE length(t) >= 2
+  UNION ALL
+  SELECT doc_id, substr(t, 2) FROM toks WHERE length(t) >= 2
+),
+u AS (SELECT DISTINCT doc_id, term FROM em)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT {TOP_K}
+"""
+
+QUERIES["elision_possessive_terms"] = q_elision_possessive
+QUERIES["pattern_capture_terms"] = q_pattern_capture_terms
+ORACLES["elision_possessive_terms"] = _ELISION_POSS_SQL
+ORACLES["pattern_capture_terms"] = _PATTERN_CAPTURE_SQL
+
+
 def q_classic_types(spark, sf_dir):
     """ClassicAnalyzer (analysis/standard/ClassicTokenizerImpl.jflex +
     ClassicFilter.java): typed tokens over synthesized text carrying

@@ -992,6 +992,134 @@ def capitalization_post(only_first_word: bool = True, keep=None,
     return post
 
 
+# FrenchAnalyzer.DEFAULT_ARTICLES (analysis/common/.../fr/
+# FrenchAnalyzer.java:64-68): elision prefixes, matched ignore-case
+FRENCH_ARTICLES = ("l", "m", "t", "qu", "n", "s", "j", "d", "c",
+                   "jusqu", "quoiqu", "lorsqu", "puisqu")
+
+
+def elision_post(articles=FRENCH_ARTICLES, ignore_case: bool = True):
+    """ElisionFilter (analysis/common/.../util/ElisionFilter.java:
+    41-63): if the token contains an apostrophe (U+0027 or U+2019) and
+    the prefix BEFORE THE FIRST apostrophe is one of the articles, the
+    token becomes everything after that apostrophe; otherwise the
+    token passes unchanged (including the apostrophe)."""
+    arts = {a.lower() for a in articles} if ignore_case else set(articles)
+
+    def strip(t: str) -> str:
+        idx = -1
+        for i, ch in enumerate(t):
+            if ch in ("'", "’"):
+                idx = i
+                break
+        if idx >= 0:
+            pre = t[:idx].lower() if ignore_case else t[:idx]
+            if pre in arts:
+                return t[idx + 1:]
+        return t
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(strip(t), p) for t, p in tp]
+
+    return post
+
+
+def english_possessive_post():
+    """EnglishPossessiveFilter (analysis/common/.../en/
+    EnglishPossessiveFilter.java:40-55): strip a trailing possessive
+    ('s, 'S, or with U+2019/U+FF07 apostrophes) — exactly the last two
+    chars, only when length >= 2."""
+
+    def strip(t: str) -> str:
+        if (len(t) >= 2 and t[-2] in ("'", "’", "＇")
+                and t[-1] in ("s", "S")):
+            return t[:-2]
+        return t
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(strip(t), p) for t, p in tp]
+
+    return post
+
+
+def pattern_capture_post(patterns, preserve_original: bool = False):
+    """PatternCaptureGroupTokenFilter (analysis/common/.../pattern/
+    PatternCaptureGroupTokenFilter.java): per input token, emit every
+    capture group of every pattern at position-increment 0, in the
+    reference's nextCapture order — across patterns the one whose
+    current group starts at the smallest offset wins; within a pattern
+    groups go 1..groupCount, then Matcher.find() advances (:57-86).
+    Rules kept: empty captures (start == end, including
+    non-participating groups) are skipped; with preserve_original the
+    full-token capture (start 0, end len) is skipped and the original
+    token is emitted first; without it the FIRST capture replaces the
+    token term (keeping its position), and a token with no captures
+    passes through unchanged (:92-136)."""
+    import re as _re
+
+    pats = [_re.compile(p) if isinstance(p, str) else p for p in patterns]
+    gcounts = [p.groups for p in pats]
+
+    def captures(term: str) -> List[str]:
+        n = len(pats)
+        its = [p.finditer(term) for p in pats]
+        ms: List = [None] * n
+        grp = [-1] * n
+        out: List[str] = []
+        tlen = len(term)
+
+        def next_capture() -> int:
+            min_off = tlen + 1
+            cur = -1
+            i = 0
+            while i < n:
+                if grp[i] == -1:
+                    ms[i] = next(its[i], None)
+                    grp[i] = 1 if ms[i] is not None else 0
+                if grp[i] != 0:
+                    while grp[i] < gcounts[i] + 1:
+                        start = ms[i].start(grp[i])
+                        end = ms[i].end(grp[i])
+                        if start == end or (
+                            preserve_original and start == 0
+                            and end == tlen
+                        ):
+                            grp[i] += 1
+                            continue
+                        if start < min_off:
+                            min_off = start
+                            cur = i
+                        break
+                    if grp[i] == gcounts[i] + 1:
+                        grp[i] = -1
+                        continue   # re-pull this matcher (the i-- walk)
+                i += 1
+            return cur
+
+        while True:
+            c = next_capture()
+            if c == -1:
+                break
+            out.append(term[ms[c].start(grp[c]):ms[c].end(grp[c])])
+            grp[c] += 1
+        return out
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        out: List[Tuple[str, int]] = []
+        for t, p in tp:
+            caps = captures(t)
+            if preserve_original:
+                out.append((t, p))
+                out.extend((c, p) for c in caps)
+            elif caps:
+                out.extend((c, p) for c in caps)
+            else:
+                out.append((t, p))
+        return out
+
+    return post
+
+
 def hyphenated_words_post():
     """HyphenatedWordsFilter (miscellaneous/HyphenatedWordsFilter.java):
     consecutive tokens ending in '-' accumulate (hyphen stripped) and
