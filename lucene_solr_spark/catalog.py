@@ -82,18 +82,29 @@ class Catalog:
         with open(os.path.join(self.snap_dir, f"snap-{snapshot_id}.json")) as f:
             return Snapshot.from_json(json.load(f))
 
+    def load_or_none(self, snapshot_id: int) -> Optional[Snapshot]:
+        """load(), but an expired (deleted) manifest ends the chain —
+        the Lucene reading of a segments_N removed by the deletion
+        policy (IndexFileDeleter decref) rather than an error."""
+        try:
+            return self.load(snapshot_id)
+        except FileNotFoundError:
+            return None
+
     def latest(self) -> Optional[Snapshot]:
         sid = self.latest_id()
         return None if sid is None else self.load(sid)
 
     def latest_at_stage(self, *stages: str) -> Optional[Snapshot]:
         """Walk the parent chain from the live snapshot to the most
-        recent snapshot at one of `stages` (snapshot-as-of semantics)."""
+        recent snapshot at one of `stages` (snapshot-as-of semantics).
+        The walk ends at the first expired parent manifest."""
         snap = self.latest()
         while snap is not None:
             if snap.stage in stages:
                 return snap
-            snap = None if snap.parent is None else self.load(snap.parent)
+            snap = (None if snap.parent is None
+                    else self.load_or_none(snap.parent))
         return None
 
     def commit(

@@ -339,7 +339,7 @@ def find_undecodable_segments(spark: SparkSession, index_dir: str) -> list:
         if s.stage == "merge":
             merged = True
             break
-        s = cat.load(s.parent) if s.parent is not None else None
+        s = cat.load_or_none(s.parent) if s.parent is not None else None
     if not merged:
         return sorted(flagged)
     gfac = int(snap.props.get("group_factor", 1))

@@ -66,7 +66,8 @@ def replicate(src_dir: str, dst_dir: str) -> dict:
     snap = scat.latest()
     while snap is not None:
         chain.append(snap)
-        snap = None if snap.parent is None else scat.load(snap.parent)
+        snap = (None if snap.parent is None
+                else scat.load_or_none(snap.parent))
     data_paths: list = []
     for s in chain:
         for v in s.tables.values():
