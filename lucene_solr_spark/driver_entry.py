@@ -2672,6 +2672,69 @@ def q_blockjoin_sortfield(spark, sf_dir):
     )
 
 
+BG_GROUPS = 3           # topNGroups
+BG_DOCS_PER_GROUP = 2   # maxDocsPerGroup
+
+
+def q_block_grouping(spark, sf_dir):
+    """BlockGroupingCollector (lucene/grouping/.../
+    BlockGroupingCollector.java:144-161,165-228,430-500): single-pass
+    grouping over doc blocks. Group head = the best doc per groupSort
+    (here a FIELD sort: doc_len desc; ties keep the earliest docID —
+    collect() replaces the slot only on a strictly competitive compare,
+    :441-455); top-N groups ranked by head sort values with
+    head-docID-asc tie-break (GroupQueue.lessThan :143-160); each
+    group re-sorted by withinGroupSort (null = score desc, docID asc,
+    :334-341) and cut to maxDocsPerGroup; the collector also fills
+    totalHitCount, totalGroupedHitCount's per-group counts, and
+    totalGroupCount (:165, no separate TermAllGroupsCollector pass).
+    Relational single pass: one shuffle on the block key feeds both
+    the head window and the within-group window; the top-N group cut
+    is broadcast back — no all-hit global sort."""
+    s = get_searcher(spark, sf_dir)
+    ch = _grouped_hits(spark, sf_dir, Q_GROUPING)
+    dl = s.doc_stats().select("doc_id", "doc_len")
+    ch = ch.join(dl, "doc_id")
+    wh = Window.partitionBy("source").orderBy(
+        F.desc("doc_len"), F.asc("orig_id"))
+    heads = (
+        ch.withColumn("hr", F.row_number().over(wh))
+        .filter(F.col("hr") == 1)
+        .select("source", F.col("doc_len").alias("head_len"),
+                F.col("orig_id").alias("head_id"))
+    )
+    counts = ch.groupBy("source").agg(F.count("*").alias("group_count"))
+    groups = (
+        heads.join(counts, "source")
+        .orderBy(F.desc("head_len"), F.asc("head_id"))
+        .limit(BG_GROUPS)
+    )
+    totals = ch.agg(
+        F.count("*").alias("total_hits"),
+        F.countDistinct("source").alias("total_groups"),
+    )
+    wg = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("orig_id"))
+    return (
+        ch.join(F.broadcast(groups), "source")
+        .withColumn("rnk", F.row_number().over(wg))
+        .filter(F.col("rnk") <= BG_DOCS_PER_GROUP)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("head_id").cast("long").alias("head_id"),
+            F.col("head_len").cast("long").alias("head_len"),
+            "group_count",
+            "rnk",
+            F.col("orig_id").alias("child_id"),
+            F.col("score").cast("double").alias("child_score"),
+            "total_hits",
+            "total_groups",
+        )
+        .orderBy(F.desc("head_len"), F.asc("head_id"), F.asc("rnk"))
+    )
+
+
 HFD_THRESH = 0.05
 
 
@@ -6068,6 +6131,47 @@ SELECT source, CAST(gscore AS DOUBLE) AS group_score,
 FROM rk WHERE rnk <= {BJ_DOCS_PER_GROUP}
 ORDER BY group_score DESC, source ASC, rnk ASC
 """
+    # BlockGroupingCollector: head = best doc per field groupSort
+    # (doc_len desc, docID-asc tie), top-N groups by head with
+    # head-docID tie-break, within-group score order, plus the
+    # single-pass totals (totalHitCount / totalGroupCount)
+    o["block_grouping_top"] = ORACLE_PRELUDE + f"""
+, h AS (SELECT doc_id, s FROM persc WHERE term = '{Q_GROUPING}'),
+ch AS (SELECT d.source, h.doc_id, h.s, dl.doc_len
+       FROM h JOIN docs0 d USING (doc_id)
+       JOIN dlen dl USING (doc_id)),
+heads AS (
+  SELECT source, doc_len AS head_len, doc_id AS head_id
+  FROM (SELECT source, doc_len, doc_id,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY doc_len DESC, doc_id ASC) AS hr
+        FROM ch)
+  WHERE hr = 1
+),
+gcnt AS (SELECT source, CAST(count(*) AS BIGINT) AS group_count
+         FROM ch GROUP BY source),
+topg AS (
+  SELECT heads.source, head_len, head_id, group_count
+  FROM heads JOIN gcnt USING (source)
+  ORDER BY head_len DESC, head_id ASC LIMIT {BG_GROUPS}
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total_hits,
+               CAST(count(DISTINCT source) AS BIGINT) AS total_groups
+        FROM ch),
+rk AS (SELECT ch.source, ch.doc_id, ch.s,
+              row_number() OVER (PARTITION BY ch.source
+                ORDER BY ch.s DESC, ch.doc_id ASC) AS rnk
+       FROM ch JOIN topg USING (source))
+SELECT t.source, CAST(t.head_id AS BIGINT) AS head_id,
+       CAST(t.head_len AS BIGINT) AS head_len, t.group_count,
+       CAST(rk.rnk AS INT) AS rnk,
+       CAST(rk.doc_id AS BIGINT) AS child_id,
+       CAST(rk.s AS DOUBLE) AS child_score,
+       tot.total_hits, tot.total_groups
+FROM rk JOIN topg t USING (source) CROSS JOIN tot
+WHERE rk.rnk <= {BG_DOCS_PER_GROUP}
+ORDER BY head_len DESC, head_id ASC, rnk ASC
+"""
     # Gopher repetition filters: n-gram counts re-derived relationally
     # (unnest + GROUP BY) — the oracle checks the fold's arithmetic,
     # not its plan; double math ordered exactly as the engine's
@@ -7030,6 +7134,7 @@ QUERIES = {
     "group_facet_counts": q_group_facet_counts,
     "facet_sampled": q_facet_sampled,
     "blockjoin_sortfield": q_blockjoin_sortfield,
+    "block_grouping_top": q_block_grouping,
     "highfreq_dict_terms": q_highfreq_dict,
     "file_dict_parse": q_file_dict_parse,
     "dataset_split_counts": q_dataset_split,
