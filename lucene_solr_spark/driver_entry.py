@@ -1263,6 +1263,52 @@ def q_spell_collate(spark, sf_dir):
     return s.spell_collate(Q_COLLATE)
 
 
+CT_SUGG = 2        # suggestions per misspelled token
+CT_TRIES = 10      # spellcheck.maxCollationTries
+CT_COLLATIONS = 10  # spellcheck.maxCollations
+
+
+def q_spell_collate_tries(spark, sf_dir):
+    """spellcheck.collate with maxCollationTries — PossibilityIterator
+    + SpellCheckCollator.collate (solr/core/.../spelling/
+    PossibilityIterator.java:201-256 odometer + rank-sum queue;
+    SpellCheckCollator.java:51-180 verify loop): each misspelled token
+    gets its top-2 DirectSpellChecker suggestions, correction
+    combinations are enumerated by summed suggestion rank, every
+    candidate collation is re-queried (conjunction) and only those
+    with hits survive. Enumeration is driver-side over tiny suggestion
+    lists (the reference does the same per request); the data-plane
+    work is the per-candidate verification queries, bounded by
+    maxCollationTries."""
+    from lucene_solr_spark.search.collate import Token, collate
+
+    s = get_searcher(spark, sf_dir)
+    toks = s.analyzer.analyze(Q_COLLATE)
+    suggestions = []
+    pos = 0
+    for t in toks:
+        start = Q_COLLATE.index(t, pos)
+        pos = start + len(t)
+        if s._lookup_dfs([t]).get(t, 0) > 0:
+            continue  # correctly spelled: no suggestions entry
+        rows = s.suggest(t, n=CT_SUGG).collect()
+        suggestions.append((
+            Token(t, start, start + len(t)),
+            [(r["term"], int(r["df"])) for r in rows],
+        ))
+    out = collate(
+        suggestions, Q_COLLATE,
+        lambda q: s.search(q, k=None, mode="and").count(),
+        max_collations=CT_COLLATIONS,
+        max_collation_tries=CT_TRIES,
+    )
+    return spark.createDataFrame(
+        [(c.collation_query, int(c.hits), int(c.internal_rank))
+         for c in out],
+        "collation string, hits long, internal_rank int",
+    )
+
+
 def q_term_range_terms(spark, sf_dir):
     s = get_searcher(spark, sf_dir)
     lo, hi = Q_RANGE
@@ -6850,6 +6896,48 @@ SELECT (SELECT term FROM pick1) || ' ' || (SELECT term FROM pick2)
     SELECT doc_id FROM tf WHERE term = (SELECT term FROM pick2)))
     AS BIGINT) AS hits
 """
+    # PossibilityIterator + collation tries: top-2 suggestions per
+    # token (DirectSpellChecker order), combination rank = summed
+    # suggestion indices, conjunction hit verify, hits>0 survive.
+    # maxTries(10) >= all 4 combos and no queue eviction, so the
+    # surviving SET is order-independent
+    def _collate_cands(tok: str, k: int) -> str:
+        n = len(tok)
+        return f"""
+  SELECT term,
+         row_number() OVER (ORDER BY score DESC, df DESC, term ASC)
+           - 1 AS r
+  FROM (
+    SELECT term, df,
+      1.0e0 - levenshtein(term, '{tok}')
+              / CAST(least(length(term), {n}) AS DOUBLE) AS score
+    FROM tstats
+    WHERE length(term) BETWEEN {n - 2} AND {n + 2}
+      AND levenshtein(term, '{tok}') <= 2
+      AND term <> '{tok}' AND df >= 1)
+  QUALIFY r < {k}"""
+
+    o["spell_collate_tries"] = ORACLE_PRELUDE + f"""
+, cand1 AS ({_collate_cands(_c1, CT_SUGG)}),
+cand2 AS ({_collate_cands(_c2, CT_SUGG)}),
+combos AS (
+  SELECT cand1.term AS t1, cand2.term AS t2,
+         cand1.r + cand2.r AS internal_rank
+  FROM cand1 CROSS JOIN cand2
+),
+pair_hits AS (
+  SELECT a.term AS t1, b.term AS t2,
+         CAST(count(*) AS BIGINT) AS hits
+  FROM tf a JOIN tf b USING (doc_id)
+  WHERE a.term IN (SELECT term FROM cand1)
+    AND b.term IN (SELECT term FROM cand2)
+  GROUP BY a.term, b.term
+)
+SELECT cb.t1 || ' ' || cb.t2 AS collation, ph.hits,
+       CAST(cb.internal_rank AS INT) AS internal_rank
+FROM combos cb JOIN pair_hits ph ON cb.t1 = ph.t1 AND cb.t2 = ph.t2
+WHERE ph.hits > 0
+"""
     o["function_ord_lang"] = ORACLE_PRELUDE + """
 SELECT doc_id,
   CAST(dense_rank() OVER (ORDER BY lang ASC) AS INT) AS ord,
@@ -7135,6 +7223,7 @@ QUERIES = {
     "facet_sampled": q_facet_sampled,
     "blockjoin_sortfield": q_blockjoin_sortfield,
     "block_grouping_top": q_block_grouping,
+    "spell_collate_tries": q_spell_collate_tries,
     "highfreq_dict_terms": q_highfreq_dict,
     "file_dict_parse": q_file_dict_parse,
     "dataset_split_counts": q_dataset_split,
