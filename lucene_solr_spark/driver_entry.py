@@ -8581,6 +8581,46 @@ def _chain_terms_of(df, analyzer_name):
     return df.select("doc_id", F.explode(toks("text")).alias("term"))
 
 
+def q_type_filter_num(spark, sf_dir):
+    """TypeTokenFilter whitelist (analysis/common/.../core/
+    TypeTokenFilter.java:63-66, accept = useWhiteList ==
+    stopTypes.contains(type)) over a derived numeric-bearing field:
+    each doc's text gains two pure-digit tokens (n_chars and
+    n_chars%7 — the corpus itself has no <NUM> tokens), the real
+    Arrow chain classifies types per the jflex NUM-vs-WORD rule and
+    keeps ONLY <NUM>. Output: surviving terms by df."""
+    from lucene_solr_spark.functions.analysis import (
+        make_filtered_analyzer,
+        type_token_filter_post,
+    )
+
+    make_filtered_analyzer(
+        "type_num_only", "standard",
+        type_token_filter_post({"<NUM>"}, use_white_list=True))
+    d = _documents(spark, sf_dir)
+    d2 = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ", "text",
+            F.col("n_chars").cast("string"),
+            (F.col("n_chars") % 7).cast("string"),
+        ).alias("text"),
+    )
+    return _df_top(_chain_terms_of(d2, "type_num_only"), TOP_K)
+
+
+_TYPE_FILTER_SQL = f"""
+WITH drv AS (
+  SELECT doc_id, CAST(n_chars AS VARCHAR) AS t FROM documents
+  UNION ALL
+  SELECT doc_id, CAST(n_chars % 7 AS VARCHAR) AS t FROM documents
+),
+u AS (SELECT DISTINCT doc_id, t AS term FROM drv)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC LIMIT {TOP_K}
+"""
+
+
 def q_elision_possessive(spark, sf_dir):
     """ElisionFilter -> EnglishPossessiveFilter chain
     (analysis/common/.../util/ElisionFilter.java:41-63,
@@ -8693,6 +8733,8 @@ GROUP BY term ORDER BY df DESC, term ASC LIMIT {TOP_K}
 """
 
 QUERIES["elision_possessive_terms"] = q_elision_possessive
+QUERIES["type_filter_num_terms"] = q_type_filter_num
+ORACLES["type_filter_num_terms"] = _TYPE_FILTER_SQL
 QUERIES["pattern_capture_terms"] = q_pattern_capture_terms
 ORACLES["elision_possessive_terms"] = _ELISION_POSS_SQL
 ORACLES["pattern_capture_terms"] = _PATTERN_CAPTURE_SQL

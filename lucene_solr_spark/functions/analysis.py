@@ -707,6 +707,36 @@ def make_filtered_analyzer(name: str, base: str, post,
 
 
 make_filtered_analyzer("shingle", "standard", shingle_post(2, 2, True))
+_NUM_TYPE_RE = _stdre.compile(f"^_*{_A_NUM}(?:_+{_A_NUM})*_*$")
+
+
+def token_type(token: str) -> str:
+    """StandardTokenizer TypeAttribute for the ASCII subset this chain
+    emits (StandardTokenizer.java:101-116 TOKEN_TYPES). jflex rule
+    resolution: at equal match length the earlier rule wins, so a
+    token is <NUM> exactly when the NUM rule
+    (StandardTokenizerImpl.jflex:129-133 — digit runs with medial
+    [.,;'] joined by underscores, optional underscore padding) covers
+    the WHOLE token; every other token the ASCII scanner emits is
+    <ALPHANUM> (the CJK/Hangul types never occur in this corpus)."""
+    return "<NUM>" if _NUM_TYPE_RE.match(token) else "<ALPHANUM>"
+
+
+def type_token_filter_post(stop_types, use_white_list: bool = False):
+    """TypeTokenFilter (analysis/common/.../core/TypeTokenFilter.java:
+    63-66): accept a token iff useWhiteList == (type in stopTypes) —
+    blacklist drops the listed types, whitelist keeps only them.
+    Dropped tokens leave position holes (FilteringTokenFilter
+    enablePositionIncrements): survivor positions untouched."""
+    stop = frozenset(stop_types)
+
+    def post(tp: List[Tuple[str, int]]) -> List[Tuple[str, int]]:
+        return [(t, p) for t, p in tp
+                if use_white_list == (token_type(t) in stop)]
+
+    return post
+
+
 def length_filter_post(min_len: int, max_len: int):
     """LengthFilter (analysis/common/.../miscellaneous/
     LengthFilter.java): keep tokens whose char length lies in

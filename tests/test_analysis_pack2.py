@@ -171,3 +171,39 @@ def test_compound_every_start_offset():
 def test_auto_stop_post_keeps_holes():
     post = auto_stop_post({"hot"})
     assert post([("hot", 0), ("x", 1)]) == [("x", 1)]
+
+
+# -- TypeTokenFilter ----------------------------------------------------------
+
+def test_token_type_classification():
+    from lucene_solr_spark.functions.analysis import token_type
+
+    # jflex NUM rule: digit runs with medial [.,;'], underscore joins,
+    # underscore padding (StandardTokenizerImpl.jflex:129-133)
+    for t in ("7", "123", "1,234", "3.14", "1_2", "_12_", "1'000"):
+        assert token_type(t) == "<NUM>", t
+    # WORD rule wins anywhere a letter appears
+    for t in ("abc", "abc123", "123abc", "x1,2", "a_1"):
+        assert token_type(t) == "<ALPHANUM>", t
+
+
+def test_type_filter_blacklist_keeps_holes():
+    from lucene_solr_spark.functions.analysis import (
+        type_token_filter_post)
+
+    post = type_token_filter_post({"<NUM>"})
+    # dropped token leaves a position hole, survivors untouched
+    assert post([("abc", 0), ("42", 1), ("def", 2)]) == [
+        ("abc", 0), ("def", 2)]
+
+
+def test_type_filter_whitelist_inverts():
+    from lucene_solr_spark.functions.analysis import (
+        type_token_filter_post)
+
+    post = type_token_filter_post({"<NUM>"}, use_white_list=True)
+    assert post([("abc", 0), ("42", 1), ("def", 2)]) == [("42", 1)]
+    # accept() = useWhiteList == contains: whitelisting ALPHANUM keeps
+    # only words
+    post2 = type_token_filter_post({"<ALPHANUM>"}, use_white_list=True)
+    assert post2([("abc", 0), ("42", 1)]) == [("abc", 0)]
