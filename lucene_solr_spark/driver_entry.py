@@ -9870,6 +9870,113 @@ QUERIES["facet_taxonomy"] = q_facet_taxonomy
 ORACLES["facet_taxonomy"] = _FACET_TAXONOMY_SQL
 
 
+FTK_K = 2  # FacetRequest.numResults
+
+
+def q_facet_topk_node(spark, sf_dir):
+    """TopKInEachNodeHandler (lucene/facet/.../search/
+    TopKInEachNodeHandler.java:33-62 javadoc contract): the facet
+    result is a depth-limited SUBTREE of the taxonomy where every
+    node's enumerated children are cut to its OWN top
+    K=numResults (so a pruned branch can out-count a kept child of
+    another node), and each node reports its count of valid
+    (count != 0) descendants within the depth limit. Over the same
+    derived 2-level taxonomy as facet_taxonomy; tie-break = node path
+    asc (the reference breaks ties by taxonomy ordinal — an
+    insertion-order artifact we replace with the deterministic path
+    order). One node-count agg + one per-parent ranked window + one
+    broadcast-size children-count join."""
+    d = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    paths = F.array(
+        F.concat_ws("/", "source", "lang"),
+        F.concat_ws("/", "source",
+                    F.concat(F.lit("len"),
+                             (F.col("n_chars") % 3).cast("string"))))
+    anc = F.flatten(F.transform(
+        paths,
+        lambda p: F.transform(
+            F.sequence(F.lit(1), F.size(F.split(p, "/"))),
+            lambda i: F.array_join(F.slice(F.split(p, "/"), F.lit(1), i),
+                                   "/"))))
+    nodes = (
+        d.select("doc_id", F.explode(F.array_distinct(anc)).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    parts = F.split("node", "/")
+    nodes = nodes.withColumn(
+        "parent",
+        F.when(F.size(parts) == 1, F.lit("<root>"))
+        .otherwise(F.array_join(
+            F.slice(parts, F.lit(1), F.size(parts) - 1), "/")),
+    )
+    w = Window.partitionBy("parent").orderBy(F.desc("cnt"), F.asc("node"))
+    kids = (
+        nodes.groupBy("parent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_desc"))
+        .withColumnRenamed("parent", "node")
+    )
+    return (
+        nodes.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= FTK_K)
+        .join(F.broadcast(kids), "node", "left")
+        .select(
+            "parent", "node", "cnt", "rnk",
+            F.coalesce("n_desc", F.lit(0)).cast("long").alias("n_desc"),
+        )
+        .orderBy("parent", "rnk")
+    )
+
+
+_FACET_TOPK_NODE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, unnest([
+    source || '/' || lang,
+    source || '/len' || CAST(n_chars % 3 AS VARCHAR)]) AS path
+  FROM documents
+),
+anc AS (
+  SELECT DISTINCT doc_id, node FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(parts) + 1),
+                  i -> array_to_string(parts[1:i], '/'))) AS node
+    FROM (SELECT doc_id, string_split(path, '/') AS parts FROM p)
+  )
+),
+nodes AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS cnt
+  FROM anc GROUP BY node
+),
+withp AS (
+  SELECT node, cnt,
+    CASE WHEN len(string_split(node, '/')) = 1 THEN '<root>'
+         ELSE array_to_string(
+           string_split(node, '/')[1:len(string_split(node, '/')) - 1],
+           '/')
+    END AS parent
+  FROM nodes
+),
+kids AS (
+  SELECT parent AS node, CAST(count(*) AS BIGINT) AS n_desc
+  FROM withp GROUP BY parent
+),
+rk AS (
+  SELECT parent, node, cnt,
+         row_number() OVER (PARTITION BY parent
+                            ORDER BY cnt DESC, node ASC) AS rnk
+  FROM withp
+)
+SELECT rk.parent, rk.node, rk.cnt, CAST(rk.rnk AS INT) AS rnk,
+       CAST(COALESCE(k.n_desc, 0) AS BIGINT) AS n_desc
+FROM rk LEFT JOIN kids k ON rk.node = k.node
+WHERE rk.rnk <= {FTK_K}
+ORDER BY parent, rnk
+"""
+
+QUERIES["facet_topk_per_node"] = q_facet_topk_node
+ORACLES["facet_topk_per_node"] = _FACET_TOPK_NODE_SQL
+
+
 # --- ExternalFileField boost ---------------------------------------------------
 
 _EFF_LINES = """src0=1.5
