@@ -1623,6 +1623,35 @@ def q_word_break(spark, sf_dir):
               "num_words long, freq_max long")
 
 
+WB_QUERY = "fastslow win dow"
+
+
+def q_wordbreak_solr(spark, sf_dir):
+    """WordBreakSolrSpellChecker.getSuggestions (solr/core/.../
+    spelling/WordBreakSolrSpellChecker.java:195-337): break + combine
+    suggestions over the converted query tokens, interleaved by
+    descending frequency into one SpellingResult — 'fastslow' breaks
+    into the indexed pair, 'win dow' combines into the indexed
+    'window'; freq = max word df (NUM_CHANGES_THEN_MAX_FREQUENCY),
+    token_freq = docFreq of the original token span's words. All df
+    probes batched into one pushed-down term_stats scan."""
+    from lucene_solr_spark.search.spellconvert import convert
+    from lucene_solr_spark.search.wordbreak import (
+        WordBreakSpellChecker,
+        word_break_spelling_result,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    wb = WordBreakSpellChecker(s._lookup_dfs, max_changes=2)
+    rows = word_break_spelling_result(
+        convert(WB_QUERY), wb, s._lookup_dfs, num_suggestions=5)
+    return spark.createDataFrame(
+        [(i,) + r for i, r in enumerate(rows)],
+        "seq int, token string, start int, end int, "
+        "suggestion string, freq long, token_freq long",
+    )
+
+
 def _customer_contact(c):
     """Deterministic PII-bearing contact string derived from the
     customer table (no external data): every row carries an email,
@@ -4541,6 +4570,54 @@ SELECT t AS compound, CAST(rank AS BIGINT) AS rank, suggestion,
        CAST(freq_max AS BIGINT) AS freq_max
 FROM ranked WHERE rank < 5 ORDER BY compound, rank
 """
+    # WordBreakSolrSpellChecker: break suggestions for 'fastslow'
+    # (2/3-splits with every part indexed), the 'win'+'dow' combine
+    # derived from the dictionary, interleaved by freq desc (no ties
+    # in this instance; the breakCount tie rule is unit-gated)
+    o["wordbreak_solr_suggest"] = ORACLE_PRELUDE + """
+, ix AS (SELECT unnest(range(1, length('fastslow'))) AS i),
+br2 AS (
+  SELECT a.term || ' ' || b.term AS suggestion,
+         GREATEST(a.df, b.df) AS freq, 2 AS nw
+  FROM ix
+  JOIN tstats a ON a.term = substring('fastslow', 1, ix.i)
+  JOIN tstats b ON b.term = substring('fastslow', ix.i + 1)
+),
+br3 AS (
+  SELECT a.term || ' ' || b.term || ' ' || c.term AS suggestion,
+         GREATEST(a.df, b.df, c.df) AS freq, 3 AS nw
+  FROM ix i JOIN ix j ON j.i > i.i
+  JOIN tstats a ON a.term = substring('fastslow', 1, i.i)
+  JOIN tstats b ON b.term = substring('fastslow', i.i + 1, j.i - i.i)
+  JOIN tstats c ON c.term = substring('fastslow', j.i + 1)
+),
+br AS (
+  SELECT 'fastslow' AS token, 0 AS tstart, 8 AS tend, suggestion, freq,
+    COALESCE((SELECT df FROM tstats WHERE term = 'fastslow'), 0)
+      AS token_freq
+  FROM (SELECT suggestion, freq,
+               row_number() OVER (ORDER BY nw ASC, freq DESC,
+                                  suggestion ASC) AS rnk
+        FROM (SELECT * FROM br2 UNION ALL SELECT * FROM br3))
+  WHERE rnk <= 5
+),
+cmb AS (
+  SELECT 'win dow' AS token, 9 AS tstart, 16 AS tend,
+         t.term AS suggestion, t.df AS freq,
+         GREATEST(
+           COALESCE((SELECT df FROM tstats WHERE term = 'win'), 0),
+           COALESCE((SELECT df FROM tstats WHERE term = 'dow'), 0))
+           AS token_freq
+  FROM tstats t WHERE t.term = 'win' || 'dow'
+),
+allrows AS (SELECT * FROM br UNION ALL SELECT * FROM cmb)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, token ASC) - 1
+            AS INT) AS seq,
+       token, CAST(tstart AS INT) AS start, CAST(tend AS INT) AS "end",
+       suggestion, CAST(freq AS BIGINT) AS freq,
+       CAST(token_freq AS BIGINT) AS token_freq
+FROM allrows
+"""
     # DrillSideways: per drilled dim, counts over base + all OTHER dims
     o["drill_sideways_counts"] = ORACLE_PRELUDE + f"""
 , base AS (SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}'),
@@ -7167,6 +7244,7 @@ QUERIES = {
     "query_scorer_hl": q_query_scorer_hl,
     "fvh_weighted_score": q_fvh_weighted,
     "word_break_suggest": q_word_break,
+    "wordbreak_solr_suggest": q_wordbreak_solr,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,
     "phrase_hole": q_phrase_hole,

@@ -187,3 +187,142 @@ class WordBreakSpellChecker:
 
         out.sort(key=key)
         return out[:max_suggestions]
+
+
+# -- Solr wrapper (WordBreakSolrSpellChecker) --------------------------------
+
+PROHIBITED_TERM_FLAG = 16384   # QueryConverter.java:58
+REQUIRED_TERM_FLAG = 32768     # :62
+TERM_PRECEDES_NEW_BOOLEAN_OPERATOR_FLAG = 65536  # :71
+
+
+def word_break_spelling_result(
+    tokens: Sequence[Tuple[str, int, int]],
+    wbsp: WordBreakSpellChecker,
+    df_lookup: Callable[[Sequence[str]], Dict[str, int]],
+    num_suggestions: int = 5,
+    combine_words: bool = True,
+    break_words: bool = True,
+    sort_by_sum: bool = False,
+    suggest_mode: str = SUGGEST_WHEN_NOT_IN_INDEX,
+) -> List[Tuple[str, int, int, str, int, int]]:
+    """WordBreakSolrSpellChecker.getSuggestions (solr/core/.../
+    spelling/WordBreakSolrSpellChecker.java:195-322): per-token break
+    suggestions (freq = max or summed word freq per the tie-breaker,
+    :231-247) and adjacent-run combine suggestions over the term array
+    WITH separator terms injected between tokens whose
+    required/prohibited status changes or after a token that precedes
+    a new boolean operator (:208-226); the two lists are interleaved
+    into one SpellingResult by descending freq with the
+    breakCount>=combineCount tie rule, stopping once more than
+    ``num_suggestions`` distinct tokens have entries (:276-320).
+    Token frequency annotations: docFreq for break tokens,
+    max/summed word docFreq for combine tokens (getCombineFrequency
+    :324-337).
+
+    ``tokens``: [(text, start_offset, flags)] — the
+    SpellingQueryConverter output. Returns interleaved rows
+    [(token_text, start, end, suggestion, freq, token_freq)].
+
+    NOTE kept verbatim: combine suggestion indexes are positions in
+    the SEPARATOR-bearing term array but are used to index the
+    separator-free token array (:255-266) — the reference's own
+    index-space conflation, observable only when separators are
+    injected."""
+    term_arr: List[str] = []
+    token_arr = [(t, s, s + len(t), f) for t, s, f in tokens]
+    last_prohibited = last_required = last_precedes = False
+    break_list: List[Tuple[Tuple[str, int, int], str, int]] = []
+    for i, (text, _start, _end, flags) in enumerate(token_arr):
+        prohibited = (flags & PROHIBITED_TERM_FLAG) == PROHIBITED_TERM_FLAG
+        required = (flags & REQUIRED_TERM_FLAG) == REQUIRED_TERM_FLAG
+        precedes = (flags & TERM_PRECEDES_NEW_BOOLEAN_OPERATOR_FLAG) \
+            == TERM_PRECEDES_NEW_BOOLEAN_OPERATOR_FLAG
+        if i > 0 and (prohibited != last_prohibited
+                      or required != last_required or last_precedes):
+            term_arr.append(SEPARATOR)
+        last_prohibited, last_required, last_precedes = \
+            prohibited, required, precedes
+        term_arr.append(text)
+        if break_words:
+            for sugg in wbsp.suggest_word_breaks(
+                    text, num_suggestions, suggest_mode,
+                    sort_by_sum=sort_by_sum):
+                agg = sum if sort_by_sum else max
+                break_list.append((
+                    token_arr[i][:3],
+                    " ".join(w for w, _f in sugg),
+                    agg(f for _w, f in sugg),
+                ))
+
+    combines = wbsp.suggest_word_combinations(
+        term_arr, num_suggestions, suggest_mode)
+    combine_list: List[Tuple[Tuple[str, int, int], str, int]] = []
+    if combine_words:
+        for (combined, cfreq), idxs in combines:
+            first, last = idxs[0], idxs[-1]
+            text = " ".join(
+                token_arr[i][0] for i in range(first, last + 1))
+            combine_list.append((
+                (text, token_arr[first][1], token_arr[last][2]),
+                combined, cfreq,
+            ))
+
+    # one batched probe covers every docFreq annotation (the
+    # reference's per-entry ir.docFreq calls, :293-318, :324-337)
+    probe = set()
+    for tok, _s, _f in break_list:
+        probe.add(tok[0])
+    for tok, _s, _f in combine_list:
+        probe.update(tok[0].split())
+    dfs = df_lookup(sorted(probe)) if probe else {}
+
+    def _combine_freq(token_text: str) -> int:
+        words = token_text.split()
+        if sort_by_sum:
+            return sum(dfs.get(w, 0) for w in words)
+        return max((dfs.get(w, 0) for w in words), default=0)
+
+    out: List[Tuple[str, int, int, str, int, int]] = []
+    seen_tokens: List[Tuple[str, int, int]] = []
+    bi, ci = iter(break_list), iter(combine_list)
+    last_break = next(bi, None)
+    last_combine = next(ci, None)
+    break_count = combine_count = 0
+
+    def _emit(entry, token_freq):
+        tok, sugg, freq = entry
+        out.append((tok[0], tok[1], tok[2], sugg, freq, token_freq))
+        if tok not in seen_tokens:
+            seen_tokens.append(tok)
+
+    while last_break is not None or last_combine is not None:
+        if last_break is None:
+            _emit(last_combine, _combine_freq(last_combine[0][0]))
+            last_combine = None
+        elif last_combine is None:
+            _emit(last_break, dfs.get(last_break[0][0], 0))
+            last_break = None
+        elif last_break[2] < last_combine[2]:
+            _emit(last_combine, _combine_freq(last_combine[0][0]))
+            last_combine = None
+        elif last_combine[2] < last_break[2]:
+            _emit(last_break, dfs.get(last_break[0][0], 0))
+            last_break = None
+        elif break_count >= combine_count:
+            _emit(last_combine, _combine_freq(last_combine[0][0]))
+            last_combine = None
+        else:
+            _emit(last_break, dfs.get(last_break[0][0], 0))
+            last_break = None
+        if len(seen_tokens) > num_suggestions:
+            break
+        if last_break is None:
+            last_break = next(bi, None)
+            if last_break is not None:
+                break_count += 1
+        if last_combine is None:
+            last_combine = next(ci, None)
+            if last_combine is not None:
+                combine_count += 1
+    return out

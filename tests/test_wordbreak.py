@@ -170,3 +170,71 @@ def test_spell_ngram_classic(spark, built):
     assert IndexSearcher._spell_gram_bounds(4) == (1, 2)
     assert IndexSearcher._spell_gram_bounds(5) == (2, 3)
     assert IndexSearcher._spell_gram_bounds(9) == (3, 4)
+
+
+# -- WordBreakSolrSpellChecker wrapper ----------------------------------------
+
+def _mk_lookup(dfs):
+    return lambda terms: {t: dfs[t] for t in terms if t in dfs}
+
+
+def test_solr_wrapper_interleave_and_freqs():
+    from lucene_solr_spark.search.wordbreak import (
+        WordBreakSpellChecker, word_break_spelling_result)
+
+    dfs = {"fast": 9, "slow": 7, "window": 8}
+    wb = WordBreakSpellChecker(_mk_lookup(dfs), max_changes=2)
+    rows = word_break_spelling_result(
+        [("fastslow", 0, 0), ("win", 9, 0), ("dow", 13, 0)],
+        wb, _mk_lookup(dfs), num_suggestions=5)
+    # break freq 9 (max of fast/slow) > combine freq 8 -> break first
+    assert rows == [
+        ("fastslow", 0, 8, "fast slow", 9, 0),
+        ("win dow", 9, 16, "window", 8, 0),
+    ]
+
+
+def test_solr_wrapper_equal_freq_tie_prefers_combine_first():
+    # freq tie: breakCount(0) >= combineCount(0) -> combine emitted
+    # first (WordBreakSolrSpellChecker.java:305-311)
+    from lucene_solr_spark.search.wordbreak import (
+        WordBreakSpellChecker, word_break_spelling_result)
+
+    dfs = {"fast": 8, "slow": 7, "window": 8}
+    wb = WordBreakSpellChecker(_mk_lookup(dfs), max_changes=2)
+    rows = word_break_spelling_result(
+        [("fastslow", 0, 0), ("win", 9, 0), ("dow", 13, 0)],
+        wb, _mk_lookup(dfs), num_suggestions=5)
+    assert [r[3] for r in rows] == ["window", "fast slow"]
+
+
+def test_solr_wrapper_separator_blocks_combine():
+    # required-status change between tokens injects SEPARATOR_TERM,
+    # which breaks the combine run (:208-226)
+    from lucene_solr_spark.search.wordbreak import (
+        REQUIRED_TERM_FLAG, WordBreakSpellChecker,
+        word_break_spelling_result)
+
+    dfs = {"window": 8}
+    wb = WordBreakSpellChecker(_mk_lookup(dfs), max_changes=2)
+    rows = word_break_spelling_result(
+        [("win", 0, 0), ("dow", 4, REQUIRED_TERM_FLAG)],
+        wb, _mk_lookup(dfs), num_suggestions=5)
+    assert rows == []
+    # same tokens without the flag change: combine fires
+    rows = word_break_spelling_result(
+        [("win", 0, 0), ("dow", 4, 0)],
+        wb, _mk_lookup(dfs), num_suggestions=5)
+    assert [r[3] for r in rows] == ["window"]
+
+
+def test_solr_wrapper_sum_tie_breaker():
+    from lucene_solr_spark.search.wordbreak import (
+        WordBreakSpellChecker, word_break_spelling_result)
+
+    dfs = {"fast": 5, "slow": 4}
+    wb = WordBreakSpellChecker(_mk_lookup(dfs), max_changes=2)
+    rows = word_break_spelling_result(
+        [("fastslow", 0, 0)], wb, _mk_lookup(dfs),
+        num_suggestions=5, sort_by_sum=True)
+    assert rows == [("fastslow", 0, 8, "fast slow", 9, 0)]
