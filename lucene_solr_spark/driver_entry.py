@@ -1623,6 +1623,76 @@ def q_word_break(spark, sf_dir):
               "num_words long, freq_max long")
 
 
+def _trie_ranges():
+    from lucene_solr_spark.functions.numerictrie import split_long_range
+    return split_long_range(NT_PS, NT_LO, NT_HI)
+
+
+NT_PS, NT_LO, NT_HI = 4, 100, 1337
+
+
+def q_numeric_trie_range(spark, sf_dir):
+    """NumericRangeQuery via the trie decomposition (lucene/core/.../
+    util/NumericUtils.java:341-399 splitRange; search/
+    NumericRangeQuery.java builds one term-range clause per emitted
+    (min, max, shift) triple): the range [100, 1337] at
+    precisionStep=4 splits into per-precision triples, each answered
+    as one pushed-down BETWEEN over n_chars; per-triple doc counts
+    plus the total. The decomposition itself is gated bit-for-bit
+    against the reference's TestNumericUtils vectors
+    (tests/test_numerictrie.py); THIS oracle gates the partition
+    property on real data — the oracle's total is an INDEPENDENT
+    whole-range BETWEEN count, so any gap or overlap between triples
+    hash-fails. One scan, one tiny agg."""
+    d = _documents(spark, sf_dir)
+    ranges = _trie_ranges()
+    # engine total = SUM of per-triple counts: docs are assigned to
+    # EVERY triple whose BETWEEN matches (no first-match short
+    # circuit), so an overlap double-counts and a gap under-counts —
+    # either hash-fails against the oracle's independent BETWEEN total
+    parts = None
+    for i, (mn, mx, _sh) in enumerate(ranges):
+        p = (d.filter(F.col("n_chars").between(mn, mx))
+             .select(F.lit(i).alias("rid")))
+        parts = p if parts is None else parts.unionAll(p)
+    cnts = parts.groupBy("rid").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+    meta = spark.createDataFrame(
+        [(i, sh, mn, mx) for i, (mn, mx, sh) in enumerate(ranges)],
+        "rid int, shift int, lo long, hi long")
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        cnts.join(F.broadcast(meta), "rid", "right")
+        .select("rid", "shift", "lo", "hi",
+                F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(w_all).cast("long"))
+        .orderBy("rid")
+    )
+
+
+def _numeric_trie_sql():
+    ranges = _trie_ranges()
+    vals = ", ".join(f"({i}, {sh}, {mn}, {mx})"
+                     for i, (mn, mx, sh) in enumerate(ranges))
+    return f"""
+WITH ranges(rid, shift, lo, hi) AS (VALUES {vals}),
+cnts AS (
+  SELECT r.rid, CAST(count(d.doc_id) AS BIGINT) AS cnt
+  FROM ranges r LEFT JOIN documents d
+    ON d.n_chars BETWEEN r.lo AND r.hi
+  GROUP BY r.rid
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents
+        WHERE n_chars BETWEEN {NT_LO} AND {NT_HI})
+SELECT CAST(r.rid AS INT) AS rid, CAST(r.shift AS INT) AS shift,
+       CAST(r.lo AS BIGINT) AS lo, CAST(r.hi AS BIGINT) AS hi,
+       c.cnt, tot.total
+FROM ranges r JOIN cnts c USING (rid) CROSS JOIN tot
+ORDER BY rid
+"""
+
+
 WB_QUERY = "fastslow win dow"
 
 
@@ -7245,6 +7315,7 @@ QUERIES = {
     "fvh_weighted_score": q_fvh_weighted,
     "word_break_suggest": q_word_break,
     "wordbreak_solr_suggest": q_wordbreak_solr,
+    "numeric_trie_range_docs": q_numeric_trie_range,
     "bool_req_opt": q_bool_req_opt,
     "bool_phrase_must": q_bool_phrase_must,
     "phrase_hole": q_phrase_hole,
@@ -9842,6 +9913,7 @@ FROM sharded GROUP BY 1 ORDER BY shard
 
 QUERIES["composite_route_counts"] = q_composite_route
 ORACLES["composite_route_counts"] = _composite_route_sql()
+ORACLES["numeric_trie_range_docs"] = _numeric_trie_sql()
 
 
 # --- Solr group.query ---------------------------------------------------------
