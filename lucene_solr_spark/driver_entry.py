@@ -2129,6 +2129,75 @@ def q_dist_merge(spark, sf_dir):
     )
 
 
+DMLT_COUNT = 3    # mlt.count
+DMLT_ROOTS = 2    # roots = top main-query docs carrying MLT results
+DMLT_MAXQT = 25   # MoreLikeThis maxQueryTerms (handler default)
+
+
+def q_dist_mlt(spark, sf_dir):
+    """Distributed MoreLikeThis (solr/core/.../component/
+    MoreLikeThisComponent.java:73-120 process, :121-148
+    handleResponses, :150-230 finishStage, :232-290
+    mergeSolrDocumentList): stage 1 returns the main query's top docs;
+    the shard HOLDING each top doc builds its MLT query from
+    SHARD-LOCAL stats (tf>=2, df>=5, tf*idf top-25 — the same
+    getMoreLikeTheseQuery selection as the gated single-node MLT,
+    with the MUST_NOT uniqueKey exclusion :419-424); that query is
+    then re-executed as a NORMAL query on EVERY shard
+    (buildShardQuery :291-323, rows=mlt.count, sort=score desc);
+    per root the shard lists are merged with uniqueKey dedup (later
+    response wins, map.put :243-250), re-sorted score desc (doc-id
+    tie-break replaces Java's unstable HashMap order — documented),
+    cut to mlt.count, and numFound summed across shards (:279 — dups
+    counted twice, reference quirk kept)."""
+    from lucene_solr_spark.search.distributed import merge_shard_topdocs
+
+    shards = [get_shard_searcher(spark, sf_dir, i) for i in (0, 1)]
+    tops = [
+        s.search_display(Q_SINGLE, k=TOP_K, mode="or").select(
+            F.col("path").cast("long").alias("doc_id"), "score")
+        for s in shards
+    ]
+    roots = merge_shard_topdocs(tops, ["doc_id"], DMLT_ROOTS).collect()
+    keys = [int(r["doc_id"]) for r in roots]
+    dtext = {
+        int(r["doc_id"]): r["text"]
+        for r in _documents(spark, sf_dir)
+        .filter(F.col("doc_id").isin(keys)).select("doc_id", "text")
+        .collect()
+    }
+    rows = []
+    for root in roots:
+        key = int(root["doc_id"])
+        origin = int(root["shard_idx"])
+        terms = shards[origin]._mlt_terms(dtext[key], 2, 5, DMLT_MAXQT)
+        qtext = " ".join(terms)
+        merged = {}
+        num_found = 0
+        for ss in shards:
+            hits_df = (
+                ss.search_display(qtext, k=None, mode="or")
+                .select(F.col("path").cast("long").alias("doc_id"),
+                        "score")
+                .filter(F.col("doc_id") != key)
+            )
+            num_found += hits_df.count()
+            top = (hits_df.orderBy(F.desc("score"), F.asc("doc_id"))
+                   .limit(DMLT_COUNT).collect())
+            for h in top:
+                merged[int(h["doc_id"])] = float(h["score"])
+        fin = sorted(merged.items(),
+                     key=lambda kv: (-kv[1], kv[0]))[:DMLT_COUNT]
+        rows.extend(
+            (key, rk + 1, did, sc, num_found)
+            for rk, (did, sc) in enumerate(fin)
+        )
+    return spark.createDataFrame(
+        rows,
+        "root long, rnk int, doc_id long, score double, num_found long",
+    )
+
+
 def q_dist_group(spark, sf_dir):
     """Distributed grouping — Solr's two-phase grouped shard protocol
     (solr/core/.../search/grouping/distributed/: SearchGroupsFieldCommand
@@ -5433,6 +5502,117 @@ SELECT doc_id, CAST(score AS DOUBLE) AS score, shard_idx FROM (
 ORDER BY score DESC, shard_idx ASC, doc_id ASC LIMIT 10
 """
     )
+    # Distributed MLT: roots from the dist merge, per-root term
+    # selection with ORIGIN-shard stats (tf>=2, df>=5, f32 tf*idf
+    # top-25), per-shard OR scoring (f32 per-term chain, double
+    # disjunction accumulator), later-shard-wins dedup, mlt.count cut,
+    # summed numFound
+    o["dist_mlt_top"] = (
+        ORACLE_PRELUDE
+        + _dist_shard_ctes(0)
+        + _dist_shard_ctes(1)
+        + f"""
+, roots AS (
+  SELECT doc_id, shard_idx FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY shard_idx) AS rk
+    FROM (SELECT * FROM top0 UNION ALL SELECT * FROM top1)
+  ) WHERE rk = 1
+  ORDER BY score DESC, shard_idx ASC, doc_id ASC LIMIT {DMLT_ROOTS}
+),
+sdf0 AS (SELECT term, count(DISTINCT doc_id) AS df FROM t0 GROUP BY term),
+sdf1 AS (SELECT term, count(DISTINCT doc_id) AS df FROM t1 GROUP BY term),
+rcand AS (
+  SELECT r.doc_id AS root, r.shard_idx, tf.term, tf.tf,
+    CASE WHEN r.shard_idx = 0
+         THEN (SELECT df FROM sdf0 s WHERE s.term = tf.term)
+         ELSE (SELECT df FROM sdf1 s WHERE s.term = tf.term) END AS df,
+    CASE WHEN r.shard_idx = 0 THEN (SELECT max_doc FROM co0)
+         ELSE (SELECT max_doc FROM co1) END AS md
+  FROM roots r JOIN tf ON tf.doc_id = r.doc_id
+  WHERE tf.tf >= 2
+),
+rsel AS (
+  SELECT root, term FROM (
+    SELECT root, term,
+      row_number() OVER (PARTITION BY root ORDER BY
+        CAST(tf * CAST(ln(CAST(md AS DOUBLE) / (df + 1.0e0)) + 1.0e0
+                       AS FLOAT) AS FLOAT) DESC,
+        term ASC) AS rk
+    FROM rcand WHERE df >= 5
+  ) WHERE rk <= {DMLT_MAXQT}
+),
+stf0 AS (SELECT doc_id, term, count(*) AS tf FROM t0
+         GROUP BY doc_id, term),
+stf1 AS (SELECT doc_id, term, count(*) AS tf FROM t1
+         GROUP BY doc_id, term),
+pw0 AS (
+  SELECT rs.root, rs.term,
+    CAST(CAST(ln(1 + ((SELECT max_doc FROM co0) - s.df + 0.5e0)
+              / (s.df + 0.5e0)) AS FLOAT) * {{K1P1}} AS FLOAT) AS wv
+  FROM rsel rs JOIN sdf0 s USING (term)
+),
+pw1 AS (
+  SELECT rs.root, rs.term,
+    CAST(CAST(ln(1 + ((SELECT max_doc FROM co1) - s.df + 0.5e0)
+              / (s.df + 0.5e0)) AS FLOAT) * {{K1P1}} AS FLOAT) AS wv
+  FROM rsel rs JOIN sdf1 s USING (term)
+),
+psc0 AS (
+  SELECT p.root, s.doc_id,
+    CAST(SUM(CAST(CAST(CAST(p.wv * s.tf AS FLOAT)
+             / CAST(s.tf + c.nrm AS FLOAT) AS FLOAT) AS DOUBLE))
+         AS FLOAT) AS score
+  FROM pw0 p JOIN stf0 s USING (term) JOIN cv0 c ON c.doc_id = s.doc_id
+  WHERE s.doc_id <> p.root
+  GROUP BY p.root, s.doc_id
+),
+psc1 AS (
+  SELECT p.root, s.doc_id,
+    CAST(SUM(CAST(CAST(CAST(p.wv * s.tf AS FLOAT)
+             / CAST(s.tf + c.nrm AS FLOAT) AS FLOAT) AS DOUBLE))
+         AS FLOAT) AS score
+  FROM pw1 p JOIN stf1 s USING (term) JOIN cv1 c ON c.doc_id = s.doc_id
+  WHERE s.doc_id <> p.root
+  GROUP BY p.root, s.doc_id
+),
+nf AS (
+  SELECT root, CAST(count(*) AS BIGINT) AS num_found
+  FROM (SELECT root, doc_id FROM psc0
+        UNION ALL SELECT root, doc_id FROM psc1)
+  GROUP BY root
+),
+picked AS (
+  SELECT root, doc_id, score, 0 AS shard FROM (
+    SELECT *, row_number() OVER (PARTITION BY root
+      ORDER BY score DESC, doc_id ASC) AS rk FROM psc0)
+  WHERE rk <= {DMLT_COUNT}
+  UNION ALL
+  SELECT root, doc_id, score, 1 AS shard FROM (
+    SELECT *, row_number() OVER (PARTITION BY root
+      ORDER BY score DESC, doc_id ASC) AS rk FROM psc1)
+  WHERE rk <= {DMLT_COUNT}
+),
+mrg AS (
+  SELECT root, doc_id, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY root, doc_id
+                                 ORDER BY shard DESC) AS dk
+    FROM picked
+  ) WHERE dk = 1
+),
+fin AS (
+  SELECT root, doc_id, score,
+         row_number() OVER (PARTITION BY root
+                            ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM mrg
+)
+SELECT f.root, CAST(f.rnk AS INT) AS rnk, f.doc_id,
+       CAST(f.score AS DOUBLE) AS score, n.num_found
+FROM fin f JOIN nf n USING (root)
+WHERE f.rnk <= {DMLT_COUNT}
+ORDER BY root, rnk
+""".replace("{K1P1}", K1P1_LIT)
+    )
     # Distributed grouping: SearchGroup.merge (best head per group,
     # min-shard tie-break, top-2 groups) + TopGroups.merge (per-group
     # docs by score desc / shard asc / within-shard position asc,
@@ -7362,6 +7542,7 @@ QUERIES = {
     "span_near_unordered": q_span_near_unordered,
     "dist_merge_top10": q_dist_merge,
     "dist_group_top2": q_dist_group,
+    "dist_mlt_top": q_dist_mlt,
     "collapse_top10": q_collapse_top10,
     "rerank_top10": q_rerank_top10,
     "blockjoin_parents": q_blockjoin_parents,
