@@ -298,6 +298,42 @@ def main() -> None:
         ("term-dict side broadcast", "BroadcastHashJoin" in plan),
     ]))
 
+    plan = fmt(QUERIES["block_grouping_top"](spark, sf))
+    sections.append(("BlockGroupingCollector (single-pass block groups)",
+                     plan, [
+        ("top-N group cut broadcast back", "Broadcast" in plan),
+        ("head + within-group ranks are windows over one block-key "
+         "shuffle (no global hit sort)", plan.count("Window") >= 2),
+    ]))
+
+    plan = fmt(QUERIES["facet_topk_per_node"](spark, sf))
+    sections.append(("TopKInEachNodeHandler (per-node top-K taxonomy)",
+                     plan, [
+        ("one node-count partial agg below the shuffle",
+         plan.count("HashAggregate") >= 2),
+        ("children-count side broadcast", "Broadcast" in plan),
+        ("no Python UDF", "BatchEvalPython" not in plan),
+    ]))
+
+    plan = fmt(QUERIES["numeric_trie_range_docs"](spark, sf))
+    sections.append(("NumericUtils trie ranges (per-triple BETWEEN)",
+                     plan, [
+        ("triple predicates pushed to the parquet scan",
+         "PushedFilters" in plan and "GreaterThanOrEqual(n_chars"
+         in plan),
+        ("pure codegen counting, no UDF",
+         "BatchEvalPython" not in plan),
+    ]))
+
+    plan = fmt(QUERIES["type_filter_num_terms"](spark, sf))
+    sections.append(("TypeTokenFilter (whitelist through the chain)",
+                     plan, [
+        ("chain runs Arrow-batched", "ArrowEvalPython" in plan
+         or "MapInPandas" in plan),
+        ("df agg is partial below the shuffle",
+         plan.count("HashAggregate") >= 2),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
