@@ -190,6 +190,13 @@ QUERY_NAMES = [
     "group_sort_within",
     "spell_ngram",
     "stats_full",
+    "block_grouping_top",
+    "facet_topk_per_node",
+    "numeric_trie_range_docs",
+    "type_filter_num_terms",
+    "dist_mlt_top",
+    "spell_collate_tries",
+    "wordbreak_solr_suggest",
 ]
 
 
