@@ -8101,7 +8101,55 @@ def q_media_features(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+MM_N = 64         # synth media corpus size
+MM_EVERY = 2      # frame-sample stride
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling (multimodal.frame_sample over decode_media):
+    the synthetic media corpus decodes through the codec registry
+    (mapInPandas, one Arrow batch per partition) and every 2nd frame of
+    each video explodes into its own row — the operator shape that
+    turns a 2h video into ~3600 independently-processable rows. Output
+    per video: sampled-frame count, summed frame bytes, last sampled
+    index — all derivable from the synth metadata arithmetic, so the
+    oracle gates the decode header parse, the stride walk, and the
+    per-frame slicing without replicating the md5 pixel keystream
+    (pixel CONTENT is gated by tests/test_multimodal.py round-trips)."""
+    from lucene_solr_spark import multimodal as mm
+
+    media = mm.synth_media(spark, MM_N)
+    fs = mm.frame_sample(mm.decode_media(media), every=MM_EVERY)
+    return (
+        fs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            F.sum(F.length("frame")).cast("long").alias("bytes_total"),
+            F.max("frame_idx").cast("int").alias("last_idx"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FRAME_SAMPLE_SQL = f"""
+WITH ids AS (SELECT unnest(range({MM_N})) AS doc_id),
+v AS (
+  SELECT doc_id,
+         8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h, 1 + doc_id % 6 AS fr
+  FROM ids WHERE doc_id % 3 = 2
+)
+SELECT doc_id,
+       CAST((fr + {MM_EVERY} - 1) // {MM_EVERY} AS BIGINT) AS n_sampled,
+       CAST(((fr + {MM_EVERY} - 1) // {MM_EVERY}) * w * h AS BIGINT)
+         AS bytes_total,
+       CAST(((fr - 1) // {MM_EVERY}) * {MM_EVERY} AS INT) AS last_idx
+FROM v ORDER BY doc_id
+"""
+
+
 QUERIES["media_feature_vecs"] = q_media_features
+QUERIES["frame_sample_counts"] = q_frame_sample
+ORACLES["frame_sample_counts"] = _FRAME_SAMPLE_SQL
 QUERIES["langid_pred"] = q_langid
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
 QUERIES["simhash_neardups"] = q_simhash_neardups
