@@ -8147,8 +8147,66 @@ FROM v ORDER BY doc_id
 """
 
 
+def q_wiki_tokens(spark, sf_dir):
+    """WikipediaTokenizer (analysis/common/.../wikipedia/
+    WikipediaTokenizerImpl.jflex state machine, all reference golden
+    vectors in tests/test_wikipedia.py): each doc gains wiki markup —
+    a [[Category:<source>]] and an ==<lang>== heading ahead of its
+    text — and the typed token stream comes back through one Arrow
+    pass; df per (type, term) proves the category/heading/plain
+    regions tokenize with the right types at corpus scale."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.wikipedia import wikipedia_tokenize
+
+    @pandas_udf("array<struct<type:string,term:string>>")
+    def wtoks(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [
+            {"type": tk.type, "term": tk.term}
+            for tk in wikipedia_tokenize(t or "")
+        ])
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("[[Category:"), F.col("source"), F.lit("]] =="),
+            F.col("lang"), F.lit("== "), F.col("text"),
+        ).alias("wtext"),
+    )
+    ex = d.select("doc_id", F.explode(wtoks("wtext")).alias("tk"))
+    return (
+        ex.select("doc_id", F.col("tk.type").alias("type"),
+                  F.col("tk.term").alias("term"))
+        .dropDuplicates(["doc_id", "type", "term"])
+        .groupBy("type", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("type"), F.asc("term"))
+        .limit(20)
+    )
+
+
+_WIKI_TOKENS_SQL = """
+WITH toks AS (
+  SELECT doc_id, 'c' AS type, source AS term FROM documents
+  UNION ALL SELECT doc_id, 'h', lang FROM documents
+  UNION ALL
+  SELECT doc_id, '<ALPHANUM>', t
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, type, term FROM toks)
+SELECT type, term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY type, term
+ORDER BY df DESC, type ASC, term ASC LIMIT 20
+"""
+
+
 QUERIES["media_feature_vecs"] = q_media_features
 QUERIES["frame_sample_counts"] = q_frame_sample
+QUERIES["wiki_typed_terms"] = q_wiki_tokens
+ORACLES["wiki_typed_terms"] = _WIKI_TOKENS_SQL
 ORACLES["frame_sample_counts"] = _FRAME_SAMPLE_SQL
 QUERIES["langid_pred"] = q_langid
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
