@@ -8207,6 +8207,103 @@ QUERIES["media_feature_vecs"] = q_media_features
 QUERIES["frame_sample_counts"] = q_frame_sample
 QUERIES["wiki_typed_terms"] = q_wiki_tokens
 ORACLES["wiki_typed_terms"] = _WIKI_TOKENS_SQL
+
+
+def q_hyphen_compound(spark, sf_dir):
+    """HyphenationCompoundWordTokenFilter (analysis/compound/
+    HyphenationCompoundWordTokenFilter.java:153-222 over the
+    Knuth-Liang walk in hyphenation/HyphenationTree.java:315-404,
+    golden-gated in tests/test_hyphenation.py): each doc's first two
+    raw tokens concatenate into a compound; the pattern set marks a
+    break after every dictionary-word occurrence (w+'1' patterns over
+    the corpus vocabulary), decompose enumerates hyphen-point pairs
+    within the subword-size window with the genitive-s fallback, and
+    accepted subwords are counted by df. Patterns/dictionary come
+    from the index's own term stats — one driver-side collect of a
+    tiny vocabulary, then one Arrow pass over the docs."""
+    from lucene_solr_spark.functions.hyphenation import (
+        Hyphenator,
+        hyphenation_compound_post,
+    )
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    s = get_searcher(spark, sf_dir)
+    vocab = sorted(
+        r["term"] for r in s._term_stats
+        .filter(F.length("term") >= 3).select("term").collect()
+    )
+    post = hyphenation_compound_post(
+        Hyphenator([w + "1" for w in vocab]), dictionary=vocab)
+
+    @pandas_udf("array<string>")
+    def subwords(compounds: pd.Series) -> pd.Series:
+        return compounds.map(
+            lambda c: [t for t, _ in post([(c, 0)])[1:]])
+
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(toks.getItem(0), toks.getItem(1)).alias("compound"),
+    ).filter(F.size(toks) >= 2)
+    return (
+        d.select("doc_id", F.explode(subwords("compound")).alias("term"))
+        .dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+    )
+
+
+_HYPHEN_COMPOUND_SQL = ORACLE_PRELUDE + """
+, vocab AS (SELECT term FROM tstats WHERE length(term) >= 3),
+comp AS (
+  SELECT doc_id, t[1] || t[2] AS compound
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM docs0)
+  WHERE len(t) >= 2 AND length(t[1] || t[2]) >= 5
+),
+pts AS (
+  SELECT DISTINCT c.doc_id, c.compound,
+         ix.i - 1 + length(v.term) AS p
+  FROM comp c
+  CROSS JOIN (SELECT unnest(range(1, 40)) AS i) ix
+  JOIN vocab v ON substr(c.compound, ix.i, length(v.term)) = v.term
+  WHERE ix.i - 1 + length(v.term)
+        BETWEEN 1 AND length(c.compound) - 1
+),
+-- no points -> hyphenate() returns null -> no decomposition at all
+comp2 AS (SELECT DISTINCT doc_id, compound FROM pts),
+hyp AS (
+  SELECT doc_id, compound, 0 AS p FROM comp2
+  UNION SELECT doc_id, compound, length(compound) FROM comp2
+  UNION SELECT doc_id, compound, p FROM pts
+),
+pairs AS (
+  SELECT a.doc_id, a.compound, a.p AS s, b.p AS e
+  FROM hyp a JOIN hyp b
+    ON a.doc_id = b.doc_id AND a.compound = b.compound AND b.p > a.p
+),
+parts AS (
+  SELECT doc_id, substr(compound, s + 1, e - s) AS part,
+         substr(compound, s + 1, e - s - 1) AS shortpart
+  FROM pairs WHERE e - s BETWEEN 2 AND 15
+),
+accepted AS (
+  SELECT doc_id,
+    CASE WHEN part IN (SELECT term FROM vocab) THEN part
+         WHEN shortpart IN (SELECT term FROM vocab) THEN shortpart
+    END AS term
+  FROM parts
+),
+u AS (SELECT DISTINCT doc_id, term FROM accepted WHERE term IS NOT NULL)
+SELECT term, CAST(count(*) AS BIGINT) AS df FROM u
+GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+QUERIES["hyphen_compound_terms"] = q_hyphen_compound
+ORACLES["hyphen_compound_terms"] = _HYPHEN_COMPOUND_SQL
 ORACLES["frame_sample_counts"] = _FRAME_SAMPLE_SQL
 QUERIES["langid_pred"] = q_langid
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
