@@ -2172,20 +2172,32 @@ def q_dist_mlt(spark, sf_dir):
         origin = int(root["shard_idx"])
         terms = shards[origin]._mlt_terms(dtext[key], 2, 5, DMLT_MAXQT)
         qtext = " ".join(terms)
+        # both shard requests resolve in TWO Spark jobs total (one
+        # union-window for the per-shard top cut, one count agg) —
+        # the wire protocol's per-shard requests without per-shard
+        # driver round-trips
+        per_shard = [
+            ss.search_display(qtext, k=None, mode="or")
+            .select(F.col("path").cast("long").alias("doc_id"), "score")
+            .filter(F.col("doc_id") != key)
+            .withColumn("shard", F.lit(si))
+            for si, ss in enumerate(shards)
+        ]
+        u = per_shard[0].unionAll(per_shard[1])
+        wsh = Window.partitionBy("shard").orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        top = (
+            u.withColumn("rn", F.row_number().over(wsh))
+            .filter(F.col("rn") <= DMLT_COUNT)
+            .orderBy("shard", "rn").collect()
+        )
+        num_found = sum(
+            r["c"] for r in
+            u.groupBy().agg(F.count(F.lit(1)).alias("c")).collect()
+        )
         merged = {}
-        num_found = 0
-        for ss in shards:
-            hits_df = (
-                ss.search_display(qtext, k=None, mode="or")
-                .select(F.col("path").cast("long").alias("doc_id"),
-                        "score")
-                .filter(F.col("doc_id") != key)
-            )
-            num_found += hits_df.count()
-            top = (hits_df.orderBy(F.desc("score"), F.asc("doc_id"))
-                   .limit(DMLT_COUNT).collect())
-            for h in top:
-                merged[int(h["doc_id"])] = float(h["score"])
+        for h in top:  # shard order: later response wins on dup keys
+            merged[int(h["doc_id"])] = float(h["score"])
         fin = sorted(merged.items(),
                      key=lambda kv: (-kv[1], kv[0]))[:DMLT_COUNT]
         rows.extend(

@@ -37,7 +37,7 @@ shape is identical to the standard chain's.
 from __future__ import annotations
 
 import re
-from typing import Iterator, List, NamedTuple, Optional, Sequence, Set, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Set, Tuple
 
 __all__ = [
     "WikiToken",
