@@ -90,3 +90,23 @@ def test_min_word_size_gate():
     post = hyphenation_compound_post(h, dictionary=None,
                                      min_word_size=5)
     assert post([("ab", 0)]) == [("ab", 0)]
+
+
+def test_random_fuzz_invariants():
+    # points strictly inside (0, n) and increasing; decomposed
+    # subwords (or their genitive-shortened forms) are substrings
+    import random
+    rnd = random.Random(7)
+    vocab = ["fast", "slow", "merge", "table", "scan", "sort", "row"]
+    h = Hyphenator([w + "1" for w in vocab])
+    post = hyphenation_compound_post(h, dictionary=vocab)
+    for _ in range(300):
+        w = "".join(rnd.choice("abfastslowmergetscanrow")
+                    for _ in range(rnd.randrange(0, 20)))
+        pts = h.hyphenate(w)
+        if pts is not None:
+            inner = pts[1:-1]
+            assert inner == sorted(set(inner))
+            assert all(1 <= p for p in inner)
+        for t, _p in post([(w, 0)])[1:]:
+            assert t in w

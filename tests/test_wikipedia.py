@@ -159,3 +159,29 @@ def test_plain_text_degenerates_to_standard_types():
         ("O'Reilly", "<APOSTROPHE>"), ("AT&T", "<COMPANY>"),
         ("I.B.M.", "<ACRONYM>"), ("a@b.com", "<EMAIL>"),
         ("lucene.apache.org", "<HOST>")]
+
+
+def test_random_fuzz_invariants():
+    # the reference's testRandomStrings analogue: arbitrary markup
+    # must never crash, and TOKENS_ONLY tokens are exact input slices
+    # with sane offsets and non-negative increments (first >= 1)
+    import random
+    rnd = random.Random(1133)
+    alphabet = list("ab12 []'={}|<>/.:\"\n\t-&@") + ["[[", "]]", "''",
+                    "{{", "}}", "==", "<ref>", "</ref>", "Category:",
+                    "http://", "x.y"]
+    for _ in range(300):
+        s = "".join(rnd.choice(alphabet)
+                    for _ in range(rnd.randrange(0, 60)))
+        toks = wikipedia_tokenize(s)
+        last_start = -1
+        for i, t in enumerate(toks):
+            assert 0 <= t.start <= t.end <= len(s)
+            assert t.term == s[t.start:t.end]
+            assert t.pos_inc >= (1 if i == 0 else 0)
+            assert t.start >= last_start
+            last_start = t.start
+        # BOTH mode must not crash either and collapsed rows carry the
+        # flag
+        for t in wikipedia_tokenize(s, BOTH, {"c", "i", "il"}):
+            assert t.flags in (0, UNTOKENIZED_TOKEN_FLAG)
