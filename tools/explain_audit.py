@@ -334,6 +334,28 @@ def main() -> None:
          plan.count("HashAggregate") >= 2),
     ]))
 
+    plan = fmt(QUERIES["wiki_typed_terms"](spark, sf))
+    sections.append(("WikipediaTokenizer typed terms", plan, [
+        ("scanner runs Arrow-batched (one state-machine pass per doc)",
+         "ArrowEvalPython" in plan or "MapInPandas" in plan),
+        ("df agg partial below the shuffle",
+         plan.count("HashAggregate") >= 2),
+    ]))
+
+    plan = fmt(QUERIES["hyphen_compound_terms"](spark, sf))
+    sections.append(("Hyphenation compound decompose", plan, [
+        ("decompose Arrow-batched", "ArrowEvalPython" in plan
+         or "MapInPandas" in plan),
+        ("no cartesian product", "CartesianProduct" not in plan),
+    ]))
+
+    plan = fmt(QUERIES["frame_sample_counts"](spark, sf))
+    sections.append(("Media frame sampling (explode shape)", plan, [
+        ("decode+sample in mapInPandas", "MapInPandas" in plan),
+        ("count agg partial below the shuffle",
+         plan.count("HashAggregate") >= 2),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
