@@ -8316,6 +8316,92 @@ GROUP BY term ORDER BY df DESC, term ASC
 
 QUERIES["hyphen_compound_terms"] = q_hyphen_compound
 ORACLES["hyphen_compound_terms"] = _HYPHEN_COMPOUND_SQL
+
+
+_SYN_RULES = "hash join => hashjoin, fastjoin\nmerge, combine"
+_SYN_PROBES = ("hashjoin", "fastjoin", "hash", "join", "merge",
+               "combine")
+
+
+def q_multiword_synonyms(spark, sf_dir):
+    """SolrSynonymParser + multi-word SynonymFilter overlay
+    (analysis/common/.../synonym/SolrSynonymParser.java:30-180,
+    SynonymFilter.java contract pinned by the reference test vectors
+    in tests/test_synonyms.py): the rule file maps the adjacent pair
+    'hash join' to two replacements (keepOrig=false consumes the
+    matched originals) and expands 'merge, combine'; the chain runs
+    once per doc inside the Arrow UDF and df is counted for the six
+    probe terms. The oracle re-derives stream adjacency (post-stop
+    consecutive indexes) and the survivor rule in SQL."""
+    from lucene_solr_spark.functions.analysis import (
+        make_filtered_analyzer,
+    )
+    from lucene_solr_spark.functions.synonyms import (
+        parse_solr_synonyms,
+        synonym_filter_post,
+    )
+
+    make_filtered_analyzer(
+        "multiword_syn", "standard",
+        synonym_filter_post(parse_solr_synonyms(_SYN_RULES)))
+    d = _documents(spark, sf_dir).select("doc_id", "text")
+    return (
+        _chain_terms_of(d, "multiword_syn")
+        .filter(F.col("term").isin(list(_SYN_PROBES)))
+        .dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy("term")
+    )
+
+
+_MULTIWORD_SYN_SQL = ORACLE_PRELUDE + """
+, seq AS (
+  SELECT doc_id, term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS si
+  FROM (
+    SELECT doc_id, t[i] AS term, i
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> '' AND length(t[i]) <= 255
+      AND t[i] NOT IN (SELECT unnest(string_split(
+        'a,an,and,are,as,at,be,but,by,for,if,in,into,is,it,no,not,'
+        || 'of,on,or,such,that,the,their,then,there,these,they,this,'
+        || 'to,was,will,with', ',')))
+  )
+),
+pair_docs AS (
+  SELECT DISTINCT a.doc_id
+  FROM seq a JOIN seq b
+    ON a.doc_id = b.doc_id AND b.si = a.si + 1
+  WHERE a.term = 'hash' AND b.term = 'join'
+),
+surv_hash AS (
+  SELECT DISTINCT a.doc_id
+  FROM seq a LEFT JOIN seq b
+    ON a.doc_id = b.doc_id AND b.si = a.si + 1
+  WHERE a.term = 'hash' AND (b.term IS NULL OR b.term <> 'join')
+),
+surv_join AS (
+  SELECT DISTINCT a.doc_id
+  FROM seq a LEFT JOIN seq b
+    ON a.doc_id = b.doc_id AND b.si = a.si - 1
+  WHERE a.term = 'join' AND (b.term IS NULL OR b.term <> 'hash')
+),
+merge_docs AS (SELECT DISTINCT doc_id FROM seq WHERE term = 'merge')
+SELECT term, CAST(df AS BIGINT) AS df FROM (
+  SELECT 'hashjoin' AS term, (SELECT count(*) FROM pair_docs) AS df
+  UNION ALL
+  SELECT 'fastjoin', (SELECT count(*) FROM pair_docs)
+  UNION ALL SELECT 'hash', (SELECT count(*) FROM surv_hash)
+  UNION ALL SELECT 'join', (SELECT count(*) FROM surv_join)
+  UNION ALL SELECT 'merge', (SELECT count(*) FROM merge_docs)
+  UNION ALL SELECT 'combine', (SELECT count(*) FROM merge_docs)
+) WHERE df > 0 ORDER BY term
+"""
+
+QUERIES["multiword_synonym_df"] = q_multiword_synonyms
+ORACLES["multiword_synonym_df"] = _MULTIWORD_SYN_SQL
 ORACLES["frame_sample_counts"] = _FRAME_SAMPLE_SQL
 QUERIES["langid_pred"] = q_langid
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
