@@ -8402,6 +8402,73 @@ SELECT term, CAST(df AS BIGINT) AS df FROM (
 
 QUERIES["multiword_synonym_df"] = q_multiword_synonyms
 ORACLES["multiword_synonym_df"] = _MULTIWORD_SYN_SQL
+
+
+def q_tee_sink(spark, sf_dir):
+    """TeeSinkTokenFilter (analysis/common/.../sinks/
+    TeeSinkTokenFilter.java:99-210): ONE analysis pass feeds the
+    source stream and two SinkFilter streams (a <NUM>-type sink, a
+    short-token sink) — at 100 TB the point is that the corpus is
+    tokenized exactly once for all three consumers. One Arrow pass
+    emits all three counts per doc (the plan has a single documents
+    scan and a single Python stage)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import (
+        get_analyzer,
+        token_type,
+    )
+    from lucene_solr_spark.functions.wordlists import tee_sink
+
+    spec = get_analyzer("standard")
+
+    @pandas_udf("struct<total:long,nums:long,short:long>")
+    def counts(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            tp = spec.analyze_with_positions(t or "")
+            src, sinks = tee_sink(tp, {
+                "nums": lambda w, p: token_type(w) == "<NUM>",
+                "short": lambda w, p: len(w) <= 3,
+            })
+            rows.append((len(src), len(sinks["nums"]),
+                         len(sinks["short"])))
+        return pd.DataFrame(rows, columns=["total", "nums", "short"])
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", "text",
+                    F.col("n_chars").cast("string")).alias("wtext"),
+    )
+    return (
+        d.select("doc_id", counts("wtext").alias("c"))
+        .select("doc_id", F.col("c.total").alias("total"),
+                F.col("c.nums").alias("nums"),
+                F.col("c.short").alias("short"))
+        .orderBy("doc_id")
+    )
+
+
+_TEE_SINK_SQL = ORACLE_PRELUDE + """
+, base AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n_text,
+         CAST(COALESCE(c.s, 0) AS BIGINT) AS short_text
+  FROM docs0 d LEFT JOIN (
+    SELECT doc_id, count(*) AS n,
+           sum(CASE WHEN length(term) <= 3 THEN 1 ELSE 0 END) AS s
+    FROM toks GROUP BY doc_id) c USING (doc_id)
+)
+SELECT doc_id, n_text + 1 AS total, CAST(1 AS BIGINT) AS nums,
+       short_text + CASE WHEN length(CAST((SELECT n_chars FROM docs0 x
+                          WHERE x.doc_id = base.doc_id) AS VARCHAR))
+                          <= 3 THEN 1 ELSE 0 END AS short
+FROM base ORDER BY doc_id
+"""
+
+QUERIES["tee_sink_counts"] = q_tee_sink
+ORACLES["tee_sink_counts"] = _TEE_SINK_SQL
 ORACLES["frame_sample_counts"] = _FRAME_SAMPLE_SQL
 QUERIES["langid_pred"] = q_langid
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
