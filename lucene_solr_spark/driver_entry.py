@@ -8469,6 +8469,67 @@ FROM base ORDER BY doc_id
 
 QUERIES["tee_sink_counts"] = q_tee_sink
 ORACLES["tee_sink_counts"] = _TEE_SINK_SQL
+
+
+def q_urlemail_tokens(spark, sf_dir):
+    """UAX29URLEmailTokenizer (analysis/common/.../standard/
+    UAX29URLEmailTokenizerImpl.jflex — all three reference golden
+    corpora pass byte-exact in tests/test_urlemail.py): each doc's
+    text gains a derived URL (http://<source>.com/<lang>) and email
+    (<lang>@<source>.org); one Arrow pass tokenizes and the df of
+    every <URL>/<EMAIL> token comes back — the oracle re-derives the
+    same strings arithmetically, so a grammar regression on either
+    token type hash-fails."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.urlemail import (
+        uax29_url_email_tokenize,
+    )
+
+    @pandas_udf("array<struct<type:string,term:string>>")
+    def toks(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [
+            {"type": tk.type, "term": tk.term}
+            for tk in uax29_url_email_tokenize(t or "")
+            if tk.type in ("<URL>", "<EMAIL>")
+        ])
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" http://"), F.col("source"),
+            F.lit(".com/"), F.col("lang"), F.lit(" "), F.col("lang"),
+            F.lit("@"), F.col("source"), F.lit(".org"),
+        ).alias("wtext"),
+    )
+    ex = d.select("doc_id", F.explode(toks("wtext")).alias("tk"))
+    return (
+        ex.select("doc_id", F.col("tk.type").alias("type"),
+                  F.col("tk.term").alias("term"))
+        .dropDuplicates(["doc_id", "type", "term"])
+        .groupBy("type", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .orderBy("type", "term")
+    )
+
+
+_URLEMAIL_SQL = """
+WITH toks AS (
+  SELECT doc_id, '<URL>' AS type,
+         'http://' || source || '.com/' || lang AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, '<EMAIL>', lang || '@' || source || '.org'
+  FROM documents
+),
+u AS (SELECT DISTINCT doc_id, type, term FROM toks)
+SELECT type, term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY type, term ORDER BY type, term
+"""
+
+QUERIES["urlemail_typed_df"] = q_urlemail_tokens
+ORACLES["urlemail_typed_df"] = _URLEMAIL_SQL
 ORACLES["frame_sample_counts"] = _FRAME_SAMPLE_SQL
 QUERIES["langid_pred"] = q_langid
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints
