@@ -197,6 +197,12 @@ QUERY_NAMES = [
     "dist_mlt_top",
     "spell_collate_tries",
     "wordbreak_solr_suggest",
+    "wiki_typed_terms",
+    "urlemail_typed_df",
+    "multiword_synonym_df",
+    "hyphen_compound_terms",
+    "tee_sink_counts",
+    "frame_sample_counts",
 ]
 
 
