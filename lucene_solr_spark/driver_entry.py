@@ -13213,3 +13213,198 @@ SELECT count, missing, min, max, sum, sumsq,
 FROM a
 """
 QUERIES["stats_full"] = q_stats_full
+
+
+# ---------------------------------------------------------------------------
+# payload-annotating filter pack + concrete sink filters
+# ---------------------------------------------------------------------------
+
+def q_payload_encoders(spark, sf_dir):
+    """Payload-annotating token filters over one Arrow pass
+    (analysis/common/.../payloads/):
+
+    - NumericPayloadTokenFilter (:41-60): constant float payload
+      (7.25f via PayloadHelper.encodeFloat) on every <NUM>-typed
+      token; num_pay counts tokens whose DECODED payload round-trips
+      to exactly 7.25 (gates the byte codec in-engine).
+    - TokenOffsetPayloadTokenFilter (:44-56): 8-byte start++end
+      big-endian payload on every token; sum_start / sum_len /
+      last_end are computed FROM THE DECODED BYTES, so the payload
+      encoding itself is what the oracle cross-checks.
+    - TypeAsPayloadTokenFilter (:44-55): UTF-8 type bytes; type_bytes
+      sums payload lengths ('<ALPHANUM>'=10, '<NUM>'=5).
+
+    Scale shape: one documents scan, one pandas_udf stage, no shuffle
+    before the final orderBy; 100 TB cost = one tokenization pass."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.payloads import (
+        decode_float,
+        decode_int,
+        numeric_payload_filter,
+        token_offset_payload_filter,
+        tokens_with_offsets,
+        type_as_payload_filter,
+    )
+
+    @pandas_udf("struct<total:long,num_pay:long,sum_start:long,"
+                "sum_len:long,last_end:long,type_bytes:long>")
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            stream = tokens_with_offsets(t or "")
+            npay = numeric_payload_filter(stream, 7.25, "<NUM>")
+            num_pay = sum(
+                1 for _e, b in npay
+                if b is not None and decode_float(b) == 7.25
+            )
+            off = token_offset_payload_filter(stream)
+            sum_start = sum(decode_int(b, 0) for _e, b in off)
+            sum_len = sum(
+                decode_int(b, 4) - decode_int(b, 0) for _e, b in off
+            )
+            last_end = decode_int(off[-1][1], 4) if off else 0
+            typ = type_as_payload_filter(stream)
+            type_bytes = sum(
+                len(b) for _e, b in typ if b is not None
+            )
+            rows.append((len(stream), num_pay, sum_start, sum_len,
+                         last_end, type_bytes))
+        return pd.DataFrame(rows, columns=[
+            "total", "num_pay", "sum_start", "sum_len", "last_end",
+            "type_bytes"])
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(" ", "text",
+                    F.col("n_chars").cast("string")).alias("wtext"),
+    )
+    return (
+        d.select("doc_id", stats("wtext").alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.total").alias("total"),
+            F.col("s.num_pay").alias("num_pay"),
+            F.col("s.sum_start").alias("sum_start"),
+            F.col("s.sum_len").alias("sum_len"),
+            F.col("s.last_end").alias("last_end"),
+            F.col("s.type_bytes").alias("type_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["payload_encoders"] = """
+WITH base AS (
+  SELECT doc_id,
+         text || ' ' || CAST(n_chars AS VARCHAR) AS wtext
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t[i] AS term, i,
+         COALESCE(SUM(length(t[i]) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM (SELECT doc_id, string_split(wtext, ' ') AS t,
+               unnest(range(1, len(string_split(wtext, ' ')) + 1)) AS i
+        FROM base)
+  WHERE t[i] <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN regexp_full_match(term, '[0-9]+')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS num_pay,
+       CAST(sum(start) AS BIGINT) AS sum_start,
+       CAST(sum(length(term)) AS BIGINT) AS sum_len,
+       CAST(max(start + length(term)) AS BIGINT) AS last_end,
+       CAST(sum(CASE WHEN regexp_full_match(term, '[0-9]+')
+                     THEN 5 ELSE 10 END) AS BIGINT) AS type_bytes
+FROM tok GROUP BY doc_id ORDER BY doc_id
+"""
+QUERIES["payload_encoders"] = q_payload_encoders
+
+
+def q_sink_filters(spark, sf_dir):
+    """Concrete SinkFilters through the one-pass tee
+    (analysis/common/.../sinks/): TokenRangeSinkFilter(1, 4) — the
+    running counter increments for every offered token, accepted or
+    not (:40-48); TokenTypeSinkFilter('<NUM>') (:33-43);
+    DateRecognizerSinkFilter — accept tokens the injected date parser
+    recognizes (:44-59). The stream is the whitespace chain (the
+    reference pairs this sink with WhitespaceTokenizer so dates
+    survive as single tokens); a per-doc date-or-junk token is
+    appended so acceptance varies by doc."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+    from lucene_solr_spark.functions.wordlists import (
+        date_recognizer_sink,
+        tee_sink,
+        token_range_sink,
+        token_type_sink,
+    )
+
+    spec = get_analyzer("whitespace")
+
+    @pandas_udf("struct<total:long,rng:long,nums:long,dates:long>")
+    def counts(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            tp = spec.analyze_with_positions(t or "")
+            src, sinks = tee_sink(tp, {
+                "rng": token_range_sink(1, 4),
+                "nums": token_type_sink("<NUM>"),
+                "dates": date_recognizer_sink(),
+            })
+            rows.append((len(src), len(sinks["rng"]),
+                         len(sinks["nums"]), len(sinks["dates"])))
+        return pd.DataFrame(rows, columns=["total", "rng", "nums",
+                                           "dates"])
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ", "text", F.col("n_chars").cast("string"),
+            F.when(F.col("n_chars") % 2 == 0, F.lit("2017-03-05"))
+            .otherwise(F.lit("not-a-date")),
+        ).alias("wtext"),
+    )
+    return (
+        d.select("doc_id", counts("wtext").alias("c"))
+        .select("doc_id", F.col("c.total").alias("total"),
+                F.col("c.rng").alias("rng"),
+                F.col("c.nums").alias("nums"),
+                F.col("c.dates").alias("dates"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["sink_filters"] = """
+WITH base AS (
+  SELECT doc_id,
+         text || ' ' || CAST(n_chars AS VARCHAR) || ' ' ||
+         CASE WHEN n_chars % 2 = 0 THEN '2017-03-05'
+              ELSE 'not-a-date' END AS wtext
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, t[i] AS term, i
+  FROM (SELECT doc_id, string_split(wtext, ' ') AS t,
+               unnest(range(1, len(string_split(wtext, ' ')) + 1)) AS i
+        FROM base)
+  WHERE t[i] <> ''
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN i BETWEEN 2 AND 4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rng,
+       CAST(sum(CASE WHEN regexp_full_match(term, '[0-9]+')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS nums,
+       CAST(sum(CASE WHEN TRY_CAST(term AS DATE) IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dates
+FROM tok GROUP BY doc_id ORDER BY doc_id
+"""
+QUERIES["sink_filters"] = q_sink_filters

@@ -244,3 +244,102 @@ def span_payload_check(positions: DataFrame, steps) -> DataFrame:
     return (m.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("matches"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# PayloadHelper byte codec + the payload-ANNOTATING token filters
+# ---------------------------------------------------------------------------
+#
+# Reference semantics re-expressed:
+#
+# * ``analysis/common/.../payloads/PayloadHelper.java``: big-endian
+#   4-byte int encoding (:38-44); floats go through
+#   Float.floatToIntBits (:31-33); decode is the mirror (:59-72).
+#
+# * ``payloads/NumericPayloadTokenFilter.java:41-60``: a constant
+#   float payload (encoded once at construction) is attached to every
+#   token whose TypeAttribute equals ``typeMatch``; other tokens are
+#   untouched.
+#
+# * ``payloads/TokenOffsetPayloadTokenFilter.java:44-56``: every token
+#   gets an 8-byte payload — first 4 bytes startOffset, last 4 bytes
+#   endOffset (both big-endian ints).
+#
+# * ``payloads/TypeAsPayloadTokenFilter.java:44-55``: the token's type
+#   string becomes its payload as UTF-8 bytes; null/empty types attach
+#   nothing.
+#
+# These run at the ANALYSIS tier (before StopFilter in the reference
+# chains that use them), so the stream here is tokenizer output:
+# (term, position, startOffset, endOffset, type) with the 255-char
+# skip rule consuming a position, matching StandardTokenizer.
+
+import struct as _struct
+
+
+def encode_int(v: int) -> bytes:
+    """PayloadHelper.encodeInt (:38-44): 4-byte big-endian int32."""
+    return _struct.pack(">i", int(v))
+
+
+def encode_float(f: float) -> bytes:
+    """PayloadHelper.encodeFloat (:31-33): floatToIntBits, big-endian."""
+    return _struct.pack(">f", f)
+
+
+def decode_int(b: bytes, offset: int = 0) -> int:
+    """PayloadHelper.decodeInt (:68-72)."""
+    return _struct.unpack_from(">i", b, offset)[0]
+
+
+def decode_float(b: bytes, offset: int = 0) -> float:
+    """PayloadHelper.decodeFloat (:59-66)."""
+    return _struct.unpack_from(">f", b, offset)[0]
+
+
+def tokens_with_offsets(text: str):
+    """Tokenizer-tier stream with char offsets: list of
+    ``[term, pos, start, end, type]`` entries. Boundaries are the
+    StandardTokenizer scan (TOKEN_PATTERN), the 255-char skip rule
+    consumes a position (StandardTokenizer.java:156-167), terms are
+    lowercased (LowerCaseFilter precedes the payload filters in the
+    reference chains), offsets index the ORIGINAL text, and type is
+    the jflex NUM-vs-ALPHANUM resolution (token_type)."""
+    from lucene_solr_spark.functions.analysis import (
+        MAX_TOKEN_LENGTH,
+        TOKEN_PATTERN,
+        token_type,
+    )
+
+    out = []
+    pos = -1
+    for m in TOKEN_PATTERN.finditer(text):
+        t = m.group(0)
+        pos += 1
+        if len(t) > MAX_TOKEN_LENGTH:
+            continue
+        out.append([t.lower(), pos, m.start(), m.end(), token_type(t)])
+    return out
+
+
+def numeric_payload_filter(stream, payload: float, type_match: str):
+    """NumericPayloadTokenFilter: attach the pre-encoded constant
+    float payload to every token whose type equals type_match. Returns
+    (entry, payload_bytes_or_None) pairs; entries are shared."""
+    if type_match is None:
+        raise ValueError("typeMatch cannot be null")
+    the_payload = encode_float(payload)
+    return [(e, the_payload if e[4] == type_match else None)
+            for e in stream]
+
+
+def token_offset_payload_filter(stream):
+    """TokenOffsetPayloadTokenFilter: 8-byte payload = encodeInt(start)
+    ++ encodeInt(end) on EVERY token."""
+    return [(e, encode_int(e[2]) + encode_int(e[3])) for e in stream]
+
+
+def type_as_payload_filter(stream):
+    """TypeAsPayloadTokenFilter: payload = UTF-8 bytes of the type;
+    null/empty types attach no payload."""
+    return [(e, e[4].encode("utf-8") if e[4] else None) for e in stream]

@@ -30,6 +30,9 @@ __all__ = [
     "get_stem_dict",
     "get_lines",
     "tee_sink",
+    "token_range_sink",
+    "token_type_sink",
+    "date_recognizer_sink",
 ]
 
 
@@ -89,3 +92,63 @@ def tee_sink(
             if accept(t, p):
                 captured[name].append((t, p))
     return list(tp), captured
+
+
+# ---------------------------------------------------------------------------
+# Concrete SinkFilters (analysis/common/.../sinks/)
+# ---------------------------------------------------------------------------
+
+def token_range_sink(lower: int, upper: int):
+    """TokenRangeSinkFilter (sinks/TokenRangeSinkFilter.java:28-56):
+    accept the tokens whose running index lies in [lower, upper) —
+    the counter increments for EVERY offered token (the finally
+    block), accepted or not. Stateful: build a fresh instance per
+    stream (the reference's reset())."""
+    count = [0]
+
+    def accept(t: str, p: int) -> bool:
+        try:
+            return lower <= count[0] < upper
+        finally:
+            count[0] += 1
+
+    return accept
+
+
+def token_type_sink(type_to_match: str):
+    """TokenTypeSinkFilter (sinks/TokenTypeSinkFilter.java:33-43):
+    accept tokens whose TypeAttribute equals typeToMatch. The type is
+    derived from the token text exactly as the indexing chain derives
+    it (jflex NUM-vs-ALPHANUM resolution, functions/analysis.
+    token_type)."""
+    from lucene_solr_spark.functions.analysis import token_type
+
+    return lambda t, p: token_type(t) == type_to_match
+
+
+def date_recognizer_sink(parse=None):
+    """DateRecognizerSinkFilter (sinks/DateRecognizerSinkFilter.java:
+    44-59): accept tokens the injected DateFormat can parse; parse
+    failures reject. The DateFormat is an injection point in the
+    reference (constructor arg); the default here accepts ISO
+    yyyy-mm-dd and US mm/dd/yyyy token shapes via datetime.strptime —
+    any callable str -> bool-convertible can replace it, mirroring
+    the injectable-DateFormat contract."""
+    if parse is None:
+        from datetime import datetime
+
+        def parse(s: str):
+            for fmt in ("%Y-%m-%d", "%m/%d/%Y"):
+                try:
+                    return datetime.strptime(s, fmt)
+                except ValueError:
+                    continue
+            return None
+
+    def accept(t: str, p: int) -> bool:
+        try:
+            return parse(t) is not None
+        except Exception:
+            return False
+
+    return accept
