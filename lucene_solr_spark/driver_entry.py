@@ -13408,3 +13408,222 @@ SELECT doc_id,
 FROM tok GROUP BY doc_id ORDER BY doc_id
 """
 QUERIES["sink_filters"] = q_sink_filters
+
+
+def q_strdist_jw(spark, sf_dir):
+    """strdist(term, 'merge', jw) (ValueSourceParser.java:361-385,
+    suggest/.../spell/JaroWinklerDistance.java): the Lucene variant —
+    half-window greedy match scan (:37-92), transpositions/2, FULL
+    common prefix (not capped at 4), 0.7 bonus threshold, bonus
+    factor min(0.1, 1/maxLen) (:95-106) — for every distinct corpus
+    token, float32 stepwise. The oracle replays the ENTIRE algorithm
+    in SQL: a recursive-CTE match walk carrying the matchFlags
+    bitmask + matched-min-chars string, then the f32 chain."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.strdist import jaro_winkler
+
+    @pandas_udf("float")
+    def sim(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: float(jaro_winkler(t, "merge")))
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return (vocab.select("term", sim("term").cast("double").alias("sim"))
+            .orderBy("term"))
+
+
+ORACLES["strdist_jw"] = """
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+pre AS (
+  SELECT term,
+         CASE WHEN length(term) > 5 THEN term ELSE 'merge' END AS mx,
+         CASE WHEN length(term) > 5 THEN 'merge' ELSE term END AS mn
+  FROM vocab
+),
+prep AS (
+  SELECT term, mx, mn,
+         greatest(length(mx) // 2 - 1, 0) AS rng
+  FROM pre
+),
+walk AS (
+  SELECT term, mx, mn, rng,
+         0 AS mi, CAST(0 AS UBIGINT) AS flags, '' AS ms1
+  FROM prep
+  UNION ALL
+  SELECT term, mx, mn, rng, mi + 1,
+         CASE WHEN xi IS NULL THEN flags
+              ELSE flags | (CAST(1 AS UBIGINT) << CAST(xi AS INT)) END,
+         CASE WHEN xi IS NULL THEN ms1
+              ELSE ms1 || substr(mn, mi + 1, 1) END
+  FROM (
+    SELECT term, mx, mn, rng, mi, flags, ms1,
+           list_min(list_filter(
+             range(greatest(mi - rng, 0),
+                   least(mi + rng + 1, length(mx))),
+             x -> ((flags >> CAST(x AS INT)) & 1) = 0
+                  AND substr(mx, CAST(x AS INT) + 1, 1)
+                      = substr(mn, mi + 1, 1)
+           )) AS xi
+    FROM walk WHERE mi < length(mn)
+  )
+),
+fin AS (
+  SELECT term, mx, mn, flags, ms1, length(ms1) AS matches
+  FROM walk WHERE mi = length(mn)
+),
+parts AS (
+  SELECT term, mx, mn, matches, ms1,
+         COALESCE(list_aggregate(list_transform(
+             list_filter(range(0, length(mx)),
+                         x -> ((flags >> CAST(x AS INT)) & 1) = 1),
+             x -> substr(mx, CAST(x AS INT) + 1, 1)),
+           'string_agg', ''), '') AS ms2,
+         COALESCE(list_min(list_filter(range(0, length(mn)),
+             x -> substr(term, CAST(x AS INT) + 1, 1)
+                  <> substr('merge', CAST(x AS INT) + 1, 1))),
+           length(mn)) AS prefix
+  FROM fin
+),
+scored AS (
+  SELECT term, matches, prefix, mx,
+         CAST(list_sum(list_transform(range(1, matches + 1),
+             i -> CASE WHEN substr(ms1, CAST(i AS INT), 1)
+                            <> substr(ms2, CAST(i AS INT), 1)
+                       THEN 1 ELSE 0 END)) AS INT) // 2 AS tr
+  FROM parts
+),
+jvals AS (
+  SELECT term, matches, prefix, mx,
+         CAST(CAST(CAST(CAST(matches AS FLOAT) / CAST(length(term) AS FLOAT) AS FLOAT)
+                   + CAST(CAST(matches AS FLOAT) / CAST(5 AS FLOAT) AS FLOAT) AS FLOAT)
+              + CAST((CAST(matches AS FLOAT) - CAST(tr AS FLOAT))
+                     / CAST(matches AS FLOAT) AS FLOAT) AS FLOAT)
+         / CAST(3 AS FLOAT) AS jraw
+  FROM scored
+)
+SELECT term,
+  CAST(CASE
+    WHEN matches = 0 THEN CAST(0 AS FLOAT)
+    WHEN CAST(jraw AS FLOAT) < CAST(0.7 AS FLOAT) THEN CAST(jraw AS FLOAT)
+    ELSE CAST(CAST(jraw AS FLOAT)
+         + CAST(CAST(least(CAST(0.1 AS FLOAT),
+                           CAST(CAST(1 AS FLOAT) / CAST(length(mx) AS FLOAT) AS FLOAT))
+                     * CAST(prefix AS FLOAT) AS FLOAT)
+                * CAST(CAST(1 AS FLOAT) - CAST(jraw AS FLOAT) AS FLOAT) AS FLOAT)
+      AS FLOAT)
+  END AS DOUBLE) AS sim
+FROM jvals ORDER BY term
+"""
+QUERIES["strdist_jw"] = q_strdist_jw
+
+
+def q_strdist_ngram(spark, sf_dir):
+    """strdist(term, 'merge', ngram, 2) (ValueSourceParser.java:
+    361-385, suggest/.../spell/NGramDistance.java:53-142 — Kondrak,
+    SPIRE 2005): n-gram sliding-window edit distance with \\0 prefix
+    padding and prefix-match tn discounting, 1 - d/maxLen, for every
+    distinct corpus token. Every DP value is a multiple of 1/2 (tn in
+    {1,2}) so f32 arithmetic is exact; the oracle replays the DP as a
+    recursive CTE over target positions carrying the whole cost row
+    as a FLOAT list, with the d[i-1] dependency unrolled into a
+    min-over-entry-points scan (d[i] = min_k q[k] + (i-k))."""
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.strdist import ngram_similarity
+
+    @pandas_udf("float")
+    def sim(terms: pd.Series) -> pd.Series:
+        return terms.map(lambda t: float(ngram_similarity(t, "merge")))
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"))
+             .filter(F.col("term") != "").distinct())
+    return (vocab.select("term", sim("term").cast("double").alias("sim"))
+            .orderBy("term"))
+
+
+ORACLES["strdist_ngram"] = """
+WITH RECURSIVE vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+-- main DP only for sl >= 2 (tl = 5 >= n always); sentinel chr(1)
+-- stands in for the reference's 0x00 prefix pad
+base AS (
+  SELECT term, length(term) AS sl, chr(1) || term AS sa
+  FROM vocab WHERE length(term) >= 2
+),
+walk AS (
+  SELECT term, sl, sa, 0 AS j,
+         list_transform(range(0, sl + 1),
+                        i -> CAST(i AS FLOAT)) AS p
+  FROM base
+  UNION ALL
+  SELECT term, sl, sa, j, 
+         list_transform(range(0, sl + 1), i ->
+           list_min(list_transform(range(0, CAST(i AS INT) + 1), k ->
+             CAST(q[CAST(k AS INT) + 1]
+                  + CAST(i - k AS FLOAT) AS FLOAT)))) AS p
+  FROM (
+    SELECT term, sl, sa, j + 1 AS j,
+           list_transform(range(0, sl + 1), k ->
+             CASE WHEN k = 0 THEN CAST(j + 1 AS FLOAT)
+             ELSE least(
+               CAST(p[CAST(k AS INT) + 1] + CAST(1 AS FLOAT) AS FLOAT),
+               CAST(p[CAST(k AS INT)] +
+                 -- ec(k, j+1): cost/tn over the 2-gram pair
+                 CAST(CAST(
+                   (CASE WHEN substr(sa, CAST(k AS INT), 1) <> tj1
+                         THEN 1 ELSE 0 END)
+                 + (CASE WHEN substr(sa, CAST(k AS INT) + 1, 1) <> tj2
+                         THEN 1 ELSE 0 END) AS FLOAT)
+                 / CAST(2
+                   - (CASE WHEN substr(sa, CAST(k AS INT), 1) = tj1
+                            AND substr(sa, CAST(k AS INT), 1) = chr(1)
+                           THEN 1 ELSE 0 END)
+                   - (CASE WHEN substr(sa, CAST(k AS INT) + 1, 1) = tj2
+                            AND substr(sa, CAST(k AS INT) + 1, 1) = chr(1)
+                           THEN 1 ELSE 0 END) AS FLOAT) AS FLOAT)
+               AS FLOAT))
+             END) AS q
+    FROM (
+      SELECT term, sl, sa, j, p,
+             CASE WHEN j + 1 < 2 THEN chr(1)
+                  ELSE substr('merge', j, 1) END AS tj1,
+             substr('merge', j + 1, 1) AS tj2
+      FROM walk WHERE j < 5
+    )
+  )
+),
+main_sim AS (
+  SELECT term,
+         CAST(CAST(1 AS FLOAT)
+              - CAST(p[sl + 1] / CAST(greatest(5, sl) AS FLOAT)
+                AS FLOAT) AS FLOAT) AS sim
+  FROM walk WHERE j = 5
+),
+short_sim AS (
+  -- sl < n tier (NGramDistance.java:66-73): positional char matches
+  SELECT term,
+         CAST(CAST(list_sum(list_transform(range(1, length(term) + 1),
+             i -> CASE WHEN substr(term, CAST(i AS INT), 1)
+                            = substr('merge', CAST(i AS INT), 1)
+                       THEN 1 ELSE 0 END)) AS FLOAT)
+           / CAST(5 AS FLOAT) AS FLOAT) AS sim
+  FROM vocab WHERE length(term) < 2
+)
+SELECT term, CAST(sim AS DOUBLE) AS sim FROM main_sim
+UNION ALL
+SELECT term, CAST(sim AS DOUBLE) AS sim FROM short_sim
+ORDER BY term
+"""
+QUERIES["strdist_ngram"] = q_strdist_ngram
