@@ -13627,3 +13627,69 @@ SELECT term, CAST(sim AS DOUBLE) AS sim FROM short_sim
 ORDER BY term
 """
 QUERIES["strdist_ngram"] = q_strdist_ngram
+
+
+def q_prefix_suffix_stream(spark, sf_dir):
+    """PrefixAndSuffixAwareTokenFilter (analysis/common/.../
+    miscellaneous/PrefixAndSuffixAwareTokenFilter.java:31-62 over
+    PrefixAwareTokenFilter.java:42-159): a 'bos' marker stream is
+    joined ahead of each doc's token stream and an 'eos' marker after
+    it; input offsets shift by the prefix's end (3), the suffix by
+    the last input token's shifted end. Output aggregates are over
+    the JOINED stream — sum_start exercises the offset rebasing,
+    last_end/last_pos the chained shift + posInc passthrough."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import (
+        prefix_and_suffix_aware)
+    from lucene_solr_spark.functions.payloads import tokens_with_offsets
+
+    @pandas_udf("struct<total:long,sum_start:long,last_end:long,"
+                "last_pos:long>")
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        pre = tokens_with_offsets("bos")
+        suf = tokens_with_offsets("eos")
+        for t in texts:
+            out = prefix_and_suffix_aware(
+                pre, tokens_with_offsets(t or ""), suf)
+            rows.append((len(out), sum(e[2] for e in out),
+                         out[-1][3], out[-1][1]))
+        return pd.DataFrame(rows, columns=[
+            "total", "sum_start", "last_end", "last_pos"])
+
+    d = _documents(spark, sf_dir)
+    return (
+        d.select("doc_id", stats("text").alias("s"))
+        .select("doc_id", F.col("s.total").alias("total"),
+                F.col("s.sum_start").alias("sum_start"),
+                F.col("s.last_end").alias("last_end"),
+                F.col("s.last_pos").alias("last_pos"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["prefix_suffix_stream"] = """
+WITH tok AS (
+  SELECT doc_id, t[i] AS term, i,
+         COALESCE(SUM(length(t[i]) + 1) OVER (
+             PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS start
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        FROM documents)
+  WHERE t[i] <> ''
+)
+-- prefix 'bos' start 0; input starts shift +3 (bos end); suffix
+-- 'eos' start = 3 + last input raw end; last_end = that + 3
+SELECT doc_id,
+       CAST(count(*) + 2 AS BIGINT) AS total,
+       CAST(sum(start + 3) + 3 + max(start + length(term))
+            AS BIGINT) AS sum_start,
+       CAST(max(start + length(term)) + 6 AS BIGINT) AS last_end,
+       CAST(count(*) + 1 AS BIGINT) AS last_pos
+FROM tok GROUP BY doc_id ORDER BY doc_id
+"""
+QUERIES["prefix_suffix_stream"] = q_prefix_suffix_stream

@@ -1371,3 +1371,51 @@ def analysis_stages_df(docs, analyzer: str = "stop",
     if qset is not None:
         schema += ", match boolean"
     return docs.select("doc_id", text_col).mapInPandas(run, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Stream concatenation (PrefixAwareTokenFilter family)
+# ---------------------------------------------------------------------------
+
+def prefix_aware_concat(prefix, suffix, update=None):
+    """PrefixAwareTokenFilter (analysis/common/.../miscellaneous/
+    PrefixAwareTokenFilter.java:42-115): join two token streams; the
+    LAST prefix token is remembered and every suffix token is passed
+    through ``update(suffix_token, last_prefix_token)`` — the default
+    (:155-159) adds the last prefix token's endOffset to the suffix
+    token's start and end offsets. Streams are offset-stream entries
+    ``[term, pos, start, end, type]`` (tokens_with_offsets format);
+    positions are absolute here, so the passed-through posInc chain
+    means suffix positions continue after the last prefix position.
+    An empty prefix leaves the initial zero Token (new Token() ==
+    offsets 0,0), so suffix tokens shift by 0 — the reference's
+    behavior verbatim."""
+    if update is None:
+        def update(tok, last):
+            tok = list(tok)
+            tok[2] = last[3] + tok[2]
+            tok[3] = last[3] + tok[3]
+            return tok
+
+    zero = ["", -1, 0, 0, ""]
+    last = zero if not prefix else prefix[-1]
+    pos_base = (last[1] + 1) if prefix else 0
+    out = [list(e) for e in prefix]
+    for e in suffix:
+        t = update(list(e), last)
+        t[1] = pos_base + e[1]
+        out.append(t)
+    return out
+
+
+def prefix_and_suffix_aware(prefix, inner, suffix):
+    """PrefixAndSuffixAwareTokenFilter (miscellaneous/
+    PrefixAndSuffixAwareTokenFilter.java:31-62): two chained
+    PrefixAwareTokenFilters — the inner shifts the INPUT stream by
+    the last prefix token's end, the outer shifts the SUFFIX stream
+    by the last token of the combined (prefix + shifted input)
+    stream. When the input stream is empty the outer shift falls back
+    to the prefix's own last token (the remembered previousPrefixToken
+    walks through unchanged)."""
+    combined = prefix_aware_concat(prefix, inner)
+    return prefix_aware_concat(combined, suffix)

@@ -315,3 +315,68 @@ class TestRound2cFilters:
         # positions 0 and 2: a hole between them, no gram across it
         out = p([("the", 0), ("fox", 2)])
         assert all("_" not in t for t, _ in out)
+
+
+# ---------------------------------------------------------------------------
+# PrefixAwareTokenFilter family (stream concatenation)
+# ---------------------------------------------------------------------------
+
+def test_prefix_aware_published_vectors():
+    """TestPrefixAwareTokenFilter.test: (a,0,1)+(b,0,1) -> offsets
+    (0,1),(1,2); and the chained 2x-prefix ^ hello world $ vector."""
+    from lucene_solr_spark.functions.analysis import prefix_aware_concat
+
+    a = [["a", 0, 0, 1, ""]]
+    b = [["b", 0, 0, 1, ""]]
+    out = prefix_aware_concat(a, b)
+    assert [(e[0], e[2], e[3]) for e in out] == [("a", 0, 1), ("b", 1, 2)]
+
+    ws = [["hello", 0, 0, 5, ""], ["world", 1, 6, 11, ""]]
+    ts = prefix_aware_concat([["^", 0, 0, 0, ""]], ws)
+    ts = prefix_aware_concat(ts, [["$", 0, 0, 0, ""]])
+    assert [(e[0], e[2], e[3]) for e in ts] == [
+        ("^", 0, 0), ("hello", 0, 5), ("world", 6, 11), ("$", 11, 11)]
+    # absolute positions continue across the join
+    assert [e[1] for e in ts] == [0, 1, 2, 3]
+
+
+def test_prefix_and_suffix_aware_published_vector():
+    """TestPrefixAndSuffixAwareTokenFilter.test — same contents via
+    the convenience wrapper."""
+    from lucene_solr_spark.functions.analysis import (
+        prefix_and_suffix_aware)
+
+    ws = [["hello", 0, 0, 5, ""], ["world", 1, 6, 11, ""]]
+    out = prefix_and_suffix_aware(
+        [["^", 0, 0, 0, ""]], ws, [["$", 0, 0, 0, ""]])
+    assert [(e[0], e[2], e[3]) for e in out] == [
+        ("^", 0, 0), ("hello", 0, 5), ("world", 6, 11), ("$", 11, 11)]
+
+
+def test_prefix_aware_empty_streams():
+    """Empty prefix -> zero Token shift (new Token() offsets 0,0);
+    empty input -> the outer shift falls back to the prefix's last
+    token (previousPrefixToken passthrough)."""
+    from lucene_solr_spark.functions.analysis import (
+        prefix_and_suffix_aware, prefix_aware_concat)
+
+    suf = [["eos", 0, 0, 3, ""]]
+    assert prefix_aware_concat([], suf) == [["eos", 0, 0, 3, ""]]
+    out = prefix_and_suffix_aware(
+        [["bos", 0, 0, 3, ""]], [], suf)
+    assert [(e[0], e[2], e[3]) for e in out] == [
+        ("bos", 0, 3), ("eos", 3, 6)]
+
+
+def test_prefix_aware_custom_update():
+    """The updateSuffixToken hook is overridable (the
+    PrefixAndSuffixAware wiring uses exactly this seam)."""
+    from lucene_solr_spark.functions.analysis import prefix_aware_concat
+
+    def upper(tok, last):
+        tok[0] = tok[0].upper()
+        return tok
+
+    out = prefix_aware_concat(
+        [["p", 0, 0, 1, ""]], [["x", 0, 0, 1, ""]], update=upper)
+    assert [e[0] for e in out] == ["p", "X"]
