@@ -13693,3 +13693,68 @@ SELECT doc_id,
 FROM tok GROUP BY doc_id ORDER BY doc_id
 """
 QUERIES["prefix_suffix_stream"] = q_prefix_suffix_stream
+
+
+def q_lowercase_filters(spark, sf_dir):
+    """Language-specific lowercase filters (analysis/tr/
+    TurkishLowerCaseFilter.java:52-88, el/GreekLowerCaseFilter.java:
+    67-127, ga/IrishLowerCaseFilter.java:42-60) over per-doc derived
+    fields: tr = Turkish lower of the UPPERCASED first token (capital
+    I -> dotless 0x131), el = Greek lower of a tonos/final-sigma
+    variant (translate a/e/i/o -> tonos capitals, trailing s ->
+    final sigma), ga = the n-eclipsis rule on 'n' + UPPER(token)
+    (hyphen inserted only before an uppercase vowel). Variant
+    derivation is Catalyst (JVM translate/upper/concat); only the
+    rule walk crosses to Arrow. The oracle replays each rule
+    arithmetically in SQL."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.lowercase import (
+        greek_lowercase, irish_lowercase, turkish_lowercase)
+
+    @pandas_udf("string")
+    def tr(col: pd.Series) -> pd.Series:
+        return col.map(turkish_lowercase)
+
+    @pandas_udf("string")
+    def el(col: pd.Series) -> pd.Series:
+        return col.map(greek_lowercase)
+
+    @pandas_udf("string")
+    def ga(col: pd.Series) -> pd.Series:
+        return col.map(irish_lowercase)
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.split(F.col("text"), " ").getItem(0).alias("first"),
+    ).select(
+        "doc_id",
+        F.upper("first").alias("tr_src"),
+        F.concat(
+            F.translate(
+                F.regexp_replace("first", "s$", "ς"),
+                "aeio", "ΆΈΊΌ"),
+        ).alias("el_src"),
+        F.concat(F.lit("n"), F.upper("first")).alias("ga_src"),
+    )
+    return (
+        d.select("doc_id", tr("tr_src").alias("tr"),
+                 el("el_src").alias("el"), ga("ga_src").alias("ga"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["lowercase_filters"] = """
+WITH f AS (
+  SELECT doc_id, string_split(text, ' ')[1] AS first FROM documents
+)
+SELECT doc_id,
+       replace(first, 'i', 'ı') AS tr,
+       translate(regexp_replace(first, 's$', 'σ'),
+                 'aeio', 'αειο') AS el,
+       CASE WHEN substr(first, 1, 1) IN ('a','e','i','o','u')
+            THEN 'n-' || first ELSE 'n' || first END AS ga
+FROM f ORDER BY doc_id
+"""
+QUERIES["lowercase_filters"] = q_lowercase_filters
