@@ -13758,3 +13758,82 @@ SELECT doc_id,
 FROM f ORDER BY doc_id
 """
 QUERIES["lowercase_filters"] = q_lowercase_filters
+
+
+def q_ngram_tokenizer(spark, sf_dir):
+    """N-gram TOKENIZERS over 'w1 w2' (each doc's first two tokens):
+    the 4.4 NGramTokenizer (ngram/NGramTokenizer.java:146-204) with
+    the isTokenChar pre-tokenization hook excluding the space — grams
+    never span words, counted ascending-start min2..max3; the
+    EdgeNGramTokenizer flag (EdgeNGramTokenizer.java:46-49) — grams
+    only where the previous char is non-token, so edges re-open after
+    the space; and Lucene43NGramTokenizer (:96-140) WITHOUT a hook —
+    grams span the space, by ascending size. The oracle re-derives
+    all three counts arithmetically from the two word lengths."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.ngram_tokenizers import (
+        edge_ngram_tokenize, lucene43_ngram_tokenize, ngram_tokenize)
+
+    tok = lambda c: c != " "
+
+    @pandas_udf("struct<n_full:long,n_edge:long,n_43:long,"
+                "first_edge:string>")
+    def stats(texts: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in texts:
+            full = ngram_tokenize(t, 2, 3, is_token_char=tok)
+            edge = edge_ngram_tokenize(t, 2, 3, is_token_char=tok)
+            old = lucene43_ngram_tokenize(t, 2, 3)
+            rows.append((len(full), len(edge), len(old),
+                         edge[0][0] if edge else ""))
+        return pd.DataFrame(rows, columns=["n_full", "n_edge", "n_43",
+                                           "first_edge"])
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.split(F.col("text"), " ").getItem(0),
+            F.split(F.col("text"), " ").getItem(1)).alias("w12"),
+    )
+    return (
+        d.select("doc_id", stats("w12").alias("s"))
+        .select("doc_id", F.col("s.n_full").alias("n_full"),
+                F.col("s.n_edge").alias("n_edge"),
+                F.col("s.n_43").alias("n_43"),
+                F.col("s.first_edge").alias("first_edge"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["ngram_tokenizer"] = """
+WITH w AS (
+  SELECT doc_id,
+         length(string_split(text, ' ')[1]) AS l1,
+         length(string_split(text, ' ')[2]) AS l2,
+         string_split(text, ' ')[1] AS w1,
+         string_split(text, ' ')[2] AS w2
+  FROM documents
+)
+SELECT doc_id,
+       -- full 4.4 grams per word: sum over g in {2,3} of max(0, l-g+1)
+       CAST(greatest(0, l1 - 1) + greatest(0, l1 - 2)
+          + greatest(0, l2 - 1) + greatest(0, l2 - 2) AS BIGINT)
+         AS n_full,
+       -- edge grams: one per g in {2,3} with g <= word length
+       CAST((CASE WHEN l1 >= 2 THEN 1 ELSE 0 END)
+          + (CASE WHEN l1 >= 3 THEN 1 ELSE 0 END)
+          + (CASE WHEN l2 >= 2 THEN 1 ELSE 0 END)
+          + (CASE WHEN l2 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_edge,
+       -- Lucene43 (no hook): grams span the joined string of
+       -- length l1 + 1 + l2
+       CAST(greatest(0, l1 + l2) + greatest(0, l1 + l2 - 1) AS BIGINT)
+         AS n_43,
+       CASE WHEN l1 >= 2 THEN substr(w1, 1, 2)
+            WHEN l2 >= 2 THEN substr(w2, 1, 2) ELSE '' END
+         AS first_edge
+FROM w ORDER BY doc_id
+"""
+QUERIES["ngram_tokenizer"] = q_ngram_tokenizer
