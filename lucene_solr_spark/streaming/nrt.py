@@ -27,6 +27,8 @@ def start_nrt_indexer(
     stream_df: DataFrame,
     checkpoint_dir: str,
     compact_after: int = 10,
+    hard_commit_tracker=None,
+    batch_time_ms: int = 1000,
     **trigger_kwargs,
 ):
     """Attach an NRT indexing sink to a streaming corpus DataFrame
@@ -34,15 +36,36 @@ def start_nrt_indexer(
     appended via append_documents (new docID range, new segments, stats
     delta, replaced keys tombstoned). Returns the StreamingQuery.
 
+    ``hard_commit_tracker`` (a streaming.committracker.CommitTracker)
+    maps Solr's soft/hard autocommit split onto this sink: every
+    micro-batch append IS the soft commit (visible to a fresh
+    searcher, like openSearcher soft commits), while the tracker's
+    maxDocs/maxTime policy decides when the HARD boundary work —
+    generation compaction — runs. The tracker's clock is logical:
+    each micro-batch advances it by ``batch_time_ms``, so the policy
+    is deterministic under checkpoint replay (a wall clock would
+    fire differently on replay and break idempotence). Without a
+    tracker, compaction gates only on generation count
+    (compact_after), the prior behavior.
+
     trigger_kwargs pass through to ``writeStream.trigger`` (e.g.
     ``availableNow=True`` for drain-and-stop, ``processingTime='10
     seconds'`` for continuous micro-batching)."""
+    if hard_commit_tracker is not None and hard_commit_tracker.on_commit is None:
+        hard_commit_tracker.on_commit = lambda t: maybe_compact(
+            spark, index_dir, max_generations=1)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        n = batch_df.count()
         append_documents(spark, index_dir, batch_df)
-        if compact_after:
+        if hard_commit_tracker is not None:
+            now = batch_id * batch_time_ms
+            for _ in range(n):
+                hard_commit_tracker.added_document(now=now)
+            hard_commit_tracker.tick(now + batch_time_ms)
+        elif compact_after:
             # background-merge analogue (ConcurrentMergeScheduler +
             # TieredMergePolicy): bound the generation count so query
             # row counts stay flat under continuous ingestion
