@@ -13837,3 +13837,64 @@ SELECT doc_id,
 FROM w ORDER BY doc_id
 """
 QUERIES["ngram_tokenizer"] = q_ngram_tokenizer
+
+
+def q_doc_transformers(spark, sf_dir):
+    """fl doc transformers (response/transform/TransformerFactory
+    .java:20-26 default registry + SolrReturnFields.java:246-269
+    augmenter parse + BaseEditorialTransformer.java:49-60): top-10
+    hits projected per fl='[docid],score,lg:lang,[shard],const:[value
+    v=7 t=int],[elevated],[excluded]' — [docid] emits the engine
+    docID, [shard] the request-context shard id, [value] a typed
+    literal, [elevated]/[excluded] uniqueKey-set membership booleans
+    (elevated = the two best docs of the query, excluded unset ->
+    FALSE everywhere). Everything but [explain] stays in ONE select
+    over the hydrated hits."""
+    from lucene_solr_spark.search.returnfields import solr_return_fields
+
+    s = get_searcher(spark, sf_dir)
+    hits = s.search(Q_SINGLE, k=TOP_K)
+    top2 = [r["doc_id"] for r in hits.orderBy(
+        F.desc("score"), F.asc("doc_id")).limit(2).collect()]
+    hydrated = hits.join(
+        _documents(spark, sf_dir).select("doc_id", "lang"), "doc_id")
+    out = solr_return_fields(
+        hydrated,
+        "[docid],score,lg:lang,[shard],const:[value v=7 t=int],"
+        "[elevated],[excluded]",
+        augmenter_context={"shard": "shard-00",
+                           "elevated_ids": set(top2),
+                           "key_col": "doc_id"},
+    )
+    return out.select(
+        F.col("[docid]").alias("docid"),
+        F.col("score").cast("double").alias("score"),
+        "lg",
+        F.col("[shard]").alias("shard"),
+        F.col("const").cast("long").alias("const"),
+        F.col("[elevated]").alias("elevated"),
+        F.col("[excluded]").alias("excluded"),
+    ).orderBy(F.desc("score"), F.asc("docid"))
+
+
+ORACLES["doc_transformers"] = ORACLE_PRELUDE + f"""
+, orsum AS (
+  SELECT doc_id, CAST(SUM(CAST(s AS DOUBLE)) AS FLOAT) AS score
+  FROM persc WHERE term IN ('{Q_SINGLE}')
+  GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, score FROM orsum
+  ORDER BY score DESC, doc_id ASC LIMIT {TOP_K}
+),
+elev AS (
+  SELECT doc_id FROM top ORDER BY score DESC, doc_id ASC LIMIT 2
+)
+SELECT t.doc_id AS docid, CAST(t.score AS DOUBLE) AS score,
+       d.lang AS lg, 'shard-00' AS shard, CAST(7 AS BIGINT) AS const,
+       t.doc_id IN (SELECT doc_id FROM elev) AS elevated,
+       FALSE AS excluded
+FROM top t JOIN docs0 d USING (doc_id)
+ORDER BY score DESC, docid ASC
+"""
+QUERIES["doc_transformers"] = q_doc_transformers
