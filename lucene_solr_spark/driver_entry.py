@@ -13898,3 +13898,88 @@ FROM top t JOIN docs0 d USING (doc_id)
 ORDER BY score DESC, docid ASC
 """
 QUERIES["doc_transformers"] = q_doc_transformers
+
+
+def q_hunspell_stems(spark, sf_dir):
+    """Hunspell stemming (hunspell/HunspellDictionary.java:129-510,
+    HunspellStemmer.java:72-207, HunspellStemFilter.java:86-125) over
+    a vocabulary-derived dictionary: the .dic holds every vocab word
+    minus its last char (words of length >= 2), flagged A; the .aff
+    declares 26 cross-product SFX A rules 'strip 0, append <letter>,
+    condition .' whose appends carry /Z — a flag no dictionary word
+    or affix has, so the cross-check KILLS recursion (the appendFlags
+    mechanism exercised negatively) and stemming is exactly depth 1.
+    For a vocab term w: stems = [w if w is itself a dic entry] +
+    [w[:-1] when len(w) >= 2] — both relationally re-derivable, which
+    is what the oracle does. The real parser/stemmer run (aff text
+    incl. SET line, flag parsing, condition compile); the dictionary
+    is built driver-side from the tiny distinct-vocab list
+    (broadcast-sized by construction)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.hunspell import (
+        HunspellDictionary, hunspell_stem_post)
+
+    d = _documents(spark, sf_dir)
+    vocab_df = (d.select(F.explode(F.split(F.col("text"), " "))
+                         .alias("term"))
+                .filter(F.col("term") != "").distinct())
+    vocab = sorted(r["term"] for r in vocab_df.collect())
+    bases = sorted({w[:-1] for w in vocab if len(w) > 1})
+    aff = "SET UTF-8\nSFX A Y 26\n" + "\n".join(
+        f"SFX A 0 {c}/Z ." for c in "abcdefghijklmnopqrstuvwxyz")
+    dic = f"{len(bases)}\n" + "\n".join(f"{b}/A" for b in bases)
+    hd = HunspellDictionary(aff, dic)
+    post = hunspell_stem_post(hd)
+
+    @pandas_udf("struct<n_stems:long,first:string,allstems:string>")
+    def stems(terms: pd.Series) -> pd.DataFrame:
+        rows = []
+        for t in terms:
+            # the filter leaves unknown words unchanged (a 1-token
+            # output carrying the original term)
+            out = [w for w, _p in post([(t, 0)])]
+            rows.append((len(out), out[0], ",".join(sorted(out))))
+        return pd.DataFrame(rows, columns=["n_stems", "first",
+                                           "allstems"])
+
+    return (vocab_df.select("term", stems("term").alias("s"))
+            .select("term", F.col("s.n_stems").alias("n_stems"),
+                    F.col("s.first").alias("first"),
+                    F.col("s.allstems").alias("allstems"))
+            .orderBy("term"))
+
+
+ORACLES["hunspell_stems"] = """
+WITH vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+),
+dicv AS (
+  SELECT DISTINCT substr(term, 1, length(term) - 1) AS dw
+  FROM vocab WHERE length(term) > 1
+),
+st AS (
+  SELECT v.term,
+         EXISTS (SELECT 1 FROM dicv WHERE dw = v.term) AS in_dic,
+         length(v.term) >= 2 AS has_affix,
+         substr(v.term, 1, length(v.term) - 1) AS astem
+  FROM vocab v
+)
+SELECT term,
+  CAST(CASE WHEN NOT in_dic AND NOT has_affix THEN 1
+            ELSE CAST(in_dic AS INT) + CAST(has_affix AS INT)
+       END AS BIGINT) AS n_stems,
+  CASE WHEN in_dic THEN term
+       WHEN has_affix THEN astem ELSE term END AS first,
+  CASE WHEN in_dic AND has_affix THEN
+         CASE WHEN astem < term THEN astem || ',' || term
+              ELSE term || ',' || astem END
+       WHEN in_dic THEN term
+       WHEN has_affix THEN astem
+       ELSE term END AS allstems
+FROM st ORDER BY term
+"""
+QUERIES["hunspell_stems"] = q_hunspell_stems
