@@ -13983,3 +13983,52 @@ SELECT term,
 FROM st ORDER BY term
 """
 QUERIES["hunspell_stems"] = q_hunspell_stems
+
+
+def q_dih_line_import(spark, sf_dir):
+    """DIH entity-processor/transformer pack (solr/contrib/
+    dataimporthandler/: LineEntityProcessor.java:113-128 accept/skip
+    find()-semantics gates, RegexTransformer splitBy,
+    NumberFormatTransformer.java:98-131 percent parse with lenient
+    grouping and /100, HTMLStripTransformer.java:42-95): each doc
+    renders one 'lang|<grouped n_chars>%|<b>word</b>' line; zh lines
+    are skipped (skipLineRegex), the line splits into fields, the
+    percent field parses through the NumberFormat rules (grouping
+    stripped, /100), the title field strips markup. All Catalyst —
+    one scan, codegen projections, a pushdown rlike filter."""
+    from lucene_solr_spark.sources.dih import (
+        html_strip_column, line_entity, number_format_column)
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("lang"), F.lit("|"),
+            F.format_number(F.col("n_chars"), 0), F.lit("%|<b>"),
+            F.split(F.col("text"), " ").getItem(0), F.lit("</b>"),
+        ).alias("rawLine"),
+    )
+    rows = line_entity(d, "rawLine", accept_line_regex=r"\|",
+                       skip_line_regex="^zh")
+    parts = F.split(F.col("rawLine"), r"\|")
+    return (
+        rows.select(
+            "doc_id",
+            parts.getItem(0).alias("lang"),
+            number_format_column(parts.getItem(1), "percent")
+            .alias("pct"),
+            html_strip_column(parts.getItem(2)).alias("title"),
+        )
+        .withColumn("title", F.trim("title"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["dih_line_import"] = """
+SELECT doc_id, lang,
+       CAST(n_chars AS DOUBLE) / 100.0 AS pct,
+       string_split(text, ' ')[1] AS title
+FROM documents
+WHERE lang <> 'zh'
+ORDER BY doc_id
+"""
+QUERIES["dih_line_import"] = q_dih_line_import

@@ -150,3 +150,164 @@ def full_import(spark: SparkSession, root: RootEntity,
             f"{ch.name}_count",
             F.coalesce(F.col(f"{ch.name}_count"), F.lit(0)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Entity-processor / transformer pack (round 2)
+# ---------------------------------------------------------------------------
+
+def line_entity(lines: DataFrame, line_col: str = "rawLine",
+                accept_line_regex: Optional[str] = None,
+                skip_line_regex: Optional[str] = None) -> DataFrame:
+    """LineEntityProcessor (LineEntityProcessor.java:83-132): each
+    input line becomes a row carrying ``rawLine``; a line is kept
+    only if acceptLineRegex FINDS a match (when set) and skipLineRegex
+    does NOT (when set) — Matcher.find semantics == Catalyst rlike.
+    The reference reads a BufferedReader serially; here the lines ARE
+    a DataFrame (one pushdown-filterable scan)."""
+    out = lines
+    if accept_line_regex is not None:
+        out = out.filter(F.col(line_col).rlike(accept_line_regex))
+    if skip_line_regex is not None:
+        out = out.filter(~F.col(line_col).rlike(skip_line_regex))
+    if line_col != "rawLine":
+        out = out.withColumn("rawLine", F.col(line_col))
+    return out
+
+
+def plain_text_entity(spark: SparkSession, text: str) -> DataFrame:
+    """PlainTextEntityProcessor (PlainTextEntityProcessor.java:41-76):
+    the whole data source drains into ONE row's ``plainText``."""
+    return spark.createDataFrame([(text,)], "plainText string")
+
+
+def file_list_entity(spark: SparkSession, base_dir: str,
+                     file_name: Optional[str] = None,
+                     excludes: Optional[str] = None,
+                     recursive: bool = False,
+                     bigger_than: int = -1, smaller_than: int = -1,
+                     newer_than=None, older_than=None) -> DataFrame:
+    """FileListEntityProcessor (FileListEntityProcessor.java:66-246):
+    walk baseDir (required, must be a directory) emitting
+    fileDir/file/fileAbsolutePath/fileSize/fileLastModified rows.
+    fileName/excludes use find() semantics on the NAME; directories
+    recurse only with recursive=true and are never emitted; size
+    gates are strict (biggerThan excludes sz <= bound, smallerThan
+    excludes sz >= bound); newerThan excludes older files, olderThan
+    newer ones. The walk is driver-side like the reference (a file
+    LISTING is metadata, not data); the result is a DataFrame so the
+    downstream per-file reads distribute."""
+    import os
+
+    if not os.path.isdir(base_dir):
+        raise ValueError(f"'baseDir' value: {base_dir} is not a "
+                         "directory")
+    name_re = re.compile(file_name) if file_name is not None else None
+    excl_re = re.compile(excludes) if excludes is not None else None
+    rows = []
+
+    def walk(d):
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if os.path.isdir(p):
+                if recursive:
+                    walk(p)
+                continue
+            if name_re is not None:
+                if not name_re.search(name):
+                    continue
+                if excl_re is not None and excl_re.search(name):
+                    continue
+            st = os.stat(p)
+            sz = st.st_size
+            if bigger_than != -1 and sz <= bigger_than:
+                continue
+            if smaller_than != -1 and sz >= smaller_than:
+                continue
+            mtime = st.st_mtime
+            if older_than is not None and mtime > older_than:
+                continue
+            if newer_than is not None and mtime < newer_than:
+                continue
+            rows.append((os.path.abspath(d), name, os.path.abspath(p),
+                         sz, float(mtime)))
+
+    walk(base_dir)
+    return spark.createDataFrame(
+        rows, "fileDir string, file string, fileAbsolutePath string, "
+              "fileSize long, fileLastModified double")
+
+
+_NFT_LOCALES = {
+    # (grouping separator, decimal separator) — Locale.ROOT/en group
+    # with ',' and point-decimal; de with '.' and comma-decimal
+    "": (",", "."), "en": (",", "."), "en,US": (",", "."),
+    "de": (".", ","), "de,DE": (".", ","),
+}
+
+
+def number_format_parse(val: str, style: str = "number",
+                        locale: str = "") -> float:
+    """NumberFormatTransformer.process/parseNumber
+    (NumberFormatTransformer.java:62-131): java.text.NumberFormat
+    parse with the WHOLE-string-consumed rule (trailing junk ->
+    ParseException). Styles: integer (parse stops at the decimal
+    separator -> trailing '.5' throws), number, percent (trailing
+    '%', value/100). DecimalFormat's lenient grouping is kept: group
+    separators are accepted at any position. Currency needs the
+    JDK's per-locale symbol tables — unsupported here, documented."""
+    sep_group, sep_dec = _NFT_LOCALES.get(locale, (",", "."))
+    s = val.strip()
+    pct = False
+    if style == "percent":
+        if not s.endswith("%"):
+            raise ValueError("illegal number format")
+        s = s[:-1]
+        pct = True
+    elif style == "currency":
+        raise ValueError("currency style needs JDK locale symbol "
+                         "tables (unsupported)")
+    s = s.replace(sep_group, "")
+    if sep_dec != ".":
+        s = s.replace(sep_dec, ".")
+    if style == "integer":
+        m = re.fullmatch(r"-?\d+", s)
+        if not m:
+            raise ValueError("illegal number format")
+        n = int(s)
+    else:
+        if not re.fullmatch(r"-?\d+(\.\d+)?", s):
+            raise ValueError("illegal number format")
+        n = float(s) if "." in s else int(s)
+    if pct:
+        return float(n) / 100.0
+    return n
+
+
+def number_format_column(col: Column, style: str = "number",
+                         locale: str = "") -> Column:
+    """Catalyst twin of number_format_parse for well-formed columns
+    (the distributed path; malformed values come out NULL rather
+    than throwing — the scalar form is the rule-exact gate)."""
+    sep_group, sep_dec = _NFT_LOCALES.get(locale, (",", "."))
+    s = F.trim(col)
+    if style == "percent":
+        s = F.regexp_replace(s, "%$", "")
+    s = F.regexp_replace(s, re.escape(sep_group), "")
+    if sep_dec != ".":
+        s = F.regexp_replace(s, re.escape(sep_dec), ".")
+    out = s.try_cast("double")
+    if style == "percent":
+        out = out / F.lit(100.0)
+    if style == "integer":
+        out = F.when(s.rlike(r"^-?\d+$"), s.try_cast("long"))
+    return out
+
+
+def html_strip_column(col: Column) -> Column:
+    """HTMLStripTransformer (HTMLStripTransformer.java:42-95):
+    stripHTML=true fields run through HTMLStripCharFilter — the
+    engine's gated html_text codegen chain (sources/extract.py)."""
+    from lucene_solr_spark.sources.extract import html_text
+
+    return html_text(col)

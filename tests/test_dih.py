@@ -99,3 +99,116 @@ class TestTransformers:
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Entity-processor / transformer pack
+# ---------------------------------------------------------------------------
+
+def test_line_entity_accept_skip(spark):
+    """LineEntityProcessor.java:113-128 — accept uses find()
+    semantics, skip wins over accept."""
+    from lucene_solr_spark.sources.dih import line_entity
+
+    lines = spark.createDataFrame(
+        [("en,10",), ("zh,20",), ("de,30",), ("nope",)], "l string")
+    out = line_entity(lines, "l", accept_line_regex=",",
+                      skip_line_regex="^zh")
+    assert sorted(r["rawLine"] for r in out.collect()) == [
+        "de,30", "en,10"]
+    # no regexes -> everything passes
+    assert line_entity(lines, "l").count() == 4
+
+
+def test_plain_text_entity(spark):
+    from lucene_solr_spark.sources.dih import plain_text_entity
+
+    out = plain_text_entity(spark, "hello world")
+    assert out.columns == ["plainText"]
+    assert out.collect()[0][0] == "hello world"
+
+
+def test_file_list_entity(spark, tmp_path):
+    """FileListEntityProcessor.java:170-246 — name find() + excludes,
+    recursion gate, strict size bounds, required-directory throw."""
+    import pytest
+
+    from lucene_solr_spark.sources.dih import file_list_entity
+
+    (tmp_path / "a.xml").write_text("x" * 10)
+    (tmp_path / "b.xml").write_text("x" * 100)
+    (tmp_path / "c.txt").write_text("x")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "d.xml").write_text("x" * 50)
+
+    flat = file_list_entity(spark, str(tmp_path), file_name=r"\.xml$")
+    assert sorted(r["file"] for r in flat.collect()) == ["a.xml", "b.xml"]
+    rec = file_list_entity(spark, str(tmp_path), file_name=r"\.xml$",
+                           recursive=True)
+    assert sorted(r["file"] for r in rec.collect()) == [
+        "a.xml", "b.xml", "d.xml"]
+    excl = file_list_entity(spark, str(tmp_path), file_name=r"\.xml$",
+                            excludes="^b")
+    assert sorted(r["file"] for r in excl.collect()) == ["a.xml"]
+    # biggerThan excludes sz <= bound (strict), smallerThan sz >= bound
+    big = file_list_entity(spark, str(tmp_path), file_name=r"\.xml$",
+                           bigger_than=10)
+    assert [r["file"] for r in big.collect()] == ["b.xml"]
+    small = file_list_entity(spark, str(tmp_path), file_name=r"\.xml$",
+                             smaller_than=100)
+    assert [r["file"] for r in small.collect()] == ["a.xml"]
+    with pytest.raises(ValueError, match="not a directory"):
+        file_list_entity(spark, str(tmp_path / "missing"))
+
+
+def test_number_format_transformer_rules():
+    """NumberFormatTransformer.java:98-131 — whole-string rule,
+    integer stops at the decimal separator, percent /100, lenient
+    grouping, locale separators."""
+    import pytest
+
+    from lucene_solr_spark.sources.dih import number_format_parse as p
+
+    assert p("1,234", "integer") == 1234
+    assert p("12,34", "integer") == 1234          # lenient grouping
+    assert p("1,234.5", "number") == 1234.5
+    assert p("1.234,5", "number", "de,DE") == 1234.5
+    assert p("95%", "percent") == 0.95
+    assert p("12,345%", "percent") == 123.45
+    for bad in ("1,234.5", "abc"):
+        with pytest.raises(ValueError):
+            p(bad, "integer")
+    with pytest.raises(ValueError):
+        p("95", "percent")
+    with pytest.raises(ValueError):
+        p("$5", "currency")
+
+
+def test_number_format_column_matches_scalar(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.sources.dih import (
+        number_format_column, number_format_parse)
+
+    vals = ["1,234", "95%", "1.234,5"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = df.select(
+        number_format_column(F.col("v"), "number").alias("n"),
+        number_format_column(F.col("v"), "percent").alias("p"),
+        number_format_column(F.col("v"), "number", "de,DE").alias("d"),
+    ).collect()
+    assert got[0]["n"] == number_format_parse("1,234", "number")
+    assert got[1]["p"] == number_format_parse("95%", "percent")
+    assert got[2]["d"] == number_format_parse("1.234,5", "number",
+                                              "de,DE")
+
+
+def test_html_strip_transformer(spark):
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.sources.dih import html_strip_column
+
+    df = spark.createDataFrame([("<b>bold</b> text",)], "v string")
+    out = df.select(html_strip_column(F.col("v")).alias("t")).collect()
+    assert out[0]["t"].strip() == "bold text"
