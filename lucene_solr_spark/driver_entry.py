@@ -14032,3 +14032,68 @@ WHERE lang <> 'zh'
 ORDER BY doc_id
 """
 QUERIES["dih_line_import"] = q_dih_line_import
+
+
+def q_xpath_records(spark, sf_dir):
+    """XPathRecordReader (dataimport/XPathRecordReader.java:60-660):
+    per-doc XML rendered in Catalyst (codegen concat), then ONE Arrow
+    pass runs the streaming reader per blob — forEach record path,
+    attribute fields, an [@name='...']-filtered element field, and a
+    '//w' wildcard multivalued field (the wildAncestor re-entry
+    machinery). The oracle re-derives every extracted value from the
+    source columns."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.sources.xpathreader import XPathRecordReader
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<doc id="'), F.col("doc_id"), F.lit('"><meta lang="'),
+            F.col("lang"), F.lit('"/><f name="n_chars">'),
+            F.col("n_chars"), F.lit('</f><f name="other">x</f><deep><words><w>'),
+            F.concat_ws("</w><w>",
+                        F.slice(F.split(F.col("text"), " "), 1, 3)),
+            F.lit("</w></words></deep></doc>"),
+        ).alias("xml"),
+    )
+
+    @pandas_udf("struct<rid:string,lang:string,nchars:string,"
+                "n_words:long,first_w:string>")
+    def extract(xmls: pd.Series) -> pd.DataFrame:
+        rr = XPathRecordReader("/doc")
+        rr.add_field("rid", "/doc/@id")
+        rr.add_field("lang", "/doc/meta/@lang")
+        rr.add_field("nchars", "/doc/f[@name='n_chars']")
+        rr.add_field("w", "//w", True)
+        rows = []
+        for x in xmls:
+            rec = rr.get_all_records(x)[0]
+            ws = rec.get("w") or []
+            rows.append((rec.get("rid"), rec.get("lang"),
+                         rec.get("nchars"), len(ws),
+                         ws[0] if ws else ""))
+        return pd.DataFrame(rows, columns=[
+            "rid", "lang", "nchars", "n_words", "first_w"])
+
+    return (
+        d.select("doc_id", extract("xml").alias("r"))
+        .select("doc_id", F.col("r.rid").alias("rid"),
+                F.col("r.lang").alias("lang"),
+                F.col("r.nchars").alias("nchars"),
+                F.col("r.n_words").alias("n_words"),
+                F.col("r.first_w").alias("first_w"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["xpath_records"] = """
+SELECT doc_id, CAST(doc_id AS VARCHAR) AS rid, lang,
+       CAST(n_chars AS VARCHAR) AS nchars,
+       CAST(least(3, len(string_split(text, ' '))) AS BIGINT)
+         AS n_words,
+       string_split(text, ' ')[1] AS first_w
+FROM documents ORDER BY doc_id
+"""
+QUERIES["xpath_records"] = q_xpath_records
