@@ -14097,3 +14097,72 @@ SELECT doc_id, CAST(doc_id AS VARCHAR) AS rid, lang,
 FROM documents ORDER BY doc_id
 """
 QUERIES["xpath_records"] = q_xpath_records
+
+
+def q_benchmark_feeds(spark, sf_dir):
+    """Benchmark content sources (lucene/benchmark byTask/feeds/:
+    LineDocSource.java:66-85 SimpleLineParser, EnwikiContentSource
+    .java:101-140): each doc renders a title<TAB>date<TAB>body line
+    (parsed by the strict separator rules) and a mediawiki page blob
+    whose timestamp is a deterministic function of n_chars (parsed by
+    the page walk + the time() dd-MON-yyyy rewrite). One Arrow pass
+    runs both parsers; the oracle re-derives every field."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.sources.benchmark_feeds import (
+        enwiki_pages, parse_line_doc)
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.split(F.col("text"), " ").getItem(0), F.lit("\t"),
+            F.col("lang"), F.lit("\t"), F.col("text"),
+        ).alias("line"),
+        F.concat(
+            F.lit("<mediawiki><page><title>T"), F.col("doc_id"),
+            F.lit("</title><id>"), F.col("doc_id"),
+            F.lit("</id><revision><timestamp>2004-"),
+            F.lpad((F.col("n_chars") % 12 + 1).cast("string"), 2, "0"),
+            F.lit("-15T04:12:09Z</timestamp><text>"),
+            F.split(F.col("text"), " ").getItem(1),
+            F.lit("</text></revision></page></mediawiki>"),
+        ).alias("wiki"),
+    )
+
+    @pandas_udf("struct<title:string,ldate:string,body_len:long,"
+                "wdate:string,wid:string>")
+    def feeds(lines: pd.Series, wikis: pd.Series) -> pd.DataFrame:
+        rows = []
+        for line, wiki in zip(lines, wikis):
+            ld = parse_line_doc(line)
+            pages = enwiki_pages(wiki)
+            p = pages[0]
+            rows.append((ld["title"], ld["date"], len(ld["body"]),
+                         p["date"], p["id"]))
+        return pd.DataFrame(rows, columns=["title", "ldate",
+                                           "body_len", "wdate", "wid"])
+
+    return (
+        d.select("doc_id", feeds("line", "wiki").alias("f"))
+        .select("doc_id", F.col("f.title").alias("title"),
+                F.col("f.ldate").alias("ldate"),
+                F.col("f.body_len").alias("body_len"),
+                F.col("f.wdate").alias("wdate"),
+                F.col("f.wid").alias("wid"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLES["benchmark_feeds"] = """
+SELECT doc_id,
+       string_split(text, ' ')[1] AS title,
+       lang AS ldate,
+       CAST(length(text) AS BIGINT) AS body_len,
+       '15-' || (['JAN','FEB','MAR','APR','MAY','JUN','JUL','AUG',
+                  'SEP','OCT','NOV','DEC'])[(n_chars % 12) + 1]
+            || '-2004 04:12:09.000' AS wdate,
+       CAST(doc_id AS VARCHAR) AS wid
+FROM documents ORDER BY doc_id
+"""
+QUERIES["benchmark_feeds"] = q_benchmark_feeds
