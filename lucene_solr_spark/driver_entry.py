@@ -14166,3 +14166,44 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 QUERIES["benchmark_feeds"] = q_benchmark_feeds
+
+
+def q_early_term_prefix(spark, sf_dir):
+    """EarlyTerminatingCollector (solr/search/EarlyTerminatingCollector
+    .java:33-60): the docID-order prefix of a term query's matches,
+    capped at 7 — numCollected/lastDocId/terminated are the
+    collector's thrown state (SpellCheckComponent's
+    maxResultsForSuggest estimation input). The prefix is a pushed
+    orderBy+limit over the doc set (I/O proportional to the cap)."""
+    from lucene_solr_spark.search.filters import (
+        collect_early_terminated)
+
+    s = get_searcher(spark, sf_dir)
+    matches = s.search(Q_SINGLE, k=None).select("doc_id")
+    out, n, last, term = collect_early_terminated(matches, 7)
+    return (
+        out.select(
+            "doc_id",
+            F.lit(n).cast("long").alias("num_collected"),
+            F.lit(last).cast("long").alias("last_doc_id"),
+            F.lit(term).alias("terminated"),
+        ).orderBy("doc_id")
+    )
+
+
+ORACLES["early_term_prefix"] = ORACLE_PRELUDE + f"""
+, m AS (
+  SELECT DISTINCT doc_id FROM tf WHERE term = '{Q_SINGLE}'
+),
+pre AS (SELECT doc_id FROM m ORDER BY doc_id LIMIT 7),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(max(doc_id) AS BIGINT) AS last,
+         (SELECT count(*) FROM m) > 7 AS term
+  FROM pre
+)
+SELECT p.doc_id, st.n AS num_collected, st.last AS last_doc_id,
+       st.term AS terminated
+FROM pre p, st ORDER BY p.doc_id
+"""
+QUERIES["early_term_prefix"] = q_early_term_prefix

@@ -58,3 +58,41 @@ def chained_filter(doc_sets, ops) -> DataFrame:
     for op, d in zip(ops, doc_sets[1:]):
         acc = OPS[op](acc, d.select("doc_id"))
     return acc
+
+
+class EarlyTerminatingCollectorException(Exception):
+    """EarlyTerminatingCollectorException (solr/search/): carries how
+    many docs were collected and the last docID seen when the cap
+    hit — SpellCheckComponent scales the partial count up to an
+    estimated total hit count from these."""
+
+    def __init__(self, num_collected: int, last_doc_id: int):
+        super().__init__(
+            f"early terminated after {num_collected} docs")
+        self.num_collected = num_collected
+        self.last_doc_id = last_doc_id
+
+
+def collect_early_terminated(doc_ids, max_docs_to_collect: int):
+    """EarlyTerminatingCollector (solr/search/EarlyTerminatingCollector
+    .java:33-60): delegate collection in docID order, throwing WITH
+    the capped prefix when numCollected == maxDocsToCollect. The
+    relational form: the docID-ordered prefix is a pushed-down
+    orderBy+limit over the matching doc set — I/O proportional to the
+    cap, not the hit count (the same early-termination shape as the
+    sorted-index path). Returns (collected_df, num_collected,
+    last_doc_id, terminated); callers wanting the reference's control
+    flow can raise EarlyTerminatingCollectorException from it."""
+    from pyspark.sql import functions as F
+
+    prefix = (doc_ids.select("doc_id").orderBy("doc_id")
+              .limit(max_docs_to_collect + 1))
+    rows = [r["doc_id"] for r in prefix.collect()]
+    terminated = len(rows) > max_docs_to_collect
+    kept = rows[:max_docs_to_collect]
+    spark = doc_ids.sparkSession
+    out = spark.createDataFrame(
+        [(int(d),) for d in kept] or
+        spark.sparkContext.emptyRDD(), "doc_id long") \
+        if kept else doc_ids.filter(F.lit(False)).select("doc_id")
+    return out, len(kept), (kept[-1] if kept else -1), terminated

@@ -311,3 +311,110 @@ def html_strip_column(col: Column) -> Column:
     from lucene_solr_spark.sources.extract import html_text
 
     return html_text(col)
+
+
+class VariableResolver:
+    """DIH VariableResolver (dataimport/VariableResolver.java:42-198):
+    nested dotted namespaces with the reference's resolution order —
+    walk namespace levels as far as they exist; at the deepest
+    reached level try the REMAINING dotted parts re-joined as one
+    literal key; then the ``dataimporter.functions.`` /
+    ``dih.functions.`` evaluator dispatch (``name(args)`` via
+    EVALUATOR_FORMAT_PATTERN, unknown evaluator -> ''); then system
+    properties (injectable dict here — no JVM); missing resolves to
+    ''. replaceTokens substitutes ``${...}`` placeholders in REVERSE
+    match order so offsets stay valid; addNamespace supports both the
+    named-map and dotted-key forms; a level collision with a non-map
+    value raises (the reference's AssertionError)."""
+
+    FUNCTIONS_NAMESPACE = "dataimporter.functions."
+    FUNCTIONS_NAMESPACE_SHORT = "dih.functions."
+    _PLACEHOLDER = re.compile(r"[$][{](.*?)[}]")
+    _EVALUATOR = re.compile(r"^(\w*?)\((.*?)\)$")
+
+    def __init__(self, defaults: Optional[dict] = None,
+                 system_props: Optional[dict] = None):
+        self.root: dict = dict(defaults or {})
+        self.evaluators: Optional[dict] = None
+        self.system_props = system_props or {}
+
+    def _current_level(self, parts, include_last=False):
+        level = self.root
+        j = len(parts) if include_last else len(parts) - 1
+        for i in range(j):
+            o = level.get(parts[i])
+            if o is None:
+                if i == j - 1:
+                    nxt: dict = {}
+                    level[parts[i]] = nxt
+                    level = nxt
+                else:
+                    return i, level
+            elif isinstance(o, dict):
+                level = o
+            else:
+                raise AssertionError(
+                    f"Non-leaf nodes should be of type Map: {parts}")
+        return j, level
+
+    def resolve(self, name: Optional[str]):
+        r = None
+        if name is not None:
+            parts = name.split(".")
+            lvl, cur = self._current_level(parts)
+            r = cur.get(parts[-1])
+            if r is None and name.startswith(self.FUNCTIONS_NAMESPACE) \
+                    and len(name) > len(self.FUNCTIONS_NAMESPACE):
+                return self._resolve_evaluator(
+                    self.FUNCTIONS_NAMESPACE, name)
+            if r is None \
+                    and name.startswith(self.FUNCTIONS_NAMESPACE_SHORT) \
+                    and len(name) > len(self.FUNCTIONS_NAMESPACE_SHORT):
+                return self._resolve_evaluator(
+                    self.FUNCTIONS_NAMESPACE_SHORT, name)
+            if r is None:
+                r = cur.get(".".join(parts[lvl:]))
+            if r is None:
+                r = self.system_props.get(name)
+        return "" if r is None else r
+
+    def _resolve_evaluator(self, namespace, name):
+        if self.evaluators is None:
+            return ""
+        m = self._EVALUATOR.search(name[len(namespace):])
+        if not m:
+            return ""
+        ev = self.evaluators.get(m.group(1))
+        if ev is None:
+            return ""
+        return ev(m.group(2), self)
+
+    def replace_tokens(self, template: Optional[str]):
+        if template is None:
+            return None
+        ms = list(self._PLACEHOLDER.finditer(template))
+        if not ms:
+            return template
+        out = template
+        for m in reversed(ms):
+            out = (out[:m.start(0)]
+                   + str(self.resolve(m.group(1)))
+                   + out[m.end(0):])
+        return out
+
+    def get_variables(self, template: str):
+        return [m.group(1)
+                for m in self._PLACEHOLDER.finditer(template)]
+
+    def add_namespace(self, name: Optional[str], new_map: dict):
+        if new_map is None:
+            return
+        if name is not None:
+            parts = name.split(".")
+            _lvl, cur = self._current_level(parts)
+            cur[parts[-1]] = new_map
+        else:
+            for k, v in new_map.items():
+                parts = k.split(".")
+                _lvl, cur = self._current_level(parts)
+                cur[parts[-1]] = v

@@ -212,3 +212,46 @@ def test_html_strip_transformer(spark):
     df = spark.createDataFrame([("<b>bold</b> text",)], "v string")
     out = df.select(html_strip_column(F.col("v")).alias("t")).collect()
     assert out[0]["t"].strip() == "bold text"
+
+
+def test_variable_resolver_rules():
+    """VariableResolver.java:68-198 — nested namespaces, the
+    remaining-parts-rejoined fallback, evaluator dispatch, ''-for-
+    missing, reverse-order replaceTokens, addNamespace forms."""
+    import pytest
+
+    from lucene_solr_spark.sources.dih import VariableResolver
+
+    vr = VariableResolver({"defk": "defv"})
+    vr.add_namespace("dataimporter.request",
+                     {"city": "Oslo", "n": 5})
+    assert vr.resolve("dataimporter.request.city") == "Oslo"
+    assert vr.resolve("defk") == "defv"
+    assert vr.resolve("missing.name") == ""
+    assert vr.resolve(None) == ""
+    # dotted-key form: keys containing dots land at nested levels
+    vr2 = VariableResolver()
+    vr2.add_namespace(None, {"a.b.c": 1})
+    assert vr2.resolve("a.b.c") == 1
+    # remaining-parts fallback: a literal dotted key at a mid level
+    vr3 = VariableResolver()
+    vr3.add_namespace("e", {"f.g.h": "joined"})
+    assert vr3.resolve("e.f.g.h") == "joined"
+    # replaceTokens, multiple + missing placeholders
+    assert vr.replace_tokens(
+        "go to ${dataimporter.request.city} x${nope}y ${defk}"
+    ) == "go to Oslo xy defv"
+    assert vr.replace_tokens(None) is None
+    assert vr.get_variables("${a} and ${b.c}") == ["a", "b.c"]
+    # evaluator dispatch through the functions namespace
+    vr.evaluators = {"upper": lambda args, ctx: args.upper()}
+    assert vr.resolve("dataimporter.functions.upper(oslo)") == "OSLO"
+    assert vr.resolve("dih.functions.upper(x)") == "X"
+    assert vr.resolve("dataimporter.functions.nope(x)") == ""
+    # level collision with a non-map value raises
+    vr4 = VariableResolver({"k": "leaf"})
+    with pytest.raises(AssertionError):
+        vr4.resolve("k.sub.x")
+    # system-property fallback (injectable)
+    vr5 = VariableResolver(system_props={"sys.prop": "sp"})
+    assert vr5.resolve("sys.prop") == "sp"

@@ -60,3 +60,33 @@ def test_boosting_demote_rule(spark, built):
         want = (np.float32(plain[d] * np.float32(0.25))
                 if d in ctx else plain[d])
         assert sc.tobytes() == want.tobytes(), d
+
+
+# ---------------------------------------------------------------------------
+# EarlyTerminatingCollector
+# ---------------------------------------------------------------------------
+
+def test_early_terminating_collector(spark):
+    """EarlyTerminatingCollector.java:33-60 — docID-order prefix,
+    termination exactly at the cap, last-doc bookkeeping."""
+    from lucene_solr_spark.search.filters import (
+        EarlyTerminatingCollectorException,
+        collect_early_terminated,
+    )
+
+    docs = spark.range(0, 50, 3).selectExpr("id as doc_id")  # 0,3,..,48
+    out, n, last, term = collect_early_terminated(docs, 4)
+    assert (n, last, term) == (4, 9, True)
+    assert [r["doc_id"] for r in out.orderBy("doc_id").collect()] == [
+        0, 3, 6, 9]
+    # fewer matches than the cap: no termination
+    out2, n2, last2, term2 = collect_early_terminated(
+        docs.filter("doc_id < 7"), 10)
+    assert (n2, last2, term2) == (3, 6, False)
+    # empty set
+    out3, n3, last3, term3 = collect_early_terminated(
+        docs.filter("doc_id < 0"), 10)
+    assert (n3, last3, term3) == (0, -1, False) and out3.count() == 0
+    # the exception carries the collector state
+    ex = EarlyTerminatingCollectorException(4, 9)
+    assert ex.num_collected == 4 and ex.last_doc_id == 9
