@@ -203,6 +203,11 @@ QUERY_NAMES = [
     "hyphen_compound_terms",
     "tee_sink_counts",
     "frame_sample_counts",
+    "payload_encoders",
+    "dih_line_import",
+    "hunspell_stems",
+    "xpath_records",
+    "ngram_tokenizer",
 ]
 
 

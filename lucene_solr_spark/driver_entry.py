@@ -14207,3 +14207,37 @@ SELECT p.doc_id, st.n AS num_collected, st.last AS last_doc_id,
 FROM pre p, st ORDER BY p.doc_id
 """
 QUERIES["early_term_prefix"] = q_early_term_prefix
+
+
+def q_facet_complement(spark, sf_dir):
+    """Complement facet counting (facet/complements/TotalFacetCounts
+    .java + ComplementCountingAggregator.java:37-49; threshold rule
+    StandardFacetsAccumulator.java:250-252): the hit set (docs with
+    n_chars >= 150, ~3/4 of the corpus) exceeds numDocs*0.6, so the
+    engine counts langs over the COMPLEMENT and subtracts from the
+    per-lang totals — the oracle counts the hits directly, gating the
+    reference invariant that both paths agree. used_complements is
+    emitted so the path taken is itself hash-gated."""
+    from lucene_solr_spark.facets import complement_facet_counts
+
+    d = _documents(spark, sf_dir)
+    cats = d.select("doc_id", F.col("lang").alias("category"))
+    hits = d.filter(F.col("n_chars") >= 150).select("doc_id")
+    num_docs = d.count()
+    num_hits = hits.count()
+    out, used = complement_facet_counts(cats, hits, num_docs, num_hits)
+    return (out.select("category", "count",
+                       F.lit(used).alias("used_complements"))
+            .orderBy("category"))
+
+
+ORACLES["facet_complement"] = """
+WITH hits AS (SELECT doc_id FROM documents WHERE n_chars >= 150),
+n AS (SELECT (SELECT count(*) FROM hits) >
+             (SELECT count(*) FROM documents) * 0.6 AS used)
+SELECT d.lang AS category, CAST(count(*) AS BIGINT) AS count,
+       (SELECT used FROM n) AS used_complements
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.lang HAVING count(*) > 0 ORDER BY category
+"""
+QUERIES["facet_complement"] = q_facet_complement

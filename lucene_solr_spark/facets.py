@@ -52,3 +52,50 @@ def sum_associations(assoc: DataFrame) -> DataFrame:
         )
         .select("category", "sum_int", "sum_float")
     )
+
+
+DEFAULT_COMPLEMENT_THRESHOLD = 0.6
+DISABLE_COMPLEMENT = float("inf")
+FORCE_COMPLEMENT = 0.0
+
+
+def complement_facet_counts(doc_cats: DataFrame, hits: DataFrame,
+                            num_docs: int, num_hits: int,
+                            totals: DataFrame = None,
+                            complement_threshold: float =
+                            DEFAULT_COMPLEMENT_THRESHOLD):
+    """Complement facet counting (facet/complements/
+    TotalFacetCounts.java + ComplementCountingAggregator.java:37-49,
+    StandardFacetsAccumulator.java:77-151,250-252): when the hit set
+    covers MORE than ``numDocs * complementThreshold`` of the index
+    (0.6 default; 0 forces, +inf disables), count categories over the
+    COMPLEMENT of the hits and subtract from the cached per-category
+    totals — the aggregator literally decrements the totals array.
+
+    Relational shape: ``totals`` is the TotalFacetCountsCache analogue
+    (pass a persisted/broadcast-reused DataFrame; recomputed here when
+    absent), the complement is one anti-join (cheap by construction —
+    it is the SMALL side when complementing fires), and the subtract
+    is a left join on the category key. At 100 TB this converts a
+    90%-selectivity facet from a shuffle over 90% of the corpus into
+    one over 10% of it. Returns (counts_df, used_complements)."""
+    use = num_hits > num_docs * complement_threshold
+    if not use:
+        direct = (doc_cats.join(hits.select("doc_id"), "doc_id",
+                                "semi")
+                  .groupBy("category")
+                  .agg(F.count(F.lit(1)).cast("long").alias("count")))
+        return direct, False
+    if totals is None:
+        totals = (doc_cats.groupBy("category")
+                  .agg(F.count(F.lit(1)).cast("long").alias("total")))
+    comp = (doc_cats.join(hits.select("doc_id"), "doc_id", "anti")
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).cast("long").alias("comp")))
+    out = (totals.join(comp, "category", "left")
+           .select("category",
+                   (F.col("total")
+                    - F.coalesce(F.col("comp"), F.lit(0)))
+                   .cast("long").alias("count"))
+           .filter(F.col("count") > 0))
+    return out, True

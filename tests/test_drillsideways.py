@@ -62,3 +62,53 @@ def test_single_dim_degenerates_to_plain_facet(spark):
     got = {(r["dim"], r["value"]): r["cnt"] for r in out}
     # relaxing the only filter = facet over the raw base hits
     assert got[("lang", "en")] == 2 and got[("lang", "fr")] == 2
+
+
+# ---------------------------------------------------------------------------
+# Complement facet counting (facet/complements)
+# ---------------------------------------------------------------------------
+
+def test_complement_counts_equal_direct(spark):
+    """The reference invariant: complement-path counts == direct
+    counts (TestTotalFacetCounts); the 0.6 threshold / force /
+    disable rules (StandardFacetsAccumulator.java:77-99,250-252)."""
+    from lucene_solr_spark.facets import (
+        DISABLE_COMPLEMENT,
+        FORCE_COMPLEMENT,
+        complement_facet_counts,
+    )
+
+    cats = spark.createDataFrame(
+        [(d, c) for d in range(20)
+         for c in (["even"] if d % 2 == 0 else ["odd"])
+         + (["small"] if d < 5 else [])],
+        "doc_id long, category string")
+    hits = spark.createDataFrame(
+        [(d,) for d in range(16)], "doc_id long")  # 16/20 = 0.8 > 0.6
+
+    out, used = complement_facet_counts(cats, hits, 20, 16)
+    assert used is True
+    got = {r["category"]: r["count"] for r in out.collect()}
+    assert got == {"even": 8, "odd": 8, "small": 5}
+
+    # under the threshold: direct path
+    small_hits = spark.createDataFrame(
+        [(d,) for d in range(4)], "doc_id long")
+    out2, used2 = complement_facet_counts(cats, small_hits, 20, 4)
+    assert used2 is False
+    got2 = {r["category"]: r["count"] for r in out2.collect()}
+    assert got2 == {"even": 2, "odd": 2, "small": 4}
+
+    # force / disable override the ratio
+    _o3, used3 = complement_facet_counts(
+        cats, small_hits, 20, 4, complement_threshold=FORCE_COMPLEMENT)
+    assert used3 is True
+    _o4, used4 = complement_facet_counts(
+        cats, hits, 20, 16, complement_threshold=DISABLE_COMPLEMENT)
+    assert used4 is False
+    # zero-count categories drop (the counter array's untouched-0 rows)
+    out5, _ = complement_facet_counts(
+        cats, hits.filter("doc_id % 2 = 0"), 20, 8,
+        complement_threshold=FORCE_COMPLEMENT)
+    got5 = {r["category"]: r["count"] for r in out5.collect()}
+    assert "odd" not in got5 and got5["even"] == 8

@@ -356,6 +356,73 @@ def main() -> None:
          plan.count("HashAggregate") >= 2),
     ]))
 
+    plan = fmt(QUERIES["payload_encoders"](spark, sf))
+    sections.append(("Payload-annotating filters (decoded-bytes sums)",
+                     plan, [
+        ("one documents scan, one Arrow stage",
+         plan.count(") ArrowEvalPython") == 1
+         and plan.count(") Scan parquet") == 1),
+        ("only the output-ordering shuffle",
+         plan.count(") Exchange") <= 1),
+    ]))
+
+    plan = fmt(QUERIES["dih_line_import"](spark, sf))
+    sections.append(("DIH line import (accept/skip + transformers)",
+                     plan, [
+        ("whole chain in codegen — NO Python stage",
+         "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+         and "MapInPandas" not in plan),
+        ("accept/skip rlike filter at the scan",
+         "RLIKE" in plan and "Scan parquet" in plan),
+    ]))
+
+    plan = fmt(QUERIES["lowercase_filters"](spark, sf))
+    sections.append(("Language lowercase filters (derived variants)",
+                     plan, [
+        ("variant derivation JVM-side, rule walk Arrow-batched",
+         "ArrowEvalPython" in plan and "translate" in plan),
+    ]))
+
+    plan = fmt(QUERIES["hunspell_stems"](spark, sf))
+    sections.append(("Hunspell stems (vocabulary dictionary)", plan, [
+        ("stemming Arrow-batched over the distinct vocab",
+         "ArrowEvalPython" in plan),
+        ("vocab distinct is a partial agg below its shuffle",
+         plan.count("HashAggregate") >= 2),
+    ]))
+
+    plan = fmt(QUERIES["xpath_records"](spark, sf))
+    sections.append(("XPathRecordReader extraction", plan, [
+        ("XML rendered in codegen, extracted in ONE Arrow stage",
+         plan.count(") ArrowEvalPython") == 1),
+        ("no cartesian", "CartesianProduct" not in plan),
+    ]))
+
+    plan = fmt(QUERIES["strdist_jw"](spark, sf))
+    sections.append(("JaroWinkler over the vocabulary", plan, [
+        ("similarity Arrow-batched after the distinct",
+         "ArrowEvalPython" in plan),
+        ("distinct partial agg below the shuffle",
+         plan.count("HashAggregate") >= 2),
+    ]))
+
+    plan = fmt(QUERIES["doc_transformers"](spark, sf))
+    sections.append(("fl doc transformers", plan, [
+        ("augmenters fused into the projection — no extra join "
+         "(only the hydration join)",
+         "CartesianProduct" not in plan),
+        ("no Python stage for the augmenter columns",
+         "BatchEvalPython" not in plan),
+    ]))
+
+    plan = fmt(QUERIES["early_term_prefix"](spark, sf))
+    sections.append(("Early-terminating prefix (cap-bounded read)",
+                     plan, [
+        ("no global sort of the doc set (prefix already collected; "
+         "output is the tiny capped table)",
+         "CartesianProduct" not in plan),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
