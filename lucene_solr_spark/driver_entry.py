@@ -14241,3 +14241,88 @@ FROM documents d JOIN hits USING (doc_id)
 GROUP BY d.lang HAVING count(*) > 0 ORDER BY category
 """
 QUERIES["facet_complement"] = q_facet_complement
+
+
+Q_PF2 = "table hash join"   # pf2: windows (table hash), (hash join)
+
+
+def q_edismax_pf2(spark, sf_dir):
+    """edismax pf2 shingled phrase boost (ExtendedDismaxQParser
+    .addPhraseFieldQueries :196-228 + addShingledPhraseQueries
+    :495-560): sliding bigram windows of the query words, each an
+    exact PhraseQuery SHOULD clause on the pf2 field with the boost
+    folded into the phrase weight; window scores sum double-acc (one
+    sub-BooleanQuery of SHOULD phrases) and add f32 to the dismax
+    main score."""
+    mfs = _mf_searcher(spark, sf_dir)
+    return _topk_double(mfs.edismax(
+        Q_PF2, qf={"title": 1.0, "content": 1.0},
+        tie=EDISMAX_PF_TIE, k=TOP_K,
+        pf2={"content": EDISMAX_PF_BOOST},
+    ))
+
+
+def _pf2_oracle() -> str:
+    tie_lit = repr(float(F32(EDISMAX_PF_TIE))) + "e0"
+    b_lit = repr(float(F32(EDISMAX_PF_BOOST))) + "e0"
+    words = Q_PF2.split()
+    legs, clauses = [], []
+    for i, w in enumerate(words):
+        legs.append(_mf_leg_sql(f"p2t{i}", w, 1.0, title=True))
+        legs.append(_mf_leg_sql(f"p2c{i}", w, 1.0, title=False))
+        clauses.append(_mf_dismax_clause_sql(
+            f"p2d{i}", f"p2t{i}", f"p2c{i}", tie_lit))
+    wins = [(words[i], words[i + 1]) for i in range(len(words) - 1)]
+    win_ctes = []
+    for i, (a, b) in enumerate(wins):
+        win_ctes.append(f"""
+w{i}q AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM tpos2 p0 JOIN tpos2 p1
+    ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = '{a}' AND p1.term = '{b}'
+  GROUP BY p0.doc_id
+),
+w{i}s AS (
+  SELECT q.doc_id,
+    CAST(CAST((
+      SELECT CAST(CAST(CAST((SELECT idfv FROM weights WHERE term='{a}')
+                  + (SELECT idfv FROM weights WHERE term='{b}')
+                  AS FLOAT) * {b_lit} AS FLOAT) * {K1P1_LIT} AS FLOAT)
+    ) * q.pf AS FLOAT)
+         / CAST(q.pf + c.nrm AS FLOAT) AS FLOAT) AS ps
+  FROM w{i}q q JOIN cachev c ON q.doc_id = c.doc_id
+)""")
+    return (ORACLE_PRELUDE + _title_ctes() + ","
+            + ",".join(legs) + "," + ",".join(clauses) + f"""
+, tpos2 AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+),{",".join(win_ctes)},
+shsum AS (
+  SELECT doc_id, CAST(SUM(CAST(ps AS DOUBLE)) AS FLOAT) AS shp
+  FROM ({' UNION ALL '.join(f'SELECT * FROM w{i}s'
+                            for i in range(len(wins)))})
+  GROUP BY doc_id
+),
+mainq2 AS (
+  SELECT doc_id, CAST(SUM(CAST(dm AS DOUBLE)) AS FLOAT) AS ms
+  FROM ({' UNION ALL '.join(f'SELECT * FROM p2d{i}'
+                            for i in range(len(words)))})
+  GROUP BY doc_id
+)
+SELECT m.doc_id,
+  CAST(CAST(m.ms + COALESCE(s.shp, CAST(0 AS FLOAT)) AS FLOAT)
+       AS DOUBLE) AS score
+FROM mainq2 m LEFT JOIN shsum s ON m.doc_id = s.doc_id
+ORDER BY score DESC, m.doc_id ASC LIMIT {TOP_K}
+""")
+
+
+ORACLES["edismax_pf2_top10"] = _pf2_oracle()
+QUERIES["edismax_pf2_top10"] = q_edismax_pf2

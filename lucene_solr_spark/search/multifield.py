@@ -81,7 +81,8 @@ class MultiFieldSearcher:
         return self.searchers[field].search(query_text, k=k, **kw)
 
     def _clause_leg(self, field: str, word: str, boost: float,
-                    phrase: bool = False) -> Optional[DataFrame]:
+                    phrase: bool = False,
+                    slop: int = 0) -> Optional[DataFrame]:
         """All-match (doc_id, score f32) for one (clause, field) leg,
         with the qf boost folded into the term weight exactly as the
         parser's ``term^boost`` path (f32(f32(idf)*f32(boost))*(k1+1),
@@ -101,6 +102,8 @@ class MultiFieldSearcher:
             return s.search(toks[0], k=None, similarity=sim)
         if phrase:
             q = '"' + " ".join(toks) + '"'
+            if slop:
+                q += f"~{slop}"
         else:
             q = " ".join(t for t in toks)
         if boost != 1.0:
@@ -117,6 +120,10 @@ class MultiFieldSearcher:
         min_should_match=0,
         bf: Optional[DataFrame] = None,
         bq: Optional[Dict[str, str]] = None,
+        pf2: Optional[Dict[str, float]] = None,
+        pf3: Optional[Dict[str, float]] = None,
+        ps2: int = 0,
+        ps3: int = 0,
     ) -> DataFrame:
         """(e)dismax main query: per whitespace clause, DisjunctionMax
         over ``qf`` fields with ``tie``; clauses summed (double acc);
@@ -209,6 +216,41 @@ class MultiFieldSearcher:
                     "doc_id",
                     _f32(F.col("score")
                          + F.coalesce(F.col("ph"),
+                                      F.lit(0.0).cast("float")))
+                    .alias("score"),
+                )
+        # pf2/pf3 shingled phrase boosts (ExtendedDismaxQParser
+        # .addPhraseFieldQueries :196-228 + addShingledPhraseQueries
+        # :495-560): sliding windows of wordGrams query words, each a
+        # sloppy phrase SHOULD clause over the pf field (boost folded
+        # like pf); all window phrases of one FieldParams sum
+        # double-acc (one sub-BooleanQuery of SHOULD phrases). Windows
+        # need at least minClauseSize=2 surviving tokens — windows the
+        # analyzer empties drop (the reference keeps stopwords via
+        # removeStopFilter; here the pinned chain governs, documented).
+        for n_gram, pfn, psn in ((2, pf2, ps2), (3, pf3, ps3)):
+            if not pfn or len(words) < n_gram:
+                continue
+            legs = []
+            for f_name, boost in pfn.items():
+                for i in range(len(words) - n_gram + 1):
+                    win = " ".join(words[i:i + n_gram])
+                    leg = self._clause_leg(f_name, win, boost,
+                                           phrase=True, slop=psn)
+                    if leg is not None:
+                        legs.append(leg.select(
+                            "doc_id", F.col("score").alias("shp")))
+            if legs:
+                sh = legs[0]
+                for leg in legs[1:]:
+                    sh = sh.unionByName(leg)
+                sh = sh.groupBy("doc_id").agg(
+                    F.sum(F.col("shp").cast("double")).cast("float")
+                    .alias("shp"))
+                main = main.join(sh, "doc_id", "left").select(
+                    "doc_id",
+                    _f32(F.col("score")
+                         + F.coalesce(F.col("shp"),
                                       F.lit(0.0).cast("float")))
                     .alias("score"),
                 )

@@ -132,3 +132,36 @@ class TestMMSpec:
         assert c(4, spec) == 3     # -25% branch
         assert c(10, spec) == 7    # -3 branch (applied after -25%)
         assert c(10, "3<9") == 9
+
+
+def test_pf2_pf3_shingled_phrase_boost(two_fields, small_corpus):
+    """pf2/pf3 (ExtendedDismaxQParser.addShingledPhraseQueries
+    :495-560): bigram windows boost only docs containing the adjacent
+    window phrase; pf3 with fewer query words than the shingle size
+    is a no-op."""
+    from lucene_solr_spark.search.multifield import MultiFieldSearcher
+
+    mfs = MultiFieldSearcher(two_fields)
+    qf = {"content": 1.0, "head": 1.0}
+    # a real adjacent bigram straight from the corpus fixture
+    content = small_corpus[0]["content"]
+    toks = two_fields["content"].analyzer.analyze_with_positions(content)
+    pair = next((t1, t2) for (t1, p1), (t2, p2) in zip(toks, toks[1:])
+                if p2 == p1 + 1 and t1 != t2)
+    q = f"{pair[0]} {pair[1]}"
+    base = {r["doc_id"]: r["score"] for r in mfs.edismax(
+        q, qf=qf, tie=0.5, k=None).collect()}
+    boosted = {r["doc_id"]: r["score"] for r in mfs.edismax(
+        q, qf=qf, tie=0.5, k=None, pf2={"content": 2.0}).collect()}
+    assert set(base) == set(boosted)
+    ph_docs = {r["doc_id"] for r in two_fields["content"].search_phrase(
+        q, k=None).collect()}
+    assert ph_docs
+    for d, s in base.items():
+        if d in ph_docs:
+            assert boosted[d] > s
+        else:
+            assert boosted[d] == s
+    pf3_same = {r["doc_id"]: r["score"] for r in mfs.edismax(
+        q, qf=qf, tie=0.5, k=None, pf3={"content": 2.0}).collect()}
+    assert pf3_same == base
