@@ -14326,3 +14326,44 @@ ORDER BY score DESC, m.doc_id ASC LIMIT {TOP_K}
 
 ORACLES["edismax_pf2_top10"] = _pf2_oracle()
 QUERIES["edismax_pf2_top10"] = q_edismax_pf2
+
+
+def q_schema_xml_fields(spark, sf_dir):
+    """schema.xml parsing feeding the gated IndexSchema application
+    (IndexSchema.readSchema :424-560, loadFields :624-700,
+    registerCopyField :779-830): the schema declares a glob-to-field
+    copy rule and a maxChars-limited copy; documents project through
+    the parsed schema's ONE-select copyField application. The oracle
+    re-derives the destination lists arithmetically."""
+    from lucene_solr_spark.schema import parse_schema_xml
+
+    schema = parse_schema_xml("""<schema name="e" version="1.5">
+     <types><fieldType name="string"/><fieldType name="text"/></types>
+     <fields>
+      <field name="doc_id" type="string"/>
+      <field name="text" type="text"/>
+      <field name="all" type="text" multiValued="true"/>
+      <dynamicField name="*_s" type="string"/>
+     </fields>
+     <uniqueKey>doc_id</uniqueKey>
+     <copyField source="text" dest="all" maxChars="40"/>
+     <copyField source="*_s" dest="all"/>
+    </schema>""")
+    d = _documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text",
+        F.col("lang").alias("lang_s"))
+    out = schema.apply_copy_fields(d)
+    return (out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("all").getItem(0).alias("text40"),
+        F.col("all").getItem(1).alias("langv"),
+        F.size("all").cast("long").alias("n_vals"),
+    ).orderBy("doc_id"))
+
+
+ORACLES["schema_xml_fields"] = """
+SELECT doc_id, substr(text, 1, 40) AS text40, lang AS langv,
+       CAST(2 AS BIGINT) AS n_vals
+FROM documents ORDER BY doc_id
+"""
+QUERIES["schema_xml_fields"] = q_schema_xml_fields

@@ -154,3 +154,140 @@ class IndexSchema:
             arr = F.array_compact(F.array(*parts))
             out = out.withColumn(target, arr)
         return out
+
+
+def parse_schema_xml(xml_text: str) -> "IndexSchema":
+    """schema.xml -> IndexSchema (IndexSchema.readSchema :424-560,
+    loadFields :624-700, loadCopyFields :560-600, registerCopyField
+    :779-830). Rules kept:
+
+    - /schema@name (missing -> warning-only, name None) and @version
+      (default 1.0);
+    - <field>/<dynamicField> under <fields>: name+type required,
+      duplicate <field> names throw, dynamicField names must carry
+      EXACTLY one asterisk at the start or end (isValidFieldGlob
+      :718-725) else throw; required/default attrs tracked;
+    - <copyField source dest maxChars>: unparsable maxChars copies
+      the whole field (warn path), a copyField dest equal to the
+      uniqueKey throws, a source/dest containing '*' that is not a
+      valid glob throws;
+    - <uniqueKey>: must resolve to a field; a default value on it
+      throws, multiValued="true" on it throws;
+    - <defaultSearchField>: must be a defined field else throw;
+    - <solrQueryParser defaultOperator>, <similarity class> carried
+      through as strings (the similarity name plugs the gated
+      functions/similarity.py registry).
+
+    FieldType definitions (<types>) are plugin instantiation in the
+    reference; here the type NAME is the schema-level contract (the
+    IndexSchema row's documented stance) and the listed type names
+    are accepted as declared."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(xml_text)
+    if root.tag != "schema":
+        raise SchemaError("root element must be <schema>")
+    name = root.get("name")
+    version = float(root.get("version", "1.0"))
+    declared_types = {t.get("name")
+                     for t in root.iter()
+                     if t.tag in ("fieldType", "fieldtype")}
+
+    def _valid_glob(n: str) -> bool:
+        return ((n.startswith("*") or n.endswith("*"))
+                and n.count("*") == 1)
+
+    fields: dict = {}
+    dynamic: dict = {}
+    meta: dict = {}
+    for node in root.iter():
+        if node.tag not in ("field", "dynamicField"):
+            continue
+        fname = node.get("name")
+        ftype = node.get("type")
+        if fname is None or ftype is None:
+            raise SchemaError("field definition needs name and type")
+        if declared_types and ftype not in declared_types:
+            raise SchemaError(
+                f"Unknown fieldType '{ftype}' specified on field "
+                f"{fname}")
+        args = {k: v for k, v in node.attrib.items()
+                if k not in ("name", "type")}
+        if node.tag == "field":
+            if fname in fields:
+                raise SchemaError(
+                    f"[schema.xml] Duplicate field definition for "
+                    f"'{fname}'")
+            fields[fname] = ftype
+            meta[fname] = args
+        else:
+            if not _valid_glob(fname):
+                raise SchemaError(
+                    f"Dynamic field name '{fname}' should have either "
+                    "a leading or a trailing asterisk, and no others.")
+            if fname in dynamic:
+                raise SchemaError(
+                    f"[schema.xml] Duplicate DynamicField definition "
+                    f"for '{fname}'")
+            dynamic[fname] = ftype
+            meta[fname] = args
+
+    uk_el = root.find("uniqueKey")
+    unique_key = uk_el.text.strip() if uk_el is not None else None
+    if unique_key is not None:
+        if unique_key not in fields:
+            raise SchemaError(f"unknown field '{unique_key}'")
+        uk_meta = meta.get(unique_key, {})
+        if uk_meta.get("default") is not None:
+            raise SchemaError(
+                f"uniqueKey field ({unique_key}) can not be "
+                "configured with a default value")
+        if uk_meta.get("multiValued", "").lower() == "true":
+            raise SchemaError(
+                f"uniqueKey field ({unique_key}) can not be "
+                "configured to be multivalued")
+
+    copy_rules = []
+    for cf in root.iter("copyField"):
+        src, dst = cf.get("source"), cf.get("dest")
+        if src is None or dst is None:
+            raise SchemaError("copyField definition needs source/dest")
+        mc = cf.get("maxChars")
+        try:
+            max_chars = int(mc) if mc is not None else 0
+        except ValueError:
+            # warn path: the whole field will be copied
+            max_chars = 0
+        for label, v in (("source", src), ("dest", dst)):
+            if "*" in v and not _valid_glob(v):
+                raise SchemaError(
+                    f"copyField {label} :'{v}' is an invalid glob: "
+                    "either it contains more than one asterisk, or "
+                    "the asterisk occurs neither at the start nor at "
+                    "the end.")
+        if unique_key is not None and dst == unique_key:
+            raise SchemaError(
+                f"uniqueKey field ({unique_key}) can not be the dest "
+                f"of a copyField (source={src})")
+        copy_rules.append((src, dst, max_chars))
+
+    schema = IndexSchema(fields, dynamic, copy_rules,
+                         unique_key=unique_key)
+    schema.name = name
+    schema.version = version
+    schema.field_meta = meta
+    dsf = root.find("defaultSearchField")
+    schema.default_search_field = (dsf.text.strip()
+                                   if dsf is not None else None)
+    if (schema.default_search_field is not None
+            and schema.default_search_field not in fields):
+        raise SchemaError(
+            f"default search field '{schema.default_search_field}' "
+            "not defined or not indexed")
+    qp = root.find("solrQueryParser")
+    schema.default_operator = (qp.get("defaultOperator")
+                               if qp is not None else None)
+    sim = root.find("similarity")
+    schema.similarity_class = (sim.get("class")
+                               if sim is not None else None)
+    return schema

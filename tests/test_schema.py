@@ -58,3 +58,97 @@ def test_copyfield_unknown_dest_raises(spark):
     d = spark.createDataFrame([(1, "v")], "id long, a string")
     with pytest.raises(SchemaError, match="destination"):
         sch.apply_copy_fields(d)
+
+
+# ---------------------------------------------------------------------------
+# schema.xml parsing (IndexSchema.readSchema)
+# ---------------------------------------------------------------------------
+
+SCHEMA_XML = """<schema name="test" version="1.5">
+ <types><fieldType name="string"/><fieldType name="text"/></types>
+ <fields>
+  <field name="id" type="string" required="true"/>
+  <field name="title" type="text"/>
+  <field name="all" type="text" multiValued="true"/>
+  <dynamicField name="*_s" type="string"/>
+ </fields>
+ <uniqueKey>id</uniqueKey>
+ <defaultSearchField>title</defaultSearchField>
+ <solrQueryParser defaultOperator="AND"/>
+ <similarity class="solr.BM25SimilarityFactory"/>
+ <copyField source="title" dest="all" maxChars="100"/>
+ <copyField source="*_s" dest="all"/>
+</schema>"""
+
+
+def test_parse_schema_xml_happy_path():
+    from lucene_solr_spark.schema import parse_schema_xml
+
+    s = parse_schema_xml(SCHEMA_XML)
+    assert s.name == "test" and s.version == 1.5
+    assert s.unique_key == "id"
+    assert s.default_search_field == "title"
+    assert s.default_operator == "AND"
+    assert s.similarity_class == "solr.BM25SimilarityFactory"
+    assert s.fields == {"id": "string", "title": "text", "all": "text"}
+    assert s.copy_fields == [("title", "all", 100), ("*_s", "all", 0)]
+    assert s.field_type("foo_s") == "string"
+    assert s.field_meta["id"]["required"] == "true"
+
+
+def test_parse_schema_xml_rule_violations():
+    """readSchema/loadFields/registerCopyField throw rules."""
+    import pytest
+
+    from lucene_solr_spark.schema import SchemaError, parse_schema_xml
+
+    with pytest.raises(SchemaError, match="Duplicate field"):
+        parse_schema_xml("""<schema><fields>
+          <field name="a" type="t"/><field name="a" type="t"/>
+          </fields></schema>""")
+    with pytest.raises(SchemaError, match="leading or a trailing"):
+        parse_schema_xml("""<schema><fields>
+          <dynamicField name="a*b" type="t"/></fields></schema>""")
+    with pytest.raises(SchemaError, match="Unknown fieldType"):
+        parse_schema_xml("""<schema>
+          <types><fieldType name="t"/></types>
+          <fields><field name="a" type="nope"/></fields></schema>""")
+    with pytest.raises(SchemaError, match="can not be the dest"):
+        parse_schema_xml("""<schema><fields>
+          <field name="id" type="t"/><field name="b" type="t"/>
+          </fields><uniqueKey>id</uniqueKey>
+          <copyField source="b" dest="id"/></schema>""")
+    with pytest.raises(SchemaError, match="default value"):
+        parse_schema_xml("""<schema><fields>
+          <field name="id" type="t" default="x"/></fields>
+          <uniqueKey>id</uniqueKey></schema>""")
+    with pytest.raises(SchemaError, match="multivalued"):
+        parse_schema_xml("""<schema><fields>
+          <field name="id" type="t" multiValued="true"/></fields>
+          <uniqueKey>id</uniqueKey></schema>""")
+    with pytest.raises(SchemaError, match="invalid glob"):
+        parse_schema_xml("""<schema><fields>
+          <field name="a" type="t"/><field name="b" type="t"/>
+          </fields><copyField source="a*b" dest="b"/></schema>""")
+    with pytest.raises(SchemaError, match="not defined"):
+        parse_schema_xml("""<schema><fields>
+          <field name="a" type="t"/></fields>
+          <defaultSearchField>zzz</defaultSearchField></schema>""")
+    # unparsable maxChars -> whole field copied (warn path)
+    s = parse_schema_xml("""<schema><fields>
+      <field name="a" type="t"/><field name="b" type="t"/>
+      </fields><copyField source="a" dest="b" maxChars="xx"/>
+      </schema>""")
+    assert s.copy_fields == [("a", "b", 0)]
+
+
+def test_parsed_schema_applies_copy_fields(spark):
+    """The XML-parsed schema drives the SAME gated copyField
+    application as the programmatic form."""
+    from lucene_solr_spark.schema import parse_schema_xml
+
+    s = parse_schema_xml(SCHEMA_XML)
+    df = spark.createDataFrame(
+        [("1", "hello world", "sv")], "id string, title string, x_s string")
+    out = s.apply_copy_fields(df).collect()[0]
+    assert out["all"] == ["hello world", "sv"]
