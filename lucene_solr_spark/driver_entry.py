@@ -14111,7 +14111,7 @@ def q_benchmark_feeds(spark, sf_dir):
     from pyspark.sql.functions import pandas_udf
 
     from lucene_solr_spark.sources.benchmark_feeds import (
-        enwiki_pages, parse_line_doc)
+        enwiki_pages, parse_line_doc, trec_fbis_parse, trec_records)
 
     d = _documents(spark, sf_dir).select(
         "doc_id",
@@ -14128,28 +14128,43 @@ def q_benchmark_feeds(spark, sf_dir):
             F.split(F.col("text"), " ").getItem(1),
             F.lit("</text></revision></page></mediawiki>"),
         ).alias("wiki"),
+        F.concat(
+            F.lit("junk\n<DOC>\n<DOCNO> D"), F.col("doc_id"),
+            F.lit(" </DOCNO>\n<HEADER><DATE1> "), F.col("lang"),
+            F.lit(" </DATE1><TI> T"), F.col("doc_id"),
+            F.lit(" </TI></HEADER>\n"), F.col("text"),
+            F.lit("\n</DOC>\ntrailing"),
+        ).alias("trec"),
     )
 
     @pandas_udf("struct<title:string,ldate:string,body_len:long,"
-                "wdate:string,wid:string>")
-    def feeds(lines: pd.Series, wikis: pd.Series) -> pd.DataFrame:
+                "wdate:string,wid:string,tname:string,tdate:string,"
+                "ttitle:string>")
+    def feeds(lines: pd.Series, wikis: pd.Series,
+              trecs: pd.Series) -> pd.DataFrame:
         rows = []
-        for line, wiki in zip(lines, wikis):
+        for line, wiki, trec in zip(lines, wikis, trecs):
             ld = parse_line_doc(line)
-            pages = enwiki_pages(wiki)
-            p = pages[0]
+            p = enwiki_pages(wiki)[0]
+            (tn, tb), = trec_records(trec)
+            td = trec_fbis_parse(tn, tb)
             rows.append((ld["title"], ld["date"], len(ld["body"]),
-                         p["date"], p["id"]))
-        return pd.DataFrame(rows, columns=["title", "ldate",
-                                           "body_len", "wdate", "wid"])
+                         p["date"], p["id"], td["name"], td["date"],
+                         td["title"]))
+        return pd.DataFrame(rows, columns=[
+            "title", "ldate", "body_len", "wdate", "wid", "tname",
+            "tdate", "ttitle"])
 
     return (
-        d.select("doc_id", feeds("line", "wiki").alias("f"))
+        d.select("doc_id", feeds("line", "wiki", "trec").alias("f"))
         .select("doc_id", F.col("f.title").alias("title"),
                 F.col("f.ldate").alias("ldate"),
                 F.col("f.body_len").alias("body_len"),
                 F.col("f.wdate").alias("wdate"),
-                F.col("f.wid").alias("wid"))
+                F.col("f.wid").alias("wid"),
+                F.col("f.tname").alias("tname"),
+                F.col("f.tdate").alias("tdate"),
+                F.col("f.ttitle").alias("ttitle"))
         .orderBy("doc_id")
     )
 
@@ -14162,7 +14177,10 @@ SELECT doc_id,
        '15-' || (['JAN','FEB','MAR','APR','MAY','JUN','JUL','AUG',
                   'SEP','OCT','NOV','DEC'])[(n_chars % 12) + 1]
             || '-2004 04:12:09.000' AS wdate,
-       CAST(doc_id AS VARCHAR) AS wid
+       CAST(doc_id AS VARCHAR) AS wid,
+       'D' || CAST(doc_id AS VARCHAR) || '_0' AS tname,
+       lang AS tdate,
+       'T' || CAST(doc_id AS VARCHAR) AS ttitle
 FROM documents ORDER BY doc_id
 """
 QUERIES["benchmark_feeds"] = q_benchmark_feeds

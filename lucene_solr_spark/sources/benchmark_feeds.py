@@ -193,3 +193,128 @@ def enwiki_pages(xml_text: str, keep_images: bool = False):
             "id": rec.get("id"),
         })
     return out
+
+
+# ---------------------------------------------------------------------------
+# The full TREC parser family (TrecDocParser subclasses)
+# ---------------------------------------------------------------------------
+
+def _extract_noisy(buf: str, start_tag: str, end_tag: str,
+                   max_pos: int, noise_prefixes) -> Optional[str]:
+    """TrecDocParser.extract (:112-129) WITH noise prefixes: each
+    listed prefix found inside the tag range advances the start past
+    it (sequential, last one wins)."""
+    k1 = buf.find(start_tag)
+    if k1 >= 0 and (max_pos < 0 or k1 < max_pos):
+        k1 += len(start_tag)
+        k2 = buf.find(end_tag, k1)
+        if k2 >= 0 and (max_pos < 0 or k2 < max_pos):
+            if noise_prefixes:
+                for noise in noise_prefixes:
+                    k1a = buf.find(noise, k1)
+                    if 0 <= k1a < k2:
+                        k1 = k1a + len(noise)
+            return buf[k1:k2].strip()
+    return None
+
+
+def trec_gov2_parse(name: str, docbuf: str) -> Dict[str, Optional[str]]:
+    """TrecGov2Parser (:29-49): 'Date: ' extracted inside the
+    DOCHDR block; everything past </DOCHDR> is the HTML payload
+    (handed to the HTML parser — here the gated html_text chain's
+    scalar twin via strip_tags for the body)."""
+    date = None
+    start = 0
+    h1 = docbuf.find("<DOCHDR>")
+    if h1 >= 0:
+        h2 = docbuf.find("</DOCHDR>", h1)
+        date = _extract_noisy(docbuf, "Date: ", "\n", h2, None)
+        start = h2 + len("</DOCHDR>")
+    html = docbuf[start:]
+    return {"name": name, "date": date, "title": None,
+            "body": strip_tags(html)}
+
+
+def trec_latimes_parse(name: str, docbuf: str) -> Dict[str, Optional[str]]:
+    """TrecLATimesParser (:28-55): DATE truncated after 'day,' (+3
+    chars, keeping the day number), tags stripped; title = SUBJECT
+    else HEADLINE, tag-stripped and trimmed; whole record is body."""
+    date = _extract_noisy(docbuf, "<DATE>", "</DATE>", -1, None)
+    if date is not None:
+        d2a = date.find("day,")
+        if d2a > 0:
+            date = date[:d2a + 3]
+        date = strip_tags(date).strip()
+    title = _extract_noisy(docbuf, "<SUBJECT>", "</SUBJECT>", -1, None)
+    if title is None:
+        title = _extract_noisy(docbuf, "<HEADLINE>", "</HEADLINE>",
+                               -1, None)
+    if title is not None:
+        title = strip_tags(title).strip()
+    return {"name": name, "date": date, "title": title,
+            "body": strip_tags(docbuf)}
+
+
+def trec_ft_parse(name: str, docbuf: str) -> Dict[str, Optional[str]]:
+    """TrecFTParser (:28-48): plain DATE + HEADLINE extraction over
+    the whole record."""
+    date = _extract_noisy(docbuf, "<DATE>", "</DATE>", -1, None)
+    title = _extract_noisy(docbuf, "<HEADLINE>", "</HEADLINE>", -1,
+                           None)
+    return {"name": name, "date": date, "title": title,
+            "body": strip_tags(docbuf)}
+
+
+_FR94_NOISE = ["DATE:", "date:", "t.c."]
+
+
+def trec_fr94_parse(name: str, docbuf: str) -> Dict[str, Optional[str]]:
+    """TrecFR94Parser (:28-52): DATE only inside the TEXT block with
+    the DATE:/date:/t.c. noise prefixes skipped; body starts past
+    <TEXT> (mark = h1 + len), tag-stripped; no title."""
+    date = None
+    mark = 0
+    h1 = docbuf.find("<TEXT>")
+    if h1 >= 0:
+        h2 = docbuf.find("</TEXT>", h1)
+        mark = h1 + len("<TEXT>")
+        date = _extract_noisy(docbuf, "<DATE>", "</DATE>", h2,
+                              _FR94_NOISE)
+        if date is not None:
+            date = strip_tags(date).strip()
+    return {"name": name, "date": date, "title": None,
+            "body": strip_tags(docbuf[mark:])}
+
+
+_PATH_TYPE_PARSERS = {
+    "GOV2": trec_gov2_parse,
+    "FBIS": trec_fbis_parse,
+    "FT": trec_ft_parse,
+    "FR94": trec_fr94_parse,
+    "LATIMES": trec_latimes_parse,
+}
+
+
+def trec_path_type(path: str, max_walk: int = 10) -> str:
+    """TrecDocParser.pathType (:58-68): walk up at most
+    MAX_PATH_LENGTH ancestors looking for a known path-type name
+    (upper-cased); default GOV2."""
+    import os
+
+    f = path
+    for _ in range(max_walk - 1):
+        if not f:
+            break
+        name = os.path.basename(f).upper()
+        if name in _PATH_TYPE_PARSERS:
+            return name
+        parent = os.path.dirname(f)
+        if parent == f:
+            break
+        f = parent
+    return "GOV2"
+
+
+def trec_parse_by_path(name: str, docbuf: str, path: str):
+    """TrecParserByPath: dispatch on the record file's path type."""
+    return _PATH_TYPE_PARSERS[trec_path_type(path)](name, docbuf)

@@ -117,3 +117,63 @@ def test_enwiki_pages():
     assert p["body"] == "alpha body with tab and newline"
     # keepImages keeps the Image: page
     assert len(enwiki_pages(ENWIKI, keep_images=True)) == 2
+
+
+def test_trec_gov2_parse():
+    from lucene_solr_spark.sources.benchmark_feeds import trec_gov2_parse
+
+    buf = ("<DOCHDR>\nHTTP/1.0 200 OK\n"
+           "Date: Tue, 09 Dec 2003 22:39:08 GMT\nContent-Length: 10\n"
+           "</DOCHDR>\n<html><b>hi</b> there</html>")
+    d = trec_gov2_parse("G_0", buf)
+    assert d["date"] == "Tue, 09 Dec 2003 22:39:08 GMT"
+    assert "hi  there" in d["body"] and "<b>" not in d["body"]
+    assert "Content-Length" not in d["body"]    # header skipped
+    # no DOCHDR: whole record is the html payload, date None
+    d2 = trec_gov2_parse("G_1", "<html>x</html>")
+    assert d2["date"] is None and d2["body"].strip() == "x"
+
+
+def test_trec_latimes_parse():
+    from lucene_solr_spark.sources.benchmark_feeds import (
+        trec_latimes_parse)
+
+    buf = ("<DATE><P>December 9, 1991, Monday, Home Edition</P></DATE>\n"
+           "<HEADLINE><P>Big News;</P></HEADLINE>\nbody here")
+    d = trec_latimes_parse("L_0", buf)
+    # 'day,' noise: truncated right after the day-name (keeps 'day')
+    assert d["date"] == "December 9, 1991, Monday"
+    assert d["title"] == "Big News;"
+    # SUBJECT wins over HEADLINE when both exist
+    buf2 = ("<SUBJECT><P>Subj</P></SUBJECT><HEADLINE><P>H</P>"
+            "</HEADLINE>")
+    assert trec_latimes_parse("L", buf2)["title"] == "Subj"
+
+
+def test_trec_ft_and_fr94_parse():
+    from lucene_solr_spark.sources.benchmark_feeds import (
+        trec_fr94_parse, trec_ft_parse)
+
+    d = trec_ft_parse("F", "<DATE>940102</DATE>"
+                           "<HEADLINE>FT Head</HEADLINE>text")
+    assert d["date"] == "940102" and d["title"] == "FT Head"
+    # FR94: date only inside TEXT, noise prefixes skipped, body from
+    # past <TEXT>
+    d2 = trec_fr94_parse(
+        "R", "pre <TEXT>stuff <DATE> DATE: 02/02/94</DATE> tail</TEXT>")
+    assert d2["date"] == "02/02/94"
+    assert "pre" not in d2["body"] and "stuff" in d2["body"]
+    assert d2["title"] is None
+
+
+def test_trec_path_type_dispatch():
+    from lucene_solr_spark.sources.benchmark_feeds import (
+        trec_parse_by_path, trec_path_type)
+
+    assert trec_path_type("/data/trec/FBIS/FB396001") == "FBIS"
+    assert trec_path_type("/data/trec/LATIMES/file") == "LATIMES"
+    assert trec_path_type("/somewhere/else") == "GOV2"   # default
+    d = trec_parse_by_path(
+        "N", "<HEADER><DATE1> 1 March 1994 </DATE1></HEADER>b",
+        "/trec/fbis/f1")
+    assert d["date"] == "1 March 1994"
