@@ -418,3 +418,166 @@ class VariableResolver:
                 parts = k.split(".")
                 _lvl, cur = self._current_level(parts)
                 cur[parts[-1]] = v
+
+
+# ---------------------------------------------------------------------------
+# DIH evaluators (Evaluator.java:73-135 + the four built-ins)
+# ---------------------------------------------------------------------------
+
+class VariableWrapper:
+    """Evaluator.VariableWrapper (:112-130): a lazily-resolved
+    parameter naming a resolver variable."""
+
+    def __init__(self, var_name: str, vr: VariableResolver):
+        self.var_name = var_name
+        self.vr = vr
+
+    def resolve(self):
+        return self.vr.resolve(self.var_name)
+
+    def __str__(self):
+        o = self.resolve()
+        return "" if o is None else str(o)
+
+
+def parse_params(expression: str, vr: VariableResolver) -> list:
+    """Evaluator.parseParams (:73-110): comma split; 'single-quoted'
+    strings re-join across commas (unterminated throws) with \\'
+    unescaped; digit-leading tokens parse as Double — an INVALID
+    number whose text resolves as a variable is silently DROPPED
+    (the reference adds nothing on that branch, kept bug-compatible),
+    unresolvable ones throw; everything else wraps lazily."""
+    result = []
+    ss = [p for p in expression.strip().split(",")]
+    i = 0
+    while i < len(ss):
+        tok = ss[i].strip()
+        if tok.startswith("'"):
+            sb = [tok]
+            while not sb[-1].endswith("'") or "".join(sb) == "'":
+                i += 1
+                if i >= len(ss):
+                    raise ValueError(
+                        f"invalid string at {ss[i - 1]} in function "
+                        f"params: {expression}")
+                sb.append(",")
+                sb.append(ss[i])
+            s = "".join(sb)[1:-1].replace("\\'", "'")
+            result.append(s)
+        elif tok and tok[0].isdigit():
+            try:
+                result.append(float(tok))
+            except ValueError:
+                if vr.resolve(tok) is None or vr.resolve(tok) == "":
+                    raise ValueError(
+                        f"Invalid number :{tok} in parameters "
+                        f"{expression}")
+                # resolvable digit-leading name: dropped (reference
+                # quirk — the catch block never adds a result)
+        else:
+            result.append(VariableWrapper(tok, vr))
+        i += 1
+    return result
+
+
+def escape_query_chars(s: str) -> str:
+    """ClientUtils.escapeQueryChars (solrj ClientUtils.java:224-238)."""
+    special = set('\\+-!():^[]"{}~*?|&;/')
+    out = []
+    for c in s:
+        if c in special or c.isspace():
+            out.append("\\")
+        out.append(c)
+    return "".join(out)
+
+
+def _url_encode(s: str) -> str:
+    """java.net.URLEncoder.encode(s, "UTF-8"): alnum and .-*_ kept,
+    space -> '+', everything else %XX per UTF-8 byte (uppercase)."""
+    out = []
+    for ch in s:
+        if ch.isalnum() and ch.isascii() or ch in ".-*_":
+            out.append(ch)
+        elif ch == " ":
+            out.append("+")
+        else:
+            out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+    return "".join(out)
+
+
+_SDF_MAP = [("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
+            ("HH", "%H"), ("mm", "%M"), ("ss", "%S")]
+
+
+def _sdf_format(dt, pattern: str) -> str:
+    """SimpleDateFormat subset (the letters DIH configs use)."""
+    out = pattern
+    for sdf, strf in _SDF_MAP:
+        out = out.replace(sdf, strf)
+    return dt.strftime(out)
+
+
+def default_evaluators(now=None):
+    """DataImporter.getEvaluators (:515-521): the four built-ins under
+    their registered names, pluggable beside user functions — plug
+    the dict into VariableResolver.evaluators. ``now`` pins
+    formatDate's clock (replay determinism; the reference uses the
+    wall clock)."""
+    from datetime import datetime
+
+    from lucene_solr_spark.functions.datemath import parse_date_math
+
+    if now is None:
+        now = datetime(2024, 1, 3, 7, 45, 0)
+
+    def escape_solr(args: str, vr) -> str:
+        l = parse_params(args, vr)
+        if len(l) != 1:
+            raise ValueError(
+                "'escapeQueryChars' must have at least one parameter ")
+        return escape_query_chars(str(l[0]))
+
+    def escape_sql(args: str, vr) -> str:
+        l = parse_params(args, vr)
+        if len(l) != 1:
+            raise ValueError(
+                "'escapeSql' must have at least one parameter ")
+        s = str(l[0])
+        # replaceAll chains (SqlEscapingEvaluator.java): ' -> '',
+        # " -> "", \ -> \\  (backslash LAST, like the reference)
+        return (s.replace("'", "''").replace('"', '""')
+                .replace("\\", "\\\\"))
+
+    def encode_url(args: str, vr) -> str:
+        l = parse_params(args, vr)
+        if len(l) != 1:
+            raise ValueError(
+                "'encodeUrl' must have at least one parameter ")
+        return _url_encode(str(l[0]))
+
+    def format_date(args: str, vr) -> str:
+        l = parse_params(args, vr)
+        if not 2 <= len(l) <= 4:
+            raise ValueError(
+                "'formatDate()' must have two, three or four "
+                "parameters ")
+        o, fmt = l[0], l[1]
+        if isinstance(fmt, VariableWrapper):
+            o = fmt.resolve()
+            fmt = str(o)
+        if isinstance(o, VariableWrapper):
+            val = o.resolve()
+            if isinstance(val, datetime):
+                date = val
+            else:
+                date = datetime.strptime(str(val), "%Y-%m-%d %H:%M:%S")
+        else:
+            # date-math string: NOW stripped, the remainder parsed by
+            # the gated DateMathParser
+            expr = str(o).replace("NOW", "")
+            date = parse_date_math("NOW" + expr, now)
+        return _sdf_format(date, str(fmt))
+
+    return {"formatDate": format_date, "escapeSql": escape_sql,
+            "encodeUrl": encode_url,
+            "escapeQueryChars": escape_solr}

@@ -255,3 +255,50 @@ def test_variable_resolver_rules():
     # system-property fallback (injectable)
     vr5 = VariableResolver(system_props={"sys.prop": "sp"})
     assert vr5.resolve("sys.prop") == "sp"
+
+
+def test_dih_evaluators():
+    """The four built-in evaluators under their registered names
+    (DataImporter.getEvaluators :515-521) + parseParams grammar
+    (Evaluator.java:73-110)."""
+    import pytest
+
+    from lucene_solr_spark.sources.dih import (
+        VariableResolver,
+        default_evaluators,
+        escape_query_chars,
+        parse_params,
+    )
+
+    vr = VariableResolver({"city": "Oslo east",
+                           "d": "2021-02-03 10:30:09"})
+    vr.evaluators = default_evaluators()
+    # URLEncoder semantics: space '+', '*' kept, '~' escaped
+    assert vr.resolve(
+        "dataimporter.functions.encodeUrl(city)") == "Oslo+east"
+    assert vr.resolve("dih.functions.encodeUrl('a*b~c')") == "a*b%7Ec"
+    # escapeSql replaceAll chain
+    assert vr.resolve(
+        "dataimporter.functions.escapeSql('o\\'neil')") == "o''neil"
+    # Solr query chars incl. whitespace
+    assert escape_query_chars('a+b (c):"d"') == \
+        'a\\+b\\ \\(c\\)\\:\\"d\\"'
+    # formatDate: variable date via the default format; date-math arg
+    assert vr.resolve(
+        "dataimporter.functions.formatDate(d, 'yyyy/MM/dd HH:mm')"
+    ) == "2021/02/03 10:30"
+    assert vr.resolve(
+        "dataimporter.functions.formatDate('NOW/DAY', 'yyyy-MM-dd "
+        "HH:mm:ss')") == "2024-01-03 00:00:00"
+    # parseParams: quoted strings re-join across commas; numbers;
+    # lazy variable wrappers; unterminated quote throws
+    got = parse_params("'a,b', 42, city", vr)
+    assert got[0] == "a,b" and got[1] == 42.0
+    assert str(got[2]) == "Oslo east"
+    with pytest.raises(ValueError, match="invalid string"):
+        parse_params("'unterminated", vr)
+    with pytest.raises(ValueError, match="must have"):
+        vr.evaluators["escapeSql"]("'a','b'", vr)
+    # wrong-arity formatDate
+    with pytest.raises(ValueError, match="two, three or four"):
+        vr.evaluators["formatDate"]("'NOW'", vr)
