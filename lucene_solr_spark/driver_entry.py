@@ -14385,3 +14385,77 @@ SELECT doc_id, substr(text, 1, 40) AS text40, lang AS langv,
 FROM documents ORDER BY doc_id
 """
 QUERIES["schema_xml_fields"] = q_schema_xml_fields
+
+
+_CONJ_TOKENS = ("sorrt", "mergee")
+
+
+def q_conj_spell(spark, sf_dir):
+    """ConjunctionSolrSpellChecker (solr/spelling/
+    ConjunctionSolrSpellChecker.java:96-142): two checkers per
+    misspelled token — an edit-distance checker (levenshtein <= 1
+    over the vocabulary, df desc) and a 3-char-prefix checker — each
+    contributing its own ordered top-3; the conjunction interleaves
+    them ROUND-ROBIN in checker order capped at numSug=4, duplicates
+    kept (the reference does not dedup across checkers). The
+    candidate lists are tiny by construction (driver merge like the
+    reference's in-memory SpellingResult); the vocabulary agg is the
+    distributed part."""
+    from lucene_solr_spark.search.collate import (
+        conjunction_merge_spelling)
+
+    d = _documents(spark, sf_dir)
+    vocab = (d.select(F.explode(F.split(F.col("text"), " "))
+                      .alias("term"), "doc_id")
+             .filter(F.col("term") != "")
+             .groupBy("term")
+             .agg(F.count_distinct("doc_id").alias("df")))
+    results_rows = []
+    for tok in _CONJ_TOKENS:
+        lists = []
+        for cond in (F.levenshtein(F.col("term"), F.lit(tok)) <= 1,
+                     F.col("term").startswith(tok[:3])):
+            rows = (vocab.filter(cond)
+                    .orderBy(F.desc("df"), F.asc("term")).limit(3)
+                    .collect())
+            lists.append(({tok: [(r["term"], r["df"]) for r in rows]},
+                          None))
+        merged, _tf = conjunction_merge_spelling(lists, num_sug=4)
+        for rank, (word, freq) in enumerate(merged.get(tok, [])):
+            results_rows.append((tok, rank, word, int(freq)))
+    return (spark.createDataFrame(
+        results_rows, "token string, rank long, word string, df long")
+        .orderBy("token", "rank"))
+
+
+ORACLES["conj_spell_suggest"] = f"""
+WITH vocab AS (
+  SELECT t AS term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> '' GROUP BY t
+),
+toks AS (SELECT unnest(['{_CONJ_TOKENS[0]}', '{_CONJ_TOKENS[1]}'])
+         AS token),
+lists AS (
+  SELECT token, 0 AS checker, term, df,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY df DESC, term ASC) AS rn
+  FROM toks JOIN vocab ON levenshtein(term, token) <= 1
+  UNION ALL
+  SELECT token, 1 AS checker, term, df,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY df DESC, term ASC) AS rn
+  FROM toks JOIN vocab ON starts_with(term, substr(token, 1, 3))
+),
+capped AS (SELECT * FROM lists WHERE rn <= 3),
+merged AS (
+  SELECT token, term, df,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY rn, checker) - 1 AS rank
+  FROM capped
+)
+SELECT token, rank, term AS word, df
+FROM merged WHERE rank < 4 ORDER BY token, rank
+"""
+QUERIES["conj_spell_suggest"] = q_conj_spell

@@ -501,3 +501,45 @@ def collate(suggestions: Sequence[Tuple[Token, Sequence[Tuple[str, int]]]],
                 [(c.original.text, c.correction)
                  for c in possibility.corrections]))
     return collations
+
+
+def conjunction_merge_spelling(results, num_sug: int):
+    """ConjunctionSolrSpellChecker.mergeCheckers (solr/spelling/
+    ConjunctionSolrSpellChecker.java:96-142): suggestions for the same
+    original token from several checkers interleave ROUND-ROBIN in
+    checker order (one from each per pass, preserving each checker's
+    own ordering), capped at numSug per token; token frequencies merge
+    last-checker-wins (putAll order).
+
+    ``results``: list of (suggestions, token_frequency) where
+    suggestions maps token -> ordered list of (word, freq) and
+    token_frequency maps token -> int (or None). Returns
+    (merged_suggestions, merged_token_frequency) with the same
+    shapes."""
+    combined_tf = {}
+    all_suggestions = {}
+    for suggestions, token_freq in results:
+        if token_freq:
+            combined_tf.update(token_freq)
+        for token, corrections in suggestions.items():
+            all_suggestions.setdefault(token, []).append(
+                list(corrections))
+    merged = {}
+    for token, lists in all_suggestions.items():
+        iters = [iter(l) for l in lists]
+        out = []
+        added = 0
+        while added < num_sug:
+            any_data = False
+            for it in iters:
+                nxt = next(it, None)
+                if nxt is not None:
+                    any_data = True
+                    out.append(nxt)
+                    added += 1
+                    if added == num_sug:
+                        break
+            if not any_data:
+                break
+        merged[token] = out
+    return merged, combined_tf

@@ -238,3 +238,28 @@ def test_collate_max_collations_stops_early():
                   max_collations=1, max_collation_tries=10)
     assert [c.collation_query for c in out] == ["table"]
     assert calls == ["table"]
+
+
+def test_conjunction_spellchecker_merge():
+    """ConjunctionSolrSpellChecker.mergeCheckers (:96-142) —
+    round-robin interleave in checker order, numSug cap, last-wins
+    token frequencies, exhausted-checkers early stop."""
+    from lucene_solr_spark.search.collate import (
+        conjunction_merge_spelling)
+
+    a = ({"helo": [("hello", 10), ("help", 5)],
+          "wrld": [("world", 9)]},
+         {"helo": 1})
+    b = ({"helo": [("halo", 7), ("held", 3), ("helm", 2)]},
+         {"helo": 4, "wrld": 2})
+    merged, tf = conjunction_merge_spelling([a, b], num_sug=4)
+    # pass 1: hello (a), halo (b); pass 2: help (a), held (b) -> cap
+    assert merged["helo"] == [("hello", 10), ("halo", 7),
+                              ("help", 5), ("held", 3)]
+    # single-checker token passes through; early stop when dry
+    assert merged["wrld"] == [("world", 9)]
+    # putAll order: b's frequency for helo wins
+    assert tf == {"helo": 4, "wrld": 2}
+    # cap smaller than one pass
+    merged2, _ = conjunction_merge_spelling([a, b], num_sug=1)
+    assert merged2["helo"] == [("hello", 10)]
