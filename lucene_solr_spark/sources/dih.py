@@ -468,12 +468,13 @@ def parse_params(expression: str, vr: VariableResolver) -> list:
             try:
                 result.append(float(tok))
             except ValueError:
-                if vr.resolve(tok) is None or vr.resolve(tok) == "":
-                    raise ValueError(
-                        f"Invalid number :{tok} in parameters "
-                        f"{expression}")
-                # resolvable digit-leading name: dropped (reference
-                # quirk — the catch block never adds a result)
+                # reference quirk kept: the catch checks
+                # vr.resolve(tok) == null, but resolve NEVER returns
+                # null (missing -> ""), so the throw is dead code and
+                # every invalid digit-leading token silently DROPS
+                # (Evaluator.java:93-103 + VariableResolver.resolve's
+                # ''-for-missing)
+                pass
         else:
             result.append(VariableWrapper(tok, vr))
         i += 1

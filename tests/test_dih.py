@@ -295,6 +295,9 @@ def test_dih_evaluators():
     got = parse_params("'a,b', 42, city", vr)
     assert got[0] == "a,b" and got[1] == 42.0
     assert str(got[2]) == "Oslo east"
+    # reference dead-throw quirk: invalid digit-leading tokens drop
+    # silently (Evaluator.java:93-103 vs resolve's ''-for-missing)
+    assert parse_params("7x7, 'k'", vr) == ["k"]
     with pytest.raises(ValueError, match="invalid string"):
         parse_params("'unterminated", vr)
     with pytest.raises(ValueError, match="must have"):
