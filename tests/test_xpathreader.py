@@ -260,3 +260,60 @@ def test_put_null_alignment_three_lists():
     assert l[1]["a"] == ["A.2.1", None]
     assert l[1]["b"] == [None, "B.2.2"]
     assert l[1]["c"] == ["C.2.1", "C.2.2"]
+
+
+def test_fuzz_invariants_alignment_and_count():
+    """Randomized records duel a direct simulation of the reference
+    semantics: per <x>, present children putText+register in the
+    record frame; missing children putNulls WITHOUT registering
+    (putNulls :430-443 never touches valuesAddedinThisFrame), so a
+    field that saw only nulls in a record survives the frame purge
+    and LEAKS into the following record — a reference quirk this
+    port reproduces faithfully."""
+    import random
+
+    rng = random.Random(99)
+    for _ in range(60):
+        n_rec = rng.randint(0, 5)
+        shape = []          # per record: list of x-element dicts
+        xml = ["<root>"]
+        for _r in range(n_rec):
+            xs = []
+            xml.append("<i>")
+            for _x in range(rng.randint(0, 3)):
+                xml.append("<x>")
+                present = {}
+                for tag in ("a", "b"):
+                    if rng.random() < 0.6:
+                        v = f"v{rng.randint(0, 9)}"
+                        xml.append(f"<{tag}>{v}</{tag}>")
+                        present[tag] = v
+                xml.append("</x>")
+                xs.append(present)
+            xml.append("</i>")
+            shape.append(xs)
+        xml.append("</root>")
+
+        # direct simulation of the parse-walk value lifecycle
+        values = {}
+        want_records = []
+        for xs in shape:
+            frame = set()
+            for present in xs:
+                for tag in ("a", "b"):
+                    if tag in present:
+                        values.setdefault(tag, []).append(present[tag])
+                        frame.add(tag)
+                    else:
+                        values.setdefault(tag, []).append(None)
+            want_records.append({k: list(v) for k, v in values.items()})
+            for fld in frame:
+                values.pop(fld, None)
+
+        rr = XPathRecordReader("/root/i")
+        rr.add_field("a", "/root/i/x/a", True)
+        rr.add_field("b", "/root/i/x/b", True)
+        got = rr.get_all_records("".join(xml))
+        assert len(got) == n_rec
+        for want, rec in zip(want_records, got):
+            assert rec == want, ("".join(xml), rec, want)
