@@ -165,3 +165,51 @@ def test_stem_filter_post(stemmer):
         ("lucene", 0), ("lucen", 0), ("xyz", 1)]
     kw = hunspell_stem_post(d, keyword_set={"lucene"})
     assert kw([("lucene", 0)]) == [("lucene", 0)]
+
+
+def test_fuzz_generate_then_stem_roundtrip():
+    """Generative duel: build random dictionaries + suffix/prefix
+    rules, AFFIX base words forward (append the rule's append, honor
+    strip/condition), and assert the stemmer recovers the base;
+    plus the invariant that every stem is a dictionary entry."""
+    import random
+
+    rng = random.Random(5)
+    letters = "abcdefg"
+    for _ in range(25):
+        words = list({"".join(rng.choice(letters)
+                              for _ in range(rng.randint(3, 7)))
+                      for _ in range(rng.randint(3, 8))})
+        flags = ["A", "B"]
+        sfx_rules = []
+        for f in flags:
+            for _ in range(rng.randint(1, 2)):
+                append = "".join(rng.choice(letters)
+                                 for _ in range(rng.randint(1, 2)))
+                cond = rng.choice(["."] + list(letters))
+                sfx_rules.append((f, append, cond))
+        aff_lines = ["SET UTF-8"]
+        by_flag = {}
+        for f, append, cond in sfx_rules:
+            by_flag.setdefault(f, []).append((append, cond))
+        for f, rules in by_flag.items():
+            aff_lines.append(f"SFX {f} Y {len(rules)}")
+            for append, cond in rules:
+                aff_lines.append(f"SFX {f} 0 {append}/Z {cond}")
+        dic_entries = [(w, rng.choice(flags)) for w in words]
+        dic = "\n".join([str(len(dic_entries))]
+                        + [f"{w}/{f}" for w, f in dic_entries])
+        d = HunspellDictionary("\n".join(aff_lines), dic)
+        st = HunspellStemmer(d)
+        for w, f in dic_entries:
+            # base word stems to itself
+            assert w in st.stem(w)
+            for append, cond in by_flag[f]:
+                if cond != "." and not w.endswith(cond):
+                    continue
+                surface = w + append
+                stems = st.stem(surface)
+                assert w in stems, (w, f, append, cond, stems)
+                # every stem is a dictionary entry or the surface
+                for s in st.unique_stems(surface):
+                    assert s == surface or d.lookup_word(s) is not None
