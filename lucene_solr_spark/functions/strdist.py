@@ -140,3 +140,50 @@ def lucene_levenshtein_similarity(target: str, other: str) -> np.float32:
                 d[i][j] = min(d[i][j], d[i - 2][j - 2] + cost)
     return np.float32(
         np.float32(1.0) - np.float32(d[n][m]) / np.float32(min(m, n)))
+
+
+def strdist_function(fields):
+    """ValueSourceParser "strdist" registration (ValueSourceParser
+    .java:361-385) for the function-query parser's ``extra`` slot
+    (raw-args form): ``strdist(a, b, jw|edit|ngram[, size])`` where a
+    and b each resolve as a field Column from ``fields`` or stay a
+    literal string; jw -> JaroWinklerDistance, edit ->
+    LevensteinDistance, ngram -> NGramDistance(size, default 2) —
+    unknown backends raise like the reference's class-load failure.
+    Returns a float32-valued Column (Arrow-batched pairwise kernel;
+    the JVM has no per-row seam for these algorithms)."""
+    from pyspark.sql import functions as F
+
+    def build(a, b, dist, size="2"):
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        dist = dist.lower()
+        n = int(size)
+        if dist == "jw":
+            fn = jaro_winkler
+        elif dist == "edit":
+            fn = levenstein_similarity
+        elif dist == "ngram":
+            def fn(x, y):
+                return ngram_similarity(x, y, n)
+        else:
+            raise ValueError(f"unknown StringDistance: {dist!r}")
+
+        def k(xs, ys):
+            return pd.Series([float(fn(x or "", y or ""))
+                              for x, y in zip(xs, ys)])
+
+        # the module's `from __future__ import annotations` would
+        # stringify inline hints beyond pandas_udf's resolver; attach
+        # real objects instead
+        k.__annotations__ = {"xs": pd.Series, "ys": pd.Series,
+                             "return": pd.Series}
+        k = pandas_udf("float")(k)
+
+        ca = fields[a] if a in fields else F.lit(a)
+        cb = fields[b] if b in fields else F.lit(b)
+        return k(ca, cb)
+
+    build.raw_args = True
+    return build

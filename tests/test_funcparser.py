@@ -137,3 +137,51 @@ class TestStrDist:
         # symmetric-ish sanity + range
         v = ngram_similarity("martha", "marhta")
         assert 0.0 < float(v) < 1.0
+
+
+class TestStrdistFunction:
+    """strdist(...) through the function-query parser
+    (ValueSourceParser.java:361-385 registration)."""
+
+    def test_strdist_backends_and_literals(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from lucene_solr_spark.functions.funcparser import (
+            parse_function_query)
+        from lucene_solr_spark.functions.strdist import (
+            jaro_winkler, levenstein_similarity, ngram_similarity,
+            strdist_function)
+
+        df = spark.createDataFrame(
+            [("merge", "marge"), ("sort", "merge")], "a string, b string")
+        fields = {"a": F.col("a"), "b": F.col("b")}
+        extra = {"strdist": strdist_function(fields)}
+        out = df.select(
+            parse_function_query("strdist(a, b, jw)", fields,
+                                 extra=extra).alias("jw"),
+            parse_function_query("strdist(a, 'merge', edit)", fields,
+                                 extra=extra).alias("ed"),
+            parse_function_query("strdist(a, b, ngram, 3)", fields,
+                                 extra=extra).alias("ng"),
+        ).collect()
+        for r, (x, y) in zip(out, [("merge", "marge"),
+                                   ("sort", "merge")]):
+            assert np.float32(r["jw"]) == jaro_winkler(x, y)
+            assert np.float32(r["ed"]) == levenstein_similarity(
+                x, "merge")
+            assert np.float32(r["ng"]) == ngram_similarity(x, y, 3)
+
+    def test_strdist_unknown_backend(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from lucene_solr_spark.functions.funcparser import (
+            parse_function_query)
+        from lucene_solr_spark.functions.strdist import strdist_function
+
+        fields = {"a": F.col("a")}
+        with pytest.raises(ValueError, match="unknown StringDistance"):
+            parse_function_query(
+                "strdist(a, a, bogus)", fields,
+                extra={"strdist": strdist_function(fields)})
