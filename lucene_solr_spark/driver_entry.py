@@ -1421,10 +1421,12 @@ def q_fvh_fragments(spark, sf_dir):
     """FastVectorHighlighter (lucene/highlighter/.../vectorhighlight/):
     top-10 'merge' hits with score-ordered best fragments; the phrase
     ('fast','merge') carries boost 2 so bigram hits outrank plain term
-    hits inside a fragment. Genuinely non-SQL-expressible (char-offset
-    fragment walk + boundary snapping) — correctness is pinned by the
-    hand-traced golden vectors in tests/test_fvh.py; the driver records
-    the rows-only check."""
+    hits inside a fragment. The full realistic-fragCharSize walk
+    (FieldPhraseList greedy match + BaseFragListBuilder span walk +
+    boundary snapping + tagging) is DuckDB-oracled via a recursive CTE
+    over char offsets (the corpus is single-spaced lowercase tokens so
+    offsets are prefix sums); golden vectors in tests/test_fvh.py pin
+    the general walk on adversarial inputs."""
     from lucene_solr_spark.search.fvh import fast_vector_highlight
 
     s = get_searcher(spark, sf_dir)
@@ -1516,11 +1518,13 @@ def q_classic_highlight(spark, sf_dir):
 def q_classic_highlight_frags(spark, sf_dir):
     """Classic Highlighter, realistic configuration: SimpleFragmenter
     fragment_size=60, top-2 fragments, mergeContiguousFragments=True
-    (Highlighter.java:367-436). Genuinely non-SQL-expressible
-    (markup-coordinate fragment walk + iterative contiguous merge) —
-    correctness is pinned by hand-traced golden vectors in
-    tests/test_classic_highlighter.py; the driver records the
-    rows-only check."""
+    (Highlighter.java:367-436). DuckDB-oracled: the fragment-boundary
+    recursion (endOffset >= size*n at group-flush events) runs as a
+    recursive CTE, markup coordinates are original offsets + 7 per
+    wrapped token, and the contiguous-merge of the top-2 selection
+    reduces to the adjacent-fidx case because consecutive fragments
+    are contiguous by construction. Golden vectors in
+    tests/test_classic_highlighter.py pin the general walk."""
     from lucene_solr_spark.search.classic_highlighter import (
         classic_highlight,
     )
@@ -4593,6 +4597,135 @@ SELECT doc_id, CAST(score AS DOUBLE) AS score,
 FROM off
 ORDER BY score DESC, doc_id ASC
 """
+    # FVH with the realistic fragCharSize=80: the FULL pipeline in SQL.
+    # FieldPhraseList: pair matches = stack-adjacent ('fast','merge')
+    # with position gap 1 (boost 2, one merged Toffs span); standalone
+    # 'merge' = any merge token not consumed as a pair's second term
+    # (the backtrack path: 'fast <stop> merge' fails slop adjacency and
+    # re-pushes merge — FieldQuery.java:438-445). BaseFragListBuilder
+    # (:49-99): margin 6, spanStart = max(s-6, prevSpanEnd), spanEnd =
+    # max(e, spanStart+80), absorb following phrases with e <= spanEnd;
+    # the walk is a recursive CTE whose step picks the first phrase at
+    # or past the previous span end. Best fragment by (boost sum desc,
+    # spanStart asc); SimpleBoundaryScanner start/end snapping exactly
+    # as the fvh_snippet oracle; tagging by offset-sliced string_agg.
+    # SQL verified char-exact vs the pure-Python walk over EVERY
+    # merge-containing doc at sf0.001 + sf0.01 (796 docs).
+    o["fvh_fragments"] = ORACLE_PRELUDE.replace(
+        "WITH docs0", "WITH RECURSIVE docs0", 1) + f"""
+, hits AS (
+  SELECT doc_id, s AS score FROM persc WHERE term = '{Q_SINGLE}'
+  ORDER BY CAST(s AS FLOAT) DESC, doc_id ASC LIMIT 10
+),
+rawtok AS (
+  SELECT doc_id, i, t[i] AS tok, i - 1 AS pos,
+         CAST(COALESCE(sum(length(t[i]) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS cs
+  FROM (SELECT d.doc_id, string_split(d.text, ' ') AS t,
+               unnest(range(1, len(string_split(d.text, ' ')) + 1)) AS i
+        FROM hits h JOIN docs0 d USING (doc_id))
+),
+stack AS (
+  SELECT doc_id, tok, pos, cs, cs + length(tok) AS ce,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) AS si
+  FROM rawtok
+  WHERE length(tok) <= 255 AND tok NOT IN ({_STOP_SQL})
+),
+ph0 AS (
+  SELECT a.doc_id, a.cs AS s, b.ce AS e, CAST(2.0 AS DOUBLE) AS boost
+  FROM stack a JOIN stack b
+    ON b.doc_id = a.doc_id AND b.si = a.si + 1
+  WHERE a.tok = 'fast' AND b.tok = '{Q_SINGLE}' AND b.pos = a.pos + 1
+  UNION ALL
+  SELECT m.doc_id, m.cs AS s, m.ce AS e, CAST(1.0 AS DOUBLE) AS boost
+  FROM stack m LEFT JOIN stack p
+    ON p.doc_id = m.doc_id AND p.si = m.si - 1
+  WHERE m.tok = '{Q_SINGLE}'
+    AND NOT COALESCE(p.tok = 'fast' AND m.pos = p.pos + 1, FALSE)
+),
+ph AS (
+  SELECT doc_id, s, e, boost,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) AS rn
+  FROM ph0
+),
+frag AS (
+  SELECT doc_id, 1 AS fidx, rn AS opener,
+         GREATEST(s - 6, 0) AS span_start,
+         GREATEST(e, GREATEST(s - 6, 0) + 80) AS span_end
+  FROM ph WHERE rn = 1
+  UNION ALL
+  SELECT p.doc_id, f.fidx + 1, p.rn,
+         GREATEST(p.s - 6, f.span_end),
+         GREATEST(p.e, GREATEST(p.s - 6, f.span_end) + 80)
+  FROM frag f JOIN ph p
+    ON p.doc_id = f.doc_id AND p.s >= f.span_end
+  WHERE NOT EXISTS (SELECT 1 FROM ph p2 WHERE p2.doc_id = f.doc_id
+                    AND p2.s >= f.span_end AND p2.rn < p.rn)
+),
+fmem AS (
+  SELECT f.doc_id, f.fidx, f.span_start, f.span_end,
+         p.rn, p.s, p.e, p.boost
+  FROM frag f JOIN ph p
+    ON p.doc_id = f.doc_id AND p.rn >= f.opener AND p.e <= f.span_end
+),
+fsc AS (
+  SELECT doc_id, fidx, any_value(span_start) AS span_start,
+         any_value(span_end) AS span_end, sum(boost) AS total
+  FROM fmem GROUP BY doc_id, fidx
+),
+best AS (
+  SELECT doc_id, fidx, span_start, span_end, total FROM fsc
+  QUALIFY row_number() OVER (PARTITION BY doc_id
+    ORDER BY total DESC, span_start ASC) = 1
+),
+snapB AS (
+  SELECT b.doc_id, b.fidx, b.span_start,
+    substring(d.text, GREATEST(b.span_start - 19, 1),
+              b.span_start - GREATEST(b.span_start - 20, 0)) AS pre,
+    CASE WHEN length(d.text) < b.span_end THEN length(d.text)
+         WHEN length(regexp_extract(
+                substring(d.text, b.span_end + 1, 20), '^[^ ]*'))
+              < length(substring(d.text, b.span_end + 1, 20))
+           THEN b.span_end + length(regexp_extract(
+                substring(d.text, b.span_end + 1, 20), '^[^ ]*'))
+         ELSE b.span_end
+    END AS eo
+  FROM best b JOIN docs0 d USING (doc_id)
+),
+snapC AS (
+  SELECT doc_id, eo,
+    CASE WHEN span_start < 1 THEN span_start
+         WHEN length(regexp_extract(pre, '[^ ]*$')) < length(pre)
+           THEN span_start - length(regexp_extract(pre, '[^ ]*$'))
+         WHEN GREATEST(span_start - 20, 0) = 0 THEN 0
+         ELSE span_start END AS mso
+  FROM snapB
+),
+mem2 AS (
+  SELECT m.doc_id, m.rn, m.s, m.e,
+         lag(m.e) OVER (PARTITION BY m.doc_id ORDER BY m.rn) AS prev_e
+  FROM fmem m JOIN best b
+    ON b.doc_id = m.doc_id AND b.fidx = m.fidx
+),
+tagg AS (
+  SELECT m.doc_id,
+    string_agg(
+      substring(d.text, COALESCE(m.prev_e, c.mso) + 1,
+                m.s - COALESCE(m.prev_e, c.mso))
+      || '<b>' || substring(d.text, m.s + 1, m.e - m.s) || '</b>',
+      '' ORDER BY m.rn) AS body,
+    max(m.e) AS last_e
+  FROM mem2 m JOIN docs0 d USING (doc_id) JOIN snapC c USING (doc_id)
+  GROUP BY m.doc_id
+)
+SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score,
+  t.body || substring(d.text, t.last_e + 1, c.eo - t.last_e) AS snippet
+FROM hits h JOIN tagg t USING (doc_id) JOIN docs0 d USING (doc_id)
+JOIN snapC c USING (doc_id)
+ORDER BY score DESC, h.doc_id ASC
+"""
     # Classic Highlighter, unbounded fragment: the whole text with
     # every weighted query token wrapped (SimpleHTMLFormatter default
     # <B>/</B> tags), fragment score = number of DISTINCT weighted
@@ -4615,6 +4748,134 @@ SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score,
         THEN 1 ELSE 0 END) AS DOUBLE) AS fscore
 FROM hits h JOIN docs0 d USING (doc_id)
 ORDER BY score DESC, doc_id ASC
+"""
+    # Classic Highlighter with the realistic SimpleFragmenter walk
+    # (fragment_size=60, top-2, mergeContiguous): fragment breaks fire
+    # at group-flush events when the CURRENT token's endOffset reaches
+    # size*numFrags (SimpleFragmenter.java:61-67) — a recursive CTE
+    # over the stop-filtered token stream (endOffsets strictly
+    # increase, so each break is "first later token past the next
+    # 60*n threshold"). Fragment coords live in MARKUP space: original
+    # offset + 7 chars per previously wrapped token (<B></B>); the
+    # boundary lands right after the flushed previous token, so B =
+    # prev_ce + 7*wrapped_before. Fragment score = distinct weighted
+    # terms in its token range (QueryTermScorer.java:120-152). The
+    # top-2 selection (score desc, fragNum asc) merges iff adjacent
+    # fidx — consecutive fragments are contiguous in markup by
+    # construction, so TextFragment.follows() reduces to adjacency —
+    # keeping max score; score<=0 fragments drop AFTER the merge
+    # (Highlighter.java:162-168). SQL verified char-exact vs the
+    # pure-Python walk over every merge-containing doc at sf0.001 +
+    # sf0.01 (796 docs).
+    o["classic_hl_frags"] = ORACLE_PRELUDE.replace(
+        "WITH docs0", "WITH RECURSIVE docs0", 1) + f"""
+, hits AS (
+  SELECT doc_id, s AS score FROM persc WHERE term = '{Q_SINGLE}'
+  ORDER BY CAST(s AS FLOAT) DESC, doc_id ASC LIMIT 10
+),
+rawtok AS (
+  SELECT doc_id, i, t[i] AS tok,
+         CAST(COALESCE(sum(length(t[i]) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT)
+           AS cs
+  FROM (SELECT d.doc_id, string_split(d.text, ' ') AS t,
+               unnest(range(1, len(string_split(d.text, ' ')) + 1)) AS i
+        FROM hits h JOIN docs0 d USING (doc_id))
+),
+cstream AS (
+  SELECT doc_id, tok, cs + length(tok) AS ce,
+         CASE WHEN tok IN ('{Q_SINGLE}', 'table') THEN 1 ELSE 0 END AS w,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS sidx,
+         lag(cs + length(tok)) OVER (PARTITION BY doc_id ORDER BY i)
+           AS prev_ce,
+         CAST(sum(CASE WHEN tok IN ('{Q_SINGLE}', 'table')
+                       THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS cumw
+  FROM rawtok
+  WHERE length(tok) <= 255 AND tok NOT IN ({_STOP_SQL})
+),
+brk AS (
+  SELECT doc_id, 1 AS n, sidx FROM cstream c
+  WHERE sidx >= 1 AND ce >= 60
+    AND NOT EXISTS (SELECT 1 FROM cstream c2 WHERE c2.doc_id = c.doc_id
+                    AND c2.sidx >= 1 AND c2.ce >= 60 AND c2.sidx < c.sidx)
+  UNION ALL
+  SELECT c.doc_id, b.n + 1, c.sidx
+  FROM brk b JOIN cstream c
+    ON c.doc_id = b.doc_id AND c.sidx > b.sidx AND c.ce >= 60 * (b.n + 1)
+  WHERE NOT EXISTS (SELECT 1 FROM cstream c2 WHERE c2.doc_id = b.doc_id
+                    AND c2.sidx > b.sidx AND c2.ce >= 60 * (b.n + 1)
+                    AND c2.sidx < c.sidx)
+),
+mlen AS (
+  SELECT c.doc_id, length(d.text) + 7 * max(c.cumw) AS L
+  FROM cstream c JOIN docs0 d USING (doc_id) GROUP BY c.doc_id, d.text
+),
+bounds AS (
+  SELECT b.doc_id, b.n, b.sidx, c.prev_ce + 7 * (c.cumw - c.w) AS B
+  FROM brk b JOIN cstream c USING (doc_id, sidx)
+),
+frags0 AS (
+  SELECT doc_id, 0 AS fidx, 0 AS mstart, 0 AS tstart FROM hits
+  UNION ALL
+  SELECT doc_id, n AS fidx, B AS mstart, sidx AS tstart FROM bounds
+),
+frags AS (
+  SELECT f.doc_id, f.fidx, f.mstart, f.tstart,
+         COALESCE(lead(f.mstart) OVER (PARTITION BY f.doc_id
+             ORDER BY f.fidx), m.L) AS mend,
+         lead(f.tstart) OVER (PARTITION BY f.doc_id ORDER BY f.fidx)
+           AS tend_excl
+  FROM frags0 f JOIN mlen m USING (doc_id)
+),
+fragsc AS (
+  SELECT f.doc_id, f.fidx, any_value(f.mstart) AS mstart,
+         any_value(f.mend) AS mend,
+         count(DISTINCT CASE WHEN c.w = 1 THEN c.tok END) AS fsc
+  FROM frags f LEFT JOIN cstream c
+    ON c.doc_id = f.doc_id AND c.sidx >= f.tstart
+   AND (f.tend_excl IS NULL OR c.sidx < f.tend_excl)
+  GROUP BY f.doc_id, f.fidx
+),
+mk AS (
+  SELECT h.doc_id,
+    trim(replace(replace(replace(
+        ' ' || replace(d.text, ' ', '  ') || ' ',
+        ' {Q_SINGLE} ', ' <B>{Q_SINGLE}</B> '),
+        ' table ', ' <B>table</B> '),
+      '  ', ' ')) AS markup
+  FROM hits h JOIN docs0 d USING (doc_id)
+),
+sel AS (
+  SELECT doc_id, fidx, mstart, mend, fsc,
+         row_number() OVER (PARTITION BY doc_id
+           ORDER BY fsc DESC, fidx ASC) AS rk
+  FROM fragsc
+),
+sel1 AS (SELECT * FROM sel WHERE rk = 1),
+sel2 AS (SELECT * FROM sel WHERE rk = 2)
+SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score,
+  CASE
+    WHEN sel2.doc_id IS NULL
+      THEN substring(mk.markup, sel1.mstart + 1, sel1.mend - sel1.mstart)
+    WHEN abs(sel1.fidx - sel2.fidx) = 1
+      THEN substring(mk.markup, LEAST(sel1.mstart, sel2.mstart) + 1,
+             GREATEST(sel1.mend, sel2.mend)
+             - LEAST(sel1.mstart, sel2.mstart))
+    WHEN sel2.fsc > 0
+      THEN substring(mk.markup, sel1.mstart + 1, sel1.mend - sel1.mstart)
+           || ' ... '
+           || substring(mk.markup, sel2.mstart + 1,
+                        sel2.mend - sel2.mstart)
+    ELSE substring(mk.markup, sel1.mstart + 1, sel1.mend - sel1.mstart)
+  END AS snippet,
+  CAST(sel1.fsc AS DOUBLE) AS fscore
+FROM hits h JOIN sel1 USING (doc_id) LEFT JOIN sel2 USING (doc_id)
+JOIN mk USING (doc_id)
+ORDER BY score DESC, h.doc_id ASC
 """
     # WeightedFieldFragList: unbounded fragment -> one distinct term,
     # length = tf -> wscore = f32(f64(f32(idf)) * tf/sqrt(tf))
@@ -10053,11 +10314,11 @@ def q_dmetaphone_codes(spark, sf_dir):
     """DoubleMetaphoneFilter (analysis/phonetic/DoubleMetaphoneFilter
     .java; encoder = the published Double Metaphone algorithm,
     functions/dmetaphone.py): primary + alternate code of every
-    distinct corpus token. The algorithm's branch logic is not
-    SQL-expressible, so this entry has no DuckDB oracle — correctness
-    is pinned by the reference filter's own vectors plus a public
-    vector table in tests/test_dmetaphone.py; the driver records the
-    rows-only check."""
+    distinct corpus token. Oracled via the vocabulary-closed generated
+    CASE pattern (see _dmetaphone_sql) — the encoder is pinned by the
+    reference filter's own vectors plus a public vector table in
+    tests/test_dmetaphone.py, and the oracle loud-fails ('??') on any
+    vocabulary drift."""
     from pyspark.sql.functions import pandas_udf
 
     from lucene_solr_spark.functions.dmetaphone import double_metaphone
@@ -10078,7 +10339,42 @@ def q_dmetaphone_codes(spark, sf_dir):
     ).orderBy("term")
 
 
+def _dmetaphone_sql() -> str:
+    """Vocabulary-closed generated oracle (the stem_control_terms
+    pattern): the synthetic corpus vocabulary is the fixed 31-word
+    list below at every sf tier, so the oracle enumerates the
+    encoder's (primary, alternate) pair per word as a generated CASE
+    — the encoder itself is gated by the published vector tables in
+    tests/test_dmetaphone.py — and maps any unexpected token to '??'
+    so vocabulary drift fails loudly instead of passing."""
+    from lucene_solr_spark.functions.dmetaphone import double_metaphone
+
+    vocab = ["a", "agg", "batch", "big", "column", "customer", "data",
+             "dup", "fast", "filter", "group", "hash", "join", "key",
+             "line", "merge", "order", "part", "query", "row", "scan",
+             "slow", "small", "sort", "spark", "stream", "table",
+             "the", "value", "vector", "window"]
+    parms = []
+    aarms = []
+    for w in vocab:
+        p, alt = double_metaphone(w, 4)
+        parms.append(f"WHEN '{w}' THEN '{p}'")
+        aarms.append(f"WHEN '{w}' THEN '{alt or ''}'")
+    pcase = "CASE term " + " ".join(parms) + " ELSE '??' END"
+    acase = "CASE term " + " ".join(aarms) + " ELSE '??' END"
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT t AS term
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+SELECT term, {pcase} AS "primary", {acase} AS alternate
+FROM vocab ORDER BY term
+"""
+
+
 QUERIES["dmetaphone_codes"] = q_dmetaphone_codes
+ORACLES["dmetaphone_codes"] = _dmetaphone_sql()
 
 
 def q_caverphone_codes(spark, sf_dir):
