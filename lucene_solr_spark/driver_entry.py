@@ -14755,3 +14755,65 @@ SELECT token, rank, term AS word, df
 FROM merged WHERE rank < 4 ORDER BY token, rank
 """
 QUERIES["conj_spell_suggest"] = q_conj_spell
+
+
+# --- per-language light/minimal stemmer pack --------------------------------
+# The reference's UniNE/Savoy stemmer family (analysis/{de,fr,es,it,pt,
+# ru,sv,no,fi,hu}/*{Light,Minimal}StemFilter.java) through the
+# AnalyzerSpec stem= seam: one entry per stemmer, per-stem df over the
+# whitespace chain. Oracles follow the stem_control_terms pattern: the
+# corpus vocabulary is the closed 31-word list, so the oracle
+# enumerates each word's stem as a generated CASE (the stemmers
+# themselves are duel-gated over the reference's OWN 10k-55k-pair
+# vocabulary test files in tests/test_light_stemmers.py) and loud-fails
+# ('??') on vocabulary drift.
+
+_CORPUS_VOCAB = ["a", "agg", "batch", "big", "column", "customer",
+                 "data", "dup", "fast", "filter", "group", "hash",
+                 "join", "key", "line", "merge", "order", "part",
+                 "query", "row", "scan", "slow", "small", "sort",
+                 "spark", "stream", "table", "the", "value", "vector",
+                 "window"]
+
+
+def _make_light_stem_entry(key):
+    def q(spark, sf_dir):
+        t = _analyzer_terms(spark, sf_dir, f"stem_{key}_ws")
+        return _df_top(t)
+    q.__name__ = f"q_stem_{key}_terms"
+    q.__doc__ = (
+        f"{key} stemmer (lightstemmers.py port of the reference "
+        "analysis/*/..{Light,Minimal}Stemmer.java; gated over the "
+        "reference's own vocabulary test data in "
+        "tests/test_light_stemmers.py): per-stem df over the "
+        "whitespace chain."
+    )
+    return q
+
+
+def _light_stem_sql(key) -> str:
+    from lucene_solr_spark.functions.lightstemmers import LIGHT_STEMMERS
+
+    fn = LIGHT_STEMMERS[key]
+    arms = " ".join(
+        f"WHEN '{w}' THEN '{fn(w)}'" for w in _CORPUS_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE t {arms} ELSE '??' END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+from lucene_solr_spark.functions.lightstemmers import (  # noqa: E402
+    LIGHT_STEMMERS as _LIGHT_STEMMERS,
+)
+
+for _ls_key in _LIGHT_STEMMERS:
+    QUERIES[f"stem_{_ls_key}_terms"] = _make_light_stem_entry(_ls_key)
+    ORACLES[f"stem_{_ls_key}_terms"] = _light_stem_sql(_ls_key)

@@ -356,6 +356,25 @@ register_analyzer(
                  stem=porter_stem)
 )
 
+# Per-language light/minimal stemmer chains (analysis/{de,fr,es,it,pt,
+# ru,sv,no,fi,hu}/*{Light,Minimal}StemFilter.java) through the same
+# stem= seam as PorterStemFilter: a whitespace chain mirroring the
+# reference tests' MockTokenizer(WHITESPACE)+StemFilter composition
+# ("stem_<key>_ws") and a letter-run+lowercase chain mirroring each
+# <Lang>Analyzer's tokenizer+lowercase+stem skeleton ("<key>"), both
+# vocabulary-duel-gated in tests/test_light_stemmers.py over the
+# reference's own *testdata.zip files.
+from lucene_solr_spark.functions.lightstemmers import (  # noqa: E402
+    LIGHT_STEMMERS,
+)
+
+for _ls_name, _ls_fn in LIGHT_STEMMERS.items():
+    register_analyzer(
+        AnalyzerSpec(f"stem_{_ls_name}_ws", str.split, False,
+                     stem=_ls_fn))
+    register_analyzer(
+        AnalyzerSpec(_ls_name, _LETTER_RUNS, True, stem=_ls_fn))
+
 
 # ---------------------------------------------------------------------------
 # stream-level token filters (the TokenFilter graph slot): Shingle,
