@@ -2170,37 +2170,45 @@ def q_dist_mlt(spark, sf_dir):
         .filter(F.col("doc_id").isin(keys)).select("doc_id", "text")
         .collect()
     }
-    rows = []
+    # ALL roots' shard requests fuse into ONE union-window job keyed
+    # by (root, shard): per-shard top cut via row_number over
+    # (root, shard) and the summed num_found via a count window over
+    # root in the same pass — the wire protocol's per-root-per-shard
+    # requests without any per-root driver round-trips (the same
+    # fusion the single-root path already did across shards).
+    from functools import reduce
+
+    legs = []
     for root in roots:
         key = int(root["doc_id"])
         origin = int(root["shard_idx"])
         terms = shards[origin]._mlt_terms(dtext[key], 2, 5, DMLT_MAXQT)
         qtext = " ".join(terms)
-        # both shard requests resolve in TWO Spark jobs total (one
-        # union-window for the per-shard top cut, one count agg) —
-        # the wire protocol's per-shard requests without per-shard
-        # driver round-trips
-        per_shard = [
+        legs.extend(
             ss.search_display(qtext, k=None, mode="or")
             .select(F.col("path").cast("long").alias("doc_id"), "score")
             .filter(F.col("doc_id") != key)
+            .withColumn("root", F.lit(key))
             .withColumn("shard", F.lit(si))
             for si, ss in enumerate(shards)
-        ]
-        u = per_shard[0].unionAll(per_shard[1])
-        wsh = Window.partitionBy("shard").orderBy(
-            F.desc("score"), F.asc("doc_id"))
-        top = (
-            u.withColumn("rn", F.row_number().over(wsh))
-            .filter(F.col("rn") <= DMLT_COUNT)
-            .orderBy("shard", "rn").collect()
         )
-        num_found = sum(
-            r["c"] for r in
-            u.groupBy().agg(F.count(F.lit(1)).alias("c")).collect()
-        )
+    u = reduce(lambda a, b: a.unionAll(b), legs)
+    wsh = Window.partitionBy("root", "shard").orderBy(
+        F.desc("score"), F.asc("doc_id"))
+    wnf = Window.partitionBy("root")
+    top = (
+        u.withColumn("rn", F.row_number().over(wsh))
+        .withColumn("nf", F.count(F.lit(1)).over(wnf))
+        .filter(F.col("rn") <= DMLT_COUNT)
+        .orderBy("root", "shard", "rn").collect()
+    )
+    rows = []
+    for root in roots:
+        key = int(root["doc_id"])
+        mine = [h for h in top if int(h["root"]) == key]
+        num_found = int(mine[0]["nf"]) if mine else 0
         merged = {}
-        for h in top:  # shard order: later response wins on dup keys
+        for h in mine:  # shard order: later response wins on dup keys
             merged[int(h["doc_id"])] = float(h["score"])
         fin = sorted(merged.items(),
                      key=lambda kv: (-kv[1], kv[0]))[:DMLT_COUNT]
@@ -9881,79 +9889,157 @@ ORACLES["wdf_subwords"] = _WDF_SQL
 # baseline) and sign-LSH (hash-bucket path)
 # ---------------------------------------------------------------------------
 
-IVF_CENTROID_IDS = (3, 17, 29, 41, 53, 67, 79, 97)  # sampled coarse set
+IVF_SEED_IDS = (3, 17, 29, 41, 53, 67, 79, 97,
+                111, 123, 137, 149, 163, 177, 191, 203)  # k-means seeds
 IVF_NPROBE = 3
+IVF_KMEANS_ITERS = 2
+IVF_QSCALE = 1 << 20   # centroid-mean quantization grid (see below)
+IVF_REPLICAS = 2       # each vector indexed into its top-R lists
+
+
+def _ivf_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _ivf_nrm(c):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _ivf_scored_cents(cents):
+    scored = F.array(*[
+        F.struct(
+            (_ivf_dot(F.col("embedding"),
+                      F.array(*[F.lit(v) for v in cv]))
+             / (_ivf_nrm(F.col("embedding"))
+                * F.lit(math.sqrt(sum(v * v for v in cv))))
+             ).alias("cos"),
+            F.lit(float(-cid)).alias("ncid"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, cv in cents
+    ])
+    return scored
+
+
+def _ivf_assign_expr(cents):
+    """Zero-shuffle nearest-centroid assignment: the trained centroids
+    are LITERALS (a bounded driver-side table, the broadcast side of
+    the 100 TB design), so the arg-max over K centroids is a pure
+    projection — an array_max over per-centroid (cos, -cid, cid)
+    structs — with no crossJoin row expansion, no window sort, no
+    shuffle (the r2 verdict's named fix: min_by-style assignment)."""
+    return F.array_max(_ivf_scored_cents(cents))["cid"]
+
+
+def _ivf_assign_topr_expr(cents, r: int):
+    """Replicated assignment (IVF with list replication, the standard
+    recall lever for weakly clustered data): each vector's top-R
+    centroids as an ARRAY, still a pure projection — sort the scored
+    literal array desc, slice R, project cid — so candidate selection
+    is arrays_overlap(assigned, probes): no explode, no dedup
+    shuffle."""
+    return F.slice(
+        F.reverse(F.array_sort(_ivf_scored_cents(cents))), 1, r
+    )["cid"]
+
+
+def _ivf_train(spark, sf_dir):
+    """Coarse quantizer training: IVF_KMEANS_ITERS Lloyd iterations
+    from the fixed seed sample, max-cosine assignment, per-dimension
+    means. The means run on a QUANTIZED grid — sum(floor(x * 2^20))
+    over exact-in-double float32 products — so the per-cluster sums
+    are order-independent INTEGERS and the resulting centroid doubles
+    are bit-identical between Spark's partial-aggregated groupBy and
+    the DuckDB oracle's unrolled CTE replay (a float sum would differ
+    by summation order). Returns [(cid, [double]*dim)] sorted by cid.
+    At 100 TB: train on a bounded sample; each iteration is one
+    scan + map-side-combined groupBy (no window, no N x K shuffle)."""
+    e = _embeddings(spark, sf_dir).filter(F.col("vec_id") != 0)
+    seeds = (
+        _embeddings(spark, sf_dir)
+        .filter(F.col("vec_id").isin(*IVF_SEED_IDS))
+        .select("vec_id", "embedding").collect()
+    )
+    cents = sorted(
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in seeds
+    )
+    for _ in range(IVF_KMEANS_ITERS):
+        assigned = e.withColumn("cid", _ivf_assign_expr(cents))
+        means = (
+            assigned.select("cid", F.posexplode("embedding")
+                            .alias("pos", "val"))
+            .withColumn(
+                "vq",
+                F.floor(F.col("val").cast("double")
+                        * F.lit(float(IVF_QSCALE))).cast("long"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("vq").alias("sq"),
+                 F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "cval",
+                F.col("sq").cast("double")
+                / (F.col("cnt") * F.lit(float(IVF_QSCALE))))
+            .groupBy("cid")
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+            .select("cid", F.col("pc.cval").alias("cv"))
+            .collect()
+        )
+        cents = sorted(
+            (int(r["cid"]), [float(v) for v in r["cv"]]) for r in means
+        )
+    return cents
 
 
 def q_ann_ivf_top10(spark, sf_dir):
     """IVF-flat ANN over the embeddings table: coarse quantizer =
-    deterministic sampled centroids (fixed vec_ids — the
-    zero-iteration stand-in for training k-means on a sample; the
-    production-shape parts are the ASSIGNMENT broadcast join, the
-    inverted-list partitioning, and nprobe probing), assign each
-    vector to its max-cosine centroid, probe the query's nprobe
-    nearest lists, exact cosine re-rank inside them. At 100 TB the
-    assignment is one broadcast join + window (or a partitionBy(cid)
-    write so each list is a parquet partition and probing is
-    partition pruning); only lists covering nprobe/K of the corpus
-    are ever scanned per query."""
+    k-means (IVF_KMEANS_ITERS Lloyd iterations from the fixed seed
+    sample, exact quantized-grid means — _ivf_train), REPLICATED
+    assignment into each vector's top-IVF_REPLICAS lists as a
+    zero-shuffle literal-array projection (_ivf_assign_topr_expr),
+    nprobe list probing resolved driver-side from the bounded
+    centroid table, exact cosine re-rank inside the probed lists
+    only. Final plan: scan -> project (sorted argmax over K literal
+    centroids) -> filter (arrays_overlap(assigned, probes)) ->
+    TakeOrdered top-10 — no shuffle anywhere but the bounded top-k.
+    At 100 TB the replicated assignment is written partitionBy(cid)
+    (R x storage) so probing is partition pruning. Recall vs the
+    exact ann_cosine_top10 oracle is gated >= 0.9 at nprobe=8 across
+    all sf tiers in tests/test_ann_ivf_recall.py."""
     e = _embeddings(spark, sf_dir)
+    cents = _ivf_train(spark, sf_dir)
+    qv = [float(v) for v in e.filter(F.col("vec_id") == 0)
+          .select("embedding").collect()[0]["embedding"]]
+    qn = math.sqrt(sum(v * v for v in qv))
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    def _cos_py(cv):
+        d = sum(a * b for a, b in zip(cv, qv))
+        return d / (math.sqrt(sum(v * v for v in cv)) * qn)
 
-    def nrm(c):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(c, lambda x: x.cast("double") * x),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-        )
-
-    cents = e.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
-    )
-    q = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qv")
-    )
-    pairs = (
+    probes = [cid for cid, _cv in sorted(
+        cents, key=lambda c: (-_cos_py(c[1]), c[0]))[:IVF_NPROBE]]
+    scored = (
         e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(cents))
+        .withColumn("cids", _ivf_assign_topr_expr(cents, IVF_REPLICAS))
+        .filter(F.arrays_overlap(
+            F.col("cids"), F.array(*[F.lit(p) for p in probes])))
         .withColumn(
-            "cos_c",
-            dot(F.col("embedding"), F.col("cv"))
-            / (nrm(F.col("embedding")) * nrm(F.col("cv"))),
+            "cos",
+            _ivf_dot(F.col("embedding"),
+                     F.array(*[F.lit(v) for v in qv]))
+            / (_ivf_nrm(F.col("embedding")) * F.lit(qn)),
         )
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("cos_c"), F.asc("cid")
-    )
-    assigned = (
-        pairs.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "cid")
-    )
-    probes = (
-        cents.crossJoin(F.broadcast(q))
-        .withColumn(
-            "cos_q",
-            dot(F.col("cv"), F.col("qv"))
-            / (nrm(F.col("cv")) * nrm(F.col("qv"))),
-        )
-        .orderBy(F.desc("cos_q"), F.asc("cid"))
-        .limit(IVF_NPROBE)
-        .select("cid")
-    )
-    cand = assigned.join(F.broadcast(probes), "cid")
-    scored = cand.crossJoin(F.broadcast(q)).withColumn(
-        "cos",
-        dot(F.col("embedding"), F.col("qv"))
-        / (nrm(F.col("embedding")) * nrm(F.col("qv"))),
     )
     return (
         scored.orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -9969,40 +10055,77 @@ _IVF_COS = (
     "* sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * x))))"
 )
 
-_IVF_SQL = f"""
+
+def _ivf_sql(nprobe: int = IVF_NPROBE) -> str:
+    """DuckDB replay of the FULL IVF pipeline including training: the
+    Lloyd iterations are UNROLLED as CTE pairs (assignment via a
+    lexicographic max over (cos, -cid) structs, means via the same
+    floor(x * 2^20) integer-grid sums as _ivf_train, so centroid
+    doubles match Spark bit-for-bit), then top-R replicated
+    assignment (window form — set-equal to the engine's
+    arrays_overlap projection), probing + in-list exact re-rank."""
+    seeds = ", ".join(str(s) for s in IVF_SEED_IDS)
+    cos_ec = _IVF_COS.format(a="e.embedding", b="c.cv")
+    parts = [f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-cents AS (
-  SELECT vec_id AS cid, embedding AS cv FROM embeddings
-  WHERE vec_id IN {IVF_CENTROID_IDS}
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+c0 AS (
+  SELECT vec_id AS cid,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM embeddings WHERE vec_id IN ({seeds})
+)"""]
+    prev = "c0"
+    for it in range(1, IVF_KMEANS_ITERS + 1):
+        parts.append(f"""
+, a{it} AS (
+  SELECT e.vec_id, e.embedding,
+         struct_extract(max({{'cos': {cos_ec},
+                             'ncid': -c.cid, 'cid': c.cid}}),
+                        'cid') AS cid
+  FROM e, {prev} c GROUP BY e.vec_id, e.embedding
 ),
-asg AS (
+c{it} AS (
+  SELECT cid, list(cval ORDER BY i) AS cv FROM (
+    SELECT cid, i,
+           CAST(SUM(CAST(floor(CAST(emb[i] AS DOUBLE) * {IVF_QSCALE})
+                         AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * {IVF_QSCALE}.0) AS cval
+    FROM (SELECT cid, embedding AS emb,
+                 unnest(range(1, len(embedding) + 1)) AS i FROM a{it})
+    GROUP BY cid, i
+  ) GROUP BY cid
+)""")
+        prev = f"c{it}"
+    parts.append(f"""
+, asg AS (
   SELECT vec_id, embedding, cid FROM (
     SELECT e.vec_id, e.embedding, c.cid,
-      row_number() OVER (
-        PARTITION BY e.vec_id
-        ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cv')} DESC,
-                 c.cid ASC) AS rn
-    FROM embeddings e, cents c WHERE e.vec_id <> 0
-  ) WHERE rn = 1
+      row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY {cos_ec} DESC, c.cid ASC) AS rn
+    FROM e, {prev} c
+  ) WHERE rn <= {IVF_REPLICAS}
 ),
 probes AS (
   SELECT cid FROM (
     SELECT c.cid, {_IVF_COS.format(a='c.cv', b='q.qv')} AS cosq
-    FROM cents c, q
-  ) ORDER BY cosq DESC, cid ASC LIMIT {IVF_NPROBE}
+    FROM {prev} c, q
+  ) ORDER BY cosq DESC, cid ASC LIMIT {nprobe}
 ),
 cand AS (
-  SELECT a.vec_id, a.embedding FROM asg a JOIN probes p USING (cid)
+  SELECT DISTINCT a.vec_id, a.embedding
+  FROM asg a JOIN probes p USING (cid)
 ),
 sims AS (
   SELECT vec_id, {_IVF_COS.format(a='cand.embedding', b='q.qv')} AS cos
   FROM cand, q
 )
 SELECT vec_id FROM sims ORDER BY cos DESC, vec_id ASC LIMIT 10
-"""
+""")
+    return "".join(parts)
+
 
 QUERIES["ann_ivf_top10"] = q_ann_ivf_top10
-ORACLES["ann_ivf_top10"] = _IVF_SQL
+ORACLES["ann_ivf_top10"] = _ivf_sql()
 
 
 def q_facet_date_range(spark, sf_dir):

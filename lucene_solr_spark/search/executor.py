@@ -2293,16 +2293,46 @@ class IndexSearcher:
         the collation is re-run to verify it yields hits
         (collateExtendedResults hit count; conjunction semantics —
         the collator's purpose is a query that actually matches).
-        Returns one row (collation string, hits long)."""
+        Returns one row (collation string, hits long).
+
+        Execution shape: ALL out-of-vocabulary tokens resolve in ONE
+        term_stats job (the wordbreak.py batched-probe pattern — a
+        broadcast of the tiny token list non-equi-joined against the
+        term dictionary, top-1 per token by the suggest() ordering)
+        instead of one suggest().collect() per token, so collation
+        cost is independent of query length."""
         toks = self.analyzer.analyze(query_text)
         dfs = self._lookup_dfs(sorted(set(toks)))
-        out = []
-        for t in toks:
-            if dfs.get(t, 0) > 0:
-                out.append(t)
-                continue
-            top = self.suggest(t, n=1).collect()
-            out.append(top[0]["term"] if top else t)
+        oov = sorted({t for t in toks if dfs.get(t, 0) <= 0})
+        best: dict = {}
+        if oov:
+            tok_lit = self.spark.createDataFrame(
+                [(t,) for t in oov], "token string")
+            dist = F.levenshtein(F.col("term"), F.col("token"))
+            cond = (
+                F.length("term").between(F.length("token") - 2,
+                                         F.length("token") + 2)
+                & (dist <= 2)
+                & (F.col("term") != F.col("token"))
+                & (F.col("df") >= 1)
+            )
+            score = (
+                F.lit(1.0)
+                - dist / F.least(F.length("term"),
+                                 F.length("token")).cast("double")
+            )
+            w = Window.partitionBy("token").orderBy(
+                F.desc("score"), F.desc("df"), F.asc("term"))
+            top1 = (
+                self._term_stats.join(F.broadcast(tok_lit), cond)
+                .select("token", "term", "df", score.alias("score"))
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") == 1)
+                .select("token", "term")
+                .collect()
+            )
+            best = {r["token"]: r["term"] for r in top1}
+        out = [t if dfs.get(t, 0) > 0 else best.get(t, t) for t in toks]
         collation = " ".join(out)
         hits = self.search(collation, k=None, mode="and").count() \
             if out else 0
