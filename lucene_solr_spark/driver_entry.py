@@ -1542,6 +1542,44 @@ def q_classic_highlight_frags(spark, sf_dir):
     )
 
 
+def q_html_highlight(spark, sf_dir):
+    """Classic Highlighter over an HTML stored field through the
+    offset-correcting HTMLStrip chain (charfilter/BaseCharFilter.java
+    correct/addOffCorrectMap port + HTMLStripCharFilterFactory
+    composition): the stored field wraps every corpus token in
+    <b>..</b>; the analyzer tokenizes the STRIPPED text and corrects
+    both token offsets back to raw-HTML coordinates
+    (Tokenizer.correctOffset), so the highlighter's markup slices the
+    original HTML exactly — matched terms get <B>..</B> INSIDE their
+    source tags. Offset golden vectors in
+    tests/test_charfilter_offsets.py pin the correction table."""
+    from lucene_solr_spark.functions.analysis import get_analyzer
+    from lucene_solr_spark.search.classic_highlighter import (
+        classic_highlight,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select(
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.concat(F.lit("<b>"),
+                 F.regexp_replace("text", " ", "</b> <b>"),
+                 F.lit("</b>")).alias("html"),
+    )
+    store = s._docs.select("doc_id", "path").join(docs, "path").select(
+        "doc_id", F.col("html").alias("content")
+    )
+    out = classic_highlight(
+        s, store, Q_SINGLE, {Q_SINGLE: 1.0, "table": 1.0},
+        k=TOP_K, fragment_size=100000, max_num_fragments=1,
+        analyzer=get_analyzer("html_strip_std"),
+    )
+    return out.select(
+        "doc_id", F.col("score").cast("double").alias("score"),
+        F.element_at("fragments", 1).alias("snippet"),
+        F.element_at("frag_scores", 1).cast("double").alias("fscore"),
+    )
+
+
 def q_query_scorer_hl(spark, sf_dir):
     """QueryScorer — the position-sensitive classic-highlighter scorer
     (highlight/QueryScorer.java + WeightedSpanTermExtractor.java,
@@ -4734,6 +4772,28 @@ FROM hits h JOIN tagg t USING (doc_id) JOIN docs0 d USING (doc_id)
 JOIN snapC c USING (doc_id)
 ORDER BY score DESC, h.doc_id ASC
 """
+    # Offset-corrected HTML highlighting: the stored field wraps every
+    # token in <b>..</b>, so each token occurrence is uniquely
+    # delimited and the engine's corrected-offset markup (<B> inside
+    # the source tags) is an exact tag-delimited replace. fscore =
+    # distinct weighted terms present (QueryTermScorer).
+    o["html_highlight"] = ORACLE_PRELUDE + f"""
+, hits AS (
+  SELECT doc_id, s AS score FROM persc WHERE term = '{Q_SINGLE}'
+  ORDER BY CAST(s AS FLOAT) DESC, doc_id ASC LIMIT 10
+)
+SELECT h.doc_id, CAST(h.score AS DOUBLE) AS score,
+  replace(replace(
+    '<b>' || replace(d.text, ' ', '</b> <b>') || '</b>',
+    '<b>{Q_SINGLE}</b>', '<b><B>{Q_SINGLE}</B></b>'),
+    '<b>table</b>', '<b><B>table</B></b>') AS snippet,
+  CAST((CASE WHEN ' ' || d.text || ' ' LIKE '% {Q_SINGLE} %'
+        THEN 1 ELSE 0 END)
+     + (CASE WHEN ' ' || d.text || ' ' LIKE '% table %'
+        THEN 1 ELSE 0 END) AS DOUBLE) AS fscore
+FROM hits h JOIN docs0 d USING (doc_id)
+ORDER BY score DESC, doc_id ASC
+"""
     # Classic Highlighter, unbounded fragment: the whole text with
     # every weighted query token wrapped (SimpleHTMLFormatter default
     # <B>/</B> tags), fragment score = number of DISTINCT weighted
@@ -7772,6 +7832,7 @@ QUERIES = {
     "fvh_snippet": q_fvh_snippet,
     "classic_highlight": q_classic_highlight,
     "classic_hl_frags": q_classic_highlight_frags,
+    "html_highlight": q_html_highlight,
     "query_scorer_hl": q_query_scorer_hl,
     "fvh_weighted_score": q_fvh_weighted,
     "word_break_suggest": q_word_break,

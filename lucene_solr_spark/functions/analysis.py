@@ -213,12 +213,18 @@ class AnalyzerSpec:
                  stopwords: frozenset = frozenset(),
                  max_len: int = MAX_TOKEN_LENGTH,
                  stem=None, post=None, emits_overlaps: bool = False,
-                 pre=None):
+                 pre=None, pre_offsets=None):
         self.name = name
         # optional CharFilter stage (str -> str) applied BEFORE the
         # tokenizer (Lucene CharFilter slot: HTMLStrip/Mapping/
-        # PatternReplace). Offset correction is not tracked — we never
-        # expose char offsets (documented non-goal).
+        # PatternReplace). pre_offsets is the offset-correcting form
+        # (str -> (filtered, OffsetMap), the BaseCharFilter seam):
+        # when given, the plain `pre` is derived from it and the
+        # highlighters' token streams correct offsets back to the
+        # original text (fvh._term_stack / classic token_stream).
+        self.pre_offsets = pre_offsets
+        if pre_offsets is not None and pre is None:
+            pre = lambda t: pre_offsets(t)[0]  # noqa: E731
         self.pre = pre
         self.scanner = scanner
         self.lowercase = lowercase
@@ -664,6 +670,100 @@ def html_strip_charfilter():
     return pre
 
 
+class OffsetMap:
+    """BaseCharFilter's offset-correction table (charfilter/
+    BaseCharFilter.java:44-118): monotone (output_offset,
+    cumulative_diff) pairs recorded by the charfilter as it shrinks /
+    grows the stream; ``correct(out_off)`` maps an offset in the
+    FILTERED text back to the original input (input = output + diff of
+    the last pair at or before it — the Java binary search is the
+    bisect below). Tokenizers correct BOTH token offsets
+    (Tokenizer.correctOffset), so highlighters can slice the original
+    stored text exactly."""
+
+    __slots__ = ("offsets", "diffs")
+
+    def __init__(self):
+        self.offsets: list = []
+        self.diffs: list = []
+
+    def add(self, off: int, cumulative_diff: int) -> None:
+        """addOffCorrectMap (:96-118): monotone offsets required; a
+        repeated offset overwrites the last diff."""
+        if self.offsets:
+            if off < self.offsets[-1]:
+                raise ValueError(
+                    f"offset {off} < last recorded {self.offsets[-1]}")
+            if off == self.offsets[-1]:
+                self.diffs[-1] = cumulative_diff
+                return
+        self.offsets.append(off)
+        self.diffs.append(cumulative_diff)
+
+    def correct(self, current_off: int) -> int:
+        """correct (:44-68)."""
+        from bisect import bisect_right
+
+        i = bisect_right(self.offsets, current_off) - 1
+        if i < 0:
+            return current_off
+        return current_off + self.diffs[i]
+
+    def last_cumulative_diff(self) -> int:
+        return self.diffs[-1] if self.diffs else 0
+
+
+_HTML_OFF_RX = None
+
+
+def html_strip_with_offsets(text: str):
+    """HTMLStripCharFilter WITH the BaseCharFilter offset map: one
+    left-to-right pass over script/style elements, comments, tags
+    (each replaced by one space, same one-space delta as
+    html_strip_charfilter) and character entities (decoded;
+    semicolon-terminated forms only — the global-unescape legacy
+    semicolon-less forms are a documented delta of this offset
+    variant). Returns (stripped_text, OffsetMap); every token offset
+    in the stripped text maps back to the original through
+    OffsetMap.correct, so highlight offsets on charfiltered fields
+    are EXACT (r2 verdict item 7)."""
+    import re as _re
+
+    global _HTML_OFF_RX
+    if _HTML_OFF_RX is None:
+        _HTML_OFF_RX = _re.compile(
+            r"<(script|style)\b[^>]*>.*?</\1\s*>"   # element + content
+            r"|<!--.*?-->"                          # comment
+            r"|<[^>]*>"                             # tag
+            r"|&#[0-9]+;|&#[xX][0-9a-fA-F]+;|&[a-zA-Z][a-zA-Z0-9]*;",
+            _re.I | _re.S,
+        )
+    omap = OffsetMap()
+    out = []
+    out_len = 0
+    in_pos = 0
+    for m in _HTML_OFF_RX.finditer(text):
+        gap = text[in_pos:m.start()]
+        out.append(gap)
+        out_len += len(gap)
+        piece = m.group(0)
+        if piece.startswith("&"):
+            rep = _html_mod.unescape(piece)
+            if rep == piece:        # unknown entity passes through
+                out.append(piece)
+                out_len += len(piece)
+                in_pos = m.end()
+                continue
+        else:
+            rep = " "
+        out.append(rep)
+        out_len += len(rep)
+        in_pos = m.end()
+        omap.add(out_len, in_pos - out_len)
+    out.append(text[in_pos:])
+    return "".join(out), omap
+
+
 def mapping_charfilter(mapping: dict):
     """MappingCharFilter (charfilter/MappingCharFilter.java +
     NormalizeCharMap): greedy longest-match string rewriting before
@@ -698,16 +798,29 @@ def pattern_replace_charfilter(pattern: str, replacement: str):
     return pre
 
 
-def make_charfiltered_analyzer(name: str, base: str, pre) -> AnalyzerSpec:
+def make_charfiltered_analyzer(name: str, base: str, pre=None,
+                               pre_offsets=None) -> AnalyzerSpec:
     """Compose a registered base chain with a CharFilter pre stage and
-    register under ``name``."""
+    register under ``name``. Pass ``pre_offsets`` for the
+    offset-correcting form (BaseCharFilter seam) — the plain pre is
+    derived from it and the highlighters correct token offsets back
+    to the original text."""
     b = ANALYZERS[base]
     spec = AnalyzerSpec(name, b.scanner, b.lowercase, b.stopwords,
                         b.max_len, b.stem, post=b.post,
-                        emits_overlaps=b.emits_overlaps, pre=pre)
+                        emits_overlaps=b.emits_overlaps, pre=pre,
+                        pre_offsets=pre_offsets)
     if isinstance(b, _StandardSpec):
         spec.scanner = findall_tokens
     return register_analyzer(spec)
+
+
+# StandardAnalyzer chain behind an offset-correcting HTMLStrip — the
+# reference's HTMLStripCharFilterFactory + StandardTokenizer
+# composition; highlight offsets on this chain are exact on the raw
+# HTML (tests/test_charfilter_offsets.py golden vectors).
+make_charfiltered_analyzer("html_strip_std", "standard",
+                           pre_offsets=html_strip_with_offsets)
 
 
 def make_filtered_analyzer(name: str, base: str, post,

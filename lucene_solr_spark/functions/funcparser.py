@@ -197,7 +197,17 @@ def parse_function_query(
                             raise QueryParseError(
                                 f"unexpected {tt!r} in {name}(...)")
                         continue
-                    raw.append(_unquote(tt) if kk == "str" else tt)
+                    # raw_args == "tagged": the builder receives
+                    # (text, was_quoted) so a quoted literal stays a
+                    # literal even when a field shares its name (the
+                    # reference keeps LiteralValueSource distinct
+                    # from field refs); raw_args == True keeps the
+                    # legacy plain-string slot
+                    if getattr(fn, "raw_args") == "tagged":
+                        raw.append((_unquote(tt), True) if kk == "str"
+                                   else (tt, False))
+                    else:
+                        raw.append(_unquote(tt) if kk == "str" else tt)
                 i += 1
                 return fn(*raw)
             args: List[Column] = []

@@ -154,12 +154,17 @@ def strdist_function(fields):
     the JVM has no per-row seam for these algorithms)."""
     from pyspark.sql import functions as F
 
-    def build(a, b, dist, size="2"):
+    def build(a, b, dist, size=("2", False)):
         import pandas as pd
         from pyspark.sql.functions import pandas_udf
 
-        dist = dist.lower()
-        n = int(size)
+        # args arrive as (text, was_quoted) from the parser's tagged
+        # raw-args slot; the backend name matches CASE-SENSITIVELY —
+        # the reference's exact equals() routes 'JW'/'Edit' to a
+        # class-load failure, not to the built-in (r2 advice)
+        dist, _dq = dist if isinstance(dist, tuple) else (dist, False)
+        size_t, _sq = size if isinstance(size, tuple) else (size, False)
+        n = int(size_t)
         if dist == "jw":
             fn = jaro_winkler
         elif dist == "edit":
@@ -181,9 +186,14 @@ def strdist_function(fields):
                              "return": pd.Series}
         k = pandas_udf("float")(k)
 
-        ca = fields[a] if a in fields else F.lit(a)
-        cb = fields[b] if b in fields else F.lit(b)
+        # quoted operands are ALWAYS literals (LiteralValueSource),
+        # even when a field shares the name; bare operands resolve
+        # field-first like the reference's ValueSource parse
+        at, aq = a if isinstance(a, tuple) else (a, False)
+        bt, bq = b if isinstance(b, tuple) else (b, False)
+        ca = fields[at] if (not aq and at in fields) else F.lit(at)
+        cb = fields[bt] if (not bq and bt in fields) else F.lit(bt)
         return k(ca, cb)
 
-    build.raw_args = True
+    build.raw_args = "tagged"
     return build

@@ -68,7 +68,11 @@ def token_stream(text: str, analyzer) -> List[Tuple[str, int, int, int]]:
     token that survives the chain (255-cap drop, lowercase, stop
     filter) — the same re-derivation as fvh._term_stack; positions
     advance through stop holes exactly like the chain's position
-    increments (QueryScorer.getTokenScore:148 accumulates them)."""
+    increments (QueryScorer.getTokenScore:148 accumulates them).
+    Analyzers with a ``pre_offsets`` charfilter tokenize the FILTERED
+    text with offsets corrected back to the original
+    (BaseCharFilter.correct port), so markup built from these offsets
+    slices the raw stored text exactly."""
     from lucene_solr_spark.functions.analysis import (
         MAX_TOKEN_LENGTH,
         TOKEN_PATTERN,
@@ -76,6 +80,10 @@ def token_stream(text: str, analyzer) -> List[Tuple[str, int, int, int]]:
 
     stopwords = getattr(analyzer, "stopwords", frozenset())
     lowercase = getattr(analyzer, "lowercase", True)
+    pre_off = getattr(analyzer, "pre_offsets", None)
+    omap = None
+    if pre_off is not None:
+        text, omap = pre_off(text)
     out = []
     pos = -1
     for m in TOKEN_PATTERN.finditer(text):
@@ -86,7 +94,10 @@ def token_stream(text: str, analyzer) -> List[Tuple[str, int, int, int]]:
         t = tok.lower() if lowercase else tok
         if t in stopwords:
             continue
-        out.append((t, pos, m.start(), m.end()))
+        s, e = m.start(), m.end()
+        if omap is not None:
+            s, e = omap.correct(s), omap.correct(e)
+        out.append((t, pos, s, e))
     return out
 
 
@@ -635,6 +646,7 @@ def classic_highlight(
     clauses=None,
     hits: Optional[DataFrame] = None,
     fragmenter: str = "simple",
+    analyzer=None,
     **search_kw,
 ) -> DataFrame:
     """Top-k hits of ``query_text`` with classic-Highlighter fragments
@@ -654,7 +666,8 @@ def classic_highlight(
     if hits is None:
         hits = searcher.search(query_text, k=k, **search_kw)
     joined = hits.join(store.select("doc_id", text_col), "doc_id")
-    analyzer = searcher.analyzer
+    if analyzer is None:
+        analyzer = searcher.analyzer
     w = ({str(t): float(v) for t, v in weights.items()}
          if weights is not None else None)
 

@@ -88,7 +88,10 @@ def collect_early_terminated(doc_ids, max_docs_to_collect: int):
     prefix = (doc_ids.select("doc_id").orderBy("doc_id")
               .limit(max_docs_to_collect + 1))
     rows = [r["doc_id"] for r in prefix.collect()]
-    terminated = len(rows) > max_docs_to_collect
+    # the reference throws as soon as numCollected == maxDocsToCollect
+    # (EarlyTerminatingCollector.java:55-58), so a hit set EXACTLY
+    # equal to the cap is still 'terminated' — >=, not >
+    terminated = len(rows) >= max_docs_to_collect
     kept = rows[:max_docs_to_collect]
     spark = doc_ids.sparkSession
     out = spark.createDataFrame(

@@ -85,7 +85,12 @@ def _term_stack(text: str, analyzer) -> List[Tuple[str, int, int, int]]:
     """FieldTermStack: (term, position, start_offset, end_offset) in
     position order. Derived by re-running the analyzer's tokenizer
     with spans; stop-filtered tokens advance position but are not
-    stacked (they are not index terms)."""
+    stacked (they are not index terms). When the analyzer carries a
+    ``pre_offsets`` charfilter (str -> (filtered, OffsetMap)), the
+    tokenizer runs over the FILTERED text and both offsets are
+    corrected back to the original input
+    (Tokenizer.correctOffset + BaseCharFilter.correct), so the
+    highlighter slices the raw stored text exactly."""
     from lucene_solr_spark.functions.analysis import (
         MAX_TOKEN_LENGTH,
         TOKEN_PATTERN,
@@ -93,6 +98,10 @@ def _term_stack(text: str, analyzer) -> List[Tuple[str, int, int, int]]:
 
     stopwords = getattr(analyzer, "stopwords", frozenset())
     lowercase = getattr(analyzer, "lowercase", True)
+    pre_off = getattr(analyzer, "pre_offsets", None)
+    omap = None
+    if pre_off is not None:
+        text, omap = pre_off(text)
     out = []
     pos = -1
     for m in TOKEN_PATTERN.finditer(text):
@@ -103,7 +112,10 @@ def _term_stack(text: str, analyzer) -> List[Tuple[str, int, int, int]]:
         t = tok.lower() if lowercase else tok
         if t in stopwords:
             continue
-        out.append((t, pos, m.start(), m.end()))
+        s, e = m.start(), m.end()
+        if omap is not None:
+            s, e = omap.correct(s), omap.correct(e)
+        out.append((t, pos, s, e))
     return out
 
 

@@ -231,8 +231,14 @@ class MultiFieldSearcher:
         for n_gram, pfn, psn in ((2, pf2, ps2), (3, pf3, ps3)):
             if not pfn or len(words) < n_gram:
                 continue
-            legs = []
+            # one SHOULD sub-BooleanQuery PER FieldParams
+            # (addShingledPhraseQueries :549-556): each field's
+            # windows double-accumulate and cross the f32 boundary AT
+            # THE FIELD SUB-QUERY, then each field adds to main
+            # separately — pooling all fields into one sum would
+            # collapse the per-field f32 rounding chain (r2 advice)
             for f_name, boost in pfn.items():
+                legs = []
                 for i in range(len(words) - n_gram + 1):
                     win = " ".join(words[i:i + n_gram])
                     leg = self._clause_leg(f_name, win, boost,
@@ -240,7 +246,8 @@ class MultiFieldSearcher:
                     if leg is not None:
                         legs.append(leg.select(
                             "doc_id", F.col("score").alias("shp")))
-            if legs:
+                if not legs:
+                    continue
                 sh = legs[0]
                 for leg in legs[1:]:
                     sh = sh.unionByName(leg)

@@ -448,7 +448,15 @@ def parse_params(expression: str, vr: VariableResolver) -> list:
     (the reference adds nothing on that branch, kept bug-compatible),
     unresolvable ones throw; everything else wraps lazily."""
     result = []
+    # Java String.split(",") drops TRAILING empty tokens ('a,,' ->
+    # ['a']) where Python keeps them; match Java so no empty-name
+    # VariableWrappers appear. A lone-quote segment ("'", from ',x)
+    # re-joins across commas here where the reference's
+    # substring(1,0) would throw StringIndexOutOfBounds — documented
+    # divergence (the re-join is strictly more accepting).
     ss = [p for p in expression.strip().split(",")]
+    while ss and ss[-1] == "":
+        ss.pop()
     i = 0
     while i < len(ss):
         tok = ss[i].strip()

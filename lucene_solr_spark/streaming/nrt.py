@@ -58,9 +58,11 @@ def start_nrt_indexer(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        n = batch_df.count()
         append_documents(spark, index_dir, batch_df)
         if hard_commit_tracker is not None:
+            # count() only when a tracker consumes it — the default
+            # streaming path otherwise pays a full extra batch job
+            n = batch_df.count()
             now = batch_id * batch_time_ms
             for _ in range(n):
                 hard_commit_tracker.added_document(now=now)
