@@ -1893,6 +1893,28 @@ def q_span_or_near(spark, sf_dir):
     return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
 
 
+def q_graph_syn_phrase(spark, sf_dir):
+    """Query-time multi-word synonym expansion (QueryBuilder's graph
+    token-stream phrase handling; functions/synonyms.py
+    expand_graph_query): the phrase query "fast merge" under the
+    equivalent-set rule {fast merge, table} expands to
+    SpanOr(SpanNear([fast, merge], 0, true), table) — so the
+    two-word phrase matches documents phrased with the one-word twin
+    and vice versa. Expansion AST + match semantics gated in
+    tests/test_graph_synonyms.py."""
+    from lucene_solr_spark.functions.synonyms import (
+        SynonymMapBuilder,
+        expand_graph_query,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    b = SynonymMapBuilder()
+    b.add(("fast", "merge"), ("table",), include_orig=True)
+    b.add(("table",), ("fast", "merge"), include_orig=True)
+    q = expand_graph_query(["fast", "merge"], b.build())
+    return s.search_spans(q, k=None).select("doc_id").orderBy("doc_id")
+
+
 QUALITY_QUERIES = (("q1", "merge", "data"), ("q2", "table", "scan"),
                    ("q3", "window", "batch"))
 
@@ -5143,6 +5165,20 @@ ORDER BY doc_id
   ) WHERE length(term) <= 255
 )
 """
+    # query-time multi-word synonym graph: phrase "fast merge" with
+    # the equivalent-set rule {fast merge, table} expands to
+    # SpanOr(SpanNear(fast,merge), table) — doc set = adjacent pair
+    # OR the one-word twin (expand_graph_query, r2 verdict item 9)
+    o["graph_syn_phrase"] = ORACLE_PRELUDE + _TPOS + """
+SELECT DISTINCT doc_id FROM (
+  SELECT p0.doc_id
+  FROM tpos p0 JOIN tpos p1
+    ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = 'fast' AND p1.term = 'merge'
+  UNION ALL
+  SELECT doc_id FROM tf WHERE term = 'table'
+) ORDER BY doc_id
+"""
     o["span_near_ordered"] = ORACLE_PRELUDE + _TPOS + """
 SELECT DISTINCT a.doc_id
 FROM (SELECT doc_id, pos FROM tpos WHERE term = 'merge') a
@@ -7849,6 +7885,7 @@ QUERIES = {
     "sloppy_phrase": q_sloppy_phrase,
     "span_near_ordered": q_span_near_ordered,
     "span_or_near": q_span_or_near,
+    "graph_syn_phrase": q_graph_syn_phrase,
     "complex_phrase_docs": q_complex_phrase,
     "surround_docs": q_surround,
     "duplicate_filter_docs": q_duplicate_filter,

@@ -272,3 +272,53 @@ def synonym_filter_post(syn_map: SynonymMap):
         return out_stream
 
     return post
+
+
+def expand_graph_query(tokens, syn_map: SynonymMap, slop: int = 0):
+    """Query-time multi-word synonym GRAPH expansion — the reference
+    QueryBuilder's graph-token-stream phrase handling (later Lucene's
+    QueryBuilder.analyzeGraphPhrase builds a SpanNearQuery whose
+    elements are SpanOrQuery alternatives; this engine had it as a
+    documented non-goal until r3): walk the analyzed query tokens with
+    the SAME greedy longest-match the index-side SynonymFilter uses,
+    and replace each matched input with a SpanOr over [original
+    sequence if keepOrig] + every mapped output sequence (multi-word
+    sequences become exact ordered SpanNear chains). The elements
+    join under an outer ordered SpanNear with the phrase's slop, so a
+    two-word synonym rule lets a phrase query match documents that
+    phrase it the other way.
+
+    Returns a span AST for IndexSearcher.search_spans."""
+    from lucene_solr_spark.search.spans import SpanNear, SpanOr, SpanTerm
+
+    def seq_node(words):
+        if len(words) == 1:
+            return SpanTerm(words[0])
+        return SpanNear(tuple(SpanTerm(w) for w in words),
+                        slop=0, in_order=True)
+
+    elements = []
+    i, n = 0, len(tokens)
+    while i < n:
+        match_len = 0
+        for ln in range(min(syn_map.max_len, n - i), 0, -1):
+            if tuple(tokens[i:i + ln]) in syn_map.mapping:
+                match_len = ln
+                break
+        if match_len == 0:
+            elements.append(SpanTerm(tokens[i]))
+            i += 1
+            continue
+        key = tuple(tokens[i:i + match_len])
+        alts = []
+        if syn_map.keep.get(key, False):
+            alts.append(seq_node(key))
+        alts.extend(seq_node(out) for out in syn_map.mapping[key])
+        elements.append(alts[0] if len(alts) == 1
+                        else SpanOr(tuple(alts)))
+        i += match_len
+    if not elements:
+        raise ValueError("empty query after analysis")
+    if len(elements) == 1:
+        return elements[0]
+    return SpanNear(tuple(elements), slop=slop, in_order=True)
