@@ -324,13 +324,18 @@ def highlight_doc(text: str, phrases, analyzer, frag_char_size: int = 100,
                   post: str = "</b>", slop: int = 0,
                   margin: int = MARGIN_DEFAULT,
                   frag_list: str = "simple", term_weights=None,
-                  return_scores: bool = False):
+                  return_scores: bool = False, stack=None):
     """FastVectorHighlighter.getBestFragments for ONE doc (pure
     function — unit-testable and reused by the Spark kernel).
     ``frag_list='weighted'`` scores fragments per
-    WeightedFieldFragList (Solr hl.fragListBuilder default)."""
+    WeightedFieldFragList (Solr hl.fragListBuilder default).
+    ``stack``: precomputed FieldTermStack rows (term, pos, start,
+    end) from the term-vector sidecar — when given, the stored text
+    is NOT re-analyzed (the reference's term-vectors fast path,
+    FieldTermStack.java:77-105)."""
     trie = _build_trie(phrases)
-    stack = _term_stack(text, analyzer)
+    if stack is None:
+        stack = _term_stack(text, analyzer)
     wpl = _field_phrase_list(stack, trie, slop)
     if not wpl:
         return []
@@ -360,17 +365,32 @@ def fast_vector_highlight(
     slop: int = 0,
     frag_list: str = "simple",
     term_weights=None,
+    term_vectors: Optional[DataFrame] = None,
     **search_kw,
 ) -> DataFrame:
     """Top-k hits of ``query_text`` with FVH fragments over their
     stored text. ``phrases``: [(terms tuple, boost)] — the flattened
     FieldQuery (term queries are 1-tuples, phrase queries n-tuples).
     Returns (doc_id, score, fragments array<string>,
-    frag_scores array<float>)."""
+    frag_scores array<float>).
+
+    ``term_vectors``: the sidecar table (build_term_vectors) — the
+    FieldTermStack then comes from a JOIN against it (aggregated per
+    doc) and the kernel never re-analyzes the stored text; gated
+    output-identical to the re-analysis path in
+    tests/test_term_vectors.py."""
     import pandas as pd
 
     hits = searcher.search(query_text, k=k, **search_kw)
     joined = hits.join(store.select("doc_id", text_col), "doc_id")
+    if term_vectors is not None:
+        tv = (
+            term_vectors
+            .groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                "pos", "term", "start", "end"))).alias("_tv"))
+        )
+        joined = joined.join(tv, "doc_id", "left")
     analyzer = searcher.analyzer
     norm_phrases = []
     for p in phrases:
@@ -380,19 +400,28 @@ def fast_vector_highlight(
             terms = (terms,)
         norm_phrases.append((tuple(terms), float(boost)))
 
+    use_tv = term_vectors is not None
+
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             frags, fscores = [], []
-            for t in pdf[text_col]:
+            tv_col = pdf["_tv"] if use_tv else [None] * len(pdf)
+            for t, tv_rows in zip(pdf[text_col], tv_col):
+                stack = None
+                missing = tv_rows is None or (
+                    isinstance(tv_rows, float) and pd.isna(tv_rows))
+                if use_tv and not missing:
+                    stack = [(r["term"], int(r["pos"]), int(r["start"]),
+                              int(r["end"])) for r in tv_rows]
                 res = highlight_doc(
                     t, norm_phrases, analyzer,
                     frag_char_size=frag_char_size,
                     max_num_fragments=max_num_fragments,
                     pre=pre, post=post, slop=slop,
                     frag_list=frag_list, term_weights=term_weights,
-                    return_scores=True)
+                    return_scores=True, stack=stack)
                 frags.append([r[0] for r in res])
                 fscores.append([r[1] for r in res])
             yield pd.DataFrame({
@@ -407,3 +436,81 @@ def fast_vector_highlight(
         schema=("doc_id long, score float, fragments array<string>, "
                 "frag_scores array<float>"))
     return out.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+# -- term-vector sidecar -----------------------------------------------------
+
+
+TERM_VECTORS_SCHEMA = (
+    "doc_id long, term string, pos int, start int, end int"
+)
+
+
+def build_term_vectors(store: DataFrame, analyzer,
+                       text_col: str = "content") -> DataFrame:
+    """Term-vector sidecar build (lucene/core/.../codecs/compressing/
+    CompressingTermVectorsWriter.java semantics, relationally): one
+    row per surviving token occurrence with its position and char
+    offsets — exactly the FieldTermStack content the reference reads
+    from term vectors (FieldTermStack.java:77-105), so highlighting
+    becomes a JOIN against this table instead of a re-analysis of the
+    stored text. Written once at index build (write_term_vectors);
+    the reference pays the same trade (withTermVectors* flags grow
+    the index to save query-time re-analysis).
+
+    One Arrow mapInPandas over the store — the same partitioning as
+    the corpus scan, no shuffle."""
+    import pandas as pd
+
+    stopwords = frozenset(getattr(analyzer, "stopwords", frozenset()))
+    lowercase = getattr(analyzer, "lowercase", True)
+
+    def kernel(batches):
+        from lucene_solr_spark.functions.analysis import (
+            MAX_TOKEN_LENGTH,
+            TOKEN_PATTERN,
+        )
+
+        class _An:
+            pass
+
+        _an = _An()
+        _an.stopwords = stopwords
+        _an.lowercase = lowercase
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, terms, poss, sts, ens = [], [], [], [], []
+            for did, text in zip(pdf["doc_id"], pdf[text_col]):
+                for t, p, s, e in _term_stack(text or "", _an):
+                    ids.append(did)
+                    terms.append(t)
+                    poss.append(p)
+                    sts.append(s)
+                    ens.append(e)
+            yield pd.DataFrame({
+                "doc_id": ids, "term": terms, "pos": poss,
+                "start": sts, "end": ens,
+            })
+
+    return store.select("doc_id", text_col).mapInPandas(
+        kernel, schema=TERM_VECTORS_SCHEMA)
+
+
+def write_term_vectors(store: DataFrame, analyzer, index_dir: str,
+                       text_col: str = "content") -> str:
+    """Persist the sidecar under the index directory; returns the
+    path. At 100 TB: partition-aligned parquet next to the postings,
+    read back with doc_id pushdown for the top-k hits only."""
+    import os
+
+    out = os.path.join(index_dir, "term_vectors")
+    build_term_vectors(store, analyzer, text_col).write.mode(
+        "overwrite").parquet(out)
+    return out
+
+
+def read_term_vectors(spark, index_dir: str) -> DataFrame:
+    import os
+
+    return spark.read.parquet(os.path.join(index_dir, "term_vectors"))
