@@ -15038,3 +15038,35 @@ from lucene_solr_spark.functions.lightstemmers import (  # noqa: E402
 for _ls_key in _LIGHT_STEMMERS:
     QUERIES[f"stem_{_ls_key}_terms"] = _make_light_stem_entry(_ls_key)
     ORACLES[f"stem_{_ls_key}_terms"] = _light_stem_sql(_ls_key)
+
+
+# Batch-2 national stemmers (cz/bg/lv/hi/id — natstemmers.py), same
+# entry + vocabulary-closed generated-CASE oracle shape as the light
+# pack above; the stemmers themselves are gated over the reference
+# tests' own vector tables in tests/test_nat_stemmers.py.
+def _nat_stem_sql(key) -> str:
+    from lucene_solr_spark.functions.natstemmers import NAT_STEMMERS
+
+    fn = NAT_STEMMERS[key]
+    arms = " ".join(
+        f"WHEN '{w}' THEN '{fn(w)}'" for w in _CORPUS_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE t {arms} ELSE '??' END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+from lucene_solr_spark.functions.natstemmers import (  # noqa: E402
+    NAT_STEMMERS as _NAT_STEMMERS,
+)
+
+for _ns_key in _NAT_STEMMERS:
+    QUERIES[f"stem_{_ns_key}_terms"] = _make_light_stem_entry(_ns_key)
+    ORACLES[f"stem_{_ns_key}_terms"] = _nat_stem_sql(_ns_key)

@@ -381,6 +381,21 @@ for _ls_name, _ls_fn in LIGHT_STEMMERS.items():
     register_analyzer(
         AnalyzerSpec(_ls_name, _LETTER_RUNS, True, stem=_ls_fn))
 
+# Batch-2 national stemmers (analysis/{cz,bg,lv,hi,id}/*Stemmer.java)
+# through the same seam, duel-gated over the reference tests' own
+# vector tables in tests/test_nat_stemmers.py.
+from lucene_solr_spark.functions.natstemmers import (  # noqa: E402
+    NAT_STEMMERS,
+)
+
+for _ns_name, _ns_fn in NAT_STEMMERS.items():
+    register_analyzer(
+        AnalyzerSpec(f"stem_{_ns_name}_ws", str.split, False,
+                     stem=_ns_fn))
+    register_analyzer(
+        AnalyzerSpec(f"{_ns_name}_stem", _LETTER_RUNS, True,
+                     stem=_ns_fn))
+
 
 # ---------------------------------------------------------------------------
 # stream-level token filters (the TokenFilter graph slot): Shingle,
