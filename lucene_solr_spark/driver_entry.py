@@ -15070,3 +15070,32 @@ from lucene_solr_spark.functions.natstemmers import (  # noqa: E402
 for _ns_key in _NAT_STEMMERS:
     QUERIES[f"stem_{_ns_key}_terms"] = _make_light_stem_entry(_ns_key)
     ORACLES[f"stem_{_ns_key}_terms"] = _nat_stem_sql(_ns_key)
+
+
+# RSLP/RSLG rule-engine stemmer entries (rslpstemmer.py), same shape.
+def _rslp_stem_sql(key) -> str:
+    from lucene_solr_spark.functions.rslpstemmer import RSLP_STEMMERS
+
+    fn = RSLP_STEMMERS[key]
+    arms = " ".join(
+        f"WHEN '{w}' THEN '{fn(w)}'" for w in _CORPUS_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE t {arms} ELSE '??' END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+from lucene_solr_spark.functions.rslpstemmer import (  # noqa: E402
+    RSLP_STEMMERS as _RSLP_STEMMERS,
+)
+
+for _rs_key in _RSLP_STEMMERS:
+    QUERIES[f"stem_{_rs_key}_terms"] = _make_light_stem_entry(_rs_key)
+    ORACLES[f"stem_{_rs_key}_terms"] = _rslp_stem_sql(_rs_key)

@@ -396,6 +396,20 @@ for _ns_name, _ns_fn in NAT_STEMMERS.items():
         AnalyzerSpec(f"{_ns_name}_stem", _LETTER_RUNS, True,
                      stem=_ns_fn))
 
+# RSLP/RSLG rule-engine stemmers (pt/RSLPStemmerBase.java drivers:
+# full Portuguese RSLP, Portuguese minimal = Plural step, Galician
+# RSLG, Galician minimal), vocabulary-duel-gated in tests/test_rslp.py.
+from lucene_solr_spark.functions.rslpstemmer import (  # noqa: E402
+    RSLP_STEMMERS,
+)
+
+for _rs_name, _rs_fn in RSLP_STEMMERS.items():
+    register_analyzer(
+        AnalyzerSpec(f"stem_{_rs_name}_ws", str.split, False,
+                     stem=_rs_fn))
+    register_analyzer(
+        AnalyzerSpec(_rs_name, _LETTER_RUNS, True, stem=_rs_fn))
+
 
 # ---------------------------------------------------------------------------
 # stream-level token filters (the TokenFilter graph slot): Shingle,
