@@ -15099,3 +15099,34 @@ from lucene_solr_spark.functions.rslpstemmer import (  # noqa: E402
 for _rs_key in _RSLP_STEMMERS:
     QUERIES[f"stem_{_rs_key}_terms"] = _make_light_stem_entry(_rs_key)
     ORACLES[f"stem_{_rs_key}_terms"] = _rslp_stem_sql(_rs_key)
+
+
+# Batch-3 classic stemmer entries (classicstemmers.py), same shape.
+def _classic_stem_sql(key) -> str:
+    from lucene_solr_spark.functions.classicstemmers import (
+        CLASSIC_STEMMERS,
+    )
+
+    fn = CLASSIC_STEMMERS[key]
+    arms = " ".join(
+        f"WHEN '{w}' THEN '{fn(w)}'" for w in _CORPUS_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE t {arms} ELSE '??' END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+from lucene_solr_spark.functions.classicstemmers import (  # noqa: E402
+    CLASSIC_STEMMERS as _CLASSIC_STEMMERS,
+)
+
+for _cs_key in _CLASSIC_STEMMERS:
+    QUERIES[f"stem_{_cs_key}_terms"] = _make_light_stem_entry(_cs_key)
+    ORACLES[f"stem_{_cs_key}_terms"] = _classic_stem_sql(_cs_key)

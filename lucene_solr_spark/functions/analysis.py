@@ -410,6 +410,21 @@ for _rs_name, _rs_fn in RSLP_STEMMERS.items():
     register_analyzer(
         AnalyzerSpec(_rs_name, _LETTER_RUNS, True, stem=_rs_fn))
 
+# Batch-3 classic stemmers (de/GermanStemmer.java discriminator,
+# ar/ArabicStemmer.java light stemming, br/BrazilianStemmer.java),
+# gated in tests/test_classic_stemmers.py.
+from lucene_solr_spark.functions.classicstemmers import (  # noqa: E402
+    CLASSIC_STEMMERS,
+)
+
+for _cs_name, _cs_fn in CLASSIC_STEMMERS.items():
+    register_analyzer(
+        AnalyzerSpec(f"stem_{_cs_name}_ws", str.split, False,
+                     stem=_cs_fn))
+    register_analyzer(
+        AnalyzerSpec(f"{_cs_name}_an", _LETTER_RUNS, True,
+                     stem=_cs_fn))
+
 
 # ---------------------------------------------------------------------------
 # stream-level token filters (the TokenFilter graph slot): Shingle,
