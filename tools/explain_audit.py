@@ -423,6 +423,68 @@ def main() -> None:
          "CartesianProduct" not in plan),
     ]))
 
+    # --- round-3 additions -------------------------------------------------
+
+    plan = fmt(QUERIES["ann_ivf_top10"](spark, sf))
+    sections.append(("IVF-flat ANN (trained quantizer, replicated "
+                     "assignment)", plan, [
+        ("assignment is a pure projection — NO window sort",
+         "Window" not in plan),
+        ("no crossJoin row expansion (literal centroids)",
+         "CartesianProduct" not in plan and
+         "BroadcastNestedLoopJoin" not in plan),
+        ("bounded top-k, not a global sort",
+         "TakeOrderedAndProject" in plan),
+    ]))
+
+    plan = fmt(QUERIES["graph_syn_phrase"](spark, sf))
+    sections.append(("Query-time multi-word synonym span query", plan, [
+        ("no cartesian", "CartesianProduct" not in plan),
+        ("span evaluation in an Arrow kernel stage",
+         "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+         or "ArrowEvalPython" in plan),
+    ]))
+
+    plan = fmt(QUERIES["html_highlight"](spark, sf))
+    sections.append(("Offset-corrected HTML highlight (top-k only)",
+                     plan, [
+        ("one Arrow walk kernel over the k hits (the scoring kernel "
+         "in the search subtree is FlatMapGroupsInPandas)",
+         plan.count(") MapInPandas") == 1),
+        ("no cartesian", "CartesianProduct" not in plan),
+    ]))
+
+    # term-vector sidecar path: the FieldTermStack comes from a JOIN
+    # (aggregated sidecar), the only Python stage is the fragment walk
+    # — no re-analysis kernel (r2 verdict item 6 'plan shows no
+    # re-analysis kernel')
+    from lucene_solr_spark.driver_entry import (
+        _documents,
+        get_searcher,
+    )
+    from lucene_solr_spark.search.fvh import (
+        build_term_vectors,
+        fast_vector_highlight,
+    )
+
+    s_sf = get_searcher(spark, sf)
+    docs_sf = _documents(spark, sf).select(
+        F.format_string("%012d", F.col("doc_id")).alias("path"),
+        F.col("text").alias("content"))
+    store_sf = s_sf._docs.select("doc_id", "path").join(
+        docs_sf, "path").select("doc_id", "content")
+    tv_sf = build_term_vectors(store_sf, s_sf.analyzer)
+    plan = fmt(fast_vector_highlight(
+        s_sf, store_sf, "merge", [("merge",)], k=10,
+        term_vectors=tv_sf))
+    sections.append(("FVH through the term-vector sidecar", plan, [
+        ("stack comes from an aggregated JOIN (collect_list over the "
+         "sidecar)", "collect_list" in plan),
+        ("exactly two Arrow stages: the sidecar tokenize write-side "
+         "kernel and the fragment walk — the walk itself does not "
+         "re-analyze", plan.count(") MapInPandas") == 2),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
