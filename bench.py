@@ -206,6 +206,20 @@ QUERY_NAMES = [
     "payload_encoders",
     "dih_line_import",
     "hunspell_stems",
+    # round-3 additions: fragment-list highlighters (now oracle-gated),
+    # offset-corrected HTML highlight, graph synonyms, and a
+    # representative slice of the 25-stemmer pack
+    "fvh_fragments",
+    "classic_hl_frags",
+    "html_highlight",
+    "graph_syn_phrase",
+    "stem_de_light_terms",
+    "stem_fr_light_terms",
+    "stem_ru_light_terms",
+    "stem_hu_light_terms",
+    "stem_cz_terms",
+    "stem_pt_rslp_terms",
+    "stem_br_terms",
     "xpath_records",
     "ngram_tokenizer",
 ]

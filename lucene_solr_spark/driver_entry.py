@@ -15130,3 +15130,27 @@ from lucene_solr_spark.functions.classicstemmers import (  # noqa: E402
 for _cs_key in _CLASSIC_STEMMERS:
     QUERIES[f"stem_{_cs_key}_terms"] = _make_light_stem_entry(_cs_key)
     ORACLES[f"stem_{_cs_key}_terms"] = _classic_stem_sql(_cs_key)
+
+
+# KStem entry (kstem.py), same shape; the chain lowercases before the
+# stem like KStemFilter's contract.
+def _kstem_sql() -> str:
+    from lucene_solr_spark.functions.kstem import kstem
+
+    arms = " ".join(
+        f"WHEN '{w}' THEN '{kstem(w)}'" for w in _CORPUS_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE t {arms} ELSE '??' END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+QUERIES["stem_kstem_terms"] = _make_light_stem_entry("kstem")
+ORACLES["stem_kstem_terms"] = _kstem_sql()

@@ -425,6 +425,17 @@ for _cs_name, _cs_fn in CLASSIC_STEMMERS.items():
         AnalyzerSpec(f"{_cs_name}_an", _LETTER_RUNS, True,
                      stem=_cs_fn))
 
+# KStem (en/KStemmer.java — the dictionary-driven English stemmer;
+# KStemFilter requires lowercase input, so the chain lowercases
+# first), gated over kstemTestData.zip in tests/test_kstem.py.
+from lucene_solr_spark.functions.kstem import kstem  # noqa: E402
+
+register_analyzer(
+    AnalyzerSpec("stem_kstem_ws", str.split, True, stem=kstem))
+register_analyzer(
+    AnalyzerSpec("kstem_en", _LETTER_RUNS, True, STOPWORDS,
+                 stem=kstem))
+
 
 # ---------------------------------------------------------------------------
 # stream-level token filters (the TokenFilter graph slot): Shingle,
