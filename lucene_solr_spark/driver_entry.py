@@ -10061,7 +10061,13 @@ def _ivf_train(spark, sf_dir):
     the DuckDB oracle's unrolled CTE replay (a float sum would differ
     by summation order). Returns [(cid, [double]*dim)] sorted by cid.
     At 100 TB: train on a bounded sample; each iteration is one
-    scan + map-side-combined groupBy (no window, no N x K shuffle)."""
+    scan + map-side-combined groupBy (no window, no N x K shuffle).
+    Trained centroids are cached per sf_dir (they are deterministic),
+    so repeated queries skip the training jobs."""
+    ckey = os.path.realpath(sf_dir)
+    hit = _IVF_CENTROIDS.get(ckey)
+    if hit is not None:
+        return hit
     e = _embeddings(spark, sf_dir).filter(F.col("vec_id") != 0)
     seeds = (
         _embeddings(spark, sf_dir)
@@ -10097,7 +10103,11 @@ def _ivf_train(spark, sf_dir):
         cents = sorted(
             (int(r["cid"]), [float(v) for v in r["cv"]]) for r in means
         )
+    _IVF_CENTROIDS[ckey] = cents
     return cents
+
+
+_IVF_CENTROIDS: dict = {}
 
 
 def q_ann_ivf_top10(spark, sf_dir):

@@ -453,3 +453,12 @@ def brazilian_stem_filter(term: str) -> str:
 
 
 CLASSIC_STEMMERS["br"] = brazilian_stem_filter
+
+
+# memoized at the module names (see lightstemmers.py tail note)
+from functools import lru_cache as _lru_cache
+
+for _n in list(CLASSIC_STEMMERS):
+    _fname = CLASSIC_STEMMERS[_n].__name__
+    globals()[_fname] = _lru_cache(maxsize=1 << 17)(globals()[_fname])
+    CLASSIC_STEMMERS[_n] = globals()[_fname]

@@ -869,3 +869,10 @@ def kstem(term: str) -> str:
     if entry is not None and entry[0] is not None:
         return entry[0]
     return "".join(st.w)
+
+
+# memoized at the module name (pure function over a huge lexicon;
+# pickled analyzer specs resolve this name, so the cache travels)
+from functools import lru_cache as _lru_cache
+
+kstem = _lru_cache(maxsize=1 << 17)(kstem)

@@ -788,3 +788,15 @@ LIGHT_STEMMERS = {
     "fi_light": finnish_light_stem,
     "hu_light": hungarian_light_stem,
 }
+
+
+# Stemmers are pure str -> str and corpus token streams repeat a small
+# vocabulary heavily: memoize at the MODULE NAME so every consumer
+# (and pickled analyzer specs, which resolve by qualified name) gets
+# the cached form — per-distinct-token Python cost, bounded cache.
+from functools import lru_cache as _lru_cache
+
+for _n in list(LIGHT_STEMMERS):
+    _fname = LIGHT_STEMMERS[_n].__name__
+    globals()[_fname] = _lru_cache(maxsize=1 << 17)(globals()[_fname])
+    LIGHT_STEMMERS[_n] = globals()[_fname]

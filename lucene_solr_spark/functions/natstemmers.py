@@ -487,3 +487,12 @@ NAT_STEMMERS = {
     "hi": hindi_stem,
     "id": indonesian_stem,
 }
+
+
+# memoized at the module names (see lightstemmers.py tail note)
+from functools import lru_cache as _lru_cache
+
+for _n in list(NAT_STEMMERS):
+    _fname = NAT_STEMMERS[_n].__name__
+    globals()[_fname] = _lru_cache(maxsize=1 << 17)(globals()[_fname])
+    NAT_STEMMERS[_n] = globals()[_fname]

@@ -160,3 +160,12 @@ RSLP_STEMMERS = {
     "gl_rslp": galician_stem,
     "gl_minimal": galician_minimal_stem,
 }
+
+
+# memoized at the module names (see lightstemmers.py tail note)
+from functools import lru_cache as _lru_cache
+
+for _n in list(RSLP_STEMMERS):
+    _fname = RSLP_STEMMERS[_n].__name__
+    globals()[_fname] = _lru_cache(maxsize=1 << 17)(globals()[_fname])
+    RSLP_STEMMERS[_n] = globals()[_fname]
