@@ -15164,3 +15164,36 @@ FROM u GROUP BY term ORDER BY df DESC, term ASC
 
 QUERIES["stem_kstem_terms"] = _make_light_stem_entry("kstem")
 ORACLES["stem_kstem_terms"] = _kstem_sql()
+
+
+# Snowball family entries (snowball_ext.py, transpiled + vocab-gated):
+# one oracle-gated entry per language, same vocabulary-closed shape.
+def _snowball_sql(lang) -> str:
+    from lucene_solr_spark.functions.snowball_ext import (
+        SNOWBALL_STEMMERS,
+    )
+
+    fn = SNOWBALL_STEMMERS[lang]
+    arms = " ".join(
+        f"WHEN '{w}' THEN '{fn(w)}'" for w in _CORPUS_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE t {arms} ELSE '??' END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+from lucene_solr_spark.functions.snowball_ext import (  # noqa: E402
+    SNOWBALL_STEMMERS as _SNOWBALL_STEMMERS,
+)
+
+for _sb_key in _SNOWBALL_STEMMERS:
+    QUERIES[f"snow_{_sb_key}_terms"] = \
+        _make_light_stem_entry(f"snow_{_sb_key}")
+    ORACLES[f"snow_{_sb_key}_terms"] = _snowball_sql(_sb_key)

@@ -425,6 +425,24 @@ for _cs_name, _cs_fn in CLASSIC_STEMMERS.items():
         AnalyzerSpec(f"{_cs_name}_an", _LETTER_RUNS, True,
                      stem=_cs_fn))
 
+# Snowball family (SnowballFilter.java over org/tartarus/snowball/ext
+# — 23 languages incl. Porter/Porter2 English, Kraaij-Pohlmann,
+# Lovins, Turkish), transpiled from the generated classes and
+# vocabulary-duel-gated over TestSnowballVocabData.zip in
+# tests/test_snowball.py. Chain shape mirrors SnowballAnalyzer:
+# tokenize + lowercase + SnowballFilter.
+from lucene_solr_spark.functions.snowball_ext import (  # noqa: E402
+    SNOWBALL_STEMMERS,
+)
+
+for _sb_lang, _sb_fn in SNOWBALL_STEMMERS.items():
+    register_analyzer(
+        AnalyzerSpec(f"stem_snow_{_sb_lang}_ws", str.split, True,
+                     stem=_sb_fn))
+    register_analyzer(
+        AnalyzerSpec(f"snowball_{_sb_lang}", _LETTER_RUNS, True,
+                     stem=_sb_fn))
+
 # KStem (en/KStemmer.java — the dictionary-driven English stemmer;
 # KStemFilter requires lowercase input, so the chain lowercases
 # first), gated over kstemTestData.zip in tests/test_kstem.py.
