@@ -15197,3 +15197,26 @@ for _sb_key in _SNOWBALL_STEMMERS:
     QUERIES[f"snow_{_sb_key}_terms"] = \
         _make_light_stem_entry(f"snow_{_sb_key}")
     ORACLES[f"snow_{_sb_key}_terms"] = _snowball_sql(_sb_key)
+
+
+# Greek stemmer entry (greekstemmer.py), same shape.
+def _greek_sql() -> str:
+    from lucene_solr_spark.functions.greekstemmer import greek_stem_chain
+
+    arms = " ".join(
+        f"WHEN '{w}' THEN '{greek_stem_chain(w)}'" for w in _CORPUS_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE t {arms} ELSE '??' END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+QUERIES["stem_el_terms"] = _make_light_stem_entry("el")
+ORACLES["stem_el_terms"] = _greek_sql()

@@ -443,6 +443,18 @@ for _sb_lang, _sb_fn in SNOWBALL_STEMMERS.items():
         AnalyzerSpec(f"snowball_{_sb_lang}", _LETTER_RUNS, True,
                      stem=_sb_fn))
 
+# Greek (el/GreekStemmer.java + el/GreekLowerCaseFilter.java): the
+# GreekAnalyzer chain's casefold+stem, gated over TestGreekStemmer's
+# 343 vectors in tests/test_greek.py.
+from lucene_solr_spark.functions.greekstemmer import (  # noqa: E402
+    greek_stem_chain,
+)
+
+register_analyzer(
+    AnalyzerSpec("stem_el_ws", str.split, False, stem=greek_stem_chain))
+register_analyzer(
+    AnalyzerSpec("el_greek", _LETTER_RUNS, False, stem=greek_stem_chain))
+
 # KStem (en/KStemmer.java — the dictionary-driven English stemmer;
 # KStemFilter requires lowercase input, so the chain lowercases
 # first), gated over kstemTestData.zip in tests/test_kstem.py.
