@@ -220,6 +220,9 @@ QUERY_NAMES = [
     "stem_cz_terms",
     "stem_pt_rslp_terms",
     "stem_br_terms",
+    "stem_kstem_terms",
+    "snow_english_terms",
+    "stem_el_terms",
     "xpath_records",
     "ngram_tokenizer",
 ]
