@@ -15220,3 +15220,45 @@ FROM u GROUP BY term ORDER BY df DESC, term ASC
 
 QUERIES["stem_el_terms"] = _make_light_stem_entry("el")
 ORACLES["stem_el_terms"] = _greek_sql()
+
+
+# Normalizer-pack entries (normalizers.py), same shape.
+def _norm_sql(key) -> str:
+    from lucene_solr_spark.functions.normalizers import NORMALIZERS
+
+    fn = NORMALIZERS[key]
+    arms = " ".join(
+        f"WHEN '{w}' THEN '{fn(w)}'" for w in _CORPUS_VOCAB)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE t {arms} ELSE '??' END AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> ''
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+
+def _make_norm_entry(key):
+    def q(spark, sf_dir):
+        t = _analyzer_terms(spark, sf_dir, f"{key}_ws")
+        return _df_top(t)
+    q.__name__ = f"q_norm_{key}_terms"
+    q.__doc__ = (
+        f"{key} normalizer (normalizers.py port, vector-gated in "
+        "tests/test_normalizers.py): per-term df over the whitespace "
+        "chain."
+    )
+    return q
+
+
+from lucene_solr_spark.functions.normalizers import (  # noqa: E402
+    NORMALIZERS as _NORMALIZERS,
+)
+
+for _nz_key in _NORMALIZERS:
+    QUERIES[f"norm_{_nz_key}_terms"] = _make_norm_entry(_nz_key)
+    ORACLES[f"norm_{_nz_key}_terms"] = _norm_sql(_nz_key)

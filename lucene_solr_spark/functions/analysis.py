@@ -443,6 +443,18 @@ for _sb_lang, _sb_fn in SNOWBALL_STEMMERS.items():
         AnalyzerSpec(f"snowball_{_sb_lang}", _LETTER_RUNS, True,
                      stem=_sb_fn))
 
+# Normalizer pack (ar/ArabicNormalizer, fa/PersianNormalizer,
+# hi/HindiNormalizer, de/GermanNormalizationFilter + the composed
+# ArabicAnalyzer/PersianAnalyzer/HindiAnalyzer normalize+stem tails),
+# vector-gated in tests/test_normalizers.py.
+from lucene_solr_spark.functions.normalizers import (  # noqa: E402
+    NORMALIZERS,
+)
+
+for _nz_name, _nz_fn in NORMALIZERS.items():
+    register_analyzer(
+        AnalyzerSpec(f"{_nz_name}_ws", str.split, False, stem=_nz_fn))
+
 # Greek (el/GreekStemmer.java + el/GreekLowerCaseFilter.java): the
 # GreekAnalyzer chain's casefold+stem, gated over TestGreekStemmer's
 # 343 vectors in tests/test_greek.py.
