@@ -159,17 +159,20 @@ def strdist_function(fields):
         from pyspark.sql.functions import pandas_udf
 
         # args arrive as (text, was_quoted) from the parser's tagged
-        # raw-args slot; the backend name matches CASE-SENSITIVELY —
-        # the reference's exact equals() routes 'JW'/'Edit' to a
-        # class-load failure, not to the built-in (r2 advice)
+        # raw-args slot; the three built-in backend names match
+        # case-INsensitively (ValueSourceParser.java:370-374 uses
+        # equalsIgnoreCase for jw/edit/ngram); only a genuinely
+        # unknown name falls to the reference's newInstance
+        # class-load path, which we surface as ValueError
         dist, _dq = dist if isinstance(dist, tuple) else (dist, False)
         size_t, _sq = size if isinstance(size, tuple) else (size, False)
         n = int(size_t)
-        if dist == "jw":
+        dl = dist.lower()
+        if dl == "jw":
             fn = jaro_winkler
-        elif dist == "edit":
+        elif dl == "edit":
             fn = levenstein_similarity
-        elif dist == "ngram":
+        elif dl == "ngram":
             def fn(x, y):
                 return ngram_similarity(x, y, n)
         else:

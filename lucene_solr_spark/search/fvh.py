@@ -464,6 +464,13 @@ def build_term_vectors(store: DataFrame, analyzer,
 
     stopwords = frozenset(getattr(analyzer, "stopwords", frozenset()))
     lowercase = getattr(analyzer, "lowercase", True)
+    # Charfilter stages MUST ride along: a charfiltered analyzer
+    # (e.g. html_strip_std) tokenizes the FILTERED text and corrects
+    # offsets back to the raw stored field — dropping pre/pre_offsets
+    # here would make the sidecar diverge from the re-analysis path
+    # it is gated output-identical against (r3 advice).
+    pre = getattr(analyzer, "pre", None)
+    pre_offsets = getattr(analyzer, "pre_offsets", None)
 
     def kernel(batches):
         from lucene_solr_spark.functions.analysis import (
@@ -477,6 +484,8 @@ def build_term_vectors(store: DataFrame, analyzer,
         _an = _An()
         _an.stopwords = stopwords
         _an.lowercase = lowercase
+        _an.pre = pre
+        _an.pre_offsets = pre_offsets
         for pdf in batches:
             if len(pdf) == 0:
                 continue

@@ -172,6 +172,30 @@ class TestStrdistFunction:
                 x, "merge")
             assert np.float32(r["ng"]) == ngram_similarity(x, y, 3)
 
+    def test_strdist_backend_case_insensitive(self, spark):
+        """jw/edit/ngram match case-insensitively
+        (ValueSourceParser.java:370-374 equalsIgnoreCase)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from lucene_solr_spark.functions.funcparser import (
+            parse_function_query)
+        from lucene_solr_spark.functions.strdist import (
+            jaro_winkler, strdist_function)
+
+        df = spark.createDataFrame([("merge", "marge")],
+                                   "a string, b string")
+        fields = {"a": F.col("a"), "b": F.col("b")}
+        extra = {"strdist": strdist_function(fields)}
+        out = df.select(
+            parse_function_query("strdist(a, b, JW)", fields,
+                                 extra=extra).alias("jw"),
+            parse_function_query("strdist(a, b, Edit)", fields,
+                                 extra=extra).alias("ed"),
+        ).collect()[0]
+        assert np.float32(out["jw"]) == jaro_winkler("merge", "marge")
+        assert out["ed"] is not None
+
     def test_strdist_unknown_backend(self, spark):
         import pytest
         from pyspark.sql import functions as F

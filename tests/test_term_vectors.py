@@ -51,6 +51,41 @@ def test_sidecar_matches_reanalysis_stack(spark, corpus):
     assert n_checked == 500
 
 
+def test_sidecar_charfiltered_matches_reanalysis(spark):
+    """Charfiltered analyzer (html_strip_std): the sidecar must run
+    the charfilter and correct offsets back to the RAW stored text
+    (r3 advice — the stub analyzer previously dropped pre_offsets,
+    tokenizing raw HTML with uncorrected offsets)."""
+    from lucene_solr_spark.functions.analysis import get_analyzer
+    from lucene_solr_spark.search.fvh import (
+        _term_stack,
+        build_term_vectors,
+    )
+
+    an = get_analyzer("html_strip_std")
+    rows = [
+        (0, "<p>Merge <b>sort</b> beats bubble</p>"),
+        (1, "plain text no markup here"),
+        (2, "<div class='x'>the &amp; quick INDEX</div>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content string")
+    tv = build_term_vectors(df, an).collect()
+    got = {}
+    for r in tv:
+        got.setdefault(int(r["doc_id"]), []).append(
+            (r["term"], int(r["pos"]), int(r["start"]), int(r["end"])))
+    for did, text in rows:
+        expect = _term_stack(text, an)
+        assert sorted(got.get(did, [])) == sorted(expect), did
+    # offsets slice the RAW html: doc 0's first token is "merge" at
+    # the raw-text span covering "Merge" (inside the <p> tag offsets)
+    d0 = sorted(got[0], key=lambda t: t[1])
+    t, _p, s, e = d0[0]
+    assert t == "merge"
+    assert rows[0][1][s:e].lower().strip("<>") .startswith("merge") or \
+        "merge" in rows[0][1][s:e].lower()
+
+
 def test_fvh_dual_exec_identical(spark, corpus):
     """fvh through the sidecar == fvh through re-analysis, row for
     row (fragments AND scores), on real top-k hits."""
