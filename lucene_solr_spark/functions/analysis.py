@@ -213,7 +213,7 @@ class AnalyzerSpec:
                  stopwords: frozenset = frozenset(),
                  max_len: int = MAX_TOKEN_LENGTH,
                  stem=None, post=None, emits_overlaps: bool = False,
-                 pre=None, pre_offsets=None):
+                 pre=None, pre_offsets=None, pre_stop=None):
         self.name = name
         # optional CharFilter stage (str -> str) applied BEFORE the
         # tokenizer (Lucene CharFilter slot: HTMLStrip/Mapping/
@@ -233,6 +233,14 @@ class AnalyzerSpec:
         # optional token-final stem stage (PorterStemFilter slot in the
         # EnglishAnalyzer chain — runs AFTER the StopFilter)
         self.stem = stem
+        # optional per-token filter between the LowerCaseFilter slot
+        # and the StopFilter slot — where the reference chains put
+        # ElisionFilter (fr/it/ca), the normalization filters that
+        # precede the stop check (fa/hi), and the custom casing
+        # filters (el/tr/ga run with lowercase=False and their casing
+        # here). Returning None or "" drops the token, leaving a
+        # position hole exactly like a stopword.
+        self.pre_stop = pre_stop
         # optional stream-level post filter: List[(token, position)] ->
         # List[(token, position)] — the TokenFilter slot for graph-ish
         # filters (Shingle/Synonym/EdgeNGram) that inject tokens at
@@ -251,11 +259,16 @@ class AnalyzerSpec:
             text = self.pre(text)
         out = []
         stem = self.stem
+        pre_stop = self.pre_stop
         for t in self.scanner(text):
             if len(t) > self.max_len:
                 continue
             if self.lowercase:
                 t = t.lower()
+            if pre_stop is not None:
+                t = pre_stop(t)
+                if not t:
+                    continue
             if t not in self.stopwords:
                 out.append(stem(t) if stem else t)
         return out
@@ -266,12 +279,17 @@ class AnalyzerSpec:
         out = []
         pos = -1
         stem = self.stem
+        pre_stop = self.pre_stop
         for t in self.scanner(text):
             pos += 1
             if len(t) > self.max_len:
                 continue
             if self.lowercase:
                 t = t.lower()
+            if pre_stop is not None:
+                t = pre_stop(t)
+                if not t:
+                    continue
             if t in self.stopwords:
                 continue
             out.append((stem(t) if stem else t, pos))
@@ -1648,3 +1666,10 @@ def prefix_and_suffix_aware(prefix, inner, suffix):
     walks through unchanged)."""
     combined = prefix_aware_concat(prefix, inner)
     return prefix_aware_concat(combined, suffix)
+
+
+# Reference-default per-language chains (<lang>_default) — registered
+# last: lang_analyzers composes the stemmer/normalizer packs above
+# with the default stop sets (stopsets.py). Import-cycle-safe because
+# every name it pulls from this module is defined above.
+from lucene_solr_spark.functions import lang_analyzers  # noqa: E402,F401

@@ -102,3 +102,66 @@ def cjk_bigram_post(flags: int = ALL, output_unigrams: bool = False):
         return out
 
     return post
+
+
+# -- CJKWidthFilter (analysis/cjk/CJKWidthFilter.java) -----------------------
+# Fullwidth ASCII -> basic latin; halfwidth katakana -> kana, with
+# voiced/semi-voiced sound marks combined into the preceding kana when
+# a composed form exists (else the combining mark codepoints 0x3099/
+# 0x309A as the reference's fallback).
+
+_KANA_NORM = (
+    0x30FB, 0x30F2, 0x30A1, 0x30A3, 0x30A5, 0x30A7, 0x30A9, 0x30E3,
+    0x30E5, 0x30E7, 0x30C3, 0x30FC, 0x30A2, 0x30A4, 0x30A6, 0x30A8,
+    0x30AA, 0x30AB, 0x30AD, 0x30AF, 0x30B1, 0x30B3, 0x30B5, 0x30B7,
+    0x30B9, 0x30BB, 0x30BD, 0x30BF, 0x30C1, 0x30C4, 0x30C6, 0x30C8,
+    0x30CA, 0x30CB, 0x30CC, 0x30CD, 0x30CE, 0x30CF, 0x30D2, 0x30D5,
+    0x30D8, 0x30DB, 0x30DE, 0x30DF, 0x30E0, 0x30E1, 0x30E2, 0x30E4,
+    0x30E6, 0x30E8, 0x30E9, 0x30EA, 0x30EB, 0x30EC, 0x30ED, 0x30EF,
+    0x30F3, 0x3099, 0x309A,
+)
+
+# kana combining deltas over 0x30A6-0x30FD (CJKWidthFilter.java:87-101)
+_KANA_COMBINE_VOICED = (
+    78, 0, 0, 0, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1,
+    0, 1, 0, 1, 0, 1, 0, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0,
+    1, 0, 0, 1, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 8, 8, 8, 8, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+)
+_KANA_COMBINE_HALF_VOICED = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 0,
+    2, 0, 0, 2, 0, 0, 2, 0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+)
+
+
+def cjk_width_fold(token: str) -> str:
+    """CJKWidthFilter.incrementToken (:62-85) as a per-token fold,
+    replaying the in-place scan: the voiced-mark combine deletes the
+    mark and re-examines the following character."""
+    buf = [ord(c) for c in token]
+    n = len(buf)
+    i = 0
+    while i < n:
+        ch = buf[i]
+        if 0xFF01 <= ch <= 0xFF5E:
+            buf[i] = ch - 0xFEE0
+        elif 0xFF65 <= ch <= 0xFF9F:
+            if ch in (0xFF9E, 0xFF9F) and i > 0:
+                prev = buf[i - 1]
+                combined = False
+                if 0x30A6 <= prev <= 0x30FD:
+                    d = (_KANA_COMBINE_HALF_VOICED[prev - 0x30A6]
+                         if ch == 0xFF9F
+                         else _KANA_COMBINE_VOICED[prev - 0x30A6])
+                    if d:
+                        buf[i - 1] = prev + d
+                        combined = True
+                if combined:
+                    del buf[i]
+                    n -= 1
+                    continue
+            buf[i] = _KANA_NORM[ch - 0xFF65]
+        i += 1
+    return "".join(chr(c) for c in buf[:n])
