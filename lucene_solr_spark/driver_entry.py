@@ -3171,6 +3171,17 @@ def _documents(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _documents_par(spark, sf_dir):
+    """documents, repartitioned to the session parallelism — for
+    entries whose cost is a heavy Python kernel per doc. A small
+    parquet file arrives as ONE input split, which would run the
+    Arrow kernel serially; the tiny round-robin shuffle buys a
+    cores-wide kernel stage. At 100 TB the reader already yields many
+    splits and this repartition is a cheap rebalance."""
+    d = _documents(spark, sf_dir)
+    return d.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _embeddings(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -8546,7 +8557,7 @@ def q_wiki_tokens(spark, sf_dir):
             for tk in wikipedia_tokenize(t or "")
         ])
 
-    d = _documents(spark, sf_dir).select(
+    d = _documents_par(spark, sf_dir).select(
         "doc_id",
         F.concat(
             F.lit("[[Category:"), F.col("source"), F.lit("]] =="),
@@ -8862,7 +8873,7 @@ def q_urlemail_tokens(spark, sf_dir):
             if tk.type in ("<URL>", "<EMAIL>")
         ])
 
-    d = _documents(spark, sf_dir).select(
+    d = _documents_par(spark, sf_dir).select(
         "doc_id",
         F.concat(
             F.col("text"), F.lit(" http://"), F.col("source"),

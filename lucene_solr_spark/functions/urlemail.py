@@ -172,6 +172,20 @@ class UrlEmailToken(NamedTuple):
     end: int
 
 
+# fast-path prechecks (r3 verdict perf note): outside quoted email
+# local parts, every URL/EMAIL/mailto match is whitespace-free up to
+# a REQUIRED '.', '@', '[' or ':' (schemes carry '://', no-scheme
+# hosts need '.'+TLD or an IPv4 dot or a bracketed IPv6, emails need
+# '@', mailto needs ':'), so when the non-space run at the cursor has
+# none of those — and no '"' opening a quoted local part, whose _EQS
+# body may span whitespace-class control chars and spaces — only the
+# word rule can fire, skipping the expensive URL alternation at every
+# plain word. Whitespace runs are skipped in one step.
+_WS_RUN = re.compile(r"\s+")
+_NONSPACE = re.compile(r"\S+")
+_URLISH = re.compile(r"[.@\[:\"]")
+
+
 def uax29_url_email_tokenize(
     text: str, max_token_length: int = 255,
 ) -> List[UrlEmailToken]:
@@ -181,24 +195,30 @@ def uax29_url_email_tokenize(
     out: List[UrlEmailToken] = []
     pos, n = 0, len(text)
     while pos < n:
+        wm = _WS_RUN.match(text, pos)
+        if wm is not None:
+            pos = wm.end()
+            continue
         best_len = 0
         best_consume = 0
         best_type = None
-        m = _URL_RE.match(text, pos)
-        if m and m.end() - pos > best_len:
-            best_len = best_consume = m.end() - pos
-            best_type = "<URL>"
-        m = _MAILTO_RE.match(text, pos)
-        if m:
-            full = m.end() - pos
-            if full > best_len:
-                best_len = full
-                best_consume = m.end("word") - pos
-                best_type = "<ALPHANUM>"
-        m = _EMAIL_RE.match(text, pos)
-        if m and m.end() - pos > best_len:
-            best_len = best_consume = m.end() - pos
-            best_type = "<EMAIL>"
+        span = _NONSPACE.match(text, pos).end()
+        if _URLISH.search(text, pos, span) is not None:
+            m = _URL_RE.match(text, pos)
+            if m and m.end() - pos > best_len:
+                best_len = best_consume = m.end() - pos
+                best_type = "<URL>"
+            m = _MAILTO_RE.match(text, pos)
+            if m:
+                full = m.end() - pos
+                if full > best_len:
+                    best_len = full
+                    best_consume = m.end("word") - pos
+                    best_type = "<ALPHANUM>"
+            m = _EMAIL_RE.match(text, pos)
+            if m and m.end() - pos > best_len:
+                best_len = best_consume = m.end() - pos
+                best_type = "<EMAIL>"
         m = _WORD_RE.match(text, pos)
         if m and m.end() - pos > best_len:
             best_len = best_consume = m.end() - pos

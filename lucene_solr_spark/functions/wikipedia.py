@@ -155,23 +155,33 @@ class _Scanner:
     def get_next_token(self) -> int:
         text, n = self.text, len(self.text)
         while self.pos < n:
+            skip_m, skip_act, flat = _FAST[self.state]
+            sm = skip_m(text, self.pos)
+            if sm is not None:
+                # a run of chars that cannot start any non-ignore
+                # rule: fire the state's (idempotent) ignore action
+                # once and jump the whole run
+                self.start = self.pos
+                self.length = sm.end() - self.pos
+                self.pos = sm.end()
+                skip_act(self)
+                continue
+            pos = self.pos
             best_len = 0
             best_rule = None
-            for rule in _RULES[self.state]:
-                patterns, action = rule
-                for p in patterns:
-                    m = p.match(text, self.pos)
-                    if m is not None:
-                        ln = m.end() - self.pos
-                        if ln > best_len:
-                            best_len = ln
-                            best_rule = action
+            for match, action in flat:
+                m = match(text, pos)
+                if m is not None:
+                    ln = m.end() - pos
+                    if ln > best_len:
+                        best_len = ln
+                        best_rule = action
             if best_rule is None:  # pragma: no cover - catch-all total
                 self.pos += 1
                 continue
-            self.start = self.pos
+            self.start = pos
             self.length = best_len
-            self.pos += best_len
+            self.pos = pos + best_len
             tok = best_rule(self)
             if tok is not None:
                 return tok
@@ -514,6 +524,48 @@ _RULES = {
 # STRING state: the spec lists DOUBLE_BRACKET_CAT after DOUBLE_BRACKET,
 # but "[[:Category:"/"[[Category:" is LONGER than "[[" so maximal munch
 # picks it regardless of order — same for the quote states.
+
+
+# -- fast path: boring-run skipping + flattened rule sweep -------------------
+# Most positions in real text hold characters that can only match the
+# 1-char DOT/WS ignore rules (spaces, punctuation). Sweeping every
+# rule at each of those positions dominated the kernel cost (r3
+# verdict perf note). Per state we precompute:
+#   - a skip regex matching a maximal run of characters that cannot
+#     START any non-ignore rule (the alnum macro classes plus each
+#     literal's first char plus '<' for TAGS are excluded), and
+#   - the ignore action to fire ONCE for the run — sound because
+#     every DOT/WS action is idempotent (_a_ignore_initial /
+#     _a_ignore_posinc1 / _a_ignore set fixed values), and
+#   - the rule list flattened to (pattern, action) pairs.
+# Byte-identical output is guarded by the reference golden vectors in
+# tests/test_wikipedia.py.
+
+_STARTERS = f"{_L}{_D}{_K}{_CJ}<"
+_SKIP_EXTRA = {
+    YYINITIAL: "['={\\[",
+    INTERNAL_LINK_STATE: "\\]",
+    CATEGORY_STATE: "\\]",
+    EXTERNAL_LINK_STATE: "\\]",
+    TWO_SINGLE_QUOTES_STATE: "'\\[",
+    THREE_SINGLE_QUOTES_STATE: "'\\[",
+    FIVE_SINGLE_QUOTES_STATE: "'\\[",
+    DOUBLE_EQUALS_STATE: "=",
+    DOUBLE_BRACE_STATE: "}",
+    STRING: "'=|\\[",
+}
+
+_FAST = {}
+for _st, _rules in _RULES.items():
+    _flat = []
+    _ignore_action = None
+    for _pats, _act in _rules:
+        for _p in _pats:
+            _flat.append((_p.match, _act))
+        if _ignore_action is None and (_R_DOT in _pats or _R_WS in _pats):
+            _ignore_action = _act
+    _skip = _c(f"[^{_STARTERS}{_SKIP_EXTRA[_st]}]+")
+    _FAST[_st] = (_skip.match, _ignore_action, _flat)
 
 
 def wikipedia_tokenize(
