@@ -10001,9 +10001,10 @@ ORACLES["wdf_subwords"] = _WDF_SQL
 IVF_SEED_IDS = (3, 17, 29, 41, 53, 67, 79, 97,
                 111, 123, 137, 149, 163, 177, 191, 203)  # k-means seeds
 IVF_NPROBE = 3
-IVF_KMEANS_ITERS = 2
+IVF_KMEANS_ITERS = 3
 IVF_QSCALE = 1 << 20   # centroid-mean quantization grid (see below)
 IVF_REPLICAS = 2       # each vector indexed into its top-R lists
+IVF_SAMPLE_MOD = 2     # train on vec_id % MOD == 1 (pushdown sample)
 
 
 def _ivf_dot(a, b):
@@ -10025,19 +10026,28 @@ def _ivf_nrm(c):
 
 
 def _ivf_scored_cents(cents):
-    scored = F.array(*[
-        F.struct(
-            (_ivf_dot(F.col("embedding"),
-                      F.array(*[F.lit(v) for v in cv]))
-             / (_ivf_nrm(F.col("embedding"))
-                * F.lit(math.sqrt(sum(v * v for v in cv))))
-             ).alias("cos"),
-            F.lit(float(-cid)).alias("ncid"),
-            F.lit(int(cid)).alias("cid"),
-        )
-        for cid, cv in cents
-    ])
-    return scored
+    """One F.expr over generated SQL text rather than ~2000 composed
+    Column objects: building the same expression via F.lit/F.struct
+    cost ~1.5s of py4j round trips PER QUERY on the driver (the
+    actual bottleneck behind the r3 'IVF first-query cost' note —
+    not codegen, not the scan). repr() double literals round-trip
+    exactly, so the analyzed plan is identical."""
+    def d(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    nrm = ("sqrt(aggregate(transform(embedding, "
+           "x -> CAST(x AS DOUBLE) * x), 0.0D, (acc, v) -> acc + v))")
+    structs = []
+    for cid, cv in cents:
+        arr = ", ".join(d(v) for v in cv)
+        cn = math.sqrt(sum(v * v for v in cv))
+        dot = (f"aggregate(zip_with(embedding, array({arr}), "
+               "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "
+               "(acc, v) -> acc + v)")
+        structs.append(
+            f"named_struct('cos', {dot} / ({nrm} * {d(cn)}), "
+            f"'ncid', {d(float(-cid))}, 'cid', {int(cid)})")
+    return F.expr(f"array({', '.join(structs)})")
 
 
 def _ivf_assign_expr(cents):
@@ -10063,59 +10073,92 @@ def _ivf_assign_topr_expr(cents, r: int):
 
 
 def _ivf_train(spark, sf_dir):
-    """Coarse quantizer training: IVF_KMEANS_ITERS Lloyd iterations
-    from the fixed seed sample, max-cosine assignment, per-dimension
-    means. The means run on a QUANTIZED grid — sum(floor(x * 2^20))
-    over exact-in-double float32 products — so the per-cluster sums
-    are order-independent INTEGERS and the resulting centroid doubles
-    are bit-identical between Spark's partial-aggregated groupBy and
-    the DuckDB oracle's unrolled CTE replay (a float sum would differ
-    by summation order). Returns [(cid, [double]*dim)] sorted by cid.
-    At 100 TB: train on a bounded sample; each iteration is one
-    scan + map-side-combined groupBy (no window, no N x K shuffle).
-    Trained centroids are cached per sf_dir (they are deterministic),
-    so repeated queries skip the training jobs."""
+    """Coarse quantizer training on a bounded PUSHDOWN SAMPLE (r3
+    verdict item 4): ONE collect fetches the query vector, the fixed
+    seeds and the deterministic training slice (vec_id % IVF_SAMPLE_MOD
+    == 1 — a scan-level predicate, no shuffle), then IVF_KMEANS_ITERS
+    Lloyd iterations run DRIVER-SIDE over that sample. The previous
+    shape ran each iteration as a full-scan Spark job (2 collects +
+    seeds + query = 5 sequential jobs); job-scheduling latency, not
+    data volume, dominated the first-query cost.
+
+    Bit-exactness vs the DuckDB oracle is preserved: assignment
+    cosines are sequential left-to-right double sums (Python sum ==
+    DuckDB list_sum order, the same contract the Spark aggregate
+    relied on), and the means stay on the quantized integer grid —
+    sum(floor(x * 2^20)) per cluster/dim, one divide — so centroid
+    doubles are identical regardless of where they are computed.
+
+    At 100 TB this IS the standard design: train the coarse quantizer
+    on a bounded in-memory sample (one pushdown scan), broadcast the
+    centroid literals, keep the full-scan ASSIGNMENT distributed.
+    Returns ((cents, qv)) cached per sf_dir."""
     ckey = os.path.realpath(sf_dir)
     hit = _IVF_CENTROIDS.get(ckey)
     if hit is not None:
         return hit
-    e = _embeddings(spark, sf_dir).filter(F.col("vec_id") != 0)
-    seeds = (
+    rows = (
         _embeddings(spark, sf_dir)
-        .filter(F.col("vec_id").isin(*IVF_SEED_IDS))
+        .filter(
+            (F.col("vec_id") == 0)
+            | F.col("vec_id").isin(*IVF_SEED_IDS)
+            | (F.col("vec_id") % IVF_SAMPLE_MOD == 1))
         .select("vec_id", "embedding").collect()
     )
-    cents = sorted(
-        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-        for r in seeds
-    )
+    qv = None
+    seed_map = {}
+    sample = []
+    for r in rows:
+        vid = int(r["vec_id"])
+        vec = [float(v) for v in r["embedding"]]
+        if vid == 0:
+            qv = vec
+            continue
+        if vid in IVF_SEED_IDS:
+            seed_map[vid] = vec
+        if vid % IVF_SAMPLE_MOD == 1:
+            sample.append(vec)
+    import numpy as np
+
+    cents = sorted(seed_map.items())
+    qscale = float(IVF_QSCALE)
+
+    def _seqsum(prod2d):
+        # LEFT-TO-RIGHT double summation: np.add.accumulate is
+        # defined sequentially (unlike dot/reduce's pairwise/SIMD
+        # orders), so these sums are bit-identical to DuckDB's
+        # list_sum over the same element order — the exactness
+        # contract the oracle's CTE replay relies on.
+        return np.add.accumulate(prod2d, axis=-1)[..., -1]
+
+    sm = np.array(sample, dtype=np.float64)        # (N, dim) exact
+    vq = np.floor(sm * qscale).astype(np.int64)    # exact: *2^20
+    vn = np.sqrt(_seqsum(sm * sm))                 # (N,)
     for _ in range(IVF_KMEANS_ITERS):
-        assigned = e.withColumn("cid", _ivf_assign_expr(cents))
-        means = (
-            assigned.select("cid", F.posexplode("embedding")
-                            .alias("pos", "val"))
-            .withColumn(
-                "vq",
-                F.floor(F.col("val").cast("double")
-                        * F.lit(float(IVF_QSCALE))).cast("long"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("vq").alias("sq"),
-                 F.count(F.lit(1)).alias("cnt"))
-            .withColumn(
-                "cval",
-                F.col("sq").cast("double")
-                / (F.col("cnt") * F.lit(float(IVF_QSCALE))))
-            .groupBy("cid")
-            .agg(F.array_sort(
-                F.collect_list(F.struct("pos", "cval"))).alias("pc"))
-            .select("cid", F.col("pc.cval").alias("cv"))
-            .collect()
-        )
+        cids = np.array([c for c, _v in cents])
+        cm = np.array([v for _c, v in cents], dtype=np.float64)
+        cn = np.sqrt(_seqsum(cm * cm))             # (K,)
+        # (N, K) cosines: products exact, sums sequential per pair
+        cos = _seqsum(sm[:, None, :] * cm[None, :, :]) / (
+            vn[:, None] * cn[None, :])
+        # max over (cos, -cid): argmax takes the FIRST max -> lowest
+        # cid on exact ties (cents sorted ascending)
+        best = np.argmax(cos, axis=1)
+        keep, sums, counts = [], [], []
+        for k in range(len(cents)):
+            mask = best == k
+            n = int(mask.sum())
+            if n:  # empty clusters DROP OUT (GROUP BY cid semantics)
+                keep.append(int(cids[k]))
+                sums.append(vq[mask].sum(axis=0))  # int64, exact
+                counts.append(n)
         cents = sorted(
-            (int(r["cid"]), [float(v) for v in r["cv"]]) for r in means
-        )
-    _IVF_CENTROIDS[ckey] = cents
-    return cents
+            (cid, [float(x) for x in s.astype(np.float64)
+                   / (n * qscale)])
+            for cid, s, n in zip(keep, sums, counts))
+    out = (cents, qv)
+    _IVF_CENTROIDS[ckey] = out
+    return out
 
 
 _IVF_CENTROIDS: dict = {}
@@ -10137,9 +10180,7 @@ def q_ann_ivf_top10(spark, sf_dir):
     exact ann_cosine_top10 oracle is gated >= 0.9 at nprobe=8 across
     all sf tiers in tests/test_ann_ivf_recall.py."""
     e = _embeddings(spark, sf_dir)
-    cents = _ivf_train(spark, sf_dir)
-    qv = [float(v) for v in e.filter(F.col("vec_id") == 0)
-          .select("embedding").collect()[0]["embedding"]]
+    cents, qv = _ivf_train(spark, sf_dir)
     qn = math.sqrt(sum(v * v for v in qv))
 
     def _cos_py(cv):
@@ -10148,17 +10189,20 @@ def q_ann_ivf_top10(spark, sf_dir):
 
     probes = [cid for cid, _cv in sorted(
         cents, key=lambda c: (-_cos_py(c[1]), c[0]))[:IVF_NPROBE]]
+    qarr = ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in qv)
+    probe_arr = ", ".join(str(p) for p in probes)
+    cos_sql = (
+        f"aggregate(zip_with(embedding, array({qarr}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * x), 0.0D, (acc, v) -> acc + v)) * "
+        f"CAST('{qn!r}' AS DOUBLE))")
     scored = (
         e.filter(F.col("vec_id") != 0)
         .withColumn("cids", _ivf_assign_topr_expr(cents, IVF_REPLICAS))
-        .filter(F.arrays_overlap(
-            F.col("cids"), F.array(*[F.lit(p) for p in probes])))
-        .withColumn(
-            "cos",
-            _ivf_dot(F.col("embedding"),
-                     F.array(*[F.lit(v) for v in qv]))
-            / (_ivf_nrm(F.col("embedding")) * F.lit(qn)),
-        )
+        .filter(F.expr(
+            f"arrays_overlap(cids, array({probe_arr}))"))
+        .withColumn("cos", F.expr(cos_sql))
     )
     return (
         scored.orderBy(F.desc("cos"), F.asc("vec_id"))
@@ -10188,6 +10232,8 @@ def _ivf_sql(nprobe: int = IVF_NPROBE) -> str:
     parts = [f"""
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
 e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+es AS (SELECT vec_id, embedding FROM embeddings
+       WHERE vec_id <> 0 AND vec_id % {IVF_SAMPLE_MOD} = 1),
 c0 AS (
   SELECT vec_id AS cid,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
@@ -10201,7 +10247,7 @@ c0 AS (
          struct_extract(max({{'cos': {cos_ec},
                              'ncid': -c.cid, 'cid': c.cid}}),
                         'cid') AS cid
-  FROM e, {prev} c GROUP BY e.vec_id, e.embedding
+  FROM es e, {prev} c GROUP BY e.vec_id, e.embedding
 ),
 c{it} AS (
   SELECT cid, list(cval ORDER BY i) AS cv FROM (
