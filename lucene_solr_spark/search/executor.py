@@ -2334,8 +2334,26 @@ class IndexSearcher:
             best = {r["token"]: r["term"] for r in top1}
         out = [t if dfs.get(t, 0) > 0 else best.get(t, t) for t in toks]
         collation = " ".join(out)
-        hits = self.search(collation, k=None, mode="and").count() \
-            if out else 0
+        # Verification reuses the already-analyzed collation terms as
+        # a LEAN conjunction count kernel (r3 advice: the previous
+        # full self.search(...).count() re-ran parsing + the BM25
+        # scoring kernel + a global sort only to throw everything but
+        # the count away). Hit semantics are identical to the AND
+        # search: docs containing ALL distinct terms, tombstones
+        # masked; any df==0 term (an OOV token that found no
+        # suggestion) conjuncts to zero without running a job.
+        hits = 0
+        if out:
+            uniq_out = sorted(set(out))
+            sugg = set(best.values())
+            if all(dfs.get(t, 0) > 0 or t in sugg for t in uniq_out):
+                posts = self._postings.filter(
+                    F.col("term").isin(uniq_out))
+                cnt = self._run_kernel(
+                    posts, make_conjunction_counter(uniq_out),
+                    "cnt long")
+                row = cnt.agg(F.sum("cnt")).collect()[0][0]
+                hits = int(row or 0)
         return self.spark.createDataFrame(
             [(collation, int(hits))], "collation string, hits long")
 
@@ -3270,6 +3288,50 @@ class _TermIndex:
 
     def decode_all(self) -> Tuple[np.ndarray, np.ndarray]:
         return self.decode_blocks(np.arange(self.n_blocks))
+
+
+def make_conjunction_counter(terms):
+    """Minimal AND hit counter (the SpellCheckCollator verify path):
+    per group, decode each term's doc ids (no tfs/norms/scores kept),
+    np.intersect1d across the clause set, mask tombstones, emit one
+    count row. Disjoint per-segment doc ranges make the concatenated
+    per-term arrays unique, so assume_unique intersection is exact."""
+    uniq = list(dict.fromkeys(terms))
+
+    def zero():
+        return pd.DataFrame({"cnt": pd.Series([0], dtype="int64")})
+
+    def kernel(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        if len(posts) == 0 or len(segs) == 0:
+            return zero()
+        gbase, _span, _norms, deleted = _group_ctx(segs)
+        by_term: Dict[str, list] = {}
+        for r in posts.sort_values("seg_id").itertuples(index=False):
+            by_term.setdefault(r.term, []).append(r)
+        cur = None
+        for t in uniq:
+            rows = by_term.get(t)
+            if not rows:
+                return zero()
+            parts = []
+            for r in rows:
+                if r.df == 1:
+                    parts.append(np.array([r.sdoc], np.int64))
+                else:
+                    docs, _tfs = decode_postings(
+                        r.doc_ids_enc, r.tfs_enc, r.skips_enc)
+                    parts.append(docs)
+            docs = np.concatenate(parts)
+            cur = docs if cur is None else np.intersect1d(
+                cur, docs, assume_unique=True)
+            if len(cur) == 0:
+                return zero()
+        if deleted is not None:
+            cur = cur[~deleted[cur - gbase]]
+        return pd.DataFrame(
+            {"cnt": pd.Series([int(len(cur))], dtype="int64")})
+
+    return kernel
 
 
 def make_group_scorer(plan: QueryPlan, wand: bool):
