@@ -14930,6 +14930,131 @@ ORACLES["edismax_pf2_top10"] = _pf2_oracle()
 QUERIES["edismax_pf2_top10"] = q_edismax_pf2
 
 
+EDISMAX_PF2_TITLE_BOOST = 1.3
+
+
+def q_edismax_pf2_twofield(spark, sf_dir):
+    """edismax pf2 over TWO fields (r3 verdict item 8: the
+    per-FieldParams f32 boundary fix in multifield.py:222-240 was
+    only oracle-exercised on one field): each field's bigram windows
+    double-accumulate into that field's own sub-BooleanQuery, cross
+    the f32 boundary AT THE FIELD SUB-QUERY
+    (addShingledPhraseQueries :549-556 — one SHOULD sub-query per
+    FieldParams), then add to main in FieldParams order — pooling
+    both fields into one sum would collapse the two rounding
+    chains."""
+    mfs = _mf_searcher(spark, sf_dir)
+    return _topk_double(mfs.edismax(
+        Q_PF2, qf={"title": 1.0, "content": 1.0},
+        tie=EDISMAX_PF_TIE, k=TOP_K,
+        pf2={"content": EDISMAX_PF_BOOST,
+             "title": EDISMAX_PF2_TITLE_BOOST},
+    ))
+
+
+def _pf2_twofield_oracle() -> str:
+    """The single-field pf2 oracle plus a title-field window chain:
+    title positions number ALL first-TITLE_NTOK raw tokens (stop
+    holes preserved, like the engine's title index), windows score
+    with the TITLE field's df/avgdl/norm chain, and the final score
+    replays the two per-field f32 boundaries in FieldParams order:
+    f32(f32(main + shp_content) + shp_title)."""
+    tie_lit = repr(float(F32(EDISMAX_PF_TIE))) + "e0"
+    bc_lit = repr(float(F32(EDISMAX_PF_BOOST))) + "e0"
+    bt_lit = repr(float(F32(EDISMAX_PF2_TITLE_BOOST))) + "e0"
+    words = Q_PF2.split()
+    legs, clauses = [], []
+    for i, w in enumerate(words):
+        legs.append(_mf_leg_sql(f"x2t{i}", w, 1.0, title=True))
+        legs.append(_mf_leg_sql(f"x2c{i}", w, 1.0, title=False))
+        clauses.append(_mf_dismax_clause_sql(
+            f"x2d{i}", f"x2t{i}", f"x2c{i}", tie_lit))
+    wins = [(words[i], words[i + 1]) for i in range(len(words) - 1)]
+
+    def win_ctes(tag, pos_t, w_t, c_t, b_lit):
+        ctes = []
+        for i, (a, b) in enumerate(wins):
+            ctes.append(f"""
+{tag}{i}q AS (
+  SELECT p0.doc_id, count(*) AS pf
+  FROM {pos_t} p0 JOIN {pos_t} p1
+    ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  WHERE p0.term = '{a}' AND p1.term = '{b}'
+  GROUP BY p0.doc_id
+),
+{tag}{i}s AS (
+  SELECT q.doc_id,
+    CAST(CAST((
+      SELECT CAST(CAST(CAST((SELECT idfv FROM {w_t} WHERE term='{a}')
+                  + (SELECT idfv FROM {w_t} WHERE term='{b}')
+                  AS FLOAT) * {b_lit} AS FLOAT) * {K1P1_LIT} AS FLOAT)
+    ) * q.pf AS FLOAT)
+         / CAST(q.pf + c.nrm AS FLOAT) AS FLOAT) AS ps
+  FROM {tag}{i}q q JOIN {c_t} c ON q.doc_id = c.doc_id
+)""")
+        return ctes
+
+    c_ctes = win_ctes("xc", "xpos2", "weights", "cachev", bc_lit)
+    t_ctes = win_ctes("xt", "xposT", "tweights", "tcachev", bt_lit)
+    return (ORACLE_PRELUDE + _title_ctes() + ","
+            + ",".join(legs) + "," + ",".join(clauses) + f"""
+, xpos2 AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id, string_split(text, ' ') AS t,
+                 unnest(range(1, len(t) + 1)) AS i FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+),
+xposT AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, t[i] AS term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+    FROM (SELECT doc_id,
+                 list_slice(string_split(text, ' '), 1,
+                            {TITLE_NTOK}) AS t,
+                 unnest(range(1, len(list_slice(string_split(text, ' '),
+                                                1, {TITLE_NTOK})) + 1))
+                   AS i
+          FROM docs0)
+    WHERE t[i] <> ''
+  ) WHERE length(term) <= 255
+),{",".join(c_ctes)},{",".join(t_ctes)},
+xshc AS (
+  SELECT doc_id, CAST(SUM(CAST(ps AS DOUBLE)) AS FLOAT) AS shp
+  FROM ({' UNION ALL '.join(f'SELECT * FROM xc{i}s'
+                            for i in range(len(wins)))})
+  GROUP BY doc_id
+),
+xsht AS (
+  SELECT doc_id, CAST(SUM(CAST(ps AS DOUBLE)) AS FLOAT) AS shp
+  FROM ({' UNION ALL '.join(f'SELECT * FROM xt{i}s'
+                            for i in range(len(wins)))})
+  GROUP BY doc_id
+),
+xmain AS (
+  SELECT doc_id, CAST(SUM(CAST(dm AS DOUBLE)) AS FLOAT) AS ms
+  FROM ({' UNION ALL '.join(f'SELECT * FROM x2d{i}'
+                            for i in range(len(words)))})
+  GROUP BY doc_id
+)
+SELECT m.doc_id,
+  CAST(CAST(
+    CAST(m.ms + COALESCE(c.shp, CAST(0 AS FLOAT)) AS FLOAT)
+    + COALESCE(t.shp, CAST(0 AS FLOAT)) AS FLOAT)
+       AS DOUBLE) AS score
+FROM xmain m
+LEFT JOIN xshc c ON m.doc_id = c.doc_id
+LEFT JOIN xsht t ON m.doc_id = t.doc_id
+ORDER BY score DESC, m.doc_id ASC LIMIT {TOP_K}
+""")
+
+
+ORACLES["edismax_pf2_twofield"] = _pf2_twofield_oracle()
+QUERIES["edismax_pf2_twofield"] = q_edismax_pf2_twofield
+
+
 def q_schema_xml_fields(spark, sf_dir):
     """schema.xml parsing feeding the gated IndexSchema application
     (IndexSchema.readSchema :424-560, loadFields :624-700,
