@@ -10425,6 +10425,69 @@ QUERIES["percolate_matches"] = q_percolate
 ORACLES["percolate_matches"] = _PERCOLATE_SQL
 
 
+# phrase with a StopFilter hole: 'the' drops leaving offsets
+# [(big,0), (table,2)] — 'table' must sit EXACTLY two positions after
+# 'big' (adjacent raw tokens 'big the table')
+Q_PERC_PHRASE = '+"big the table" stream'
+
+
+def q_percolate_phrase(spark, sf_dir):
+    """Percolation with a MUST phrase clause (r3 verdict item 9 —
+    retiring memory.py's documented phrase scope cut): the phrase
+    compiles to a nested-EXISTS walk over the zipped (token,
+    position) arrays, positions carrying the analyzer's stop holes,
+    so adjacency is ExactPhraseScorer's. Still one whole-stage-
+    codegen projection per arriving doc — no index, no shuffle."""
+    from lucene_solr_spark.memory import percolate_predicate
+
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < PERCOLATE_N)
+    raw = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # analyzer positions: EVERY scanner token consumes one (stopped
+    # and oversize tokens leave holes); kept = len<=255 and non-stop
+    zipped = F.filter(
+        F.transform(raw, lambda t, i: F.struct(t.alias("t"),
+                                               i.alias("p"))),
+        lambda s: (F.length(s["t"]) <= 255)
+        & ~s["t"].isin(*sorted(STOPWORDS)),
+    )
+    w = d.select(
+        "doc_id",
+        F.transform(zipped, lambda s: s["t"]).alias("toks"),
+        F.transform(zipped, lambda s: s["p"]).alias("poss"),
+    )
+    pred = percolate_predicate(Q_PERC_PHRASE, F.col("toks"),
+                               pos_col=F.col("poss"))
+    return w.select("doc_id", pred.alias("matched")).orderBy("doc_id")
+
+
+_PERCOLATE_PHRASE_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p
+  FROM (SELECT doc_id, l[i] AS t, i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l,
+                     unnest(range(1, len(string_split(text, ' ')) + 1))
+                       AS i
+              FROM documents WHERE doc_id < {PERCOLATE_N}))
+  WHERE t <> ''
+),
+kept AS (
+  SELECT doc_id, t, p FROM raw
+  WHERE length(t) <= 255 AND t NOT IN ({_STOP_SQL})
+)
+SELECT d.doc_id,
+  EXISTS (SELECT 1 FROM kept a JOIN kept b
+          ON b.doc_id = a.doc_id AND b.p = a.p + 2
+          WHERE a.doc_id = d.doc_id
+            AND a.t = 'big' AND b.t = 'table') AS matched
+FROM (SELECT DISTINCT doc_id FROM raw) d
+ORDER BY d.doc_id
+"""
+
+QUERIES["percolate_phrase"] = q_percolate_phrase
+ORACLES["percolate_phrase"] = _PERCOLATE_PHRASE_SQL
+
+
 BJC_PARENTS = ("src3", "src11", "src17")
 
 

@@ -16,13 +16,16 @@ no Python, no shuffle, directly usable inside a Structured Streaming
 100 TB shape: percolation cost is a map over arriving batches,
 independent of corpus size.
 
-Supported clause kinds: term, prefix, wildcard, regexp, term range
-(same parser surface as IndexSearcher.search_boolean); matching
-semantics are BooleanQuery's: every MUST present, no NOT present, and
-at least ``mm`` SHOULD clauses present. Phrase clauses are rejected —
-the token-array column carries order but percolation would need the
-position-holes array too; use the indexed phrase path (documented
-scope cut).
+Supported clause kinds: term, phrase (exact, slop=0), prefix,
+wildcard, regexp, term range (same parser surface as
+IndexSearcher.search_boolean); matching semantics are BooleanQuery's:
+every MUST present, no NOT present, and at least ``mm`` SHOULD
+clauses present. Exact phrases compile to a nested-EXISTS walk over a
+zipped (token, position) array, so StopFilter holes gate adjacency
+exactly like ExactPhraseScorer — pass ``pos_col`` with the analyzer's
+positions; without it positions default to the array index (exact
+only for hole-free chains). Sloppy phrases (slop>0) stay on the
+indexed path (documented scope cut).
 """
 
 from __future__ import annotations
@@ -35,9 +38,45 @@ from pyspark.sql import functions as F
 from lucene_solr_spark.search.queryparser import parse_query
 
 
-def _clause_predicate(c, toks_col: Column) -> Column:
+def _clause_predicate(c, toks_col: Column,
+                      pos_col: Optional[Column] = None) -> Column:
     if c.kind == "term":
         return F.array_contains(toks_col, c.terms[0])
+    if c.kind == "phrase":
+        if c.slop > 0:
+            raise NotImplementedError(
+                "sloppy phrases need the span kernel; percolation "
+                "compiles exact phrases only (use the indexed path)")
+        offs = c.offsets
+        if not offs:
+            return F.lit(False)
+        if pos_col is None:
+            # hole-free fallback: positions = array indexes
+            pos_col = F.transform(toks_col, lambda _t, i: i)
+        z = F.zip_with(
+            toks_col, pos_col,
+            lambda t, p: F.struct(t.alias("t"), p.alias("p")))
+        t0 = offs[0][0]
+
+        def _at_offset(s, tj, dj):
+            # one-positional-arg lambda factory: pyspark derives the
+            # HOF arity from the Python signature, so default-arg
+            # capture would mis-declare a 3-arg lambda
+            def inner(s2):
+                return ((s2["t"] == F.lit(tj))
+                        & (s2["p"] == s["p"] + F.lit(dj)))
+            return inner
+
+        def match_at(s):
+            # ExactPhraseScorer adjacency over analyzer positions:
+            # every later phrase term must sit exactly its
+            # position-offset after the anchor (stop holes included)
+            cond = s["t"] == F.lit(t0)
+            for tj, dj in offs[1:]:
+                cond = cond & F.exists(z, _at_offset(s, tj, dj))
+            return cond
+
+        return F.exists(z, match_at)
     if c.kind == "prefix":
         pat = c.pattern
         return F.exists(toks_col, lambda t: t.startswith(pat))
@@ -81,10 +120,13 @@ def percolate_predicate(
     toks_col: Column,
     analyzer=None,
     mm: int = 0,
+    pos_col: Optional[Column] = None,
 ) -> Column:
     """Compile ``query_text`` into a boolean Column over an
     array<string> token column (BooleanQuery matching semantics:
-    all MUST, no NOT, >= mm SHOULD)."""
+    all MUST, no NOT, >= mm SHOULD). ``pos_col`` (array<int>,
+    parallel to the tokens) carries the analyzer positions phrase
+    clauses match against."""
     clauses = parse_query(query_text, analyzer=analyzer)
     musts = [c for c in clauses if c.occur == "must"]
     shoulds = [c for c in clauses if c.occur == "should"]
@@ -95,15 +137,15 @@ def percolate_predicate(
         return b if a is None else a & b
 
     for c in musts:
-        pred = conj(pred, _clause_predicate(c, toks_col))
+        pred = conj(pred, _clause_predicate(c, toks_col, pos_col))
     for c in nots:
-        pred = conj(pred, ~_clause_predicate(c, toks_col))
+        pred = conj(pred, ~_clause_predicate(c, toks_col, pos_col))
     if shoulds:
         need = mm if (musts or mm > 0) else 1
         if need > 0:
             hits = None
             for c in shoulds:
-                h = _clause_predicate(c, toks_col).cast("int")
+                h = _clause_predicate(c, toks_col, pos_col).cast("int")
                 hits = h if hits is None else hits + h
             pred = conj(pred, hits >= need)
     if pred is None:

@@ -58,6 +58,72 @@ def test_term_range(spark):
     assert _run(spark, "[scan TO table]") == {0, 1, 2, 3}
 
 
-def test_phrase_rejected(spark):
-    with pytest.raises(NotImplementedError):
-        _run(spark, '"table window"')
+def test_phrase_exact(spark):
+    """Exact phrase over hole-free token arrays (positions default to
+    the array index): adjacency in order, not just co-presence."""
+    assert _run(spark, '"table window"') == {0}
+    assert _run(spark, '"window table"') == {2}
+    assert _run(spark, '+"table stream" join') == {1}
+
+
+def test_phrase_with_stop_holes(spark):
+    """Positions with StopFilter holes: the phrase 'big the table'
+    analyzes to offsets [(big,0),(table,2)] — 'table' must sit
+    EXACTLY two positions after 'big' (ExactPhraseScorer adjacency
+    over analyzer positions), so hole-adjacent matches and
+    directly-adjacent ones don't."""
+    docs = [
+        # raw: "big the table" -> kept (big@0, table@2): MATCH
+        (0, ["big", "table"], [0, 2]),
+        # raw: "big table" -> kept (big@0, table@1): no hole, NO match
+        (1, ["big", "table"], [0, 1]),
+        # raw: "big the fast table": gap of 3, NO match
+        (2, ["big", "fast", "table"], [0, 2, 3]),
+        (3, ["table", "big"], [0, 1]),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, toks array<string>, poss array<int>")
+    out = df.select(
+        "doc_id",
+        percolate_predicate('"big the table"', F.col("toks"),
+                            pos_col=F.col("poss")).alias("m"),
+    ).collect()
+    assert {r["doc_id"] for r in out if r["m"]} == {0}
+
+
+def test_phrase_matches_indexed_path(spark):
+    """Dual-exec: percolation phrase matching == the indexed
+    ExactPhraseScorer match SET on real corpus docs."""
+    import os
+
+    from lucene_solr_spark.driver_entry import get_searcher
+
+    sf = "/root/testdata/sf0.001"
+    s = get_searcher(spark, sf)
+    indexed = {int(r["doc_id"]) for r in
+               s.search_phrase("big the table", k=None).collect()}
+    # map index doc_ids -> corpus doc_ids via path
+    path_of = {int(r["doc_id"]): int(r["path"])
+               for r in s._docs.select("doc_id", "path").collect()}
+    indexed_corpus = {path_of[d] for d in indexed}
+
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    from lucene_solr_spark.constants import STOPWORDS
+    raw = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    zipped = F.filter(
+        F.transform(raw, lambda t, i: F.struct(t.alias("t"),
+                                               i.alias("p"))),
+        lambda st: (F.length(st["t"]) <= 255)
+        & ~st["t"].isin(*sorted(STOPWORDS)),
+    )
+    w = docs.select(
+        "doc_id",
+        F.transform(zipped, lambda st: st["t"]).alias("toks"),
+        F.transform(zipped, lambda st: st["p"]).alias("poss"),
+    )
+    pred = percolate_predicate('"big the table"', F.col("toks"),
+                               pos_col=F.col("poss"))
+    perc = {int(r["doc_id"]) for r in
+            w.select("doc_id", pred.alias("m")).collect() if r["m"]}
+    assert perc == indexed_corpus
+    assert len(perc) > 0
