@@ -225,6 +225,31 @@ QUERY_NAMES = [
     "stem_el_terms",
     "xpath_records",
     "ngram_tokenizer",
+    # round-4 additions: reference-default language analyzer chains
+    # (default stop sets + composed chain order), two-field pf2 f32
+    # boundaries, phrase percolation — plus normalizer-pack and
+    # streaming-window entries the driver has never sampled (r3
+    # verdict item 6: rotate the unsampled board into measured rows)
+    "lang_fr_default",
+    "lang_de_default",
+    "lang_it_default",
+    "lang_ru_default",
+    "lang_tr_default",
+    "lang_el_default",
+    "lang_ga_default",
+    "lang_fa_default",
+    "lang_hi_default",
+    "lang_cjk_default",
+    "lang_nl_default",
+    "lang_ca_default",
+    "edismax_pf2_twofield",
+    "percolate_phrase",
+    "norm_ar_norm_terms",
+    "norm_fa_pipe_terms",
+    "norm_de_norm_terms",
+    "snow_turkish_terms",
+    "snow_catalan_terms",
+    "stem_gl_rslp_terms",
 ]
 
 

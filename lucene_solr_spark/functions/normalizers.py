@@ -161,9 +161,12 @@ def persian_pipeline(term: str) -> str:
 
 def hindi_pipeline(term: str) -> str:
     """HindiAnalyzer's normalize+stem tail (hi/HindiAnalyzer.java:
-    HindiNormalizationFilter then HindiStemFilter; the
-    IndicNormalizer pass upstream is a composition-form fold this
-    chain's inputs are assumed to carry)."""
+    HindiNormalizationFilter then HindiStemFilter). The
+    IndicNormalizer composition pass that runs upstream in the full
+    default chain lives in functions/indic.py (vector-gated); the
+    composed chain is registered as ``hi_default``
+    (lang_analyzers.py) — this tail stays as its own seam for the
+    norm_hi_pipe entry."""
     from lucene_solr_spark.functions.natstemmers import hindi_stem
 
     return hindi_stem(hindi_normalize(term))
