@@ -1062,9 +1062,13 @@ make_filtered_analyzer(
     "common_grams_ws", "whitespace",
     common_grams_post(STOPWORDS),
 )
-# CJKAnalyzer shape (analysis/cjk/CJKAnalyzer.java:81-89): standard
-# grammar + CJKBigramFilter with all writing systems enabled. Bigrams
-# replace the unigrams (outputUnigrams=false default), so no overlaps.
+# CJKBigramFilter over the standard chain (analysis/cjk/
+# CJKBigramFilter.java semantics at the stream level). NOTE: this
+# position-stream composition cannot see OFFSETS, so it joins bigram
+# runs across whitespace-separated CJK tokens and keeps the standard
+# chain's English stop set — the FAITHFUL CJKAnalyzer default chain
+# (width fold, own stop list, offset-adjacent runs,
+# CJKAnalyzer.java:81-89) is ``cjk_default`` in lang_analyzers.py.
 from .cjk import cjk_bigram_post  # noqa: E402
 
 make_filtered_analyzer("cjk", "standard", cjk_bigram_post(),
