@@ -136,10 +136,20 @@ _KANA_COMBINE_HALF_VOICED = (
 )
 
 
+import re as _re_w
+
+# any char the filter touches: fullwidth ASCII or halfwidth katakana
+_WIDTH_CANDIDATE = _re_w.compile("[！-ﾟ]").search
+
+
 def cjk_width_fold(token: str) -> str:
     """CJKWidthFilter.incrementToken (:62-85) as a per-token fold,
     replaying the in-place scan: the voiced-mark combine deletes the
-    mark and re-examines the following character."""
+    mark and re-examines the following character. Tokens without any
+    foldable char (one C-level regex probe) pass through untouched —
+    the overwhelming case on non-CJK text."""
+    if _WIDTH_CANDIDATE(token) is None:
+        return token
     buf = [ord(c) for c in token]
     n = len(buf)
     i = 0

@@ -550,3 +550,9 @@ def greek_stem_chain(term: str) -> str:
 from functools import lru_cache as _lru_cache  # noqa: E402
 
 greek_stem_chain = _lru_cache(maxsize=1 << 17)(greek_stem_chain)
+# the pieces are used separately by the el_default chain (casing
+# BEFORE the stop check, stem after) — memoize them too, or every
+# occurrence re-runs the 22-rule machine (module-level lru_cache
+# wrappers pickle by reference into the Arrow UDF closures)
+greek_stem = _lru_cache(maxsize=1 << 17)(greek_stem)
+greek_lowercase = _lru_cache(maxsize=1 << 17)(greek_lowercase)
