@@ -1808,7 +1808,9 @@ def q_decontam(spark, sf_dir):
     shared-shingle counts."""
     from lucene_solr_spark.scrub import decontaminate
 
-    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    # the shingle explode multiplies rows ~300x before its first
+    # shuffle — spread the single parquet split first
+    docs = _documents_par(spark, sf_dir).select("doc_id", "text")
     train = docs.where(F.col("doc_id") % 50 != 0)
     ev = docs.where(F.col("doc_id") % 50 == 0)
     out = decontaminate(train, ev, text_col="text", n=4)
@@ -3969,7 +3971,9 @@ def q_langid_update(spark, sf_dir):
     mapKeepOrig=false). Output proves where each row's text moved."""
     from lucene_solr_spark import update_chain as U
 
-    d = _documents(spark, sf_dir).select("doc_id", "text", "lang")
+    # heavy JVM-regex projection (5 profile alternations scanned per
+    # row): spread the single parquet split across the session cores
+    d = _documents_par(spark, sf_dir).select("doc_id", "text", "lang")
     out = U.update_chain(d, [
         U.language_identify(
             LANGID_PROFILES, ["text"],
@@ -9108,8 +9112,12 @@ SYNONYM_MAP = {"merge": ["join"], "row": ["line"]}
 EDGE_MIN, EDGE_MAX = 2, 4
 
 
-def _analyzer_terms(spark, sf_dir, analyzer_name):
-    """documents -> exploded (doc_id, term) through a named chain."""
+def _analyzer_terms(spark, sf_dir, analyzer_name, par=False):
+    """documents -> exploded (doc_id, term) through a named chain.
+    ``par=True`` spreads the single parquet split across the session
+    cores first — for chains whose per-doc Python cost dominates
+    (gram explosions, unmemoized scanners); the cheap memoized chains
+    skip the extra shuffle."""
     from pyspark.sql.functions import pandas_udf
 
     from lucene_solr_spark.functions.analysis import get_analyzer
@@ -9121,7 +9129,8 @@ def _analyzer_terms(spark, sf_dir, analyzer_name):
         analyze = spec.analyze
         return texts.map(lambda t: analyze(t or ""))
 
-    d = _documents(spark, sf_dir)
+    d = _documents_par(spark, sf_dir) if par else _documents(spark,
+                                                             sf_dir)
     return d.select("doc_id", F.explode(toks("text")).alias("term"))
 
 
@@ -10630,7 +10639,7 @@ def q_ngram_terms(spark, sf_dir):
     over the standard chain, grams 2..3: top-10 grams by doc
     frequency — the index half of an infix/substring-match field
     (substring queries become exact gram lookups)."""
-    t = _analyzer_terms(spark, sf_dir, "ngram_2_3")
+    t = _analyzer_terms(spark, sf_dir, "ngram_2_3", par=True)
     u = t.dropDuplicates(["doc_id", "term"])
     return (
         u.groupBy("term")
@@ -13922,7 +13931,7 @@ def q_payload_encoders(spark, sf_dir):
             "total", "num_pay", "sum_start", "sum_len", "last_end",
             "type_bytes"])
 
-    d = _documents(spark, sf_dir).select(
+    d = _documents_par(spark, sf_dir).select(
         "doc_id",
         F.concat_ws(" ", "text",
                     F.col("n_chars").cast("string")).alias("wtext"),
