@@ -1,0 +1,48 @@
+"""checkRandomData transfer for the <lang>_default chains (the
+reference blasts random strings through every analyzer —
+BaseTokenStreamTestCase.checkRandomData, called by each
+Test<Lang>Analyzer.testRandomStrings): random unicode must never
+raise, outputs must be deterministic, tokens nonempty, and positions
+strictly increasing."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from lucene_solr_spark.functions.analysis import get_analyzer
+from lucene_solr_spark.functions.lang_analyzers import LANG_DEFAULTS
+
+# mixed-script text: latin, digits, the chain's own scripts, markup
+# punctuation, apostrophes/hyphens (elision + Irish paths), ZWNJ/ZWJ
+# (Persian charfilter, Indic composition), fullwidth + halfwidth kana
+# (CJK width), combining marks
+_ALPHABETS = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    " \t\n.,;:!?'\"’-–+()[]{}<>/\\|@#$%&*"
+    "àâçéèêëîïôùûüÿñáéíóúäöüßœæ"
+    "αβγδεζηθικλμνξοπρστυφχψωΐΰάέήίόύώΑΒΓΔΕΩ"
+    "абвгдеёжзийклмнопрстуфхцчшщъыьэюя"
+    "ığüşöçİĞÜŞÖÇ"
+    "أبتثجحخدذرزسشصضطظعغفقكلمنهويىئءإآةـًٌٍَُِّْ"
+    "پچژگک‌‍"
+    "अआइईउऊएऐओऔकखगघङचछजझञटठडढणतथदधनपफबभमयरलवशषसहािीुूृेैोौ्ंँः़"
+    "一二三四五六七八九十あいうえおアイウエオｱｲｳｴｵﾞﾟＡＢＣ１２３"
+    "가나다라마바사"
+    "゙゚̀́"
+)
+_TEXT = st.text(alphabet=_ALPHABETS, max_size=200)
+
+
+@pytest.mark.parametrize("lang", sorted(LANG_DEFAULTS))
+@settings(max_examples=60, deadline=None)
+@given(text=_TEXT)
+def test_random_data(lang, text):
+    spec = get_analyzer(f"{lang}_default")
+    out1 = spec.analyze(text)
+    out2 = spec.analyze(text)
+    assert out1 == out2, "non-deterministic analysis"
+    assert all(isinstance(t, str) and t for t in out1)
+    tp = spec.analyze_with_positions(text)
+    assert [t for t, _ in tp] == out1
+    poss = [p for _, p in tp]
+    assert poss == sorted(poss)
+    assert all(poss[i] < poss[i + 1] for i in range(len(poss) - 1))
