@@ -8912,6 +8912,58 @@ FROM u GROUP BY type, term ORDER BY type, term
 
 QUERIES["urlemail_typed_df"] = q_urlemail_tokens
 ORACLES["urlemail_typed_df"] = _URLEMAIL_SQL
+
+
+def q_urlemail_analyzer(spark, sf_dir):
+    """UAX29URLEmailAnalyzer (standard/UAX29URLEmailAnalyzer.java:
+    99-110 — the URL/EMAIL tokenizer + LowerCase + the standard stop
+    set, registered as ``urlemail_default``): per-term df over
+    documents carrying a derived UPPERCASED url + email, proving the
+    whole-token lowercase (URLs fold as one token) and the stop
+    filter run over the typed stream."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    spec = get_analyzer("urlemail_default")
+
+    @pandas_udf("array<string>")
+    def toks(texts: pd.Series) -> pd.Series:
+        analyze = spec.analyze
+        return texts.map(lambda t: analyze(t or ""))
+
+    d = _documents_par(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" HTTP://"), F.upper("source"),
+            F.lit(".COM/"), F.upper("lang"), F.lit(" "),
+            F.upper("lang"), F.lit("@"), F.col("source"),
+            F.lit(".org"),
+        ).alias("wtext"),
+    )
+    t = d.select("doc_id", F.explode(toks("wtext")).alias("term"))
+    return _df_top(t)
+
+
+_URLEMAIL_AN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t <> '' AND length(t) <= 255 AND t NOT IN ({_STOP_SQL})
+  UNION ALL
+  SELECT doc_id, 'http://' || source || '.com/' || lang FROM documents
+  UNION ALL
+  SELECT doc_id, lang || '@' || source || '.org' FROM documents
+),
+u AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(count(*) AS BIGINT) AS df
+FROM u GROUP BY term ORDER BY df DESC, term ASC
+"""
+
+QUERIES["urlemail_analyzer_df"] = q_urlemail_analyzer
+ORACLES["urlemail_analyzer_df"] = _URLEMAIL_AN_SQL
 ORACLES["frame_sample_counts"] = _FRAME_SAMPLE_SQL
 QUERIES["langid_pred"] = q_langid
 QUERIES["winnow_fingerprints"] = q_winnow_fingerprints

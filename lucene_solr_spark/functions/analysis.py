@@ -339,6 +339,11 @@ register_analyzer(_StandardSpec())
 # WhitespaceAnalyzer (analysis/core/WhitespaceAnalyzer.java): maximal
 # non-whitespace runs, no lowercase, no stopwords
 register_analyzer(AnalyzerSpec("whitespace", str.split, False))
+# LetterTokenizer / LowerCaseTokenizer (analysis/core/
+# LetterTokenizer.java, LowerCaseTokenizer.java): maximal letter
+# runs, the latter lowercasing in the tokenizer
+register_analyzer(AnalyzerSpec("letter", _LETTER_RUNS, False))
+register_analyzer(AnalyzerSpec("lowercase_letter", _LETTER_RUNS, True))
 
 
 def _ngram_tokenizer_scanner(n: int):

@@ -335,3 +335,23 @@ _register("tr_default", lowercase=False, pre_stop=turkish_lowercase,
 LANG_DEFAULTS = tuple(sorted(
     n for n in ("ar bg br ca cjk cz da de el en es eu fa fi fr ga gl "
                 "hi hu hy id it lv nl no pt ro ru sv tr").split()))
+
+
+# UAX29URLEmailAnalyzer (standard/UAX29URLEmailAnalyzer.java:99-110):
+# the URL/EMAIL-aware tokenizer + lowercase + the standard 33-word
+# stop set. The scanner delegates to the gated
+# uax29_url_email_tokenize (all three reference golden corpora exact
+# in tests/test_urlemail.py); oversize handling stays the scanner's
+# own maxTokenLength rule, so the spec's max_len check is a no-op
+# guard left at the default.
+def _urlemail_scanner(text: str):
+    from lucene_solr_spark.functions.urlemail import (
+        uax29_url_email_tokenize,
+    )
+
+    return [t.term for t in uax29_url_email_tokenize(text)]
+
+
+register_analyzer(AnalyzerSpec(
+    "urlemail_default", _urlemail_scanner, lowercase=True,
+    stopwords=STOPWORDS))

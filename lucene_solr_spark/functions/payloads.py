@@ -343,3 +343,37 @@ def type_as_payload_filter(stream):
     """TypeAsPayloadTokenFilter: payload = UTF-8 bytes of the type;
     null/empty types attach no payload."""
     return [(e, e[4].encode("utf-8") if e[4] else None) for e in stream]
+
+
+def payload_encoder(name: str):
+    """The PayloadEncoder SPI (payloads/PayloadEncoder.java;
+    DelimitedPayloadTokenFilterFactory's encoder attribute): 'float'
+    -> FloatEncoder (PayloadHelper.encodeFloat), 'integer' ->
+    IntegerEncoder (encodeInt big-endian), 'identity' ->
+    IdentityEncoder (UTF-8 bytes of the payload text verbatim,
+    IdentityEncoder.java:40-51). Returns str -> bytes."""
+    if name == "float":
+        return lambda s: encode_float(float(s))
+    if name == "integer":
+        return lambda s: encode_int(int(s))
+    if name == "identity":
+        return lambda s: s.encode("utf-8")
+    raise ValueError(f"unknown PayloadEncoder {name!r}")
+
+
+def delimited_payload_bytes(text: str, delimiter: str = "|",
+                            encoder: str = "float"):
+    """DelimitedPayloadTokenFilter at the byte level: split each
+    whitespace token at the LAST delimiter and encode the suffix with
+    the named encoder. Returns [(term, payload_bytes|None)] — the
+    exact BytesRef stream the reference attaches
+    (DelimitedPayloadTokenFilter.java:70-80)."""
+    enc = payload_encoder(encoder)
+    out = []
+    for tok in text.split():
+        i = tok.rfind(delimiter)
+        if i >= 0:
+            out.append((tok[:i], enc(tok[i + 1:])))
+        else:
+            out.append((tok, None))
+    return out

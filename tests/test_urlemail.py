@@ -115,3 +115,39 @@ def test_wiki_page_urls_exact():
         _read("LuceneResourcesWikiPage.html"),
         max_token_length=10 ** 9) if t.type == "<URL>"]
     assert got == _read_lines("LuceneResourcesWikiPageURLs.txt")
+
+
+def test_urlemail_default_analyzer_chain():
+    """UAX29URLEmailAnalyzer composition (UAX29URLEmailAnalyzer.java:
+    99-110): tokenizer + lowercase + standard stop set, registered as
+    urlemail_default."""
+    from lucene_solr_spark.functions.analysis import get_analyzer
+
+    a = get_analyzer("urlemail_default")
+    assert a.analyze(
+        "The Quick fox at HTTP://Example.COM/Path admin@Site.ORG") == [
+        "quick", "fox", "http://example.com/path", "admin@site.org"]
+    assert a.analyze("the of and") == []
+
+
+def test_payload_encoders_spi():
+    """PayloadEncoder SPI (Float/Integer/Identity —
+    payloads/FloatEncoder.java, IntegerEncoder.java:33-38,
+    IdentityEncoder.java:40-51)."""
+    import struct
+
+    from lucene_solr_spark.functions.payloads import (
+        delimited_payload_bytes,
+        payload_encoder,
+    )
+
+    assert payload_encoder("float")("0.5") == struct.pack(">f", 0.5)
+    assert payload_encoder("integer")("-7") == struct.pack(">i", -7)
+    assert payload_encoder("identity")("héllo") == "héllo".encode("utf-8")
+    out = delimited_payload_bytes("a|1 b c|2.5", encoder="float")
+    assert out == [("a", struct.pack(">f", 1.0)), ("b", None),
+                   ("c", struct.pack(">f", 2.5))]
+    import pytest
+
+    with pytest.raises(ValueError):
+        payload_encoder("bogus")
