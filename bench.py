@@ -250,6 +250,7 @@ QUERY_NAMES = [
     "snow_turkish_terms",
     "snow_catalan_terms",
     "stem_gl_rslp_terms",
+    "urlemail_analyzer_df",
 ]
 
 
