@@ -8154,7 +8154,9 @@ def _shingles_df(spark, sf_dir):
     hit = _SHINGLES_CACHE.get(ck)
     if hit is not None:
         return hit
-    d = _documents(spark, sf_dir).select(
+    # ~300x row explosion before the distinct's shuffle: spread the
+    # single parquet split first so the map side isn't one task
+    d = _documents_par(spark, sf_dir).select(
         "doc_id", F.split(F.col("text"), " ").alias("toks")
     )
     n = F.size("toks")
