@@ -111,7 +111,7 @@ def _clause_predicate(c, toks_col: Column,
         )
     raise NotImplementedError(
         f"percolation does not support {c.kind!r} clauses "
-        "(phrases need the position-holes array; use the indexed path)"
+        "(use the indexed path)"
     )
 
 
