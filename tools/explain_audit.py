@@ -362,8 +362,12 @@ def main() -> None:
         ("one documents scan, one Arrow stage",
          plan.count(") ArrowEvalPython") == 1
          and plan.count(") Scan parquet") == 1),
-        ("only the output-ordering shuffle",
-         plan.count(") Exchange") <= 1),
+        ("only the output-ordering shuffle plus the deliberate "
+         "kernel-parallelism rebalance (roundrobin before the Arrow "
+         "stage — a single small parquet split would otherwise run "
+         "the payload kernel serially)",
+         plan.count(") Exchange") <= 2
+         and "roundrobin" in plan.lower()),
     ]))
 
     plan = fmt(QUERIES["dih_line_import"](spark, sf))
