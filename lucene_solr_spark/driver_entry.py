@@ -2240,12 +2240,38 @@ def q_dist_mlt(spark, sf_dir):
     # fusion the single-root path already did across shards).
     from functools import reduce
 
-    legs = []
+    # df-lookup batching: one term_stats probe per shard instead of
+    # one per (root, shard). First warm each ORIGIN shard's cache
+    # with the union of its roots' candidate tokens (the _mlt_terms
+    # selection input), then warm EVERY shard with the union of all
+    # selected query terms — after which the per-root _mlt_terms and
+    # each leg's plan() resolve df driver-side with zero jobs.
+    by_origin: dict = {}
+    for root in roots:
+        key = int(root["doc_id"])
+        origin = int(root["shard_idx"])
+        tfs: dict = {}
+        for t in shards[origin].analyzer.analyze(dtext[key] or ""):
+            tfs[t] = tfs.get(t, 0) + 1
+        by_origin.setdefault(origin, set()).update(
+            t for t, n in tfs.items() if n >= 2)
+    for si, cands in by_origin.items():
+        shards[si]._lookup_dfs(sorted(cands))
+    root_terms = {}
+    all_terms: set = set()
     for root in roots:
         key = int(root["doc_id"])
         origin = int(root["shard_idx"])
         terms = shards[origin]._mlt_terms(dtext[key], 2, 5, DMLT_MAXQT)
-        qtext = " ".join(terms)
+        root_terms[key] = terms
+        all_terms.update(terms)
+    for ss in shards:
+        ss._lookup_dfs(sorted(all_terms))
+
+    legs = []
+    for root in roots:
+        key = int(root["doc_id"])
+        qtext = " ".join(root_terms[key])
         legs.extend(
             ss.search_display(qtext, k=None, mode="or")
             .select(F.col("path").cast("long").alias("doc_id"), "score")
