@@ -10577,6 +10577,70 @@ QUERIES["percolate_phrase"] = q_percolate_phrase
 ORACLES["percolate_phrase"] = _PERCOLATE_PHRASE_SQL
 
 
+# sloppy phrase with a StopFilter hole: 'the' drops leaving offsets
+# [(merge,0), (data,2)] — adjusted positions p_m and p_d - 2 must sit
+# within a window of 1, i.e. p_d - p_m in [1, 3]
+Q_PERC_SLOPPY = '+"merge the data"~1'
+
+
+def q_percolate_sloppy(spark, sf_dir):
+    """Percolation with a MUST SLOPPY phrase clause (r4 verdict item
+    5 — retiring memory.py's sloppy scope cut): the clause compiles
+    to the anchored window-existence form of SloppyPhraseScorer's
+    match condition (minimal adjusted-position window <= slop) over
+    the zipped (token, position) arrays, stop holes included.
+    Boolean-exact vs the indexed sloppy path (dual-exec gated in
+    tests/test_percolate.py); still one codegen projection per
+    arriving doc — no index, no shuffle, corpus-size independent."""
+    from lucene_solr_spark.memory import percolate_predicate
+
+    d = _documents(spark, sf_dir).filter(F.col("doc_id") < PERCOLATE_N)
+    raw = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    zipped = F.filter(
+        F.transform(raw, lambda t, i: F.struct(t.alias("t"),
+                                               i.alias("p"))),
+        lambda s: (F.length(s["t"]) <= 255)
+        & ~s["t"].isin(*sorted(STOPWORDS)),
+    )
+    w = d.select(
+        "doc_id",
+        F.transform(zipped, lambda s: s["t"]).alias("toks"),
+        F.transform(zipped, lambda s: s["p"]).alias("poss"),
+    )
+    pred = percolate_predicate(Q_PERC_SLOPPY, F.col("toks"),
+                               pos_col=F.col("poss"))
+    return w.select("doc_id", pred.alias("matched")).orderBy("doc_id")
+
+
+_PERCOLATE_SLOPPY_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, t,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS p
+  FROM (SELECT doc_id, l[i] AS t, i
+        FROM (SELECT doc_id, string_split(text, ' ') AS l,
+                     unnest(range(1, len(string_split(text, ' ')) + 1))
+                       AS i
+              FROM documents WHERE doc_id < {PERCOLATE_N}))
+  WHERE t <> ''
+),
+kept AS (
+  SELECT doc_id, t, p FROM raw
+  WHERE length(t) <= 255 AND t NOT IN ({_STOP_SQL})
+)
+SELECT d.doc_id,
+  EXISTS (SELECT 1 FROM kept a JOIN kept b
+          ON b.doc_id = a.doc_id
+          WHERE a.doc_id = d.doc_id
+            AND a.t = 'merge' AND b.t = 'data'
+            AND abs((b.p - 2) - a.p) <= 1) AS matched
+FROM (SELECT DISTINCT doc_id FROM raw) d
+ORDER BY d.doc_id
+"""
+
+QUERIES["percolate_sloppy"] = q_percolate_sloppy
+ORACLES["percolate_sloppy"] = _PERCOLATE_SLOPPY_SQL
+
+
 BJC_PARENTS = ("src3", "src11", "src17")
 
 

@@ -270,7 +270,22 @@ class AnalyzerSpec:
                 if not t:
                     continue
             if t not in self.stopwords:
-                out.append(stem(t) if stem else t)
+                if stem:
+                    t = stem(t)
+                    if not t:
+                        # engine policy: a token the stem/normalize
+                        # stage deletes entirely (e.g. ArabicNormalizer
+                        # on a tatweel/harakat-only token) is DROPPED,
+                        # leaving a position hole like a stopword. The
+                        # reference (4.x ArabicNormalizationFilter.java:
+                        # 44-49) emits the empty term instead; we
+                        # diverge deliberately — empty terms are
+                        # useless postings — and apply the same policy
+                        # at every seam (pre_stop already drops), so
+                        # ar/fa/hi chains agree. df/norms for such
+                        # tokens differ from the reference by design.
+                        continue
+                out.append(t)
         return out
 
     def analyze_with_positions(self, text: str) -> List[Tuple[str, int]]:
@@ -292,7 +307,11 @@ class AnalyzerSpec:
                     continue
             if t in self.stopwords:
                 continue
-            out.append((stem(t) if stem else t, pos))
+            if stem:
+                t = stem(t)
+                if not t:  # stem-deleted token: drop, keep the hole
+                    continue
+            out.append((t, pos))
         if self.post is not None:
             out = self.post(out)
         return out
@@ -1576,7 +1595,10 @@ def analyze_stages(spec: AnalyzerSpec, text: str):
         stage += 1
 
     if spec.stem is not None:
-        cur = [(spec.stem(t), p) for t, p in cur]
+        # mirror the execution paths' empty-drop policy (a stem that
+        # deletes the whole token leaves a position hole)
+        cur = [(t, p) for t, p in ((spec.stem(t), p) for t, p in cur)
+               if t]
         out.extend((stage, "stem", p, t) for t, p in cur)
         stage += 1
 

@@ -24,6 +24,18 @@ stop check (pre_stop); ar normalizes AFTER it (inside stem).
 Every chain is gated in tests/test_lang_analyzers.py over the
 reference's own Test<Lang>Analyzer vectors (testBasics /
 testContractions / testHyphens / testElision).
+
+Empty-token policy (uniform across ALL chains): a token that a
+normalize/stem stage deletes entirely — e.g. ArabicNormalizer on a
+tatweel/harakat-only token — is DROPPED, leaving a position hole
+exactly like a stopword. The reference's 4.x filters
+(ar/ArabicNormalizationFilter.java:44-49) emit the empty term
+instead; we diverge deliberately (empty postings are useless and
+break downstream invariants), so df/norms for such degenerate tokens
+differ from the reference by design. The policy is enforced at BOTH
+per-token seams (pre_stop and stem) in AnalyzerSpec, so ar (stem-slot
+normalizer), fa (pre_stop-slot normalizer) and hi (normalizer leaves
+tatweel untouched → token survives) are mutually consistent.
 """
 
 

@@ -16,7 +16,7 @@ no Python, no shuffle, directly usable inside a Structured Streaming
 100 TB shape: percolation cost is a map over arriving batches,
 independent of corpus size.
 
-Supported clause kinds: term, phrase (exact, slop=0), prefix,
+Supported clause kinds: term, phrase (exact AND sloppy), prefix,
 wildcard, regexp, term range (same parser surface as
 IndexSearcher.search_boolean); matching semantics are BooleanQuery's:
 every MUST present, no NOT present, and at least ``mm`` SHOULD
@@ -24,8 +24,13 @@ clauses present. Exact phrases compile to a nested-EXISTS walk over a
 zipped (token, position) array, so StopFilter holes gate adjacency
 exactly like ExactPhraseScorer — pass ``pos_col`` with the analyzer's
 positions; without it positions default to the array index (exact
-only for hole-free chains). Sloppy phrases (slop>0) stay on the
-indexed path (documented scope cut).
+only for hole-free chains). Sloppy phrases ("a b"~n) compile to the
+anchored window-existence form of the SloppyPhraseScorer match
+condition (minimal adjusted-position window <= slop) — boolean-exact
+vs the indexed sloppy path for repeat-free phrases (dual-exec gated
+in tests/test_percolate.py); sloppy phrases that REPEAT a term stay
+on the indexed path (documented scope cut — the repeat-group walk is
+inherently sequential).
 """
 
 from __future__ import annotations
@@ -43,19 +48,61 @@ def _clause_predicate(c, toks_col: Column,
     if c.kind == "term":
         return F.array_contains(toks_col, c.terms[0])
     if c.kind == "phrase":
-        if c.slop > 0:
-            raise NotImplementedError(
-                "sloppy phrases need the span kernel; percolation "
-                "compiles exact phrases only (use the indexed path)")
         offs = c.offsets
         if not offs:
             return F.lit(False)
+        if c.slop > 0 and len({t for t, _ in offs}) < len(offs):
+            raise NotImplementedError(
+                "sloppy phrases with REPEATED terms need the scorer's "
+                "repeat-group walk (SloppyPhraseScorer.java:150-213); "
+                "percolation compiles repeat-free sloppy phrases only "
+                "(use the indexed path)")
         if pos_col is None:
             # hole-free fallback: positions = array indexes
             pos_col = F.transform(toks_col, lambda _t, i: i)
         z = F.zip_with(
             toks_col, pos_col,
             lambda t, p: F.struct(t.alias("t"), p.alias("p")))
+        if c.slop > 0:
+            # SloppyPhraseScorer boolean (freq > 0): a repeat-free
+            # sloppy phrase matches iff some choice of one occurrence
+            # per clause has adjusted-position window
+            # max_j(p_j - d_j) - min_j(p_j - d_j) <= slop (the
+            # scorer's minimal-window sweep, search/sloppy.py /
+            # SloppyPhraseScorer.java:103-137, finds exactly the
+            # minimal such window). Existence form: anchor on the
+            # clause whose occurrence achieves the window MIN — for
+            # some anchor clause j0 with occurrence at adjusted
+            # a = p - d_j0, EVERY clause j has an occurrence with
+            # adjusted position in [a, a + slop]. OR over anchors is
+            # exact (the true min's clause always works).
+            slop = c.slop
+
+            def _in_window(s, dj0, tj, dj):
+                def inner(s2):
+                    adj = s2["p"] - F.lit(dj)
+                    a = s["p"] - F.lit(dj0)
+                    return ((s2["t"] == F.lit(tj))
+                            & (adj >= a) & (adj <= a + F.lit(slop)))
+                return inner
+
+            def _anchored(j0):
+                tj0, dj0 = offs[j0]
+
+                def match_at(s):
+                    cond = s["t"] == F.lit(tj0)
+                    for j, (tj, dj) in enumerate(offs):
+                        if j == j0:
+                            continue
+                        cond = cond & F.exists(
+                            z, _in_window(s, dj0, tj, dj))
+                    return cond
+                return F.exists(z, match_at)
+
+            pred = _anchored(0)
+            for j0 in range(1, len(offs)):
+                pred = pred | _anchored(j0)
+            return pred
         t0 = offs[0][0]
 
         def _at_offset(s, tj, dj):
