@@ -10641,6 +10641,91 @@ QUERIES["percolate_sloppy"] = q_percolate_sloppy
 ORACLES["percolate_sloppy"] = _PERCOLATE_SLOPPY_SQL
 
 
+def q_classic_hl_sloppy(spark, sf_dir):
+    """Classic Highlighter with a SLOPPY phrase on the QueryScorer
+    path (r4 verdict item 6 — retiring the documented scope note):
+    WeightedSpanTermExtractor's PhraseQuery conversion
+    (WeightedSpanTermExtractor.java:102-136 — slop > 0 converts to an
+    UNORDERED SpanNearQuery) runs over each hit doc's position stack.
+    For a 2-term unit-span unordered near the emitted spans are
+    exactly the (p, q) pairs where q is the FIRST opposite-term
+    occurrence after p and q - p <= slop + 1 (the iterator advances
+    the min cell each step), so the char-level markup gets a DuckDB
+    oracle. Hit docs come from the
+    indexed SloppyPhraseScorer (its |adj| <= slop window, a
+    DIFFERENT, ordered-biased condition than the extractor's — both
+    replayed in SQL). Golden vectors from HighlighterTest's slop
+    cases pin the general walk (tests/test_classic_highlighter.py
+    TestSloppyPhraseGoldens)."""
+    from lucene_solr_spark.search.classic_highlighter import (
+        classic_highlight,
+    )
+
+    s = get_searcher(spark, sf_dir)
+    store = _classic_hl_store(spark, sf_dir, s)
+    out = classic_highlight(
+        s, store, '"merge data"~2',
+        clauses=[("phrase", ("merge", "data"), 1.0, 2)],
+        hits=s.search_phrase("merge data", k=None, slop=2),
+        fragment_size=100000, max_num_fragments=1,
+    )
+    return out.select(
+        "doc_id",
+        F.element_at("fragments", 1).alias("snippet"),
+        F.element_at("frag_scores", 1).cast("double").alias("fscore"),
+    ).orderBy("doc_id")
+
+
+def _classic_hl_sloppy_sql() -> str:
+    return ORACLE_PRELUDE + """
+, tpos AS (
+  SELECT doc_id, t[i] AS term,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS t,
+               unnest(range(1, len(t) + 1)) AS i FROM docs0)
+  WHERE t[i] <> ''
+),
+mpos AS (SELECT doc_id, pos FROM tpos WHERE term = 'merge'),
+dpos AS (SELECT doc_id, pos FROM tpos WHERE term = 'data'),
+-- SloppyPhraseScorer hit set: |p_m - (p_d - 1)| <= 2
+hits AS (
+  SELECT DISTINCT m.doc_id FROM mpos m JOIN dpos d2
+    ON d2.doc_id = m.doc_id AND d2.pos - m.pos BETWEEN -1 AND 3
+),
+-- extractor spans (NearSpansUnordered walk, slop 2): the iterator
+-- advances the MIN cell each step, so a state (p, q), p < q, is
+-- visited iff q is the FIRST occurrence of its term after p; it
+-- emits span [p, q] when q - p <= slop + 1 = 3
+spans AS (
+  SELECT a.doc_id, a.pos AS s, b.pos AS e
+  FROM tpos a JOIN tpos b
+    ON b.doc_id = a.doc_id AND b.pos > a.pos AND b.pos - a.pos <= 3
+  WHERE ((a.term = 'merge' AND b.term = 'data')
+         OR (a.term = 'data' AND b.term = 'merge'))
+    AND NOT EXISTS (SELECT 1 FROM tpos c
+                    WHERE c.doc_id = a.doc_id AND c.term = b.term
+                      AND c.pos > a.pos AND c.pos < b.pos)
+),
+hl AS (
+  SELECT t.doc_id, t.pos, t.term,
+    CASE WHEN t.term IN ('merge', 'data') AND EXISTS (
+           SELECT 1 FROM spans x WHERE x.doc_id = t.doc_id
+             AND t.pos BETWEEN x.s AND x.e) THEN 1
+         ELSE 0 END AS h
+  FROM tpos t JOIN hits USING (doc_id)
+)
+SELECT doc_id,
+  string_agg(CASE WHEN h = 1 THEN '<B>' || term || '</B>' ELSE term END,
+             ' ' ORDER BY pos) AS snippet,
+  CAST(2.0 AS DOUBLE) AS fscore
+FROM hl GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["classic_hl_sloppy"] = q_classic_hl_sloppy
+ORACLES["classic_hl_sloppy"] = _classic_hl_sloppy_sql()
+
+
 BJC_PARENTS = ("src3", "src11", "src17")
 
 

@@ -127,30 +127,65 @@ def extract_weighted_span_terms(
     matched directly on the position-annotated stack.
 
     ``clauses``: sequence of ("term", term, weight) |
-    ("phrase", (t0, t1, ...), weight). Processed in clause order with
-    the reference merge rules: a term clause PUTs unconditionally
+    ("phrase", val, weight) | ("phrase", val, weight, slop), where
+    ``val`` is a tuple of terms (consecutive query positions) or a
+    tuple of (term, query_position) pairs (PhraseQuery.add(term, pos)
+    gaps — stop holes). Processed in clause order with the reference
+    merge rules: a term clause PUTs unconditionally
     (extractWeightedTerms :330-341 overwrites); a phrase clause's
     terms get positionSensitive entries whose spans are the matched
     occurrences (spans.start(), spans.end()-1 inclusive — :290-293),
-    or only add spans when the term already exists (:302-318). Exact
-    phrases only (slop=0 -> in-order adjacent positions; PhraseQuery
-    slop conversion at :109-135 — sloppy highlighting is the FVH
-    path's slop matcher)."""
-    by_pos = {p: t for t, p, _, _ in stack}
+    or only add spans when the term already exists (:302-318).
+
+    Phrase -> SpanNearQuery conversion kept rule-for-rule
+    (WeightedSpanTermExtractor.java:102-136): the LARGEST position
+    increment between consecutive phrase terms is added to the slop
+    when > 1, and in-order is required only when the ADJUSTED slop is
+    0 — so an exact phrase with stop holes highlights as an UNORDERED
+    near query, exactly like the reference. The spans come from the
+    engine's NearSpansOrdered/Unordered ports (search/spans.py) run
+    over this doc's position stack — the per-doc MemoryIndex run of
+    the reference (:330-353) without the index."""
+    from lucene_solr_spark.search.spans import (
+        SpanNear,
+        SpanTerm,
+        build_spans,
+    )
+
+    pos_by_term: Dict[str, List[int]] = {}
+    for t, p, _, _ in stack:
+        pos_by_term.setdefault(t, []).append(p)
+    arr_by_term = {t: np.asarray(ps, dtype=np.int64)
+                   for t, ps in pos_by_term.items()}
+    _empty = np.empty(0, dtype=np.int64)
+
     terms: Dict[str, WeightedSpanTerm] = {}
-    for kind, val, weight in clauses:
+    for clause in clauses:
+        kind, val, weight = clause[0], clause[1], clause[2]
         if kind == "term":
             terms[val] = WeightedSpanTerm(weight)
             continue
         if kind != "phrase":
             raise ValueError(f"unknown clause kind {kind!r}")
-        seq = tuple(val)
+        slop = int(clause[3]) if len(clause) > 3 else 0
+        if val and isinstance(val[0], (tuple, list)):
+            seq = tuple(t for t, _ in val)
+            poss = [int(p) for _, p in val]
+        else:
+            seq = tuple(val)
+            poss = list(range(len(seq)))
+        largest_inc = max(
+            (poss[i] - poss[i - 1] for i in range(1, len(poss))),
+            default=0)
+        if largest_inc > 1:          # add largest increment (:112-127)
+            slop += largest_inc
+        in_order = slop == 0         # checked AFTER adjustment (:131-133)
+        node = SpanNear(tuple(SpanTerm(t) for t in seq), slop=slop,
+                        in_order=in_order)
+        it = build_spans(node, lambda t: arr_by_term.get(t, _empty))
         spans = []
-        for t, p, _, _ in stack:
-            if t != seq[0]:
-                continue
-            if all(by_pos.get(p + i) == seq[i] for i in range(1, len(seq))):
-                spans.append((p, p + len(seq) - 1))
+        while it.next():
+            spans.append((it.start, it.end - 1))
         if not spans:
             continue        # no spans found -> term not added (:297-300)
         for t in set(seq):
@@ -652,7 +687,8 @@ def classic_highlight(
     """Top-k hits of ``query_text`` with classic-Highlighter fragments
     over their stored text. Scorer selection mirrors the reference:
     pass ``weights`` (term -> weight) for QueryTermScorer, or
-    ``clauses`` ([("term", t, w) | ("phrase", (t0, t1, ...), w)]) for
+    ``clauses`` ([("term", t, w) | ("phrase", val, w[, slop])] with
+    ``val`` a tuple of terms or of (term, query_position) pairs) for
     the position-sensitive QueryScorer (hl.usePhraseHighlighter) —
     span extraction runs PER DOC like the reference's per-doc
     MemoryIndex (WeightedSpanTermExtractor.java:330-353). Returns

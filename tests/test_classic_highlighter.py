@@ -427,3 +427,147 @@ class TestSparkRoundTrip:
                           for i, d in enumerate(docs_sorted))
             plain = r["fragments"][0].replace("<B>", "").replace("</B>", "")
             assert plain == stored[r["doc_id"]]
+
+
+class TestSloppyPhraseGoldens:
+    """HighlighterTest sloppy/gapped-phrase cases transferred as
+    golden vectors (lucene/highlighter/src/test/.../HighlighterTest
+    .java). The reference analyzer is MockTokenizer.SIMPLE (letter
+    runs, lowercased) + MockTokenFilter.ENGLISH_STOPSET — which is
+    byte-identical to the engine's 33-word STOPWORDS set. Hit docs
+    are derived with the engine's own SloppyPhraseScorer port
+    (search/sloppy.py) — the same scorer the reference's doSearching
+    runs; numHighlights replicates the test class's Formatter
+    counter (one per positive-score TokenGroup across the WHOLE
+    token walk, HighlighterTest.java:1837-1843)."""
+
+    TEXTS = [
+        "Hello this is a piece of text that is very long and contains "
+        "too much preamble and the meat is really here which says "
+        "kennedy has been shot",
+        "This piece of text refers to Kennedy at the beginning then "
+        "has a longer piece of text that is very long in the middle "
+        "and finally ends with another reference to Kennedy",
+        "JFK has been shot", "John Kennedy has been shot",
+        "This text has a typo in referring to Keneddy",
+        "wordx wordy wordz wordx wordy wordx worda wordb wordy wordc",
+        "y z x y z a b",
+        "lets is a the lets is a the lets is a the lets",
+    ]
+
+    @staticmethod
+    def _analyzer():
+        import re
+
+        from lucene_solr_spark.constants import STOPWORDS
+        from lucene_solr_spark.functions.analysis import AnalyzerSpec
+
+        return AnalyzerSpec("mock_simple",
+                            re.compile("[a-zA-Z]+").findall,
+                            lowercase=True, stopwords=STOPWORDS)
+
+    def _hits(self, phrase, slop):
+        """Doc ids matching the PhraseQuery via the engine's
+        SloppyPhraseScorer port (freq > 0) — the reference's
+        doSearching."""
+        import numpy as np
+
+        from lucene_solr_spark.search.sloppy import sloppy_phrase_freq
+
+        an = self._analyzer()
+        terms = [t for t, _ in phrase]
+        offs = [p for _, p in phrase]
+        hits = []
+        for i, text in enumerate(self.TEXTS):
+            pos_of = {}
+            for t, p, _, _ in token_stream(text, an):
+                pos_of.setdefault(t, []).append(p)
+            arrs = [np.asarray(pos_of.get(t, []), dtype=np.int64)
+                    for t in terms]
+            if any(len(a) == 0 for a in arrs):
+                continue
+            if sloppy_phrase_freq(arrs, offs, terms, slop) > 0:
+                hits.append(i)
+        return hits
+
+    def _count_highlights(self, phrase, slop, fragment_size=40,
+                          max_num_fragments=2):
+        """Sum of positive-score groups over all hit docs — the
+        reference tests' numHighlights."""
+        from lucene_solr_spark.search.classic_highlighter import (
+            extract_weighted_span_terms,
+        )
+
+        an = self._analyzer()
+        n = {"count": 0}
+
+        def fmt(tok, tot):
+            if tot <= 0:
+                return tok
+            n["count"] += 1
+            return "<B>" + tok + "</B>"
+
+        for i in self._hits(phrase, slop):
+            text = self.TEXTS[i]
+            w = extract_weighted_span_terms(
+                [("phrase", tuple(phrase), 1.0, slop)],
+                token_stream(text, an))
+            get_best_text_fragments(
+                text, w, an, fragment_size=fragment_size,
+                max_num_fragments=max_num_fragments, formatter=fmt)
+        return n["count"]
+
+    def test_default_field_slop3(self):
+        """testHighlightingWithDefaultField (:208-233): slop-3 phrase
+        (world, flatland), whole-text fragment markup."""
+        from lucene_solr_spark.search.classic_highlighter import (
+            extract_weighted_span_terms,
+        )
+
+        an = self._analyzer()
+        s1 = ("I call our world Flatland, not because we call it so,")
+        w = extract_weighted_span_terms(
+            [("phrase", (("world", 0), ("flatland", 1)), 1.0, 3)],
+            token_stream(s1, an))
+        frags = get_best_text_fragments(
+            s1, w, an, fragment_size=1 << 30, max_num_fragments=1)
+        assert frags[0][0] == (
+            "I call our <B>world</B> <B>Flatland</B>, not because we "
+            "call it so,")
+
+    def test_gapped_phrase_very_long_contains(self):
+        """testSimpleQueryScorerPhraseHighlighting case 1 (:337-362):
+        phrase very@0 long@1 contains@3 — the position gap converts
+        to an UNORDERED slop-2 span near; 3 highlights."""
+        assert self._count_highlights(
+            [("very", 0), ("long", 1), ("contains", 3)], 0) == 3
+
+    def test_gapped_phrase_piece_text_refers_kennedy(self):
+        """case 2 (:364-391): piece@1 text@3 refers@4 kennedy@6 — 4
+        highlights, the doc's LATER piece/text/kennedy occurrences
+        outside the span stay unhighlighted."""
+        assert self._count_highlights(
+            [("piece", 1), ("text", 3), ("refers", 4),
+             ("kennedy", 6)], 0) == 4
+
+    def test_repeated_term_phrase_lets(self):
+        """case 3 (:393-420): lets@0 lets@4 lets@8 lets@12 — repeated
+        phrase terms through the span repeat machinery; 4
+        highlights."""
+        assert self._count_highlights(
+            [("lets", 0), ("lets", 4), ("lets", 8), ("lets", 12)],
+            0) == 4
+
+    def test_sloppy_phrase_slop5(self):
+        """testSimpleQueryScorerPhraseHighlighting2 (:520-545): slop-5
+        (text, piece, long) — unordered matching (piece precedes text
+        in both hit docs); 6 highlights across the two hits."""
+        assert self._count_highlights(
+            [("text", 0), ("piece", 1), ("long", 2)], 5) == 6
+
+    def test_exact_phrase_xyz(self):
+        """testSimpleQueryScorerPhraseHighlighting3 (:547-571): exact
+        x y z on 'y z x y z a b' — ordered slop-0 path; 3 highlights,
+        the leading y z pair unhighlighted."""
+        assert self._count_highlights(
+            [("x", 0), ("y", 1), ("z", 2)], 0) == 3
