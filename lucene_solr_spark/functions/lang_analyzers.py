@@ -338,15 +338,68 @@ _register("sv_default", stopwords=STOP_SETS["sv"],
 _register("tr_default", lowercase=False, pre_stop=turkish_lowercase,
           stopwords=STOP_SETS["tr"], stem=SNOWBALL_STEMMERS["turkish"])
 
-# th (ThaiAnalyzer.java:106-113) is NOT composed: ThaiWordFilter
-# delegates word segmentation to the JRE's dictionary-backed
-# BreakIterator — an external-runtime boundary (same class as ICU
-# collation, argued in SURVEY's exclusion table). The th stop set
-# ships in stopsets.py for users providing their own segmentation.
+class _ThaiDefaultSpec(AnalyzerSpec):
+    """ThaiAnalyzer default chain (th/ThaiAnalyzer.java:104-113):
+    StandardTokenizer → StandardFilter → LowerCase → ThaiWordFilter →
+    StopFilter(default th stop set). ThaiWordFilter splits each token
+    whose FIRST char is in the THAI block into dictionary words, each
+    consuming its own position (posInc 1, ThaiWordFilter.java:87/
+    124); the stop check runs AFTER the split, so stopped words leave
+    holes inside the run. Needs its own analyze paths because the
+    split changes position numbering mid-stream. Segmentation
+    delegates to the platform's libthai (functions/thai.py — the same
+    external-runtime seam as the reference's JRE BreakIterator,
+    DBBI_AVAILABLE analogue included)."""
+
+    def __init__(self):
+        super().__init__("th_default", tokenize,
+                         stopwords=frozenset(), emits_overlaps=False)
+        self._stop = STOP_SETS["th"]
+
+    def analyze_with_positions(self, text):
+        from lucene_solr_spark.functions.analysis import (
+            MAX_TOKEN_LENGTH,
+            TOKEN_PATTERN,
+        )
+        from lucene_solr_spark.functions.thai import (
+            is_thai_leading,
+            thai_segment,
+        )
+
+        out = []
+        pos = -1
+        stop = self._stop
+        for m in TOKEN_PATTERN.finditer(text):
+            tok = m.group(0)
+            if len(tok) > MAX_TOKEN_LENGTH:
+                pos += 1
+                continue
+            tok = tok.lower()
+            words = (thai_segment(tok) if is_thai_leading(tok)
+                     else (tok,))
+            for w in words:
+                pos += 1
+                if w not in stop:
+                    out.append((w, pos))
+        return out
+
+    def analyze(self, text):
+        return [t for t, _ in self.analyze_with_positions(text)]
+
+    def tokenize_series_positions(self, texts):
+        toks_out, pos_out = [], []
+        for text in texts:
+            tp = self.analyze_with_positions(text) if text else []
+            toks_out.append([t for t, _ in tp])
+            pos_out.append([p for _, p in tp])
+        return toks_out, pos_out
+
+
+register_analyzer(_ThaiDefaultSpec())
 
 LANG_DEFAULTS = tuple(sorted(
     n for n in ("ar bg br ca cjk cz da de el en es eu fa fi fr ga gl "
-                "hi hu hy id it lv nl no pt ro ru sv tr").split()))
+                "hi hu hy id it lv nl no pt ro ru sv th tr").split()))
 
 
 # UAX29URLEmailAnalyzer (standard/UAX29URLEmailAnalyzer.java:99-110):

@@ -27,6 +27,7 @@ _ALPHABETS = (
     "अआइईउऊएऐओऔकखगघङचछजझञटठडढणतथदधनपफबभमयरलवशषसहािीुूृेैोौ्ंँः़"
     "一二三四五六七八九十あいうえおアイウエオｱｲｳｴｵﾞﾟＡＢＣ１２３"
     "가나다라마바사"
+    "กขคงจฉภาษาไทยการที่ได้ต้องเแโใไๆ็่้๊๋์ํ๑๒๓"
     "゙゚̀́"
 )
 _TEXT = st.text(alphabet=_ALPHABETS, max_size=200)
