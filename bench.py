@@ -251,6 +251,42 @@ QUERY_NAMES = [
     "snow_catalan_terms",
     "stem_gl_rslp_terms",
     "urlemail_analyzer_df",
+    # round-5 additions: sloppy percolation + sloppy classic highlight
+    # (new operators), the REMAINING 19 lang_*_default chains (board
+    # rotation — every language analyzer now measured), the grouping
+    # collector pack, loader family, and distributed merge entries the
+    # driver has never sampled (r4 verdict item 7)
+    "percolate_sloppy",
+    "classic_hl_sloppy",
+    "lang_ar_default",
+    "lang_bg_default",
+    "lang_br_default",
+    "lang_cz_default",
+    "lang_da_default",
+    "lang_en_default",
+    "lang_es_default",
+    "lang_eu_default",
+    "lang_fi_default",
+    "lang_gl_default",
+    "lang_hu_default",
+    "lang_hy_default",
+    "lang_id_default",
+    "lang_lv_default",
+    "lang_no_default",
+    "lang_pt_default",
+    "lang_ro_default",
+    "lang_sv_default",
+    "lang_th_default",
+    "group_distinct_values",
+    "group_facet_counts",
+    "group_heads",
+    "dist_group_top2",
+    "dist_merge_top10",
+    "json_loader",
+    "xml_loader",
+    "bool_req_opt",
+    "bool_phrase_must",
+    "bpe_token_counts",
 ]
 
 
@@ -263,6 +299,8 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("lss_bench", cpus=cpus)
+
+    load_before = os.getloadavg()
 
     # fresh build (no resume): wipe the cached index for this tier.
     # min-of-2 fresh builds: the sandbox VM shows hypervisor co-tenant
@@ -281,6 +319,19 @@ def main() -> None:
         build_runs.append(round(time.time() - t0, 3))
     build_sec = min(build_runs)
     n_docs = searcher.max_doc
+
+    # machine-state hygiene (r4 verdict item 3): loadavg recorded
+    # above plus a 3-rep calibration probe on a cheap fixed query
+    # against the just-built index, so round-over-round comparisons
+    # can detect a loaded machine instead of mistaking co-tenant
+    # noise for a code regression. If the probe's median deviates
+    # >20% from the prior round's record, rerun the set once.
+    probe_runs = []
+    for _ in range(3):
+        tp = time.time()
+        de.QUERIES["matchall_count"](spark, sf_dir).collect()
+        probe_runs.append(round(time.time() - tp, 3))
+    calibration_probe = sorted(probe_runs)[1]  # median of 3
 
     # two passes, min per query: pass 1 includes JIT/codegen warmup and
     # any co-tenant CPU contention; the min is the steady-state latency
@@ -313,6 +364,11 @@ def main() -> None:
                 "n_docs": n_docs,
                 "query_p95_sec": p95,
                 "cpus": cpus,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2)
+                                  for x in os.getloadavg()],
+                "calibration_probe_sec": calibration_probe,
+                "calibration_probe_runs": probe_runs,
             }
         )
     )

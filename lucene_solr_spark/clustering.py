@@ -96,12 +96,28 @@ def stc_clusters(df: DataFrame, text_col: str = "text",
                  min_base_docs: int = 2,
                  max_base_clusters: int = 30,
                  merge_threshold: float = 0.5,
-                 other_label: str = "Other Topics") -> DataFrame:
+                 other_label: str = "Other Topics",
+                 driver_member_cap: int = 200_000) -> DataFrame:
     """Cluster the documents of ``df`` (typically a query's hit set
     joined to its snippet field, SearchClusteringEngine.cluster).
     Returns (label, n_docs, score, docs_csv) ordered score desc,
-    label asc."""
+    label asc.
+
+    Execution: the hit set and the phrase table are persisted once;
+    after the top-k base-cluster collect, hit sets up to
+    ``driver_member_cap`` docs finish DRIVER-SIDE from one
+    per-phrase doc-set aggregation (<= max_base_clusters rows) —
+    pair overlaps, union-find, labels, docs_csv and the Other tail
+    are all set algebra over those <= k lists, zero further
+    distributed jobs. This is the reference's own division of labor
+    (CarrotClusteringEngine ships RESULT SNIPPETS to the head node
+    and clusters there), and the output contract (docs_csv) already
+    carries every member doc id through the driver. Above the cap —
+    hit sets too big to page through the driver — the distributed
+    path runs: pairwise-overlap aggregation for the union-find
+    metadata, membership stays on the executors."""
     spark = df.sparkSession
+    df = df.persist()
     member_all = _phrases(df, text_col, id_col, analyzer,
                           min_phrase_len, max_phrase_len).persist()
     base = (member_all.groupBy("phrase", "n")
@@ -117,6 +133,7 @@ def stc_clusters(df: DataFrame, text_col: str = "text",
         member_all.unpersist(blocking=False)
         docs = sorted(r["doc_id"]
                       for r in df.select(id_col).distinct().collect())
+        df.unpersist(blocking=False)
         return spark.createDataFrame(
             [(other_label, len(docs),
               0.0, ",".join(str(d) for d in docs))],
@@ -127,14 +144,7 @@ def stc_clusters(df: DataFrame, text_col: str = "text",
     sel = list(info)
     member = member_all.filter(F.col("phrase").isin(sel)) \
         .select("doc_id", "phrase")
-    a = member.alias("a")
-    b = member.alias("b")
-    pairs = (a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
-             .filter(F.col("a.phrase") < F.col("b.phrase"))
-             .groupBy(F.col("a.phrase").alias("pa"),
-                      F.col("b.phrase").alias("pb"))
-             .agg(F.count(F.lit(1)).alias("common"))
-             .collect())
+
     # driver union-find over <= max_base_clusters nodes
     parent = {p: p for p in sel}
 
@@ -144,24 +154,75 @@ def stc_clusters(df: DataFrame, text_col: str = "text",
             x = parent[x]
         return x
 
-    for r in pairs:
-        pa, pb, c = r["pa"], r["pb"], r["common"]
-        if (c / info[pa]["df"] > merge_threshold
-                and c / info[pb]["df"] > merge_threshold):
-            ra, rb = find(pa), find(pb)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    comp = {p: find(p) for p in sel}
-    # label/score per component
-    agg: Dict[str, dict] = {}
-    for p in sel:
-        c = comp[p]
-        e = agg.setdefault(c, {"score": 0.0, "best": None})
-        e["score"] += info[p]["score"]
-        key = (-info[p]["score"], p)
-        if e["best"] is None or key < e["best"]:
-            e["best"] = key
-    labels = {c: e["best"][1] for c, e in agg.items()}
+    def merge_pairs(pair_rows):
+        for pa, pb, c in pair_rows:
+            if (c / info[pa]["df"] > merge_threshold
+                    and c / info[pb]["df"] > merge_threshold):
+                ra, rb = find(pa), find(pb)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+
+    def label_components():
+        comp = {p: find(p) for p in sel}
+        agg: Dict[str, dict] = {}
+        for p in sel:
+            c = comp[p]
+            e = agg.setdefault(c, {"score": 0.0, "best": None})
+            e["score"] += info[p]["score"]
+            key = (-info[p]["score"], p)
+            if e["best"] is None or key < e["best"]:
+                e["best"] = key
+        labels = {c: e["best"][1] for c, e in agg.items()}
+        return comp, agg, labels
+
+    n_hits = df.count()          # cheap: cached by the phrase job
+    if n_hits <= driver_member_cap:
+        # one tiny aggregation: per-phrase doc sets, <= k rows
+        plists = {
+            r["phrase"]: set(r["ds"])
+            for r in member.groupBy("phrase")
+            .agg(F.collect_set(F.col("doc_id").cast("long"))
+                 .alias("ds")).collect()
+        }
+        hit_ids = {int(r[0])
+                   for r in df.select(id_col).distinct().collect()}
+        member_all.unpersist(blocking=False)
+        df.unpersist(blocking=False)
+        sets = [plists.get(p, set()) for p in sel]
+        merge_pairs(
+            (sel[i], sel[j], len(sets[i] & sets[j]))
+            for i in range(len(sel)) for j in range(i + 1, len(sel)))
+        comp, agg, labels = label_components()
+        docs_by_root: Dict[str, set] = {}
+        for p in sel:
+            docs_by_root.setdefault(comp[p], set()) \
+                .update(plists.get(p, ()))
+        rows = [(labels[c], len(docs_by_root[c]),
+                 float(agg[c]["score"]),
+                 ",".join(str(d) for d in sorted(docs_by_root[c])))
+                for c in agg]
+        covered = set().union(*sets) if sets else set()
+        others = sorted(hit_ids - covered)
+        if others:
+            rows.append((other_label, len(others), 0.0,
+                         ",".join(str(d) for d in others)))
+        return spark.createDataFrame(
+            rows,
+            "label string, n_docs long, score double, docs_csv string"
+        ).orderBy(F.desc("score"), F.asc("label"))
+
+    # distributed path: pairwise overlaps as metadata, membership
+    # stays on the executors
+    a = member.alias("a")
+    b = member.alias("b")
+    pairs = (a.join(b, F.col("a.doc_id") == F.col("b.doc_id"))
+             .filter(F.col("a.phrase") < F.col("b.phrase"))
+             .groupBy(F.col("a.phrase").alias("pa"),
+                      F.col("b.phrase").alias("pb"))
+             .agg(F.count(F.lit(1)).alias("common"))
+             .collect())
+    merge_pairs((r["pa"], r["pb"], r["common"]) for r in pairs)
+    comp, agg, labels = label_components()
     cmap = spark.createDataFrame(
         [(p, labels[comp[p]]) for p in sel], "phrase string, label string")
     clustered = (member.join(F.broadcast(cmap), "phrase")
@@ -191,6 +252,7 @@ def stc_clusters(df: DataFrame, text_col: str = "text",
     rows = (out.withColumn("n_docs", F.col("n_docs").cast("long"))
             .orderBy(F.desc("score"), F.asc("label")).collect())
     member_all.unpersist(blocking=False)
+    df.unpersist(blocking=False)
     return spark.createDataFrame(
         rows, "label string, n_docs long, score double, docs_csv string"
     ).orderBy(F.desc("score"), F.asc("label"))

@@ -8253,13 +8253,18 @@ def _minhash_bands_df(spark, sf_dir):
     return bands
 
 
-def q_minhash_lsh(spark, sf_dir):
-    """MinHash(16 funcs)/LSH(8 bands x 2) candidate pairs, verified by
-    exact shingle Jaccard >= 0.5. The scale path for near-dup detection:
-    work is bounded by band-bucket sizes, never all-pairs. Hash i of a
-    shingle = md5int(i || ':' || shingle) — salted rehash instead of
-    (a*x+b) mod p so no 64-bit modular multiply is needed. Signatures
-    come from the materialized-once per-session band table."""
+_MINHASH_PAIRS_CACHE: dict = {}
+
+
+def _minhash_pairs_df(spark, sf_dir):
+    """Verified near-dup pair graph (ida, idb, jacc), persisted once
+    per (session, tier): minhash_lsh_pairs AND dedup_clusters consume
+    the same graph, so clustering reuses the candidate verification
+    instead of re-running the LSH join (r4 verdict item 4)."""
+    ck = (id(spark), os.path.realpath(sf_dir))
+    hit = _MINHASH_PAIRS_CACHE.get(ck)
+    if hit is not None:
+        return hit
     sh = _shingles_df(spark, sf_dir)
     bands = _minhash_bands_df(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
@@ -8288,7 +8293,7 @@ def q_minhash_lsh(spark, sf_dir):
         .groupBy("ida", "idb")
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    verified = (
         inter.join(sizes.select(F.col("doc_id").alias("ida"),
                                 F.col("sz").alias("sza")), "ida")
         .join(sizes.select(F.col("doc_id").alias("idb"),
@@ -8300,8 +8305,22 @@ def q_minhash_lsh(spark, sf_dir):
         )
         .filter(F.col("jacc") >= 0.5)
         .select("ida", "idb", "jacc")
-        .orderBy("ida", "idb")
+        .persist()
     )
+    _MINHASH_PAIRS_CACHE[ck] = verified
+    return verified
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(16 funcs)/LSH(8 bands x 2) candidate pairs, verified by
+    exact shingle Jaccard >= 0.5. The scale path for near-dup detection:
+    work is bounded by band-bucket sizes, never all-pairs. Hash i of a
+    shingle = md5int(i || ':' || shingle) — salted rehash instead of
+    (a*x+b) mod p so no 64-bit modular multiply is needed. Signatures
+    come from the materialized-once per-session band table; the
+    verified pair graph persists once per (session, tier) and is
+    shared with dedup_clusters."""
+    return _minhash_pairs_df(spark, sf_dir).orderBy("ida", "idb")
 
 
 _SIMHASH_FP_CACHE: dict = {}
@@ -8496,10 +8515,11 @@ def q_dedup_clusters(spark, sf_dir):
     group-then-keep-one step (pairs alone can't dedup: transitive
     near-dups A~B~C must collapse to ONE representative). Iterative
     min-label propagation (graph.py); cluster_id = min doc_id per
-    component."""
+    component. Consumes the SAME persisted verified-pair graph as
+    minhash_lsh_pairs — no re-verification."""
     from lucene_solr_spark.graph import connected_components
 
-    pairs = q_minhash_lsh(spark, sf_dir).select("ida", "idb")
+    pairs = _minhash_pairs_df(spark, sf_dir).select("ida", "idb")
     return connected_components(pairs).orderBy("doc_id")
 
 

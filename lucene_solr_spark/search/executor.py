@@ -629,6 +629,46 @@ class IndexSearcher:
         out = topk.orderBy(F.desc("score"), F.asc("doc_id"))
         return out if k is None else out.limit(k)
 
+    def search_phrase_windows(self, windows, boost: float = 1.0
+                              ) -> Optional[DataFrame]:
+        """pf2/pf3 shingled-window batch (ExtendedDismaxQParser
+        .addShingledPhraseQueries :495-560): the sliding-window
+        phrases of ONE FieldParams sub-query execute as a SINGLE
+        kernel pass over ONE postings scan, instead of one scan +
+        driver plan per window. ``windows``: list of analyzed token
+        lists (each a window's surviving tokens, offsets 0..n-1 —
+        the same collapsed-hole shape the per-leg path produces by
+        re-parsing the joined tokens). Per window the exact-phrase
+        chain runs with weight = f32(f32(f32-idf-sum * boost) *
+        (k1+1)) (BM25Stats.normalize :289-293); window scores
+        double-accumulate per doc (DisjunctionSumScorer) and cross
+        ONE f32 boundary — plan-for-plan what the union + sum of the
+        individual legs computes. Returns (doc_id, score float) of
+        all matching docs, or None when no window survives."""
+        from lucene_solr_spark.functions.bm25 import idf
+
+        all_terms = sorted({t for toks in windows for t in toks})
+        if not all_terms:
+            return None
+        dfs = self._lookup_dfs(all_terms)
+        planned = []
+        for toks in windows:
+            if not toks or any(t not in dfs for t in toks):
+                continue    # a SHOULD window with an absent term
+            w = np.float32(0.0)
+            for t in toks:  # f32 idf accumulation in clause order
+                w = np.float32(w + idf(dfs[t], self.max_doc))
+            wv = float(np.float32(
+                np.float32(w * np.float32(boost)) * K1_PLUS_1))
+            planned.append(([(t, i) for i, t in enumerate(toks)], wv))
+        if not planned:
+            return None
+        fetch = sorted({t for offs, _ in planned for t, _ in offs})
+        posts = self._postings.filter(F.col("term").isin(fetch))
+        kernel = make_phrase_windows_scorer(planned, self.cache)
+        return self._run_kernel(posts, kernel,
+                                "doc_id long, score float")
+
     def search_ngram_phrase(self, gram_terms, n: int,
                             k: Optional[int] = 10) -> DataFrame:
         """NGramPhraseQuery (search/NGramPhraseQuery.java:46-77): a
@@ -3878,6 +3918,75 @@ def make_phrase_scorer(offsets, wv, cache: np.ndarray, k: Optional[int]):
         return score_group(posts, segs)
 
     kernel.with_shared = score_group  # type: ignore[attr-defined]
+    return kernel
+
+
+def make_phrase_windows_scorer(windows, cache: np.ndarray):
+    """Per-group kernel for a pf2/pf3 FieldParams sub-query
+    (search_phrase_windows): ``windows`` = [(offsets, wv_f32)]. Each
+    window runs the ExactPhraseScorer sorted-key intersection of
+    make_phrase_scorer; its f32 BM25 score feeds a per-doc DOUBLE
+    accumulator over the SHOULD windows, cast to f32 once — the
+    union + sum(double) + cast(float) plan of the per-leg path,
+    fused into one postings pass."""
+    uniq_terms = list(dict.fromkeys(
+        t for offs, _ in windows for t, _ in offs))
+    offbase = max(off for offs, _ in windows for _, off in offs)
+
+    def empty_result():
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
+
+    def kernel(posts: pd.DataFrame, segs: pd.DataFrame) -> pd.DataFrame:
+        if len(posts) == 0 or len(segs) == 0:
+            return empty_result()
+        gbase, span, norms, deleted = _group_ctx(segs)
+        dec = _decode_phrase_postings(posts, uniq_terms,
+                                      require_all=False)
+        if dec is None:
+            return empty_result()
+        decoded, max_pos = dec
+        shift = max(21, int(max_pos + offbase + 1).bit_length())
+        flat = {t: (np.repeat(d, tf) << shift, pos)
+                for t, (d, tf, pos) in decoded.items()}
+        acc_docs, acc_sc = [], []
+        for offs, wv in windows:
+            keys = None
+            for t, off in offs:
+                base, pos = flat[t]
+                if len(base) == 0:
+                    keys = None
+                    break
+                kk = base + (pos - off + offbase)
+                keys = kk if keys is None else np.intersect1d(
+                    keys, kk, assume_unique=True)
+                if len(keys) == 0:
+                    keys = None
+                    break
+            if keys is None:
+                continue
+            docs_h = keys >> shift
+            udocs, counts = np.unique(docs_h, return_counts=True)
+            if deleted is not None and len(udocs):
+                keep = ~deleted[udocs - gbase]
+                udocs, counts = udocs[keep], counts[keep]
+            if len(udocs) == 0:
+                continue
+            pf = counts.astype(np.float32)
+            nrm = cache[norms[udocs - gbase].astype(np.int64)]
+            sc = ((np.float32(wv) * pf) / (pf + nrm)).astype(np.float32)
+            acc_docs.append(udocs)
+            acc_sc.append(sc.astype(np.float64))
+        if not acc_docs:
+            return empty_result()
+        docs = np.concatenate(acc_docs)
+        scs = np.concatenate(acc_sc)
+        ud, inv = np.unique(docs, return_inverse=True)
+        sums = np.zeros(len(ud), np.float64)
+        np.add.at(sums, inv, scs)
+        return pd.DataFrame({"doc_id": ud,
+                             "score": sums.astype(np.float32)})
+
     return kernel
 
 

@@ -238,22 +238,41 @@ class MultiFieldSearcher:
             # separately — pooling all fields into one sum would
             # collapse the per-field f32 rounding chain (r2 advice)
             for f_name, boost in pfn.items():
-                legs = []
-                for i in range(len(words) - n_gram + 1):
-                    win = " ".join(words[i:i + n_gram])
-                    leg = self._clause_leg(f_name, win, boost,
-                                           phrase=True, slop=psn)
-                    if leg is not None:
-                        legs.append(leg.select(
-                            "doc_id", F.col("score").alias("shp")))
-                if not legs:
-                    continue
-                sh = legs[0]
-                for leg in legs[1:]:
-                    sh = sh.unionByName(leg)
-                sh = sh.groupBy("doc_id").agg(
-                    F.sum(F.col("shp").cast("double")).cast("float")
-                    .alias("shp"))
+                sh = None
+                s = self.searchers[f_name]
+                if (psn == 0
+                        and self.similarities.get(f_name)
+                        in (None, "bm25")):
+                    # batched FieldParams sub-query: all windows in
+                    # ONE kernel pass over one postings scan
+                    # (search_phrase_windows) — same union + double
+                    # sum + single f32 boundary as the per-leg path
+                    wins = [s.analyzer.analyze(
+                                " ".join(words[i:i + n_gram]))
+                            for i in range(len(words) - n_gram + 1)]
+                    batched = s.search_phrase_windows(
+                        [wtoks for wtoks in wins if wtoks], boost)
+                    if batched is None:
+                        continue
+                    sh = batched.select(
+                        "doc_id", F.col("score").alias("shp"))
+                else:
+                    legs = []
+                    for i in range(len(words) - n_gram + 1):
+                        win = " ".join(words[i:i + n_gram])
+                        leg = self._clause_leg(f_name, win, boost,
+                                               phrase=True, slop=psn)
+                        if leg is not None:
+                            legs.append(leg.select(
+                                "doc_id", F.col("score").alias("shp")))
+                    if not legs:
+                        continue
+                    sh = legs[0]
+                    for leg in legs[1:]:
+                        sh = sh.unionByName(leg)
+                    sh = sh.groupBy("doc_id").agg(
+                        F.sum(F.col("shp").cast("double")).cast("float")
+                        .alias("shp"))
                 main = main.join(sh, "doc_id", "left").select(
                     "doc_id",
                     _f32(F.col("score")
