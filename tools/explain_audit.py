@@ -489,6 +489,40 @@ def main() -> None:
          "re-analyze", plan.count(") MapInPandas") == 2),
     ]))
 
+    # round-5: batched pf2/pf3 FieldParams windows — ONE kernel pass
+    # over one postings scan per field sub-query (search_phrase_windows)
+    # instead of a union of per-window legs
+    from lucene_solr_spark.driver_entry import (
+        EDISMAX_PF_TIE,
+        EDISMAX_PF_BOOST,
+        EDISMAX_PF2_TITLE_BOOST,
+        Q_PF2,
+        TOP_K,
+        _mf_searcher,
+        _topk_double,
+    )
+
+    mfs_sf = _mf_searcher(spark, sf)
+    plan = fmt(_topk_double(mfs_sf.edismax(
+        Q_PF2, qf={"title": 1.0, "content": 1.0}, tie=EDISMAX_PF_TIE,
+        k=TOP_K,
+        pf2={"content": EDISMAX_PF_BOOST,
+             "title": EDISMAX_PF2_TITLE_BOOST})))
+    sections.append(("edismax pf2 two-field (batched window kernels)",
+                     plan, [
+        ("one windows kernel per pf2 FieldParams (2 fields): 8 scoring "
+         "kernels total = 6 main-query term legs (3 words x 2 fields) "
+         "+ 2 batched window passes — the batch replaced 4 per-window "
+         "legs (formatted explain lists each operator twice, tree + "
+         "detail)",
+         plan.count("FlatMapGroupsInPandas") <= 16),
+        ("no cartesian", "CartesianProduct" not in plan),
+        ("no per-window union fan-in above the window kernels — the "
+         "only Union is the main query's clause sum (the window "
+         "double-accumulation happens inside the kernel)",
+         plan.count("Union") <= 4),
+    ]))
+
     out = ["# EXPLAIN — physical-plan audit (auto-generated by "
            "tools/explain_audit.py)\n",
            "Regenerate after planner-affecting changes. PASS markers are "
