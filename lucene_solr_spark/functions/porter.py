@@ -207,3 +207,14 @@ def english_minimal_stem(w: str) -> str:
             return w
         return w[:-1]
     return w[:-1]
+
+
+# memoized at the module name (pure function over a heavily repeated
+# token vocabulary; binding the wrapper to the module attribute keeps
+# pickled analyzer specs resolving to the cached form on executors) —
+# the same discipline every other stemmer module applies; porter was
+# the one chain the round-3 memoization pass missed, which made
+# en_default the slowest language entry (2.7s vs ~0.9s peers at sf0.1)
+from functools import lru_cache as _lru_cache  # noqa: E402
+
+porter_stem = _lru_cache(maxsize=1 << 17)(porter_stem)
