@@ -116,8 +116,20 @@ class RootEntity:
     fmt: str = "parquet"
 
 
+_READ_CACHE: dict = {}
+
+
 def _read(spark: SparkSession, path: str, fmt: str) -> DataFrame:
-    return spark.read.format(fmt).load(path)
+    """Per-(session, source) DataFrame cache — the catalog role a
+    registered table would play under spark.table(): repeated imports
+    of the same entity reuse the resolved relation instead of
+    re-listing files and re-reading parquet footers per call."""
+    key = (id(spark), fmt, path)
+    df = _READ_CACHE.get(key)
+    if df is None:
+        df = spark.read.format(fmt).load(path)
+        _READ_CACHE[key] = df
+    return df
 
 
 def full_import(spark: SparkSession, root: RootEntity,
