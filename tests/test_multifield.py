@@ -165,3 +165,39 @@ def test_pf2_pf3_shingled_phrase_boost(two_fields, small_corpus):
     pf3_same = {r["doc_id"]: r["score"] for r in mfs.edismax(
         q, qf=qf, tie=0.5, k=None, pf3={"content": 2.0}).collect()}
     assert pf3_same == base
+
+
+def test_pf3_trigram_batched_equals_per_leg(two_fields, small_corpus):
+    """A REAL 3-word pf3 window through the batched kernel
+    (search_phrase_windows) must equal the per-leg composition the
+    reference plan describes: main + f32(sum of window phrase legs)
+    where each leg is the field's boosted exact-phrase query — the
+    same equality the pre-batching union + sum produced."""
+    import numpy as np
+
+    from lucene_solr_spark.search.multifield import MultiFieldSearcher
+
+    mfs = MultiFieldSearcher(two_fields)
+    qf = {"content": 1.0, "head": 1.0}
+    s = two_fields["content"]
+    content = small_corpus[0]["content"]
+    toks = s.analyzer.analyze_with_positions(content)
+    tri = next(
+        (t1, t2, t3)
+        for (t1, p1), (t2, p2), (t3, p3) in zip(toks, toks[1:], toks[2:])
+        if p2 == p1 + 1 and p3 == p2 + 1 and len({t1, t2, t3}) == 3)
+    q = " ".join(tri)
+    base = {r["doc_id"]: r["score"] for r in mfs.edismax(
+        q, qf=qf, tie=0.5, k=None).collect()}
+    boosted = {r["doc_id"]: r["score"] for r in mfs.edismax(
+        q, qf=qf, tie=0.5, k=None, pf3={"content": 2.0}).collect()}
+    # per-leg equivalent: ONE trigram window = one boosted phrase leg
+    leg = {r["doc_id"]: r["score"] for r in
+           s.search_boolean(f'"{q}"^2.0', k=None).collect()}
+    assert leg, "fixture trigram must match at least its source doc"
+    for d, sc in base.items():
+        if d in leg:
+            exp = np.float32(sc + np.float32(leg[d]))
+            assert boosted[d] == exp
+        else:
+            assert boosted[d] == sc
