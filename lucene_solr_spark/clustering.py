@@ -22,13 +22,18 @@ Carrot2 bundles — re-expressed over DataFrames:
    docs in no cluster land in the trailing 'Other Topics' group, like
    CarrotClusteringEngine's carrot2 "Other Topics" output.
 
-Scale shape: token/phrase extraction and the pairwise-overlap counts
-are DataFrame aggregations (doc membership never leaves the
-executors); only base-cluster METADATA (<= max_base_clusters rows:
-phrase, df, pair overlaps) is collected for the tiny driver-side
-union-find — the same division of labor as the reference, which runs
-the Carrot2 algorithm on the head node over result snippets while the
-index stays distributed."""
+Scale shape: token/phrase extraction and the base-cluster selection
+are DataFrame aggregations. Hit sets up to ``driver_member_cap``
+(200k docs) then finish DRIVER-SIDE from one per-phrase doc-set
+aggregation (<= max_base_clusters rows) — pair overlaps, union-find,
+labels and docs_csv are set algebra over those lists, the same
+division of labor as the reference, which runs the Carrot2 algorithm
+on the head node over result snippets while the index stays
+distributed (and the docs_csv output contract already pages every
+member id through the driver). Above the cap the distributed path
+runs: pairwise-overlap aggregation ships only base-cluster METADATA
+(phrase, df, pair overlaps) to the driver-side union-find and doc
+membership never leaves the executors."""
 
 from __future__ import annotations
 
