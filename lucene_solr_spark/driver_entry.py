@@ -2268,17 +2268,26 @@ def q_dist_mlt(spark, sf_dir):
     for ss in shards:
         ss._lookup_dfs(sorted(all_terms))
 
+    # per-shard BATCHED execution: every root's MLT query runs inside
+    # ONE search_many kernel pass per shard (k=None -> all matches,
+    # query_id = root ordinal) instead of one kernel per (root, shard)
+    # leg — the same one-scan batching the pf2 windows use. path maps
+    # the shard-internal doc ids back to corpus ids; the root ordinal
+    # maps back to its key through a literal array.
+    keys_arr = F.array(*[F.lit(int(r["doc_id"])) for r in roots])
+    batch = [{"query_text": " ".join(root_terms[int(r["doc_id"])]),
+              "mode": "or"} for r in roots]
     legs = []
-    for root in roots:
-        key = int(root["doc_id"])
-        qtext = " ".join(root_terms[key])
-        legs.extend(
-            ss.search_display(qtext, k=None, mode="or")
-            .select(F.col("path").cast("long").alias("doc_id"), "score")
-            .filter(F.col("doc_id") != key)
-            .withColumn("root", F.lit(key))
+    for si, ss in enumerate(shards):
+        res = ss.search_many(batch, k=None, wand=False)
+        legs.append(
+            res.join(ss._docs.select("doc_id", "path"), "doc_id")
+            .select(
+                F.col("path").cast("long").alias("doc_id"), "score",
+                F.element_at(keys_arr,
+                             F.col("query_id") + 1).alias("root"))
+            .filter(F.col("doc_id") != F.col("root"))
             .withColumn("shard", F.lit(si))
-            for si, ss in enumerate(shards)
         )
     u = reduce(lambda a, b: a.unionAll(b), legs)
     wsh = Window.partitionBy("root", "shard").orderBy(

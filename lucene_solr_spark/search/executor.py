@@ -1604,7 +1604,7 @@ class IndexSearcher:
     def search_many(
         self,
         queries: List,
-        k: int = 10,
+        k: Optional[int] = 10,
         wand: bool = True,
     ) -> DataFrame:
         """Batched query execution: the whole query set in ONE Spark job.
@@ -1613,7 +1613,10 @@ class IndexSearcher:
         (term/boolean query, same surface as ``search``) or a plain
         string (exact phrase, same surface as ``search_phrase``).
         Returns (query_id, doc_id, score), top-k per query, ordered
-        (query_id, score desc, doc_id asc).
+        (query_id, score desc, doc_id asc). ``k=None`` returns ALL
+        matches per query with no merge or ordering (the distributed
+        MLT / grouping feeding shape — callers window or aggregate the
+        batch themselves).
 
         This is the high-QPS shape at cluster scale: per-query results
         are identical to ``search``/``search_phrase`` (the same kernels
@@ -1660,9 +1663,12 @@ class IndexSearcher:
                 terms = uniq
             else:
                 plan = self.plan(
-                    q.get("query_text", ""), k, q.get("mode", "or"),
+                    q.get("query_text", ""),
+                    k if k is not None else 0, q.get("mode", "or"),
                     q.get("mm", 0), q.get("exclude", ""),
                 )
+                if k is None:
+                    plan.k = None  # type: ignore[assignment]
                 if plan.empty:
                     continue
                 kern = make_group_scorer(plan, wand)
@@ -1695,6 +1701,8 @@ class IndexSearcher:
             return pd.concat(outs, ignore_index=True)
 
         per_group = self._run_kernel(posts, multi, out_schema)
+        if k is None:
+            return per_group  # ALL matches; callers window/aggregate
         # final top-k merge: <= n_groups*k rows per query survive the
         # per-group cut (Solr mergeIds, QueryComponent.java:772-870).
         # Small batches merge on the driver (saves a shuffle stage);
