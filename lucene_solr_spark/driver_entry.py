@@ -3272,21 +3272,30 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     shingles carry no near-dup signal anyway. MinHash/LSH
     (minhash_lsh_pairs) is the sub-quadratic path at full scale."""
     sh = _shingles_df(spark, sf_dir)
-    cold = (
+    # inverted index with bounded postings: ONE shuffle of the shingle
+    # table builds per-shingle sorted doc lists; the df ceiling drops
+    # hot (boilerplate) shingles at the same aggregation; candidate
+    # pairs then generate LOCALLY inside each list (<= CAP^2/2 per
+    # shingle) — no shingle-keyed self-join shuffle. Same pair
+    # multiset as the former a-join-b-on-shingle plan.
+    inv = (
         sh.groupBy("shingle")
-        .agg(F.count("*").alias("sdf"))
-        .filter(F.col("sdf") <= SHINGLE_DF_CAP)
-        .select("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") <= SHINGLE_DF_CAP)
     )
-    sh = sh.join(cold, "shingle", "leftsemi")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sizes = (
+        inv.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id").agg(F.count("*").alias("sz"))
+    )
+    pair_arr = F.flatten(F.transform(
+        F.col("ds"),
+        lambda x: F.transform(
+            F.filter(F.col("ds"), lambda y: y > x),
+            lambda y: F.struct(x.alias("ida"), y.alias("idb")))))
     pairs = (
-        a.join(b, "shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("ida"),
-                 F.col("b.doc_id").alias("idb"))
+        inv.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.ida").alias("ida"),
+                 F.col("p.idb").alias("idb"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("ida"), F.col("sz").alias("sza"))
