@@ -571,3 +571,41 @@ class TestSloppyPhraseGoldens:
         the leading y z pair unhighlighted."""
         assert self._count_highlights(
             [("x", 0), ("y", 1), ("z", 2)], 0) == 3
+
+
+def test_repeating_terms_in_mult_booleans():
+    """testRepeatingTermsInMultBooleans (HighlighterTest.java:286-336):
+    two MUST sub-booleans whose phrases SHARE terms — (a b c d) and
+    (b c g) over 'x y z a b c d e f g b c g'. b and c must carry the
+    UNION of both phrases' spans (extract merge rule :302-318,
+    wst.spans extend on existing entries); 7 positive groups."""
+    import re
+
+    from lucene_solr_spark.functions.analysis import AnalyzerSpec
+    from lucene_solr_spark.search.classic_highlighter import (
+        extract_weighted_span_terms,
+    )
+
+    an = AnalyzerSpec("mock_ws", re.compile(r"\S+").findall,
+                      lowercase=False)
+    content = "x y z a b c d e f g b c g"
+    n = {"count": 0}
+
+    def fmt(tok, tot):
+        if tot <= 0:
+            return tok
+        n["count"] += 1
+        return "<B>" + tok + "</B>"
+
+    w = extract_weighted_span_terms(
+        [("phrase", ("a", "b", "c", "d"), 1.0),
+         ("phrase", ("b", "c", "g"), 1.0)],
+        token_stream(content, an))
+    # merged spans: b/c belong to both phrase matches
+    assert sorted(w["b"].spans) == [(3, 6), (10, 12)]
+    assert sorted(w["c"].spans) == [(3, 6), (10, 12)]
+    assert sorted(w["a"].spans) == [(3, 6)]
+    assert sorted(w["g"].spans) == [(10, 12)]
+    get_best_text_fragments(content, w, an, fragment_size=1 << 30,
+                            max_num_fragments=1, formatter=fmt)
+    assert n["count"] == 7
