@@ -199,6 +199,37 @@ def extract_weighted_span_terms(
     return terms
 
 
+def simple_html_encoder(plain: str) -> str:
+    """SimpleHTMLEncoder.htmlEncode (SimpleHTMLEncoder.java:37-81):
+    escape " & < > and every char >= 128 as a decimal entity; all
+    other ASCII passes through. The Encoder seam applies to token
+    text, interstitial text and the trailing tail
+    (Highlighter.java:237-290) — Solr's hl.encoder=html."""
+    if not plain:
+        return ""
+    out = []
+    for ch in plain:
+        if ch == '"':
+            out.append("&quot;")
+        elif ch == "&":
+            out.append("&amp;")
+        elif ch == "<":
+            out.append("&lt;")
+        elif ch == ">":
+            out.append("&gt;")
+        elif ch < "\x80":
+            out.append(ch)
+        else:
+            out.append(f"&#{ord(ch)};")
+    return "".join(out)
+
+
+ENCODERS = {
+    "default": None,               # DefaultEncoder: identity
+    "html": simple_html_encoder,   # SimpleHTMLEncoder
+}
+
+
 class _TokenGroup:
     """TokenGroup.java state for one group of overlapping tokens."""
 
@@ -539,13 +570,21 @@ def get_best_text_fragments(
     max_chars: int = DEFAULT_MAX_CHARS,
     fragmenter: str = "simple",
     formatter=None,
+    encoder=None,
 ) -> List[Tuple[str, float, int]]:
     """Highlighter.getBestTextFragments for ONE doc (pure function —
     unit-testable and reused by the Spark kernel). ``weights`` maps
     analyzed term -> float weight (QueryTermScorer) or
     ``WeightedSpanTerm`` (QueryScorer — position-sensitive terms
     score only inside a matched span, QueryScorer.java:147-172).
+    ``encoder``: None (DefaultEncoder passthrough), a name from
+    ENCODERS ('html' = SimpleHTMLEncoder), or a str -> str callable —
+    applied to token, interstitial and trailing text before markup
+    (Highlighter.java:237-290).
     Returns [(fragment_markup, score, frag_num)] in queue order."""
+    if isinstance(encoder, str):
+        encoder = ENCODERS[encoder]
+    enc = encoder if encoder is not None else (lambda t: t)
     parts: List[str] = []
     out_len = 0
 
@@ -569,13 +608,13 @@ def get_best_text_fragments(
 
     def flush(g: _TokenGroup):
         nonlocal last_end
-        token_txt = text[g.match_start:g.match_end]
+        token_txt = enc(text[g.match_start:g.match_end])
         if formatter is not None:
             marked = formatter(token_txt, float(g.tot))
         else:   # SimpleHTMLFormatter (<= 0 gate, :46-49)
             marked = (pre + token_txt + post) if g.tot > 0 else token_txt
         if g.match_start > last_end:
-            append(text[last_end:g.match_start])
+            append(enc(text[last_end:g.match_start]))
         append(marked)
         last_end = max(g.match_end, last_end)
 
@@ -621,7 +660,7 @@ def get_best_text_fragments(
         flush(group)
     # trailing text beyond the last token (Highlighter.java:280-291)
     if last_end < len(text) and len(text) <= max_chars:
-        append(text[last_end:])
+        append(enc(text[last_end:]))
     cur.end = out_len
     markup = "".join(parts)
 
@@ -682,6 +721,7 @@ def classic_highlight(
     hits: Optional[DataFrame] = None,
     fragmenter: str = "simple",
     analyzer=None,
+    encoder=None,
     **search_kw,
 ) -> DataFrame:
     """Top-k hits of ``query_text`` with classic-Highlighter fragments
@@ -722,7 +762,7 @@ def classic_highlight(
                     t, doc_w, analyzer, fragment_size=fragment_size,
                     max_num_fragments=max_num_fragments,
                     merge_contiguous=merge_contiguous, pre=pre, post=post,
-                    fragmenter=fragmenter)
+                    fragmenter=fragmenter, encoder=encoder)
                 frag_txt.append([r[0] for r in res])
                 frag_sc.append([r[1] for r in res])
             yield pd.DataFrame({

@@ -609,3 +609,60 @@ def test_repeating_terms_in_mult_booleans():
     get_best_text_fragments(content, w, an, fragment_size=1 << 30,
                             max_num_fragments=1, formatter=fmt)
     assert n["count"] == 7
+
+
+class TestEncoderAndTails:
+    """Encoder seam + two more HighlighterTest transfers."""
+
+    def test_simple_html_encoder_rules(self):
+        """SimpleHTMLEncoder.htmlEncode (SimpleHTMLEncoder.java:37-81):
+        quote/amp/lt/gt entities, >= U+0080 as decimal entities."""
+        from lucene_solr_spark.search.classic_highlighter import (
+            simple_html_encoder as enc,
+        )
+        assert enc('"a" & <b> > c') == "&quot;a&quot; &amp; &lt;b&gt; &gt; c"
+        assert enc("café") == "caf&#233;"
+        assert enc("") == ""
+
+    def test_encoding_applied_to_all_pieces(self):
+        """testEncoding (:1479-1525) semantics: token, interstitial
+        and trailing text all pass through the encoder, so stripping
+        the <B> tags and decoding entities recovers the raw text."""
+        import html
+
+        raw = "\"Smith & sons' prices < 3 and >4\" claims article"
+        frags = get_best_text_fragments(
+            raw, {"smith": 1.0}, STD, fragment_size=2000,
+            max_num_fragments=1, encoder="html")
+        assert frags and "<B>Smith</B>" in frags[0][0]
+        decoded = html.unescape(
+            frags[0][0].replace("<B>", "").replace("</B>", ""))
+        assert decoded == raw
+        assert "&amp;" in frags[0][0] and "&lt;" in frags[0][0] \
+            and "&gt;" in frags[0][0] and "&quot;" in frags[0][0]
+
+    def test_off_by_one(self):
+        """testOffByOne (:1013-1029): NullFragmenter, bracketed
+        numerics flow through as unhighlighted text."""
+        frags = get_best_text_fragments(
+            "help me [54-65]", {"help": 1.0}, STD,
+            fragmenter="null", max_num_fragments=1)
+        assert frags == [("<B>help</B> me [54-65]", 1.0, 0)]
+
+    def test_max_size_end_highlight(self):
+        """testMaxSizeEndHighlight (:1385-1404): with
+        maxDocCharsToAnalyze == len(text), the trailing stop-worded
+        tail stays in the fragment."""
+        import re
+
+        from lucene_solr_spark.functions.analysis import AnalyzerSpec
+
+        an = AnalyzerSpec("mock_stop_int", re.compile("[a-z]+").findall,
+                         lowercase=True,
+                         stopwords=frozenset({"in", "it"}))
+        text = "this is a text with searchterm in it"
+        frags = get_best_text_fragments(
+            text, {"searchterm": 1.0}, an, fragmenter="null",
+            max_num_fragments=1, max_chars=36)
+        assert frags and frags[0][0].endswith("in it")
+        assert "<B>searchterm</B>" in frags[0][0]
