@@ -101,6 +101,43 @@ def token_stream(text: str, analyzer) -> List[Tuple[str, int, int, int]]:
     return out
 
 
+def query_term_weights(searcher, query_text: str,
+                       prohibited: bool = False,
+                       idf_weighted: bool = False) -> Dict[str, float]:
+    """QueryTermExtractor port (highlight/QueryTermExtractor.java:
+    46-108) over the engine's parsed boolean surface: term -> weight
+    for QueryTermScorer. Every non-prohibited clause contributes its
+    analyzed terms at the clause boost (phrase clauses contribute
+    every phrase term — extractTerms); MUST_NOT terms only with
+    ``prohibited=True``. Duplicated terms keep the HIGHEST weight
+    (QueryTermScorer.java:80-93). ``idf_weighted`` multiplies each
+    weight by the DefaultSimilarity idf
+    f32(ln(maxDoc/(df+1)) + 1) from the searcher's term stats
+    (getIdfWeightedTerms :60-78)."""
+    import math
+
+    from lucene_solr_spark.search.queryparser import parse_query
+
+    clauses = parse_query(query_text, analyzer=searcher.analyzer)
+    out: Dict[str, float] = {}
+    for c in clauses:
+        if c.occur == "not" and not prohibited:
+            continue
+        for t in c.terms:
+            w = float(getattr(c, "boost", 1.0) or 1.0)
+            if t not in out or w > out[t]:
+                out[t] = w
+    if idf_weighted and out:
+        dfs = searcher._lookup_dfs(sorted(out))
+        max_doc = searcher.max_doc
+        for t in list(out):
+            df_t = dfs.get(t, 0)
+            idf = np.float32(
+                math.log(max_doc / float(df_t + 1)) + 1.0)
+            out[t] = float(np.float32(out[t] * idf))
+    return out
+
+
 class WeightedSpanTerm:
     """WeightedSpanTerm.java: weight + optional position sensitivity
     with inclusive [start, end] position spans (checkPosition
@@ -736,8 +773,12 @@ def classic_highlight(
     frag_scores array<float>)."""
     import pandas as pd
 
-    if (weights is None) == (clauses is None):
-        raise ValueError("pass exactly one of weights= or clauses=")
+    if weights is not None and clauses is not None:
+        raise ValueError("pass at most one of weights= or clauses=")
+    if weights is None and clauses is None:
+        # Highlighter(new QueryTermScorer(query)) default: weights
+        # extracted from the query itself (QueryTermExtractor)
+        weights = query_term_weights(searcher, query_text)
 
     if hits is None:
         hits = searcher.search(query_text, k=k, **search_kw)

@@ -666,3 +666,66 @@ class TestEncoderAndTails:
             max_num_fragments=1, max_chars=36)
         assert frags and frags[0][0].endswith("in it")
         assert "<B>searchterm</B>" in frags[0][0]
+
+
+class TestQueryTermExtractor:
+    """QueryTermExtractor port (QueryTermExtractor.java:46-108)."""
+
+    def test_weights_from_query(self, spark, built):
+        from lucene_solr_spark.search.classic_highlighter import (
+            query_term_weights,
+        )
+        from lucene_solr_spark.search.executor import IndexSearcher
+
+        index_dir, _ = built
+        s = IndexSearcher(spark, index_dir)
+        w = query_term_weights(s, '+seven hundred^2.0 -thousand')
+        assert w == {"seven": 1.0, "hundred": 2.0}
+        wp = query_term_weights(s, '+seven hundred^2.0 -thousand',
+                                prohibited=True)
+        assert wp == {"seven": 1.0, "hundred": 2.0, "thousand": 1.0}
+        # phrase terms contribute at the clause boost; duplicate keeps
+        # the highest weight
+        w2 = query_term_weights(s, 'seven "seven hundred"^3.0')
+        assert w2 == {"seven": 3.0, "hundred": 3.0}
+
+    def test_idf_weighted(self, spark, built):
+        import math
+
+        import numpy as np
+
+        from lucene_solr_spark.search.classic_highlighter import (
+            query_term_weights,
+        )
+        from lucene_solr_spark.search.executor import IndexSearcher
+
+        index_dir, _ = built
+        s = IndexSearcher(spark, index_dir)
+        w = query_term_weights(s, "seven", idf_weighted=True)
+        df = s._lookup_dfs(["seven"])["seven"]
+        exp = float(np.float32(
+            1.0 * np.float32(math.log(s.max_doc / (df + 1)) + 1.0)))
+        assert w == {"seven": exp}
+
+    def test_classic_highlight_defaults_to_extractor(self, spark, built,
+                                                     small_corpus):
+        """classic_highlight with NEITHER weights nor clauses mirrors
+        Highlighter(new QueryTermScorer(query))."""
+        from lucene_solr_spark.search.classic_highlighter import (
+            classic_highlight,
+        )
+        from lucene_solr_spark.search.executor import IndexSearcher
+
+        index_dir, _ = built
+        s = IndexSearcher(spark, index_dir)
+        docs_sorted = sorted(
+            small_corpus, key=lambda r: (r["repo"], r["path"], r["commit"]))
+        store = spark.createDataFrame(
+            [(i, r["content"]) for i, r in enumerate(docs_sorted)],
+            "doc_id long, content string")
+        out = classic_highlight(
+            s, store, "hundred", text_col="content", k=3,
+            fragment_size=10**6, max_num_fragments=1).collect()
+        assert out
+        for r in out:
+            assert "<B>hundred</B>" in r["fragments"][0]
