@@ -637,6 +637,7 @@ def make_stream_builder(offsets: Dict[int, int], dps: int,
     def build_stream(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         consumed: Dict[int, int] = {}
         carry = None
+        last_bkt = None
         pend: Dict[str, list] = {
             "ids": [], "toks": [], "poss": [], "shas": [],
             "repo": [], "path": [], "commit": [], "lang": [],
@@ -688,14 +689,25 @@ def make_stream_builder(offsets: Dict[int, int], dps: int,
                 hashlib.sha256(c.encode("utf-8")).hexdigest()
                 for c in contents
             ]
-            # segment cuts: dps-aligned docID boundaries AND docID
-            # discontinuities (bucket transitions jump the id space) —
-            # including a discontinuity at the Arrow batch boundary
-            disc = np.nonzero(np.diff(ids) != 1)[0] + 1
+            # segment cuts: dps-aligned docID boundaries AND BUCKET
+            # transitions — a pure function of (docID, bucket), so the
+            # layout is INDEPENDENT of physical partition grouping,
+            # AQE coalescing and Arrow chunk boundaries: any
+            # parallelism level, any resume path, any speculative
+            # re-execution yields a byte-identical segment layout.
+            # (The former rule cut at docID DISCONTINUITIES, which
+            # depend on whether id-adjacent buckets happened to share
+            # a partition — observed as 3/445 lineage rows differing
+            # between a resumed and a clean 327k build.) The id-jump
+            # guard stays as a belt-and-braces cut.
+            disc = np.nonzero((np.diff(bkts) != 0)
+                              | (np.diff(ids) != 1))[0] + 1
             cuts = set(np.nonzero(ids % dps == 0)[0].tolist())
             cuts.update(disc.tolist())
-            if pend["ids"] and ids[0] != pend["ids"][-1] + 1:
+            if pend["ids"] and (ids[0] != pend["ids"][-1] + 1
+                                or int(bkts[0]) != last_bkt):
                 cuts.add(0)
+            last_bkt = int(bkts[-1])
             bounds = sorted({0, len(ids), *cuts})
             cols = {c: pdf[c].tolist() for c in ("repo", "path", "commit",
                                                  "lang")}
